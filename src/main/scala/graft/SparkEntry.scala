@@ -1,13 +1,160 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator from SURVEY §2's
+  * inventory (the Prisma relational surface of the reference at
+  * `/root/reference/src/db/client/effect.ts` re-expressed Spark-first), or
+  * one of the beyond-reference training-data operators. Each has a matching
+  * DuckDB oracle in [[oracleSql]] unless the op is not SQL-expressible.
+  *
+  * Conventions for oracle parity:
+  *   - every query ends in a deterministic total ORDER BY (driver hash
+  *     compare must not depend on partition order);
+  *   - monetary/double aggregates go through DECIMAL(18,2) so sums are
+  *     exact and order-independent in both engines (double-sum rounding
+  *     differs between Spark and DuckDB at the last bit);
+  *   - every computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q1-shaped pricing summary — the reference's only standalone
+    * analytics query is a filtered count (`src/runQueries.ts:45-49`); this
+    * is its natural Spark generalization (filter → groupBy → agg).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  // Exact decimal aggregate, surfaced as double: the decimal sum is
+  // order-independent (unlike double sums), and the final cast to double is
+  // IEEE-correctly-rounded in both Spark and DuckDB — so the driver's hash
+  // compare sees bit-identical float64 on both sides.
+  private def decSum(c: org.apache.spark.sql.Column) = sum(dec(c)).cast("double")
+
+  /** TPC-H Q1 shape: scan-side filter, groupBy, decimal-exact aggregates. */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §3.1 — the reference's one ad-hoc analytics query (runQueries.ts:45-49):
+    // count of rows in the "pending" status slice.
+    "q_count_filter" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "P")
+        .agg(count(lit(1)).as("n"))),
+
+    // §2.A #16/#17 generalized: groupBy + exact decimal aggregates (Q1 shape).
+    "q1_agg" -> ((s, dir) => pricingSummary(s, dir)),
+
+    // §2.A #1 findUnique — point lookup by unique key.
+    "q_find_unique" -> ((s, dir) =>
+      Tables.customer(s, dir).filter(col("c_custkey") === 42L)),
+
+    // §2.A #3 findFirst — filter → multi-key orderBy → first row.
+    "q_find_first" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 100000.0)
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .limit(1)),
+
+    // §2.A #5 findMany — filter + orderBy + skip/take (offset pagination).
+    "q_find_many_page" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .offset(10).limit(20)),
+
+    // §2.D — 1-1/1-N left join + per-key counts (include w/ _count).
+    "q_join_left_count" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             decSum(col("o_totalprice")).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.D — anti-join: "companies never synced" shape (runner/syncCrm.ts:62).
+    "q_join_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.A #17 groupBy + HAVING (aggregate filter) + orderBy + limit.
+    "q_group_having" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), max(dec(col("o_totalprice"))).cast("double").as("max_price"))
+        .filter(col("n") >= 10)
+        .orderBy(col("n").desc, col("o_custkey").asc)
+        .limit(50)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_count_filter" ->
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'P'",
+
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_find_unique" ->
+      "SELECT * FROM customer WHERE c_custkey = 42",
+
+    "q_find_first" -> """
+      SELECT * FROM orders WHERE o_totalprice > 100000.0
+      ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1""",
+
+    "q_find_many_page" -> """
+      SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20 OFFSET 10""",
+
+    "q_join_left_count" -> """
+      SELECT c.c_custkey,
+             count(o.o_orderkey) AS n_orders,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+      ORDER BY c.c_custkey""",
+
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey""",
+
+    "q_group_having" -> """
+      SELECT o_custkey, count(*) AS n, CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 10
+      ORDER BY n DESC, o_custkey ASC LIMIT 50""",
+  )
 }
