@@ -1,5 +1,6 @@
 package graft
 
+import graft.query._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,16 +8,17 @@ import org.apache.spark.sql.functions._
   *
   * Each entry in [[queries]] exercises one operator from SURVEY §2's
   * inventory (the Prisma relational surface of the reference at
-  * `/root/reference/src/db/client/effect.ts` re-expressed Spark-first), or
-  * one of the beyond-reference training-data operators. Each has a matching
-  * DuckDB oracle in [[oracleSql]] unless the op is not SQL-expressible.
+  * `/root/reference/src/db/client/effect.ts` re-expressed Spark-first via
+  * [[graft.query.Model]]), or one of the beyond-reference training-data
+  * operators. Each has a matching DuckDB oracle in [[oracleSql]] unless the
+  * op is not SQL-expressible.
   *
   * Conventions for oracle parity:
   *   - every query ends in a deterministic total ORDER BY (driver hash
   *     compare must not depend on partition order);
   *   - monetary/double aggregates go through DECIMAL(18,2) so sums are
-  *     exact and order-independent in both engines (double-sum rounding
-  *     differs between Spark and DuckDB at the last bit);
+  *     exact and order-independent in both engines, then surface as DOUBLE
+  *     (decimal128 vs float64 representation would otherwise differ);
   *   - every computed column is aliased identically on both sides.
   */
 object SparkEntry {
@@ -61,25 +63,134 @@ object SparkEntry {
     // §2.A #16/#17 generalized: groupBy + exact decimal aggregates (Q1 shape).
     "q1_agg" -> ((s, dir) => pricingSummary(s, dir)),
 
-    // §2.A #1 findUnique — point lookup by unique key.
+    // §2.A #1 findUnique — point lookup by unique key, via the Model DSL.
     "q_find_unique" -> ((s, dir) =>
-      Tables.customer(s, dir).filter(col("c_custkey") === 42L)),
+      TpchModels.customer(s, dir).findUnique("c_custkey", 42L)),
 
     // §2.A #3 findFirst — filter → multi-key orderBy → first row.
     "q_find_first" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .filter(col("o_totalprice") > 100000.0)
-        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-        .limit(1)),
+      TpchModels.orders(s, dir).findFirst(QueryArgs(
+        where = Some(F.cmp("o_totalprice", CmpF(gt = Some(100000.0)))),
+        orderBy = Seq(OrderBy("o_orderdate"), OrderBy("o_orderkey"))))),
 
     // §2.A #5 findMany — filter + orderBy + skip/take (offset pagination).
     "q_find_many_page" -> ((s, dir) =>
-      Tables.customer(s, dir)
-        .filter(col("c_mktsegment") === "BUILDING")
-        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-        .offset(10).limit(20)),
+      TpchModels.customer(s, dir).findMany(QueryArgs(
+        where = Some(F.str("c_mktsegment", StringF(equals = Some(Some("BUILDING"))))),
+        orderBy = Seq(OrderBy("c_acctbal", desc = true), OrderBy("c_custkey")),
+        skip = Some(10), take = Some(20)))),
 
-    // §2.D — 1-1/1-N left join + per-key counts (include w/ _count).
+    // §2.B StringFilter: contains + endsWith + mode insensitive.
+    "q_str_filters" -> ((s, dir) =>
+      TpchModels.part(s, dir).findMany(QueryArgs(
+        where = Some(And(Seq(
+          F.str("p_type", StringF(endsWith = Some("DARD"))),
+          F.str("p_name", StringF(contains = Some("RED"), insensitive = true))))),
+        orderBy = Seq(OrderBy("p_partkey")),
+        select = Seq("p_partkey", "p_name", "p_type")))),
+
+    // §2.B in / notIn list predicates.
+    "q_in_notin" -> ((s, dir) =>
+      TpchModels.part(s, dir).findMany(QueryArgs(
+        where = Some(And(Seq(
+          F.str("p_brand", StringF(in = Some(Seq("Brand#11", "Brand#22", "Brand#33")))),
+          F.cmp("p_size", CmpF(notIn = Some(Seq(1, 2, 3))))))),
+        orderBy = Seq(OrderBy("p_partkey")),
+        select = Seq("p_partkey", "p_brand", "p_size")))),
+
+    // §2.B DateTimeFilter range + numeric range, AND/OR connectors.
+    "q_range_connectors" -> ((s, dir) =>
+      TpchModels.orders(s, dir).findMany(QueryArgs(
+        where = Some(And(Seq(
+          F.cmp("o_orderdate", CmpF(
+            gte = Some(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+            lt = Some(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))),
+          Or(Seq(
+            F.cmp("o_totalprice", CmpF(gt = Some(350000.0))),
+            F.str("o_orderpriority", StringF(equals = Some(Some("1-URGENT"))))))))),
+        orderBy = Seq(OrderBy("o_orderkey")),
+        select = Seq("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")))),
+
+    // §2.B JsonNullableFilter: JSON path + numeric compare on events.props.
+    "q_json_filter" -> ((s, dir) => {
+      val m = new Model(() => Tables.events(s, dir), "event_id")
+      m.findMany(QueryArgs(
+        where = Some(F.json("props", JsonF(path = Seq("k"), gte = Some(95)))),
+        orderBy = Seq(OrderBy("event_id")),
+        select = Seq("event_id", "event_type", "props")))
+    }),
+
+    // §2.B relation some — EXISTS semi-join shape.
+    "q_rel_some" -> ((s, dir) =>
+      TpchModels.customer(s, dir).findMany(QueryArgs(
+        where = Some(RelSome("orders", F.cmp("o_totalprice", CmpF(gt = Some(400000.0))))),
+        orderBy = Seq(OrderBy("c_custkey")),
+        select = Seq("c_custkey", "c_name")))),
+
+    // §2.B relation none — NOT EXISTS anti-join (never-synced shape,
+    // runner/syncCrm.ts:62).
+    "q_rel_none" -> ((s, dir) =>
+      TpchModels.customer(s, dir).findMany(QueryArgs(
+        where = Some(RelNone("orders", F.str("o_orderstatus", StringF(equals = Some(Some("F")))))),
+        orderBy = Seq(OrderBy("c_custkey")),
+        select = Seq("c_custkey", "c_name")))),
+
+    // §2.B relation every — no violating related row (vacuously true).
+    "q_rel_every" -> ((s, dir) =>
+      TpchModels.orders(s, dir).findMany(QueryArgs(
+        where = Some(And(Seq(
+          F.cmp("o_orderdate", CmpF(gte = Some(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))),
+          RelEvery("lineitems", F.cmp("l_quantity", CmpF(lte = Some(45.0))))))),
+        orderBy = Seq(OrderBy("o_orderkey")),
+        select = Seq("o_orderkey", "o_orderdate")))),
+
+    // §2.C distinct-on-fields w.r.t. order: latest order per customer.
+    "q_distinct_on" -> ((s, dir) =>
+      TpchModels.orders(s, dir).findMany(QueryArgs(
+        distinct = Seq("o_custkey"),
+        orderBy = Seq(OrderBy("o_orderdate", desc = true), OrderBy("o_orderkey")),
+        select = Seq("o_orderkey", "o_custkey", "o_orderdate")))),
+
+    // §2.C cursor keyset pagination (exclusive via skip=1, Prisma idiom).
+    "q_cursor_page" -> ((s, dir) =>
+      TpchModels.customer(s, dir).findMany(QueryArgs(
+        orderBy = Seq(OrderBy("c_acctbal", desc = true), OrderBy("c_custkey")),
+        cursor = Some(("c_custkey", 100L)), skip = Some(1), take = Some(20),
+        select = Seq("c_custkey", "c_name", "c_acctbal")))),
+
+    // §2.C order-by-relation-count (models/Company.ts:438-440).
+    "q_order_by_rel_count" -> ((s, dir) =>
+      TpchModels.customer(s, dir)
+        .orderByRelationCount("orders", desc = true, take = Some(25))
+        .select(col("c_custkey"), col("c_name"))),
+
+    // §2.A #16 aggregate: _count/_min/_max (exact, no FP aggregation).
+    "q_aggregate" -> ((s, dir) =>
+      TpchModels.orders(s, dir).aggregate(
+        AggSpec(countAll = true, count = Seq("o_custkey"),
+          min = Seq("o_orderdate", "o_totalprice"),
+          max = Seq("o_orderdate", "o_totalprice")),
+        where = Some(F.str("o_orderstatus", StringF(equals = Some(Some("O"))))))),
+
+    // §2.A #17 groupBy + having + orderBy incl. aggregate column.
+    "q_group_having" -> ((s, dir) =>
+      TpchModels.orders(s, dir).groupBy(
+        by = Seq("o_custkey"),
+        spec = AggSpec(countAll = true, max = Seq("o_totalprice")),
+        having = Some(col("_count_all") >= 10),
+        orderBy = Seq(OrderBy("_count_all", desc = true), OrderBy("o_custkey")),
+        take = Some(50))
+        .withColumn("_max_o_totalprice", dec(col("_max_o_totalprice")).cast("double"))),
+
+    // §2.D 1-N include projected to _count (hydration, runner/syncCrm.ts:64-68).
+    "q_include_count" -> ((s, dir) =>
+      TpchModels.customer(s, dir).findMany(QueryArgs(
+        include = Seq("orders"),
+        select = Seq("c_custkey", "_count_orders")))
+        .withColumn("_count_orders", col("_count_orders").cast("long"))
+        .orderBy(col("c_custkey"))),
+
+    // §2.D left join + per-key aggregate over the joined side.
     "q_join_left_count" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
@@ -90,23 +201,28 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
-    // §2.D — anti-join: "companies never synced" shape (runner/syncCrm.ts:62).
+    // §2.D anti-join on the raw DataFrame surface: customers with no
+    // high-value order (NOT EXISTS with a pushed-down filter on the right).
     "q_join_anti" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir).select(col("o_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
     }),
 
-    // §2.A #17 groupBy + HAVING (aggregate filter) + orderBy + limit.
-    "q_group_having" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n"), max(dec(col("o_totalprice"))).cast("double").as("max_price"))
-        .filter(col("n") >= 10)
-        .orderBy(col("n").desc, col("o_custkey").asc)
-        .limit(50)),
+    // §2.D M-N two-hop join (part↔supplier through lineitem), aggregated.
+    "q_join_mn" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+      val sup = Tables.supplier(s, dir)
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .filter(col("n_suppliers") >= 4)
+        .orderBy(col("l_partkey"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,6 +253,93 @@ object SparkEntry {
       SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
       ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 20 OFFSET 10""",
 
+    "q_str_filters" -> """
+      SELECT p_partkey, p_name, p_type FROM part
+      WHERE p_type LIKE '%DARD' AND lower(p_name) LIKE '%red%'
+      ORDER BY p_partkey""",
+
+    "q_in_notin" -> """
+      SELECT p_partkey, p_brand, p_size FROM part
+      WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
+        AND p_size NOT IN (1,2,3)
+      ORDER BY p_partkey""",
+
+    "q_range_connectors" -> """
+      SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+        AND (o_totalprice > 350000.0 OR o_orderpriority = '1-URGENT')
+      ORDER BY o_orderkey""",
+
+    "q_json_filter" -> """
+      SELECT event_id, event_type, props FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
+      ORDER BY event_id""",
+
+    "q_rel_some" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      ORDER BY c_custkey""",
+
+    "q_rel_none" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""",
+
+    "q_rel_every" -> """
+      SELECT o_orderkey, o_orderdate FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND NOT coalesce(l.l_quantity <= 45.0, FALSE))
+      ORDER BY o_orderkey""",
+
+    "q_distinct_on" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        FROM orders) t
+      WHERE rn = 1
+      ORDER BY o_orderdate DESC, o_orderkey ASC""",
+
+    "q_cursor_page" -> """
+      WITH cur AS (SELECT c_acctbal, c_custkey FROM customer WHERE c_custkey = 100)
+      SELECT c.c_custkey, c.c_name, c.c_acctbal FROM customer c, cur
+      WHERE c.c_acctbal < cur.c_acctbal
+         OR (c.c_acctbal = cur.c_acctbal AND c.c_custkey > cur.c_custkey)
+      ORDER BY c.c_acctbal DESC, c.c_custkey ASC LIMIT 20""",
+
+    "q_order_by_rel_count" -> """
+      SELECT c_custkey, c_name FROM customer c
+      ORDER BY (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) DESC,
+               c_custkey ASC
+      LIMIT 25""",
+
+    "q_aggregate" -> """
+      SELECT count(*) AS _count_all,
+             count(o_custkey) AS _count_o_custkey,
+             min(o_orderdate) AS _min_o_orderdate,
+             min(o_totalprice) AS _min_o_totalprice,
+             max(o_orderdate) AS _max_o_orderdate,
+             max(o_totalprice) AS _max_o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'""",
+
+    "q_group_having" -> """
+      SELECT o_custkey, count(*) AS _count_all,
+             CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS DOUBLE) AS _max_o_totalprice
+      FROM orders
+      GROUP BY o_custkey
+      HAVING count(*) >= 10
+      ORDER BY _count_all DESC, o_custkey ASC LIMIT 50""",
+
+    "q_include_count" -> """
+      SELECT c.c_custkey, count(o.o_orderkey) AS _count_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+      ORDER BY c.c_custkey""",
+
     "q_join_left_count" -> """
       SELECT c.c_custkey,
              count(o.o_orderkey) AS n_orders,
@@ -147,14 +350,15 @@ object SparkEntry {
 
     "q_join_anti" -> """
       SELECT c_custkey, c_name, c_mktsegment FROM customer c
-      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
       ORDER BY c_custkey""",
 
-    "q_group_having" -> """
-      SELECT o_custkey, count(*) AS n, CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
-      FROM orders
-      GROUP BY o_custkey
-      HAVING count(*) >= 10
-      ORDER BY n DESC, o_custkey ASC LIMIT 50""",
+    "q_join_mn" -> """
+      SELECT l_partkey, count(DISTINCT s_suppkey) AS n_suppliers
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+      HAVING count(DISTINCT s_suppkey) >= 4
+      ORDER BY l_partkey""",
   )
 }

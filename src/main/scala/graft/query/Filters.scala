@@ -1,0 +1,219 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Prisma-equivalent filter algebra, compiled to Catalyst [[Column]]s.
+  *
+  * Mirrors the declared filter surface of the reference
+  * (`/root/reference/src/db/client/commonInputTypes.ts:17-155` — StringFilter,
+  * BoolNullableFilter, DateTimeFilter, JsonNullableFilter, enum filters — and
+  * the `AND`/`OR`/`NOT` connectors of `models/Company.ts:212-214`), with the
+  * reference's SQL-backed semantics:
+  *
+  *   - `equals = null` compiles to `IS NULL`; `not = null` to `IS NOT NULL`
+  *     (the tri-state `status` poll filter, `runner/locator.ts:61-67`).
+  *   - every other operator follows SQL three-valued logic: a NULL field never
+  *     matches a value comparison, and `not(contains(x))` excludes NULLs the
+  *     same way `NOT (col LIKE …)` does in PostgreSQL.
+  *   - `mode = insensitive` lowercases both sides
+  *     (`internal/prismaNamespace.ts:990-995`).
+  *
+  * Everything compiles to built-in codegen'd expressions — no UDFs — so
+  * Catalyst pushes the resulting predicates into the parquet scan.
+  */
+sealed trait Where {
+  def and(o: Where): Where = And(Seq(this, o))
+  def or(o: Where): Where = Or(Seq(this, o))
+  def unary_! : Where = Not(this)
+}
+
+final case class And(ps: Seq[Where]) extends Where
+final case class Or(ps: Seq[Where]) extends Where
+final case class Not(p: Where) extends Where
+/** A scalar filter applied to one column. */
+final case class Field(name: String, f: ScalarFilter) extends Where
+/** Raw escape hatch (the `\$queryRaw` spirit, but still a Column). */
+final case class RawCol(c: Column) extends Where
+
+/** Relation predicates — resolved by [[Model]] (they need the related table):
+  * `some`/`every`/`none` on M-N / 1-N relations and `is null` on 1-1
+  * (`models/FirmService.ts:272-276`, `models/CrmSyncEvent.ts:305-308`). */
+final case class RelSome(relation: String, where: Where) extends Where
+final case class RelEvery(relation: String, where: Where) extends Where
+final case class RelNone(relation: String, where: Where) extends Where
+final case class RelIsNull(relation: String, isNull: Boolean = true) extends Where
+
+/** A filter on a single scalar column; `apply` builds the Column predicate. */
+sealed trait ScalarFilter { def apply(c: Column): Column }
+
+/** `commonInputTypes.ts:17-45` (+ nullable variant). `equals = Some(None)`
+  * means "equals null" → IS NULL. `not` is recursive per the reference. */
+final case class StringF(
+    equals: Option[Option[String]] = None,
+    in: Option[Seq[String]] = None,
+    notIn: Option[Seq[String]] = None,
+    lt: Option[String] = None, lte: Option[String] = None,
+    gt: Option[String] = None, gte: Option[String] = None,
+    contains: Option[String] = None,
+    startsWith: Option[String] = None,
+    endsWith: Option[String] = None,
+    insensitive: Boolean = false,
+    not: Option[StringF] = None) extends ScalarFilter {
+
+  private def side(c: Column): Column = if (insensitive) lower(c) else c
+  private def vl(s: String): Column = if (insensitive) lit(s.toLowerCase) else lit(s)
+
+  def apply(c: Column): Column = {
+    val conds = Seq(
+      equals.map { case Some(v) => side(c) === vl(v); case None => c.isNull },
+      in.map(vs => side(c).isin(vs.map(v => if (insensitive) v.toLowerCase else v): _*)),
+      notIn.map(vs => !side(c).isin(vs.map(v => if (insensitive) v.toLowerCase else v): _*)),
+      lt.map(v => side(c) < vl(v)), lte.map(v => side(c) <= vl(v)),
+      gt.map(v => side(c) > vl(v)), gte.map(v => side(c) >= vl(v)),
+      contains.map(v => side(c).contains(vl(v))),
+      startsWith.map(v => side(c).startsWith(vl(v))),
+      endsWith.map(v => side(c).endsWith(vl(v))),
+      not.map {
+        case StringF(Some(None), None, None, None, None, None, None, None, None, None, _, None) =>
+          c.isNotNull // not: null → IS NOT NULL (runner/syncCrm.ts:63)
+        case nested => !nested.copy(insensitive = nested.insensitive || insensitive)(c)
+      }
+    ).flatten
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+/** `commonInputTypes.ts:47-50` — the tri-state nullable Boolean filter
+  * (null = pending, true = done, false = failed; `schema.prisma:23`). */
+final case class BoolF(
+    equals: Option[Option[Boolean]] = None,
+    not: Option[Option[Boolean]] = None) extends ScalarFilter {
+  def apply(c: Column): Column = {
+    val conds = Seq(
+      equals.map { case Some(v) => c === lit(v); case None => c.isNull },
+      not.map { case Some(v) => !(c === lit(v)); case None => c.isNotNull }
+    ).flatten
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+/** Ordered-comparable filter for numerics and timestamps
+  * (`commonInputTypes.ts:52-61`). Values are passed as literals (Long,
+  * Double, java.sql.Timestamp, ISO date string cast by caller). */
+final case class CmpF(
+    equals: Option[Option[Any]] = None,
+    in: Option[Seq[Any]] = None,
+    notIn: Option[Seq[Any]] = None,
+    lt: Option[Any] = None, lte: Option[Any] = None,
+    gt: Option[Any] = None, gte: Option[Any] = None,
+    not: Option[CmpF] = None) extends ScalarFilter {
+  def apply(c: Column): Column = {
+    val conds = Seq(
+      equals.map { case Some(v) => c === lit(v); case None => c.isNull },
+      in.map(vs => c.isin(vs: _*)),
+      notIn.map(vs => !c.isin(vs: _*)),
+      lt.map(v => c < lit(v)), lte.map(v => c <= lit(v)),
+      gt.map(v => c > lit(v)), gte.map(v => c >= lit(v)),
+      not.map {
+        case CmpF(Some(None), None, None, None, None, None, None, None) => c.isNotNull
+        case nested => !nested(c)
+      }
+    ).flatten
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+/** `commonInputTypes.ts:126-148` — JSON path filter. The column holds a JSON
+  * document as a string; `path` walks object keys. String/number predicates
+  * apply to the extracted value (Spark `get_json_object`, codegen'd). */
+final case class JsonF(
+    path: Seq[String] = Nil,
+    equals: Option[String] = None,
+    stringContains: Option[String] = None,
+    stringStartsWith: Option[String] = None,
+    stringEndsWith: Option[String] = None,
+    arrayContains: Option[String] = None,
+    lt: Option[Double] = None, lte: Option[Double] = None,
+    gt: Option[Double] = None, gte: Option[Double] = None,
+    isDbNull: Option[Boolean] = None) extends ScalarFilter {
+  private def jsonPath: String = "$" + path.map(p => s".$p").mkString
+  def apply(c: Column): Column = {
+    val v = get_json_object(c, jsonPath)
+    val conds = Seq(
+      equals.map(x => v === lit(x)),
+      stringContains.map(x => v.contains(lit(x))),
+      stringStartsWith.map(x => v.startsWith(lit(x))),
+      stringEndsWith.map(x => v.endsWith(lit(x))),
+      arrayContains.map(x => array_contains(from_json(v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)), x)),
+      lt.map(x => v.cast("double") < lit(x)), lte.map(x => v.cast("double") <= lit(x)),
+      gt.map(x => v.cast("double") > lit(x)), gte.map(x => v.cast("double") >= lit(x)),
+      isDbNull.map(b => if (b) c.isNull else c.isNotNull)
+    ).flatten
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+/** `commonInputTypes.ts:150-155` — enum filter (validated string domain). */
+final case class EnumF(
+    equals: Option[String] = None,
+    in: Option[Seq[String]] = None,
+    notIn: Option[Seq[String]] = None,
+    not: Option[String] = None) extends ScalarFilter {
+  def apply(c: Column): Column = {
+    val conds = Seq(
+      equals.map(v => c === lit(v)),
+      in.map(vs => c.isin(vs: _*)),
+      notIn.map(vs => !c.isin(vs: _*)),
+      not.map(v => !(c === lit(v)))
+    ).flatten
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+}
+
+object Where {
+  /** Compile the scalar part of a predicate tree to one Column. Relation
+    * predicates must already have been rewritten away by [[Model]] —
+    * hitting one here is a programming error. */
+  def compile(w: Where, col: String => Column): Column = w match {
+    case And(ps)     => ps.map(compile(_, col)).reduceOption(_ && _).getOrElse(lit(true))
+    case Or(ps)      => ps.map(compile(_, col)).reduceOption(_ || _).getOrElse(lit(false))
+    case Not(p)      => !compile(p, col)
+    case Field(n, f) => f(col(n))
+    case RawCol(c)   => c
+    case rel         => throw new IllegalStateException(s"unresolved relation predicate: $rel")
+  }
+
+  /** Collect every relation predicate in the tree (for flag planning). */
+  def relationPreds(w: Where): Seq[Where] = w match {
+    case And(ps) => ps.flatMap(relationPreds)
+    case Or(ps)  => ps.flatMap(relationPreds)
+    case Not(p)  => relationPreds(p)
+    case r @ (_: RelSome | _: RelEvery | _: RelNone | _: RelIsNull) => Seq(r)
+    case _ => Nil
+  }
+
+  /** Replace relation predicates with boolean flag-column references. */
+  def substituteRels(w: Where, flags: Map[Where, String]): Where = w match {
+    case And(ps) => And(ps.map(substituteRels(_, flags)))
+    case Or(ps)  => Or(ps.map(substituteRels(_, flags)))
+    case Not(p)  => Not(substituteRels(p, flags))
+    case r @ (_: RelSome | _: RelEvery | _: RelNone | _: RelIsNull) =>
+      RawCol(coalesce(col(flags(r)), lit(false)))
+    case other => other
+  }
+}
+
+/** Convenience constructors: `F.str("c_name").contains("x")` style. */
+object F {
+  def str(field: String, f: StringF): Where = Field(field, f)
+  def bool(field: String, f: BoolF): Where = Field(field, f)
+  def cmp(field: String, f: CmpF): Where = Field(field, f)
+  def json(field: String, f: JsonF): Where = Field(field, f)
+  def enum_(field: String, f: EnumF): Where = Field(field, f)
+  def eq(field: String, v: Any): Where = Field(field, CmpF(equals = Some(Option(v))))
+  def isNull(field: String): Where = Field(field, CmpF(equals = Some(None)))
+  def notNull(field: String): Where = Field(field, CmpF(not = Some(CmpF(equals = Some(None)))))
+  def raw(c: Column): Where = RawCol(c)
+  val True: Where = And(Nil)
+}

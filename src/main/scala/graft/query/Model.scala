@@ -1,0 +1,292 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-key ordering with Prisma's `nulls: first|last` option
+  * (`internal/prismaNamespace.ts:974-1003`). */
+final case class OrderBy(field: String, desc: Boolean = false,
+                         nullsFirst: Option[Boolean] = None) {
+  def column: Column = (desc, nullsFirst) match {
+    case (false, None)        => col(field).asc
+    case (false, Some(true))  => col(field).asc_nulls_first
+    case (false, Some(false)) => col(field).asc_nulls_last
+    case (true, None)         => col(field).desc
+    case (true, Some(true))   => col(field).desc_nulls_first
+    case (true, Some(false))  => col(field).desc_nulls_last
+  }
+}
+
+/** Relation metadata. `OneToOne`: related table carries a unique FK to this
+  * model's key (Company ↔ CrmSyncEvent, `schema.prisma:80-82`). `OneToMany`:
+  * plain FK. `ManyToMany`: implicit join table with (A=this key, B=other key)
+  * like `_CompanyToFirmService` (`migrations/...130331_init/migration.sql:70-75`). */
+sealed trait Relation { def name: String; def related: () => DataFrame }
+final case class OneToOne(name: String, related: () => DataFrame,
+                          localKey: String, foreignKey: String) extends Relation
+final case class OneToMany(name: String, related: () => DataFrame,
+                           localKey: String, foreignKey: String) extends Relation
+final case class ManyToMany(name: String, related: () => DataFrame,
+                            joinTable: () => DataFrame,
+                            localKey: String, jtLocal: String,
+                            jtForeign: String, foreignKey: String) extends Relation
+
+/** The full argument surface of Prisma `findMany`
+  * (`models/Company.ts:1379-1421`): where / orderBy / cursor / take / skip /
+  * distinct-on-fields / select, plus `include` for relation hydration. */
+final case class QueryArgs(
+    where: Option[Where] = None,
+    orderBy: Seq[OrderBy] = Nil,
+    cursor: Option[(String, Any)] = None, // unique field -> value, keyset start (inclusive)
+    take: Option[Int] = None,
+    skip: Option[Int] = None,
+    distinct: Seq[String] = Nil,
+    select: Seq[String] = Nil,
+    include: Seq[String] = Nil)
+
+/** One aggregate request: Prisma `aggregate` exposes `_count`/`_min`/`_max`
+  * (no numeric columns in the reference schema → no `_sum`/`_avg` generated,
+  * `models/Company.ts:108-155`; we support all five for generality). */
+final case class AggSpec(countAll: Boolean = false,
+                         count: Seq[String] = Nil,
+                         min: Seq[String] = Nil, max: Seq[String] = Nil,
+                         sum: Seq[String] = Nil, avg: Seq[String] = Nil) {
+  def columns: Seq[Column] = {
+    (if (countAll) Seq(org.apache.spark.sql.functions.count(lit(1)).as("_count_all")) else Nil) ++
+      count.map(f => org.apache.spark.sql.functions.count(col(f)).as(s"_count_$f")) ++
+      min.map(f => org.apache.spark.sql.functions.min(col(f)).as(s"_min_$f")) ++
+      max.map(f => org.apache.spark.sql.functions.max(col(f)).as(s"_max_$f")) ++
+      sum.map(f => org.apache.spark.sql.functions.sum(col(f)).as(s"_sum_$f")) ++
+      avg.map(f => org.apache.spark.sql.functions.avg(col(f)).as(s"_avg_$f"))
+  }
+}
+
+/** Prisma model surface over an immutable DataFrame snapshot — the read side
+  * of the 19-operation surface in `/root/reference/src/db/client/effect.ts`
+  * (per-model sections :430-1691). The write side lives in [[graft.store]].
+  *
+  * Scale notes (100 TB design):
+  *   - point lookups compile to a pushed-down key predicate, not a collect;
+  *   - cursor pagination is keyset-based (one broadcastable single-row
+  *     lookup + a sargable filter), never a global `row_number` scan;
+  *   - relation predicates compile to semi/anti joins, or to aggregated
+  *     boolean flags (one shuffle per distinct relation predicate) when they
+  *     appear under OR/NOT where a plain semi-join can't compose;
+  *   - `distinct` on a field subset is a window `row_number() = 1` per key,
+  *     which shuffles by the distinct key — the same plan a 1000-executor
+  *     cluster wants.
+  */
+final class Model(
+    val df: () => DataFrame,
+    val primaryKey: String,
+    val uniqueKeys: Seq[String] = Nil,
+    val relations: Seq[Relation] = Nil) {
+
+  private def relByName(n: String): Relation =
+    relations.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unknown relation $n"))
+
+  /** Resolve relation predicates into boolean flag columns joined onto the
+    * base, so they compose under AND/OR/NOT, then compile the scalar tree. */
+  private def applyWhere(base: DataFrame, where: Option[Where]): DataFrame = {
+    where match {
+      case None => base
+      case Some(w) =>
+        val rels = Where.relationPreds(w).distinct
+        var cur = base
+        val flags: Map[Where, String] = rels.zipWithIndex.map { case (r, i) =>
+          val flagCol = s"__rel_flag_$i"
+          cur = attachRelFlag(cur, r, flagCol)
+          r -> flagCol
+        }.toMap
+        val scalarW = if (rels.isEmpty) w else Where.substituteRels(w, flags)
+        val filtered = cur.filter(Where.compile(scalarW, cur.apply))
+        if (rels.isEmpty) filtered else filtered.drop(flags.values.toSeq: _*)
+    }
+  }
+
+  /** Join a boolean per-row flag for one relation predicate.
+    * some → EXISTS(match), none → NOT EXISTS(match), every → NOT EXISTS
+    * (violation); 1-1 is-null → NOT EXISTS(any). Each flag costs one
+    * aggregate of the related table by FK + one (AQE-broadcastable) join. */
+  private def attachRelFlag(base: DataFrame, pred: Where, flagCol: String): DataFrame = {
+    def flagsOf(relName: String, where: Option[Where], negateInner: Boolean): (DataFrame, String) = {
+      val rel = relByName(relName)
+      val related = rel.related()
+      val inner = where.map { w =>
+        val c = Where.compile(w, related.apply)
+        if (negateInner) !coalesce(c, lit(false)) else c
+      }.getOrElse(lit(true))
+      rel match {
+        case OneToOne(_, _, lk, fk) =>
+          val agg = related.filter(inner).groupBy(col(fk).as(lk)).agg(lit(true).as("__f"))
+          (agg, lk)
+        case OneToMany(_, _, lk, fk) =>
+          val agg = related.filter(inner).groupBy(col(fk).as(lk)).agg(lit(true).as("__f"))
+          (agg, lk)
+        case ManyToMany(_, _, jt, lk, jtL, jtF, fk) =>
+          val rf = related.filter(inner)
+          val matching = jt().join(rf, col(jtF) === rf(fk), "inner")
+          val agg = matching.groupBy(col(jtL).as(lk)).agg(lit(true).as("__f"))
+          (agg, lk)
+      }
+    }
+    val (flagDf, key, invert) = pred match {
+      case RelSome(r, w)        => val (f, k) = flagsOf(r, Some(w), negateInner = false); (f, k, false)
+      case RelNone(r, w)        => val (f, k) = flagsOf(r, Some(w), negateInner = false); (f, k, true)
+      case RelEvery(r, w)       => val (f, k) = flagsOf(r, Some(w), negateInner = true); (f, k, true)
+      case RelIsNull(r, isNull) => val (f, k) = flagsOf(r, None, negateInner = false); (f, k, isNull)
+      case other => throw new IllegalStateException(s"not a relation pred: $other")
+    }
+    val marked = flagDf.withColumnRenamed("__f", flagCol)
+    val joined = base.join(marked, Seq(key), "left")
+    if (invert) joined.withColumn(flagCol, !coalesce(col(flagCol), lit(false)))
+    else joined.withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+  }
+
+  /** Hydrate a relation as a nested column, Prisma `include`
+    * (`runner/syncCrm.ts:64-68`): 1-1 → struct (null when absent);
+    * 1-N / M-N → sorted array of structs + implicit `_count` column. */
+  private def applyInclude(base: DataFrame, include: Seq[String]): DataFrame =
+    include.foldLeft(base) { (cur, relName) =>
+      relByName(relName) match {
+        case OneToOne(name, related, lk, fk) =>
+          val r = related()
+          val nested = r.select(col(fk).as(lk), struct(r.columns.map(col): _*).as(name))
+          cur.join(nested, Seq(lk), "left")
+        case OneToMany(name, related, lk, fk) =>
+          val r = related()
+          val grouped = r.groupBy(col(fk).as(lk))
+            .agg(sort_array(collect_list(struct(r.columns.map(col): _*))).as(name))
+          cur.join(grouped, Seq(lk), "left")
+            .withColumn(name, coalesce(col(name), array()))
+            .withColumn(s"_count_$name", size(col(name)))
+        case ManyToMany(name, related, jt, lk, jtL, jtF, fk) =>
+          val r = related()
+          val paired = jt().join(r, col(jtF) === r(fk), "inner")
+          val grouped = paired.groupBy(col(jtL).as(lk))
+            .agg(sort_array(collect_list(struct(r.columns.map(col): _*))).as(name))
+          cur.join(grouped, Seq(lk), "left")
+            .withColumn(name, coalesce(col(name), array()))
+            .withColumn(s"_count_$name", size(col(name)))
+      }
+    }
+
+  /** Keyset pagination: look up the cursor row's orderBy values (single-row,
+    * pushed-down point query), then filter rows at-or-after it in the sort
+    * order — O(scan) with a sargable leading-key predicate, no global
+    * numbering. Matches Prisma cursor semantics (cursor row included;
+    * combine with skip=1 to exclude it). */
+  private def applyCursor(base: DataFrame, cursor: Option[(String, Any)],
+                          orderBy: Seq[OrderBy]): DataFrame = cursor match {
+    case None => base
+    case Some((field, value)) =>
+      val keys = if (orderBy.nonEmpty) orderBy else Seq(OrderBy(primaryKey))
+      val cursorRow = df().filter(col(field) === lit(value))
+        .select(keys.map(k => col(k.field)): _*).head()
+      // lexicographic "row >= cursor" under the sort order
+      val cmp = keys.zipWithIndex.foldRight(lit(true): Column) { case ((k, i), tail) =>
+        val v = lit(cursorRow.get(i))
+        val strictly = if (k.desc) col(k.field) < v else col(k.field) > v
+        strictly || (col(k.field) === v && tail)
+      }
+      base.filter(cmp)
+  }
+
+  // ---- the Prisma read surface (effect.ts per-model ops) ----
+
+  /** findMany (`effect.ts:463-469`): the full pipeline in Prisma's
+    * evaluation order: where → distinct-on (w.r.t. orderBy) → cursor →
+    * orderBy → skip/take → select/include. */
+  def findMany(args: QueryArgs = QueryArgs()): DataFrame = {
+    var cur = applyWhere(df(), args.where)
+    if (args.distinct.nonEmpty) {
+      val orderCols =
+        (if (args.orderBy.nonEmpty) args.orderBy.map(_.column)
+         else Seq(col(primaryKey).asc))
+      val w = Window.partitionBy(args.distinct.map(col): _*).orderBy(orderCols: _*)
+      cur = cur.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    cur = applyCursor(cur, args.cursor, args.orderBy)
+    if (args.orderBy.nonEmpty) cur = cur.orderBy(args.orderBy.map(_.column): _*)
+    args.skip.foreach(n => cur = cur.offset(n))
+    args.take.foreach(n => cur = cur.limit(n))
+    cur = applyInclude(cur, args.include)
+    if (args.select.nonEmpty) cur = cur.select(args.select.map(col): _*)
+    cur
+  }
+
+  /** findUnique (`effect.ts:431-437`): point lookup by unique key —
+    * compiles to a pushed-down equality predicate + limit 1. */
+  def findUnique(key: String, value: Any): DataFrame = {
+    require(key == primaryKey || uniqueKeys.contains(key), s"$key is not unique")
+    df().filter(col(key) === lit(value)).limit(1)
+  }
+
+  def findUniqueOrThrow(key: String, value: Any): org.apache.spark.sql.Row = {
+    val rows = findUnique(key, value).collect()
+    if (rows.isEmpty) throw new NoSuchElementException(s"no row with $key=$value")
+    rows.head
+  }
+
+  /** findFirst (`effect.ts:447-453`): filter → order → first. */
+  def findFirst(args: QueryArgs = QueryArgs()): DataFrame =
+    findMany(args.copy(take = Some(1)))
+
+  def findFirstOrThrow(args: QueryArgs = QueryArgs()): org.apache.spark.sql.Row = {
+    val rows = findFirst(args).collect()
+    if (rows.isEmpty) throw new NoSuchElementException("findFirstOrThrow: empty")
+    rows.head
+  }
+
+  /** count (`effect.ts:544-550`). */
+  def count(where: Option[Where] = None): Long =
+    applyWhere(df(), where).count()
+
+  /** aggregate (`effect.ts:552-558`): _count/_min/_max (+_sum/_avg). */
+  def aggregate(spec: AggSpec, where: Option[Where] = None): DataFrame =
+    applyWhere(df(), where).agg(spec.columns.head, spec.columns.tail: _*)
+
+  /** groupBy (`effect.ts:560-637`): keys + aggregates, `having` filter over
+    * aggregate columns, orderBy (keys or aggregates), take/skip. */
+  def groupBy(by: Seq[String], spec: AggSpec,
+              where: Option[Where] = None,
+              having: Option[Column] = None,
+              orderBy: Seq[OrderBy] = Nil,
+              take: Option[Int] = None, skip: Option[Int] = None): DataFrame = {
+    var cur = applyWhere(df(), where)
+      .groupBy(by.map(col): _*)
+      .agg(spec.columns.head, spec.columns.tail: _*)
+    having.foreach(h => cur = cur.filter(h))
+    if (orderBy.nonEmpty) cur = cur.orderBy(orderBy.map(_.column): _*)
+    skip.foreach(n => cur = cur.offset(n))
+    take.foreach(n => cur = cur.limit(n))
+    cur
+  }
+
+  /** Order parents by a related-row count (CompanyOrderByRelationAggregateInput,
+    * `models/Company.ts:438-440`): aggregate the relation once, broadcast-join
+    * the counts back, sort. */
+  def orderByRelationCount(relName: String, desc: Boolean = true,
+                           take: Option[Int] = None): DataFrame = {
+    val counts = relByName(relName) match {
+      case OneToOne(_, related, lk, fk) =>
+        related().groupBy(col(fk).as(lk)).agg(org.apache.spark.sql.functions.count(lit(1)).as("__rel_count"))
+      case OneToMany(_, related, lk, fk) =>
+        related().groupBy(col(fk).as(lk)).agg(org.apache.spark.sql.functions.count(lit(1)).as("__rel_count"))
+      case ManyToMany(_, _, jt, lk, jtL, _, _) =>
+        jt().groupBy(col(jtL).as(lk)).agg(org.apache.spark.sql.functions.count(lit(1)).as("__rel_count"))
+    }
+    val joined = df().join(counts, Seq(relByName(relName) match {
+      case OneToOne(_, _, lk, _) => lk
+      case OneToMany(_, _, lk, _) => lk
+      case ManyToMany(_, _, _, lk, _, _, _) => lk
+    }), "left").withColumn("__rel_count", coalesce(col("__rel_count"), lit(0L)))
+    val sorted = joined.orderBy(
+      (if (desc) col("__rel_count").desc else col("__rel_count").asc),
+      col(primaryKey).asc)
+    take.map(sorted.limit).getOrElse(sorted).drop("__rel_count")
+  }
+}
