@@ -1,0 +1,191 @@
+package graft.store
+
+import graft.SparkTestBase
+import graft.query.{CmpF, F, StringF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Copy-on-write store semantics (SURVEY §4.3): unique keys, swallowed
+  * duplicates, update/delete rewrites, upsert MERGE, transaction atomicity,
+  * snapshot isolation. */
+class StoreSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshCatalog(): Catalog =
+    new Catalog(java.nio.file.Files.createTempDirectory("graft-store").toString)
+
+  private val urlSchema = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("location", StringType, nullable = true),
+    StructField("status", BooleanType, nullable = true),
+    StructField("notes", StringType, nullable = true),
+    StructField("createdAt", TimestampType, nullable = true),
+    StructField("updatedAt", TimestampType, nullable = true)))
+
+  private def urlTable(cat: Catalog): GraftTable =
+    new GraftTable(spark, cat, "google_place_url_to_scrape", urlSchema,
+      uniqueKeys = Seq(Seq("id"), Seq("url")),
+      timestampCols = Seq("createdAt", "updatedAt"))
+
+  private def urlRows(rows: (String, String, Option[String])*): DataFrame =
+    rows.toSeq.toDF("id", "url", "location")
+      .withColumn("status", lit(null).cast(BooleanType))
+      .withColumn("notes", lit(null).cast(StringType))
+      .withColumn("createdAt", lit(null).cast(TimestampType))
+      .withColumn("updatedAt", lit(null).cast(TimestampType))
+
+  test("empty snapshot before first insert") {
+    val t = urlTable(freshCatalog())
+    assert(t.snapshot().count() == 0)
+  }
+
+  test("createMany inserts and fills timestamp defaults") {
+    val t = urlTable(freshCatalog())
+    val n = t.createMany(urlRows(("u1", "https://a", Some("NY")), ("u2", "https://b", None)))
+    assert(n == 2 && t.snapshot().count() == 2)
+    val row = t.snapshot().filter($"id" === "u1").head()
+    assert(row.getAs[java.sql.Timestamp]("createdAt") != null)
+  }
+
+  test("duplicate url swallowed with skipDuplicates (extractGooglePlaces.ts:305-317)") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", None)))
+    val n = t.createMany(urlRows(("u9", "https://a", None), ("u2", "https://b", None)),
+      skipDuplicates = true)
+    assert(n == 1) // only u2 inserted; u9 had a duplicate url
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("duplicate unique key throws P2002-equivalent without skipDuplicates") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", None)))
+    intercept[UniqueViolationException] {
+      t.createMany(urlRows(("u3", "https://a", None)))
+    }
+    assert(t.snapshot().count() == 1) // nothing published
+  }
+
+  test("in-batch duplicates deduped under skipDuplicates") {
+    val t = urlTable(freshCatalog())
+    val n = t.createMany(urlRows(("u1", "https://a", None), ("u1", "https://zzz", None)),
+      skipDuplicates = true)
+    assert(n == 1)
+  }
+
+  test("update sets fields, touches updatedAt, leaves others (runner/locator.ts:136-141)") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", Some("NY")), ("u2", "https://b", None)))
+    val before = t.snapshot().filter($"id" === "u2").head()
+    val n = t.update(F.eq("id", "u1"), Map("status" -> lit(true), "notes" -> lit("ok")))
+    assert(n == 1)
+    val after = t.snapshot()
+    val u1 = after.filter($"id" === "u1").head()
+    assert(u1.getAs[Boolean]("status") && u1.getAs[String]("notes") == "ok")
+    assert(u1.getAs[java.sql.Timestamp]("updatedAt") != null)
+    val u2 = after.filter($"id" === "u2").head()
+    assert(u2.getAs[Any]("status") == null)
+    assert(u2.getAs[java.sql.Timestamp]("updatedAt") == before.getAs[java.sql.Timestamp]("updatedAt"))
+  }
+
+  test("update with no match throws P2025-equivalent; updateMany returns 0") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", None)))
+    intercept[RecordNotFoundException] {
+      t.update(F.eq("id", "nope"), Map("status" -> lit(true)))
+    }
+    assert(t.updateMany(F.eq("id", "nope"), Map("status" -> lit(true))) == 0)
+  }
+
+  test("tri-state status poll transition: null -> true/false (runner/locator.ts:133-143)") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", None), ("u2", "https://b", None), ("u3", "https://c", None)))
+    t.update(F.eq("id", "u1"), Map("status" -> lit(true)))
+    t.update(F.eq("id", "u2"), Map("status" -> lit(false)))
+    val pending = t.snapshot().filter(col("status").isNull)
+    assert(pending.select("id").as[String].collect().toSet == Set("u3"))
+  }
+
+  test("deleteMany filters rows out; delete requires a match") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", Some("X")), ("u2", "https://b", Some("X")), ("u3", "https://c", None)))
+    assert(t.deleteMany(F.str("location", StringF(equals = Some(Some("X"))))) == 2)
+    assert(t.snapshot().count() == 1)
+    intercept[RecordNotFoundException] { t.delete(F.eq("id", "u1")) }
+  }
+
+  test("upsert inserts new and replaces existing (MERGE; effect.ts:535-541)") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", Some("old")), ("u2", "https://b", None)))
+    t.upsert(Seq("id"), urlRows(("u1", "https://a", Some("new")), ("u3", "https://c", None)))
+    val snap = t.snapshot()
+    assert(snap.count() == 3)
+    assert(snap.filter($"id" === "u1").head().getAs[String]("location") == "new")
+  }
+
+  test("upsert is idempotent (property over random batches)") {
+    val t = urlTable(freshCatalog())
+    val rnd = new scala.util.Random(7)
+    val batch = urlRows((1 to 30).map(i =>
+      (s"u${rnd.nextInt(10)}", s"https://${rnd.nextInt(10)}", Some(rnd.nextInt(3).toString))): _*)
+    t.upsert(Seq("id"), batch)
+    val once = t.snapshot().select("id", "url", "location").collect().toSet
+    t.upsert(Seq("id"), batch)
+    val twice = t.snapshot().select("id", "url", "location").collect().toSet
+    assert(once == twice)
+    assert(t.snapshot().select("id").distinct().count() == t.snapshot().count())
+  }
+
+  test("transaction publishes atomically; failure publishes nothing (effect.ts:369-396)") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None)))
+    // failing interactive transaction: second statement violates unique key
+    intercept[UniqueViolationException] {
+      Txn.run(cat) { tx =>
+        tx.createMany(t, urlRows(("u2", "https://b", None)), skipDuplicates = false)
+        tx.create(t, urlRows(("u3", "https://a", None))) // dup url → throws
+      }
+    }
+    assert(t.snapshot().count() == 1) // u2 NOT published
+    // successful multi-statement txn with read-your-writes
+    Txn.run(cat) { tx =>
+      tx.createMany(t, urlRows(("u2", "https://b", None)), skipDuplicates = false)
+      tx.updateMany(t, F.eq("id", "u2"), Map("status" -> lit(true)))
+    }
+    val u2 = t.snapshot().filter($"id" === "u2").head()
+    assert(u2.getAs[Boolean]("status"))
+  }
+
+  test("snapshot isolation: a reader holding an old snapshot is unaffected") {
+    val t = urlTable(freshCatalog())
+    t.createMany(urlRows(("u1", "https://a", None)))
+    val old = t.snapshot()
+    old.count() // materialize file listing
+    t.createMany(urlRows(("u2", "https://b", None)))
+    assert(old.count() == 1)
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("optimistic concurrency: stale base version fails the commit") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None)))
+    val tx1 = new Txn(cat)
+    tx1.createMany(t, urlRows(("u2", "https://b", None)), skipDuplicates = false)
+    // concurrent writer lands first
+    t.createMany(urlRows(("u3", "https://c", None)))
+    intercept[ConcurrentModificationException] { tx1.commit() }
+  }
+
+  test("vacuum drops non-current versions but keeps current") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None)))
+    t.createMany(urlRows(("u2", "https://b", None)))
+    cat.vacuum()
+    assert(t.snapshot().count() == 2)
+  }
+}
