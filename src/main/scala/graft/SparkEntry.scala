@@ -1,5 +1,7 @@
 package graft
 
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
 import graft.query._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -223,7 +225,203 @@ object SparkEntry {
         .filter(col("n_suppliers") >= 4)
         .orderBy(col("l_partkey"))
     }),
+
+    // §2.A #18 raw SQL passthrough (the $queryRaw surface): registered
+    // temp views + spark.sql.
+    "q_raw_sql" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT n.n_name, count(*) AS n_orders
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        ORDER BY n_orders DESC, n_name ASC""")
+    }),
+
+    // §2.E scalar functions: regexp extraction, trim, coalesce defaulting,
+    // string assembly (the extractGooglePlaces.ts:272-276 shapes).
+    "q_scalar_funcs" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          trim(col("p_name")).as("name_trim"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          coalesce(col("p_brand"), lit("Default Name")).as("brand_or_default"),
+          concat_ws("|", col("p_type"), col("p_brand")).as("tag_line"),
+          Stages_extractPhone(concat(lit("call +"), (col("p_partkey") % 1000000).cast("string"),
+            lit(" ext"))).as("phone"))
+        .orderBy(col("p_partkey"))),
+
+    // §2.E histogram: width_bucket over order totals (the duration
+    // histogram shape, runner/locator.ts:47-50).
+    "q_token_hist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextFunctions.widthBucket(
+          TextFunctions.tokenCount(col("text")).cast("double"), 0, 100, 10).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
+    // §2.E derived metric: success rate percentage from status counts
+    // (runner/locator.ts:192-195), orders: F=failed, P=skipped analog.
+    "q_success_rate" -> ((s, dir) =>
+      Tables.orders(s, dir).agg(
+        count(lit(1)).as("processed"),
+        count(when(col("o_orderstatus") === "F", 1)).as("failed"),
+        count(when(col("o_orderstatus") === "P", 1)).as("skipped"))
+        .select(col("processed"), col("failed"), col("skipped"),
+          round((col("processed") - col("failed") - col("skipped")) * 100.0 / col("processed"), 4)
+            .as("success_rate_pct"))),
+
+    // Window function: per-customer running spend in date order.
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // §2.A #10 update semantics as a state transform (the when/otherwise
+    // merge the store layer commits — here observable as a query).
+    "q_update_emul" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, lit("DELINQUENT"))
+            .otherwise(col("c_mktsegment")).as("segment"),
+          when(col("c_acctbal") < 0, round(dec(col("c_acctbal")) * dec(lit(1.1)), 2).cast("double"))
+            .otherwise(col("c_acctbal")).as("balance"))
+        .orderBy(col("c_custkey"))),
+
+    // §2.A #14 upsert/MERGE semantics: high-value orders replace customer
+    // segment rows, new keys appended (anti-join + union shape).
+    "q_upsert_emul" -> ((s, dir) => {
+      val existing = Tables.customer(s, dir)
+        .select(col("c_custkey").as("key"), col("c_mktsegment").as("val"))
+      val incoming = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 450000.0)
+        .select((col("o_custkey") + 1000000L).as("key"), lit("BIG_SPENDER").as("val"))
+        .dropDuplicates("key")
+      existing.join(incoming.select("key"), Seq("key"), "left_anti")
+        .unionByName(incoming)
+        .orderBy(col("key"))
+    }),
+
+    // ---- beyond-reference training-data operators (BASELINE.json) ----
+
+    // Text analysis: token counting + stopword counting, pure codegen.
+    "q_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(filter(TextFunctions.tokens(col("text")),
+            t => array_contains(array(textStopwords.map(lit): _*), t))).cast("long").as("n_stopwords"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Language distribution of the corpus (lang column exercised).
+    "q_lang_dist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang"))),
+
+    // Language-ID heuristic over the corpus (not SQL-expressible —
+    // rows-only check; accuracy is spec-tested on real-language fixtures).
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprints + SimHash sketches (rows-only: xxhash64 has no
+    // DuckDB equivalent; determinism is spec-tested).
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"),
+          Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup: byte-exact winners via md5-keyed first-row-per-group.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByKey(Tables.documents(s, dir), md5(col("text")), "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash-LSH near-dedup: corpus ∪ id-shifted copy — every copy is a
+    // guaranteed jaccard-1.0 duplicate of its original; the recovered
+    // (id, id+10000) pairs are the oracle-checkable slice (the corpus also
+    // contains organic near-dups, which the same call surfaces — spec-tested,
+    // not oracle-predictable).
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      Dedup.minhashLshPairs(docs.unionByName(copies), "text", "doc_id", threshold = 0.7)
+        .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
+    }),
+
+    // SimHash: every planted copy collides with its original at hamming 0
+    // (sketch identity for identical token multisets).
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(docs.unionByName(copies), "text", "doc_id", maxHamming = 0)
+        .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
+    }),
+
+    // n-gram Jaccard verification over a deterministic candidate set
+    // (adjacent doc ids) — exact set-overlap arithmetic both engines.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1L).as("id_b"))
+        .filter(col("id_b") < 500)
+      Dedup.ngramJaccard(docs, pairs, "text", "doc_id", n = 3)
+        .orderBy(col("id_a"))
+    }),
+
+    // Embedding near-dup: corpus ∪ copy, cosine 1.0 pairs recovered via
+    // hyperplane-LSH blocking + exact verification.
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val copies = emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupPairs(emb.unionByName(copies), "embedding", "vec_id",
+        dim = 64, threshold = 0.999, numPlanes = 16)
+        .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ANN: exact cosine top-5 for five query vectors (ids only — the
+    // ordering is FP-robust, the raw cosine is not hash-comparable).
+    "q_ann_topk" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", k = 5)
+        .select(col("qid"), col("id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN: rank-1 self-hit is deterministic (identical vector
+    // shares every bucket; cosine 1.0 outranks all), oracle-checkable.
+    "q_ann_lsh" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val queries = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.lshTopK(corpus, queries, "embedding", "vec_id", "qid",
+        dim = 64, k = 5, numPlanes = 12, maxHammingProbe = 1)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("id"))
+        .orderBy(col("qid"))
+    }),
   )
+
+  private val textStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private def Stages_extractPhone(c: org.apache.spark.sql.Column) =
+    graft.pipeline.Stages.extractPhone(c)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -360,5 +558,136 @@ object SparkEntry {
       GROUP BY l_partkey
       HAVING count(DISTINCT s_suppkey) >= 4
       ORDER BY l_partkey""",
+
+    "q_raw_sql" -> """
+      SELECT n.n_name, count(*) AS n_orders
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_name
+      ORDER BY n_orders DESC, n_name ASC""",
+
+    "q_scalar_funcs" -> """
+      SELECT p_partkey,
+             trim(p_name) AS name_trim,
+             regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+             coalesce(p_brand, 'Default Name') AS brand_or_default,
+             concat_ws('|', p_type, p_brand) AS tag_line,
+             trim(regexp_extract('call +' || CAST(p_partkey % 1000000 AS VARCHAR) || ' ext',
+                                 '(\+?\d[\d\s()-]+)', 1)) AS phone
+      FROM part ORDER BY p_partkey""",
+
+    "q_token_hist" -> """
+      WITH t AS (
+        SELECT CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents)
+      SELECT CASE WHEN CAST(n_tokens AS DOUBLE) < 0 THEN 0
+                  WHEN CAST(n_tokens AS DOUBLE) >= 100 THEN 11
+                  ELSE CAST(floor(CAST(n_tokens AS DOUBLE) / 10.0) AS INT) + 1 END AS bucket,
+             count(*) AS n
+      FROM t GROUP BY 1 ORDER BY bucket""",
+
+    "q_success_rate" -> """
+      SELECT count(*) AS processed,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS failed,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS skipped,
+             round((count(*) - count(*) FILTER (WHERE o_orderstatus = 'F')
+                    - count(*) FILTER (WHERE o_orderstatus = 'P')) * 100.0 / count(*), 4)
+               AS success_rate_pct
+      FROM orders""",
+
+    "q_window_running" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend
+      FROM orders WHERE o_custkey <= 50
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q_update_emul" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'DELINQUENT' ELSE c_mktsegment END AS segment,
+             CASE WHEN c_acctbal < 0
+                  THEN CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)), 2) AS DOUBLE)
+                  ELSE c_acctbal END AS balance
+      FROM customer ORDER BY c_custkey""",
+
+    "q_upsert_emul" -> """
+      WITH incoming AS (
+        SELECT DISTINCT o_custkey + 1000000 AS key, 'BIG_SPENDER' AS val
+        FROM orders WHERE o_totalprice > 450000.0)
+      SELECT c_custkey AS key, c_mktsegment AS val FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.key = c.c_custkey)
+      UNION ALL SELECT key, val FROM incoming
+      ORDER BY key""",
+
+    "q_text_stats" -> """
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             len(list_filter(
+               list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'), x -> len(x) > 0),
+               x -> x IN ('the','a','and','of','to','in','is'))) AS n_stopwords,
+             n_chars
+      FROM documents ORDER BY doc_id""",
+
+    "q_lang_dist" -> """
+      SELECT lang, count(*) AS n FROM documents
+      GROUP BY lang ORDER BY n DESC, lang""",
+
+    "q_dedup_exact" -> """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_dedup_minhash" -> """
+      SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
+      ORDER BY id_a""",
+
+    "q_dedup_simhash" -> """
+      SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
+      ORDER BY id_a""",
+
+    "q_ngram_jaccard" -> """
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                            x -> len(x) > 0) AS toks
+              FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+               ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) END, 4) AS jaccard
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      WHERE b.doc_id < 500
+      ORDER BY id_a""",
+
+    "q_embed_neardup" -> """
+      SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
+      ORDER BY id_a, id_b""",
+
+    "q_ann_topk" -> """
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 5),
+           scored AS (
+        SELECT q.qid, c.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qe) DESC,
+                          c.vec_id ASC) AS rank
+        FROM embeddings c CROSS JOIN q)
+      SELECT qid, id, rank FROM scored WHERE rank <= 5
+      ORDER BY qid, rank""",
+
+    "q_ann_lsh" -> """
+      SELECT vec_id AS qid, vec_id AS id FROM embeddings
+      WHERE vec_id < 20 ORDER BY qid""",
   )
 }

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, built entirely
+  * from codegen'd Spark expressions (no UDFs — every function here stays
+  * inside whole-stage codegen and scales linearly with the scan).
+  *
+  * Beyond-reference surface (BASELINE.json north star): language ID,
+  * quality scoring, token counting, document fingerprinting.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; empty strings filtered (split artifacts). */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+
+  /** Whitespace token count — the fast path used for budget accounting. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword count estimate: words are split at letter/digit
+    * boundaries and long words contribute ceil(len/4) pieces — a
+    * deterministic proxy for a real tokenizer's piece count. */
+  def bpeishTokenCount(c: Column): Column =
+    aggregate(tokens(c), lit(0),
+      (acc, t) => acc + greatest(lit(1), ceil(length(t) / lit(4.0)).cast("int")))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^\\p{Punct}]", "")).cast("double") / len)
+  }
+
+  /** Ratio of digit characters to total characters. */
+  def digitRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^0-9]", "")).cast("double") / len)
+  }
+
+  private val englishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be")
+
+  /** Fraction of tokens that are (English) stopwords — a fluency signal;
+    * natural text sits roughly in [0.2, 0.6], keyword spam near 0. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = tokens(c)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — Gopher-style cheap filters folded
+    * into one signal: length in range, sane mean word length, low
+    * punctuation/digit noise, plausible stopword density. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c)
+    val lenOk = when(nTok.between(10, 100000), lit(1.0))
+      .when(nTok.between(3, 9), lit(0.5)).otherwise(lit(0.0))
+    val mwl = meanTokenLen(c)
+    val mwlOk = when(mwl.between(2.5, 10.0), lit(1.0)).otherwise(lit(0.3))
+    val punctOk = when(punctRatio(c) < 0.2, lit(1.0)).otherwise(lit(0.0))
+    val digitOk = when(digitRatio(c) < 0.3, lit(1.0)).otherwise(lit(0.0))
+    val swOk = when(stopwordRatio(c).between(0.05, 0.7), lit(1.0)).otherwise(lit(0.3))
+    round((lenOk * 0.3 + mwlOk * 0.2 + punctOk * 0.2 + digitOk * 0.1 + swOk * 0.2), 4)
+  }
+
+  /** Marker-word profiles for the n-gram/stopword language heuristic.
+    * Small by design — the point is the operator shape (array scoring +
+    * argmax), the profile data is swappable. */
+  val defaultProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "are"),
+    "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour", "que", "sur"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "es" -> Seq("el", "los", "las", "una", "es", "que", "para", "con", "por", "del"))
+
+  /** Language ID: CJK script detection by codepoint range, otherwise the
+    * profile with the highest marker-token frequency; "und" when no
+    * profile scores. One pass over the token array per profile. */
+  def langId(c: Column, profiles: Map[String, Seq[String]] = defaultProfiles): Column = {
+    val toks = tokens(c)
+    val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(m, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((lang, s), tail) =>
+      when(s === best && s > 0, lit(lang)).otherwise(tail)
+    }
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(pick)
+  }
+
+  /** Canonical-form document fingerprint: 64-bit hash of the
+    * whitespace/punctuation-normalized lowercased text — exact-dup key
+    * robust to formatting noise. */
+  def fingerprint(c: Column): Column =
+    xxhash64(concat_ws(" ", tokens(c)))
+
+  /** Rolling (Rabin-Karp-style) window fingerprints: hash of every
+    * `window`-token shingle — the winnowing substrate for near-dup and
+    * containment detection. */
+  def rollingFingerprints(c: Column, window: Int = 5): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    when(n < window, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(sequence(lit(0), n - lit(window)),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window))))))
+  }
+
+  /** Winnowed fingerprint: min rolling hash — one representative per doc. */
+  def winnowFingerprint(c: Column, window: Int = 5): Column =
+    array_min(rollingFingerprints(c, window))
+
+  /** Linear-bucket histogram key: `width_bucket` shape used by the
+    * reference's duration histograms (`runner/locator.ts:47-50`). */
+  def widthBucket(c: Column, lo: Double, hi: Double, buckets: Int): Column =
+    when(c < lo, lit(0))
+      .when(c >= hi, lit(buckets + 1))
+      .otherwise(floor((c - lit(lo)) / lit((hi - lo) / buckets)).cast("int") + 1)
+}

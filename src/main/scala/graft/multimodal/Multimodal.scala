@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns next to a typed metadata struct; decode / feature
+  * extraction runs batched per partition at the executor.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[DeterministicStubDecoder]] derives a fake-but-stable
+  * feature vector from the bytes, so the Spark-side contract — schema,
+  * partitioning, per-partition batch shape, null handling — is real and
+  * tested, and a production decoder drops in behind [[MediaDecoder]]
+  * without touching the plan.
+  */
+object Multimodal {
+
+  /** media row schema: payload + typed metadata (modality, mime, width/
+    * height for images, duration_ms for audio/video). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("modality", StringType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = false)))
+
+  /** Batched decode boundary — the only non-declarative step. Implemented
+    * per partition so a real decoder amortizes model/codec init across the
+    * batch (the Spark analog of the reference's pooled browser contexts,
+    * `services/browser.ts:21`). */
+  trait MediaDecoder extends Serializable {
+    /** bytes → fixed-size feature vector (null payload → null). */
+    def decode(payload: Array[Byte]): Array[Float]
+    def dim: Int
+  }
+
+  /** Stable fake decoder: features are a seeded hash cascade of the bytes —
+    * deterministic, mixes with payload content, right shape. A real
+    * implementation would decode pixels/samples here. */
+  final class DeterministicStubDecoder(val dim: Int = 16) extends MediaDecoder {
+    def decode(payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return null
+      var h = 1125899906842597L
+      payload.foreach(b => h = h * 31 + b)
+      Array.tabulate(dim) { i =>
+        val x = h ^ (i.toLong * 0x9E3779B97F4A7C15L)
+        ((x % 1000).toFloat / 1000.0f)
+      }
+    }
+  }
+
+  /** Attach decoded features: one `mapPartitions` pass, preserving
+    * partitioning; output schema = input + `features array<float>`. */
+  def withFeatures(media: DataFrame, decoder: MediaDecoder,
+                   payloadCol: String = "payload",
+                   out: String = "features"): DataFrame = {
+    val spark = media.sparkSession
+    val schema = media.schema.add(out, ArrayType(FloatType), nullable = true)
+    val payloadIdx = media.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val feats = decoder.decode(payload)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plan for video/audio: given duration and a stride,
+    * produce one row per sampled offset — pure expression, the decode of
+    * each frame goes through [[withFeatures]] afterwards. */
+  def sampleOffsets(media: DataFrame, strideMs: Long, maxFrames: Int = 16): DataFrame =
+    media
+      .withColumn("offset_ms",
+        explode(sequence(lit(0L),
+          least(coalesce(col("meta.duration_ms"), lit(0L)),
+            lit(strideMs * (maxFrames - 1))), lit(strideMs))))
+
+  /** Resize metadata rewrite (the transform itself is decoder work): scale
+    * width/height to fit `maxSide`, preserving aspect ratio — pure plan. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h).cast("double"))
+    media
+      .withColumn("target_width", ceil(w * scale).cast("int"))
+      .withColumn("target_height", ceil(h * scale).cast("int"))
+  }
+
+  /** Deterministic synthetic media table (for tests/benches): payload bytes
+    * derived from the id, mixed modalities, some null payloads. */
+  def synthetic(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      when(col("id") % 17 === 0, lit(null).cast(BinaryType))
+        .otherwise(sha2(col("id").cast("string"), 256).cast(BinaryType)).as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("id") % 3 + 1).cast("int")).as("modality"),
+        lit("application/octet-stream").as("mime"),
+        when(col("id") % 3 === 0, (col("id") % 1000 + 100).cast("int")).as("width"),
+        when(col("id") % 3 === 0, (col("id") % 800 + 100).cast("int")).as("height"),
+        when(col("id") % 3 =!= 0, (col("id") % 60000 + 1000)).as("duration_ms")
+      ).as("meta"))
+  }
+}

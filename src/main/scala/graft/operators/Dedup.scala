@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation, each designed
+  * around one shuffle-bounded plan that survives a 100 TB corpus:
+  *
+  *   - exact: hash-groupBy on a canonical fingerprint (one shuffle on the
+  *     64-bit hash, never on the text itself);
+  *   - MinHash+LSH: shingle → per-row signature (no shuffle) → banded
+  *     bucket join (shuffle on small band keys) → Jaccard verify on the
+  *     candidate pairs only;
+  *   - SimHash: per-row 64-bit sketch (no shuffle) → 16-bit band blocking
+  *     → Hamming verify;
+  *   - embedding near-dup: random-hyperplane signature → bucket join →
+  *     cosine verify.
+  *
+  * All signatures are computed with codegen'd higher-order functions on
+  * arrays — no UDFs, no per-row JVM closures.
+  */
+object Dedup {
+
+  // ---------------- exact ----------------
+
+  /** Exact dedup on the normalized text fingerprint: keeps the smallest id
+    * per duplicate group (deterministic winner). Returns the survivors. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", fp)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Exact dedup on an arbitrary key expression (e.g. `md5(text)` for
+    * byte-exact, [[TextFunctions.fingerprint]] for normalized): smallest
+    * id per group survives. */
+  def exactByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__key")).orderBy(col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__key", "__rn")
+  }
+
+  /** Exact-dup groups (fingerprint, n, ids) with n >= 2 — audit view. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("__fp").as("fingerprint"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n") >= 2)
+
+  // ---------------- shingles + MinHash ----------------
+
+  /** `k`-token shingle strings of the tokenized text. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = TextFunctions.tokens(c)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the shingle set. Computed per-row, shuffle-free. */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(array_distinct(shinglesCol), s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** Banded LSH candidate pairs + exact Jaccard verification.
+    *
+    * @param df corpus with `idCol` and `textCol`
+    * @param threshold minimum Jaccard similarity over k-shingle sets
+    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSig = df
+      .withColumn("__sh", array_distinct(shingles(col(textCol), k)))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .select(col(idCol).as("__id"), col("__sh"), col("__sig"))
+      .cache()
+
+    // one (band, bandHash) row per band — join key is 2 small ints
+    val banded = withSig.select(col("__id"), col("__sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("__sig"), b * lit(rows) + 1, lit(rows))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
+
+    val left = banded.select(col("__band"), col("__bh"),
+      col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val right = banded.select(col("__band"), col("__bh"),
+      col("__id").as("id_b"), col("__sh").as("sh_b"))
+
+    val candidates = left.join(right, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    val out = candidates
+      .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    out
+  }
+
+  /** Survivors after MinHash-LSH near-dedup: drop the larger id of every
+    * matched pair (transitive chains collapse to the smallest id via
+    * iteration-free min propagation over direct pairs — adequate for
+    * near-dup clusters, exact connected components cost more shuffles). */
+  def minhashDedup(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.7): DataFrame = {
+    val losers = minhashLshPairs(df, textCol, idCol, k, numHashes, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash of the token multiset, as a single expression chain:
+    * per-token 64-bit hashes vote ±1 on each bit position; the sketch bit
+    * is 1 where the vote is positive. Shuffle-free per row. */
+  def simhash(c: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(c), t => xxhash64(t))
+    // counters[i] = sum over tokens of (bit i set ? +1 : -1)
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (cnt, i) => cnt + when(getbit(h, i) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt > 0,
+          pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: block on the four 16-bit chunks (any pair
+    * within Hamming distance<=maxHamming shares at least one chunk when
+    * maxHamming<=3... candidates then verified exactly via bit_count). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
+      .cache()
+    val chunked = withSig.select(col("__id"), col("__sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("__sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__ck")
+    val left = chunked.select(col("__chunk"), col("__ck"),
+      col("__id").as("id_a"), col("__sim").as("sim_a"))
+    val right = chunked.select(col("__chunk"), col("__ck"),
+      col("__id").as("id_b"), col("__sim").as("sim_b"))
+    left.join(right, Seq("__chunk", "__ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // ---------------- n-gram Jaccard ----------------
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (pairs: id_a, id_b). Brute-force verification primitive — feed it
+    * LSH candidates at scale, or a small cross-join for audits. */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
+                   idCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("__sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    val joined = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    joined.select(col("id_a"), col("id_b"),
+      round(when(union === 0, lit(0.0)).otherwise(inter / union), 4).as("jaccard"))
+  }
+
+  // ---------------- embedding near-dup ----------------
+
+  /** Deterministic random hyperplanes (seeded) as literal arrays. */
+  private[operators] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  private[operators] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private[operators] def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Sign-bit signature of the embedding against `numPlanes` hyperplanes. */
+  def hyperplaneSignature(embCol: Column, numPlanes: Int, dim: Int,
+                          seed: Long = 42L): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val pl = array(p.map(v => lit(v)): _*)
+      when(dot(embCol.cast("array<double>"), pl) > 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding cosine near-dup pairs: hyperplane-LSH blocking (8-bit
+    * chunks of the signature) then exact cosine verification. */
+  def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                            dim: Int, threshold: Double = 0.95,
+                            numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    val withSig = df.select(col(idCol).as("__id"),
+        col(embCol).cast("array<double>").as("__emb"),
+        hyperplaneSignature(col(embCol), numPlanes, dim, seed).as("__sig"))
+      .withColumn("__nrm", norm(col("__emb")))
+      .cache()
+    val chunks = numPlanes / 8
+    val chunked = withSig.select(col("__id"), col("__emb"), col("__nrm"),
+      posexplode(array((0 until chunks).map(i =>
+        shiftrightunsigned(col("__sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)))
+      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__ck")
+    val left = chunked.select(col("__chunk"), col("__ck"), col("__id").as("id_a"),
+      col("__emb").as("emb_a"), col("__nrm").as("nrm_a"))
+    val right = chunked.select(col("__chunk"), col("__ck"), col("__id").as("id_b"),
+      col("__emb").as("emb_b"), col("__nrm").as("nrm_b"))
+    left.join(right, Seq("__chunk", "__ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

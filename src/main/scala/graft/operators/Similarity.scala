@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, as a training-data pipeline needs both:
+  *   - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline
+  *     and the right answer when the query set is small (broadcast the
+  *     queries, one scan of the corpus, per-query top-k via window);
+  *   - [[lshTopK]]: hyperplane-LSH bucketed search — the 100 TB path; the
+  *     corpus is bucketed once (signature is a per-row expression), each
+  *     query probes only its multi-probe bucket set, recall traded via
+  *     `numPlanes`/`maxHammingProbe`.
+  *
+  * All vector math is codegen'd `zip_with`/`aggregate` — no UDFs.
+  */
+object Similarity {
+
+  import Dedup.{dot, norm}
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query row.
+    *
+    * @param corpus  (idCol, embCol) — the big side, scanned once
+    * @param queries (qidCol, embCol) — small; Catalyst broadcasts it
+    * @return (qid, id, cosine, rank) with rank 1..k per qid
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     embCol: String, idCol: String, qidCol: String,
+                     k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("__ce"))
+      .withColumn("__cn", norm(col("__ce")))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(embCol).cast("array<double>").as("__qe"))
+      .withColumn("__qn", norm(col("__qe")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: corpus rows carry a hyperplane signature; a query
+    * probes every bucket within `maxHammingProbe` bit flips of its own
+    * signature (multi-probe), then ranks candidates by exact cosine.
+    * Recall < 1 by design; raise planes/probes for more. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              embCol: String, idCol: String, qidCol: String,
+              dim: Int, k: Int = 10, numPlanes: Int = 12,
+              maxHammingProbe: Int = 1, seed: Long = 42L): DataFrame = {
+    val sig = Dedup.hyperplaneSignature(col(embCol), numPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("__ce"), sig.as("__bucket"))
+      .withColumn("__cn", norm(col("__ce")))
+
+    // probe set: own signature + all signatures within hamming distance
+    val probes: Seq[Column] = {
+      val base = sig
+      val flips1 = (0 until numPlanes).map(i => base.bitwiseXOR(shiftleft(lit(1L), i)))
+      if (maxHammingProbe >= 1) base +: flips1 else Seq(base)
+    }
+    val q = queries.select(col(qidCol).as("qid"),
+        col(embCol).cast("array<double>").as("__qe"),
+        explode(array_distinct(array(probes: _*))).as("__bucket"))
+      .withColumn("__qn", norm(col("__qe")))
+
+    val candidates = c.join(broadcast(q), Seq("__bucket"))
+      .dropDuplicates("qid", "id")
+      .withColumn("cosine", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // ---------------- text functions ----------------
+
+  test("tokenCount: whitespace and empty-string behavior") {
+    val df = Seq(("a b  c", 3), ("  ", 0), ("one", 1), ("a\tb\nc d", 4))
+      .toDF("t", "expected")
+    val bad = df.filter(TextFunctions.tokenCount($"t") =!= $"expected").count()
+    assert(bad == 0)
+  }
+
+  test("bpeish token count grows with word length") {
+    val r = Seq(("hi there", 0), ("internationalization considerations", 0))
+      .toDF("t", "x")
+      .select(TextFunctions.bpeishTokenCount($"t").as("n")).as[Int].collect()
+    assert(r(0) == 3)        // "hi"→1, "there"→2
+    assert(r(1) == 9)        // ceil(20/4) + ceil(14/4) pieces
+  }
+
+  test("quality score separates natural text from junk") {
+    val natural = "the quick brown fox jumps over the lazy dog and runs to the hills with great joy"
+    val junk = "$$$ 111 !!! ### 222 %%% 333 @@@ 444 ^^^"
+    val r = Seq(natural, junk).toDF("t")
+      .select(TextFunctions.qualityScore($"t").as("q")).as[Double].collect()
+    assert(r(0) > 0.8 && r(1) < 0.6 && r(0) > r(1))
+  }
+
+  test("langId identifies real-language samples and CJK") {
+    val samples = Seq(
+      ("the cat sat on the mat and looked at the dog", "en"),
+      ("le chat est dans la maison et les enfants sont dans le jardin pour une heure", "fr"),
+      ("der hund ist nicht in das haus und die katze ist mit dem kind", "de"),
+      ("el perro y el gato las casas para los amigos es una historia del pueblo", "es"),
+      ("这是一个中文句子", "zh"))
+    val df = samples.toDF("t", "expected")
+    val wrong = df.filter(TextFunctions.langId($"t") =!= $"expected").collect()
+    assert(wrong.isEmpty, s"misidentified: ${wrong.mkString(",")}")
+  }
+
+  test("fingerprint is formatting-invariant, rolling fingerprints shift-stable") {
+    val df = Seq(
+      ("The  quick   brown FOX!", "the quick brown fox"),
+      ("a b c d e f g", "a b c d e f g")).toDF("x", "y")
+    val neq = df.filter(TextFunctions.fingerprint($"x") =!= TextFunctions.fingerprint($"y")).count()
+    assert(neq == 0)
+    // a shared 5-token window ⇒ shared rolling fingerprint
+    val r = Seq(("alpha beta gamma delta epsilon zeta", "PREFIX alpha beta gamma delta epsilon"))
+      .toDF("a", "b")
+      .select(size(array_intersect(
+        TextFunctions.rollingFingerprints($"a", 5),
+        TextFunctions.rollingFingerprints($"b", 5))).as("shared")).as[Int].head()
+    assert(r >= 1)
+  }
+
+  test("widthBucket matches the reference histogram shape (0-10s, 10 buckets)") {
+    val df = Seq(-1.0, 0.0, 500.0, 9999.0, 10000.0, 50000.0).toDF("ms")
+    val r = df.select(TextFunctions.widthBucket($"ms", 0, 10000, 10).as("b")).as[Int].collect()
+    assert(r.toSeq == Seq(0, 1, 1, 10, 11, 11))
+  }
+
+  // ---------------- dedup ----------------
+
+  val docs: Seq[(Long, String)] = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "THE QUICK brown fox   jumps over the lazy dog near the river bank today!"), // normalized dup of 1
+    (4L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup (1 token)
+    (5L, "completely different content about spark query engines and columnar formats"),
+    (6L, "another unrelated document mentioning distributed joins and shuffle services"))
+
+  lazy val docsDf: DataFrame = docs.toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per normalized-duplicate group") {
+    val survivors = Dedup.exact(docsDf, "text", "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L, 5L, 6L))
+    val groups = Dedup.exactGroups(docsDf, "text", "doc_id").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n") == 3L)
+  }
+
+  test("minhash LSH finds the near-dup pair and dedups it") {
+    val pairs = Dedup.minhashLshPairs(docsDf, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 1-2-3 are exact/normalized dups (jaccard 1.0); 4 is near 1/2/3
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(pairs.exists(p => p._1 <= 4L && p._2 == 4L || p._1 == 4L))
+    assert(!pairs.exists(p => p._2 == 5L || p._2 == 6L))
+    val survivors = Dedup.minhashDedup(docsDf, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 5L, 6L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups small hamming, unrelated far") {
+    val sigs = docsDf.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) <= 12)
+    assert(ham(sigs(1L), sigs(5L)) > 12)
+    val pairs = Dedup.simhashPairs(docsDf, "text", "doc_id", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 5L && p._1 == 1L))
+  }
+
+  test("ngram jaccard verification on explicit pairs") {
+    val pairs = Seq((1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramJaccard(docsDf, pairs, "text", "doc_id")
+      .orderBy("id_b").select("jaccard").as[Double].collect()
+    assert(r(0) > 0.5 && r(1) < 0.1)
+  }
+
+  test("embedding near-dup: duplicate vectors found, orthogonal not") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)), (2L, Array(0.99f, 0.01f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+      dim = 4, threshold = 0.95, numPlanes = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---------------- similarity search ----------------
+
+  test("brute-force topK: self is rank 1 with cosine 1.0, ranks contiguous") {
+    val corpus = Tables()
+    val queries = corpus.filter($"vec_id".isin(0L, 7L))
+      .select($"vec_id".as("qid"), $"embedding")
+    val r = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", k = 5)
+    val rows = r.collect()
+    assert(rows.length == 10)
+    val self = rows.filter(x => x.getAs[Long]("qid") == x.getAs[Long]("id"))
+    assert(self.length == 2 && self.forall(_.getAs[Int]("rank") == 1))
+    assert(self.forall(_.getAs[Double]("cosine") > 0.9999))
+  }
+
+  test("LSH topK: high recall on clustered embeddings, bounded output on real corpus") {
+    // clustered corpus: 25 centers × 20 members, members = center + noise —
+    // the regime ANN exists for (uniform random vectors have no neighbors
+    // to find; hyperplane buckets can't beat chance there)
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(25)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- centers.indices; m <- 0 until 20) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+      ((c * 20 + m).toLong, v)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" % 20 === 0 && $"vec_id" < 100)
+      .select($"vec_id".as("qid"), $"embedding")
+    val exact = Similarity.bruteForceTopK(clustered, queries, "embedding", "vec_id", "qid", k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(clustered, queries, "embedding", "vec_id", "qid",
+      dim = 16, k = 5, numPlanes = 10, maxHammingProbe = 1)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+    // smoke on the real corpus: runs, respects k
+    val corpus = Tables()
+    val q2 = corpus.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    val r2 = Similarity.lshTopK(corpus, q2, "embedding", "vec_id", "qid",
+      dim = 64, k = 5, numPlanes = 8, maxHammingProbe = 1)
+    assert(r2.groupBy("qid").count().agg(max("count")).as[Long].head() <= 5)
+  }
+
+  private def Tables(): DataFrame = graft.Tables.embeddings(spark, sfDir)
+
+  // ---------------- multimodal ----------------
+
+  test("multimodal: stub decode produces stable features, null payload -> null") {
+    val media = Multimodal.synthetic(spark, 100)
+    val dec = new Multimodal.DeterministicStubDecoder(16)
+    val out = Multimodal.withFeatures(media, dec)
+    assert(out.schema("features").dataType.typeName == "array")
+    val n = out.count()
+    assert(n == 100)
+    val nulls = out.filter($"payload".isNull).count()
+    assert(nulls > 0 && out.filter($"payload".isNull && $"features".isNotNull).count() == 0)
+    val withF = out.filter($"features".isNotNull)
+    assert(withF.filter(size($"features") === 16).count() == withF.count())
+    // determinism: same pipeline twice → identical features
+    val out2 = Multimodal.withFeatures(media, dec)
+    assert(out.select("media_id", "features").exceptAll(
+      out2.select("media_id", "features")).count() == 0)
+  }
+
+  test("multimodal: frame sampling and resize plans") {
+    val media = Multimodal.synthetic(spark, 30)
+    val frames = Multimodal.sampleOffsets(media.filter($"meta.duration_ms".isNotNull), 1000L, 4)
+    assert(frames.groupBy("media_id").count().agg(max("count")).as[Long].head() <= 4)
+    val resized = Multimodal.resizePlan(media.filter($"meta.width".isNotNull), 256)
+    val bad = resized.filter($"target_width" > 256 || $"target_height" > 256).count()
+    assert(bad == 0)
+  }
+}
