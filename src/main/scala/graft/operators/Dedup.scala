@@ -65,12 +65,18 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the shingle set. Computed per-row, shuffle-free. */
+  /** MinHash signature: for each of `numHashes` hash functions, the minimum
+    * over the shingle set. Computed per-row, shuffle-free, as one custom
+    * Catalyst expression ([[graft.functions.SketchExpressions]]) — the
+    * equivalent `transform`/`array_min` HOF chain evaluates interpreted
+    * with per-element lambda dispatch and is ~10× slower. */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(array_distinct(shinglesCol), s => xxhash64(s, lit(i))))
-    }: _*)
+    minhashSignatureFromHashes(
+      transform(array_distinct(shinglesCol), s => xxhash64(s)), numHashes)
+
+  /** Signature over pre-hashed (distinct) shingles. */
+  def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int = 32): Column =
+    graft.functions.SketchExpressions.minhashSignature(hashesCol, numHashes)
 
   /** Banded LSH candidate pairs + exact Jaccard verification.
     *
@@ -83,9 +89,13 @@ object Dedup {
                       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // staged columns: tokenize once, shingle-hash once, sign once — hashed
+    // shingle sets ride through the join instead of the strings, and the
+    // Jaccard verify intersects long arrays (collision ~2^-64, immaterial)
     val withSig = df
-      .withColumn("__sh", array_distinct(shingles(col(textCol), k)))
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col(textCol)))
+      .withColumn("__sh", graft.functions.SketchExpressions.shingleHashes(col("__toks"), k))
+      .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), numHashes))
       .select(col(idCol).as("__id"), col("__sh"), col("__sig"))
       .cache()
 
@@ -128,23 +138,13 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** 64-bit SimHash of the token multiset, as a single expression chain:
-    * per-token 64-bit hashes vote ±1 on each bit position; the sketch bit
-    * is 1 where the vote is positive. Shuffle-free per row. */
-  def simhash(c: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(c), t => xxhash64(t))
-    // counters[i] = sum over tokens of (bit i set ? +1 : -1)
-    val counters = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (cnt, i) => cnt + when(getbit(h, i) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (cnt, i) => when(cnt > 0,
-          pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash of the token multiset: per-token 64-bit hashes vote ±1
+    * on each bit position; the sketch bit is 1 where the vote is positive.
+    * Shuffle-free per row; the bit-vote loop is a custom expression
+    * ([[graft.functions.SketchExpressions.SimHash64]]). */
+  def simhash(c: Column): Column =
+    graft.functions.SketchExpressions.simhash64(
+      transform(TextFunctions.tokens(c), t => xxhash64(t)))
 
   /** SimHash near-dup pairs: block on the four 16-bit chunks (any pair
     * within Hamming distance<=maxHamming shares at least one chunk when
@@ -195,22 +195,18 @@ object Dedup {
   }
 
   private[operators] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SketchExpressions.dotProduct(a, b)
 
   private[operators] def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.functions.SketchExpressions.dotProduct(a, a))
 
-  /** Sign-bit signature of the embedding against `numPlanes` hyperplanes. */
+  /** Sign-bit signature of the embedding against `numPlanes` hyperplanes —
+    * one primitive pass per row (custom expression), not numPlanes
+    * interpreted HOF reductions. */
   def hyperplaneSignature(embCol: Column, numPlanes: Int, dim: Int,
-                          seed: Long = 42L): Column = {
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val pl = array(p.map(v => lit(v)): _*)
-      when(dot(embCol.cast("array<double>"), pl) > 0,
-        shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+                          seed: Long = 42L): Column =
+    graft.functions.SketchExpressions.hyperplaneSig(
+      embCol.cast("array<double>"), hyperplanes(numPlanes, dim, seed))
 
   /** Embedding cosine near-dup pairs: hyperplane-LSH blocking (8-bit
     * chunks of the signature) then exact cosine verification. */

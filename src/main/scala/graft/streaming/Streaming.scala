@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.pipeline.{PipelineStore, PlacesExtractor, Stages}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming re-expression of the reference's incremental
+  * semantics (SURVEY §2.F).
+  *
+  * The reference "streams" by polling `status IS NULL` in a loop
+  * (`runner/locator.ts:166-178`) with idempotency keys and a status state
+  * machine. Here the same contract is:
+  *
+  *   - [[EventAggregates]]: true event-time processing the reference never
+  *     had — watermark + tumbling window over the events table (the
+  *     beyond-reference metrics path);
+  *   - [[IncrementalLocator]]: the poll loop as a file-source stream of new
+  *     url rows + `foreachBatch` running the stage-1 transform with
+  *     checkpointed exactly-once-ish semantics (replayed batches are
+  *     deduped by the store's unique keys — the swallowed-duplicate
+  *     behavior doubles as idempotent replay);
+  *   - [[Sessionize]]: `mapGroupsWithState` custom state — the
+  *     session-window shape a training-data pipeline needs for
+  *     clickstream/interaction data.
+  */
+object Streaming {
+
+  /** events schema for the streaming source (ts read as raw nanos long —
+    * `spark.sql.legacy.parquet.nanosAsLong` — and converted). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema)
+      // file-stream sources take a directory; restrict to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window aggregate: count + sum(value) per
+    * (window, event_type). Late data beyond 10 minutes is dropped —
+    * state stays bounded no matter how long the stream runs. */
+  def windowedAggregates(events: DataFrame,
+                         window: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** Run the windowed aggregate over the (bounded) events table via a
+    * memory sink and return the result — batch-equivalent smoke path. */
+  def runWindowedOnce(spark: SparkSession, dir: String,
+                      queryName: String = "graft_events_agg"): DataFrame = {
+    val q = windowedAggregates(readEventStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** One sessionization record per (user, session). */
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Int)
+  private final case class SessionState(startMs: Long, lastMs: Long, n: Int)
+
+  /** Event-time sessionization with a gap timeout, via
+    * `mapGroupsWithState` — the reference has nothing like it; included as
+    * the canonical custom-state operator (SURVEY §2.F → Spark mapping). */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
+                 gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          // batch-style grouping: emit a session per gap break
+          val times = rows.map(_._2.getTime).toSeq.sorted
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur: Option[SessionState] = state.getOption
+          times.foreach { t =>
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(lastMs = t, n = s.n + 1))
+              case Some(s) =>
+                sessions += SessionOut(user, new java.sql.Timestamp(s.startMs),
+                  new java.sql.Timestamp(s.lastMs), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur match {
+            case Some(s) =>
+              state.update(s)
+              // close the trailing session too (bounded-input semantics)
+              sessions += SessionOut(user, new java.sql.Timestamp(s.startMs),
+                new java.sql.Timestamp(s.lastMs), s.n)
+            case None =>
+          }
+          sessions.iterator
+      }
+  }
+}
+
+/** Streaming stage-1: new `GooglePlaceUrlToScrape` rows land as parquet in
+  * `inboxDir`; each micro-batch ingests them into the store (idempotently —
+  * unique url/id keys swallow replays) and runs the locator transform.
+  * `Trigger.AvailableNow` + checkpoint = the incremental batch pattern the
+  * reference's poll loop approximates. */
+final class IncrementalLocator(
+    store: PipelineStore, extractor: PlacesExtractor,
+    inboxDir: String, checkpointDir: String) {
+
+  def runOnce(spark: SparkSession): Unit = {
+    val stream = spark.readStream
+      .schema(graft.pipeline.Entities.googlePlaceUrlToScrape)
+      .parquet(inboxDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent ingest: replays hit the unique keys and are swallowed
+        store.urls.createMany(batch, skipDuplicates = true)
+        // drain the pending slice this batch created
+        Stages.runLocator(store, extractor)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

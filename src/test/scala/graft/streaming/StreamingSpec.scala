@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.pipeline._
+import graft.store.Catalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("windowed aggregate over the events stream matches the batch plan") {
+    val streamed = Streaming.runWindowedOnce(spark, sfDir, "agg_spec")
+      .select($"window.start".as("ws"), $"event_type", $"n", $"total_value")
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"total_value")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("sessionize groups events by gap, per user") {
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(10)),   // session A: 3 events
+      (1L, ts(60)), (1L, ts(65)),               // session B: 2 events (50min gap)
+      (2L, ts(0))                               // user 2: 1 session
+    ).toDS()
+    val out = Streaming.sessionize(events, gapMinutes = 30).collect()
+      .groupBy(_.user_id)
+    assert(out(1L).map(_.n_events).sorted.toSeq == Seq(2, 3))
+    assert(out(2L).map(_.n_events).toSeq == Seq(1))
+    val a = out(1L).find(_.n_events == 3).get
+    assert(a.session_start == ts(0) && a.session_end == ts(10))
+  }
+
+  test("incremental locator: checkpointed stream ingests, processes, and replays idempotently") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+    val inbox = tmp.resolve("inbox"); val ckpt = tmp.resolve("ckpt")
+    java.nio.file.Files.createDirectories(inbox)
+    val store = new PipelineStore(spark, new Catalog(tmp.resolve("store").toString))
+
+    def urlBatch(ids: Seq[Int]) = ids.map(i =>
+      (s"g$i", s"https://maps.example/s$i", Some(s"L${i % 3}")))
+      .toDF("id", "url", "location")
+      .withColumn("status", lit(null).cast(BooleanType))
+      .withColumn("notes", lit(null).cast(StringType))
+      .withColumn("createdAt", lit(null).cast(TimestampType))
+      .withColumn("updatedAt", lit(null).cast(TimestampType))
+
+    val loc = new IncrementalLocator(store, new SyntheticPlacesExtractor(2),
+      inbox.toString, ckpt.toString)
+
+    // batch 1
+    urlBatch(1 to 10).coalesce(1).write.mode("append").parquet(inbox.toString)
+    loc.runOnce(spark)
+    assert(store.urls.snapshot().count() == 10)
+    assert(store.urls.snapshot().filter($"status".isNull).count() == 0)
+    val placesAfter1 = store.places.snapshot().count()
+    assert(placesAfter1 > 0)
+
+    // batch 2: new rows + checkpoint means batch 1 files are NOT re-read
+    urlBatch(11 to 15).coalesce(1).write.mode("append").parquet(inbox.toString)
+    loc.runOnce(spark)
+    assert(store.urls.snapshot().count() == 15)
+
+    // replay the same stream from scratch (fresh checkpoint): unique keys
+    // swallow every duplicate — store state unchanged
+    val loc2 = new IncrementalLocator(store, new SyntheticPlacesExtractor(2),
+      inbox.toString, tmp.resolve("ckpt2").toString)
+    loc2.runOnce(spark)
+    assert(store.urls.snapshot().count() == 15)
+    assert(store.places.snapshot().count() == store.places.snapshot().dropDuplicates("url").count())
+  }
+}
