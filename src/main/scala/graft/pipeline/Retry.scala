@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import graft.store.ConcurrentModificationException
+
+/** Retry schedules (SURVEY §2.F): the reference retries activities 1-3×
+  * with exponential backoff (`extractGooglePlaces.ts:31-45,358`,
+  * `syncCrm.ts:171`). In the engine the retryable failure is an optimistic
+  * concurrency conflict on commit — another writer moved a table between
+  * our snapshot and our manifest swap — which a fresh attempt (re-reading
+  * the new state) resolves. */
+object Retry {
+
+  /** Exponential backoff on OCC conflicts; rethrows after `times`. */
+  def onConflict[A](times: Int = 3, baseMs: Long = 50)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > times) throw e
+          Thread.sleep(baseMs * (1L << (attempt - 1)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Generic bounded retry with exponential backoff for external-I/O legs
+    * (the browser/LLM/CRM boundary in a production deployment). */
+  def withBackoff[A](times: Int, baseMs: Long = 100,
+                     retryable: Throwable => Boolean = _ => true)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if retryable(e) && attempt < times =>
+          attempt += 1
+          Thread.sleep(baseMs * (1L << (attempt - 1)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -42,6 +42,30 @@ object Stages {
   private def nullB: Column = lit(null).cast(BooleanType)
   private def nullT: Column = lit(null).cast(TimestampType)
 
+  /** One Notification row per stage run (`schema.prisma:90-99`): message +
+    * JSON metadata via `to_json(struct(...))` (the JSON.stringify of the
+    * reference's logs, SURVEY §2.E) + validated serviceName enum. */
+  private def notification(store: PipelineStore, serviceName: String,
+                           message: String, m: StageMetrics): org.apache.spark.sql.DataFrame = {
+    require(Entities.serviceNames.contains(serviceName), s"invalid enum: $serviceName")
+    store.urls.spark.range(1).select(
+      concat(lit("nt_"), lit(java.util.UUID.randomUUID().toString.replace("-", ""))).as("id"),
+      lit(message).as("message"),
+      to_json(struct(
+        lit(m.processed).as("processed"), lit(m.succeeded).as("succeeded"),
+        lit(m.failed).as("failed"), lit(m.skipped).as("skipped"),
+        lit(m.inserted).as("inserted"))).as("metadata"),
+      lit(serviceName).as("serviceName"),
+      nullT.as("createdAt"), nullT.as("updatedAt"))
+  }
+
+  /** Append the run summary notification (own commit, OCC-retried). */
+  private def notify(store: PipelineStore, serviceName: String,
+                     message: String, m: StageMetrics): Unit =
+    Retry.onConflict() {
+      store.notifications.createMany(notification(store, serviceName, message, m))
+    }
+
   /** A syntactically-valid http(s) URL — the `Schema.decodeUnknown(Schema.URL)`
     * gate (`extractGooglePlaces.ts:166-172`); invalid rows are skipped. */
   def isValidUrl(c: Column): Column =
@@ -86,15 +110,19 @@ object Stages {
 
     var inserted = 0L
     var succeeded = 0L
-    Txn.run(store.catalog) { tx =>
-      inserted = tx.createMany(store.places, newPlaces, skipDuplicates = true)
-      succeeded = tx.updateWhereIn(store.urls, "id", okSources, pendingCond,
-        Map("status" -> lit(true)))
-      tx.updateMany(store.urls, F.raw(pendingCond),
-        Map("status" -> lit(false), "notes" -> lit("extraction failed")))
+    Retry.onConflict() {
+      Txn.run(store.catalog) { tx =>
+        inserted = tx.createMany(store.places, newPlaces, skipDuplicates = true)
+        succeeded = tx.updateWhereIn(store.urls, "id", okSources, pendingCond,
+          Map("status" -> lit(true)))
+        tx.updateMany(store.urls, F.raw(pendingCond),
+          Map("status" -> lit(false), "notes" -> lit("extraction failed")))
+      }
     }
     extracted.unpersist()
-    StageMetrics(processed, succeeded, processed - succeeded, 0, inserted)
+    val m = StageMetrics(processed, succeeded, processed - succeeded, 0, inserted)
+    notify(store, "Places_Locator", "locator run complete", m)
+    m
   }
 
   // ------------------------------------------------------------------
@@ -150,17 +178,21 @@ object Stages {
     val acceptedKeys = accepted.select(col("sourceId").as("id"))
     var inserted = 0L
     var succeeded = 0L
-    Txn.run(store.catalog) { tx =>
-      tx.createMany(store.services, newServices, skipDuplicates = true)
-      inserted = tx.createMany(store.companies, newCompanies, skipDuplicates = true)
-      tx.createMany(store.companyServices, linkRows, skipDuplicates = true)
-      succeeded = tx.updateWhereIn(store.places, "id", acceptedKeys, pendingCond,
-        Map("status" -> lit(true)))
-      tx.updateMany(store.places, F.raw(pendingCond),
-        Map("status" -> lit(false), "notes" -> lit("skipped: gate or no extraction")))
+    Retry.onConflict() {
+      Txn.run(store.catalog) { tx =>
+        tx.createMany(store.services, newServices, skipDuplicates = true)
+        inserted = tx.createMany(store.companies, newCompanies, skipDuplicates = true)
+        tx.createMany(store.companyServices, linkRows, skipDuplicates = true)
+        succeeded = tx.updateWhereIn(store.places, "id", acceptedKeys, pendingCond,
+          Map("status" -> lit(true)))
+        tx.updateMany(store.places, F.raw(pendingCond),
+          Map("status" -> lit(false), "notes" -> lit("skipped: gate or no extraction")))
+      }
     }
     extracted.unpersist(); accepted.unpersist()
-    StageMetrics(processed, succeeded, 0, processed - succeeded, inserted)
+    val m = StageMetrics(processed, succeeded, 0, processed - succeeded, inserted)
+    notify(store, "Website_Content_Scrapper", "enricher run complete", m)
+    m
   }
 
   // ------------------------------------------------------------------
@@ -215,20 +247,24 @@ object Stages {
     val skipKeys = toSkip.select("id")
     val skipUrls = toSkip.select(col("websiteUrl").as("url"))
     val skipped = toSkip.count()
-    Txn.run(store.catalog) { tx =>
-      if (skipped > 0) {
-        // compensation: drop the companies + their links, requeue sources
-        tx.deleteWhereIn(store.companies, "id", skipKeys)
-        tx.deleteWhereIn(store.companyServices, "A", skipKeys.withColumnRenamed("id", "A"))
-        tx.updateWhereIn(store.places, "url", skipUrls, lit(true),
-          Map("status" -> nullB, "notes" -> lit("requeued: no services")))
+    Retry.onConflict() {
+      Txn.run(store.catalog) { tx =>
+        if (skipped > 0) {
+          // compensation: drop the companies + their links, requeue sources
+          tx.deleteWhereIn(store.companies, "id", skipKeys)
+          tx.deleteWhereIn(store.companyServices, "A", skipKeys.withColumnRenamed("id", "A"))
+          tx.updateWhereIn(store.places, "url", skipUrls, lit(true),
+            Map("status" -> nullB, "notes" -> lit("requeued: no services")))
+        }
+        tx.createMany(store.crmEvents, newEvents, skipDuplicates = true)
       }
-      tx.createMany(store.crmEvents, newEvents, skipDuplicates = true)
     }
     val succeeded = outcomes.filter(col("ok")).count()
     val failed = outcomes.filter(!col("ok")).count()
     candidates.unpersist(); hydrated.unpersist(); toSkip.unpersist(); outcomes.unpersist()
-    StageMetrics(processed, succeeded, failed, skipped, succeeded + failed)
+    val m = StageMetrics(processed, succeeded, failed, skipped, succeeded + failed)
+    notify(store, "CRM_Sync", "crm sync run complete", m)
+    m
   }
 
   /** Run stage 1→2→3 until every queue drains (the poll-loop composition,

@@ -49,6 +49,22 @@ final class GraftTable(
   def create(rows: DataFrame): Long = autoCommit(_.create(this, rows))
   def createMany(rows: DataFrame, skipDuplicates: Boolean = false): Long =
     autoCommit(_.createMany(this, rows, skipDuplicates))
+  /** createManyAndReturn (`effect.ts:487-493`): bulk insert returning the
+    * actually-inserted rows (duplicates excluded under skipDuplicates). */
+  def createManyAndReturn(rows: DataFrame, skipDuplicates: Boolean = false): DataFrame = {
+    val txn = new Txn(catalog)
+    val out = txn.createManyAndReturn(this, rows, skipDuplicates)
+    txn.commit()
+    out
+  }
+  /** updateManyAndReturn (`effect.ts:527-533`): bulk update returning the
+    * post-update state of every matched row. */
+  def updateManyAndReturn(where: Where, set: Map[String, Column]): DataFrame = {
+    val txn = new Txn(catalog)
+    val out = txn.updateManyAndReturn(this, where, set)
+    txn.commit()
+    out
+  }
   def update(where: Where, set: Map[String, Column]): Long =
     autoCommit(_.update(this, where, set))
   def updateMany(where: Where, set: Map[String, Column]): Long =
@@ -85,6 +101,46 @@ final class GraftTable(
     }
     val n = clean.count()
     (current.unionByName(clean), n)
+  }
+
+  /** stagedCreate variant that also returns the inserted slice
+    * (createManyAndReturn, `effect.ts:487-493`). */
+  private[store] def stagedCreateReturning(current: DataFrame, rows: DataFrame,
+                                           skipDuplicates: Boolean): (DataFrame, DataFrame, Long) = {
+    var incoming = touch(align(rows), timestampCols)
+    uniqueKeys.foreach { uk => incoming = incoming.dropDuplicates(uk) }
+    var clean = incoming
+    uniqueKeys.foreach { uk =>
+      clean = clean.join(current.select(uk.map(col): _*), uk, "left_anti")
+    }
+    if (!skipDuplicates) {
+      val dropped = incoming.count() - clean.count()
+      if (dropped > 0 || rows.count() != incoming.count())
+        throw new UniqueViolationException(
+          s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
+    }
+    val n = clean.count()
+    (current.unionByName(clean), clean, n)
+  }
+
+  /** stagedUpdate variant that also returns the post-update matched slice
+    * (updateManyAndReturn, `effect.ts:527-533`). */
+  private[store] def stagedUpdateReturning(current: DataFrame, where: Where,
+                                           set: Map[String, Column]): (DataFrame, DataFrame, Long) = {
+    val rawCond = Where.compile(where, current.apply)
+    val matched = current.filter(rawCond).count()
+    val withCond = current.withColumn("__upd", coalesce(rawCond, lit(false)))
+    val cond = col("__upd")
+    val updated = current.columns.foldLeft(withCond) { (df, c) =>
+      set.get(c) match {
+        case Some(newVal) => df.withColumn(c, when(cond, newVal).otherwise(col(c)))
+        case None if schema.fieldNames.contains("updatedAt") && c == "updatedAt" &&
+          timestampCols.contains("updatedAt") =>
+          df.withColumn(c, when(cond, current_timestamp()).otherwise(col(c)))
+        case None => df
+      }
+    }
+    (updated.drop("__upd"), updated.filter(cond).drop("__upd"), matched)
   }
 
   private[store] def stagedUpdate(current: DataFrame, where: Where,
@@ -190,6 +246,21 @@ final class Txn(catalog: Catalog) {
   def createMany(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): Long = {
     val (next, n) = t.stagedCreate(stateOf(t), rows, skipDuplicates, failOnDup = !skipDuplicates)
     stage(t, next); n
+  }
+
+  def createManyAndReturn(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): DataFrame = {
+    val (next, inserted, _) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    // evaluate the inserted slice against pre-stage state before publishing
+    val out = inserted.cache()
+    out.count()
+    stage(t, next); out
+  }
+
+  def updateManyAndReturn(t: GraftTable, where: Where, set: Map[String, Column]): DataFrame = {
+    val (next, updated, _) = t.stagedUpdateReturning(stateOf(t), where, set)
+    val out = updated.cache()
+    out.count()
+    stage(t, next); out
   }
 
   def update(t: GraftTable, where: Where, set: Map[String, Column]): Long = {

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (the 100 TB checklist): filters reach the
+  * parquet scan, projections prune the read schema, small join sides
+  * broadcast, hot paths stay inside whole-stage codegen. A plan regression
+  * here is a scale bug even when results stay correct. */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan and prunes columns") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate,"), p)
+    assert(p.contains("ReadSchema"), p)
+    // only the 5 needed columns of 16 are read
+    assert(!p.contains("l_orderkey"), "scan reads pruned column:\n" + p)
+    assert(!p.contains("l_comment"), p)
+  }
+
+  test("q_find_unique compiles to a pushed-down point predicate, not a collect") {
+    val p = planOf("q_find_unique")
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"), p)
+  }
+
+  test("q_join_left_count broadcasts no side (both large) but prunes orders columns") {
+    val p = planOf("q_join_left_count")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderkey:bigint,o_totalprice:double>")
+      || p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      "orders scan not pruned to 3 columns:\n" + p)
+  }
+
+  test("relation-flag join broadcasts the aggregated flag side (AQE)") {
+    val p = planOf("q_rel_some")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "expected broadcast for small flag side:\n" + p)
+  }
+
+  test("string filters stay inside whole-stage codegen") {
+    val p = planOf("q_str_filters")
+    // "*(n)" prefixes mark whole-stage-codegen stages in the compact plan
+    assert(p.contains("*(1)"), p)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("StringEndsWith(p_type,DARD)"), p)
+  }
+
+  test("anti-join pushes the price filter to the orders scan") {
+    val p = planOf("q_join_anti")
+    assert(p.contains("GreaterThan(o_totalprice,300000.0)"), p)
+  }
+
+  test("take/skip pagination becomes a global limit, not a full materialization") {
+    val p = planOf("q_find_many_page")
+    assert(p.contains("GlobalLimit") || p.contains("TakeOrdered"), p)
+  }
+}
