@@ -77,15 +77,20 @@ object Entities {
 
 /** All six tables over one catalog — the "database". */
 final class PipelineStore(spark: SparkSession, val catalog: Catalog) {
-  private def table(name: String, schema: StructType, uniq: Seq[Seq[String]]): GraftTable =
+  private def table(name: String, schema: StructType, uniq: Seq[Seq[String]],
+                    partitionCols: Seq[String] = Nil): GraftTable =
     new GraftTable(spark, catalog, name, schema, uniq,
-      timestampCols = Seq("createdAt", "updatedAt"))
+      timestampCols = Seq("createdAt", "updatedAt"), partitionCols = partitionCols)
 
-  // unique keys per migration.sql:77-90 + 20260102193542:8
+  // unique keys per migration.sql:77-90 + 20260102193542:8; the two
+  // status-polled queue tables are laid out partitioned by status so the
+  // pending-slice poll prunes to one partition (SURVEY §4.2)
   val urls: GraftTable = table("google_place_url_to_scrape",
-    Entities.googlePlaceUrlToScrape, Seq(Seq("id"), Seq("url")))
+    Entities.googlePlaceUrlToScrape, Seq(Seq("id"), Seq("url")),
+    partitionCols = Seq("status"))
   val places: GraftTable = table("place_entry",
-    Entities.placeEntry, Seq(Seq("id"), Seq("url")))
+    Entities.placeEntry, Seq(Seq("id"), Seq("url")),
+    partitionCols = Seq("status"))
   val companies: GraftTable = table("company",
     Entities.company, Seq(Seq("id"), Seq("name")))
   val services: GraftTable = table("firm_service",

@@ -28,14 +28,25 @@ final class GraftTable(
     val name: String,
     val schema: StructType,
     val uniqueKeys: Seq[Seq[String]] = Nil,
-    val timestampCols: Seq[String] = Nil) {
+    val timestampCols: Seq[String] = Nil,
+    /** Physical layout: every version is written partitioned by these
+      * columns, so selective reads (e.g. the `status IS NULL` poll slice,
+      * `runner/locator.ts:61-67`) prune partitions at the scan — the
+      * SURVEY §4.2 "partition status-polled tables by status/date"
+      * requirement for the 100 TB layout. */
+    val partitionCols: Seq[String] = Nil) {
 
   private def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Current committed snapshot (empty DataFrame before first insert). */
+  /** Current committed snapshot (empty DataFrame before first insert).
+    * Columns re-aligned to the declared order (partitioned reads surface
+    * partition columns last). */
   def snapshot(): DataFrame =
-    catalog.currentDir(name).map(spark.read.schema(schema).parquet(_)).getOrElse(emptyDf)
+    catalog.currentDir(name)
+      .map(d => spark.read.schema(schema).parquet(d)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      .getOrElse(emptyDf)
 
   private def touch(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.filter(timestampCols.contains).filter(schema.fieldNames.contains)
@@ -230,10 +241,13 @@ final class Txn(catalog: Catalog) {
 
   private def stage(t: GraftTable, next: DataFrame): Unit = {
     val (v, dir) = catalog.newVersionDir(t.name)
-    next.write.mode("overwrite").parquet(dir)
+    val writer = next.write.mode("overwrite")
+    (if (t.partitionCols.nonEmpty) writer.partitionBy(t.partitionCols: _*) else writer)
+      .parquet(dir)
     // re-read what we wrote: the staged version is now immutable on disk,
     // so later statements in the txn build on real files, not a recompute
     val persisted = t.spark.read.schema(t.schema).parquet(dir)
+      .select(t.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     working += (t.name -> persisted)
     staged += (t.name -> v)
   }

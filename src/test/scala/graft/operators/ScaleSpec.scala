@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.pipeline._
+import graft.store.Catalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale primitives: salted joins, skew recon, partition-pruned polls. */
+class ScaleSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin matches the plain join result on a skewed key") {
+    // 90% of left rows share one hot key
+    val left = spark.range(2000)
+      .select(when($"id" < 1800, lit(7L)).otherwise($"id" % 50).as("k"), $"id".as("v"))
+    val right = (0L until 50L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedJoin(left, right, "k", factor = 8).select("k", "v", "name")
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedJoin preserves left rows for left joins") {
+    val left = Seq((1L, "a"), (2L, "b"), (99L, "no-match")).toDF("k", "v")
+    val right = Seq((1L, "x"), (2L, "y")).toDF("k", "w")
+    val out = Skew.saltedJoin(left, right, "k", factor = 4, joinType = "left")
+    assert(out.count() == 3)
+    assert(out.filter($"k" === 99L).head().getAs[String]("w") == null)
+  }
+
+  test("twoPhaseCollect aggregates hot keys in two phases, same multiset") {
+    val df = spark.range(1000)
+      .select(when($"id" < 900, lit(1L)).otherwise(($"id" % 10) + 100L).as("k"),
+        $"id".cast("string").as("v"))
+    val out = Skew.twoPhaseCollect(df, "k", "v", factor = 4)
+    val hot = out.filter($"k" === 1L).select(size($"v_list")).as[Int].head()
+    assert(hot == 900)
+  }
+
+  test("hotKeys surfaces the dominant key") {
+    val df = spark.range(500).select(when($"id" < 400, lit(42L)).otherwise($"id").as("k"))
+    val top = Skew.hotKeys(df, "k", 1).head()
+    assert(top.getAs[Long]("k") == 42L && top.getAs[Long]("n") == 400L)
+  }
+
+  test("status-partitioned queue table: pending poll prunes partitions") {
+    val st = new PipelineStore(spark,
+      new Catalog(java.nio.file.Files.createTempDirectory("graft-part").toString))
+    val urls = (1 to 30).map(i => (s"g$i", s"https://x.example/$i", Some("L")))
+      .toDF("id", "url", "location")
+      .withColumn("status", when($"id".isin("g1", "g2"), lit(true))
+        .when($"id" === "g3", lit(false)).otherwise(lit(null).cast(BooleanType)))
+      .withColumn("notes", lit(null).cast(StringType))
+      .withColumn("createdAt", lit(null).cast(TimestampType))
+      .withColumn("updatedAt", lit(null).cast(TimestampType))
+    st.urls.createMany(urls)
+
+    val snap = st.urls.snapshot()
+    assert(snap.count() == 30)
+    // values survive the partitioned round-trip (incl. the null partition)
+    assert(snap.filter($"status".isNull).count() == 27)
+    assert(snap.filter($"status" <=> true).count() == 2)
+
+    val pending = snap.filter($"status".isNull)
+    pending.collect()
+    val plan = pending.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnull(status"),
+      "poll does not prune partitions:\n" + plan)
+  }
+
+  test("partitioned table updates rewrite correctly (status flip moves partition)") {
+    val st = new PipelineStore(spark,
+      new Catalog(java.nio.file.Files.createTempDirectory("graft-part2").toString))
+    val urls = Seq(("g1", "https://a.example", Some("L")))
+      .toDF("id", "url", "location")
+      .withColumn("status", lit(null).cast(BooleanType))
+      .withColumn("notes", lit(null).cast(StringType))
+      .withColumn("createdAt", lit(null).cast(TimestampType))
+      .withColumn("updatedAt", lit(null).cast(TimestampType))
+    st.urls.createMany(urls)
+    st.urls.update(graft.query.F.eq("id", "g1"), Map("status" -> lit(true)))
+    val snap = st.urls.snapshot()
+    assert(snap.filter($"status" <=> true).count() == 1)
+    assert(snap.filter($"status".isNull).count() == 0)
+  }
+}
