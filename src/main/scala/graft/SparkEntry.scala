@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 import graft.query._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -405,6 +405,26 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Full curation composition: annotate → gates → exact dedup → near
+    // dedup, with per-gate drop accounting (rows-only: quality/lang
+    // heuristics are not SQL-expressible; behavior is spec-tested).
+    "q_curation" -> ((s, dir) =>
+      Curation.report(Tables.documents(s, dir), "text", "doc_id",
+        Curation.Config(minQuality = 0.4, minTokens = 5, nearDupThreshold = 0.8))),
+
+    // IVF ANN: self-hit at rank 1 is deterministic (a query identical to a
+    // corpus vector lands in its own probed centroid; cosine 1.0 wins).
+    "q_ann_ivf" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", "qid",
+        k = 5, nCenters = 16, nProbe = 2)
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("id"))
+        .orderBy(col("qid"))
+    }),
+
     // LSH-bucketed ANN: rank-1 self-hit is deterministic (identical vector
     // shares every bucket; cosine 1.0 outranks all), oracle-checkable.
     "q_ann_lsh" -> ((s, dir) => {
@@ -689,5 +709,9 @@ object SparkEntry {
     "q_ann_lsh" -> """
       SELECT vec_id AS qid, vec_id AS id FROM embeddings
       WHERE vec_id < 20 ORDER BY qid""",
+
+    "q_ann_ivf" -> """
+      SELECT vec_id AS qid, vec_id AS id FROM embeddings
+      WHERE vec_id < 10 ORDER BY qid""",
   )
 }

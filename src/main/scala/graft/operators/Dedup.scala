@@ -78,17 +78,28 @@ object Dedup {
   def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int = 32): Column =
     graft.functions.SketchExpressions.minhashSignature(hashesCol, numHashes)
 
+  /** Band count whose LSH S-curve knee sits at `threshold`: t ≈ (1/b)^(1/r).
+    * Lower thresholds need more bands (shorter rows) or true near-dups
+    * deterministically miss every band — collision probability at the
+    * threshold stays >0.99. */
+  def bandsFor(threshold: Double, numHashes: Int = 32): Int =
+    if (threshold >= 0.8) numHashes / 4       // r=4
+    else if (threshold >= 0.55) numHashes / 2 // r=2
+    else numHashes                            // r=1
+
   /** Banded LSH candidate pairs + exact Jaccard verification.
     *
     * @param df corpus with `idCol` and `textCol`
     * @param threshold minimum Jaccard similarity over k-shingle sets
+    * @param bands band count; <=0 → derived from threshold via [[bandsFor]]
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      k: Int = 3, numHashes: Int = 32, bands: Int = -1,
                       threshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+    val b = if (bands <= 0) bandsFor(threshold, numHashes) else bands
+    require(numHashes % b == 0, "bands must divide numHashes")
+    val rows = numHashes / b
     // staged columns: tokenize once, shingle-hash once, sign once — hashed
     // shingle sets ride through the join instead of the strings, and the
     // Jaccard verify intersects long arrays (collision ~2^-64, immaterial)
@@ -101,7 +112,7 @@ object Dedup {
 
     // one (band, bandHash) row per band — join key is 2 small ints
     val banded = withSig.select(col("__id"), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      posexplode(transform(sequence(lit(0), lit(b - 1)),
         b => hash(slice(col("__sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
@@ -129,7 +140,7 @@ object Dedup {
     * iteration-free min propagation over direct pairs — adequate for
     * near-dup clusters, exact connected components cost more shuffles). */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
-                   k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   k: Int = 3, numHashes: Int = 32, bands: Int = -1,
                    threshold: Double = 0.7): DataFrame = {
     val losers = minhashLshPairs(df, textCol, idCol, k, numHashes, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()

@@ -48,6 +48,72 @@ object Similarity {
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: the corpus is clustered once (deterministic
+    * seeding + a few Lloyd refinements, all as DataFrame plans); a query
+    * probes only its `nProbe` nearest centroids' posting lists. The
+    * centroid set is small → broadcast everywhere; the corpus shuffles
+    * once on cluster id. The classic alternative to [[lshTopK]] when the
+    * data is clusterable.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              embCol: String, idCol: String, qidCol: String,
+              k: Int = 10, nCenters: Int = 16, nProbe: Int = 3,
+              lloydIters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("__ce"))
+      .withColumn("__cn", norm(col("__ce"))).cache()
+
+    // deterministic init: the nCenters rows with smallest hash(id)
+    val wInit = Window.orderBy(col("__h"), col("id"))
+    var centers = c.withColumn("__h", hash(col("id")))
+      .orderBy(col("__h"), col("id")).limit(nCenters)
+      .select(row_number().over(wInit).cast("long").as("cid"), col("__ce").as("__cent"))
+      .cache()
+
+    def assign(points: DataFrame): DataFrame = {
+      val scored = points.crossJoin(broadcast(centers))
+        .withColumn("__sim", dot(col("__ce"), col("__cent")) /
+          (col("__cn") * norm(col("__cent"))))
+      val w = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("__ce"), col("__cn"), col("cid"))
+    }
+
+    // Lloyd refinement: new center = mean of assigned members
+    (1 to lloydIters).foreach { _ =>
+      val assigned = assign(c)
+      centers = assigned
+        .select(col("cid"), posexplode(col("__ce")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cid"), transform(col("pv"), x => x.getField("v")).as("__cent"))
+        .cache()
+    }
+    val index = assign(c).cache() // posting lists: cluster id per corpus row
+
+    // query side: nProbe nearest centers each
+    val q = queries.select(col(qidCol).as("qid"),
+        col(embCol).cast("array<double>").as("__qe"))
+      .withColumn("__qn", norm(col("__qe")))
+    val qScored = q.crossJoin(broadcast(centers))
+      .withColumn("__sim", dot(col("__qe"), col("__cent")) /
+        (col("__qn") * norm(col("__cent"))))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("__sim").desc, col("cid"))
+    val probes = qScored.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("__qe"), col("__qn"), col("cid"))
+
+    val candidates = index.join(broadcast(probes), Seq("cid"))
+      .withColumn("cosine", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: corpus rows carry a hyperplane signature; a query
     * probes every bucket within `maxHammingProbe` bit flips of its own
     * signature (multi-probe), then ranks candidates by exact cosine.
