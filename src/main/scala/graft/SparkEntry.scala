@@ -405,6 +405,15 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Near-dup audit: the corpus's ORGANIC near-duplicate pairs (the
+    // synthetic generator plants them) surfaced by MinHash-LSH — rows-only
+    // (the exact pair set depends on the hash family; the planted-copy
+    // slice is oracle-checked by q_dedup_minhash).
+    "q_near_dup_audit" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+        threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Full curation composition: annotate → gates → exact dedup → near
     // dedup, with per-gate drop accounting (rows-only: quality/lang
     // heuristics are not SQL-expressible; behavior is spec-tested).
