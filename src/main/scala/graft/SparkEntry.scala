@@ -428,7 +428,7 @@ object SparkEntry {
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", "qid",
-        k = 5, nCenters = 16, nProbe = 2)
+        k = 5, nCenters = 16, nProbe = 2, lloydIters = 1)
         .filter(col("rank") === 1)
         .select(col("qid"), col("id"))
         .orderBy(col("qid"))

@@ -132,6 +132,54 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Marker-profile language scoring in one pass over the token array:
+    * returns the profile with the most marker hits (ties → first in the
+    * given order), or "und" when nothing scores. The HOF equivalent runs
+    * one interpreted filter pass per profile. */
+  case class LangScore(child: Expression, profiles: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "lang_score"
+
+    @transient private lazy val names: Array[org.apache.spark.unsafe.types.UTF8String] =
+      profiles.map(p => org.apache.spark.unsafe.types.UTF8String.fromString(p._1)).toArray
+    @transient private lazy val sets: Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+      profiles.map { case (_, markers) =>
+        val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+        markers.foreach(m => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(m)))
+        s
+      }.toArray
+    @transient private lazy val und =
+      org.apache.spark.unsafe.types.UTF8String.fromString("und")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](sets.length)
+      var j = 0
+      while (j < n) {
+        val t = arr.getUTF8String(j)
+        var i = 0
+        while (i < sets.length) {
+          if (sets(i).contains(t)) counts(i) += 1
+          i += 1
+        }
+        j += 1
+      }
+      var best = -1; var bestN = 0
+      var i = 0
+      while (i < counts.length) {
+        if (counts(i) > bestN) { bestN = counts(i); best = i }
+        i += 1
+      }
+      if (best < 0) und else names(best)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** All hyperplane sign bits in one pass over the embedding: bit i of the
     * output is 1 iff dot(emb, planes[i]) > 0. The interpreted-HOF
     * equivalent costs numPlanes × dim lambda dispatches per row. */
@@ -194,6 +242,8 @@ object SketchExpressions {
     column(SimHash64(expression(hashes)))
   def shingleHashes(tokens: Column, k: Int): Column =
     column(ShingleHashes(expression(tokens), k))
+  def langScore(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
+    column(LangScore(expression(tokens), profiles))
   def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneSig(expression(emb), planes))
   def dotProduct(a: Column, b: Column): Column =

@@ -53,19 +53,25 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val annotated = annotate(docs, textCol).cache()
-    val total = annotated.count()
-    val afterLen = annotated.filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
-    val nLen = afterLen.count()
-    val afterQ = afterLen.filter(col("quality") >= cfg.minQuality)
-    val nQ = afterQ.count()
-    val afterLang = afterQ.filter(if (cfg.allowedLangs.isEmpty) lit(true)
-      else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*))
-    val nLang = afterLang.count()
-    val afterExact = Dedup.exactByKey(afterLang, col("fingerprint"), idCol)
+    // all gate counters in ONE pass (cumulative conditions), instead of
+    // one Spark action per gate
+    val lenOk = col("n_tokens").between(cfg.minTokens, cfg.maxTokens)
+    val qOk = col("quality") >= cfg.minQuality
+    val langOk = if (cfg.allowedLangs.isEmpty) lit(true)
+                 else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*)
+    val gates = annotated.agg(
+      count(lit(1)).as("total"),
+      count(when(lenOk, 1)).as("nLen"),
+      count(when(lenOk && qOk, 1)).as("nQ"),
+      count(when(lenOk && qOk && langOk, 1)).as("nLang")).head()
+    val (total, nLen, nQ, nLang) = (gates.getLong(0), gates.getLong(1),
+      gates.getLong(2), gates.getLong(3))
+    val afterLang = annotated.filter(lenOk && qOk && langOk)
+    val afterExact = Dedup.exactByKey(afterLang, col("fingerprint"), idCol).cache()
     val nExact = afterExact.count()
     val nNear = Dedup.minhashDedup(afterExact, textCol, idCol,
       k = cfg.shingleK, threshold = cfg.nearDupThreshold).count()
-    annotated.unpersist()
+    annotated.unpersist(); afterExact.unpersist()
     Seq(
       ("input", total, 0L),
       ("length_gate", nLen, total - nLen),

@@ -184,10 +184,15 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (pairs: id_a, id_b). Brute-force verification primitive — feed it
-    * LSH candidates at scale, or a small cross-join for audits. */
+    * LSH candidates at scale, or a small cross-join for audits.
+    * Shingle sets are carried as 64-bit hashes (one custom-expression
+    * pass; set sizes — and therefore Jaccard — are preserved up to a
+    * ~2^-64 collision). */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
                    idCol: String, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("__sh"))
+    val sh = df.select(col(idCol),
+      graft.functions.SketchExpressions.shingleHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), n).as("__sh"))
     val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
     val joined = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
