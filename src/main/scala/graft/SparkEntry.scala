@@ -226,6 +226,57 @@ object SparkEntry {
         .orderBy(col("l_partkey"))
     }),
 
+    // Analytical multi-join shape (TPC-H Q3): segment + date filters on
+    // both sides of a 3-way join, revenue per order, top 10.
+    "q_revenue_top" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Analytical snowflake shape (TPC-H Q5): region → nation → customer →
+    // orders → lineitem, revenue per nation.
+    "q_revenue_nation" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(c, n("n_nationkey") === c("c_nationkey"))
+        .join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Event sessionization as window functions: 30-minute-gap sessions per
+    // user (the batch-SQL mirror of streaming.Streaming.sessionize).
+    "q_sessions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // §2.A #18 raw SQL passthrough (the $queryRaw surface): registered
     // temp views + spark.sql.
     "q_raw_sql" -> ((s, dir) => {
@@ -587,6 +638,41 @@ object SparkEntry {
       GROUP BY l_partkey
       HAVING count(DISTINCT s_suppkey) >= 4
       ORDER BY l_partkey""",
+
+    "q_revenue_top" -> """
+      SELECT o.o_orderkey, o.o_orderdate,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate
+      ORDER BY revenue DESC, o.o_orderkey LIMIT 10""",
+
+    "q_revenue_nation" -> """
+      SELECT n.n_name,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM region r
+      JOIN nation n ON r.r_regionkey = n.n_regionkey
+      JOIN customer c ON n.n_nationkey = c.c_nationkey
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY n.n_name
+      ORDER BY revenue DESC, n.n_name""",
+
+    "q_sessions" -> """
+      WITH t AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+      SELECT user_id,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM t GROUP BY user_id ORDER BY user_id""",
 
     "q_raw_sql" -> """
       SELECT n.n_name, count(*) AS n_orders
