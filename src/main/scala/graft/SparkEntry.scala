@@ -122,6 +122,16 @@ object SparkEntry {
         select = Seq("event_id", "event_type", "props")))
     }),
 
+    // §2.B JSON via Spark 4 VariantType: parse once, extract typed — the
+    // modern path for the reference's JSONB metadata (schema.prisma:95).
+    "q_json_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .filter(try_variant_get(col("v"), "$.k", "double") >= 95.0)
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "long").as("k"))
+        .orderBy(col("event_id"))),
+
     // §2.B relation some — EXISTS semi-join shape.
     "q_rel_some" -> ((s, dir) =>
       TpchModels.customer(s, dir).findMany(QueryArgs(
@@ -551,6 +561,12 @@ object SparkEntry {
 
     "q_json_filter" -> """
       SELECT event_id, event_type, props FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
+      ORDER BY event_id""",
+
+    "q_json_variant" -> """
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
       WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
       ORDER BY event_id""",
 
