@@ -310,8 +310,9 @@ object SparkEntry {
           regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
           coalesce(col("p_brand"), lit("Default Name")).as("brand_or_default"),
           concat_ws("|", col("p_type"), col("p_brand")).as("tag_line"),
-          Stages_extractPhone(concat(lit("call +"), (col("p_partkey") % 1000000).cast("string"),
-            lit(" ext"))).as("phone"))
+          graft.pipeline.Stages.extractPhone(
+            concat(lit("call +"), (col("p_partkey") % 1000000).cast("string"),
+              lit(" ext"))).as("phone"))
         .orderBy(col("p_partkey"))),
 
     // §2.E histogram: width_bucket over order totals (the duration
@@ -510,8 +511,6 @@ object SparkEntry {
   )
 
   private val textStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
-  private def Stages_extractPhone(c: org.apache.spark.sql.Column) =
-    graft.pipeline.Stages.extractPhone(c)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
