@@ -71,9 +71,12 @@ object Similarity {
       .cache()
 
     def assign(points: DataFrame): DataFrame = {
-      val scored = points.crossJoin(broadcast(centers))
+      // centroid norms precomputed once on the broadcast side — norm() per
+      // (point × center) pair would redo the same dim-length loop n times
+      val cent = centers.withColumn("__centn", norm(col("__cent")))
+      val scored = points.crossJoin(broadcast(cent))
         .withColumn("__sim", dot(col("__ce"), col("__cent")) /
-          (col("__cn") * norm(col("__cent"))))
+          (col("__cn") * col("__centn")))
       val w = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
       scored.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -98,9 +101,10 @@ object Similarity {
     val q = queries.select(col(qidCol).as("qid"),
         col(embCol).cast("array<double>").as("__qe"))
       .withColumn("__qn", norm(col("__qe")))
-    val qScored = q.crossJoin(broadcast(centers))
+    val centN = centers.withColumn("__centn", norm(col("__cent")))
+    val qScored = q.crossJoin(broadcast(centN))
       .withColumn("__sim", dot(col("__qe"), col("__cent")) /
-        (col("__qn") * norm(col("__cent"))))
+        (col("__qn") * col("__centn")))
     val wq = Window.partitionBy(col("qid")).orderBy(col("__sim").desc, col("cid"))
     val probes = qScored.withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nProbe)

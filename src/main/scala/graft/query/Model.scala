@@ -43,6 +43,7 @@ final case class QueryArgs(
     skip: Option[Int] = None,
     distinct: Seq[String] = Nil,
     select: Seq[String] = Nil,
+    omit: Seq[String] = Nil, // Prisma omit: drop these columns from output
     include: Seq[String] = Nil)
 
 /** One aggregate request: Prisma `aggregate` exposes `_count`/`_min`/`_max`
@@ -215,6 +216,7 @@ final class Model(
     args.take.foreach(n => cur = cur.limit(n))
     cur = applyInclude(cur, args.include)
     if (args.select.nonEmpty) cur = cur.select(args.select.map(col): _*)
+    if (args.omit.nonEmpty) cur = cur.drop(args.omit: _*)
     cur
   }
 

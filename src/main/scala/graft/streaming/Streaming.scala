@@ -67,6 +67,28 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Stream-stream self-join with watermarks: pair each "view"-class event
+    * with "click"-class events by the same user within the next hour —
+    * the attribution-join shape; both sides watermarked so join state is
+    * bounded (late side evicted after the interval + watermark). */
+  def attributionJoin(events: DataFrame,
+                      leftType: String, rightType: String,
+                      withinMinutes: Int = 60,
+                      watermark: String = "30 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", watermark)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+      "inner")
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** One sessionization record per (user, session). */
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, n_events: Int)

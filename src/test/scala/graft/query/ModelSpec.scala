@@ -171,4 +171,10 @@ class ModelSpec extends AnyFunSuite with SparkTestBase {
     val r = companies.findMany(QueryArgs(select = Seq("id", "name")))
     assert(r.columns.toSeq == Seq("id", "name"))
   }
+
+  test("omit drops fields (models/Company.ts:708-770)") {
+    val r = companies.findMany(QueryArgs(omit = Seq("phoneNumber", "address")))
+    assert(!r.columns.contains("phoneNumber") && !r.columns.contains("address"))
+    assert(r.columns.contains("id") && r.columns.contains("name"))
+  }
 }

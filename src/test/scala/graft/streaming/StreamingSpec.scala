@@ -23,6 +23,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.count() > 0)
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val stream = Streaming.attributionJoin(
+      Streaming.readEventStream(spark, sfDir), "view", "click")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("attr_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attr_spec")
+    val ev = graft.Tables.events(spark, sfDir)
+    val l = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("l_ts"), $"event_id".as("l_id"))
+    val r = ev.filter($"event_type" === "click")
+      .select($"user_id".as("r_user"), $"ts".as("r_ts"), $"event_id".as("r_id"))
+    val batch = l.join(r, $"user_id" === $"r_user" && $"r_ts" >= $"l_ts" &&
+        $"r_ts" <= $"l_ts" + expr("INTERVAL 60 MINUTES"))
+      .select($"user_id", $"l_id", $"r_id", $"l_ts", $"r_ts")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("sessionize groups events by gap, per user") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val events = Seq(
