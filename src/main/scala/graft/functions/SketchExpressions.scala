@@ -132,6 +132,36 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Character-class counts in ONE pass over the string: [total, letters,
+    * digits, punctuation, whitespace]. The ratio features of quality
+    * scoring otherwise cost a full regexp_replace (string rebuild) per
+    * class per row. */
+  case class CharStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "char_stats"
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      var letters = 0L; var digits = 0L; var punct = 0L; var ws = 0L
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val c = s.charAt(i)
+        if (Character.isLetter(c)) letters += 1
+        else if (Character.isDigit(c)) digits += 1
+        else if (Character.isWhitespace(c)) ws += 1
+        else if (!Character.isISOControl(c)) punct += 1
+        i += 1
+      }
+      new GenericArrayData(Array(n.toLong, letters, digits, punct, ws))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Marker-profile language scoring in one pass over the token array:
     * returns the profile with the most marker hits (ties → first in the
     * given order), or "und" when nothing scores. The HOF equivalent runs
@@ -242,6 +272,8 @@ object SketchExpressions {
     column(SimHash64(expression(hashes)))
   def shingleHashes(tokens: Column, k: Int): Column =
     column(ShingleHashes(expression(tokens), k))
+  def charStats(text: Column): Column =
+    column(CharStats(expression(text)))
   def langScore(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangScore(expression(tokens), profiles))
   def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =

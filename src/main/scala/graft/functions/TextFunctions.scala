@@ -65,15 +65,31 @@ object TextFunctions {
   /** Composite quality score in [0,1] — Gopher-style cheap filters folded
     * into one signal: length in range, sane mean word length, low
     * punctuation/digit noise, plausible stopword density. */
-  def qualityScore(c: Column): Column = {
+  def qualityScore(c: Column): Column = qualityScoreStaged(c, tokens(c))
+
+  /** Quality score over a pre-tokenized column — the hot-path variant used
+    * by [[graft.operators.Curation.annotate]]: character ratios come from
+    * ONE [[SketchExpressions.CharStats]] pass (no regexp_replace string
+    * rebuilds) and the token array is computed once upstream. */
+  def qualityScoreStaged(c: Column, toks: Column): Column = {
     val nTok = tokenCount(c)
     val lenOk = when(nTok.between(10, 100000), lit(1.0))
       .when(nTok.between(3, 9), lit(0.5)).otherwise(lit(0.0))
-    val mwl = meanTokenLen(c)
+    val stats = SketchExpressions.charStats(c) // [total, letters, digits, punct, ws]
+    val total = element_at(stats, 1)
+    val punctR = when(total === 0, lit(0.0))
+      .otherwise(element_at(stats, 4).cast("double") / total)
+    val digitR = when(total === 0, lit(0.0))
+      .otherwise(element_at(stats, 3).cast("double") / total)
+    val mwl = when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+    val sw = array(englishStopwords.map(lit): _*)
+    val swR = when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
     val mwlOk = when(mwl.between(2.5, 10.0), lit(1.0)).otherwise(lit(0.3))
-    val punctOk = when(punctRatio(c) < 0.2, lit(1.0)).otherwise(lit(0.0))
-    val digitOk = when(digitRatio(c) < 0.3, lit(1.0)).otherwise(lit(0.0))
-    val swOk = when(stopwordRatio(c).between(0.05, 0.7), lit(1.0)).otherwise(lit(0.3))
+    val punctOk = when(punctR < 0.2, lit(1.0)).otherwise(lit(0.0))
+    val digitOk = when(digitR < 0.3, lit(1.0)).otherwise(lit(0.0))
+    val swOk = when(swR.between(0.05, 0.7), lit(1.0)).otherwise(lit(0.3))
     round((lenOk * 0.3 + mwlOk * 0.2 + punctOk * 0.2 + digitOk * 0.1 + swOk * 0.2), 4)
   }
 
@@ -93,14 +109,22 @@ object TextFunctions {
     * ([[SketchExpressions.LangScore]]) — one interpreted filter per
     * profile was the second-hottest path in the sf0.1 bench. */
   def langId(c: Column, profiles: Map[String, Seq[String]] = defaultProfiles): Column =
+    langIdStaged(c, tokens(c), profiles)
+
+  /** Language ID over a pre-tokenized column (see [[qualityScoreStaged]]). */
+  def langIdStaged(c: Column, toks: Column,
+                   profiles: Map[String, Seq[String]] = defaultProfiles): Column =
     when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .otherwise(SketchExpressions.langScore(tokens(c), profiles.toSeq.sortBy(_._1)))
+      .otherwise(SketchExpressions.langScore(toks, profiles.toSeq.sortBy(_._1)))
 
   /** Canonical-form document fingerprint: 64-bit hash of the
     * whitespace/punctuation-normalized lowercased text — exact-dup key
     * robust to formatting noise. */
-  def fingerprint(c: Column): Column =
-    xxhash64(concat_ws(" ", tokens(c)))
+  def fingerprint(c: Column): Column = fingerprintStaged(tokens(c))
+
+  /** Fingerprint over a pre-tokenized column. */
+  def fingerprintStaged(toks: Column): Column =
+    xxhash64(concat_ws(" ", toks))
 
   /** Rolling (Rabin-Karp-style) window fingerprints: hash of every
     * `window`-token shingle — the winnowing substrate for near-dup and

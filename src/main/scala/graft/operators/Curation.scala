@@ -22,13 +22,17 @@ object Curation {
       nearDupThreshold: Double = 0.85,
       shingleK: Int = 3)
 
-  /** Annotate every document with the curation signals (no filtering). */
+  /** Annotate every document with the curation signals (no filtering).
+    * The token array is materialized ONCE and every signal reads it —
+    * the naive form re-tokenizes the text per signal (~7 regex passes/row). */
   def annotate(docs: DataFrame, textCol: String): DataFrame =
     docs
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
-      .withColumn("lang_pred", TextFunctions.langId(col(textCol)))
-      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScoreStaged(col(textCol), col("__toks")))
+      .withColumn("lang_pred", TextFunctions.langIdStaged(col(textCol), col("__toks")))
+      .withColumn("fingerprint", TextFunctions.fingerprintStaged(col("__toks")))
+      .drop("__toks")
 
   /** Full curation: returns the surviving rows (annotated) plus an audit
     * column `__gate` on the rejected view obtainable via [[report]]. */
