@@ -147,6 +147,55 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Reusable MinHash index: per-doc hashed shingle set + signature,
+    * computed ONCE and persisted by the caller. The 100 TB regime is
+    * incremental — new batches must not re-sketch the whole corpus. */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3, numHashes: Int = 32): DataFrame =
+    df.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("sh", graft.functions.SketchExpressions.shingleHashes(col("__toks"), k))
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes))
+      .select(col(idCol).as("id"), col("sh"), col("sig"))
+
+  /** Incremental near-dup detection: sketch only the NEW batch, band-join
+    * it against the prebuilt corpus index (plus within-batch pairs).
+    * Returns (new_id, dup_of, jaccard) — `dup_of` may be a corpus id or a
+    * smaller new id. */
+  def minhashIncremental(index: DataFrame, newDocs: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Int = 3, numHashes: Int = 32,
+                         threshold: Double = 0.7): DataFrame = {
+    val b = bandsFor(threshold, numHashes)
+    val rows = numHashes / b
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => hash(slice(col("sig"), i * lit(rows) + 1, lit(rows))))))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
+
+    val newIdx = minhashIndex(newDocs, textCol, idCol, k, numHashes).cache()
+    val newBands = banded(newIdx)
+    // candidates: new-vs-corpus ∪ new-vs-new (smaller id wins within batch)
+    val corpusSide = banded(index).select(col("__band"), col("__bh"),
+      col("id").as("dup_of"), col("sh").as("sh_b"))
+    val newSideA = newBands.select(col("__band"), col("__bh"),
+      col("id").as("new_id"), col("sh").as("sh_a"))
+    val newSideB = newBands.select(col("__band"), col("__bh"),
+      col("id").as("dup_of"), col("sh").as("sh_b"))
+    val vsCorpus = newSideA.join(corpusSide, Seq("__band", "__bh"))
+    val vsNew = newSideA.join(newSideB, Seq("__band", "__bh"))
+      .filter(col("dup_of") < col("new_id"))
+    val candidates = vsCorpus.unionByName(vsNew)
+      .select(col("new_id"), col("dup_of"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("new_id", "dup_of")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash of the token multiset: per-token 64-bit hashes vote ±1

@@ -77,9 +77,14 @@ object Similarity {
       val scored = points.crossJoin(broadcast(cent))
         .withColumn("__sim", dot(col("__ce"), col("__cent")) /
           (col("__cn") * col("__centn")))
-      val w = Window.partitionBy(col("id")).orderBy(col("__sim").desc, col("cid"))
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // argmax by aggregation (max_by), not a window sort — one partial-
+      // aggregable shuffle on id instead of a full sort within partitions;
+      // tie-break on smallest cid keeps it deterministic
+      scored.groupBy(col("id"))
+        .agg(
+          max_by(col("cid"), struct(col("__sim"), -col("cid"))).as("cid"),
+          first(col("__ce")).as("__ce"),
+          first(col("__cn")).as("__cn"))
         .select(col("id"), col("__ce"), col("__cn"), col("cid"))
     }
 

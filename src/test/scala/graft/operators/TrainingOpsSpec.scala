@@ -112,6 +112,21 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._2 == 5L && p._1 == 1L))
   }
 
+  test("incremental minhash: new batch deduped against prebuilt index without re-sketching corpus") {
+    val corpus = docsDf.filter($"doc_id" <= 2) // docs 1,2 (dups of each other)
+    val index = Dedup.minhashIndex(corpus, "text", "doc_id")
+    val newBatch = Seq(
+      (10L, docs.find(_._1 == 1L).get._2),   // dup of corpus doc 1
+      (11L, "a genuinely novel document about stream processing watermarks and state stores"),
+      (12L, "a genuinely novel document about stream processing watermarks and state stores") // in-batch dup
+    ).toDF("doc_id", "text")
+    val dups = Dedup.minhashIncremental(index, newBatch, "text", "doc_id", threshold = 0.7)
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(dups.contains((10L, 1L)) || dups.contains((10L, 2L))) // vs corpus
+    assert(dups.contains((12L, 11L)))                            // within batch
+    assert(!dups.exists(_._1 == 11L))                            // novel survives
+  }
+
   test("ngram jaccard verification on explicit pairs") {
     val pairs = Seq((1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
     val r = Dedup.ngramJaccard(docsDf, pairs, "text", "doc_id")
