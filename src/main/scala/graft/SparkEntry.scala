@@ -287,6 +287,44 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Ranking window: suppliers dense-ranked by revenue within nation.
+    "q_supplier_rank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val rev = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(decSum(col("l_extendedprice")).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+      rev.withColumn("rnk", dense_rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("s_nationkey"), col("s_suppkey"), col("revenue"), col("rnk"))
+        .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
+    }),
+
+    // Distribution buckets: order-total deciles via ntile.
+    "q_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("decile"))
+    }),
+
+    // Multi-dimensional aggregate: ROLLUP over (returnflag, linestatus)
+    // with subtotal and grand-total rows.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // §2.A #18 raw SQL passthrough (the $queryRaw surface): registered
     // temp views + spark.sql.
     "q_raw_sql" -> ((s, dir) => {
@@ -688,6 +726,33 @@ object SparkEntry {
                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM t GROUP BY user_id ORDER BY user_id""",
+
+    "q_supplier_rank" -> """
+      WITH rev AS (
+        SELECT s_nationkey, s_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, s_suppkey)
+      SELECT s_nationkey, s_suppkey, revenue, rnk FROM (
+        SELECT *, CAST(dense_rank() OVER (PARTITION BY s_nationkey
+                 ORDER BY revenue DESC, s_suppkey) AS BIGINT) AS rnk
+        FROM rev) t
+      WHERE rnk <= 3
+      ORDER BY s_nationkey, rnk, s_suppkey""",
+
+    "q_deciles" -> """
+      SELECT decile, count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM (SELECT o_totalprice,
+                   CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+            FROM orders) t
+      GROUP BY decile ORDER BY decile""",
+
+    "q_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     "q_raw_sql" -> """
       SELECT n.n_name, count(*) AS n_orders
