@@ -287,6 +287,29 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Set operators: EXCEPT/INTERSECT over key sets.
+    "q_set_ops" -> ((s, dir) => {
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bigSpenders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.except(bigSpenders)
+        .withColumn("src", lit("building_only"))
+        .unionByName(building.intersect(bigSpenders).withColumn("src", lit("both")))
+        .orderBy(col("src"), col("c_custkey"))
+    }),
+
+    // Pivot-shaped conditional aggregation: quantity by returnflag across
+    // linestatus columns (the portable form of PIVOT).
+    "q_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_linestatus") === "O", dec(col("l_quantity")))).cast("double").as("qty_o"),
+          sum(when(col("l_linestatus") === "F", dec(col("l_quantity")))).cast("double").as("qty_f"))
+        .orderBy(col("l_returnflag"))),
+
     // Ranking window: suppliers dense-ranked by revenue within nation.
     "q_supplier_rank" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -726,6 +749,20 @@ object SparkEntry {
                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM t GROUP BY user_id ORDER BY user_id""",
+
+    "q_set_ops" -> """
+      WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+           big AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0)
+      SELECT c_custkey, 'building_only' AS src FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+      UNION ALL
+      SELECT c_custkey, 'both' AS src FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+      ORDER BY src, c_custkey""",
+
+    "q_pivot" -> """
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_supplier_rank" -> """
       WITH rev AS (
