@@ -67,6 +67,19 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: drop any document whose normalized fingerprint
+    * was already seen — state is the fingerprint set, bounded by the
+    * watermark (older-than-watermark fingerprints are evicted, so an
+    * endless stream doesn't accumulate state forever; duplicates arriving
+    * later than the watermark pass through — the standard trade). */
+  def streamingDedup(docs: DataFrame, textCol: String,
+                     tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** Stream-stream self-join with watermarks: pair each "view"-class event
     * with "click"-class events by the same user within the next hour —
     * the attribution-join shape; both sides watermarked so join state is
