@@ -519,11 +519,13 @@ object SparkEntry {
 
     // ANN: exact cosine top-5 for five query vectors (ids only — the
     // ordering is FP-robust, the raw cosine is not hash-comparable).
+    // Ranked via the bounded-heap TopK aggregate: partial aggregation
+    // ships at most k candidates per query to the shuffle.
     "q_ann_topk" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
       val queries = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding"))
-      Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", k = 5)
+      Similarity.bruteForceTopKAgg(corpus, queries, "embedding", "vec_id", "qid", k = 5)
         .select(col("qid"), col("id"), col("rank").cast("long").as("rank"))
         .orderBy(col("qid"), col("rank"))
     }),

@@ -48,6 +48,29 @@ object Similarity {
       .select(col("qid"), col("id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** Exact top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopK]]) — same results as [[bruteForceTopK]], but
+    * ranking is a partially-aggregated groupBy: each map task ships at
+    * most k candidates per query instead of the window path's full
+    * per-key candidate sort. The at-scale form of the same operator. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+                        embCol: String, idCol: String, qidCol: String,
+                        k: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("__ce"))
+      .withColumn("__cn", norm(col("__ce")))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(embCol).cast("array<double>").as("__qe"))
+      .withColumn("__qn", norm(col("__qe")))
+    c.crossJoin(broadcast(q))
+      .withColumn("__cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(col("__cos"), col("id"), k).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("id"),
+        round(col("t.score"), 4).as("cosine"), col("t.rank").as("rank"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is clustered once (deterministic
     * seeding + a few Lloyd refinements, all as DataFrame plans); a query
     * probes only its `nProbe` nearest centroids' posting lists. The

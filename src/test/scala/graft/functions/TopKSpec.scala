@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("topK aggregate == window row_number ranking, exactly") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter($"vec_id" < 6).select($"vec_id".as("qid"), $"embedding")
+    val win = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", "qid", k = 7)
+      .select("qid", "id", "cosine", "rank")
+    val agg = Similarity.bruteForceTopKAgg(corpus, queries, "embedding", "vec_id", "qid", k = 7)
+      .select("qid", "id", "cosine", "rank")
+    assert(win.exceptAll(agg).count() == 0)
+    assert(agg.exceptAll(win).count() == 0)
+    assert(agg.count() == 6 * 7)
+  }
+
+  test("topK plan partially aggregates before the shuffle (no window sort)") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    val queries = corpus.filter($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    val agg = Similarity.bruteForceTopKAgg(corpus, queries, "embedding", "vec_id", "qid", k = 5)
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k") || plan.contains("ObjectHashAggregate")
+      || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), "still using a window:\n" + plan)
+  }
+
+  test("topK keeps k best with deterministic tie-break") {
+    val df = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.9), // ties → smaller id first
+      (1L, 13L, 0.5), (2L, 20L, 0.1)
+    ).toDF("g", "id", "score")
+    val r = df.groupBy($"g").agg(TopK.topK($"score", $"id", 2).as("top"))
+      .select($"g", explode($"top").as("t"))
+      .select($"g", $"t.id", $"t.rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(r == Set((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1)))
+  }
+
+  test("GraftExtensions injects SQL functions via withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val original = spark
+    // getOrCreate returns the existing default session and IGNORES
+    // extensions — clear it so a fresh session (sharing the context) is
+    // built with the hook applied, then restore
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne original)
+      val out = s2.sql("SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d)) AS dp")
+        .collect().head.getDouble(0)
+      assert(out == 11.0)
+      val sh = s2.sql("SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS s")
+        .collect().head.getLong(0)
+      assert(sh != 0L)
+    } finally {
+      SparkSession.setDefaultSession(original)
+      SparkSession.setActiveSession(original)
+    }
+  }
+}
