@@ -196,6 +196,53 @@ object Dedup {
       .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over dup pairs: label every node with the
+    * smallest id reachable through the pair graph (iterative min-label
+    * propagation, converges in O(diameter) rounds — near-dup clusters are
+    * shallow, so a handful of shuffles). Fixes the transitive case the
+    * drop-id_b heuristic misses: pairs (1,2),(2,3) without (1,3) still
+    * collapse to cluster 1. Returns (id, cluster). */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // candidate label for dst = current label of src
+      val candidates = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.unionByName(candidates)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** MinHash dedup with exact transitive clustering: one survivor (the
+    * smallest id) per connected near-dup cluster. */
+  def minhashDedupClusters(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 3, numHashes: Int = 32,
+                           threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLshPairs(df, textCol, idCol, k, numHashes, -1, threshold)
+    val losers = dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash of the token multiset: per-token 64-bit hashes vote ±1

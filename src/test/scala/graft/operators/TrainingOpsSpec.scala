@@ -112,6 +112,23 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._2 == 5L && p._1 == 1L))
   }
 
+  test("dupClusters collapses transitive chains to the smallest id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(5L) == 5L && clusters(6L) == 5L && clusters(7L) == 5L)
+    assert(clusters(9L) == 9L && clusters(10L) == 9L)
+  }
+
+  test("minhashDedupClusters keeps one survivor per transitive near-dup cluster") {
+    // 1~2, 2~3 (all mutual dups here), plus unrelated 5,6
+    val survivors = Dedup.minhashDedupClusters(docsDf, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 5L, 6L))
+  }
+
   test("incremental minhash: new batch deduped against prebuilt index without re-sketching corpus") {
     val corpus = docsDf.filter($"doc_id" <= 2) // docs 1,2 (dups of each other)
     val index = Dedup.minhashIndex(corpus, "text", "doc_id")
