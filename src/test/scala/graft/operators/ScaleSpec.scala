@@ -70,6 +70,35 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
       "poll does not prune partitions:\n" + plan)
   }
 
+  test("dynamic partition pruning: date-partitioned facts pruned by a filtered dim join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp")
+    // fact table partitioned by day — the 100 TB events layout
+    graft.Tables.events(spark, sfDir)
+      .withColumn("day", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp.toString)
+    val facts = spark.read.parquet(tmp.toString)
+    val nDays = facts.select("day").distinct().count()
+    assert(nDays > 3, s"need multiple partitions, got $nDays")
+    // independent parquet dim with its own selective filter: 2 days flagged
+    // (an in-memory dim gets its filter constant-folded into the local
+    // relation, which defeats DPP's selective-predicate detection)
+    val allDays = facts.select("day").distinct().orderBy("day")
+      .collect().map(_.getDate(0))
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim")
+      .resolve("d").toString
+    allDays.zipWithIndex
+      .map { case (d, i) => (d, if (i < 2) "keep" else "drop") }.toSeq
+      .toDF("day", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = facts.join(dim.filter($"flag" === "keep"), Seq("day"))
+      .groupBy($"day").count()
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "no dynamic partition pruning in plan:\n" + plan)
+  }
+
   test("partitioned table updates rewrite correctly (status flip moves partition)") {
     val st = new PipelineStore(spark,
       new Catalog(java.nio.file.Files.createTempDirectory("graft-part2").toString))
