@@ -287,6 +287,31 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Event funnel: users progressing view -> signup -> purchase in
+    // event-time order (conditional min-timestamps + ordering predicate).
+    "q_funnel" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .filter(col("t_view") < col("t_signup") && col("t_signup") < col("t_purchase"))
+        .select(col("user_id"), col("t_view"), col("t_signup"), col("t_purchase"))
+        .orderBy(col("user_id"))),
+
+    // Latest event per user (argmax via first-row-per-key window).
+    "q_latest_event" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Set operators: EXCEPT/INTERSECT over key sets.
     "q_set_ops" -> ((s, dir) => {
       val building = Tables.customer(s, dir)
@@ -751,6 +776,23 @@ object SparkEntry {
                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM t GROUP BY user_id ORDER BY user_id""",
+
+    "q_funnel" -> """
+      SELECT user_id, t_view, t_signup, t_purchase FROM (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id) t
+      WHERE t_view < t_signup AND t_signup < t_purchase
+      ORDER BY user_id""",
+
+    "q_latest_event" -> """
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id""",
 
     "q_set_ops" -> """
       WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
