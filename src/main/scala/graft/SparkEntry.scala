@@ -287,6 +287,22 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Correlated scalar subquery (Catalyst decorrelates it into an
+    // aggregate + join, SURVEY §4.2): orders 2x above their customer's
+    // average spend.
+    "q_above_avg" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      // price > 2*avg expressed as price*count > 2*sum in DECIMAL — the
+      // avg-of-doubles form drifts between engines at the boundary
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+              > 2 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                     FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
     // Event funnel: users progressing view -> signup -> purchase in
     // event-time order (conditional min-timestamps + ordering predicate).
     "q_funnel" -> ((s, dir) =>
@@ -776,6 +792,14 @@ object SparkEntry {
                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              count(*) AS n_events
       FROM t GROUP BY user_id ORDER BY user_id""",
+
+    "q_above_avg" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > 2 * (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
 
     "q_funnel" -> """
       SELECT user_id, t_view, t_signup, t_purchase FROM (
