@@ -84,7 +84,8 @@ object Stages {
     * place entries (duplicates swallowed, `extractGooglePlaces.ts:305-317`),
     * flip source statuses — all in one transaction. */
   def runLocator(store: PipelineStore, extractor: PlacesExtractor): StageMetrics = {
-    val slice = store.urls.snapshot().filter(pendingCond)
+    // catalog-level partition pruning: only the status=NULL slice is listed
+    val slice = store.urls.snapshotSlice(Map("status" -> null)).filter(pendingCond)
     val processed = slice.count()
     if (processed == 0) return StageMetrics(0, 0, 0, 0, 0)
 
@@ -135,7 +136,7 @@ object Stages {
     * by unique name (`scrapeWebsite.ts:224-236`). */
   def runEnricher(store: PipelineStore, extractor: WebsiteExtractor,
                   vocab: Seq[String] = ServiceVocabulary.default): StageMetrics = {
-    val slice = store.places.snapshot().filter(pendingCond)
+    val slice = store.places.snapshotSlice(Map("status" -> null)).filter(pendingCond)
     val processed = slice.count()
     if (processed == 0) return StageMetrics(0, 0, 0, 0, 0)
 

@@ -5,12 +5,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** The computed next state of one mutation: the full next table state as a
+  * lazy plan, the set of partition keys the mutation touches (ONLY these
+  * slices get rewritten), and the matched/inserted row count. */
+private[store] final case class Staged(next: DataFrame, touched: Set[String], n: Long)
+
 /** The write side of the Prisma model surface (SURVEY §2.A #6–14, #19)
   * over a [[Catalog]]-managed copy-on-write table.
   *
   * Mutations never touch existing files: each op computes the next table
-  * state as a DataFrame and stages a new version; [[Txn.commit]] (or the
-  * auto-commit wrappers here) publishes staged versions atomically.
+  * state as a DataFrame, derives the set of touched partition slices from
+  * its predicate / incoming keys, and stages a new version for ONLY those
+  * slices; [[Txn.commit]] (or the auto-commit wrappers here) publishes
+  * staged slice versions atomically. A status flip on a status-partitioned
+  * table rewrites the affected status slices, never the whole table — the
+  * partition-scoped COW that makes row-level-ish writes viable at 100 TB
+  * (what PostgreSQL gives the reference for free, `schema.prisma:12-14`).
   *
   * Unique keys are enforced engine-side (parquet has no indexes): inserts
   * anti-join the incoming batch against the current snapshot and against
@@ -29,24 +39,47 @@ final class GraftTable(
     val schema: StructType,
     val uniqueKeys: Seq[Seq[String]] = Nil,
     val timestampCols: Seq[String] = Nil,
-    /** Physical layout: every version is written partitioned by these
-      * columns, so selective reads (e.g. the `status IS NULL` poll slice,
-      * `runner/locator.ts:61-67`) prune partitions at the scan — the
-      * SURVEY §4.2 "partition status-polled tables by status/date"
-      * requirement for the 100 TB layout. */
+    /** Partition columns: the table is stored as one independently-versioned
+      * slice per distinct value tuple, so (a) selective reads (e.g. the
+      * `status IS NULL` poll slice, `runner/locator.ts:61-67`) list only the
+      * matching slice directories ([[snapshotSlice]]) and (b) mutations
+      * rewrite only the slices they touch — the SURVEY §4.2 layout
+      * requirement for status-polled tables at 100 TB. */
     val partitionCols: Seq[String] = Nil) {
 
-  private def emptyDf: DataFrame =
+  private[store] def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  /** Current committed snapshot (empty DataFrame before first insert).
-    * Columns re-aligned to the declared order (partitioned reads surface
-    * partition columns last). */
-  def snapshot(): DataFrame =
-    catalog.currentDir(name)
-      .map(d => spark.read.schema(schema).parquet(d)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*))
-      .getOrElse(emptyDf)
+  /** Union-read of a set of slice directories, re-aligned to declared
+    * column order. Explicit schema → an empty/fileless dir reads as 0 rows. */
+  private[store] def readDirs(dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) emptyDf
+    else spark.read.schema(schema).parquet(dirs.sorted: _*)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Current committed snapshot (empty DataFrame before first insert). */
+  def snapshot(): DataFrame = readDirs(catalog.currentDirs(name).values.toSeq)
+
+  /** Catalog-level partition pruning: read only the slices whose partition
+    * values match `values` (null allowed; columns omitted from `values`
+    * match any slice). At 100 TB this skips even the file LISTING of
+    * non-matching slices — stronger than scan-side row-group skipping. */
+  def snapshotSlice(values: Map[String, Any]): DataFrame = {
+    val tokens = values.map { case (c, v) => s"$c=${Catalog.encodeValue(v)}" }.toSet
+    val dirs = catalog.currentDirs(name).collect {
+      case (pk, dir) if tokens.subsetOf(pk.split(",").toSet) => dir
+    }.toSeq
+    readDirs(dirs)
+  }
+
+  /** Partition-key expression: `col1=<urlenc(value)>,col2=...`, the literal
+    * [[Catalog.AllKey]] for unpartitioned tables. Scala-side counterpart is
+    * [[Catalog.encodeValue]] — both must produce identical strings. */
+  private[store] def partKeyCol: Column =
+    if (partitionCols.isEmpty) lit(Catalog.AllKey)
+    else concat_ws(",", partitionCols.map(c =>
+      concat(lit(c + "="),
+        coalesce(url_encode(col(c).cast("string")), lit(Catalog.NullToken)))): _*)
 
   private def touch(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.filter(timestampCols.contains).filter(schema.fieldNames.contains)
@@ -94,87 +127,90 @@ final class GraftTable(
 
   // ---------- staged (transactional) computation ----------
 
+  /** Incoming batch, aligned + timestamp-defaulted, materialized ONCE
+    * (localCheckpoint): the batch is consulted by count checks, anti-joins
+    * and the final union — without materialization each action would
+    * recompute it (the round-1 "count storm") and re-evaluate
+    * current_timestamp() per action. */
+  private def materializeIncoming(rows: DataFrame): DataFrame =
+    touch(align(rows), timestampCols).localCheckpoint()
+
+  /** Distinct partition keys of a slice plus its row count, in one action. */
+  private def pkStats(df: DataFrame): (Set[String], Long) = {
+    val rows = df.groupBy(partKeyCol.as("__pk")).count().collect()
+    (rows.map(_.getString(0)).toSet, rows.map(_.getLong(1)).sum)
+  }
+
+  /** Apply a SET clause to rows where `cond` holds (untouched rows pass
+    * through); `updatedAt` is touched on matched rows. The caller must have
+    * materialized `cond` into a column BEFORE this rewrites anything the
+    * predicate references. */
+  private def withSet(df: DataFrame, cond: Column, set: Map[String, Column]): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      set.get(c) match {
+        case Some(newVal) => d.withColumn(c, when(cond, newVal).otherwise(col(c)))
+        case None if schema.fieldNames.contains("updatedAt") && c == "updatedAt" &&
+          timestampCols.contains("updatedAt") =>
+          d.withColumn(c, when(cond, current_timestamp()).otherwise(col(c)))
+        case None => d
+      }
+    }
+
   private[store] def stagedCreate(current: DataFrame, rows: DataFrame,
-                                  skipDuplicates: Boolean, failOnDup: Boolean): (DataFrame, Long) = {
-    var incoming = touch(align(rows), timestampCols)
+                                  failOnDup: Boolean): Staged =
+    stagedCreateReturning(current, rows, skipDuplicates = !failOnDup)._1
+
+  /** stagedCreate that also returns the inserted slice
+    * (createManyAndReturn, `effect.ts:487-493`). */
+  private[store] def stagedCreateReturning(current: DataFrame, rows: DataFrame,
+                                           skipDuplicates: Boolean): (Staged, DataFrame) = {
+    val raw = materializeIncoming(rows)
     // in-batch dedup per unique key (first occurrence wins)
+    var incoming = raw
     uniqueKeys.foreach { uk => incoming = incoming.dropDuplicates(uk) }
     // cross-check against the current snapshot
     var clean = incoming
     uniqueKeys.foreach { uk =>
       clean = clean.join(current.select(uk.map(col): _*), uk, "left_anti")
     }
-    if (failOnDup) {
-      val dropped = incoming.count() - clean.count()
-      if (dropped > 0 || rows.count() != incoming.count())
-        throw new UniqueViolationException(
-          s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
-    }
-    val n = clean.count()
-    (current.unionByName(clean), n)
+    clean = clean.localCheckpoint()
+    val (touched, n) = pkStats(clean)
+    if (!skipDuplicates && n < raw.count())
+      throw new UniqueViolationException(
+        s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
+    (Staged(current.unionByName(clean), touched, n), clean)
   }
 
-  /** stagedCreate variant that also returns the inserted slice
-    * (createManyAndReturn, `effect.ts:487-493`). */
-  private[store] def stagedCreateReturning(current: DataFrame, rows: DataFrame,
-                                           skipDuplicates: Boolean): (DataFrame, DataFrame, Long) = {
-    var incoming = touch(align(rows), timestampCols)
-    uniqueKeys.foreach { uk => incoming = incoming.dropDuplicates(uk) }
-    var clean = incoming
-    uniqueKeys.foreach { uk =>
-      clean = clean.join(current.select(uk.map(col): _*), uk, "left_anti")
-    }
-    if (!skipDuplicates) {
-      val dropped = incoming.count() - clean.count()
-      if (dropped > 0 || rows.count() != incoming.count())
-        throw new UniqueViolationException(
-          s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
-    }
-    val n = clean.count()
-    (current.unionByName(clean), clean, n)
-  }
-
-  /** stagedUpdate variant that also returns the post-update matched slice
+  /** stagedUpdate that also returns the post-update matched slice
     * (updateManyAndReturn, `effect.ts:527-533`). */
   private[store] def stagedUpdateReturning(current: DataFrame, where: Where,
-                                           set: Map[String, Column]): (DataFrame, DataFrame, Long) = {
-    val rawCond = Where.compile(where, current.apply)
-    val matched = current.filter(rawCond).count()
-    val withCond = current.withColumn("__upd", coalesce(rawCond, lit(false)))
-    val cond = col("__upd")
-    val updated = current.columns.foldLeft(withCond) { (df, c) =>
-      set.get(c) match {
-        case Some(newVal) => df.withColumn(c, when(cond, newVal).otherwise(col(c)))
-        case None if schema.fieldNames.contains("updatedAt") && c == "updatedAt" &&
-          timestampCols.contains("updatedAt") =>
-          df.withColumn(c, when(cond, current_timestamp()).otherwise(col(c)))
-        case None => df
-      }
-    }
-    (updated.drop("__upd"), updated.filter(cond).drop("__upd"), matched)
+                                           set: Map[String, Column]): (Staged, DataFrame) = {
+    val s = stagedUpdate(current, where, set, single = false)
+    val cond = coalesce(Where.compile(where, current.apply), lit(false))
+    val updated = withSet(current.filter(cond), lit(true), set).localCheckpoint()
+    (s, updated)
   }
 
   private[store] def stagedUpdate(current: DataFrame, where: Where,
-                                  set: Map[String, Column], single: Boolean): (DataFrame, Long) = {
+                                  set: Map[String, Column], single: Boolean): Staged = {
     val rawCond = Where.compile(where, current.apply)
-    val matched = current.filter(rawCond).count()
-    if (single && matched == 0)
+    val cond0 = coalesce(rawCond, lit(false))
+    val matched = current.filter(cond0)
+    val (before, n) = pkStats(matched)
+    if (single && n == 0)
       throw new RecordNotFoundException(s"$name: update found no row")
+    // if the SET moves rows across partitions, the destination slices are
+    // touched too (computed on the matched slice only — small)
+    val touched =
+      if (partitionCols.exists(set.contains))
+        before ++ pkStats(withSet(matched, lit(true), set))._1
+      else before
     // materialize the predicate BEFORE any column is rewritten — a `when`
     // chain re-resolving the condition against already-updated columns
     // would silently stop matching mid-update
-    val withCond = current.withColumn("__upd", coalesce(rawCond, lit(false)))
-    val cond = col("__upd")
-    val next = current.columns.foldLeft(withCond) { (df, c) =>
-      set.get(c) match {
-        case Some(newVal) => df.withColumn(c, when(cond, newVal).otherwise(col(c)))
-        case None if schema.fieldNames.contains("updatedAt") && c == "updatedAt" &&
-          timestampCols.contains("updatedAt") =>
-          df.withColumn(c, when(cond, current_timestamp()).otherwise(col(c)))
-        case None => df
-      }
-    }.drop("__upd")
-    (next, matched)
+    val withCond = current.withColumn("__upd", cond0)
+    val next = withSet(withCond, col("__upd"), set).drop("__upd")
+    Staged(next, touched, n)
   }
 
   /** Join-based bulk update: set `set` on rows whose `keyCol` appears in
@@ -184,137 +220,155 @@ final class GraftTable(
     * driver (the keys side is a small DataFrame → AQE broadcasts it). */
   private[store] def stagedUpdateWhereIn(current: DataFrame, keyCol: String,
                                          keys: DataFrame, extraCond: Column,
-                                         set: Map[String, Column]): (DataFrame, Long) = {
+                                         set: Map[String, Column]): Staged = {
     val marker = keys.select(col(keyCol)).distinct().withColumn("__match", lit(true))
     // materialize the predicate before rewriting columns (see stagedUpdate)
     val joined = current.join(marker, Seq(keyCol), "left")
       .withColumn("__upd", coalesce(col("__match"), lit(false)) && coalesce(extraCond, lit(false)))
     val cond = col("__upd")
-    val matched = joined.filter(cond).count()
-    val next = current.columns.foldLeft(joined) { (df, c) =>
-      set.get(c) match {
-        case Some(newVal) => df.withColumn(c, when(cond, newVal).otherwise(col(c)))
-        case None if timestampCols.contains(c) && c == "updatedAt" &&
-          schema.fieldNames.contains("updatedAt") =>
-          df.withColumn(c, when(cond, current_timestamp()).otherwise(col(c)))
-        case None => df
-      }
-    }.drop("__match", "__upd")
-    (next, matched)
+    val matched = joined.filter(cond)
+    val (before, n) = pkStats(matched)
+    val touched =
+      if (partitionCols.exists(set.contains))
+        before ++ pkStats(withSet(matched, lit(true), set))._1
+      else before
+    val next = withSet(joined, cond, set).drop("__match", "__upd")
+    Staged(next, touched, n)
   }
 
   private[store] def stagedDelete(current: DataFrame, where: Where,
-                                  single: Boolean): (DataFrame, Long) = {
+                                  single: Boolean): Staged = {
     val cond = Where.compile(where, current.apply)
-    val matched = current.filter(cond).count()
-    if (single && matched == 0)
+    val cond0 = coalesce(cond, lit(false))
+    val (touched, n) = pkStats(current.filter(cond0))
+    if (single && n == 0)
       throw new RecordNotFoundException(s"$name: delete found no row")
-    (current.filter(!coalesce(cond, lit(false))), matched)
+    Staged(current.filter(!cond0), touched, n)
   }
 
   /** MERGE: rows whose key exists replace the existing row (update wins),
-    * the rest append — Prisma `upsert` (`effect.ts:535-541`). */
+    * the rest append — Prisma `upsert` (`effect.ts:535-541`). Touches the
+    * slices the incoming rows land in plus the slices their pre-image rows
+    * currently live in (a key may move partitions). */
   private[store] def stagedUpsert(current: DataFrame, keyCols: Seq[String],
-                                  rows: DataFrame): (DataFrame, Long) = {
-    val incoming = touch(align(rows), timestampCols).dropDuplicates(keyCols)
-    val kept = current.join(incoming.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val n = incoming.count()
-    (kept.unionByName(incoming), n)
+                                  rows: DataFrame): Staged = {
+    val incoming = materializeIncoming(rows).dropDuplicates(keyCols)
+    val keysOnly = incoming.select(keyCols.map(col): _*)
+    val kept = current.join(keysOnly, keyCols, "left_anti")
+    val replaced = current.join(keysOnly, keyCols, "left_semi")
+    val (inParts, n) = pkStats(incoming)
+    val touched = inParts ++ pkStats(replaced)._1
+    Staged(kept.unionByName(incoming), touched, n)
   }
 }
 
 /** Multi-statement transaction: stage any number of table mutations, then
-  * publish all new versions in one atomic manifest swap — the engine's
-  * `\$transaction` (`effect.ts:369-396`). If any statement throws, nothing
-  * was published. */
+  * publish all new slice versions in one atomic manifest swap — the
+  * engine's `\$transaction` (`effect.ts:369-396`). If any statement throws,
+  * nothing was published.
+  *
+  * Staging is partition-scoped: only the slices in `Staged.touched` are
+  * written (one pruned execution of the next-state plan per touched slice —
+  * when the SET does not modify a partition column, the slice filter pushes
+  * down through the plan to the scans, so each write reads only the data it
+  * rewrites). Untouched slices keep their version directory untouched on
+  * disk. A touched slice that ends up empty stays in the manifest as an
+  * empty directory (harmless for readers; vacuumable later).
+  */
 final class Txn(catalog: Catalog) {
-  private var base: Map[String, Option[String]] = Map.empty
-  private var staged: Map[String, String] = Map.empty
-  // table -> working state (chains statements within the txn)
-  private var working: Map[String, DataFrame] = Map.empty
+  private var base: Map[String, Option[Map[String, String]]] = Map.empty
+  private var staged: Map[String, Map[String, Option[String]]] = Map.empty
+  // table -> partKey -> working slice dir (chains statements within the txn)
+  private var working: Map[String, Map[String, String]] = Map.empty
 
-  private def stateOf(t: GraftTable): DataFrame =
+  private def workingDirs(t: GraftTable): Map[String, String] =
     working.getOrElse(t.name, {
-      base += (t.name -> t.catalog.manifest().get(t.name))
-      t.snapshot()
+      base += (t.name -> catalog.manifest().get(t.name))
+      val dirs = catalog.currentDirs(t.name)
+      working += (t.name -> dirs)
+      dirs
     })
 
-  private def stage(t: GraftTable, next: DataFrame): Unit = {
-    val (v, dir) = catalog.newVersionDir(t.name)
-    val writer = next.write.mode("overwrite")
-    (if (t.partitionCols.nonEmpty) writer.partitionBy(t.partitionCols: _*) else writer)
-      .parquet(dir)
-    // re-read what we wrote: the staged version is now immutable on disk,
-    // so later statements in the txn build on real files, not a recompute
-    val persisted = t.spark.read.schema(t.schema).parquet(dir)
-      .select(t.schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    working += (t.name -> persisted)
-    staged += (t.name -> v)
+  private def stateOf(t: GraftTable): DataFrame = t.readDirs(workingDirs(t).values.toSeq)
+
+  private def stage(t: GraftTable, s: Staged): Unit = {
+    var dirs = workingDirs(t)
+    var parts = staged.getOrElse(t.name, Map.empty[String, Option[String]])
+    val withPk = s.next.withColumn("__pk", t.partKeyCol)
+    s.touched.foreach { pk =>
+      val (v, dir) = catalog.newVersionDir(t.name, pk)
+      // the staged slice is immutable on disk the moment it is written, so
+      // later statements in the txn build on real files, not a recompute
+      withPk.filter(col("__pk") === lit(pk)).drop("__pk")
+        .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(dir)
+      dirs += (pk -> dir)
+      parts += (pk -> Some(v))
+    }
+    working += (t.name -> dirs)
+    staged += (t.name -> parts)
   }
 
   def create(t: GraftTable, rows: DataFrame): Long = {
-    val (next, n) = t.stagedCreate(stateOf(t), rows, skipDuplicates = false, failOnDup = true)
-    stage(t, next); n
+    val s = t.stagedCreate(stateOf(t), rows, failOnDup = true)
+    stage(t, s); s.n
   }
 
   def createMany(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): Long = {
-    val (next, n) = t.stagedCreate(stateOf(t), rows, skipDuplicates, failOnDup = !skipDuplicates)
-    stage(t, next); n
+    val s = t.stagedCreate(stateOf(t), rows, failOnDup = !skipDuplicates)
+    stage(t, s); s.n
   }
 
   def createManyAndReturn(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): DataFrame = {
-    val (next, inserted, _) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
-    // evaluate the inserted slice against pre-stage state before publishing
-    val out = inserted.cache()
-    out.count()
-    stage(t, next); out
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    stage(t, s); inserted
   }
 
   def updateManyAndReturn(t: GraftTable, where: Where, set: Map[String, Column]): DataFrame = {
-    val (next, updated, _) = t.stagedUpdateReturning(stateOf(t), where, set)
-    val out = updated.cache()
-    out.count()
-    stage(t, next); out
+    val (s, updated) = t.stagedUpdateReturning(stateOf(t), where, set)
+    stage(t, s); updated
   }
 
   def update(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
-    val (next, n) = t.stagedUpdate(stateOf(t), where, set, single = true)
-    stage(t, next); n
+    val s = t.stagedUpdate(stateOf(t), where, set, single = true)
+    stage(t, s); s.n
   }
 
   def updateMany(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
-    val (next, n) = t.stagedUpdate(stateOf(t), where, set, single = false)
-    stage(t, next); n
+    val s = t.stagedUpdate(stateOf(t), where, set, single = false)
+    stage(t, s); s.n
   }
 
   def updateWhereIn(t: GraftTable, keyCol: String, keys: DataFrame,
                     extraCond: Column, set: Map[String, Column]): Long = {
-    val (next, n) = t.stagedUpdateWhereIn(stateOf(t), keyCol, keys, extraCond, set)
-    stage(t, next); n
+    val s = t.stagedUpdateWhereIn(stateOf(t), keyCol, keys, extraCond, set)
+    stage(t, s); s.n
   }
 
   /** Join-based bulk delete: drop rows whose `keyCol` appears in `keys`. */
   def deleteWhereIn(t: GraftTable, keyCol: String, keys: DataFrame): Long = {
     val cur = stateOf(t)
-    val marker = keys.select(org.apache.spark.sql.functions.col(keyCol)).distinct()
-    val n = cur.join(marker, Seq(keyCol), "left_semi").count()
-    val next = cur.join(marker, Seq(keyCol), "left_anti")
-    stage(t, next); n
+    val marker = keys.select(col(keyCol)).distinct()
+    val doomed = cur.join(marker, Seq(keyCol), "left_semi")
+    val stats = doomed.groupBy(t.partKeyCol.as("__pk")).count().collect()
+    val s = Staged(cur.join(marker, Seq(keyCol), "left_anti"),
+      stats.map(_.getString(0)).toSet, stats.map(_.getLong(1)).sum)
+    stage(t, s); s.n
   }
 
   def delete(t: GraftTable, where: Where): Long = {
-    val (next, n) = t.stagedDelete(stateOf(t), where, single = true)
-    stage(t, next); n
+    val s = t.stagedDelete(stateOf(t), where, single = true)
+    stage(t, s); s.n
   }
 
   def deleteMany(t: GraftTable, where: Where): Long = {
-    val (next, n) = t.stagedDelete(stateOf(t), where, single = false)
-    stage(t, next); n
+    val s = t.stagedDelete(stateOf(t), where, single = false)
+    stage(t, s); s.n
   }
 
   def upsert(t: GraftTable, keyCols: Seq[String], rows: DataFrame): Long = {
-    val (next, n) = t.stagedUpsert(stateOf(t), keyCols, rows)
-    stage(t, next); n
+    val s = t.stagedUpsert(stateOf(t), keyCols, rows)
+    stage(t, s); s.n
   }
 
   /** Read within the transaction (sees staged, uncommitted state). */

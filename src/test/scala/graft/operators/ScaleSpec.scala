@@ -63,11 +63,18 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.filter($"status".isNull).count() == 27)
     assert(snap.filter($"status" <=> true).count() == 2)
 
-    val pending = snap.filter($"status".isNull)
-    pending.collect()
+    // the poll path lists ONLY the pending slice's directory — catalog-level
+    // pruning, stronger than Hive PartitionFilters (no listing of other
+    // slices at all)
+    val pending = st.urls.snapshotSlice(Map("status" -> null))
+    assert(pending.count() == 27)
     val plan = pending.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnull(status"),
-      "poll does not prune partitions:\n" + plan)
+    assert(plan.contains("InMemoryFileIndex(1 paths)"),
+      "poll does not prune to one slice directory:\n" + plan)
+    val files = pending.inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("status=__NULL__") || f.contains("status%3D__NULL__")),
+      "pruned files should all live in the NULL-status slice: " + files.mkString(", "))
   }
 
   test("dynamic partition pruning: date-partitioned facts pruned by a filtered dim join") {

@@ -180,6 +180,95 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[ConcurrentModificationException] { tx1.commit() }
   }
 
+  // ---------- partition-scoped copy-on-write ----------
+
+  private def partitionedTable(cat: Catalog): GraftTable =
+    new GraftTable(spark, cat, "google_place_url_to_scrape", urlSchema,
+      uniqueKeys = Seq(Seq("id"), Seq("url")),
+      timestampCols = Seq("createdAt", "updatedAt"),
+      partitionCols = Seq("status"))
+
+  /** All regular files under a slice dir → (relative name, size, mtime). */
+  private def fileState(dir: String): Set[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => (p.relativize(f).toString, java.nio.file.Files.size(f),
+        java.nio.file.Files.getLastModifiedTime(f).toMillis))
+      .toSet
+  }
+
+  test("update rewrites only touched partitions; others stay byte-identical") {
+    val cat = freshCatalog()
+    val t = partitionedTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None), ("u2", "https://b", None),
+      ("u3", "https://c", None)))
+    // move u1 to status=true — creates the status=true slice
+    t.update(F.eq("id", "u1"), Map("status" -> lit(true)))
+    val afterFirst = cat.partVersions(t.name)
+    assert(afterFirst.keySet == Set("status=__NULL__", "status=true"))
+    val trueDir = cat.currentDirs(t.name)("status=true")
+    val trueFiles = fileState(trueDir)
+    // now flip u2 to false: touches __NULL__ (source) and false (dest) ONLY
+    t.update(F.eq("id", "u2"), Map("status" -> lit(false)))
+    val afterSecond = cat.partVersions(t.name)
+    assert(afterSecond("status=true") == afterFirst("status=true"),
+      "untouched slice must keep its version id")
+    assert(afterSecond("status=__NULL__") != afterFirst("status=__NULL__"))
+    assert(afterSecond.contains("status=false"))
+    assert(fileState(trueDir) == trueFiles, "untouched slice files must be byte-identical")
+    // table contents still correct
+    val snap = t.snapshot()
+    assert(snap.count() == 3)
+    assert(snap.filter($"id" === "u1").head().getAs[Boolean]("status"))
+    assert(!snap.filter($"id" === "u2").head().getAs[Boolean]("status"))
+    assert(snap.filter($"id" === "u3").head().getAs[Any]("status") == null)
+  }
+
+  test("non-partition-column update touches only the matched row's slice") {
+    val cat = freshCatalog()
+    val t = partitionedTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None), ("u2", "https://b", None)))
+    t.update(F.eq("id", "u1"), Map("status" -> lit(true)))
+    val before = cat.partVersions(t.name)
+    // notes-only update on the status=true row: NULL slice must not move
+    t.update(F.eq("id", "u1"), Map("notes" -> lit("seen")))
+    val after = cat.partVersions(t.name)
+    assert(after("status=__NULL__") == before("status=__NULL__"))
+    assert(after("status=true") != before("status=true"))
+    assert(t.snapshot().filter($"id" === "u1").head().getAs[String]("notes") == "seen")
+  }
+
+  test("snapshotSlice prunes to matching partition dirs at the catalog level") {
+    val cat = freshCatalog()
+    val t = partitionedTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None), ("u2", "https://b", None),
+      ("u3", "https://c", None)))
+    t.update(F.eq("id", "u1"), Map("status" -> lit(true)))
+    val pending = t.snapshotSlice(Map("status" -> null))
+    assert(pending.select("id").as[String].collect().toSet == Set("u2", "u3"))
+    assert(t.snapshotSlice(Map("status" -> true)).count() == 1)
+    assert(t.snapshotSlice(Map("status" -> false)).count() == 0)
+  }
+
+  test("partitioned txn: atomic flip + insert across slices (pipeline workload)") {
+    val cat = freshCatalog()
+    val t = partitionedTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None), ("u2", "https://b", None)))
+    Txn.run(cat) { tx =>
+      tx.updateMany(t, F.eq("id", "u1"), Map("status" -> lit(true)))
+      tx.createMany(t, urlRows(("u4", "https://d", None)), skipDuplicates = false)
+    }
+    val snap = t.snapshot()
+    assert(snap.count() == 3)
+    assert(snap.filter(col("status").isNull).count() == 2)
+    // unique keys still enforced across slices
+    intercept[UniqueViolationException] {
+      t.createMany(urlRows(("u9", "https://a", None)))
+    }
+  }
+
   test("vacuum drops non-current versions but keeps current") {
     val cat = freshCatalog()
     val t = urlTable(cat)
