@@ -367,12 +367,13 @@ object SparkEntry {
         .orderBy(col("s_nationkey"), col("rnk"), col("s_suppkey"))
     }),
 
-    // Distribution buckets: order-total deciles via ntile.
+    // Distribution buckets: order-total deciles. Exact NTILE semantics via
+    // the two-pass distributed ranking operator — no single-partition
+    // window (Ranking.ntileExact range-partitions, ranks per partition,
+    // offsets by preceding-partition counts).
     "q_deciles" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, dir)
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      operators.Ranking.ntileExact(Tables.orders(s, dir), 10, "decile",
+          Seq(col("o_totalprice"), col("o_orderkey")))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"),

@@ -86,11 +86,19 @@ object Similarity {
       col(embCol).cast("array<double>").as("__ce"))
       .withColumn("__cn", norm(col("__ce"))).cache()
 
-    // deterministic init: the nCenters rows with smallest hash(id)
-    val wInit = Window.orderBy(col("__h"), col("id"))
-    var centers = c.withColumn("__h", hash(col("id")))
+    // deterministic init: the nCenters rows with smallest hash(id).
+    // Collected to the driver — nCenters embeddings, bounded regardless of
+    // corpus size (they are broadcast to every task anyway), and it avoids
+    // a no-partition window (even a 16-row one trips the WindowExec
+    // single-partition warning).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val initRows = c.withColumn("__h", hash(col("id")))
       .orderBy(col("__h"), col("id")).limit(nCenters)
-      .select(row_number().over(wInit).cast("long").as("cid"), col("__ce").as("__cent"))
+      .select(col("__ce")).collect()
+    var centers = initRows.toIndexedSeq.zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](0)) }
+      .toDF("cid", "__cent")
       .cache()
 
     def assign(points: DataFrame): DataFrame = {

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two-pass distributed ranking vs the single-reducer reference semantics. */
+class RankingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("withGlobalPosition yields the gapless global order, multi-partition") {
+    val df = spark.range(1000)
+      .select((col("id") * 37 % 501).as("v"), col("id"))
+    val pos = Ranking.withGlobalPosition(df, "p", Seq(col("v"), col("id")),
+      numPartitions = 8)
+    val rows = pos.orderBy("p").select("v", "id", "p").collect()
+    assert(rows.map(_.getLong(2)).toSeq == (0L until 1000L))
+    // positions agree with a driver-side sort of the same keys
+    val expected = rows.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == expected.toSeq)
+  }
+
+  test("ntileExact matches single-reducer NTILE for uneven and tiny sizes") {
+    for (n <- Seq(7L, 100L, 1003L); k <- Seq(3, 10)) {
+      val df = spark.range(n).select((col("id") * 131 % 97).as("v"), col("id"))
+      val w = Window.orderBy(col("v"), col("id"))
+      val expected = df.withColumn("t", ntile(k).over(w).cast("long"))
+        .select("id", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val actual = Ranking.ntileExact(df, k, "t", Seq(col("v"), col("id")),
+        numPartitions = 8)
+        .select("id", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(actual == expected, s"n=$n k=$k")
+    }
+  }
+
+  test("ranking plan contains only partitioned windows (no single-reducer sort)") {
+    val df = spark.range(5000).select((col("id") % 41).as("v"), col("id"))
+    val out = Ranking.ntileExact(df, 10, "t", Seq(col("v"), col("id")))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the ranking path contains no window operator at all (per-partition
+    // index + offset), so no single-reducer window can sneak in
+    assert(!plan.contains("Window ["),
+      "ranking should not plan a window operator:\n" + plan)
+  }
+}
