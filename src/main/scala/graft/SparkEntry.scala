@@ -524,7 +524,8 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-      Dedup.minhashLshPairs(docs.unionByName(copies), "text", "doc_id", threshold = 0.7)
+      Dedup.minhashLshPairs(docs.unionByName(copies), "text", "doc_id",
+        threshold = 0.7, persistSketch = true)
         .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
     }),
@@ -534,7 +535,8 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-      Dedup.simhashPairs(docs.unionByName(copies), "text", "doc_id", maxHamming = 0)
+      Dedup.simhashPairs(docs.unionByName(copies), "text", "doc_id",
+        maxHamming = 0, persistSketch = true)
         .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
     }),
@@ -555,7 +557,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupPairs(emb.unionByName(copies), "embedding", "vec_id",
-        dim = 64, threshold = 0.999, numPlanes = 16)
+        dim = 64, threshold = 0.999, numPlanes = 16, persistSketch = true)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -578,7 +580,7 @@ object SparkEntry {
     // slice is oracle-checked by q_dedup_minhash).
     "q_near_dup_audit" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
-        threshold = 0.7)
+        threshold = 0.7, persistSketch = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Full curation composition: annotate → gates → exact dedup → near

@@ -55,6 +55,38 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n") >= 2)
 
+  // ---------------- LSH bucket-width guard ----------------
+
+  /** Cap the width of LSH buckets before a self-join. A boilerplate-heavy
+    * corpus can put millions of rows into one (band, hash) bucket, making
+    * the candidate join quadratic in that reducer. Rows in buckets wider
+    * than `maxBucket` are deterministically sub-split by id hash into
+    * `ceil(width / maxBucket)` cells and only within-cell pairs are
+    * compared: cost per hot bucket drops from O(w²) to O(w · maxBucket),
+    * trading a bounded, auditable recall loss (cross-cell pairs of the hot
+    * bucket) for a hard runtime bound. Standard practice for LSH at scale;
+    * audit the sacrificed buckets with [[bucketAudit]].
+    *
+    * The width count is a window over the bucket key — one linear pass on
+    * the same shuffle the join needs anyway, no extra join. */
+  private def withBucketGuard(blocked: DataFrame, keyCols: Seq[String],
+                              idCol: String, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val cells = ceil(count(lit(1)).over(w).cast("double") / maxBucket).cast("long")
+    blocked.withColumn("__cell", pmod(xxhash64(col(idCol)), greatest(cells, lit(1L))))
+  }
+
+  /** Audit view of the buckets the guard sub-splits: one row per
+    * over-width bucket with its width and cell count. Run it on the same
+    * parameters as the pairing call to see what recall was traded. */
+  def bucketAudit(blocked: DataFrame, keyCols: Seq[String],
+                  maxBucket: Int): DataFrame =
+    blocked.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("width"))
+      .filter(col("width") > maxBucket)
+      .withColumn("cells", ceil(col("width").cast("double") / maxBucket).cast("long"))
+
   // ---------------- shingles + MinHash ----------------
 
   /** `k`-token shingle strings of the tokenized text. */
@@ -96,19 +128,23 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 3, numHashes: Int = 32, bands: Int = -1,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7, maxBucket: Int = 1000,
+                      persistSketch: Boolean = false): DataFrame = {
     val b = if (bands <= 0) bandsFor(threshold, numHashes) else bands
     require(numHashes % b == 0, "bands must divide numHashes")
     val rows = numHashes / b
     // staged columns: tokenize once, shingle-hash once, sign once — hashed
     // shingle sets ride through the join instead of the strings, and the
-    // Jaccard verify intersects long arrays (collision ~2^-64, immaterial)
-    val withSig = df
+    // Jaccard verify intersects long arrays (collision ~2^-64, immaterial).
+    // Caching the sketched corpus is OPT-IN: at 100 TB a MEMORY_AND_DISK
+    // cache of text+signatures is a spill storm; the sketch is cheap to
+    // recompute, or the caller persists a minhashIndex explicitly.
+    val withSig0 = df
       .withColumn("__toks", graft.functions.TextFunctions.tokens(col(textCol)))
       .withColumn("__sh", graft.functions.SketchExpressions.shingleHashes(col("__toks"), k))
       .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), numHashes))
       .select(col(idCol).as("__id"), col("__sh"), col("__sig"))
-      .cache()
+    val withSig = if (persistSketch) withSig0.cache() else withSig0
 
     // one (band, bandHash) row per band — join key is 2 small ints
     val banded = withSig.select(col("__id"), col("__sh"),
@@ -116,12 +152,13 @@ object Dedup {
         b => hash(slice(col("__sig"), b * lit(rows) + 1, lit(rows))))))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
-    val left = banded.select(col("__band"), col("__bh"),
+    val guarded = withBucketGuard(banded, Seq("__band", "__bh"), "__id", maxBucket)
+    val left = guarded.select(col("__band"), col("__bh"), col("__cell"),
       col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val right = banded.select(col("__band"), col("__bh"),
+    val right = guarded.select(col("__band"), col("__bh"), col("__cell"),
       col("__id").as("id_b"), col("__sh").as("sh_b"))
 
-    val candidates = left.join(right, Seq("__band", "__bh"))
+    val candidates = left.join(right, Seq("__band", "__bh", "__cell"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
@@ -141,10 +178,27 @@ object Dedup {
     * near-dup clusters, exact connected components cost more shuffles). */
   def minhashDedup(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, numHashes: Int = 32, bands: Int = -1,
-                   threshold: Double = 0.7): DataFrame = {
-    val losers = minhashLshPairs(df, textCol, idCol, k, numHashes, bands, threshold)
+                   threshold: Double = 0.7, maxBucket: Int = 1000,
+                   persistSketch: Boolean = false): DataFrame = {
+    val losers = minhashLshPairs(df, textCol, idCol, k, numHashes, bands,
+        threshold, maxBucket, persistSketch)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The over-width MinHash band buckets the guard would sub-split for
+    * these parameters — the audit row per sacrificed bucket. */
+  def minhashBucketAudit(df: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, numHashes: Int = 32, bands: Int = -1,
+                         threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val b = if (bands <= 0) bandsFor(threshold, numHashes) else bands
+    val rows = numHashes / b
+    val banded = minhashIndex(df, textCol, idCol, k, numHashes)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          i => hash(slice(col("sig"), i * lit(rows) + 1, lit(rows))))))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
+    bucketAudit(banded, Seq("__band", "__bh"), maxBucket)
   }
 
   /** Reusable MinHash index: per-doc hashed shingle set + signature,
@@ -164,7 +218,8 @@ object Dedup {
   def minhashIncremental(index: DataFrame, newDocs: DataFrame,
                          textCol: String, idCol: String,
                          k: Int = 3, numHashes: Int = 32,
-                         threshold: Double = 0.7): DataFrame = {
+                         threshold: Double = 0.7,
+                         persistSketch: Boolean = false): DataFrame = {
     val b = bandsFor(threshold, numHashes)
     val rows = numHashes / b
     def banded(sigs: DataFrame): DataFrame =
@@ -173,7 +228,8 @@ object Dedup {
           i => hash(slice(col("sig"), i * lit(rows) + 1, lit(rows))))))
         .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
-    val newIdx = minhashIndex(newDocs, textCol, idCol, k, numHashes).cache()
+    val newIdx0 = minhashIndex(newDocs, textCol, idCol, k, numHashes)
+    val newIdx = if (persistSketch) newIdx0.cache() else newIdx0
     val newBands = banded(newIdx)
     // candidates: new-vs-corpus ∪ new-vs-new (smaller id wins within batch)
     val corpusSide = banded(index).select(col("__band"), col("__bh"),
@@ -257,18 +313,20 @@ object Dedup {
     * within Hamming distance<=maxHamming shares at least one chunk when
     * maxHamming<=3... candidates then verified exactly via bit_count). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
-      .cache()
-    val chunked = withSig.select(col("__id"), col("__sim"),
+                   maxHamming: Int = 3, maxBucket: Int = 1000,
+                   persistSketch: Boolean = false): DataFrame = {
+    val withSig0 = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
+    val withSig = if (persistSketch) withSig0.cache() else withSig0
+    val chunked0 = withSig.select(col("__id"), col("__sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("__sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__ck")
-    val left = chunked.select(col("__chunk"), col("__ck"),
+    val chunked = withBucketGuard(chunked0, Seq("__chunk", "__ck"), "__id", maxBucket)
+    val left = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
       col("__id").as("id_a"), col("__sim").as("sim_a"))
-    val right = chunked.select(col("__chunk"), col("__ck"),
+    val right = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
       col("__id").as("id_b"), col("__sim").as("sim_b"))
-    left.join(right, Seq("__chunk", "__ck"))
+    left.join(right, Seq("__chunk", "__ck", "__cell"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
@@ -324,22 +382,27 @@ object Dedup {
     * chunks of the signature) then exact cosine verification. */
   def embeddingNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                             dim: Int, threshold: Double = 0.95,
-                            numPlanes: Int = 16, seed: Long = 42L): DataFrame = {
-    val withSig = df.select(col(idCol).as("__id"),
+                            numPlanes: Int = 16, seed: Long = 42L,
+                            maxBucket: Int = 1000,
+                            persistSketch: Boolean = false): DataFrame = {
+    val withSig0 = df.select(col(idCol).as("__id"),
         col(embCol).cast("array<double>").as("__emb"),
         hyperplaneSignature(col(embCol), numPlanes, dim, seed).as("__sig"))
       .withColumn("__nrm", norm(col("__emb")))
-      .cache()
+    val withSig = if (persistSketch) withSig0.cache() else withSig0
     val chunks = numPlanes / 8
-    val chunked = withSig.select(col("__id"), col("__emb"), col("__nrm"),
+    val chunked0 = withSig.select(col("__id"), col("__emb"), col("__nrm"),
       posexplode(array((0 until chunks).map(i =>
         shiftrightunsigned(col("__sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)))
       .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__ck")
-    val left = chunked.select(col("__chunk"), col("__ck"), col("__id").as("id_a"),
+    val chunked = withBucketGuard(chunked0, Seq("__chunk", "__ck"), "__id", maxBucket)
+    val left = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
+      col("__id").as("id_a"),
       col("__emb").as("emb_a"), col("__nrm").as("nrm_a"))
-    val right = chunked.select(col("__chunk"), col("__ck"), col("__id").as("id_b"),
+    val right = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
+      col("__id").as("id_b"),
       col("__emb").as("emb_b"), col("__nrm").as("nrm_b"))
-    left.join(right, Seq("__chunk", "__ck"))
+    left.join(right, Seq("__chunk", "__ck", "__cell"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
