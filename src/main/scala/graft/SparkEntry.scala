@@ -476,6 +476,56 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // §2.A #6 nested relation writes through the REAL store path: parent
+    // create with a nested 1-1 child create (syncCrm.ts:156-163 shape) and
+    // a nested M-N connectOrCreate + link (scrapeWebsite.ts:224-236 shape),
+    // atomically in one transaction, then read back joined. The oracle is
+    // the declaratively-equivalent SELECT over the same input slice.
+    "q_nested_create" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(
+        java.nio.file.Files.createTempDirectory("graft-nested-q").toString)
+      val parentT = new graft.store.GraftTable(s, cat, "client", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      val eventT = new graft.store.GraftTable(s, cat, "client_event", StructType(Seq(
+        StructField("event_id", StringType, nullable = false),
+        StructField("parent_id", LongType, nullable = false),
+        StructField("note", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("event_id")))
+      val tagT = new graft.store.GraftTable(s, cat, "tag", StructType(Seq(
+        StructField("tag_id", StringType, nullable = false),
+        StructField("tag", StringType, nullable = false))),
+        uniqueKeys = Seq(Seq("tag")))
+      val linkT = new graft.store.GraftTable(s, cat, "client_tag", StructType(Seq(
+        StructField("parent_id", LongType, nullable = false),
+        StructField("tag_id", StringType, nullable = false))),
+        uniqueKeys = Seq(Seq("parent_id", "tag_id")))
+      val batch = Tables.customer(s, dir).filter(col("c_custkey") <= 100)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), col("c_mktsegment").as("segment"))
+      parentT.createNested(batch, Seq(
+        graft.store.NestedCreate(eventT, b => b.select(
+          concat(lit("ev-"), col("id").cast("string")).as("event_id"),
+          col("id").as("parent_id"),
+          when(col("acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("note"))),
+        graft.store.ConnectOrCreate(
+          relation = tagT,
+          ensure = b => b.select(concat(lit("tag-"), col("segment")).as("tag_id"),
+            col("segment").as("tag")).distinct(),
+          link = linkT,
+          links = b => b.select(col("id").as("parent_id"),
+            concat(lit("tag-"), col("segment")).as("tag_id")))))
+      parentT.snapshot()
+        .join(eventT.snapshot(), col("id") === col("parent_id"))
+        .join(linkT.snapshot().withColumnRenamed("parent_id", "lp"),
+          col("id") === col("lp"))
+        .join(tagT.snapshot(), Seq("tag_id"))
+        .select(col("id"), col("name"), col("event_id"), col("note"), col("tag"))
+        .orderBy(col("id"))
+    }),
+
     // ---- beyond-reference training-data operators (BASELINE.json) ----
 
     // Text analysis: token counting + stopword counting, pure codegen.
@@ -925,6 +975,13 @@ object SparkEntry {
       WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.key = c.c_custkey)
       UNION ALL SELECT key, val FROM incoming
       ORDER BY key""",
+
+    "q_nested_create" -> """
+      SELECT c_custkey AS id, c_name AS name,
+             'ev-' || CAST(c_custkey AS VARCHAR) AS event_id,
+             CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS note,
+             c_mktsegment AS tag
+      FROM customer WHERE c_custkey <= 100 ORDER BY id""",
 
     "q_text_stats" -> """
       SELECT doc_id,

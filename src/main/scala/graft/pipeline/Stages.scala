@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.query.{BoolF, F}
-import graft.store.Txn
+import graft.store.{ConnectOrCreate, Txn}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -155,7 +155,10 @@ object Stages {
       .dropDuplicates("name")
       .cache()
 
-    val newCompanies = accepted.select(
+    // company batch with the nested M-N payload riding along as an array
+    // column — the shape Prisma's nested `tags: {connectOrCreate: ...}`
+    // input takes (`scrapeWebsite.ts:215-241`), expressed batch-first
+    val companyBatch = accepted.select(
       keyId("co", col("name")).as("id"),
       col("name"),
       col("websiteUrl"),
@@ -164,26 +167,28 @@ object Stages {
       col("address"),
       col("industry"),
       col("location"),
-      nullT.as("createdAt"), nullT.as("updatedAt"))
+      nullT.as("createdAt"), nullT.as("updatedAt"),
+      col("servicesOffered"))
 
-    // connectOrCreate FirmService by unique name
-    val tagNames = accepted.select(explode(col("servicesOffered")).as("name")).distinct()
-    val newServices = tagNames.select(
-      keyId("fs", col("name")).as("id"), col("name"),
-      nullT.as("createdAt"), nullT.as("updatedAt"))
-
-    val linkRows = accepted.select(keyId("co", col("name")).as("A"),
-        explode(col("servicesOffered")).as("svc"))
-      .select(col("A"), keyId("fs", col("svc")).as("B"))
+    // connectOrCreate FirmService by unique name + link rows, derived from
+    // the actually-inserted company slice by the nested-write API
+    val tagsNested = ConnectOrCreate(
+      relation = store.services,
+      ensure = b => b.select(explode(col("servicesOffered")).as("name")).distinct()
+        .select(keyId("fs", col("name")).as("id"), col("name"),
+          nullT.as("createdAt"), nullT.as("updatedAt")),
+      link = store.companyServices,
+      links = b => b.select(col("id").as("A"),
+          explode(col("servicesOffered")).as("svc"))
+        .select(col("A"), keyId("fs", col("svc")).as("B")))
 
     val acceptedKeys = accepted.select(col("sourceId").as("id"))
     var inserted = 0L
     var succeeded = 0L
     Retry.onConflict() {
       Txn.run(store.catalog) { tx =>
-        tx.createMany(store.services, newServices, skipDuplicates = true)
-        inserted = tx.createMany(store.companies, newCompanies, skipDuplicates = true)
-        tx.createMany(store.companyServices, linkRows, skipDuplicates = true)
+        inserted = tx.createNested(store.companies, companyBatch, Seq(tagsNested),
+          skipDuplicates = true)
         succeeded = tx.updateWhereIn(store.places, "id", acceptedKeys, pendingCond,
           Map("status" -> lit(true)))
         tx.updateMany(store.places, F.raw(pendingCond),

@@ -117,6 +117,10 @@ final class GraftTable(
   def deleteMany(where: Where): Long = autoCommit(_.deleteMany(this, where))
   def upsert(keyCols: Seq[String], rows: DataFrame): Long =
     autoCommit(_.upsert(this, keyCols, rows))
+  /** Nested create, auto-committed (see [[Txn.createNested]]). */
+  def createNested(rows: DataFrame, nested: Seq[NestedWrite],
+                   skipDuplicates: Boolean = false): Long =
+    autoCommit(_.createNested(this, rows, nested, skipDuplicates))
 
   private def autoCommit(f: Txn => Long): Long = {
     val txn = new Txn(catalog)
@@ -369,6 +373,35 @@ final class Txn(catalog: Catalog) {
   def upsert(t: GraftTable, keyCols: Seq[String], rows: DataFrame): Long = {
     val s = t.stagedUpsert(stateOf(t), keyCols, rows)
     stage(t, s); s.n
+  }
+
+  /** Nested create (`create`/`createMany` with `{create | connectOrCreate}`
+    * relation payloads, `effect.ts:471-477`): insert the parent batch, then
+    * run each [[NestedWrite]] against the slice that was actually inserted
+    * — with the batch's extra payload columns intact — all staged in THIS
+    * transaction. Returns the parent insert count. */
+  def createNested(t: GraftTable, rows: DataFrame, nested: Seq[NestedWrite],
+                   skipDuplicates: Boolean = false): Long = {
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    stage(t, s)
+    if (nested.nonEmpty) {
+      require(t.uniqueKeys.nonEmpty,
+        s"${t.name}: nested writes need a unique key to identify inserted parents")
+      val key = t.uniqueKeys.head
+      // re-attach payload columns: batch rows whose key actually landed
+      val insertedFull = rows.dropDuplicates(key)
+        .join(inserted.select(key.map(org.apache.spark.sql.functions.col): _*),
+          key, "left_semi")
+      nested.foreach {
+        case NestedCreate(child, f, skipDup) =>
+          createMany(child, f(insertedFull), skipDup)
+        case ConnectOrCreate(rel, ensure, link, links) =>
+          // connectOrCreate: missing relation rows created, existing kept
+          createMany(rel, ensure(insertedFull), skipDuplicates = true)
+          createMany(link, links(insertedFull), skipDuplicates = true)
+      }
+    }
+    s.n
   }
 
   /** Read within the transaction (sees staged, uncommitted state). */

@@ -269,6 +269,44 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---------- nested writes ----------
+
+  test("createNested: nested 1-1 create sees only actually-inserted parents") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    val child = new GraftTable(spark, cat, "child", StructType(Seq(
+      StructField("cid", StringType, nullable = false),
+      StructField("parent", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("cid")))
+    t.createMany(urlRows(("u1", "https://a", None)))
+    // u1 is a duplicate -> swallowed; only u2's nested child must appear
+    val n = t.createNested(
+      urlRows(("u1", "https://zzz", None), ("u2", "https://b", None)),
+      Seq(NestedCreate(child, b => b.select(
+        concat(lit("c-"), col("id")).as("cid"), col("id").as("parent")))),
+      skipDuplicates = true)
+    assert(n == 1)
+    assert(child.snapshot().select("cid").as[String].collect().toSeq == Seq("c-u2"))
+  }
+
+  test("createNested: failing nested write rolls back the parent too") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    val child = new GraftTable(spark, cat, "child", StructType(Seq(
+      StructField("cid", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("cid")))
+    child.createMany(Seq("c-u7").toDF("cid"))
+    intercept[UniqueViolationException] {
+      Txn.run(cat) { tx =>
+        tx.createNested(t, urlRows(("u7", "https://g", None)),
+          Seq(NestedCreate(child,
+            b => b.select(concat(lit("c-"), col("id")).as("cid")),
+            skipDuplicates = false)))
+      }
+    }
+    assert(t.snapshot().count() == 0, "parent must not be published")
+  }
+
   test("vacuum drops non-current versions but keeps current") {
     val cat = freshCatalog()
     val t = urlTable(cat)
