@@ -202,6 +202,28 @@ object SparkEntry {
         .withColumn("_count_orders", col("_count_orders").cast("long"))
         .orderBy(col("c_custkey"))),
 
+    // §2.C filtered include + nested select (models/Company.ts:708-770):
+    // customers hydrated with ONLY their top-3 most recent high-value
+    // orders (per-relation where + orderBy + take + select), `_count`
+    // reporting the pre-take match count; flattened for the oracle.
+    "q_include_filtered" -> ((s, dir) =>
+      TpchModels.customer(s, dir).findMany(QueryArgs(
+        includeArgs = Seq(IncludeArgs("orders",
+          where = Some(F.raw(col("o_totalprice") > 100000.0)),
+          orderBy = Seq(OrderBy("o_orderdate", desc = true),
+            OrderBy("o_orderkey", desc = true)),
+          take = Some(3),
+          select = Seq("o_orderkey", "o_totalprice", "o_orderdate"))),
+        select = Seq("c_custkey", "orders", "_count_orders")))
+        .select(col("c_custkey"), col("_count_orders").cast("long").as("n_highvalue"),
+          posexplode(col("orders")))
+        .select(col("c_custkey"), col("n_highvalue"),
+          (col("pos") + 1).cast("long").as("ord_rank"),
+          col("col.o_orderkey").as("o_orderkey"),
+          col("col.o_totalprice").as("o_totalprice"),
+          col("col.o_orderdate").as("o_orderdate"))
+        .orderBy(col("c_custkey"), col("ord_rank"))),
+
     // §2.D left join + per-key aggregate over the joined side.
     "q_join_left_count" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -975,6 +997,19 @@ object SparkEntry {
       WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.key = c.c_custkey)
       UNION ALL SELECT key, val FROM incoming
       ORDER BY key""",
+
+    "q_include_filtered" -> """
+      WITH hv AS (
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS ord_rank,
+               count(*) OVER (PARTITION BY o_custkey) AS n_highvalue
+        FROM orders WHERE o_totalprice > 100000.0)
+      SELECT c.c_custkey, h.n_highvalue, h.ord_rank,
+             h.o_orderkey, h.o_totalprice, h.o_orderdate
+      FROM customer c JOIN hv h ON h.o_custkey = c.c_custkey
+      WHERE h.ord_rank <= 3
+      ORDER BY c_custkey, ord_rank""",
 
     "q_nested_create" -> """
       SELECT c_custkey AS id, c_name AS name,

@@ -32,9 +32,20 @@ final case class ManyToMany(name: String, related: () => DataFrame,
                             localKey: String, jtLocal: String,
                             jtForeign: String, foreignKey: String) extends Relation
 
+/** Per-relation include arguments — Prisma's filtered include + nested
+  * select (`models/Company.ts:708-770`): `include: {rel: {where, orderBy,
+  * take, select}}`. Plain `IncludeArgs("rel")` hydrates the whole relation. */
+final case class IncludeArgs(
+    relation: String,
+    where: Option[Where] = None,
+    orderBy: Seq[OrderBy] = Nil,
+    take: Option[Int] = None,
+    select: Seq[String] = Nil)
+
 /** The full argument surface of Prisma `findMany`
   * (`models/Company.ts:1379-1421`): where / orderBy / cursor / take / skip /
-  * distinct-on-fields / select, plus `include` for relation hydration. */
+  * distinct-on-fields / select, plus `include` for relation hydration
+  * (`include` takes bare relation names; `includeArgs` the filtered form). */
 final case class QueryArgs(
     where: Option[Where] = None,
     orderBy: Seq[OrderBy] = Nil,
@@ -44,7 +55,8 @@ final case class QueryArgs(
     distinct: Seq[String] = Nil,
     select: Seq[String] = Nil,
     omit: Seq[String] = Nil, // Prisma omit: drop these columns from output
-    include: Seq[String] = Nil)
+    include: Seq[String] = Nil,
+    includeArgs: Seq[IncludeArgs] = Nil)
 
 /** One aggregate request: Prisma `aggregate` exposes `_count`/`_min`/`_max`
   * (no numeric columns in the reference schema → no `_sum`/`_avg` generated,
@@ -146,31 +158,86 @@ final class Model(
     else joined.withColumn(flagCol, coalesce(col(flagCol), lit(false)))
   }
 
+  /** Lexicographic struct comparator over prefixed order-key fields —
+    * powers in-array ordering with per-key asc/desc and null placement
+    * (Spark convention: asc → nulls first, desc → nulls last, unless the
+    * OrderBy pins it). Codegen'd `array_sort` lambda, no UDF. */
+  private def structCmp(ord: Seq[OrderBy])(l: Column, r: Column): Column =
+    ord.zipWithIndex.foldRight(lit(0): Column) { case ((k, i), tail) =>
+      val lv = l.getField(s"__o$i")
+      val rv = r.getField(s"__o$i")
+      val (ltRes, gtRes) = if (k.desc) (1, -1) else (-1, 1)
+      val nullsFirst = k.nullsFirst.getOrElse(!k.desc)
+      val nullRes = if (nullsFirst) -1 else 1
+      when(lv.isNull && rv.isNull, tail)
+        .when(lv.isNull, lit(nullRes))
+        .when(rv.isNull, lit(-nullRes))
+        .when(lv < rv, lit(ltRes))
+        .when(lv > rv, lit(gtRes))
+        .otherwise(tail)
+    }
+
+  /** Hydrate the many side of a relation as an ordered array of (optionally
+    * nested-selected) structs + `_count_<name>`, honoring the filtered-
+    * include arguments: per-relation where (pre-aggregation filter),
+    * orderBy (array order), take (top-N per parent via a PARTITIONED
+    * window — one shuffle on the FK, never a global sort), select (struct
+    * projection). `_count` counts the WHERE-matching rows (pre-take), the
+    * "how many in total" Prisma `_count` answers while `take` bounds
+    * hydration. */
+  private def hydrateMany(cur: DataFrame, name: String, keyed: DataFrame,
+                          lk: String, ia: IncludeArgs,
+                          relCols: Seq[String]): DataFrame = {
+    val ord = if (ia.orderBy.nonEmpty) ia.orderBy else relCols.map(OrderBy(_))
+    val payload = if (ia.select.nonEmpty) ia.select else relCols
+    val taken = ia.take match {
+      case Some(n) =>
+        val w = Window.partitionBy(col(lk)).orderBy(ord.map(_.column): _*)
+        val wc = Window.partitionBy(col(lk))
+        keyed.withColumn("__total",
+          org.apache.spark.sql.functions.count(lit(1)).over(wc))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n)
+      case None => keyed.withColumn("__total", lit(null).cast("long"))
+    }
+    val ordCols = ord.zipWithIndex.map { case (k, i) => col(k.field).as(s"__o$i") }
+    val elem = struct((ordCols :+ struct(payload.map(col): _*).as("__p")): _*)
+    val grouped = taken.groupBy(col(lk)).agg(
+      collect_list(elem).as("__arr"),
+      coalesce(first(col("__total")),
+        org.apache.spark.sql.functions.count(lit(1))).as("__cnt"))
+    cur.join(grouped, Seq(lk), "left")
+      .withColumn(name,
+        transform(array_sort(coalesce(col("__arr"), array()), structCmp(ord)),
+          x => x.getField("__p")))
+      .withColumn(s"_count_$name", coalesce(col("__cnt"), lit(0L)).cast("int"))
+      .drop("__arr", "__cnt")
+  }
+
   /** Hydrate a relation as a nested column, Prisma `include`
     * (`runner/syncCrm.ts:64-68`): 1-1 → struct (null when absent);
-    * 1-N / M-N → sorted array of structs + implicit `_count` column. */
-  private def applyInclude(base: DataFrame, include: Seq[String]): DataFrame =
-    include.foldLeft(base) { (cur, relName) =>
-      relByName(relName) match {
+    * 1-N / M-N → ordered array of structs + implicit `_count` column.
+    * Accepts the full filtered-include surface via [[IncludeArgs]]. */
+  private def applyInclude(base: DataFrame, include: Seq[IncludeArgs]): DataFrame =
+    include.foldLeft(base) { (cur, ia) =>
+      relByName(ia.relation) match {
         case OneToOne(name, related, lk, fk) =>
-          val r = related()
-          val nested = r.select(col(fk).as(lk), struct(r.columns.map(col): _*).as(name))
+          val r0 = related()
+          val r = ia.where.map(w => r0.filter(Where.compile(w, r0.apply))).getOrElse(r0)
+          val payload = if (ia.select.nonEmpty) ia.select else r0.columns.toSeq
+          val nested = r.select(col(fk).as(lk), struct(payload.map(col): _*).as(name))
           cur.join(nested, Seq(lk), "left")
         case OneToMany(name, related, lk, fk) =>
-          val r = related()
-          val grouped = r.groupBy(col(fk).as(lk))
-            .agg(sort_array(collect_list(struct(r.columns.map(col): _*))).as(name))
-          cur.join(grouped, Seq(lk), "left")
-            .withColumn(name, coalesce(col(name), array()))
-            .withColumn(s"_count_$name", size(col(name)))
+          val r0 = related()
+          val r = ia.where.map(w => r0.filter(Where.compile(w, r0.apply))).getOrElse(r0)
+          val keyed = if (fk == lk) r else r.withColumn(lk, col(fk))
+          hydrateMany(cur, name, keyed, lk, ia, r0.columns.toSeq)
         case ManyToMany(name, related, jt, lk, jtL, jtF, fk) =>
-          val r = related()
-          val paired = jt().join(r, col(jtF) === r(fk), "inner")
-          val grouped = paired.groupBy(col(jtL).as(lk))
-            .agg(sort_array(collect_list(struct(r.columns.map(col): _*))).as(name))
-          cur.join(grouped, Seq(lk), "left")
-            .withColumn(name, coalesce(col(name), array()))
-            .withColumn(s"_count_$name", size(col(name)))
+          val r0 = related()
+          val r = ia.where.map(w => r0.filter(Where.compile(w, r0.apply))).getOrElse(r0)
+          val keyed = jt().join(r, col(jtF) === r(fk), "inner")
+            .withColumn(lk, col(jtL))
+          hydrateMany(cur, name, keyed, lk, ia, r0.columns.toSeq)
       }
     }
 
@@ -214,7 +281,7 @@ final class Model(
     if (args.orderBy.nonEmpty) cur = cur.orderBy(args.orderBy.map(_.column): _*)
     args.skip.foreach(n => cur = cur.offset(n))
     args.take.foreach(n => cur = cur.limit(n))
-    cur = applyInclude(cur, args.include)
+    cur = applyInclude(cur, args.include.map(IncludeArgs(_)) ++ args.includeArgs)
     if (args.select.nonEmpty) cur = cur.select(args.select.map(col): _*)
     if (args.omit.nonEmpty) cur = cur.drop(args.omit: _*)
     cur

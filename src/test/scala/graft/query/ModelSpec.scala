@@ -112,6 +112,40 @@ class ModelSpec extends AnyFunSuite with SparkTestBase {
     assert(c2r.getSeq[Any](c2r.fieldIndex("servicesOffered")).isEmpty)
   }
 
+  test("filtered include: per-relation where + orderBy + take + select") {
+    // only Family Law / Criminal Defense, newest-name first, top 1, id only
+    val r = companies.findMany(QueryArgs(
+      includeArgs = Seq(IncludeArgs("servicesOffered",
+        where = Some(F.str("name", StringF(contains = Some("Law")))),
+        orderBy = Seq(OrderBy("name", desc = true)),
+        take = Some(1),
+        select = Seq("id", "name"))),
+      orderBy = Seq(OrderBy("id"))))
+    val rows = r.collect()
+    val c1 = rows.find(_.getAs[String]("id") == "c1").get
+    val hydrated = c1.getSeq[org.apache.spark.sql.Row](c1.fieldIndex("servicesOffered"))
+    // c1 has Family Law + Criminal Defense; only Family Law matches "Law";
+    // take 1 keeps it; nested select projects (id, name) only
+    assert(hydrated.map(_.getAs[String]("name")) == Seq("Family Law"))
+    assert(hydrated.head.schema.fieldNames.toSeq == Seq("id", "name"))
+    // _count reports pre-take matching rows
+    assert(c1.getAs[Int]("_count_servicesOffered") == 1)
+    val c4r = rows.find(_.getAs[String]("id") == "c4").get
+    assert(c4r.getSeq[org.apache.spark.sql.Row](c4r.fieldIndex("servicesOffered"))
+      .map(_.getAs[String]("name")) == Seq("Tax Law"))
+  }
+
+  test("filtered include orders the hydrated array by the per-relation orderBy") {
+    val r = companies.findMany(QueryArgs(
+      includeArgs = Seq(IncludeArgs("servicesOffered",
+        orderBy = Seq(OrderBy("name", desc = true)))),
+      orderBy = Seq(OrderBy("id"))))
+    val c1 = r.collect().find(_.getAs[String]("id") == "c1").get
+    assert(c1.getSeq[org.apache.spark.sql.Row](c1.fieldIndex("servicesOffered"))
+      .map(_.getAs[String]("name")) == Seq("Family Law", "Criminal Defense"))
+    assert(c1.getAs[Int]("_count_servicesOffered") == 2)
+  }
+
   test("distinct on field subset keeps first row per key w.r.t. order") {
     val r = companies.findMany(QueryArgs(
       distinct = Seq("industry"),
