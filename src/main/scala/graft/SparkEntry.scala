@@ -34,6 +34,21 @@ object SparkEntry {
     pricingSummary(spark, "/root/testdata/sf0.001")
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Deterministic synthetic JSON doc derived from events.props.k — gives
+    * the JsonF completeness queries arrays, JSON nulls AND DB nulls to
+    * chew on (the corpus props are flat {"k": N}). Built with IDENTICAL
+    * text in the DuckDB oracles. */
+  private def jsonDoc: org.apache.spark.sql.Column = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    when(pmod(k, lit(7)) === 0, lit(null).cast("string"))
+      .when(pmod(k, lit(7)) === 1, lit("""{"name": null, "tags": null}"""))
+      .otherwise(concat(
+        lit("{\"name\": \"Alpha"), k.cast("string"),
+        lit("\", \"tags\": [\"t"), pmod(k, lit(4)).cast("string"),
+        lit("\", \"mid\", \"e"), pmod(k, lit(3)).cast("string"),
+        lit("\"]}")))
+  }
   // Exact decimal aggregate, surfaced as double: the decimal sum is
   // order-independent (unlike double sums), and the final cast to double is
   // IEEE-correctly-rounded in both Spark and DuckDB — so the driver's hash
@@ -131,6 +146,39 @@ object SparkEntry {
         .select(col("event_id"),
           try_variant_get(col("v"), "$.k", "long").as("k"))
         .orderBy(col("event_id"))),
+
+    // §2.B JsonNullableFilter completeness — array_starts_with /
+    // array_ends_with + insensitive string mode. The corpus props are flat
+    // {"k": N}, so a richer JSON doc (arrays, JSON nulls, DB nulls) is
+    // derived deterministically from k with IDENTICAL text in both engines.
+    "q_json_array" -> ((s, dir) => {
+      val df = Tables.events(s, dir).withColumn("doc", jsonDoc)
+      val m = new Model(() => df, "event_id")
+      m.findMany(QueryArgs(
+        where = Some(And(Seq(
+          F.json("doc", JsonF(path = Seq("tags"), arrayStartsWith = Some("t1"))),
+          F.json("doc", JsonF(path = Seq("tags"), arrayEndsWith = Some("e2"))),
+          F.json("doc", JsonF(path = Seq("name"), stringStartsWith = Some("ALPHA"),
+            insensitive = true))))),
+        orderBy = Seq(OrderBy("event_id")),
+        select = Seq("event_id")))
+    }),
+
+    // §2.B DbNull vs JsonNull distinction (commonInputTypes.ts:126-148):
+    // classify rows by which null they carry — isDbNull sees the SQL NULL
+    // column, isJsonNull sees the JSON `null` at the path (variant-typed
+    // extraction; get_json_object alone cannot tell it from a missing key).
+    "q_json_nulls" -> ((s, dir) => {
+      val df = Tables.events(s, dir).withColumn("doc", jsonDoc)
+      val jn = Where.compile(
+        F.json("doc", JsonF(path = Seq("tags"), isJsonNull = Some(true))), df.apply)
+      val dbn = Where.compile(F.json("doc", JsonF(isDbNull = Some(true))), df.apply)
+      df.filter(coalesce(jn, lit(false)) || coalesce(dbn, lit(false)))
+        .select(col("event_id"),
+          when(coalesce(jn, lit(false)), lit("json_null"))
+            .otherwise(lit("db_null")).as("kind"))
+        .orderBy(col("event_id"))
+    }),
 
     // §2.B relation some — EXISTS semi-join shape.
     "q_rel_some" -> ((s, dir) =>
@@ -997,6 +1045,36 @@ object SparkEntry {
       WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.key = c.c_custkey)
       UNION ALL SELECT key, val FROM incoming
       ORDER BY key""",
+
+    "q_json_array" -> """
+      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events),
+      d AS (SELECT event_id,
+        CASE WHEN k % 7 = 0 THEN NULL
+             WHEN k % 7 = 1 THEN '{"name": null, "tags": null}'
+             ELSE '{"name": "Alpha' || CAST(k AS VARCHAR) ||
+                  '", "tags": ["t' || CAST(k % 4 AS VARCHAR) ||
+                  '", "mid", "e' || CAST(k % 3 AS VARCHAR) || '"]}'
+        END AS doc FROM j)
+      SELECT event_id FROM d
+      WHERE json_extract_string(doc, '$.tags[0]') = 't1'
+        AND json_extract_string(doc, '$.tags[#-1]') = 'e2'
+        AND lower(json_extract_string(doc, '$.name')) LIKE 'alpha%'
+      ORDER BY event_id""",
+
+    "q_json_nulls" -> """
+      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events),
+      d AS (SELECT event_id,
+        CASE WHEN k % 7 = 0 THEN NULL
+             WHEN k % 7 = 1 THEN '{"name": null, "tags": null}'
+             ELSE '{"name": "Alpha' || CAST(k AS VARCHAR) ||
+                  '", "tags": ["t' || CAST(k % 4 AS VARCHAR) ||
+                  '", "mid", "e' || CAST(k % 3 AS VARCHAR) || '"]}'
+        END AS doc FROM j)
+      SELECT event_id,
+             CASE WHEN doc IS NULL THEN 'db_null' ELSE 'json_null' END AS kind
+      FROM d
+      WHERE doc IS NULL OR json_type(doc, '$.tags') = 'NULL'
+      ORDER BY event_id""",
 
     "q_include_filtered" -> """
       WITH hv AS (

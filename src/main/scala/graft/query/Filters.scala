@@ -126,7 +126,14 @@ final case class CmpF(
 
 /** `commonInputTypes.ts:126-148` — JSON path filter. The column holds a JSON
   * document as a string; `path` walks object keys. String/number predicates
-  * apply to the extracted value (Spark `get_json_object`, codegen'd). */
+  * apply to the extracted value (Spark `get_json_object`, codegen'd).
+  *
+  * The three null notions Prisma distinguishes (`commonInputTypes.ts` DbNull
+  * / JsonNull / AnyNull): `isDbNull` = the COLUMN is SQL NULL; `isJsonNull`
+  * = the value AT PATH is a JSON `null` (detected via the Spark 4 variant
+  * reader — `get_json_object` alone cannot tell JSON null from a missing
+  * key); `isAnyNull` = either. `insensitive` lowercases both sides of the
+  * string predicates (`mode: insensitive`). */
 final case class JsonF(
     path: Seq[String] = Nil,
     equals: Option[String] = None,
@@ -134,21 +141,39 @@ final case class JsonF(
     stringStartsWith: Option[String] = None,
     stringEndsWith: Option[String] = None,
     arrayContains: Option[String] = None,
+    arrayStartsWith: Option[String] = None,
+    arrayEndsWith: Option[String] = None,
     lt: Option[Double] = None, lte: Option[Double] = None,
     gt: Option[Double] = None, gte: Option[Double] = None,
-    isDbNull: Option[Boolean] = None) extends ScalarFilter {
+    isDbNull: Option[Boolean] = None,
+    isJsonNull: Option[Boolean] = None,
+    isAnyNull: Option[Boolean] = None,
+    insensitive: Boolean = false) extends ScalarFilter {
   private def jsonPath: String = "$" + path.map(p => s".$p").mkString
   def apply(c: Column): Column = {
     val v = get_json_object(c, jsonPath)
+    def side(x: Column): Column = if (insensitive) lower(x) else x
+    def vl(s: String): Column = if (insensitive) lit(s.toLowerCase) else lit(s)
+    val arr = from_json(v,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    // JSON null at path: variant-typed extraction preserves the distinction
+    // between `{"p": null}` (variant null) and a missing key (SQL NULL)
+    lazy val jsonNull = coalesce(
+      is_variant_null(try_variant_get(try_parse_json(c), jsonPath, "variant")),
+      lit(false))
     val conds = Seq(
-      equals.map(x => v === lit(x)),
-      stringContains.map(x => v.contains(lit(x))),
-      stringStartsWith.map(x => v.startsWith(lit(x))),
-      stringEndsWith.map(x => v.endsWith(lit(x))),
-      arrayContains.map(x => array_contains(from_json(v, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)), x)),
+      equals.map(x => side(v) === vl(x)),
+      stringContains.map(x => side(v).contains(vl(x))),
+      stringStartsWith.map(x => side(v).startsWith(vl(x))),
+      stringEndsWith.map(x => side(v).endsWith(vl(x))),
+      arrayContains.map(x => array_contains(arr, x)),
+      arrayStartsWith.map(x => element_at(arr, 1) === lit(x)),
+      arrayEndsWith.map(x => element_at(arr, -1) === lit(x)),
       lt.map(x => v.cast("double") < lit(x)), lte.map(x => v.cast("double") <= lit(x)),
       gt.map(x => v.cast("double") > lit(x)), gte.map(x => v.cast("double") >= lit(x)),
-      isDbNull.map(b => if (b) c.isNull else c.isNotNull)
+      isDbNull.map(b => if (b) c.isNull else c.isNotNull),
+      isJsonNull.map(b => if (b) jsonNull else !jsonNull),
+      isAnyNull.map(b => if (b) c.isNull || jsonNull else c.isNotNull && !jsonNull)
     ).flatten
     conds.reduceOption(_ && _).getOrElse(lit(true))
   }

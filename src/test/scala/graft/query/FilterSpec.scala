@@ -96,6 +96,33 @@ class FilterSpec extends AnyFunSuite with SparkTestBase {
     assert(nIds(F.json("metadata", JsonF(isDbNull = Some(true)))) == Set("n3"))
   }
 
+  test("JsonF completeness: array ends, null kinds, insensitive mode") {
+    val n = Seq(
+      ("n1", """{"k": 5, "tags": ["a","b"], "s": "Hello"}"""),
+      ("n2", """{"k": 50, "tags": ["c"], "s": "world"}"""),
+      ("n3", null.asInstanceOf[String]),
+      ("n4", """{"k": 1, "tags": null, "s": null}"""),
+      ("n5", """{"k": 2}""")
+    ).toDF("id", "metadata")
+    def nIds(w: Where): Set[String] =
+      n.filter(Where.compile(w, n.apply)).select("id").as[String].collect().toSet
+    // array_starts_with / array_ends_with
+    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), arrayStartsWith = Some("a")))) == Set("n1"))
+    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), arrayEndsWith = Some("b")))) == Set("n1"))
+    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), arrayEndsWith = Some("c")))) == Set("n2"))
+    // DbNull (column) vs JsonNull (value at path) vs AnyNull — and the
+    // missing key (n5) counts as NEITHER db-null nor json-null
+    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), isJsonNull = Some(true)))) == Set("n4"))
+    assert(nIds(F.json("metadata", JsonF(isDbNull = Some(true)))) == Set("n3"))
+    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), isAnyNull = Some(true)))) == Set("n3", "n4"))
+    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), isJsonNull = Some(false)))) == Set("n1", "n2", "n3", "n5"))
+    // insensitive string mode
+    assert(nIds(F.json("metadata", JsonF(path = Seq("s"), stringStartsWith = Some("HELLO"),
+      insensitive = true))) == Set("n1"))
+    assert(nIds(F.json("metadata", JsonF(path = Seq("s"), equals = Some("WORLD"),
+      insensitive = true))) == Set("n2"))
+  }
+
   test("EnumF validates against the service-name domain (schema.prisma:101-105)") {
     val notif = Seq(("m1", "Places_Locator"), ("m2", "CRM_Sync")).toDF("id", "serviceName")
     def nIds(w: Where): Set[String] =
