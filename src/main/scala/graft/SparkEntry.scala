@@ -147,6 +147,15 @@ object SparkEntry {
           try_variant_get(col("v"), "$.k", "long").as("k"))
         .orderBy(col("event_id"))),
 
+    // §2.C negative take (models/Company.ts:130-136): the LAST 5 orders of
+    // the low-key customers w.r.t. the sort, returned in the declared order.
+    "q_take_last" -> ((s, dir) =>
+      TpchModels.orders(s, dir).findMany(QueryArgs(
+        where = Some(F.cmp("o_custkey", CmpF(lte = Some(20L)))),
+        orderBy = Seq(OrderBy("o_orderdate"), OrderBy("o_orderkey")),
+        take = Some(-5),
+        select = Seq("o_orderkey", "o_custkey", "o_orderdate")))),
+
     // §2.B JsonNullableFilter completeness — array_starts_with /
     // array_ends_with + insensitive string mode. The corpus props are flat
     // {"k": N}, so a richer JSON doc (arrays, JSON nulls, DB nulls) is
@@ -1045,6 +1054,13 @@ object SparkEntry {
       WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.key = c.c_custkey)
       UNION ALL SELECT key, val FROM incoming
       ORDER BY key""",
+
+    "q_take_last" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate FROM (
+        SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+        WHERE o_custkey <= 20
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5)
+      ORDER BY o_orderdate, o_orderkey""",
 
     "q_json_array" -> """
       WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events),

@@ -278,9 +278,24 @@ final class Model(
         .filter(col("__rn") === 1).drop("__rn")
     }
     cur = applyCursor(cur, args.cursor, args.orderBy)
-    if (args.orderBy.nonEmpty) cur = cur.orderBy(args.orderBy.map(_.column): _*)
-    args.skip.foreach(n => cur = cur.offset(n))
-    args.take.foreach(n => cur = cur.limit(n))
+    args.take match {
+      case Some(n) if n < 0 =>
+        // negative take (models/Company.ts:130-136): the LAST |n| rows
+        // w.r.t. the order, returned in the ORIGINAL order — sort reversed
+        // (global sort-limit, which Spark plans as TakeOrderedAndProject),
+        // skip/limit there, then restore the declared order on the |n|
+        // survivors (a driver-sized re-sort)
+        val keys = if (args.orderBy.nonEmpty) args.orderBy else Seq(OrderBy(primaryKey))
+        val reversed = keys.map(k =>
+          k.copy(desc = !k.desc, nullsFirst = k.nullsFirst.map(!_)))
+        cur = cur.orderBy(reversed.map(_.column): _*)
+        args.skip.foreach(m => cur = cur.offset(m))
+        cur = cur.limit(-n).orderBy(keys.map(_.column): _*)
+      case _ =>
+        if (args.orderBy.nonEmpty) cur = cur.orderBy(args.orderBy.map(_.column): _*)
+        args.skip.foreach(m => cur = cur.offset(m))
+        args.take.foreach(m => cur = cur.limit(m))
+    }
     cur = applyInclude(cur, args.include.map(IncludeArgs(_)) ++ args.includeArgs)
     if (args.select.nonEmpty) cur = cur.select(args.select.map(col): _*)
     if (args.omit.nonEmpty) cur = cur.drop(args.omit: _*)

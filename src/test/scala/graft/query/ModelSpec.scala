@@ -146,6 +146,17 @@ class ModelSpec extends AnyFunSuite with SparkTestBase {
     assert(c1.getAs[Int]("_count_servicesOffered") == 2)
   }
 
+  test("negative take returns the last N in the original order") {
+    val r = companies.findMany(QueryArgs(
+      orderBy = Seq(OrderBy("name")), take = Some(-2)))
+    // full name order: c1 Acme, c2 Beta, c4 Delta, c3 Gamma → last 2
+    assert(idsOf(r) == Seq("c4", "c3"))
+    // with skip: skip 1 from the END, then last 2
+    val r2 = companies.findMany(QueryArgs(
+      orderBy = Seq(OrderBy("name")), take = Some(-2), skip = Some(1)))
+    assert(idsOf(r2) == Seq("c2", "c4"))
+  }
+
   test("distinct on field subset keeps first row per key w.r.t. order") {
     val r = companies.findMany(QueryArgs(
       distinct = Seq("industry"),
