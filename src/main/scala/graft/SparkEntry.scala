@@ -161,7 +161,9 @@ object SparkEntry {
     // {"k": N}, so a richer JSON doc (arrays, JSON nulls, DB nulls) is
     // derived deterministically from k with IDENTICAL text in both engines.
     "q_json_array" -> ((s, dir) => {
-      val df = Tables.events(s, dir).withColumn("doc", jsonDoc)
+      // cheap scan-pushed filter FIRST, JSON parsing on the survivors only
+      val df = Tables.events(s, dir)
+        .filter(col("event_type") === "click").withColumn("doc", jsonDoc)
       val m = new Model(() => df, "event_id")
       m.findMany(QueryArgs(
         where = Some(And(Seq(
@@ -178,7 +180,8 @@ object SparkEntry {
     // column, isJsonNull sees the JSON `null` at the path (variant-typed
     // extraction; get_json_object alone cannot tell it from a missing key).
     "q_json_nulls" -> ((s, dir) => {
-      val df = Tables.events(s, dir).withColumn("doc", jsonDoc)
+      val df = Tables.events(s, dir)
+        .filter(col("event_type") === "click").withColumn("doc", jsonDoc)
       val jn = Where.compile(
         F.json("doc", JsonF(path = Seq("tags"), isJsonNull = Some(true))), df.apply)
       val dbn = Where.compile(F.json("doc", JsonF(isDbNull = Some(true))), df.apply)
@@ -1063,7 +1066,8 @@ object SparkEntry {
       ORDER BY o_orderdate, o_orderkey""",
 
     "q_json_array" -> """
-      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events),
+      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+                 WHERE event_type = 'click'),
       d AS (SELECT event_id,
         CASE WHEN k % 7 = 0 THEN NULL
              WHEN k % 7 = 1 THEN '{"name": null, "tags": null}'
@@ -1078,7 +1082,8 @@ object SparkEntry {
       ORDER BY event_id""",
 
     "q_json_nulls" -> """
-      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events),
+      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+                 WHERE event_type = 'click'),
       d AS (SELECT event_id,
         CASE WHEN k % 7 = 0 THEN NULL
              WHEN k % 7 = 1 THEN '{"name": null, "tags": null}'

@@ -26,27 +26,41 @@ object Curation {
     * The token array is materialized ONCE and every signal reads it —
     * the naive form re-tokenizes the text per signal (~7 regex passes/row). */
   def annotate(docs: DataFrame, textCol: String): DataFrame =
-    docs
+    annotateStaged(docs, textCol, shingleK = None)
+
+  /** [[annotate]] that ALSO carries the hashed `shingleK`-shingle sets as
+    * `__sh`, so the downstream near-dedup reuses the tokenize/shingle work
+    * instead of re-deriving it from the text — the whole curation plan
+    * tokenizes each document exactly once. */
+  def annotateStaged(docs: DataFrame, textCol: String,
+                     shingleK: Option[Int]): DataFrame = {
+    val base = docs
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScoreStaged(col(textCol), col("__toks")))
       .withColumn("lang_pred", TextFunctions.langIdStaged(col(textCol), col("__toks")))
       .withColumn("fingerprint", TextFunctions.fingerprintStaged(col("__toks")))
-      .drop("__toks")
+    shingleK match {
+      case Some(k) => base.withColumn("__sh",
+        graft.functions.SketchExpressions.shingleHashes(col("__toks"), k))
+        .drop("__toks")
+      case None => base.drop("__toks")
+    }
+  }
 
   /** Full curation: returns the surviving rows (annotated) plus an audit
     * column `__gate` on the rejected view obtainable via [[report]]. */
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config()): DataFrame = {
-    val annotated = annotate(docs, textCol)
+    val annotated = annotateStaged(docs, textCol, Some(cfg.shingleK))
     val gated = annotated
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
       .filter(col("quality") >= cfg.minQuality)
       .filter(if (cfg.allowedLangs.isEmpty) lit(true)
               else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*))
     val exactDeduped = Dedup.exactByKey(gated, col("fingerprint"), idCol)
-    Dedup.minhashDedup(exactDeduped, textCol, idCol,
-      k = cfg.shingleK, threshold = cfg.nearDupThreshold)
+    Dedup.minhashDedupFromHashes(exactDeduped, "__sh", idCol,
+      threshold = cfg.nearDupThreshold).drop("__sh")
   }
 
   /** Per-gate drop accounting: one row per gate with kept/dropped counts —
@@ -56,26 +70,37 @@ object Curation {
              cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val annotated = annotate(docs, textCol).cache()
-    // all gate counters in ONE pass (cumulative conditions), instead of
-    // one Spark action per gate
+    // staged annotation: the cached plan carries the hashed shingle sets,
+    // so the near-dedup stage reads them from cache instead of
+    // re-tokenizing the text
+    val annotated = annotateStaged(docs, textCol, Some(cfg.shingleK)).cache()
     val lenOk = col("n_tokens").between(cfg.minTokens, cfg.maxTokens)
     val qOk = col("quality") >= cfg.minQuality
     val langOk = if (cfg.allowedLangs.isEmpty) lit(true)
                  else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*)
+    val gateCond = lenOk && qOk && langOk
+    // ALL gate counters AND the exact-dedup survivor count in ONE action:
+    // exact dedup keeps one row per fingerprint, so its survivor count is
+    // countDistinct(fingerprint) over the gated slice — no second pass,
+    // no window shuffle just to count
     val gates = annotated.agg(
       count(lit(1)).as("total"),
       count(when(lenOk, 1)).as("nLen"),
       count(when(lenOk && qOk, 1)).as("nQ"),
-      count(when(lenOk && qOk && langOk, 1)).as("nLang")).head()
-    val (total, nLen, nQ, nLang) = (gates.getLong(0), gates.getLong(1),
-      gates.getLong(2), gates.getLong(3))
-    val afterLang = annotated.filter(lenOk && qOk && langOk)
-    val afterExact = Dedup.exactByKey(afterLang, col("fingerprint"), idCol).cache()
-    val nExact = afterExact.count()
-    val nNear = Dedup.minhashDedup(afterExact, textCol, idCol,
-      k = cfg.shingleK, threshold = cfg.nearDupThreshold).count()
-    annotated.unpersist(); afterExact.unpersist()
+      count(when(gateCond, 1)).as("nLang"),
+      countDistinct(when(gateCond, col("fingerprint"))).as("nExact")).head()
+    val (total, nLen, nQ, nLang, nExact) = (gates.getLong(0), gates.getLong(1),
+      gates.getLong(2), gates.getLong(3), gates.getLong(4))
+    // near-dedup loser count over a NARROW projection (id + shingle hashes
+    // only) — the band join never shuffles text or annotation columns
+    val afterExact = Dedup.exactByKey(
+      annotated.filter(gateCond).select(col(idCol), col("fingerprint"), col("__sh")),
+      col("fingerprint"), idCol)
+    val losers = Dedup.minhashLshPairsFromHashes(afterExact, "__sh", idCol,
+        threshold = cfg.nearDupThreshold)
+      .select(col("id_b")).distinct().count()
+    val nNear = nExact - losers
+    annotated.unpersist()
     Seq(
       ("input", total, 0L),
       ("length_gate", nLen, total - nLen),

@@ -188,8 +188,9 @@ final class Model(
   private def hydrateMany(cur: DataFrame, name: String, keyed: DataFrame,
                           lk: String, ia: IncludeArgs,
                           relCols: Seq[String]): DataFrame = {
-    val ord = if (ia.orderBy.nonEmpty) ia.orderBy else relCols.map(OrderBy(_))
     val payload = if (ia.select.nonEmpty) ia.select else relCols
+    val defaultOrd = ia.orderBy.isEmpty
+    val ord = if (defaultOrd) relCols.map(OrderBy(_)) else ia.orderBy
     val taken = ia.take match {
       case Some(n) =>
         val w = Window.partitionBy(col(lk)).orderBy(ord.map(_.column): _*)
@@ -200,16 +201,27 @@ final class Model(
           .filter(col("__rn") <= n)
       case None => keyed.withColumn("__total", lit(null).cast("long"))
     }
-    val ordCols = ord.zipWithIndex.map { case (k, i) => col(k.field).as(s"__o$i") }
-    val elem = struct((ordCols :+ struct(payload.map(col): _*).as("__p")): _*)
+    // no explicit orderBy → native lexicographic sort_array over the
+    // payload struct (codegen'd); explicit orderBy → array_sort with a
+    // per-key comparator lambda (lambda dispatch per element — only pay
+    // for it when the caller asked for a custom order)
+    val elem =
+      if (defaultOrd) struct(payload.map(col): _*)
+      else {
+        val ordCols = ord.zipWithIndex.map { case (k, i) => col(k.field).as(s"__o$i") }
+        struct((ordCols :+ struct(payload.map(col): _*).as("__p")): _*)
+      }
     val grouped = taken.groupBy(col(lk)).agg(
       collect_list(elem).as("__arr"),
       coalesce(first(col("__total")),
         org.apache.spark.sql.functions.count(lit(1))).as("__cnt"))
+    val sorted =
+      if (defaultOrd) sort_array(coalesce(col("__arr"), array()))
+      else transform(
+        array_sort(coalesce(col("__arr"), array()), structCmp(ord)),
+        x => x.getField("__p"))
     cur.join(grouped, Seq(lk), "left")
-      .withColumn(name,
-        transform(array_sort(coalesce(col("__arr"), array()), structCmp(ord)),
-          x => x.getField("__p")))
+      .withColumn(name, sorted)
       .withColumn(s"_count_$name", coalesce(col("__cnt"), lit(0L)).cast("int"))
       .drop("__arr", "__cnt")
   }
