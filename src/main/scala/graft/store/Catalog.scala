@@ -96,26 +96,37 @@ final class Catalog(val root: String) {
     * `updates`: table → (partition key → Some(newVersion) | None to drop
     * the slice — a partition emptied by delete / partition-moving update).
     */
+  /** Single-writer commit mutex. `maxWait`-bounded acquisition gives the
+    * Prisma `maxWait` semantics (P2024 on expiry); on a cluster the same
+    * bound applies to the object-store CAS / lock-service acquisition. */
+  private[store] val commitLock = new java.util.concurrent.locks.ReentrantLock(true)
+
   def commit(expectedBase: Map[String, Option[Map[String, String]]],
-             updates: Map[String, Map[String, Option[String]]]): Unit = synchronized {
-    val cur = manifest()
-    expectedBase.foreach { case (t, expected) =>
-      val actual = cur.get(t)
-      if (actual != expected)
-        throw new ConcurrentModificationException(
-          s"table $t moved: expected ${expected.getOrElse("<none>")}, found ${actual.getOrElse("<none>")}")
-    }
-    val next = updates.foldLeft(cur) { case (m, (t, parts)) =>
-      val merged = parts.foldLeft(m.getOrElse(t, Map.empty[String, String])) {
-        case (pm, (pk, Some(v))) => pm + (pk -> v)
-        case (pm, (pk, None))    => pm - pk
+             updates: Map[String, Map[String, Option[String]]],
+             maxWaitMs: Long = 60000): Unit = {
+    if (!commitLock.tryLock(maxWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      throw new CommitWaitTimeoutException(
+        s"commit lock not acquired within ${maxWaitMs}ms")
+    try {
+      val cur = manifest()
+      expectedBase.foreach { case (t, expected) =>
+        val actual = cur.get(t)
+        if (actual != expected)
+          throw new ConcurrentModificationException(
+            s"table $t moved: expected ${expected.getOrElse("<none>")}, found ${actual.getOrElse("<none>")}")
       }
-      if (merged.isEmpty) m - t else m + (t -> merged)
-    }
-    val tmp = rootPath.resolve(s".manifest.${UUID.randomUUID()}.tmp")
-    Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      val next = updates.foldLeft(cur) { case (m, (t, parts)) =>
+        val merged = parts.foldLeft(m.getOrElse(t, Map.empty[String, String])) {
+          case (pm, (pk, Some(v))) => pm + (pk -> v)
+          case (pm, (pk, None))    => pm - pk
+        }
+        if (merged.isEmpty) m - t else m + (t -> merged)
+      }
+      val tmp = rootPath.resolve(s".manifest.${UUID.randomUUID()}.tmp")
+      Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally commitLock.unlock()
   }
 
   /** Drop all non-current slice version directories (snapshot GC). */
@@ -163,8 +174,25 @@ final class Catalog(val root: String) {
   }
 }
 
-final class ConcurrentModificationException(msg: String) extends RuntimeException(msg)
-/** Prisma error P2002 equivalent (unique constraint violation). */
-final class UniqueViolationException(msg: String) extends RuntimeException(msg)
-/** Prisma error P2025 equivalent (record not found). */
-final class RecordNotFoundException(msg: String) extends RuntimeException(msg)
+/** Engine error taxonomy — the Prisma client error codes the reference
+  * maps and handles (`src/db/client/effect.ts:17-196`), surfaced as typed
+  * exceptions carrying their P-code. The reference's pipeline logic matches
+  * on these codes (e.g. the swallowed P2002 in
+  * `extractGooglePlaces.ts:305-317`); engine users match on the class OR
+  * the code. */
+sealed abstract class GraftException(val code: String, msg: String)
+  extends RuntimeException(s"[$code] $msg")
+
+/** P2034: write conflict / serialization failure (OCC base moved). */
+final class ConcurrentModificationException(msg: String) extends GraftException("P2034", msg)
+/** P2002: unique constraint violation. */
+final class UniqueViolationException(msg: String) extends GraftException("P2002", msg)
+/** P2025: required record not found. */
+final class RecordNotFoundException(msg: String) extends GraftException("P2025", msg)
+/** P2011: null constraint violation (NULL into a non-nullable column). */
+final class NullConstraintException(msg: String) extends GraftException("P2011", msg)
+/** P2028: transaction API error — here: interactive transaction timeout. */
+final class TransactionTimeoutException(msg: String) extends GraftException("P2028", msg)
+/** P2024: timed out waiting to acquire the commit lock (the engine analog
+  * of Prisma's connection-pool `maxWait`). */
+final class CommitWaitTimeoutException(msg: String) extends GraftException("P2024", msg)

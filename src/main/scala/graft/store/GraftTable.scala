@@ -10,6 +10,27 @@ import org.apache.spark.sql.types.StructType
   * slices get rewritten), and the matched/inserted row count. */
 private[store] final case class Staged(next: DataFrame, touched: Set[String], n: Long)
 
+/** Isolation levels accepted by `\$transaction`
+  * (`internal/prismaNamespace.ts:885-892`). The store ALWAYS provides
+  * snapshot reads (manifest resolved once per txn) with an optimistic
+  * serializable commit (base-version check + atomic manifest swap), so
+  * every requested level is satisfied by these equal-or-stronger
+  * semantics; the option exists for API parity and intent documentation. */
+object IsolationLevel extends Enumeration {
+  val ReadUncommitted, ReadCommitted, RepeatableRead, Snapshot, Serializable = Value
+}
+
+/** `\$transaction` options (`internal/prismaNamespace.ts:885-892`):
+  * `maxWaitMs` bounds waiting for the commit lock (P2024 on expiry, the
+  * connection-pool `maxWait` analog), `timeoutMs` bounds the whole
+  * interactive closure via Spark job-group cancellation (P2028;
+  * 0 = unbounded), `isolation` as documented on [[IsolationLevel]].
+  * Defaults mirror Prisma's (maxWait 2 s, timeout 5 s). */
+final case class TxnOptions(
+    maxWaitMs: Long = 2000,
+    timeoutMs: Long = 5000,
+    isolation: IsolationLevel.Value = IsolationLevel.Serializable)
+
 /** The write side of the Prisma model surface (SURVEY §2.A #6–14, #19)
   * over a [[Catalog]]-managed copy-on-write table.
   *
@@ -178,7 +199,18 @@ final class GraftTable(
       clean = clean.join(current.select(uk.map(col): _*), uk, "left_anti")
     }
     clean = clean.localCheckpoint()
-    val (touched, n) = pkStats(clean)
+    // per-partition stats + null-constraint check in ONE action: NULL into
+    // a non-nullable column is the P2011 equivalent (parquet itself would
+    // happily store it)
+    val required = schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val nullViol = required.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
+    val stats = clean.groupBy(partKeyCol.as("__pk"))
+      .agg(count(lit(1)).as("n"), count(when(nullViol, 1)).as("nv")).collect()
+    val touched = stats.map(_.getString(0)).toSet
+    val n = stats.map(_.getLong(1)).sum
+    if (stats.map(_.getLong(2)).sum > 0)
+      throw new NullConstraintException(
+        s"$name: NULL in non-nullable column (one of ${required.mkString(",")})")
     if (!skipDuplicates && n < raw.count())
       throw new UniqueViolationException(
         s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
@@ -279,7 +311,7 @@ final class GraftTable(
   * disk. A touched slice that ends up empty stays in the manifest as an
   * empty directory (harmless for readers; vacuumable later).
   */
-final class Txn(catalog: Catalog) {
+final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) {
   private var base: Map[String, Option[Map[String, String]]] = Map.empty
   private var staged: Map[String, Map[String, Option[String]]] = Map.empty
   // table -> partKey -> working slice dir (chains statements within the txn)
@@ -407,16 +439,42 @@ final class Txn(catalog: Catalog) {
   /** Read within the transaction (sees staged, uncommitted state). */
   def read(t: GraftTable): DataFrame = stateOf(t)
 
-  def commit(): Unit = if (staged.nonEmpty) catalog.commit(base, staged)
+  def commit(): Unit =
+    if (staged.nonEmpty) catalog.commit(base, staged, opts.maxWaitMs)
 }
 
 object Txn {
   /** Interactive-transaction closure (`\$transaction(async tx => …)`):
-    * stage inside, commit on success, publish nothing on failure. */
+    * stage inside, commit on success, publish nothing on failure.
+    * This overload runs unbounded (pipeline stages manage their own
+    * [[graft.util.Timeouts]] budget). */
   def run[A](catalog: Catalog)(body: Txn => A): A = {
     val txn = new Txn(catalog)
     val out = body(txn)
     txn.commit()
     out
+  }
+
+  /** Interactive transaction with `\$transaction` options: the whole
+    * closure (reads, staging writes, commit) is bounded by
+    * `opts.timeoutMs` through job-group cancellation — on expiry running
+    * Spark jobs are cancelled, nothing was published (copy-on-write), and
+    * the caller gets the P2028-equivalent. Commit-lock acquisition is
+    * bounded by `opts.maxWaitMs` (P2024). */
+  def run[A](catalog: Catalog, opts: TxnOptions)(body: Txn => A): A = {
+    val txn = new Txn(catalog, opts)
+    def exec(): A = { val out = body(txn); txn.commit(); out }
+    if (opts.timeoutMs > 0) {
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) =>
+          try graft.util.Timeouts.withTimeout(s, opts.timeoutMs)(exec())
+          catch {
+            case _: graft.util.Timeouts.StageTimeoutException =>
+              throw new TransactionTimeoutException(
+                s"interactive transaction exceeded ${opts.timeoutMs}ms")
+          }
+        case None => exec()
+      }
+    } else exec()
   }
 }

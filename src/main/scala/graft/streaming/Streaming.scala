@@ -161,6 +161,12 @@ final class IncrementalLocator(
     val stream = spark.readStream
       .schema(graft.pipeline.Entities.googlePlaceUrlToScrape)
       .parquet(inboxDir)
+      // in-flight counters ride every micro-batch; a registered
+      // ObservedMetricsListener reports them at each trigger boundary
+      // (the reference's periodic metric dump, locator.ts:210-226)
+      .observe("locator_ingest",
+        count(lit(1)).as("rows"),
+        count(when(col("status").isNull, 1)).as("pending"))
     val q = stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)

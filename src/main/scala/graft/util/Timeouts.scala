@@ -1,4 +1,4 @@
-package graft.pipeline
+package graft.util
 
 import org.apache.spark.sql.SparkSession
 

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkTestBase
+import graft.util.Timeouts
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
