@@ -42,10 +42,16 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // locale-proof decimal formatting (a comma decimal separator would
+    // silently break the driver's JSON parse)
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "sf" is NUMERIC per the driver contract (sf0.1 -> 0.1)
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }
 }
