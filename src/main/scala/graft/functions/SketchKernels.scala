@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row sketch kernels shared by the interpreted (`eval`) and generated
+  * (`doGenCode`) paths of [[SketchExpressions]]. Generated code calls these
+  * as static one-liners, so whole-stage codegen stays intact (no
+  * CodegenFallback barrier) while janino never sees the loop bodies — the
+  * JVM JIT compiles them once. */
+object SketchKernels {
+
+  def minhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashLong(h, i)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1 else counters(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  def shingleHashes(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val sep = UTF8String.fromString(" ")
+    if (n < k) {
+      seen.add(hashUtf8(UTF8String.concatWs(sep, toks: _*)))
+    } else {
+      var s = 0
+      while (s <= n - k) {
+        val win = java.util.Arrays.copyOfRange(toks, s, s + k)
+        seen.add(hashUtf8(UTF8String.concatWs(sep, win: _*)))
+        s += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def hashUtf8(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+
+  def charStats(in: UTF8String): ArrayData = {
+    val s = in.toString
+    var letters = 0L; var digits = 0L; var punct = 0L; var ws = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) letters += 1
+      else if (Character.isDigit(c)) digits += 1
+      else if (Character.isWhitespace(c)) ws += 1
+      else if (!Character.isISOControl(c)) punct += 1
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, letters, digits, punct, ws))
+  }
+
+  def hyperplaneSig(arr: ArrayData, planes: Array[Array[Double]]): Long = {
+    val d = arr.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) { v(i) = arr.getDouble(i); i += 1 }
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dotv = 0.0
+      var j = 0
+      val lim = math.min(d, plane.length)
+      while (j < lim) { dotv += v(j) * plane(j); j += 1 }
+      if (dotv > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** Serializable marker-profile scorer referenced from generated code
+  * (`ctx.addReferenceObj`) — carries the prebuilt marker hash sets. */
+final class LangProfilesKernel(profiles: Seq[(String, Seq[String])])
+    extends Serializable {
+  @transient private lazy val names: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    profiles.map { case (_, markers) =>
+      val s = new java.util.HashSet[UTF8String]()
+      markers.foreach(m => s.add(UTF8String.fromString(m)))
+      s
+    }.toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  def score(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val counts = new Array[Int](sets.length)
+    var j = 0
+    while (j < n) {
+      val t = arr.getUTF8String(j)
+      var i = 0
+      while (i < sets.length) {
+        if (sets(i).contains(t)) counts(i) += 1
+        i += 1
+      }
+      j += 1
+    }
+    var best = -1; var bestN = 0
+    var i = 0
+    while (i < counts.length) {
+      if (counts(i) > bestN) { bestN = counts(i); best = i }
+      i += 1
+    }
+    if (best < 0) und else names(best)
+  }
+}
