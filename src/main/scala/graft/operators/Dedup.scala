@@ -70,12 +70,14 @@ object Dedup {
     * The width count is a window over the bucket key — one linear pass on
     * the same shuffle the join needs anyway, no extra join. */
   private def withBucketGuard(blocked: DataFrame, keyCols: Seq[String],
-                              idCol: String, maxBucket: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    val cells = ceil(count(lit(1)).over(w).cast("double") / maxBucket).cast("long")
-    blocked.withColumn("__cell", pmod(xxhash64(col(idCol)), greatest(cells, lit(1L))))
-  }
+                              idCol: String, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) blocked.withColumn("__cell", lit(0L)) // guard disabled
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      val cells = ceil(count(lit(1)).over(w).cast("double") / maxBucket).cast("long")
+      blocked.withColumn("__cell", pmod(xxhash64(col(idCol)), greatest(cells, lit(1L))))
+    }
 
   /** Audit view of the buckets the guard sub-splits: one row per
     * over-width bucket with its width and cell count. Run it on the same

@@ -36,10 +36,12 @@ object Ranking {
     val r = n % k
     val cut = r * (q + 1)
     val p = col("__gr_pos")
+    // integral `div`, not Column `/` (double division loses exactness for
+    // positions approaching 2^53)
     val bucket =
       if (q == 0) p // fewer rows than tiles: row i lands in tile i+1
-      else when(p < cut, floor(p / (q + 1)))
-        .otherwise(lit(r) + floor((p - cut) / q))
+      else when(p < cut, expr(s"__gr_pos div ${q + 1}"))
+        .otherwise(lit(r) + expr(s"(__gr_pos - $cut) div $q"))
     pos.withColumn(tileCol, (bucket + 1).cast("long")).drop("__gr_pos")
   }
 
@@ -58,9 +60,13 @@ object Ranking {
     val offsets = counts.scanLeft(0L)(_ + _).init
     val total = counts.sum
     // pass 2: partition-local index + the preceding partitions' offset
+    // (Long counter, not Iterator.zipWithIndex — that one is Int and wraps
+    // negative past 2^31 rows per partition)
     val withPos = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      it.zipWithIndex.map { case (row, j) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (offsets(pid) + j))
+      var j = offsets(pid) - 1
+      it.map { row =>
+        j += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ j)
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(

@@ -19,15 +19,24 @@ import org.apache.spark.sql.{Dataset, Encoder}
   */
 object ConcurrencyGate {
 
+  private final case class Gate(sem: java.util.concurrent.Semaphore, permits: Int)
   private val gates =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
+    new java.util.concurrent.ConcurrentHashMap[String, Gate]()
 
-  private def gate(name: String, permits: Int): java.util.concurrent.Semaphore =
-    gates.computeIfAbsent(name, _ => new java.util.concurrent.Semaphore(permits, true))
+  /** A named gate's permit count is fixed by its FIRST use; a later call
+    * with a different count is a programming error (silently honoring the
+    * first count would un-throttle the caller that asked for less). */
+  private def gate(name: String, permits: Int): Gate = {
+    val g = gates.computeIfAbsent(name,
+      _ => Gate(new java.util.concurrent.Semaphore(permits, true), permits))
+    require(g.permits == permits,
+      s"gate '$name' already exists with ${g.permits} permits (asked for $permits)")
+    g
+  }
 
   /** Run `f` holding one permit of the named gate (per-JVM). */
   def withPermit[A](name: String, permits: Int)(f: => A): A = {
-    val g = gate(name, permits)
+    val g = gate(name, permits).sem
     g.acquire()
     try f finally g.release()
   }
@@ -35,7 +44,7 @@ object ConcurrencyGate {
   /** Permits currently held on this JVM (observability / test hook). */
   def inUse(name: String, permits: Int): Int = {
     val g = gate(name, permits)
-    permits - g.availablePermits()
+    g.permits - g.sem.availablePermits()
   }
 
   /** Gate a per-row external call inside `mapPartitions`: regardless of

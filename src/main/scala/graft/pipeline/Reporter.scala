@@ -24,14 +24,23 @@ final class MetricsReporter(intervalMs: Long,
   /** All report rows emitted so far (oldest first). */
   def reports: Seq[Report] = buf.iterator().asScala.toSeq
 
+  /** Gauge sample failures since start — a throwing gauge is skipped for
+    * that tick, counted here, and NEVER kills the reporter thread. */
+  val sampleFailures = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Sample every registered gauge once (also called by the timer). */
   def sampleNow(): Unit = {
     val t = System.currentTimeMillis()
     gauges.forEach { (name, f) =>
-      val r = Report(t, name, f())
-      buf.add(r)
-      while (buf.size() > maxBuffered) buf.poll()
-      onReport(r)
+      try {
+        val r = Report(t, name, f())
+        buf.add(r)
+        while (buf.size() > maxBuffered) buf.poll()
+        onReport(r)
+      } catch {
+        case _: InterruptedException => throw new InterruptedException()
+        case _: Throwable => sampleFailures.incrementAndGet()
+      }
     }
   }
 
@@ -39,7 +48,13 @@ final class MetricsReporter(intervalMs: Long,
     if (!running) {
       running = true
       val th = new Thread(() => {
-        try while (running) { Thread.sleep(intervalMs); if (running) sampleNow() }
+        try while (running) {
+          Thread.sleep(intervalMs)
+          if (running) try sampleNow() catch {
+            case _: InterruptedException => throw new InterruptedException()
+            case _: Throwable => sampleFailures.incrementAndGet()
+          }
+        }
         catch { case _: InterruptedException => () }
       }, s"graft-metrics-reporter-${intervalMs}ms")
       th.setDaemon(true)
@@ -65,7 +80,8 @@ object MetricsReporter {
   * a thread-safe buffer. The streaming-native form of the reference's
   * periodic report: one row set per trigger instead of per wall-clock
   * interval. Register via `spark.streams.addListener`. */
-final class ObservedMetricsListener extends StreamingQueryListener {
+final class ObservedMetricsListener(maxBuffered: Int = 10000)
+    extends StreamingQueryListener {
   import ObservedMetricsListener.BatchMetrics
   private val buf =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
@@ -82,6 +98,8 @@ final class ObservedMetricsListener extends StreamingQueryListener {
       }
     }.toMap
     buf.add(BatchMetrics(p.batchId, p.numInputRows, observed))
+    // bounded: a long-running query must not leak driver memory
+    while (buf.size() > maxBuffered) buf.poll()
   }
 
   /** One entry per completed micro-batch, oldest first. */

@@ -167,8 +167,10 @@ final case class JsonF(
       stringStartsWith.map(x => side(v).startsWith(vl(x))),
       stringEndsWith.map(x => side(v).endsWith(vl(x))),
       arrayContains.map(x => array_contains(arr, x)),
-      arrayStartsWith.map(x => element_at(arr, 1) === lit(x)),
-      arrayEndsWith.map(x => element_at(arr, -1) === lit(x)),
+      // try_element_at: an empty/absent array simply doesn't match (plain
+      // element_at THROWS on out-of-bounds under Spark 4's ANSI default)
+      arrayStartsWith.map(x => try_element_at(arr, lit(1)) === lit(x)),
+      arrayEndsWith.map(x => try_element_at(arr, lit(-1)) === lit(x)),
       lt.map(x => v.cast("double") < lit(x)), lte.map(x => v.cast("double") <= lit(x)),
       gt.map(x => v.cast("double") > lit(x)), gte.map(x => v.cast("double") >= lit(x)),
       isDbNull.map(b => if (b) c.isNull else c.isNotNull),

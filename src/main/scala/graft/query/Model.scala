@@ -185,6 +185,10 @@ final class Model(
     * projection). `_count` counts the WHERE-matching rows (pre-take), the
     * "how many in total" Prisma `_count` answers while `take` bounds
     * hydration. */
+  /** `keyed` must carry the parent key under the reserved `__gr_lk` column
+    * (NEVER a rename of a related column — a related table with a column
+    * named like the parent's local key would be silently overwritten by
+    * the parent key otherwise). */
   private def hydrateMany(cur: DataFrame, name: String, keyed: DataFrame,
                           lk: String, ia: IncludeArgs,
                           relCols: Seq[String]): DataFrame = {
@@ -193,8 +197,8 @@ final class Model(
     val ord = if (defaultOrd) relCols.map(OrderBy(_)) else ia.orderBy
     val taken = ia.take match {
       case Some(n) =>
-        val w = Window.partitionBy(col(lk)).orderBy(ord.map(_.column): _*)
-        val wc = Window.partitionBy(col(lk))
+        val w = Window.partitionBy(col("__gr_lk")).orderBy(ord.map(_.column): _*)
+        val wc = Window.partitionBy(col("__gr_lk"))
         keyed.withColumn("__total",
           org.apache.spark.sql.functions.count(lit(1)).over(wc))
           .withColumn("__rn", row_number().over(w))
@@ -211,7 +215,7 @@ final class Model(
         val ordCols = ord.zipWithIndex.map { case (k, i) => col(k.field).as(s"__o$i") }
         struct((ordCols :+ struct(payload.map(col): _*).as("__p")): _*)
       }
-    val grouped = taken.groupBy(col(lk)).agg(
+    val grouped = taken.groupBy(col("__gr_lk")).agg(
       collect_list(elem).as("__arr"),
       coalesce(first(col("__total")),
         org.apache.spark.sql.functions.count(lit(1))).as("__cnt"))
@@ -220,10 +224,10 @@ final class Model(
       else transform(
         array_sort(coalesce(col("__arr"), array()), structCmp(ord)),
         x => x.getField("__p"))
-    cur.join(grouped, Seq(lk), "left")
+    cur.join(grouped, cur(lk) === grouped("__gr_lk"), "left")
       .withColumn(name, sorted)
       .withColumn(s"_count_$name", coalesce(col("__cnt"), lit(0L)).cast("int"))
-      .drop("__arr", "__cnt")
+      .drop("__gr_lk", "__arr", "__cnt")
   }
 
   /** Hydrate a relation as a nested column, Prisma `include`
@@ -242,13 +246,14 @@ final class Model(
         case OneToMany(name, related, lk, fk) =>
           val r0 = related()
           val r = ia.where.map(w => r0.filter(Where.compile(w, r0.apply))).getOrElse(r0)
-          val keyed = if (fk == lk) r else r.withColumn(lk, col(fk))
+          // parent key under the reserved name — never shadow a related col
+          val keyed = r.withColumn("__gr_lk", col(fk))
           hydrateMany(cur, name, keyed, lk, ia, r0.columns.toSeq)
         case ManyToMany(name, related, jt, lk, jtL, jtF, fk) =>
           val r0 = related()
           val r = ia.where.map(w => r0.filter(Where.compile(w, r0.apply))).getOrElse(r0)
           val keyed = jt().join(r, col(jtF) === r(fk), "inner")
-            .withColumn(lk, col(jtL))
+            .withColumn("__gr_lk", col(jtL))
           hydrateMany(cur, name, keyed, lk, ia, r0.columns.toSeq)
       }
     }

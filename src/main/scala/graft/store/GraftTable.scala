@@ -3,7 +3,7 @@ package graft.store
 import graft.query.Where
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** The computed next state of one mutation: the full next table state as a
   * lazy plan, the set of partition keys the mutation touches (ONLY these
@@ -86,11 +86,51 @@ final class GraftTable(
     * match any slice). At 100 TB this skips even the file LISTING of
     * non-matching slices — stronger than scan-side row-group skipping. */
   def snapshotSlice(values: Map[String, Any]): DataFrame = {
+    val unknown = values.keySet -- partitionCols.toSet
+    require(unknown.isEmpty,
+      s"$name: snapshotSlice on non-partition column(s) ${unknown.mkString(",")} " +
+        s"(partitioned by ${if (partitionCols.isEmpty) "<nothing>" else partitionCols.mkString(",")})" +
+        " — would silently read nothing")
     val tokens = values.map { case (c, v) => s"$c=${Catalog.encodeValue(v)}" }.toSet
     val dirs = catalog.currentDirs(name).collect {
       case (pk, dir) if tokens.subsetOf(pk.split(",").toSet) => dir
     }.toSeq
     readDirs(dirs)
+  }
+
+  /** Scan-prunable predicate equivalent to `partKey == pk` over the RAW
+    * partition columns: typed `col = literal` / `col IS NULL` conjuncts
+    * push into parquet scans (file/row-group stat pruning), which the
+    * derived string `__pk` never can. Only emitted when every partition
+    * column's type roundtrips its string encoding exactly (string,
+    * boolean, integrals, date) — else None, and staging falls back to the
+    * authoritative-but-unpruned `__pk` filter alone. The `__pk` residual is
+    * ALWAYS also applied, so this is purely a pruning aid, never a
+    * correctness dependency. */
+  private[store] def sliceFilter(pk: String): Option[Column] = {
+    def safeType(dt: DataType): Boolean = dt match {
+      case StringType | BooleanType | ByteType | ShortType |
+           IntegerType | LongType | DateType => true
+      case _ => false
+    }
+    if (pk == Catalog.AllKey) Some(lit(true))
+    else {
+      val preds = pk.split(",", -1).toSeq.map { tok =>
+        val i = tok.indexOf('=')
+        val c = tok.substring(0, i)
+        val venc = tok.substring(i + 1)
+        schema.fields.find(_.name == c) match {
+          case Some(f) if safeType(f.dataType) =>
+            if (venc == Catalog.NullToken) Some(col(c).isNull)
+            else Some(col(c) ===
+              lit(java.net.URLDecoder.decode(venc, "UTF-8")).cast(f.dataType))
+          case _ => None
+        }
+      }
+      if (preds.forall(_.isDefined))
+        Some(preds.flatten.reduceOption(_ && _).getOrElse(lit(true)))
+      else None
+    }
   }
 
   /** Partition-key expression: `col1=<urlenc(value)>,col2=...`, the literal
@@ -333,9 +373,13 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     val withPk = s.next.withColumn("__pk", t.partKeyCol)
     s.touched.foreach { pk =>
       val (v, dir) = catalog.newVersionDir(t.name, pk)
-      // the staged slice is immutable on disk the moment it is written, so
-      // later statements in the txn build on real files, not a recompute
-      withPk.filter(col("__pk") === lit(pk)).drop("__pk")
+      // typed pre-filter on the raw partition columns prunes the source
+      // scans to (roughly) this slice's files; the __pk residual is the
+      // exact slice membership test. The staged slice is immutable on disk
+      // the moment it is written, so later statements in the txn build on
+      // real files, not a recompute.
+      val pre = t.sliceFilter(pk).getOrElse(lit(true))
+      withPk.filter(pre).filter(col("__pk") === lit(pk)).drop("__pk")
         .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(dir)
       dirs += (pk -> dir)
@@ -463,18 +507,24 @@ object Txn {
     * bounded by `opts.maxWaitMs` (P2024). */
   def run[A](catalog: Catalog, opts: TxnOptions)(body: Txn => A): A = {
     val txn = new Txn(catalog, opts)
-    def exec(): A = { val out = body(txn); txn.commit(); out }
-    if (opts.timeoutMs > 0) {
-      org.apache.spark.sql.SparkSession.getActiveSession match {
-        case Some(s) =>
-          try graft.util.Timeouts.withTimeout(s, opts.timeoutMs)(exec())
-          catch {
-            case _: graft.util.Timeouts.StageTimeoutException =>
-              throw new TransactionTimeoutException(
-                s"interactive transaction exceeded ${opts.timeoutMs}ms")
-          }
-        case None => exec()
-      }
-    } else exec()
+    // the timeout bounds the BODY (reads + staging writes — the Spark
+    // jobs); the commit itself (one manifest rename) runs OUTSIDE the
+    // timed region, so a P2028 can never fire after the manifest was
+    // already published — "timed out" reliably means "nothing committed"
+    val out =
+      if (opts.timeoutMs > 0) {
+        org.apache.spark.sql.SparkSession.getActiveSession match {
+          case Some(s) =>
+            try graft.util.Timeouts.withTimeout(s, opts.timeoutMs)(body(txn))
+            catch {
+              case _: graft.util.Timeouts.StageTimeoutException =>
+                throw new TransactionTimeoutException(
+                  s"interactive transaction exceeded ${opts.timeoutMs}ms")
+            }
+          case None => body(txn)
+        }
+      } else body(txn)
+    txn.commit()
+    out
   }
 }

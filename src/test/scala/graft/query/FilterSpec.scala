@@ -102,11 +102,13 @@ class FilterSpec extends AnyFunSuite with SparkTestBase {
       ("n2", """{"k": 50, "tags": ["c"], "s": "world"}"""),
       ("n3", null.asInstanceOf[String]),
       ("n4", """{"k": 1, "tags": null, "s": null}"""),
-      ("n5", """{"k": 2}""")
+      ("n5", """{"k": 2}"""),
+      ("n6", """{"k": 3, "tags": []}""")
     ).toDF("id", "metadata")
     def nIds(w: Where): Set[String] =
       n.filter(Where.compile(w, n.apply)).select("id").as[String].collect().toSet
-    // array_starts_with / array_ends_with
+    // array_starts_with / array_ends_with — an EMPTY array (n6) simply
+    // does not match (must not throw under ANSI element_at)
     assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), arrayStartsWith = Some("a")))) == Set("n1"))
     assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), arrayEndsWith = Some("b")))) == Set("n1"))
     assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), arrayEndsWith = Some("c")))) == Set("n2"))
@@ -115,7 +117,7 @@ class FilterSpec extends AnyFunSuite with SparkTestBase {
     assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), isJsonNull = Some(true)))) == Set("n4"))
     assert(nIds(F.json("metadata", JsonF(isDbNull = Some(true)))) == Set("n3"))
     assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), isAnyNull = Some(true)))) == Set("n3", "n4"))
-    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), isJsonNull = Some(false)))) == Set("n1", "n2", "n3", "n5"))
+    assert(nIds(F.json("metadata", JsonF(path = Seq("tags"), isJsonNull = Some(false)))) == Set("n1", "n2", "n3", "n5", "n6"))
     // insensitive string mode
     assert(nIds(F.json("metadata", JsonF(path = Seq("s"), stringStartsWith = Some("HELLO"),
       insensitive = true))) == Set("n1"))

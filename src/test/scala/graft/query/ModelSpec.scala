@@ -104,8 +104,12 @@ class ModelSpec extends AnyFunSuite with SparkTestBase {
     val rows = r.collect()
     val c1 = rows.find(_.getAs[String]("id") == "c1").get
     assert(c1.getAs[org.apache.spark.sql.Row]("crmSyncEvent").getAs[String]("id") == "e1")
-    assert(c1.getSeq[org.apache.spark.sql.Row](c1.fieldIndex("servicesOffered"))
-      .map(_.getAs[String]("name")).sorted == Seq("Criminal Defense", "Family Law"))
+    val svcs = c1.getSeq[org.apache.spark.sql.Row](c1.fieldIndex("servicesOffered"))
+    assert(svcs.map(_.getAs[String]("name")).sorted == Seq("Criminal Defense", "Family Law"))
+    // hydrated structs carry the RELATED rows' ids — a related table with a
+    // column named like the parent's local key must not be overwritten by
+    // the parent key (regression: M-N hydration once stamped "c1" here)
+    assert(svcs.map(_.getAs[String]("id")).sorted == Seq("f1", "f2"))
     assert(c1.getAs[Int]("_count_servicesOffered") == 2)
     val c2r = rows.find(_.getAs[String]("id") == "c2").get
     assert(c2r.getAs[org.apache.spark.sql.Row]("crmSyncEvent") == null)
