@@ -102,6 +102,47 @@ object Streaming {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Input/output rows of the [[statefulDedup]] operator. */
+  final case class DocArrival(doc_id: Long, fp: Long)
+  final case class DocSeen(doc_id: Long, fp: Long, occurrence: Long)
+
+  /** First-seen streaming dedup with occurrence accounting on the modern
+    * Spark 4 `transformWithState` API (arbitrary stateful processing v2 —
+    * typed per-key [[org.apache.spark.sql.streaming.ValueState]] in the
+    * RocksDB state store, the successor of `mapGroupsWithState`). Every
+    * arrival is emitted with its per-fingerprint occurrence number
+    * (1 = first sighting = the dedup survivor; >1 = duplicate, and the
+    * count doubles as dup-frequency accounting a curation pipeline
+    * reports). State is one 8-byte counter per distinct fingerprint. */
+  final class FirstSeenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, DocArrival, DocSeen] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues}
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DocArrival],
+                                 timerValues: TimerValues): Iterator[DocSeen] = {
+      var n = if (seen.exists()) seen.get() else 0L
+      val out = rows.map { d =>
+        n += 1
+        DocSeen(d.doc_id, key, n)
+      }.toVector
+      seen.update(n)
+      out.iterator
+    }
+  }
+
+  /** Keyed `transformWithState` wiring for [[FirstSeenProcessor]]. */
+  def statefulDedup(docs: Dataset[DocArrival]): Dataset[DocSeen] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .transformWithState(new FirstSeenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** One sessionization record per (user, session). */
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, n_events: Int)

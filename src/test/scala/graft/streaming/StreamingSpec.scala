@@ -60,6 +60,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(a.session_start == ts(0) && a.session_end == ts(10))
   }
 
+  test("transformWithState first-seen dedup counts occurrences across batches") {
+    import graft.streaming.Streaming.{DocArrival, DocSeen}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DocArrival]
+      val q = graft.streaming.Streaming.statefulDedup(input.toDS())
+        .writeStream.format("memory").queryName("tws_dedup")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .start()
+      try {
+        input.addData(DocArrival(1, 100), DocArrival(2, 100), DocArrival(3, 200))
+        q.processAllAvailable()
+        // state survives to the next micro-batch: fp 100 continues at 3
+        input.addData(DocArrival(4, 100), DocArrival(5, 300))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_dedup").as[DocSeen].collect()
+      val byDoc = rows.map(r => r.doc_id -> r.occurrence).toMap
+      assert(byDoc == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 3L, 5L -> 1L))
+      // dedup survivors = occurrence 1
+      assert(rows.filter(_.occurrence == 1L).map(_.doc_id).sorted.toSeq == Seq(1L, 3L, 5L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("incremental locator: checkpointed stream ingests, processes, and replays idempotently") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
     val inbox = tmp.resolve("inbox"); val ckpt = tmp.resolve("ckpt")
