@@ -129,9 +129,16 @@ final class Catalog(val root: String) {
     } finally commitLock.unlock()
   }
 
-  /** Drop all non-current slice version directories (snapshot GC). */
-  def vacuum(): Unit = {
+  /** Drop non-current slice version directories (snapshot GC).
+    *
+    * `retainMs`: keep non-current versions younger than this, so readers
+    * holding a snapshot resolved up to `retainMs` ago stay readable — the
+    * standard time-travel/GC retention contract (Iceberg/Delta do the
+    * same). `0` reclaims everything not current (only safe when no reader
+    * holds an old snapshot). */
+  def vacuum(retainMs: Long = 0): Unit = {
     val cur = manifest()
+    val cutoff = System.currentTimeMillis() - retainMs
     if (Files.exists(rootPath)) {
       Files.list(rootPath).iterator().asScala
         .filter(p => Files.isDirectory(p)).foreach { tableDir =>
@@ -143,6 +150,7 @@ final class Catalog(val root: String) {
               Files.list(partDir).iterator().asScala
                 .filter(p => Files.isDirectory(p))
                 .filter(p => !keep.get(pk).contains(p.getFileName.toString))
+                .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
                 .foreach(deleteRecursively)
             }
         }

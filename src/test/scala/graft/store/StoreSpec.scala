@@ -315,4 +315,19 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     cat.vacuum()
     assert(t.snapshot().count() == 2)
   }
+
+  test("vacuum retention keeps young non-current versions readable") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    t.createMany(urlRows(("u1", "https://a", None)))
+    val old = t.snapshot()
+    old.count()
+    t.createMany(urlRows(("u2", "https://b", None)))
+    // retention window covers the old version -> old snapshot still reads
+    cat.vacuum(retainMs = 3600000)
+    assert(old.count() == 1)
+    // zero retention reclaims it
+    cat.vacuum(retainMs = 0)
+    assert(t.snapshot().count() == 2)
+  }
 }
