@@ -58,4 +58,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = planOf("q_find_many_page")
     assert(p.contains("GlobalLimit") || p.contains("TakeOrdered"), p)
   }
+
+  test("filtered include's per-parent take is a PARTITIONED window + pushed filter") {
+    val p = planOf("q_include_filtered")
+    // the top-3-per-customer window partitions by the FK — never a global
+    // single-reducer window
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("__gr_lk")),
+      "expected FK-partitioned window(s):\n" + p)
+    // the per-relation where reaches the orders scan
+    assert(p.contains("GreaterThan(o_totalprice,100000.0)"),
+      "per-relation filter not pushed to scan:\n" + p)
+  }
+
+  test("deciles plan has no window operator and no single-partition sort funnel") {
+    val p = planOf("q_deciles")
+    assert(!p.contains("Window ["), "ranking must not plan a window:\n" + p)
+  }
+
+  test("negative take plans as TakeOrdered (reverse sort-limit), not a full sort") {
+    val p = planOf("q_take_last")
+    assert(p.contains("TakeOrdered"), p)
+  }
 }
