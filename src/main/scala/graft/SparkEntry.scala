@@ -673,6 +673,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
     }),
 
+    // Connected-component dup clusters, oracle-checked: two id-shifted
+    // copies per doc plant the transitive chain x ~ x+10000 ~ x+20000;
+    // min-label propagation must collapse every chain to x. Edges are
+    // restricted to the planted diffs — organic near-dup ids differ by
+    // < 10000, so no organic edge survives the filter and the expected
+    // clustering is exactly computable in SQL.
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val c1 = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val c2 = docs.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      val all = docs.unionByName(c1).unionByName(c2)
+      val diff = col("id_b") - col("id_a")
+      val pairs = Dedup.minhashLshPairs(all, "text", "doc_id",
+          threshold = 0.7, persistSketch = true)
+        .filter(diff === 10000L || diff === 20000L)
+      Dedup.dupClusters(pairs)
+        .select(col("id").cast("long").as("id"),
+          col("cluster").cast("long").as("cluster"))
+        .orderBy(col("id"))
+    }),
+
     // n-gram Jaccard verification over a deterministic candidate set
     // (adjacent doc ids) — exact set-overlap arithmetic both engines.
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -1145,6 +1166,13 @@ object SparkEntry {
     "q_dedup_simhash" -> """
       SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
       ORDER BY id_a""",
+
+    "q_dup_clusters" -> """
+      SELECT id, cluster FROM (
+        SELECT doc_id AS id, doc_id AS cluster FROM documents
+        UNION ALL SELECT doc_id + 10000 AS id, doc_id AS cluster FROM documents
+        UNION ALL SELECT doc_id + 20000 AS id, doc_id AS cluster FROM documents)
+      ORDER BY id""",
 
     "q_ngram_jaccard" -> """
       WITH sh AS (
