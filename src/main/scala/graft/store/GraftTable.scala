@@ -480,6 +480,24 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     s.n
   }
 
+  /** Nested writes under `update` (`update({where, data: {..., relation:
+    * {create: ...}}})`, the `syncCrm.ts:156-163` shape): update the
+    * matched rows, then run each [[NestedWrite]] against the POST-UPDATE
+    * matched slice, staged in this transaction. Returns the matched count. */
+  def updateNested(t: GraftTable, where: Where, set: Map[String, Column],
+                   nested: Seq[NestedWrite]): Long = {
+    val (s, updated) = t.stagedUpdateReturning(stateOf(t), where, set)
+    stage(t, s)
+    nested.foreach {
+      case NestedCreate(child, f, skipDup) =>
+        createMany(child, f(updated), skipDup)
+      case ConnectOrCreate(rel, ensure, link, links) =>
+        createMany(rel, ensure(updated), skipDuplicates = true)
+        createMany(link, links(updated), skipDuplicates = true)
+    }
+    s.n
+  }
+
   /** Read within the transaction (sees staged, uncommitted state). */
   def read(t: GraftTable): DataFrame = stateOf(t)
 

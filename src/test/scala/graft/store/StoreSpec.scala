@@ -289,6 +289,26 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(child.snapshot().select("cid").as[String].collect().toSeq == Seq("c-u2"))
   }
 
+  test("updateNested: nested child rows derive from the post-update matched slice") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    val audit = new GraftTable(spark, cat, "audit", StructType(Seq(
+      StructField("aid", StringType, nullable = false),
+      StructField("statusNow", BooleanType, nullable = true))),
+      uniqueKeys = Seq(Seq("aid")))
+    t.createMany(urlRows(("u1", "https://a", None), ("u2", "https://b", None)))
+    val n = Txn.run(cat) { tx =>
+      tx.updateNested(t, F.eq("id", "u1"), Map("status" -> lit(true)),
+        Seq(NestedCreate(audit, b => b.select(
+          concat(lit("a-"), col("id")).as("aid"), col("status").as("statusNow")))))
+    }
+    assert(n == 1)
+    val row = audit.snapshot().head()
+    // the nested row saw the POST-update state (status=true), u2 untouched
+    assert(row.getAs[String]("aid") == "a-u1" && row.getAs[Boolean]("statusNow"))
+    assert(audit.snapshot().count() == 1)
+  }
+
   test("createNested: failing nested write rolls back the parent too") {
     val cat = freshCatalog()
     val t = urlTable(cat)
