@@ -92,10 +92,13 @@ object Curation {
     val (total, nLen, nQ, nLang, nExact) = (gates.getLong(0), gates.getLong(1),
       gates.getLong(2), gates.getLong(3), gates.getLong(4))
     // near-dedup loser count over a NARROW projection (id + shingle hashes
-    // only) — the band join never shuffles text or annotation columns
+    // only) — the band join never shuffles text or annotation columns.
+    // localCheckpoint: the band SELF-join otherwise duplicates the whole
+    // annotate→gate→window subtree on both sides (double eval + double
+    // codegen); the checkpointed slice is ids+hashes, executor-memory small
     val afterExact = Dedup.exactByKey(
       annotated.filter(gateCond).select(col(idCol), col("fingerprint"), col("__sh")),
-      col("fingerprint"), idCol)
+      col("fingerprint"), idCol).localCheckpoint()
     val losers = Dedup.minhashLshPairsFromHashes(afterExact, "__sh", idCol,
         threshold = cfg.nearDupThreshold)
       .select(col("id_b")).distinct().count()
