@@ -680,7 +680,11 @@ object SparkEntry {
     // < 10000, so no organic edge survives the filter and the expected
     // clustering is exactly computable in SQL.
     "q_dup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      // deterministic quarter of the corpus (sf-proportional): clustering
+      // semantics don't need every doc, and the 3x union triples the input
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"))
       val c1 = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       val c2 = docs.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
       val all = docs.unionByName(c1).unionByName(c2)
@@ -1168,10 +1172,11 @@ object SparkEntry {
       ORDER BY id_a""",
 
     "q_dup_clusters" -> """
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0)
       SELECT id, cluster FROM (
-        SELECT doc_id AS id, doc_id AS cluster FROM documents
-        UNION ALL SELECT doc_id + 10000 AS id, doc_id AS cluster FROM documents
-        UNION ALL SELECT doc_id + 20000 AS id, doc_id AS cluster FROM documents)
+        SELECT doc_id AS id, doc_id AS cluster FROM d
+        UNION ALL SELECT doc_id + 10000 AS id, doc_id AS cluster FROM d
+        UNION ALL SELECT doc_id + 20000 AS id, doc_id AS cluster FROM d)
       ORDER BY id""",
 
     "q_ngram_jaccard" -> """
