@@ -472,6 +472,40 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // Exact median per group (linear-interpolated 0.5-quantile; inputs are
+    // small exact doubles, so the midpoint arithmetic is bit-identical in
+    // both engines).
+    "q_median" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).as("med_qty"),
+          median(col("l_discount")).as("med_disc"))
+        .orderBy(col("l_returnflag"))),
+
+    // CUBE: every grouping-set combination incl. both subtotals and the
+    // grand total (the rollup's bigger sibling — all 2^k sets).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // RANGE-frame window: per-customer trailing-30-day spend at each order
+    // (value-based frame over epoch seconds, not a row count — the frame
+    // width varies with order density).
+    "q_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-2592000L, 0L) // 30 days in seconds
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // §2.A #18 raw SQL passthrough (the $queryRaw surface): registered
     // temp views + spark.sql.
     "q_raw_sql" -> ((s, dir) => {
@@ -1064,6 +1098,27 @@ object SparkEntry {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS running_spend
       FROM orders WHERE o_custkey <= 50
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q_median" -> """
+      SELECT l_returnflag, median(l_quantity) AS med_qty,
+             median(l_discount) AS med_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_cube" -> """
+      SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_range_frame" -> """
+      SELECT o_custkey, o_orderkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d
+      FROM orders WHERE o_custkey <= 100
       ORDER BY o_custkey, o_orderkey""",
 
     "q_update_emul" -> """
