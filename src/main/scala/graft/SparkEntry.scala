@@ -676,6 +676,22 @@ object SparkEntry {
           Dedup.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic content-hash sampling (reproducible corpus cuts — the
+    // same doc is in or out everywhere; PRNG sampling can't cross-check).
+    "q_sample" -> ((s, dir) =>
+      operators.Sampling.hashSample(Tables.documents(s, dir), col("text"), 0.25)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // Stratified deterministic sampling: per-language rates in one
+    // codegen'd CASE (downsample dominant strata, keep rare ones).
+    "q_sample_stratified" -> ((s, dir) =>
+      operators.Sampling.stratifiedHashSample(Tables.documents(s, dir),
+          col("text"), col("lang"),
+          rates = Map("en" -> 0.1, "de" -> 0.5), defaultRate = 1.0)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
     // Exact dedup: byte-exact winners via md5-keyed first-row-per-group.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(Tables.documents(s, dir), md5(col("text")), "doc_id")
@@ -1210,6 +1226,18 @@ object SparkEntry {
     "q_lang_dist" -> """
       SELECT lang, count(*) AS n FROM documents
       GROUP BY lang ORDER BY n DESC, lang""",
+
+    "q_sample" -> """
+      SELECT doc_id, source FROM documents
+      WHERE substr(md5(text), 1, 8) < '40000000'
+      ORDER BY doc_id""",
+
+    "q_sample_stratified" -> """
+      SELECT lang, count(*) AS n FROM documents
+      WHERE substr(md5(text), 1, 8) <
+        CASE lang WHEN 'en' THEN '19999999' WHEN 'de' THEN '80000000'
+                  ELSE 'g' END
+      GROUP BY lang ORDER BY lang""",
 
     "q_dedup_exact" -> """
       SELECT doc_id, source FROM (

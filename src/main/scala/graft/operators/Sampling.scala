@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling for training-data curation.
+  *
+  * `df.sample()` draws from a per-partition PRNG: the subset changes with
+  * partitioning, engine, and run — useless for reproducible corpus cuts or
+  * cross-engine verification. Hash sampling keys the decision on the ROW
+  * (md5 of a chosen key column): the same document is in or out of the
+  * sample everywhere, forever — the property a 100 TB corpus needs so that
+  * "the 1% eval split" stays fixed across reruns, engines, and cluster
+  * layouts. Membership is a pure codegen'd filter (pushable, no shuffle,
+  * no state).
+  *
+  * Mechanics: the first 8 hex chars of md5(key) are uniform over
+  * [0, 16^8); a rate r keeps rows whose prefix is lexicographically below
+  * the 8-hex-digit threshold floor(r·16^8) (lowercase-hex string order ==
+  * numeric order, so the comparison stays a plain string `<` that any SQL
+  * engine reproduces byte-identically).
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold for a sampling rate in [0, 1]. */
+  def thresholdFor(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    val t = math.min((rate * 4294967296.0).toLong, 4294967296L)
+    if (t >= 4294967296L) "g" // above every hex digit → keep all
+    else f"$t%08x"
+  }
+
+  /** Keep ~`rate` of rows, decided by md5 of `key` — deterministic,
+    * partition-independent, engine-reproducible. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(substring(md5(key), 1, 8) < lit(thresholdFor(rate)))
+
+  /** Per-stratum deterministic rates (e.g. downsample dominant languages,
+    * keep all of rare ones): `rates` maps stratum value → rate,
+    * `defaultRate` applies to unlisted strata. One codegen'd CASE — no
+    * join, no shuffle. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit(thresholdFor(defaultRate))) {
+      case (acc, (value, rate)) =>
+        when(stratum === lit(value), lit(thresholdFor(rate))).otherwise(acc)
+    }
+    df.filter(substring(md5(key), 1, 8) < threshold)
+  }
+}
