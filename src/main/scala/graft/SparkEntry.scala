@@ -692,6 +692,16 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
 
+    // Mixture weighting: per-source fractional epochs (the pretraining
+    // "N epochs of source X" recipe), deterministic hash-draw for the
+    // fractional copy, exploded with a 1-based epoch tag.
+    "q_mixture" -> ((s, dir) =>
+      operators.Mixing.mixture(Tables.documents(s, dir).filter(col("doc_id") < 100),
+          col("text"), col("source"),
+          weights = Map("src0" -> 2.5, "src1" -> 1.0), defaultEpochs = 0.5)
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // Exact dedup: byte-exact winners via md5-keyed first-row-per-group.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(Tables.documents(s, dir), md5(col("text")), "doc_id")
@@ -1226,6 +1236,20 @@ object SparkEntry {
     "q_lang_dist" -> """
       SELECT lang, count(*) AS n FROM documents
       GROUP BY lang ORDER BY n DESC, lang""",
+
+    "q_mixture" -> """
+      WITH c AS (
+        SELECT doc_id, source,
+          CASE source
+            WHEN 'src0' THEN 2 + CASE WHEN substr(md5(text),1,8) < '80000000'
+                                      THEN 1 ELSE 0 END
+            WHEN 'src1' THEN 1
+            ELSE CASE WHEN substr(md5(text),1,8) < '80000000' THEN 1 ELSE 0 END
+          END AS copies
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
+      FROM c WHERE copies > 0
+      ORDER BY doc_id, epoch""",
 
     "q_sample" -> """
       SELECT doc_id, source FROM documents

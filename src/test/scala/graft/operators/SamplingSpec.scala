@@ -34,6 +34,25 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(small.subsetOf(big))
   }
 
+  test("mixture realizes per-source epoch weights deterministically") {
+    val mixed = Mixing.mixture(docs, col("text"), col("lang"),
+      weights = Map("en" -> 2.5), defaultEpochs = 1.0)
+    val counts = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("de") == 1000L, "weight 1.0 = exactly one copy each")
+    assert(math.abs(counts("en") / 3000.0 - 2.5) < 0.1, s"en epochs off: ${counts("en")}")
+    // copies of the same doc carry distinct 1-based epoch tags
+    val epochs = mixed.filter($"lang" === "en").groupBy("id")
+      .agg(sort_array(collect_list("epoch")).as("es"))
+    assert(epochs.filter(size($"es") === 3).count() > 0)
+    assert(epochs.filter(!($"es" === array(lit(1), lit(2)) ||
+      $"es" === array(lit(1), lit(2), lit(3)))).count() == 0)
+    // rerun is bit-identical (no PRNG)
+    val again = Mixing.mixture(docs, col("text"), col("lang"),
+      weights = Map("en" -> 2.5), defaultEpochs = 1.0)
+    assert(again.count() == mixed.count())
+  }
+
   test("stratified rates apply per stratum") {
     val out = Sampling.stratifiedHashSample(docs, col("text"), col("lang"),
         rates = Map("en" -> 0.2), defaultRate = 1.0)
