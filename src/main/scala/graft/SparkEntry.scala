@@ -702,6 +702,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // Sequence-packing plan (concatenate-then-chunk): per-source running
+    // char offset → context-window index + in-chunk offset; one
+    // partitioned window per stream, streams pack in parallel.
+    "q_packing" -> ((s, dir) =>
+      operators.Packing.concatChunks(Tables.documents(s, dir),
+          stream = col("source"), order = col("doc_id"),
+          sizeCol = col("n_chars"), capacity = 4096L)
+        .select(col("doc_id"), col("source"),
+          col("chunk").cast("long").as("chunk"),
+          col("chunk_offset").cast("long").as("chunk_offset"))
+        .orderBy(col("doc_id"))),
+
     // Exact dedup: byte-exact winners via md5-keyed first-row-per-group.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(Tables.documents(s, dir), md5(col("text")), "doc_id")
@@ -1236,6 +1248,17 @@ object SparkEntry {
     "q_lang_dist" -> """
       SELECT lang, count(*) AS n FROM documents
       GROUP BY lang ORDER BY n DESC, lang""",
+
+    "q_packing" -> """
+      WITH o AS (
+        SELECT doc_id, source,
+               COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM documents)
+      SELECT doc_id, source,
+             CAST(off // 4096 AS BIGINT) AS chunk,
+             CAST(off % 4096 AS BIGINT) AS chunk_offset
+      FROM o ORDER BY doc_id""",
 
     "q_mixture" -> """
       WITH c AS (

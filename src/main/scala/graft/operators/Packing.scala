@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing plan for pretraining batches: the
+  * concatenate-then-chunk scheme (join the stream with separators, cut
+  * fixed-capacity context windows). Each document is assigned the chunk
+  * its first token lands in plus its offset inside that chunk — the full
+  * packing layout as metadata, without materializing concatenated text.
+  *
+  * Scale shape: one partitioned window per stream (running token offset),
+  * so streams pack in parallel and nothing is sequential beyond the
+  * per-stream prefix sum — the plan a 1000-executor cluster wants. The
+  * assignment is deterministic given (stream, order), so shards can be
+  * re-derived from metadata alone.
+  */
+object Packing {
+
+  /** Append `chunk` (0-based context-window index where the doc starts)
+    * and `chunk_offset` (token offset inside that chunk). `capacity` is
+    * the context length in the same unit as `sizeCol` (tokens, chars). */
+  def concatChunks(df: DataFrame, stream: Column, order: Column,
+                   sizeCol: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(stream).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offset = coalesce(sum(sizeCol).over(w), lit(0L)).cast("long")
+    df.withColumn("__off", offset)
+      .withColumn("chunk", expr(s"__off div $capacity"))
+      .withColumn("chunk_offset", pmod(col("__off"), lit(capacity)))
+      .drop("__off")
+  }
+}
