@@ -36,8 +36,9 @@ object Mixing {
     require(epochs >= 0, s"epochs $epochs must be >= 0")
     val whole = epochs.toInt
     val frac = epochs - whole
-    when(substring(md5(key), 1, 8) < lit(Sampling.thresholdFor(frac)),
-      lit(whole + 1)).otherwise(lit(whole))
+    // the SAME draw as Sampling — a doc's fractional-epoch membership is
+    // consistent with any hash-sampled split of the same key
+    when(Sampling.keepPredicate(key, frac), lit(whole + 1)).otherwise(lit(whole))
   }
 
   private def expand(df: DataFrame, copies: Column): DataFrame =

@@ -30,10 +30,20 @@ object Sampling {
     else f"$t%08x"
   }
 
+  /** THE membership predicate every deterministic-draw operator shares
+    * ([[hashSample]], [[stratifiedHashSample]], [[Mixing]]'s fractional
+    * epoch): one definition so the cross-operator guarantee — the same row
+    * draws the same way everywhere — cannot drift. */
+  def keepPredicate(key: Column, rate: Double): Column =
+    drawBelow(key, lit(thresholdFor(rate)))
+
+  private[operators] def drawBelow(key: Column, threshold: Column): Column =
+    substring(md5(key), 1, 8) < threshold
+
   /** Keep ~`rate` of rows, decided by md5 of `key` — deterministic,
     * partition-independent, engine-reproducible. */
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
-    df.filter(substring(md5(key), 1, 8) < lit(thresholdFor(rate)))
+    df.filter(keepPredicate(key, rate))
 
   /** Per-stratum deterministic rates (e.g. downsample dominant languages,
     * keep all of rare ones): `rates` maps stratum value → rate,
@@ -46,6 +56,6 @@ object Sampling {
       case (acc, (value, rate)) =>
         when(stratum === lit(value), lit(thresholdFor(rate))).otherwise(acc)
     }
-    df.filter(substring(md5(key), 1, 8) < threshold)
+    df.filter(drawBelow(key, threshold))
   }
 }

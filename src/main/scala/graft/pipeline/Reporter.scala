@@ -24,9 +24,12 @@ final class MetricsReporter(intervalMs: Long,
   /** All report rows emitted so far (oldest first). */
   def reports: Seq[Report] = buf.iterator().asScala.toSeq
 
-  /** Gauge sample failures since start — a throwing gauge is skipped for
-    * that tick, counted here, and NEVER kills the reporter thread. */
+  /** Gauge sample failures since start — a throwing gauge (ANY throwable,
+    * including a gauge-raised InterruptedException) is skipped for that
+    * tick, counted here, and never kills the reporter thread; only
+    * [[stop]] ends the loop (it flips `running` before interrupting). */
   val sampleFailures = new java.util.concurrent.atomic.AtomicLong(0)
+  private val buffered = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Sample every registered gauge once (also called by the timer). */
   def sampleNow(): Unit = {
@@ -35,10 +38,10 @@ final class MetricsReporter(intervalMs: Long,
       try {
         val r = Report(t, name, f())
         buf.add(r)
-        while (buf.size() > maxBuffered) buf.poll()
+        // O(1) bound bookkeeping (ConcurrentLinkedQueue.size is O(n))
+        if (buffered.incrementAndGet() > maxBuffered) { buf.poll(); buffered.decrementAndGet() }
         onReport(r)
       } catch {
-        case _: InterruptedException => throw new InterruptedException()
         case _: Throwable => sampleFailures.incrementAndGet()
       }
     }
@@ -48,13 +51,9 @@ final class MetricsReporter(intervalMs: Long,
     if (!running) {
       running = true
       val th = new Thread(() => {
-        try while (running) {
-          Thread.sleep(intervalMs)
-          if (running) try sampleNow() catch {
-            case _: InterruptedException => throw new InterruptedException()
-            case _: Throwable => sampleFailures.incrementAndGet()
-          }
-        }
+        // sampleNow swallows all gauge failures; the only interrupt that
+        // reaches this catch is stop()'s (delivered in Thread.sleep)
+        try while (running) { Thread.sleep(intervalMs); if (running) sampleNow() }
         catch { case _: InterruptedException => () }
       }, s"graft-metrics-reporter-${intervalMs}ms")
       th.setDaemon(true)
@@ -85,6 +84,7 @@ final class ObservedMetricsListener(maxBuffered: Int = 10000)
   import ObservedMetricsListener.BatchMetrics
   private val buf =
     new java.util.concurrent.ConcurrentLinkedQueue[BatchMetrics]()
+  private val buffered = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -98,8 +98,8 @@ final class ObservedMetricsListener(maxBuffered: Int = 10000)
       }
     }.toMap
     buf.add(BatchMetrics(p.batchId, p.numInputRows, observed))
-    // bounded: a long-running query must not leak driver memory
-    while (buf.size() > maxBuffered) buf.poll()
+    // bounded (O(1) counter — this runs on the shared listener-bus thread)
+    if (buffered.incrementAndGet() > maxBuffered) { buf.poll(); buffered.decrementAndGet() }
   }
 
   /** One entry per completed micro-batch, oldest first. */

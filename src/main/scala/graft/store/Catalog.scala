@@ -122,6 +122,21 @@ final class Catalog(val root: String) {
         }
         if (merged.isEmpty) m - t else m + (t -> merged)
       }
+      // stamp each version being SUPERSEDED with the supersession time, so
+      // vacuum's retention window counts from when a version stopped being
+      // current — not from when it was created (a long-lived version would
+      // otherwise be reclaimable the instant it is replaced)
+      val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+      updates.foreach { case (t, parts) =>
+        val old = cur.getOrElse(t, Map.empty)
+        parts.keys.foreach { pk =>
+          old.get(pk).filter(v => !next.getOrElse(t, Map.empty).get(pk).contains(v))
+            .foreach { v =>
+              val dir = Paths.get(versionDir(t, pk, v))
+              if (Files.exists(dir)) Files.setLastModifiedTime(dir, now)
+            }
+        }
+      }
       val tmp = rootPath.resolve(s".manifest.${UUID.randomUUID()}.tmp")
       Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
@@ -150,7 +165,8 @@ final class Catalog(val root: String) {
               Files.list(partDir).iterator().asScala
                 .filter(p => Files.isDirectory(p))
                 .filter(p => !keep.get(pk).contains(p.getFileName.toString))
-                .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+                .filter(p => retainMs <= 0 ||
+                  Files.getLastModifiedTime(p).toMillis < cutoff)
                 .foreach(deleteRecursively)
             }
         }

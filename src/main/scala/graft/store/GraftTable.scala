@@ -121,7 +121,13 @@ final class GraftTable(
         val venc = tok.substring(i + 1)
         schema.fields.find(_.name == c) match {
           case Some(f) if safeType(f.dataType) =>
-            if (venc == Catalog.NullToken) Some(col(c).isNull)
+            if (venc == Catalog.NullToken)
+              // a STRING value literally equal to the null token encodes to
+              // the same slice as NULL — the pre-filter must admit both or
+              // those rows would be dropped from the rewrite
+              Some(if (f.dataType == StringType)
+                col(c).isNull || col(c) === lit(Catalog.NullToken)
+              else col(c).isNull)
             else Some(col(c) ===
               lit(java.net.URLDecoder.decode(venc, "UTF-8")).cast(f.dataType))
           case _ => None
