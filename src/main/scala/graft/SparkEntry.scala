@@ -714,6 +714,15 @@ object SparkEntry {
           col("chunk_offset").cast("long").as("chunk_offset"))
         .orderBy(col("doc_id"))),
 
+    // Shard assignment: 100 consecutive rows of the global (source,
+    // doc_id) order per output shard — the two-pass distributed ranking
+    // again, no single-reducer row numbering.
+    "q_sharding" -> ((s, dir) =>
+      operators.Packing.assignShards(Tables.documents(s, dir),
+          Seq(col("source"), col("doc_id")), rowsPerShard = 100L)
+        .select(col("doc_id"), col("source"), col("shard").cast("long").as("shard"))
+        .orderBy(col("doc_id"))),
+
     // Exact dedup: byte-exact winners via md5-keyed first-row-per-group.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(Tables.documents(s, dir), md5(col("text")), "doc_id")
@@ -1248,6 +1257,12 @@ object SparkEntry {
     "q_lang_dist" -> """
       SELECT lang, count(*) AS n FROM documents
       GROUP BY lang ORDER BY n DESC, lang""",
+
+    "q_sharding" -> """
+      SELECT doc_id, source,
+             CAST((row_number() OVER (ORDER BY source, doc_id) - 1) // 100
+                  AS BIGINT) AS shard
+      FROM documents ORDER BY doc_id""",
 
     "q_packing" -> """
       WITH o AS (

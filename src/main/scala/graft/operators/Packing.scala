@@ -32,4 +32,17 @@ object Packing {
       .withColumn("chunk_offset", pmod(col("__off"), lit(capacity)))
       .drop("__off")
   }
+
+  /** Output-stage shard assignment: `rowsPerShard` consecutive rows of the
+    * global (sortCols) order per shard — built on [[Ranking]]'s two-pass
+    * global position, so no single-reducer numbering. At write time,
+    * `repartition(col("shard")).write.partitionBy("shard")` gives one
+    * directory per shard with its rows co-located. */
+  def assignShards(df: DataFrame, sortCols: Seq[Column],
+                   rowsPerShard: Long): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    Ranking.withGlobalPosition(df, "__pos", sortCols)
+      .withColumn("shard", expr(s"__pos div $rowsPerShard"))
+      .drop("__pos")
+  }
 }
