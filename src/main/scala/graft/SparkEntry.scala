@@ -738,7 +738,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       Dedup.minhashLshPairs(docs.unionByName(copies), "text", "doc_id",
-        threshold = 0.7, persistSketch = true)
+        threshold = 0.7)
         .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
     }),
@@ -749,7 +749,7 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       Dedup.simhashPairs(docs.unionByName(copies), "text", "doc_id",
-        maxHamming = 0, persistSketch = true)
+        maxHamming = 0)
         .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
     }),
@@ -771,7 +771,7 @@ object SparkEntry {
       val all = docs.unionByName(c1).unionByName(c2)
       val diff = col("id_b") - col("id_a")
       val pairs = Dedup.minhashLshPairs(all, "text", "doc_id",
-          threshold = 0.7, persistSketch = true)
+          threshold = 0.7)
         .filter(diff === 10000L || diff === 20000L)
       Dedup.dupClusters(pairs)
         .select(col("id").cast("long").as("id"),
@@ -795,7 +795,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupPairs(emb.unionByName(copies), "embedding", "vec_id",
-        dim = 64, threshold = 0.999, numPlanes = 16, persistSketch = true)
+        dim = 64, threshold = 0.999, numPlanes = 16)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -818,7 +818,7 @@ object SparkEntry {
     // slice is oracle-checked by q_dedup_minhash).
     "q_near_dup_audit" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
-        threshold = 0.7, persistSketch = true)
+        threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Full curation composition: annotate → gates → exact dedup → near

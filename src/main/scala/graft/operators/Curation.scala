@@ -70,20 +70,19 @@ object Curation {
              cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // staged annotation: the cached plan carries the hashed shingle sets,
-    // so the near-dedup stage reads them from cache instead of
-    // re-tokenizing the text
-    val annotated = annotateStaged(docs, textCol, Some(cfg.shingleK)).cache()
     val lenOk = col("n_tokens").between(cfg.minTokens, cfg.maxTokens)
     val qOk = col("quality") >= cfg.minQuality
     val langOk = if (cfg.allowedLangs.isEmpty) lit(true)
                  else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*)
     val gateCond = lenOk && qOk && langOk
-    // ALL gate counters AND the exact-dedup survivor count in ONE action:
-    // exact dedup keeps one row per fingerprint, so its survivor count is
-    // countDistinct(fingerprint) over the gated slice — no second pass,
-    // no window shuffle just to count
-    val gates = annotated.agg(
+    // ALL gate counters AND the exact-dedup survivor count in ONE action
+    // over an UNCACHED, shingle-free annotation (the gate pass never needs
+    // the hashed shingle arrays — round 2 cached them for every document
+    // and the wide cache materialization cost 5× the aggregation itself).
+    // Exact-dedup survivor count folds in as countDistinct(fingerprint):
+    // one row survives per fingerprint, so no second pass and no window
+    // shuffle just to count.
+    val gates = annotateStaged(docs, textCol, shingleK = None).agg(
       count(lit(1)).as("total"),
       count(when(lenOk, 1)).as("nLen"),
       count(when(lenOk && qOk, 1)).as("nQ"),
@@ -92,18 +91,18 @@ object Curation {
     val (total, nLen, nQ, nLang, nExact) = (gates.getLong(0), gates.getLong(1),
       gates.getLong(2), gates.getLong(3), gates.getLong(4))
     // near-dedup loser count over a NARROW projection (id + shingle hashes
-    // only) — the band join never shuffles text or annotation columns.
-    // localCheckpoint: the band SELF-join otherwise duplicates the whole
-    // annotate→gate→window subtree on both sides (double eval + double
-    // codegen); the checkpointed slice is ids+hashes, executor-memory small
+    // only) — the band join never shuffles text or annotation columns, and
+    // the band self-join's two sides share one exchange (the exact-dedup
+    // window already shuffled on the fingerprint; ReuseExchange dedupes the
+    // identical subtrees), so nothing here needs caching or checkpointing.
     val afterExact = Dedup.exactByKey(
-      annotated.filter(gateCond).select(col(idCol), col("fingerprint"), col("__sh")),
-      col("fingerprint"), idCol).localCheckpoint()
+      annotateStaged(docs, textCol, Some(cfg.shingleK)).filter(gateCond)
+        .select(col(idCol), col("fingerprint"), col("__sh")),
+      col("fingerprint"), idCol)
     val losers = Dedup.minhashLshPairsFromHashes(afterExact, "__sh", idCol,
         threshold = cfg.nearDupThreshold)
       .select(col("id_b")).distinct().count()
     val nNear = nExact - losers
-    annotated.unpersist()
     Seq(
       ("input", total, 0L),
       ("length_gate", nLen, total - nLen),

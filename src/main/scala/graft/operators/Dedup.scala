@@ -284,7 +284,8 @@ object Dedup {
     * shallow, so a handful of shuffles). Fixes the transitive case the
     * drop-id_b heuristic misses: pairs (1,2),(2,3) without (1,3) still
     * collapse to cluster 1. Returns (id, cluster). */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+                  checkpointEvery: Int = 4): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -292,20 +293,37 @@ object Dedup {
       .distinct()
       .withColumn("cluster", col("id"))
       .cache()
+    // the handle whose cache the next round releases (unpersist must be
+    // called on the EXACT cached plan, not a derived select)
+    var retained = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // candidate label for dst = current label of src
+      // candidate label for dst = current label of src; the CURRENT label
+      // rides along as `old` (null on the candidate side), so ONE
+      // aggregation yields both the new label and the change flag — the
+      // round-2 version paid an extra join + count action per iteration
+      // just to test convergence.
       val candidates = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("cluster"))
-      val next = labels.unionByName(candidates)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+        .select(col("dst").as("id"), col("cluster"),
+          lit(null).cast("long").as("old"))
+      val step = labels.withColumn("old", col("cluster"))
+        .unionByName(candidates)
+        .groupBy("id").agg(min("cluster").as("cluster"), max("old").as("old"))
+      // lineage grows by one join+agg per round — truncate periodically or
+      // an adversarial (deep-chain) graph replays every prior shuffle on
+      // every new action
+      val truncated = if ((i + 1) % checkpointEvery == 0)
+        step.localCheckpoint() else step.cache()
+      // the SAME action materializes the new labels and folds the global
+      // changed-count (no second job over the join)
+      val changed = truncated
+        .agg(count(when(col("cluster") =!= col("old"), 1)).as("n"))
+        .head().getLong(0)
+      retained.unpersist()
+      retained = truncated
+      labels = truncated.select(col("id"), col("cluster"))
       converged = changed == 0
       i += 1
     }

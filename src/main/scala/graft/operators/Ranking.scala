@@ -54,24 +54,32 @@ object Ranking {
     // executions could partition differently; pinning ONE RDD makes the
     // second job reuse the first job's shuffle output (stage skipped), so
     // the counts and the ranks describe the same physical partitions.
-    val rdd = sorted.rdd
+    // The pinned RDD is the INTERNAL (Tungsten) one: `df.rdd` would box
+    // every field of every row into an external Row on both passes.
+    val rdd = org.apache.spark.sql.graftbridge.InternalRowBridge.toRdd(sorted)
     // pass 1: per-partition row counts (numPartitions longs to the driver)
     val counts = rdd.mapPartitions(it => Iterator(it.size.toLong), true).collect()
     val offsets = counts.scanLeft(0L)(_ + _).init
     val total = counts.sum
     // pass 2: partition-local index + the preceding partitions' offset
     // (Long counter, not Iterator.zipWithIndex — that one is Int and wraps
-    // negative past 2^31 rows per partition)
+    // negative past 2^31 rows per partition). The position rides as a
+    // JoinedRow over the unmodified shuffle row — zero per-field copying;
+    // the downstream scan node's UnsafeProjection materializes it.
     val withPos = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       var j = offsets(pid) - 1
-      it.map { row =>
+      it.map[org.apache.spark.sql.catalyst.InternalRow] { row =>
         j += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ j)
+        posRow.setLong(0, j)
+        joined(row, posRow)
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         posCol, org.apache.spark.sql.types.LongType, nullable = false))
-    (df.sparkSession.createDataFrame(withPos, outSchema), total)
+    (org.apache.spark.sql.graftbridge.InternalRowBridge.fromRdd(
+      df.sparkSession, withPos, outSchema), total)
   }
 }

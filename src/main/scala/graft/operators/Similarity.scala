@@ -84,27 +84,34 @@ object Similarity {
               lloydIters: Int = 2): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("__ce"))
-      .withColumn("__cn", norm(col("__ce"))).cache()
+      .withColumn("__cn", norm(col("__ce")))
 
     // deterministic init: the nCenters rows with smallest hash(id).
     // Collected to the driver — nCenters embeddings, bounded regardless of
     // corpus size (they are broadcast to every task anyway), and it avoids
     // a no-partition window (even a 16-row one trips the WindowExec
     // single-partition warning).
+    //
+    // Centers live on the DRIVER between Lloyd rounds (collect → literal
+    // LocalRelation): a derived-plan centers DataFrame would either recompute
+    // its whole lineage per reference or need a cache the operator can never
+    // release (the round-2 version leaked three such caches into every later
+    // query of the session). A LocalRelation broadcast costs nothing to
+    // re-reference and holds no executor memory after the job.
     val spark = corpus.sparkSession
     import spark.implicits._
     val initRows = c.withColumn("__h", hash(col("id")))
       .orderBy(col("__h"), col("id")).limit(nCenters)
       .select(col("__ce")).collect()
-    var centers = initRows.toIndexedSeq.zipWithIndex
+    var centers: IndexedSeq[(Long, Seq[Double])] = initRows.toIndexedSeq.zipWithIndex
       .map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](0)) }
-      .toDF("cid", "__cent")
-      .cache()
+
+    def centersDf = centers.toDF("cid", "__cent")
 
     def assign(points: DataFrame): DataFrame = {
       // centroid norms precomputed once on the broadcast side — norm() per
       // (point × center) pair would redo the same dim-length loop n times
-      val cent = centers.withColumn("__centn", norm(col("__cent")))
+      val cent = centersDf.withColumn("__centn", norm(col("__cent")))
       val scored = points.crossJoin(broadcast(cent))
         .withColumn("__sim", dot(col("__ce"), col("__cent")) /
           (col("__cn") * col("__centn")))
@@ -119,25 +126,27 @@ object Similarity {
         .select(col("id"), col("__ce"), col("__cn"), col("cid"))
     }
 
-    // Lloyd refinement: new center = mean of assigned members
+    // Lloyd refinement: new center = mean of assigned members, collected to
+    // the driver (nCenters × dim doubles — metadata-sized at any corpus
+    // scale). One corpus scan per round, zero persistent state.
     (1 to lloydIters).foreach { _ =>
-      val assigned = assign(c)
-      centers = assigned
+      centers = assign(c)
         .select(col("cid"), posexplode(col("__ce")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col")).as("v"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("cid"), transform(col("pv"), x => x.getField("v")).as("__cent"))
-        .cache()
+        .collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
     }
-    val index = assign(c).cache() // posting lists: cluster id per corpus row
+    val index = assign(c) // posting lists: cluster id per corpus row
 
     // query side: nProbe nearest centers each
     val q = queries.select(col(qidCol).as("qid"),
         col(embCol).cast("array<double>").as("__qe"))
       .withColumn("__qn", norm(col("__qe")))
-    val centN = centers.withColumn("__centn", norm(col("__cent")))
+    val centN = centersDf.withColumn("__centn", norm(col("__cent")))
     val qScored = q.crossJoin(broadcast(centN))
       .withColumn("__sim", dot(col("__qe"), col("__cent")) /
         (col("__qn") * col("__centn")))

@@ -125,18 +125,29 @@ final case class CmpF(
 }
 
 /** `commonInputTypes.ts:126-148` — JSON path filter. The column holds a JSON
-  * document as a string; `path` walks object keys. String/number predicates
-  * apply to the extracted value (Spark `get_json_object`, codegen'd).
+  * document as a string; `path` walks object keys. All predicates compile to
+  * the Spark 4 variant reader (`try_parse_json` + `try_variant_get`), which
+  * is fully codegen'd — unlike `from_json` (CodegenFallback, interpreted),
+  * which round 2 measured at 95 s for a three-predicate filter because each
+  * predicate re-parsed the document outside whole-stage codegen.
   *
   * The three null notions Prisma distinguishes (`commonInputTypes.ts` DbNull
   * / JsonNull / AnyNull): `isDbNull` = the COLUMN is SQL NULL; `isJsonNull`
-  * = the value AT PATH is a JSON `null` (detected via the Spark 4 variant
-  * reader — `get_json_object` alone cannot tell JSON null from a missing
-  * key); `isAnyNull` = either. `insensitive` lowercases both sides of the
-  * string predicates (`mode: insensitive`). */
+  * = the value AT PATH is a JSON `null` (variant null — `get_json_object`
+  * alone cannot tell it from a missing key); `isAnyNull` = either.
+  * `insensitive` lowercases both sides of the string predicates
+  * (`mode: insensitive`).
+  *
+  * `equalsJson` is Prisma's `equals: InputJsonValue` on objects/arrays
+  * (`commonInputTypes.ts:133`): structural value equality, compared via the
+  * variant canonical form (minified, object keys sorted). `not` is the
+  * recursive negation of `commonInputTypes.ts:147` with SQL three-valued
+  * logic (a NULL/missing value matches neither the filter nor its negation,
+  * matching the reference's JSONB-backed semantics). */
 final case class JsonF(
     path: Seq[String] = Nil,
     equals: Option[String] = None,
+    equalsJson: Option[String] = None,
     stringContains: Option[String] = None,
     stringStartsWith: Option[String] = None,
     stringEndsWith: Option[String] = None,
@@ -148,21 +159,29 @@ final case class JsonF(
     isDbNull: Option[Boolean] = None,
     isJsonNull: Option[Boolean] = None,
     isAnyNull: Option[Boolean] = None,
-    insensitive: Boolean = false) extends ScalarFilter {
+    insensitive: Boolean = false,
+    not: Option[JsonF] = None) extends ScalarFilter {
   private def jsonPath: String = "$" + path.map(p => s".$p").mkString
   def apply(c: Column): Column = {
-    val v = get_json_object(c, jsonPath)
+    // one logical parse; every extraction below is a codegen'd variant read
+    // of the same subtree, so repeated parses collapse inside WSCG
+    val pv = try_parse_json(c)
+    val v = try_variant_get(pv, jsonPath, "string")
     def side(x: Column): Column = if (insensitive) lower(x) else x
     def vl(s: String): Column = if (insensitive) lit(s.toLowerCase) else lit(s)
-    val arr = from_json(v,
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val arr = try_variant_get(pv, jsonPath, "array<string>")
+    val num = try_variant_get(pv, jsonPath, "double")
     // JSON null at path: variant-typed extraction preserves the distinction
     // between `{"p": null}` (variant null) and a missing key (SQL NULL)
     lazy val jsonNull = coalesce(
-      is_variant_null(try_variant_get(try_parse_json(c), jsonPath, "variant")),
+      is_variant_null(try_variant_get(pv, jsonPath, "variant")),
       lit(false))
     val conds = Seq(
       equals.map(x => side(v) === vl(x)),
+      // canonical-form structural equality: variant serialization minifies
+      // and sorts object keys, so both sides reduce to one canonical text
+      equalsJson.map(x => to_json(try_variant_get(pv, jsonPath, "variant")) ===
+        to_json(parse_json(lit(x)))),
       stringContains.map(x => side(v).contains(vl(x))),
       stringStartsWith.map(x => side(v).startsWith(vl(x))),
       stringEndsWith.map(x => side(v).endsWith(vl(x))),
@@ -171,11 +190,13 @@ final case class JsonF(
       // element_at THROWS on out-of-bounds under Spark 4's ANSI default)
       arrayStartsWith.map(x => try_element_at(arr, lit(1)) === lit(x)),
       arrayEndsWith.map(x => try_element_at(arr, lit(-1)) === lit(x)),
-      lt.map(x => v.cast("double") < lit(x)), lte.map(x => v.cast("double") <= lit(x)),
-      gt.map(x => v.cast("double") > lit(x)), gte.map(x => v.cast("double") >= lit(x)),
+      lt.map(x => num < lit(x)), lte.map(x => num <= lit(x)),
+      gt.map(x => num > lit(x)), gte.map(x => num >= lit(x)),
       isDbNull.map(b => if (b) c.isNull else c.isNotNull),
       isJsonNull.map(b => if (b) jsonNull else !jsonNull),
-      isAnyNull.map(b => if (b) c.isNull || jsonNull else c.isNotNull && !jsonNull)
+      isAnyNull.map(b => if (b) c.isNull || jsonNull else c.isNotNull && !jsonNull),
+      not.map(nested =>
+        !nested.copy(insensitive = nested.insensitive || insensitive)(c))
     ).flatten
     conds.reduceOption(_ && _).getOrElse(lit(true))
   }
