@@ -75,30 +75,35 @@ object Curation {
     val langOk = if (cfg.allowedLangs.isEmpty) lit(true)
                  else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*)
     val gateCond = lenOk && qOk && langOk
-    // ALL gate counters AND the exact-dedup survivor count in ONE action
-    // over an UNCACHED, shingle-free annotation (the gate pass never needs
-    // the hashed shingle arrays — round 2 cached them for every document
-    // and the wide cache materialization cost 5× the aggregation itself).
-    // Exact-dedup survivor count folds in as countDistinct(fingerprint):
-    // one row survives per fingerprint, so no second pass and no window
-    // shuffle just to count.
-    val gates = annotateStaged(docs, textCol, shingleK = None).agg(
-      count(lit(1)).as("total"),
-      count(when(lenOk, 1)).as("nLen"),
-      count(when(lenOk && qOk, 1)).as("nQ"),
-      count(when(gateCond, 1)).as("nLang"),
-      countDistinct(when(gateCond, col("fingerprint"))).as("nExact")).head()
-    val (total, nLen, nQ, nLang, nExact) = (gates.getLong(0), gates.getLong(1),
-      gates.getLong(2), gates.getLong(3), gates.getLong(4))
-    // near-dedup loser count over a NARROW projection (id + shingle hashes
-    // only) — the band join never shuffles text or annotation columns, and
-    // the band self-join's two sides share one exchange (the exact-dedup
-    // window already shuffled on the fingerprint; ReuseExchange dedupes the
-    // identical subtrees), so nothing here needs caching or checkpointing.
+    // The whole report tokenizes each document EXACTLY ONCE: the gate
+    // counters ride the annotate pass as observe() metrics (collected
+    // during the one materializing action, no separate aggregation job),
+    // and that action checkpoints only the NARROW post-exact-dedup slice
+    // (id + shingle hashes) that the band self-join then reads twice.
+    // Round 2 instead cached the full annotated table (text + every signal
+    // + shingles) AND checkpointed a second copy — the double wide
+    // materialization was 6× the cost of the annotation itself.
+    val obs = new org.apache.spark.sql.Observation()
+    val annotated = annotateStaged(docs, textCol, Some(cfg.shingleK))
+      .observe(obs,
+        count(lit(1)).as("total"),
+        count(when(lenOk, 1)).as("nLen"),
+        count(when(lenOk && qOk, 1)).as("nQ"),
+        count(when(gateCond, 1)).as("nLang"))
+    // eager localCheckpoint = the single pass over the text; the exact-dedup
+    // survivor count is just the checkpointed row count (one row survives
+    // per fingerprint — no countDistinct pass needed)
     val afterExact = Dedup.exactByKey(
-      annotateStaged(docs, textCol, Some(cfg.shingleK)).filter(gateCond)
+      annotated.filter(gateCond)
         .select(col(idCol), col("fingerprint"), col("__sh")),
       col("fingerprint"), idCol)
+      .select(col(idCol), col("__sh"))
+      .localCheckpoint()
+    val gates = obs.get
+    val (total, nLen, nQ, nLang) = (gates("total").asInstanceOf[Long],
+      gates("nLen").asInstanceOf[Long], gates("nQ").asInstanceOf[Long],
+      gates("nLang").asInstanceOf[Long])
+    val nExact = afterExact.count()
     val losers = Dedup.minhashLshPairsFromHashes(afterExact, "__sh", idCol,
         threshold = cfg.nearDupThreshold)
       .select(col("id_b")).distinct().count()

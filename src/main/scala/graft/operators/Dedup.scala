@@ -174,18 +174,28 @@ object Dedup {
     val right = guarded.select(col("__band"), col("__bh"), col("__cell"),
       col("__id").as("id_b"), col("__sh").as("sh_b"))
 
-    val candidates = left.join(right, Seq("__band", "__bh", "__cell"))
+    // merge hint: Catalyst's size estimate may elect to BROADCAST one side
+    // of this self-join, which recomputes the whole sketch pipeline for the
+    // build side and funnels it through the driver — wrong at any scale
+    // (measured: the broadcast plan re-tokenizes the corpus twice; the
+    // shuffle join's two identical child exchanges are computed once via
+    // AQE stage reuse).
+    val joined = left.hint("merge").join(right, Seq("__band", "__bh", "__cell"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
 
+    // Verify BEFORE per-pair dedup: a pair colliding in several bands pays
+    // the (cheap, codegen'd) set-overlap check once per collision, but the
+    // dedup then groups SCALARS over the rare post-threshold survivors —
+    // a HashAggregate. Deduping candidates first must drag the shingle
+    // arrays through a SortAggregate over every candidate (arrays are not
+    // hash-aggregable), which dominated the whole query's runtime.
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    val out = candidates
+    joined
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    out
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("jaccard")), 4).as("jaccard"))
   }
 
   /** Survivors after MinHash-LSH near-dedup: drop the larger id of every
@@ -267,15 +277,16 @@ object Dedup {
     val vsCorpus = newSideA.join(corpusSide, Seq("__band", "__bh"))
     val vsNew = newSideA.join(newSideB, Seq("__band", "__bh"))
       .filter(col("dup_of") < col("new_id"))
+    // verify-before-dedup: see minhashLshPairsFromHashes
     val candidates = vsCorpus.unionByName(vsNew)
       .select(col("new_id"), col("dup_of"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("new_id", "dup_of")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     candidates
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+      .groupBy(col("new_id"), col("dup_of"))
+      .agg(round(first(col("jaccard")), 4).as("jaccard"))
   }
 
   /** Connected components over dup pairs: label every node with the
@@ -370,7 +381,9 @@ object Dedup {
       col("__id").as("id_a"), col("__sim").as("sim_a"))
     val right = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
       col("__id").as("id_b"), col("__sim").as("sim_b"))
-    left.join(right, Seq("__chunk", "__ck", "__cell"))
+    // merge hint: see minhashLshPairsFromHashes — self-join sides must share
+    // one exchange, never broadcast-rebuild the sketch pipeline
+    left.hint("merge").join(right, Seq("__chunk", "__ck", "__cell"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
@@ -446,12 +459,16 @@ object Dedup {
     val right = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
       col("__id").as("id_b"),
       col("__emb").as("emb_b"), col("__nrm").as("nrm_b"))
-    left.join(right, Seq("__chunk", "__ck", "__cell"))
+    // merge hint + verify-before-dedup: see minhashLshPairsFromHashes —
+    // self-join sides must share one exchange, and the per-pair dedup must
+    // group scalars (post-verify), not drag embeddings through a
+    // SortAggregate over every candidate
+    left.hint("merge").join(right, Seq("__chunk", "__ck", "__cell"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine",
         dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("cosine")), 4).as("cosine"))
   }
 }

@@ -122,6 +122,21 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(clusters(9L) == 9L && clusters(10L) == 9L)
   }
 
+  test("dupClusters adversarial: 24-node chain and 200-node star converge within the iteration bound") {
+    // chain 0-1-2-...-24: worst-case diameter for min-label propagation
+    // (labels flow one hop per round from node 0, so the chain needs ~24
+    // rounds — far past the old default bound of 10); star: hub 1000 with
+    // 200 leaves, converges in 2 rounds but stresses per-round join width
+    val chain = (0L until 24L).map(i => (i, i + 1))
+    val star = (1L to 200L).map(i => (1000L, 1000L + i))
+    val pairs = (chain ++ star).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs, maxIters = 50, checkpointEvery = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 24L).forall(clusters(_) == 0L))
+    assert(clusters(1000L) == 1000L)
+    assert((1L to 200L).forall(i => clusters(1000L + i) == 1000L))
+  }
+
   test("minhashDedupClusters keeps one survivor per transitive near-dup cluster") {
     // 1~2, 2~3 (all mutual dups here), plus unrelated 5,6
     val survivors = Dedup.minhashDedupClusters(docsDf, "text", "doc_id", threshold = 0.5)
