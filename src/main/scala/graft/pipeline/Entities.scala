@@ -101,6 +101,13 @@ final class PipelineStore(spark: SparkSession, val catalog: Catalog) {
     Entities.crmSyncEvent, Seq(Seq("id"), Seq("companyId")))
   val notifications: GraftTable = table("notification",
     Entities.notification, Seq(Seq("id")))
+
+  // CrmSyncEvent.companyId → Company.id is ON DELETE RESTRICT
+  // (migration.sql:93, schema.prisma:80-82): deleting a company with a live
+  // sync event raises P2003. The implicit M-N join table cascades in Prisma,
+  // so it is NOT restricted — stage-3 compensation deletes link rows and
+  // companies in one transaction (syncCrm.ts:108-113).
+  companies.onDeleteRestrict(crmEvents, "companyId", "id")
 }
 
 /** Legal-services tag vocabulary gate. The reference constrains extracted

@@ -220,3 +220,6 @@ final class TransactionTimeoutException(msg: String) extends GraftException("P20
 /** P2024: timed out waiting to acquire the commit lock (the engine analog
   * of Prisma's connection-pool `maxWait`). */
 final class CommitWaitTimeoutException(msg: String) extends GraftException("P2024", msg)
+/** P2003: foreign key constraint violation (ON DELETE RESTRICT — deleting a
+  * parent row that live child rows still reference, `migration.sql:93`). */
+final class ForeignKeyViolationException(msg: String) extends GraftException("P2003", msg)

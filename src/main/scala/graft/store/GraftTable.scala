@@ -68,6 +68,25 @@ final class GraftTable(
       * requirement for status-polled tables at 100 TB. */
     val partitionCols: Seq[String] = Nil) {
 
+  /** ON DELETE RESTRICT relations: (child table, child FK column, parent
+    * key column) triples whose live child rows block deletion of referenced
+    * parent rows — the referential behavior Prisma/Postgres give the
+    * reference's `CrmSyncEvent.companyId → Company.id` FK
+    * (`migration.sql:93`, declared `schema.prisma:80-82`). */
+  private[store] var restricts: Seq[(GraftTable, String, String)] = Nil
+
+  /** Declare `child.childCol REFERENCES this.parentCol ON DELETE RESTRICT`:
+    * any delete on this table whose doomed rows are still referenced by
+    * `child` throws the P2003 equivalent. Registration is post-construction
+    * (child tables are usually built after their parents). */
+  def onDeleteRestrict(child: GraftTable, childCol: String, parentCol: String): this.type = {
+    require(child.schema.fieldNames.contains(childCol),
+      s"${child.name}: no column $childCol")
+    require(schema.fieldNames.contains(parentCol), s"$name: no column $parentCol")
+    restricts :+= ((child, childCol, parentCol))
+    this
+  }
+
   private[store] def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
@@ -318,14 +337,18 @@ final class GraftTable(
     Staged(next, touched, n)
   }
 
+  /** Returns the staged next state plus the doomed slice (the caller — the
+    * transaction — checks the doomed keys against RESTRICT children, which
+    * needs its own staged view of those tables). */
   private[store] def stagedDelete(current: DataFrame, where: Where,
-                                  single: Boolean): Staged = {
+                                  single: Boolean): (Staged, DataFrame) = {
     val cond = Where.compile(where, current.apply)
     val cond0 = coalesce(cond, lit(false))
-    val (touched, n) = pkStats(current.filter(cond0))
+    val doomed = current.filter(cond0)
+    val (touched, n) = pkStats(doomed)
     if (single && n == 0)
       throw new RecordNotFoundException(s"$name: delete found no row")
-    Staged(current.filter(!cond0), touched, n)
+    (Staged(current.filter(!cond0), touched, n), doomed)
   }
 
   /** MERGE: rows whose key exists replace the existing row (update wins),
@@ -431,11 +454,29 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     stage(t, s); s.n
   }
 
+  /** FK `ON DELETE RESTRICT` (P2003): a delete whose doomed rows are still
+    * referenced by a declared child relation must fail, exactly as the
+    * reference's Postgres FK does (`migration.sql:93`). The child is read
+    * through THIS transaction's staged state, so the compensation pattern
+    * "delete children, then the parent" works inside one `\$transaction`
+    * (`runner/syncCrm.ts:108-113`). The existence probe is a semi-join
+    * limited to one row — it never materializes the referencing set. */
+  private def checkRestricts(t: GraftTable, doomed: DataFrame): Unit =
+    t.restricts.foreach { case (child, childCol, parentCol) =>
+      val referenced = stateOf(child)
+        .join(doomed.select(col(parentCol).as(childCol)), Seq(childCol), "left_semi")
+        .limit(1).count()
+      if (referenced > 0)
+        throw new ForeignKeyViolationException(
+          s"${t.name}: delete restricted — ${child.name}.$childCol still references doomed ${t.name}.$parentCol row(s)")
+    }
+
   /** Join-based bulk delete: drop rows whose `keyCol` appears in `keys`. */
   def deleteWhereIn(t: GraftTable, keyCol: String, keys: DataFrame): Long = {
     val cur = stateOf(t)
     val marker = keys.select(col(keyCol)).distinct()
     val doomed = cur.join(marker, Seq(keyCol), "left_semi")
+    checkRestricts(t, doomed)
     val stats = doomed.groupBy(t.partKeyCol.as("__pk")).count().collect()
     val s = Staged(cur.join(marker, Seq(keyCol), "left_anti"),
       stats.map(_.getString(0)).toSet, stats.map(_.getLong(1)).sum)
@@ -443,12 +484,14 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   }
 
   def delete(t: GraftTable, where: Where): Long = {
-    val s = t.stagedDelete(stateOf(t), where, single = true)
+    val (s, doomed) = t.stagedDelete(stateOf(t), where, single = true)
+    checkRestricts(t, doomed)
     stage(t, s); s.n
   }
 
   def deleteMany(t: GraftTable, where: Where): Long = {
-    val s = t.stagedDelete(stateOf(t), where, single = false)
+    val (s, doomed) = t.stagedDelete(stateOf(t), where, single = false)
+    checkRestricts(t, doomed)
     stage(t, s); s.n
   }
 

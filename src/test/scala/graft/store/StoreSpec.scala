@@ -327,6 +327,67 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(t.snapshot().count() == 0, "parent must not be published")
   }
 
+  // ---------------- FK ON DELETE RESTRICT (P2003) ----------------
+
+  private def companyPair(cat: Catalog): (GraftTable, GraftTable) = {
+    val company = new GraftTable(spark, cat, "company",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("name", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id"), Seq("name")))
+    val events = new GraftTable(spark, cat, "crm_sync_event",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("companyId", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id"), Seq("companyId")))
+    company.onDeleteRestrict(events, "companyId", "id")
+    (company, events)
+  }
+
+  test("deleting a company with a live CrmSyncEvent throws P2003 (migration.sql:93)") {
+    val cat = freshCatalog()
+    val (company, events) = companyPair(cat)
+    company.createMany(Seq(("c1", "Acme"), ("c2", "Blob")).toDF("id", "name"))
+    events.createMany(Seq(("e1", "c1")).toDF("id", "companyId"))
+    val ex = intercept[ForeignKeyViolationException] {
+      company.delete(F.eq("id", "c1"))
+    }
+    assert(ex.code == "P2003")
+    // nothing was published — the doomed row is still there
+    assert(company.snapshot().count() == 2)
+    // an unreferenced parent deletes fine
+    assert(company.delete(F.eq("id", "c2")) == 1)
+  }
+
+  test("deleteMany and deleteWhereIn enforce RESTRICT too") {
+    val cat = freshCatalog()
+    val (company, events) = companyPair(cat)
+    company.createMany(Seq(("c1", "Acme"), ("c2", "Blob")).toDF("id", "name"))
+    events.createMany(Seq(("e1", "c1")).toDF("id", "companyId"))
+    intercept[ForeignKeyViolationException] {
+      company.deleteMany(F.str("name", StringF(contains = Some("c"), insensitive = true)))
+    }
+    intercept[ForeignKeyViolationException] {
+      Txn.run(cat)(_.deleteWhereIn(company, "id", Seq("c1").toDF("id")))
+    }
+    assert(company.snapshot().count() == 2)
+  }
+
+  test("child-first delete inside one transaction passes RESTRICT (syncCrm.ts:108-113)") {
+    val cat = freshCatalog()
+    val (company, events) = companyPair(cat)
+    company.createMany(Seq(("c1", "Acme")).toDF("id", "name"))
+    events.createMany(Seq(("e1", "c1")).toDF("id", "companyId"))
+    // the RESTRICT probe reads the child through the txn's staged state,
+    // so deleting the referencing events first unblocks the parent delete
+    Txn.run(cat) { tx =>
+      tx.deleteMany(events, F.eq("companyId", "c1"))
+      tx.delete(company, F.eq("id", "c1"))
+    }
+    assert(company.snapshot().count() == 0)
+    assert(events.snapshot().count() == 0)
+  }
+
   test("vacuum drops non-current versions but keeps current") {
     val cat = freshCatalog()
     val t = urlTable(cat)
