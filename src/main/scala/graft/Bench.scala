@@ -30,7 +30,10 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up: entry-shaped small query + one cheap pass over each table
     SparkEntry.queries("q1_agg")(spark, sfDir).collect()
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
@@ -47,8 +50,11 @@ object Bench {
         val ok = try { materialize(name); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // elapsed captured BEFORE cache teardown — clearCache() isolates the
+        // next query but its cost is session bookkeeping, not this query's
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) dt else -1.0
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

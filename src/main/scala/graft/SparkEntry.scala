@@ -180,17 +180,74 @@ object SparkEntry {
     // column, isJsonNull sees the JSON `null` at the path (variant-typed
     // extraction; get_json_object alone cannot tell it from a missing key).
     "q_json_nulls" -> ((s, dir) => {
+      // one barrier-pinned parse serves the filter AND the classifier
+      // projection (four JsonF compilations would otherwise each re-parse)
       val df = Tables.events(s, dir)
         .filter(col("event_type") === "click").withColumn("doc", jsonDoc)
-      val jn = Where.compile(
-        F.json("doc", JsonF(path = Seq("tags"), isJsonNull = Some(true))), df.apply)
-      val dbn = Where.compile(F.json("doc", JsonF(isDbNull = Some(true))), df.apply)
+        .withColumn("__jv", graft.functions.Barrier.evalOnce(try_parse_json(col("doc"))))
+      val jn = JsonF(path = Seq("tags"), isJsonNull = Some(true))
+        .applyVariant(col("doc"), col("__jv"))
+      val dbn = JsonF(isDbNull = Some(true)).applyVariant(col("doc"), col("__jv"))
       df.filter(coalesce(jn, lit(false)) || coalesce(dbn, lit(false)))
         .select(col("event_id"),
           when(coalesce(jn, lit(false)), lit("json_null"))
             .otherwise(lit("db_null")).as("kind"))
         .orderBy(col("event_id"))
     }),
+
+    // §2.B JsonF recursive `not` (commonInputTypes.ts:147) with SQL
+    // three-valued logic: a missing doc, a JSON-null name, or a name not
+    // matching the inner predicate — only the LAST kind survives (NULL
+    // matches neither a filter nor its negation, like the JSONB-backed SQL).
+    "q_json_not" -> ((s, dir) => {
+      val df = Tables.events(s, dir)
+        .filter(col("event_type") === "click").withColumn("doc", jsonDoc)
+      val m = new Model(() => df, "event_id")
+      m.findMany(QueryArgs(
+        where = Some(F.json("doc", JsonF(path = Seq("name"),
+          not = Some(JsonF(stringStartsWith = Some("Alpha1")))))),
+        orderBy = Seq(OrderBy("event_id")),
+        select = Seq("event_id")))
+    }),
+
+    // §2.B JsonF `equals: InputJsonValue` on an ARRAY value
+    // (commonInputTypes.ts:133): structural equality via the variant
+    // canonical form — both engines minify, so whitespace differences in
+    // the source text don't matter.
+    "q_json_eq_obj" -> ((s, dir) => {
+      val df = Tables.events(s, dir)
+        .filter(col("event_type") === "click").withColumn("doc", jsonDoc)
+      val m = new Model(() => df, "event_id")
+      m.findMany(QueryArgs(
+        where = Some(F.json("doc", JsonF(path = Seq("tags"),
+          equalsJson = Some("""["t1", "mid", "e2"]""")))),
+        orderBy = Seq(OrderBy("event_id")),
+        select = Seq("event_id")))
+    }),
+
+    // §2.A #16 aggregate pre-args (effect.ts:552-558): where → orderBy →
+    // take page FIRST, aggregates over the page.
+    "q_aggregate_take" -> ((s, dir) =>
+      TpchModels.orders(s, dir).aggregate(
+        AggSpec(countAll = true, min = Seq("o_totalprice"), max = Seq("o_totalprice")),
+        QueryArgs(
+          where = Some(F.str("o_orderstatus", StringF(equals = Some(Some("O"))))),
+          orderBy = Seq(OrderBy("o_totalprice", desc = true), OrderBy("o_orderkey")),
+          skip = Some(10), take = Some(100)))),
+
+    // §2.A #17 typed having tree (CompanyScalarWhereWithAggregatesInput,
+    // models/Company.ts:278-292): count/max aggregates + a group-key leaf,
+    // composed under AND; the count aggregate is NOT in the selection
+    // (computed hidden, dropped after the filter).
+    "q_group_having_typed" -> ((s, dir) =>
+      TpchModels.orders(s, dir).groupBy(
+        by = Seq("o_custkey"),
+        spec = AggSpec(countAll = true),
+        havingTyped = Some(HAnd(Seq(
+          HAgg("o_orderkey", "count", CmpF(gte = Some(12L))),
+          HAgg("o_totalprice", "max", CmpF(lt = Some(450000.0))),
+          HAgg("o_custkey", "key", CmpF(lte = Some(1400L)))))),
+        orderBy = Seq(OrderBy("o_custkey")))),
 
     // §2.B relation some — EXISTS semi-join shape.
     "q_rel_some" -> ((s, dir) =>
@@ -1223,6 +1280,48 @@ object SparkEntry {
       FROM d
       WHERE doc IS NULL OR json_type(doc, '$.tags') = 'NULL'
       ORDER BY event_id""",
+
+    "q_json_not" -> """
+      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+                 WHERE event_type = 'click'),
+      d AS (SELECT event_id,
+        CASE WHEN k % 7 = 0 THEN NULL
+             WHEN k % 7 = 1 THEN '{"name": null, "tags": null}'
+             ELSE '{"name": "Alpha' || CAST(k AS VARCHAR) ||
+                  '", "tags": ["t' || CAST(k % 4 AS VARCHAR) ||
+                  '", "mid", "e' || CAST(k % 3 AS VARCHAR) || '"]}'
+        END AS doc FROM j)
+      SELECT event_id FROM d
+      WHERE NOT starts_with(json_extract_string(doc, '$.name'), 'Alpha1')
+      ORDER BY event_id""",
+
+    "q_json_eq_obj" -> """
+      WITH j AS (SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events
+                 WHERE event_type = 'click'),
+      d AS (SELECT event_id,
+        CASE WHEN k % 7 = 0 THEN NULL
+             WHEN k % 7 = 1 THEN '{"name": null, "tags": null}'
+             ELSE '{"name": "Alpha' || CAST(k AS VARCHAR) ||
+                  '", "tags": ["t' || CAST(k % 4 AS VARCHAR) ||
+                  '", "mid", "e' || CAST(k % 3 AS VARCHAR) || '"]}'
+        END AS doc FROM j)
+      SELECT event_id FROM d
+      WHERE json_extract(doc, '$.tags') = '["t1","mid","e2"]'
+      ORDER BY event_id""",
+
+    "q_aggregate_take" -> """
+      SELECT count(*) AS _count_all,
+             min(o_totalprice) AS _min_o_totalprice,
+             max(o_totalprice) AS _max_o_totalprice
+      FROM (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'O'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10)""",
+
+    "q_group_having_typed" -> """
+      SELECT o_custkey, count(*) AS _count_all FROM orders
+      GROUP BY o_custkey
+      HAVING count(o_orderkey) >= 12 AND max(o_totalprice) < 450000.0
+         AND o_custkey <= 1400
+      ORDER BY o_custkey""",
 
     "q_include_filtered" -> """
       WITH hv AS (

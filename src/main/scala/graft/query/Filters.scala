@@ -162,10 +162,16 @@ final case class JsonF(
     insensitive: Boolean = false,
     not: Option[JsonF] = None) extends ScalarFilter {
   private def jsonPath: String = "$" + path.map(p => s".$p").mkString
-  def apply(c: Column): Column = {
-    // one logical parse; every extraction below is a codegen'd variant read
-    // of the same subtree, so repeated parses collapse inside WSCG
-    val pv = try_parse_json(c)
+
+  def apply(c: Column): Column = applyVariant(c, try_parse_json(c))
+
+  /** Compile against an ALREADY-PARSED variant column. `Model.applyWhere`
+    * plans one `try_parse_json` per JSON field behind an [[graft.functions.Barrier]]
+    * projection, so N predicates on the same document pay ONE parse per row
+    * instead of N — `FilterExec` codegen does no cross-predicate
+    * subexpression elimination, and round 3 measured the difference at 33 s
+    * vs ~1 s on a three-predicate filter over a derived document. */
+  def applyVariant(c: Column, pv: Column): Column = {
     val v = try_variant_get(pv, jsonPath, "string")
     def side(x: Column): Column = if (insensitive) lower(x) else x
     def vl(s: String): Column = if (insensitive) lit(s.toLowerCase) else lit(s)
@@ -195,8 +201,13 @@ final case class JsonF(
       isDbNull.map(b => if (b) c.isNull else c.isNotNull),
       isJsonNull.map(b => if (b) jsonNull else !jsonNull),
       isAnyNull.map(b => if (b) c.isNull || jsonNull else c.isNotNull && !jsonNull),
+      // the nested filter of `not` carries no `path` of its own
+      // (commonInputTypes.ts:147 — path exists only at the top level), so it
+      // ALWAYS applies at the enclosing filter's path
       not.map(nested =>
-        !nested.copy(insensitive = nested.insensitive || insensitive)(c))
+        !nested.copy(path = path,
+            insensitive = nested.insensitive || insensitive)
+          .applyVariant(c, pv))
     ).flatten
     conds.reduceOption(_ && _).getOrElse(lit(true))
   }
@@ -219,6 +230,53 @@ final case class EnumF(
   }
 }
 
+/** `models/Company.ts:278-292` — ScalarWhereWithAggregatesInput: the typed
+  * `having` tree of `groupBy`. A leaf names a column and the aggregate to
+  * test (`_count`/`_min`/`_max`/`_sum`/`_avg`, or the GROUP KEY value
+  * itself), plus an ordinary scalar filter on the aggregated value;
+  * connectors compose. [[Model.groupBy]] compiles the needed aggregates as
+  * hidden columns of the same `agg` (Prisma lets `having` reference
+  * aggregates the selection doesn't return), filters, and drops them. */
+sealed trait HavingW {
+  def and(o: HavingW): HavingW = HAnd(Seq(this, o))
+  def or(o: HavingW): HavingW = HOr(Seq(this, o))
+}
+final case class HAnd(ps: Seq[HavingW]) extends HavingW
+final case class HOr(ps: Seq[HavingW]) extends HavingW
+final case class HNot(p: HavingW) extends HavingW
+/** `agg`: one of count | min | max | sum | avg | key. */
+final case class HAgg(field: String, agg: String, f: ScalarFilter) extends HavingW
+
+object HavingW {
+  /** All (field, agg) leaves in the tree. */
+  def leaves(h: HavingW): Seq[(String, String)] = h match {
+    case HAnd(ps)         => ps.flatMap(leaves)
+    case HOr(ps)          => ps.flatMap(leaves)
+    case HNot(p)          => leaves(p)
+    case HAgg(f, a, _)    => Seq((f, a))
+  }
+
+  /** The aggregate expression a leaf needs, to be computed in the groupBy. */
+  def aggColumn(field: String, agg: String): Column = agg match {
+    case "count" => count(col(field))
+    case "min"   => min(col(field))
+    case "max"   => max(col(field))
+    case "sum"   => sum(col(field))
+    case "avg"   => avg(col(field))
+    case "key"   => first(col(field)) // group key: constant within the group
+    case other   => throw new IllegalArgumentException(s"unknown aggregate $other")
+  }
+
+  /** Compile against the aggregated frame; `cols` maps (field, agg) to the
+    * (possibly hidden) aggregate column. */
+  def compile(h: HavingW, cols: ((String, String)) => Column): Column = h match {
+    case HAnd(ps)      => ps.map(compile(_, cols)).reduceOption(_ && _).getOrElse(lit(true))
+    case HOr(ps)       => ps.map(compile(_, cols)).reduceOption(_ || _).getOrElse(lit(false))
+    case HNot(p)       => !compile(p, cols)
+    case HAgg(f, a, sf) => sf(cols((f, a)))
+  }
+}
+
 object Where {
   /** Compile the scalar part of a predicate tree to one Column. Relation
     * predicates must already have been rewritten away by [[Model]] —
@@ -230,6 +288,32 @@ object Where {
     case Field(n, f) => f(col(n))
     case RawCol(c)   => c
     case rel         => throw new IllegalStateException(s"unresolved relation predicate: $rel")
+  }
+
+  /** Flatten nested ANDs into top-level conjuncts (for split planning). */
+  def conjuncts(w: Where): Seq[Where] = w match {
+    case And(ps) => ps.flatMap(conjuncts)
+    case other   => Seq(other)
+  }
+
+  /** Every field that carries a [[JsonF]] predicate anywhere in the tree. */
+  def jsonFields(w: Where): Seq[String] = w match {
+    case And(ps)            => ps.flatMap(jsonFields)
+    case Or(ps)             => ps.flatMap(jsonFields)
+    case Not(p)             => jsonFields(p)
+    case Field(n, _: JsonF) => Seq(n)
+    case _                  => Nil
+  }
+
+  /** Rewrite JSON predicates to read a pre-parsed variant column (one
+    * `try_parse_json` per field per row, planned by the caller) instead of
+    * re-parsing inside every predicate. */
+  def substituteJson(w: Where, pv: Map[String, Column], col: String => Column): Where = w match {
+    case And(ps) => And(ps.map(substituteJson(_, pv, col)))
+    case Or(ps)  => Or(ps.map(substituteJson(_, pv, col)))
+    case Not(p)  => Not(substituteJson(p, pv, col))
+    case Field(n, jf: JsonF) if pv.contains(n) => RawCol(jf.applyVariant(col(n), pv(n)))
+    case other => other
   }
 
   /** Collect every relation predicate in the tree (for flag planning). */

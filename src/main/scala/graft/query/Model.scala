@@ -114,7 +114,28 @@ final class Model(
           r -> flagCol
         }.toMap
         val scalarW = if (rels.isEmpty) w else Where.substituteRels(w, flags)
-        val filtered = cur.filter(Where.compile(scalarW, cur.apply))
+        // JSON plan pass: conjuncts WITHOUT JSON predicates filter first (so
+        // they still push into the scan — a Project holding any
+        // non-deterministic alias blocks pushdown of everything above it);
+        // then one parsed-variant column per JSON field, pinned behind an
+        // optimizer barrier, serves every JSON predicate — one
+        // `try_parse_json` per row per field instead of one per predicate.
+        val parts = Where.conjuncts(scalarW)
+        val (jsonParts, plainParts) = parts.partition(p => Where.jsonFields(p).nonEmpty)
+        var filtered =
+          if (plainParts.isEmpty) cur
+          else cur.filter(Where.compile(And(plainParts), cur.apply))
+        if (jsonParts.nonEmpty) {
+          val fields = jsonParts.flatMap(Where.jsonFields).distinct
+          val jv = fields.zipWithIndex.map { case (f, i) => f -> s"__jv_$i" }
+          filtered = jv.foldLeft(filtered) { case (d, (f, cn)) =>
+            d.withColumn(cn, graft.functions.Barrier.evalOnce(try_parse_json(d(f))))
+          }
+          val subbed = Where.substituteJson(
+            And(jsonParts), jv.map { case (f, cn) => f -> filtered(cn) }.toMap, filtered.apply)
+          filtered = filtered.filter(Where.compile(subbed, filtered.apply))
+            .drop(jv.map(_._2): _*)
+        }
         if (rels.isEmpty) filtered else filtered.drop(flags.values.toSeq: _*)
     }
   }
@@ -350,17 +371,44 @@ final class Model(
   def aggregate(spec: AggSpec, where: Option[Where] = None): DataFrame =
     applyWhere(df(), where).agg(spec.columns.head, spec.columns.tail: _*)
 
+  /** aggregate with the full pre-args surface (`effect.ts:552-558` declares
+    * where/orderBy/cursor/take/skip BEFORE aggregating): the row pipeline is
+    * exactly findMany's — cursor'd, ordered, paged — and the aggregates run
+    * over the page. */
+  def aggregate(spec: AggSpec, args: QueryArgs): DataFrame =
+    findMany(args.copy(select = Nil, omit = Nil, include = Nil, includeArgs = Nil))
+      .agg(spec.columns.head, spec.columns.tail: _*)
+
   /** groupBy (`effect.ts:560-637`): keys + aggregates, `having` filter over
-    * aggregate columns, orderBy (keys or aggregates), take/skip. */
+    * aggregate columns (raw Column or the typed [[HavingW]] tree of
+    * `CompanyScalarWhereWithAggregatesInput`), orderBy (keys or aggregates),
+    * take/skip. Typed having may reference aggregates the selection doesn't
+    * return — they're computed as hidden columns of the same agg and dropped
+    * after the filter. */
   def groupBy(by: Seq[String], spec: AggSpec,
               where: Option[Where] = None,
               having: Option[Column] = None,
+              havingTyped: Option[HavingW] = None,
               orderBy: Seq[OrderBy] = Nil,
               take: Option[Int] = None, skip: Option[Int] = None): DataFrame = {
+    val hiddenKeys = havingTyped.toSeq.flatMap(HavingW.leaves).distinct
+      .filterNot { case (f, a) => a == "key" && by.contains(f) }
+    val hidden = hiddenKeys.zipWithIndex
+      .map { case (k, i) => k -> s"__hav_$i" }.toMap
+    val aggCols = spec.columns ++ hidden.toSeq.sortBy(_._2).map {
+      case ((f, a), n) => HavingW.aggColumn(f, a).as(n)
+    }
     var cur = applyWhere(df(), where)
       .groupBy(by.map(col): _*)
-      .agg(spec.columns.head, spec.columns.tail: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
     having.foreach(h => cur = cur.filter(h))
+    havingTyped.foreach { h =>
+      cur = cur.filter(HavingW.compile(h, {
+        case (f, "key") if by.contains(f) => col(f)
+        case k => col(hidden(k))
+      }))
+    }
+    if (hidden.nonEmpty) cur = cur.drop(hidden.values.toSeq: _*)
     if (orderBy.nonEmpty) cur = cur.orderBy(orderBy.map(_.column): _*)
     skip.foreach(n => cur = cur.offset(n))
     take.foreach(n => cur = cur.limit(n))
