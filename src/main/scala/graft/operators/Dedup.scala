@@ -296,7 +296,20 @@ object Dedup {
     * drop-id_b heuristic misses: pairs (1,2),(2,3) without (1,3) still
     * collapse to cluster 1. Returns (id, cluster). */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50,
-                  checkpointEvery: Int = 4): DataFrame = {
+                  checkpointEvery: Int = 4): DataFrame =
+    dupClustersManaged(pairs, maxIters, checkpointEvery).labels
+
+  /** [[dupClusters]] result plus an explicit storage release: the final
+    * iteration's cache / localCheckpoint blocks back the returned labels
+    * plan, and `Dataset.unpersist` is a no-op on checkpoint rounds (no
+    * cache-manager entry; the RDD blocks wait for the ContextCleaner).
+    * Long-lived sessions should call `release()` once the labels are
+    * consumed. `release` is safe while queries over `labels` are still
+    * defined — the plan recomputes, it doesn't break. */
+  final case class ClusterLabels(labels: DataFrame, release: () => Unit)
+
+  def dupClustersManaged(pairs: DataFrame, maxIters: Int = 50,
+                         checkpointEvery: Int = 4): ClusterLabels = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -304,9 +317,19 @@ object Dedup {
       .distinct()
       .withColumn("cluster", col("id"))
       .cache()
-    // the handle whose cache the next round releases (unpersist must be
-    // called on the EXACT cached plan, not a derived select)
-    var retained = labels
+    // the handles whose storage the next round releases: cache rounds hold
+    // a Dataset (unpersist must see the EXACT cached plan), truncation
+    // rounds hold the persisted InternalRow RDD — Dataset.unpersist is a
+    // no-op on a checkpointed plan, so we persist the RDD OURSELVES to own
+    // a releasable handle (what localCheckpoint does, minus the orphaned
+    // blocks)
+    var retainedDf: Option[DataFrame] = Some(labels)
+    var retainedRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    def releaseRetained(): Unit = {
+      retainedDf.foreach(_.unpersist())
+      retainedRdd.foreach(_.unpersist())
+      retainedDf = None; retainedRdd = None
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -325,21 +348,37 @@ object Dedup {
       // lineage grows by one join+agg per round — truncate periodically or
       // an adversarial (deep-chain) graph replays every prior shuffle on
       // every new action
-      val truncated = if ((i + 1) % checkpointEvery == 0)
-        step.localCheckpoint() else step.cache()
+      val (truncated, newDf, newRdd) =
+        if ((i + 1) % checkpointEvery == 0) {
+          val rdd = org.apache.spark.sql.graftbridge.InternalRowBridge
+            .toRdd(step).map(_.copy())
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val df = org.apache.spark.sql.graftbridge.InternalRowBridge
+            .fromRdd(step.sparkSession, rdd, step.schema)
+          (df, None, Some(rdd: org.apache.spark.rdd.RDD[_]))
+        } else {
+          val df = step.cache()
+          (df, Some(df), None)
+        }
       // the SAME action materializes the new labels and folds the global
       // changed-count (no second job over the join)
       val changed = truncated
         .agg(count(when(col("cluster") =!= col("old"), 1)).as("n"))
         .head().getLong(0)
-      retained.unpersist()
-      retained = truncated
+      releaseRetained()
+      retainedDf = newDf; retainedRdd = newRdd
       labels = truncated.select(col("id"), col("cluster"))
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
-    labels
+    if (!converged)
+      // partially-propagated labels are WRONG clusters for any component
+      // whose diameter exceeds the iteration budget — never fail silently
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: hit maxIters=$maxIters before convergence — " +
+          "labels may be partially propagated; raise maxIters or checkpointEvery")
+    ClusterLabels(labels, () => releaseRetained())
   }
 
   /** MinHash dedup with exact transitive clustering: one survivor (the

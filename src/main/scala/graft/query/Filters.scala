@@ -140,7 +140,11 @@ final case class CmpF(
   *
   * `equalsJson` is Prisma's `equals: InputJsonValue` on objects/arrays
   * (`commonInputTypes.ts:133`): structural value equality, compared via the
-  * variant canonical form (minified, object keys sorted). `not` is the
+  * variant canonical form (minified, object keys sorted). KNOWN DIVERGENCE:
+  * the canonical form preserves the numeric representation, so
+  * `{"a": 1}` and `{"a": 1.0}` compare UNEQUAL here, while Postgres JSONB
+  * (which normalizes numerics) would compare them equal — if JSONB-exact
+  * numeric parity matters, normalize numbers before storing documents. `not` is the
   * recursive negation of `commonInputTypes.ts:147` with SQL three-valued
   * logic (a NULL/missing value matches neither the filter nor its negation,
   * matching the reference's JSONB-backed semantics). */

@@ -75,15 +75,25 @@ final class GraftTable(
     * (`migration.sql:93`, declared `schema.prisma:80-82`). */
   private[store] var restricts: Seq[(GraftTable, String, String)] = Nil
 
+  /** The inverse view, registered on the CHILD: (parent, childCol,
+    * parentCol) triples validated on child-side writes — inserting or
+    * updating a child row whose FK value has no parent row raises P2003,
+    * exactly as the Postgres FK does on orphan inserts (a FK constrains
+    * BOTH directions; `ON DELETE RESTRICT` is only its delete behavior).
+    * NULL FK values pass (SQL `MATCH SIMPLE`, Prisma optional relation). */
+  private[store] var parentRefs: Seq[(GraftTable, String, String)] = Nil
+
   /** Declare `child.childCol REFERENCES this.parentCol ON DELETE RESTRICT`:
     * any delete on this table whose doomed rows are still referenced by
-    * `child` throws the P2003 equivalent. Registration is post-construction
+    * `child` throws the P2003 equivalent, and any child write with a
+    * dangling `childCol` does too. Registration is post-construction
     * (child tables are usually built after their parents). */
   def onDeleteRestrict(child: GraftTable, childCol: String, parentCol: String): this.type = {
     require(child.schema.fieldNames.contains(childCol),
       s"${child.name}: no column $childCol")
     require(schema.fieldNames.contains(parentCol), s"$name: no column $parentCol")
     restricts :+= ((child, childCol, parentCol))
+    child.parentRefs :+= ((this, childCol, parentCol))
     this
   }
 
@@ -418,17 +428,38 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     staged += (t.name -> parts)
   }
 
+  /** Child-side FK validation (P2003): any incoming child row whose FK
+    * value has no matching parent row fails, as the reference's Postgres FK
+    * does on orphan inserts/updates. Parents are read through THIS
+    * transaction's staged state, so "create parent, then child" works
+    * inside one `\$transaction`. The probe is an anti-join limited to one
+    * row — it never materializes the orphan set. */
+  private def checkParentRefs(t: GraftTable, incoming: DataFrame): Unit =
+    t.parentRefs.foreach { case (parent, childCol, parentCol) =>
+      val orphans = incoming.select(col(childCol))
+        .filter(col(childCol).isNotNull)
+        .join(stateOf(parent).select(col(parentCol).as(childCol)),
+          Seq(childCol), "left_anti")
+        .limit(1).count()
+      if (orphans > 0)
+        throw new ForeignKeyViolationException(
+          s"${t.name}: write rejected — ${t.name}.$childCol references no ${parent.name}.$parentCol row")
+    }
+
   def create(t: GraftTable, rows: DataFrame): Long = {
+    checkParentRefs(t, rows)
     val s = t.stagedCreate(stateOf(t), rows, failOnDup = true)
     stage(t, s); s.n
   }
 
   def createMany(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): Long = {
+    checkParentRefs(t, rows)
     val s = t.stagedCreate(stateOf(t), rows, failOnDup = !skipDuplicates)
     stage(t, s); s.n
   }
 
   def createManyAndReturn(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): DataFrame = {
+    checkParentRefs(t, rows)
     val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
     stage(t, s); inserted
   }
@@ -438,19 +469,29 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     stage(t, s); updated
   }
 
+  /** An update that rewrites a declared FK column must re-validate it
+    * (over the post-update state; only fires when `set` touches an FK). */
+  private def checkUpdatedRefs(t: GraftTable, set: Map[String, Column],
+                               next: DataFrame): Unit =
+    if (t.parentRefs.exists { case (_, childCol, _) => set.contains(childCol) })
+      checkParentRefs(t, next)
+
   def update(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
     val s = t.stagedUpdate(stateOf(t), where, set, single = true)
+    checkUpdatedRefs(t, set, s.next)
     stage(t, s); s.n
   }
 
   def updateMany(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
     val s = t.stagedUpdate(stateOf(t), where, set, single = false)
+    checkUpdatedRefs(t, set, s.next)
     stage(t, s); s.n
   }
 
   def updateWhereIn(t: GraftTable, keyCol: String, keys: DataFrame,
                     extraCond: Column, set: Map[String, Column]): Long = {
     val s = t.stagedUpdateWhereIn(stateOf(t), keyCol, keys, extraCond, set)
+    checkUpdatedRefs(t, set, s.next)
     stage(t, s); s.n
   }
 
@@ -496,6 +537,7 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   }
 
   def upsert(t: GraftTable, keyCols: Seq[String], rows: DataFrame): Long = {
+    checkParentRefs(t, rows)
     val s = t.stagedUpsert(stateOf(t), keyCols, rows)
     stage(t, s); s.n
   }

@@ -388,6 +388,55 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(events.snapshot().count() == 0)
   }
 
+  test("inserting a child with a dangling FK throws P2003 (orphan insert)") {
+    val cat = freshCatalog()
+    val (company, events) = companyPair(cat)
+    company.createMany(Seq(("c1", "Acme")).toDF("id", "name"))
+    val ex = intercept[ForeignKeyViolationException] {
+      events.createMany(Seq(("e1", "c1"), ("e2", "ghost")).toDF("id", "companyId"))
+    }
+    assert(ex.code == "P2003")
+    assert(events.snapshot().count() == 0, "nothing published on FK failure")
+    // a valid batch inserts fine
+    assert(events.createMany(Seq(("e1", "c1")).toDF("id", "companyId")) == 1)
+  }
+
+  test("parent-then-child inside one transaction passes the FK probe") {
+    val cat = freshCatalog()
+    val (company, events) = companyPair(cat)
+    Txn.run(cat) { tx =>
+      tx.createMany(company, Seq(("c9", "New")).toDF("id", "name"), skipDuplicates = false)
+      tx.createMany(events, Seq(("e9", "c9")).toDF("id", "companyId"), skipDuplicates = false)
+    }
+    assert(events.snapshot().count() == 1)
+  }
+
+  test("NULL FK values pass (MATCH SIMPLE), update to a dangling FK fails") {
+    val cat = freshCatalog()
+    val company = new GraftTable(spark, cat, "companyN",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("name", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    val events = new GraftTable(spark, cat, "eventN",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("companyId", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    company.onDeleteRestrict(events, "companyId", "id")
+    company.createMany(Seq(("c1", "Acme")).toDF("id", "name"))
+    // SQL MATCH SIMPLE: a NULL FK references nothing and is legal
+    assert(events.createMany(
+      Seq(("e1", Some("c1")), ("e2", None)).toDF("id", "companyId")) == 2)
+    // rewriting the FK column re-validates the post-update state
+    intercept[ForeignKeyViolationException] {
+      events.update(F.eq("id", "e1"), Map("companyId" -> lit("ghost")))
+    }
+    assert(events.snapshot().filter(col("companyId") === "ghost").count() == 0)
+    // updating to NULL is fine
+    assert(events.update(F.eq("id", "e1"), Map("companyId" -> lit(null).cast("string"))) == 1)
+  }
+
   test("vacuum drops non-current versions but keeps current") {
     val cat = freshCatalog()
     val t = urlTable(cat)
