@@ -149,6 +149,42 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass compiled tokenizer — exact replacement for
+    * `filter(split(s, "[^\\p{L}\\p{N}]+"), length(t) > 0)`, which breaks
+    * whole-stage codegen (higher-order functions are CodegenFallback) and
+    * pays a regex matcher per row. See [[SketchKernels.tokenize]]. */
+  case class Tokenize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "tokenize"
+
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.tokenize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.tokenize($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** xxhash64 per token (Spark's seed) — replacement for
+    * `transform(toks, t => xxhash64(t))` (interpreted lambda per element). */
+  case class TokenHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "token_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.tokenHashes(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.tokenHashes($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Primitive-loop dot product of two double arrays. */
   case class DotProduct(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -171,6 +207,10 @@ object SketchExpressions {
 
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(hashes), numHashes))
+  def tokenize(text: Column): Column =
+    column(Tokenize(expression(text)))
+  def tokenHashes(tokens: Column): Column =
+    column(TokenHashes(expression(tokens)))
   def simhash64(hashes: Column): Column =
     column(SimHash64(expression(hashes)))
   def shingleHashes(tokens: Column, k: Int): Column =

@@ -79,6 +79,51 @@ object SketchKernels {
   private def hashUtf8(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
 
+  /** Whether the code point is a token character — EXACTLY the class
+    * `[\p{L}\p{N}]` of the regex tokenizer this kernel replaces:
+    * `Character.isLetter` is the Unicode L* categories, and the three
+    * number categories are Nd / Nl / No. */
+  private def isTokenChar(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
+  /** Drop-in for `filter(split(s, "[^\\p{L}\\p{N}]+"), length(t) > 0)`:
+    * every maximal run of letter/number code points, in order. The regex
+    * split allocates a matcher + empty-string artifacts per row and (being
+    * driven through an interpreted higher-order `filter`) breaks
+    * whole-stage codegen; this is one compiled scan. Property-tested
+    * equivalent to the regex form (TokenizeSpec). */
+  def tokenize(in: UTF8String): ArrayData = {
+    val s = in.toString
+    val n = s.length
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isTokenChar(cp)) { if (start < 0) start = i }
+      else if (start >= 0) { out.add(UTF8String.fromString(s.substring(start, i))); start = -1 }
+      i += w
+    }
+    if (start >= 0) out.add(UTF8String.fromString(s.substring(start, n)))
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
+  }
+
+  /** xxhash64 (Spark's default seed 42) of every token — drop-in for
+    * `transform(toks, t => xxhash64(t))` without the per-element
+    * interpreted lambda dispatch. */
+  def tokenHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hashUtf8(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def charStats(in: UTF8String): ArrayData = {
     val s = in.toString
     var letters = 0L; var digits = 0L; var punct = 0L; var ws = 0L

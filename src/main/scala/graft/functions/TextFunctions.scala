@@ -12,9 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased word tokens; empty strings filtered (split artifacts). */
+  /** Lowercased word tokens — one compiled scan
+    * ([[SketchExpressions.Tokenize]]), exactly equivalent to
+    * `filter(split(lower(trim(c)), "[^\\p{L}\\p{N}]+"), length(t) > 0)`
+    * (property-tested in TokenizeSpec) but inside whole-stage codegen:
+    * the HOF `filter` is CodegenFallback and split pays a regex matcher
+    * per row, which made tokenization the hottest interpreted path of
+    * every text query. */
   def tokens(c: Column): Column =
-    filter(split(lower(trim(c)), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    SketchExpressions.tokenize(lower(trim(c)))
 
   /** Whitespace token count — the fast path used for budget accounting. */
   def tokenCount(c: Column): Column =

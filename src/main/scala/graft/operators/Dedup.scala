@@ -106,7 +106,8 @@ object Dedup {
     * with per-element lambda dispatch and is ~10× slower. */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
     minhashSignatureFromHashes(
-      transform(array_distinct(shinglesCol), s => xxhash64(s)), numHashes)
+      graft.functions.SketchExpressions.tokenHashes(array_distinct(shinglesCol)),
+      numHashes)
 
   /** Signature over pre-hashed (distinct) shingles. */
   def minhashSignatureFromHashes(hashesCol: Column, numHashes: Int = 32): Column =
@@ -309,10 +310,24 @@ object Dedup {
   final case class ClusterLabels(labels: DataFrame, release: () => Unit)
 
   def dupClustersManaged(pairs: DataFrame, maxIters: Int = 50,
-                         checkpointEvery: Int = 4): ClusterLabels = {
+                         checkpointEvery: Int = 4,
+                         smallGraphEdges: Long = 1L << 20): ClusterLabels = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
+    // small-graph fast path (same reasoning as broadcasting a small join
+    // side): a bounded edge set is solved exactly on the driver with
+    // union-find — O(E α) and ZERO iterative Spark jobs, where the
+    // distributed loop pays a join + aggregate + action per round. The
+    // default bound (~1M edges ≈ 16 MB collected) is far below driver
+    // memory; pass smallGraphEdges = 0 to force the distributed path.
+    // At 100 TB the dup graph exceeds the bound and takes the loop below.
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphEdges) {
+      val labels = driverUnionFind(edges)
+      edges.unpersist()
+      return ClusterLabels(labels, () => ())
+    }
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster", col("id"))
@@ -381,6 +396,63 @@ object Dedup {
     ClusterLabels(labels, () => releaseRetained())
   }
 
+  /** Exact connected components on the driver: union-find with path
+    * compression, component label = the minimum member id (IDENTICAL
+    * semantics to the distributed min-label loop — asserted by
+    * TrainingOpsSpec against the forced-distributed path). */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val idType = edges.schema("src").dataType
+    val lessThan: (Any, Any) => Boolean = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case org.apache.spark.sql.types.IntegerType =>
+        (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case other =>
+        throw new IllegalArgumentException(s"unorderable id type $other")
+    }
+    val rows = edges.collect()
+    val index = new java.util.HashMap[Any, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    def idx(v: Any): Int = {
+      val i = index.get(v)
+      if (i != null) i.intValue()
+      else { index.put(v, Integer.valueOf(ids.length)); ids += v; ids.length - 1 }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = idx(r.get(0)); val b = idx(r.get(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(rb) = ra
+    }
+    while (parent.length < ids.length) parent += parent.length
+    // component min
+    val minOf = new java.util.HashMap[Int, Any]()
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || lessThan(ids(i), cur)) minOf.put(r, ids(i))
+    }
+    val spark = edges.sparkSession
+    val out = ids.indices.map { i =>
+      org.apache.spark.sql.Row(ids(i), minOf.get(find(i)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster", idType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   /** MinHash dedup with exact transitive clustering: one survivor (the
     * smallest id) per connected near-dup cluster. */
   def minhashDedupClusters(df: DataFrame, textCol: String, idCol: String,
@@ -401,7 +473,7 @@ object Dedup {
     * ([[graft.functions.SketchExpressions.SimHash64]]). */
   def simhash(c: Column): Column =
     graft.functions.SketchExpressions.simhash64(
-      transform(TextFunctions.tokens(c), t => xxhash64(t)))
+      graft.functions.SketchExpressions.tokenHashes(TextFunctions.tokens(c)))
 
   /** SimHash near-dup pairs: block on the four 16-bit chunks (any pair
     * within Hamming distance<=maxHamming shares at least one chunk when

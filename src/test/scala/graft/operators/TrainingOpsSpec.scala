@@ -130,11 +130,26 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val chain = (0L until 24L).map(i => (i, i + 1))
     val star = (1L to 200L).map(i => (1000L, 1000L + i))
     val pairs = (chain ++ star).toDF("id_a", "id_b")
-    val clusters = Dedup.dupClusters(pairs, maxIters = 50, checkpointEvery = 4)
-      .as[(Long, Long)].collect().toMap
+    // smallGraphEdges = 0 forces the DISTRIBUTED loop (the driver
+    // union-find would otherwise absorb a graph this small)
+    val clusters = Dedup.dupClustersManaged(pairs, maxIters = 50,
+        checkpointEvery = 4, smallGraphEdges = 0)
+      .labels.as[(Long, Long)].collect().toMap
     assert((0L to 24L).forall(clusters(_) == 0L))
     assert(clusters(1000L) == 1000L)
     assert((1L to 200L).forall(i => clusters(1000L + i) == 1000L))
+  }
+
+  test("driver union-find and distributed loop agree on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val fast = Dedup.dupClusters(pairs) // small → driver path
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.dupClustersManaged(pairs, smallGraphEdges = 0)
+      .labels.as[(Long, Long)].collect().toMap
+    assert(fast == dist)
   }
 
   test("minhashDedupClusters keeps one survivor per transitive near-dup cluster") {
