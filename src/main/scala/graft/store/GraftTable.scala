@@ -110,6 +110,39 @@ final class GraftTable(
   /** Current committed snapshot (empty DataFrame before first insert). */
   def snapshot(): DataFrame = readDirs(catalog.currentDirs(name).values.toSeq)
 
+  /** Bin-pack small slice files. Every commit writes a slice with the
+    * mutation's write parallelism, so a frequently-flipped slice (the
+    * status-partitioned poll queue) accumulates file sets commit after
+    * commit — and at 100 TB the per-file open/footer cost starts to
+    * dominate the scan. Rewrites each current slice holding more than
+    * `maxFiles` data files into `ceil(bytes / targetBytes)` files and
+    * publishes all rewrites in ONE atomic manifest commit (OCC-checked:
+    * a concurrent writer moving the table fails the compaction, never the
+    * writer). Readers holding the old snapshot are untouched — old
+    * versions stay on disk until [[Catalog.vacuum]]. Returns the number
+    * of slices rewritten. File listing goes through java.nio here because
+    * the catalog root is a local path; an object-store deployment would
+    * swap in the Hadoop FileSystem API. */
+  def compact(maxFiles: Int = 4, targetBytes: Long = 128L << 20): Int = {
+    val base = catalog.manifest().get(name)
+    var staged = Map.empty[String, Option[String]]
+    catalog.currentDirs(name).foreach { case (pk, dir) =>
+      val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (files.length > maxFiles) {
+        val totalBytes = files.map(_.length()).sum
+        val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+        val (v, outDir) = catalog.newVersionDir(name, pk)
+        readDirs(Seq(dir)).coalesce(nOut)
+          .write.mode("overwrite").parquet(outDir)
+        staged += (pk -> Some(v))
+      }
+    }
+    if (staged.nonEmpty)
+      catalog.commit(Map(name -> base), Map(name -> staged))
+    staged.size
+  }
+
   /** Catalog-level partition pruning: read only the slices whose partition
     * values match `values` (null allowed; columns omitted from `values`
     * match any slice). At 100 TB this skips even the file LISTING of

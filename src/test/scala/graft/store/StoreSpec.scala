@@ -437,6 +437,33 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(events.update(F.eq("id", "e1"), Map("companyId" -> lit(null).cast("string"))) == 1)
   }
 
+  test("compact bin-packs small slice files without changing data") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    // parallel writes leave one part-file per task — a small slice ends up
+    // holding several tiny files
+    (1 to 6).foreach(i => t.createMany(urlRows((s"u$i", s"https://site$i", None))))
+    val before = t.snapshot().orderBy(col("id")).collect()
+    val dirBefore = cat.currentDirs(t.name).values.head
+    val filesBefore = new java.io.File(dirBefore).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(filesBefore > 2, s"expected >2 data files, saw $filesBefore")
+
+    assert(t.compact(maxFiles = 2) == 1)
+    val dirAfter = cat.currentDirs(t.name).values.head
+    assert(dirAfter != dirBefore, "compaction must publish a NEW version")
+    val filesAfter = new java.io.File(dirAfter).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(filesAfter == 1)
+    assert(t.snapshot().orderBy(col("id")).collect().toSeq == before.toSeq)
+    // old version stays readable until vacuum (snapshot retention)
+    assert(new java.io.File(dirBefore).exists())
+    cat.vacuum()
+    assert(!new java.io.File(dirBefore).exists())
+    // an already-packed slice is a no-op
+    assert(t.compact(maxFiles = 2) == 0)
+  }
+
   test("vacuum drops non-current versions but keeps current") {
     val cat = freshCatalog()
     val t = urlTable(cat)
