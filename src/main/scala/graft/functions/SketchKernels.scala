@@ -120,7 +120,14 @@ object SketchKernels {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) { out(i) = hashUtf8(arr.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      // a null element hashes to the seed, matching xxhash64(null) under
+      // the transform() this kernel replaces (callers pass arbitrary
+      // array columns, e.g. minhashSignature over user shingles)
+      out(i) = if (s == null) 42L else hashUtf8(s)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 

@@ -312,18 +312,31 @@ object Dedup {
   def dupClustersManaged(pairs: DataFrame, maxIters: Int = 50,
                          checkpointEvery: Int = 4,
                          smallGraphEdges: Long = 1L << 20): ClusterLabels = {
+    // a null id is a malformed pair (it joins to nothing and labels
+    // nothing) — dropped identically on both solver paths
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
+        .filter(col("id_a").isNotNull && col("id_b").isNotNull))
       .distinct().cache()
     // small-graph fast path (same reasoning as broadcasting a small join
     // side): a bounded edge set is solved exactly on the driver with
     // union-find — O(E α) and ZERO iterative Spark jobs, where the
     // distributed loop pays a join + aggregate + action per round. The
-    // default bound (~1M edges ≈ 16 MB collected) is far below driver
-    // memory; pass smallGraphEdges = 0 to force the distributed path.
+    // bound is BYTES, measured, not just an edge count — string ids can be
+    // hundreds of bytes each, so a count-only bound could collect
+    // gigabytes. Pass smallGraphEdges = 0 to force the distributed path.
     // At 100 TB the dup graph exceeds the bound and takes the loop below.
-    val edgeCount = edges.count()
-    if (edgeCount <= smallGraphEdges) {
+    val idIsString = edges.schema("src").dataType ==
+      org.apache.spark.sql.types.StringType
+    val sizeRow = edges.agg(
+      count(lit(1)).as("n"),
+      (if (idIsString)
+         sum(octet_length(col("src")) + octet_length(col("dst")))
+       else count(lit(1)) * lit(16L)).cast("long").as("bytes")).head()
+    val edgeCount = sizeRow.getLong(0)
+    val edgeBytes = if (sizeRow.isNullAt(1)) 0L else sizeRow.getLong(1)
+    if (edgeCount <= smallGraphEdges && edgeBytes <= (64L << 20)) {
       val labels = driverUnionFind(edges)
       edges.unpersist()
       return ClusterLabels(labels, () => ())
@@ -396,6 +409,21 @@ object Dedup {
     ClusterLabels(labels, () => releaseRetained())
   }
 
+  /** Unsigned lexicographic comparison of the UTF-8 encodings — the order
+    * `UTF8String.compareTo` (and thus Spark's `min` on strings) uses. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Exact connected components on the driver: union-find with path
     * compression, component label = the minimum member id (IDENTICAL
     * semantics to the distributed min-label loop — asserted by
@@ -408,7 +436,11 @@ object Dedup {
       case org.apache.spark.sql.types.IntegerType =>
         (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
       case org.apache.spark.sql.types.StringType =>
-        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+        // UTF-8 byte order, NOT Java's UTF-16 unit order — Spark's
+        // min(StringType) in the distributed loop compares UTF8String
+        // bytes, and the two diverge on supplementary characters (a
+        // U+10000 id sorts below U+FFFF in UTF-16 but above in UTF-8)
+        (a, b) => utf8Less(a.asInstanceOf[String], b.asInstanceOf[String])
       case other =>
         throw new IllegalArgumentException(s"unorderable id type $other")
     }

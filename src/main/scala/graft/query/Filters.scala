@@ -267,7 +267,8 @@ object HavingW {
     case "max"   => max(col(field))
     case "sum"   => sum(col(field))
     case "avg"   => avg(col(field))
-    case "key"   => first(col(field)) // group key: constant within the group
+    case "key"   => throw new IllegalArgumentException(
+      s"$field: `key` leaves resolve to the group key column, never an aggregate")
     case other   => throw new IllegalArgumentException(s"unknown aggregate $other")
   }
 

@@ -391,8 +391,16 @@ final class Model(
               havingTyped: Option[HavingW] = None,
               orderBy: Seq[OrderBy] = Nil,
               take: Option[Int] = None, skip: Option[Int] = None): DataFrame = {
+    havingTyped.toSeq.flatMap(HavingW.leaves).foreach { case (f, a) =>
+      // a `key` leaf on a non-grouped field would silently compile to
+      // first(col) — a nondeterministic per-group value; Prisma rejects
+      // having on a non-grouped scalar without an aggregate, so do we
+      if (a == "key" && !by.contains(f))
+        throw new IllegalArgumentException(
+          s"having: field $f is not in the groupBy keys; use an aggregate")
+    }
     val hiddenKeys = havingTyped.toSeq.flatMap(HavingW.leaves).distinct
-      .filterNot { case (f, a) => a == "key" && by.contains(f) }
+      .filterNot { case (_, a) => a == "key" }
     val hidden = hiddenKeys.zipWithIndex
       .map { case (k, i) => k -> s"__hav_$i" }.toMap
     val aggCols = spec.columns ++ hidden.toSeq.sortBy(_._2).map {

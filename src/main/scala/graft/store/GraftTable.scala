@@ -293,6 +293,10 @@ final class GraftTable(
                                   failOnDup: Boolean): Staged =
     stagedCreateReturning(current, rows, skipDuplicates = !failOnDup)._1
 
+  /** SET applied unconditionally to every row of `df` (FK validation views). */
+  private[store] def applySet(df: DataFrame, set: Map[String, Column]): DataFrame =
+    withSet(df, lit(true), set)
+
   /** stagedCreate that also returns the inserted slice
     * (createManyAndReturn, `effect.ts:487-493`). */
   private[store] def stagedCreateReturning(current: DataFrame, rows: DataFrame,
@@ -325,13 +329,22 @@ final class GraftTable(
     (Staged(current.unionByName(clean), touched, n), clean)
   }
 
+  /** The post-update image of ONLY the matched rows — the slice FK
+    * re-validation inspects (scanning the whole post-update table would
+    * both cost a full anti-join per FK-touching update and reject updates
+    * over pre-existing orphans the update never touched). */
+  private[store] def updatedView(current: DataFrame, where: Where,
+                                 set: Map[String, Column]): DataFrame = {
+    val cond = coalesce(Where.compile(where, current.apply), lit(false))
+    withSet(current.filter(cond), lit(true), set)
+  }
+
   /** stagedUpdate that also returns the post-update matched slice
     * (updateManyAndReturn, `effect.ts:527-533`). */
   private[store] def stagedUpdateReturning(current: DataFrame, where: Where,
                                            set: Map[String, Column]): (Staged, DataFrame) = {
     val s = stagedUpdate(current, where, set, single = false)
-    val cond = coalesce(Where.compile(where, current.apply), lit(false))
-    val updated = withSet(current.filter(cond), lit(true), set).localCheckpoint()
+    val updated = updatedView(current, where, set).localCheckpoint()
     (s, updated)
   }
 
@@ -461,18 +474,27 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     staged += (t.name -> parts)
   }
 
-  /** Child-side FK validation (P2003): any incoming child row whose FK
+  /** Child-side FK validation (P2003): any written child row whose FK
     * value has no matching parent row fails, as the reference's Postgres FK
     * does on orphan inserts/updates. Parents are read through THIS
     * transaction's staged state, so "create parent, then child" works
-    * inside one `\$transaction`. The probe is an anti-join limited to one
+    * inside one `\$transaction`; a self-referential FK also sees the rows
+    * of the batch being written (Postgres checks non-deferred FKs at end
+    * of statement, so an in-batch parent satisfies its in-batch child).
+    * Validation runs over the rows ACTUALLY written — under
+    * `skipDuplicates` a dropped duplicate row is never FK-checked, like
+    * `ON CONFLICT DO NOTHING`. The probe is an anti-join limited to one
     * row — it never materializes the orphan set. */
-  private def checkParentRefs(t: GraftTable, incoming: DataFrame): Unit =
+  private def checkParentRefs(t: GraftTable, written: DataFrame): Unit =
     t.parentRefs.foreach { case (parent, childCol, parentCol) =>
-      val orphans = incoming.select(col(childCol))
+      val parentKeys = {
+        val base = stateOf(parent).select(col(parentCol).as(childCol))
+        if (parent eq t) base.unionByName(written.select(col(parentCol).as(childCol)))
+        else base
+      }
+      val orphans = written.select(col(childCol))
         .filter(col(childCol).isNotNull)
-        .join(stateOf(parent).select(col(parentCol).as(childCol)),
-          Seq(childCol), "left_anti")
+        .join(parentKeys, Seq(childCol), "left_anti")
         .limit(1).count()
       if (orphans > 0)
         throw new ForeignKeyViolationException(
@@ -480,51 +502,85 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     }
 
   def create(t: GraftTable, rows: DataFrame): Long = {
-    checkParentRefs(t, rows)
-    val s = t.stagedCreate(stateOf(t), rows, failOnDup = true)
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates = false)
+    checkParentRefs(t, inserted)
     stage(t, s); s.n
   }
 
   def createMany(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): Long = {
-    checkParentRefs(t, rows)
-    val s = t.stagedCreate(stateOf(t), rows, failOnDup = !skipDuplicates)
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    checkParentRefs(t, inserted)
     stage(t, s); s.n
   }
 
   def createManyAndReturn(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): DataFrame = {
-    checkParentRefs(t, rows)
     val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    checkParentRefs(t, inserted)
     stage(t, s); inserted
   }
 
   def updateManyAndReturn(t: GraftTable, where: Where, set: Map[String, Column]): DataFrame = {
     val (s, updated) = t.stagedUpdateReturning(stateOf(t), where, set)
+    checkUpdatedRefs(t, set, updated)
+    checkParentKeyRewrite(t, set, s.next)
     stage(t, s); updated
   }
 
-  /** An update that rewrites a declared FK column must re-validate it
-    * (over the post-update state; only fires when `set` touches an FK). */
+  /** An update that rewrites a declared FK column must re-validate it —
+    * over the UPDATED ROWS ONLY (a full post-state scan would pay a
+    * whole-table anti-join and reject updates because of pre-existing
+    * orphans the statement never touched). Only fires when `set` touches
+    * a declared FK column. */
   private def checkUpdatedRefs(t: GraftTable, set: Map[String, Column],
-                               next: DataFrame): Unit =
+                               updated: => DataFrame): Unit =
     if (t.parentRefs.exists { case (_, childCol, _) => set.contains(childCol) })
-      checkParentRefs(t, next)
+      checkParentRefs(t, updated)
+
+  /** An update that rewrites a REFERENCED key column on a parent table
+    * must not orphan children (Postgres `ON UPDATE NO ACTION`): every live
+    * child FK value must still exist in the post-update parent state. */
+  private def checkParentKeyRewrite(t: GraftTable, set: Map[String, Column],
+                                    next: => DataFrame): Unit =
+    t.restricts.foreach { case (child, childCol, parentCol) =>
+      if (set.contains(parentCol)) {
+        val dangling = stateOf(child).select(col(childCol))
+          .filter(col(childCol).isNotNull)
+          .join(next.select(col(parentCol).as(childCol)), Seq(childCol), "left_anti")
+          .limit(1).count()
+        if (dangling > 0)
+          throw new ForeignKeyViolationException(
+            s"${t.name}: rewriting $parentCol would orphan ${child.name}.$childCol row(s)")
+      }
+    }
 
   def update(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
-    val s = t.stagedUpdate(stateOf(t), where, set, single = true)
-    checkUpdatedRefs(t, set, s.next)
+    val cur = stateOf(t)
+    val s = t.stagedUpdate(cur, where, set, single = true)
+    checkUpdatedRefs(t, set, t.updatedView(cur, where, set))
+    checkParentKeyRewrite(t, set, s.next)
     stage(t, s); s.n
   }
 
   def updateMany(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
-    val s = t.stagedUpdate(stateOf(t), where, set, single = false)
-    checkUpdatedRefs(t, set, s.next)
+    val cur = stateOf(t)
+    val s = t.stagedUpdate(cur, where, set, single = false)
+    checkUpdatedRefs(t, set, t.updatedView(cur, where, set))
+    checkParentKeyRewrite(t, set, s.next)
     stage(t, s); s.n
   }
 
   def updateWhereIn(t: GraftTable, keyCol: String, keys: DataFrame,
                     extraCond: Column, set: Map[String, Column]): Long = {
-    val s = t.stagedUpdateWhereIn(stateOf(t), keyCol, keys, extraCond, set)
-    checkUpdatedRefs(t, set, s.next)
+    val cur = stateOf(t)
+    val s = t.stagedUpdateWhereIn(cur, keyCol, keys, extraCond, set)
+    // matched-rows view: key ∈ keys ∧ extraCond, post-SET
+    checkUpdatedRefs(t, set, {
+      val marker = keys.select(col(keyCol)).distinct()
+      val matched = cur.join(marker, Seq(keyCol), "left_semi")
+        .filter(coalesce(extraCond, lit(false)))
+      t.applySet(matched, set)
+    })
+    checkParentKeyRewrite(t, set, s.next)
     stage(t, s); s.n
   }
 
@@ -583,6 +639,7 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   def createNested(t: GraftTable, rows: DataFrame, nested: Seq[NestedWrite],
                    skipDuplicates: Boolean = false): Long = {
     val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    checkParentRefs(t, inserted)
     stage(t, s)
     if (nested.nonEmpty) {
       require(t.uniqueKeys.nonEmpty,
@@ -611,6 +668,8 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   def updateNested(t: GraftTable, where: Where, set: Map[String, Column],
                    nested: Seq[NestedWrite]): Long = {
     val (s, updated) = t.stagedUpdateReturning(stateOf(t), where, set)
+    checkUpdatedRefs(t, set, updated)
+    checkParentKeyRewrite(t, set, s.next)
     stage(t, s)
     nested.foreach {
       case NestedCreate(child, f, skipDup) =>

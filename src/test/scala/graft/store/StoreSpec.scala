@@ -437,6 +437,40 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(events.update(F.eq("id", "e1"), Map("companyId" -> lit(null).cast("string"))) == 1)
   }
 
+  test("FK covers every write path: updateManyAndReturn, in-batch self-FK, skipDuplicates, parent-key rewrite") {
+    val cat = freshCatalog()
+    val (company, events) = companyPair(cat)
+    company.createMany(Seq(("c1", "Acme")).toDF("id", "name"))
+    events.createMany(Seq(("e1", "c1")).toDF("id", "companyId"))
+    // updateManyAndReturn must not bypass the FK re-validation
+    intercept[ForeignKeyViolationException] {
+      events.updateManyAndReturn(F.eq("id", "e1"), Map("companyId" -> lit("ghost")))
+    }
+    // a duplicate row dropped by skipDuplicates is never FK-checked
+    // (ON CONFLICT DO NOTHING semantics): e1 is a dup, its dangling FK is
+    // irrelevant; e2 is new and valid (companyId is unique here → new company)
+    company.createMany(Seq(("c2", "Blob")).toDF("id", "name"))
+    assert(events.createMany(
+      Seq(("e1", "ghost"), ("e2", "c2")).toDF("id", "companyId"),
+      skipDuplicates = true) == 1)
+    // rewriting the referenced parent key would orphan children → P2003
+    intercept[ForeignKeyViolationException] {
+      company.update(F.eq("id", "c1"), Map("id" -> lit("c99")))
+    }
+    // self-referential FK satisfied within one batch (end-of-statement check)
+    val tree = new GraftTable(spark, cat, "tree",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("parentId", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    tree.onDeleteRestrict(tree, "parentId", "id")
+    assert(tree.createMany(
+      Seq(("root", None), ("leaf", Some("root"))).toDF("id", "parentId")) == 2)
+    intercept[ForeignKeyViolationException] {
+      tree.createMany(Seq(("stray", Some("nowhere"))).toDF("id", "parentId"))
+    }
+  }
+
   test("compact bin-packs small slice files without changing data") {
     val cat = freshCatalog()
     val t = urlTable(cat)
