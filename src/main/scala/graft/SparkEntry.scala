@@ -249,6 +249,47 @@ object SparkEntry {
           HAgg("o_custkey", "key", CmpF(lte = Some(1400L)))))),
         orderBy = Seq(OrderBy("o_custkey")))),
 
+    // §2.A #10 nested writes under update (`update({where, data, relation:
+    // {create}}}`, syncCrm.ts:156-163) through the REAL store: create the
+    // parent batch, updateNested flips a status and derives audit children
+    // from the POST-UPDATE matched slice, snapshot read-back proves what
+    // was published. Deterministic → fully oracle-checkable.
+    "q_update_nested" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(
+        java.nio.file.Files.createTempDirectory("graft-upd-nested-q").toString)
+      val clientT = new graft.store.GraftTable(s, cat, "client", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("status", StringType, nullable = false),
+        StructField("segment", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      val auditT = new graft.store.GraftTable(s, cat, "client_audit", StructType(Seq(
+        StructField("audit_id", StringType, nullable = false),
+        StructField("parent_id", LongType, nullable = false),
+        StructField("seg", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("audit_id")))
+      clientT.onDeleteRestrict(auditT, "parent_id", "id")
+      clientT.createMany(Tables.customer(s, dir).filter(col("c_custkey") <= 60)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          lit("new").as("status"), col("c_mktsegment").as("segment")))
+      graft.store.Txn.run(cat) { tx =>
+        tx.updateNested(clientT,
+          F.cmp("id", CmpF(lte = Some(30L)))
+            .and(F.str("status", StringF(equals = Some(Some("new"))))),
+          Map("status" -> lit("synced")),
+          Seq(graft.store.NestedCreate(auditT, b => b.select(
+            concat(lit("au-"), col("id").cast("string")).as("audit_id"),
+            col("id").as("parent_id"),
+            col("segment").as("seg")))))
+        ()
+      }
+      clientT.snapshot()
+        .join(auditT.snapshot(), col("id") === col("parent_id"), "left")
+        .select(col("id"), col("name"), col("status"), col("audit_id"), col("seg"))
+        .orderBy(col("id"))
+    }),
+
     // §2.B relation some — EXISTS semi-join shape.
     "q_rel_some" -> ((s, dir) =>
       TpchModels.customer(s, dir).findMany(QueryArgs(
@@ -1342,6 +1383,14 @@ object SparkEntry {
              CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS note,
              c_mktsegment AS tag
       FROM customer WHERE c_custkey <= 100 ORDER BY id""",
+
+    "q_update_nested" -> """
+      SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN c_custkey <= 30 THEN 'synced' ELSE 'new' END AS status,
+             CASE WHEN c_custkey <= 30
+                  THEN 'au-' || CAST(c_custkey AS VARCHAR) END AS audit_id,
+             CASE WHEN c_custkey <= 30 THEN c_mktsegment END AS seg
+      FROM customer WHERE c_custkey <= 60 ORDER BY id""",
 
     "q_text_stats" -> """
       SELECT doc_id,
