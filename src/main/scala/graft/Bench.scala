@@ -45,7 +45,7 @@ object Bench {
     // from squatting on block-manager memory for the rest of the run —
     // per-query numbers must be isolated.
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try { materialize(name); true }
         catch { case e: Throwable =>
@@ -56,6 +56,12 @@ object Bench {
         spark.catalog.clearCache()
         if (ok) dt else -1.0
       }
+      var times = Seq(once(), once())
+      // the two runs disagreeing badly means one was hit by external load
+      // (this box runs other work during benched rounds) — buy one more
+      // sample rather than report a time that isn't the plan's
+      if (times.forall(_ >= 0) && times.max / times.min > 2.0)
+        times :+= once()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // locale-proof decimal formatting (a comma decimal separator would
