@@ -168,6 +168,25 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Per-band LSH keys from a MinHash signature (see
+    * [[SketchKernels.bandHashes]]). */
+  case class BandHashes(child: Expression, bands: Int, rows: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "band_hashes"
+
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.bandHashes(input.asInstanceOf[ArrayData], bands, rows)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchKernels.bandHashes($c, $bands, $rows)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** xxhash64 per token (Spark's seed) — replacement for
     * `transform(toks, t => xxhash64(t))` (interpreted lambda per element). */
   case class TokenHashes(child: Expression) extends UnaryExpression {
@@ -209,6 +228,8 @@ object SketchExpressions {
     column(MinHashSignature(expression(hashes), numHashes))
   def tokenize(text: Column): Column =
     column(Tokenize(expression(text)))
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    column(BandHashes(expression(sig), bands, rows))
   def tokenHashes(tokens: Column): Column =
     column(TokenHashes(expression(tokens)))
   def simhash64(hashes: Column): Column =

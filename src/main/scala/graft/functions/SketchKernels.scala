@@ -113,6 +113,24 @@ object SketchKernels {
     new GenericArrayData(out.toArray(new Array[UTF8String](out.size())))
   }
 
+  /** One 64-bit hash per LSH band: band j = XXH64-chained over signature
+    * slots [j*rows, (j+1)*rows). Replaces an interpreted
+    * `transform(sequence, i => hash(slice(sig, ...)))` — band keying only
+    * needs slice-equality ⇒ hash-equality, which any per-band hash gives;
+    * 64-bit output halves accidental bucket collisions vs murmur3-int. */
+  def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var i = 0
+      while (i < rows) { h = XXH64.hashLong(sig.getLong(b * rows + i), h); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** xxhash64 (Spark's default seed 42) of every token — drop-in for
     * `transform(toks, t => xxhash64(t))` without the per-element
     * interpreted lambda dispatch. */

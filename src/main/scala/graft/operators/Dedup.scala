@@ -163,10 +163,9 @@ object Dedup {
       .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), numHashes))
     val withSig = if (persistSketch) withSig0.cache() else withSig0
 
-    // one (band, bandHash) row per band — join key is 2 small ints
+    // one (band, bandHash) row per band — compiled per-band keys
     val banded = withSig.select(col("__id"), col("__sh"),
-      posexplode(transform(sequence(lit(0), lit(b - 1)),
-        b => hash(slice(col("__sig"), b * lit(rows) + 1, lit(rows))))))
+      posexplode(graft.functions.SketchExpressions.bandHashes(col("__sig"), b, rows)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
     val guarded = withBucketGuard(banded, Seq("__band", "__bh"), "__id", maxBucket)
@@ -232,8 +231,7 @@ object Dedup {
     val rows = numHashes / b
     val banded = minhashIndex(df, textCol, idCol, k, numHashes)
       .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(b - 1)),
-          i => hash(slice(col("sig"), i * lit(rows) + 1, lit(rows))))))
+        posexplode(graft.functions.SketchExpressions.bandHashes(col("sig"), b, rows)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
     bucketAudit(banded, Seq("__band", "__bh"), maxBucket)
   }
@@ -261,8 +259,7 @@ object Dedup {
     val rows = numHashes / b
     def banded(sigs: DataFrame): DataFrame =
       sigs.select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(b - 1)),
-          i => hash(slice(col("sig"), i * lit(rows) + 1, lit(rows))))))
+        posexplode(graft.functions.SketchExpressions.bandHashes(col("sig"), b, rows)))
         .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
     val newIdx0 = minhashIndex(newDocs, textCol, idCol, k, numHashes)
