@@ -483,15 +483,32 @@ object Dedup {
   }
 
   /** MinHash dedup with exact transitive clustering: one survivor (the
-    * smallest id) per connected near-dup cluster. */
+    * smallest id) per connected near-dup cluster. In a long-lived session
+    * prefer [[minhashDedupClustersManaged]] — when the dup graph exceeds
+    * the small-graph bound, the clustering loop's final iteration stays
+    * persisted until its handle is released. */
   def minhashDedupClusters(df: DataFrame, textCol: String, idCol: String,
                            k: Int = 3, numHashes: Int = 32,
-                           threshold: Double = 0.7): DataFrame = {
+                           threshold: Double = 0.7): DataFrame =
+    minhashDedupClustersManaged(df, textCol, idCol, k, numHashes, threshold).df
+
+  /** A lazily-defined result plus the release for whatever intermediate
+    * storage backs it. `release()` once consumed; re-use after release is
+    * safe (the plan recomputes, it doesn't break). */
+  final case class ManagedFrame(df: DataFrame, release: () => Unit)
+
+  /** [[minhashDedupClusters]] with an explicit storage-release handle:
+    * the clustering loop's persisted final iteration backs the survivors
+    * plan until `release()`. */
+  def minhashDedupClustersManaged(df: DataFrame, textCol: String, idCol: String,
+                                  k: Int = 3, numHashes: Int = 32,
+                                  threshold: Double = 0.7): ManagedFrame = {
     val pairs = minhashLshPairs(df, textCol, idCol, k, numHashes, -1, threshold)
-    val losers = dupClusters(pairs)
+    val clusters = dupClustersManaged(pairs)
+    val losers = clusters.labels
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+    ManagedFrame(df.join(losers, Seq(idCol), "left_anti"), clusters.release)
   }
 
   // ---------------- SimHash ----------------

@@ -139,12 +139,11 @@ final case class CmpF(
   * (`mode: insensitive`).
   *
   * `equalsJson` is Prisma's `equals: InputJsonValue` on objects/arrays
-  * (`commonInputTypes.ts:133`): structural value equality, compared via the
-  * variant canonical form (minified, object keys sorted). KNOWN DIVERGENCE:
-  * the canonical form preserves the numeric representation, so
-  * `{"a": 1}` and `{"a": 1.0}` compare UNEQUAL here, while Postgres JSONB
-  * (which normalizes numerics) would compare them equal — if JSONB-exact
-  * numeric parity matters, normalize numbers before storing documents. `not` is the
+  * (`commonInputTypes.ts:133`): structural value equality via
+  * [[graft.functions.JsonNormKernel]]'s canonical form — minified, object
+  * keys sorted, and numbers normalized by VALUE, so `{"a": 1}` equals
+  * `{"a": 1.0}` exactly as the reference's Postgres JSONB (numeric-typed
+  * numbers) compares them. `not` is the
   * recursive negation of `commonInputTypes.ts:147` with SQL three-valued
   * logic (a NULL/missing value matches neither the filter nor its negation,
   * matching the reference's JSONB-backed semantics). */
@@ -188,10 +187,14 @@ final case class JsonF(
       lit(false))
     val conds = Seq(
       equals.map(x => side(v) === vl(x)),
-      // canonical-form structural equality: variant serialization minifies
-      // and sorts object keys, so both sides reduce to one canonical text
-      equalsJson.map(x => to_json(try_variant_get(pv, jsonPath, "variant")) ===
-        to_json(parse_json(lit(x)))),
+      // structural VALUE equality: both sides canonicalized (keys sorted,
+      // numbers normalized by value) so `{"a":1}` equals `{"a":1.0}`, the
+      // JSONB numeric semantics the reference's Postgres gives `equals:
+      // InputJsonValue`. The literal canonicalizes once at plan time.
+      equalsJson.map(x =>
+        graft.functions.JsonNorm.jsonCanonical(
+          to_json(try_variant_get(pv, jsonPath, "variant"))) ===
+          lit(graft.functions.JsonNormKernel.canonicalLiteral(x))),
       stringContains.map(x => side(v).contains(vl(x))),
       stringStartsWith.map(x => side(v).startsWith(vl(x))),
       stringEndsWith.map(x => side(v).endsWith(vl(x))),

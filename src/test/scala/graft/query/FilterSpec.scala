@@ -125,6 +125,35 @@ class FilterSpec extends AnyFunSuite with SparkTestBase {
       insensitive = true))) == Set("n2"))
   }
 
+  test("JsonF equalsJson: JSONB value equality (numbers by value, keys sorted)") {
+    val n = Seq(
+      ("j1", """{"cfg": {"b": 1, "a": [1.0, 2]}}"""),
+      ("j2", """{"cfg": {"a": [1, 2.000], "b": 1.0}}"""),
+      ("j3", """{"cfg": {"a": [1, 2], "b": 2}}"""),
+      ("j4", """{"cfg": 1e2}"""),
+      ("j5", """{"cfg": null}"""),
+      ("j6", null.asInstanceOf[String])
+    ).toDF("id", "metadata")
+    def nIds(w: Where): Set[String] =
+      n.filter(Where.compile(w, n.apply)).select("id").as[String].collect().toSet
+    // representation-insensitive, like the reference's Postgres JSONB:
+    // 1 vs 1.0, 2 vs 2.000, object key order — all the same value
+    assert(nIds(F.json("metadata", JsonF(path = Seq("cfg"),
+      equalsJson = Some("""{"a": [1, 2], "b": 1}""")))) == Set("j1", "j2"))
+    // scalar numbers by value: 1e2 == 100
+    assert(nIds(F.json("metadata", JsonF(path = Seq("cfg"),
+      equalsJson = Some("100")))) == Set("j4"))
+    // recursive not: JSON null at path is a VALUE (unequal → matches the
+    // negation, j5); a db-null column is three-valued (matches neither, j6)
+    assert(nIds(F.json("metadata", JsonF(path = Seq("cfg"),
+      not = Some(JsonF(equalsJson = Some("""{"a": [1, 2], "b": 1}""")))))) ==
+      Set("j3", "j4", "j5"))
+    // a malformed filter literal is a caller bug → plan-time error
+    intercept[IllegalArgumentException] {
+      nIds(F.json("metadata", JsonF(path = Seq("cfg"), equalsJson = Some("{nope"))))
+    }
+  }
+
   test("EnumF validates against the service-name domain (schema.prisma:101-105)") {
     val notif = Seq(("m1", "Places_Locator"), ("m2", "CRM_Sync")).toDF("id", "serviceName")
     def nIds(w: Where): Set[String] =
