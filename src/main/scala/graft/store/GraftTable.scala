@@ -298,34 +298,74 @@ final class GraftTable(
     withSet(df, lit(true), set)
 
   /** stagedCreate that also returns the inserted slice
-    * (createManyAndReturn, `effect.ts:487-493`). */
+    * (createManyAndReturn, `effect.ts:487-493`).
+    *
+    * ONE materialization of the incoming batch, with the survivor flag
+    * computed INSIDE it: the in-batch dedup ranks (sequential per unique
+    * key) and the snapshot existence probes all fold into a `__keep`
+    * column frozen by a single checkpoint, and the per-slice stats, raw
+    * count, and null-constraint check fold into a single collect — three
+    * actions per insert (materialize, stats, slice write) where the
+    * round-3 path paid five, and at 100 TB the batch materializes once,
+    * not twice. The survivor choice among duplicate keys is arbitrary
+    * (as `dropDuplicates`' was) but frozen: every consumer — the stats
+    * action, FK probes, the slice writes, the returned slice — sees the
+    * same winners.
+    *
+    * `currentEmpty` = the caller (the transaction, which owns the
+    * slice-dir map) KNOWS `current` has no committed slices — pre-first
+    * insert — so the snapshot probes are skipped entirely. */
   private[store] def stagedCreateReturning(current: DataFrame, rows: DataFrame,
-                                           skipDuplicates: Boolean): (Staged, DataFrame) = {
-    val raw = materializeIncoming(rows)
-    // in-batch dedup per unique key (first occurrence wins)
-    var incoming = raw
-    uniqueKeys.foreach { uk => incoming = incoming.dropDuplicates(uk) }
-    // cross-check against the current snapshot
-    var clean = incoming
-    uniqueKeys.foreach { uk =>
-      clean = clean.join(current.select(uk.map(col): _*), uk, "left_anti")
+                                           skipDuplicates: Boolean,
+                                           currentEmpty: Boolean = false): (Staged, DataFrame) = {
+    // a nondeterministic expression can't sit inside a window ORDER BY —
+    // project the tie-break id first (its value is arbitrary; the
+    // checkpoint below freezes whatever was drawn)
+    var marked = touch(align(rows), timestampCols)
+      .withColumn("__mid", monotonically_increasing_id())
+    var keep: Column = lit(true)
+    var tmpCols: Seq[String] = Seq("__mid")
+    uniqueKeys.zipWithIndex.foreach { case (uk, i) =>
+      // ordering by the previous keep-flag makes the chain equivalent to
+      // SEQUENTIAL dedup passes: a row eliminated by an earlier key never
+      // displaces a survivor in a later key's group
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(uk.map(col): _*)
+        .orderBy(keep.cast("int").desc, col("__mid"))
+      marked = marked.withColumn(s"__k$i", keep && row_number().over(w) === 1)
+      keep = col(s"__k$i")
+      tmpCols :+= s"__k$i"
     }
-    clean = clean.localCheckpoint()
-    // per-partition stats + null-constraint check in ONE action: NULL into
-    // a non-nullable column is the P2011 equivalent (parquet itself would
-    // happily store it)
+    if (!currentEmpty) uniqueKeys.zipWithIndex.foreach { case (uk, i) =>
+      // left-join probe instead of an anti-join so non-surviving rows stay
+      // countable; keys are unique in the snapshot (engine invariant), so
+      // the join multiplies nothing, and a NULL key matches nothing — SQL
+      // unique-constraint behavior, same as the anti-join it replaces
+      val probe = current.select(uk.map(col): _*).withColumn(s"__ex$i", lit(true))
+      marked = marked.join(probe, uk, "left")
+      keep = keep && col(s"__ex$i").isNull
+      tmpCols :+= s"__ex$i"
+    }
+    marked = marked.withColumn("__keep", keep).drop(tmpCols: _*).localCheckpoint()
+    // per-slice stats + raw count + null-constraint check in ONE action:
+    // NULL into a non-nullable column is the P2011 equivalent (parquet
+    // itself would happily store it; only surviving rows are checked)
     val required = schema.fields.filterNot(_.nullable).map(_.name).toSeq
     val nullViol = required.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
-    val stats = clean.groupBy(partKeyCol.as("__pk"))
-      .agg(count(lit(1)).as("n"), count(when(nullViol, 1)).as("nv")).collect()
-    val touched = stats.map(_.getString(0)).toSet
-    val n = stats.map(_.getLong(1)).sum
-    if (stats.map(_.getLong(2)).sum > 0)
+    val stats = marked.groupBy(partKeyCol.as("__pk"))
+      .agg(count(lit(1)).as("all"),
+        count(when(col("__keep"), 1)).as("n"),
+        count(when(col("__keep") && nullViol, 1)).as("nv")).collect()
+    val rawN = stats.map(_.getLong(1)).sum
+    val n = stats.map(_.getLong(2)).sum
+    val touched = stats.filter(_.getLong(2) > 0).map(_.getString(0)).toSet
+    if (stats.map(_.getLong(3)).sum > 0)
       throw new NullConstraintException(
         s"$name: NULL in non-nullable column (one of ${required.mkString(",")})")
-    if (!skipDuplicates && n < raw.count())
+    if (!skipDuplicates && uniqueKeys.nonEmpty && n < rawN)
       throw new UniqueViolationException(
         s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
+    val clean = marked.filter(col("__keep")).drop("__keep")
     (Staged(current.unionByName(clean), touched, n), clean)
   }
 
@@ -452,6 +492,11 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
 
   private def stateOf(t: GraftTable): DataFrame = t.readDirs(workingDirs(t).values.toSeq)
 
+  /** No slices at all (pre-first-insert) — lets the create path skip the
+    * snapshot anti-join without an isEmpty action. A table whose rows were
+    * all deleted still HAS (empty) slice dirs and takes the normal path. */
+  private def isFresh(t: GraftTable): Boolean = workingDirs(t).isEmpty
+
   private def stage(t: GraftTable, s: Staged): Unit = {
     var dirs = workingDirs(t)
     var parts = staged.getOrElse(t.name, Map.empty[String, Option[String]])
@@ -502,19 +547,22 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     }
 
   def create(t: GraftTable, rows: DataFrame): Long = {
-    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates = false)
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows,
+      skipDuplicates = false, currentEmpty = isFresh(t))
     checkParentRefs(t, inserted)
     stage(t, s); s.n
   }
 
   def createMany(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): Long = {
-    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates,
+      currentEmpty = isFresh(t))
     checkParentRefs(t, inserted)
     stage(t, s); s.n
   }
 
   def createManyAndReturn(t: GraftTable, rows: DataFrame, skipDuplicates: Boolean): DataFrame = {
-    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates,
+      currentEmpty = isFresh(t))
     checkParentRefs(t, inserted)
     stage(t, s); inserted
   }
@@ -638,7 +686,8 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     * transaction. Returns the parent insert count. */
   def createNested(t: GraftTable, rows: DataFrame, nested: Seq[NestedWrite],
                    skipDuplicates: Boolean = false): Long = {
-    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates)
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates,
+      currentEmpty = isFresh(t))
     checkParentRefs(t, inserted)
     stage(t, s)
     if (nested.nonEmpty) {
