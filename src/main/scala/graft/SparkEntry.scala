@@ -827,6 +827,34 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // C4/RefinedWeb-style boilerplate removal: 8-token windows occurring
+    // verbatim in MORE than one document get dropped and the documents
+    // reassembled from the survivors — the planted organic near-dup pairs
+    // share exactly such windows, so the result is non-trivially changed
+    // and still exactly SQL-expressible.
+    "q_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text", "doc_id", segTokens = 8, maxDocFreq = 1)
+        .select(col("doc_id"), col("text"),
+          col("droppedSegments").as("n_dropped"))
+        .orderBy(col("doc_id"))),
+
+    // PII scrub at scan speed (pure codegen'd regexp_replace chain). The
+    // corpus itself is clean, so both engines inject the same
+    // deterministic email/IP/phone built from the doc id, then redact.
+    "q_scrub_pii" -> ((s, dir) => {
+      val dirty = concat(
+        lit("reach user"), col("doc_id"), lit("@example.com or 10.0."),
+        pmod(col("doc_id"), lit(256)), lit("."), pmod(col("doc_id"), lit(100)),
+        lit(" tel 555-867-5309 "), col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.scrubPii(dirty).as("clean"))
+        .withColumn("n_redacted",
+          (size(split(col("clean"), "<PII>")) - 1).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH near-dedup: corpus ∪ id-shifted copy — every copy is a
     // guaranteed jaccard-1.0 duplicate of its original; the recovered
     // (id, id+10000) pairs are the oracle-checkable slice (the corpus also
@@ -1455,6 +1483,46 @@ object SparkEntry {
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents) t
       WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_segment_dedup" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM toks
+      ), segs AS (
+        SELECT doc_id, (idx-1)//8 AS seg_idx,
+               string_agg(word, ' ' ORDER BY idx) AS seg
+        FROM words GROUP BY doc_id, (idx-1)//8
+      ), freq AS (
+        SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+      )
+      SELECT s.doc_id,
+             coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                        FILTER (WHERE f.df <= 1), '') AS text,
+             CAST(count(*) FILTER (WHERE f.df > 1) AS BIGINT) AS n_dropped
+      FROM segs s JOIN freq f USING (seg)
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id""",
+
+    "q_scrub_pii" -> """
+      WITH dirty AS (
+        SELECT doc_id,
+               'reach user' || doc_id || '@example.com or 10.0.' ||
+               (doc_id % 256) || '.' || (doc_id % 100) ||
+               ' tel 555-867-5309 ' || text AS d
+        FROM documents
+      ), cleaned AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(d,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<PII>', 'g'),
+                 '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PII>', 'g'),
+                 '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<PII>', 'g') AS clean
+        FROM dirty
+      )
+      SELECT doc_id, clean,
+             CAST(len(string_split(clean, '<PII>')) - 1 AS BIGINT) AS n_redacted
+      FROM cleaned ORDER BY doc_id""",
 
     "q_dedup_minhash" -> """
       SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents

@@ -15,8 +15,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred-schema cache: the first read of a table pays the parquet
+    * footer-inference job; every later read passes the schema explicitly
+    * and schedules nothing. Keyed by path + the nanos legacy flag (the one
+    * session conf that changes an inferred schema here: events.ts reads as
+    * LONG under it, TIMESTAMP(NANOS) otherwise). Test corpora are
+    * immutable for the life of the JVM, so the cache never invalidates. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val key = path + "|" +
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

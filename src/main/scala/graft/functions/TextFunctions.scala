@@ -153,4 +153,28 @@ object TextFunctions {
     when(c < lo, lit(0))
       .when(c >= hi, lit(buckets + 1))
       .otherwise(floor((c - lit(lo)) / lit((hi - lo) / buckets)).cast("int") + 1)
+
+  // ---------------- PII scrubbing ----------------
+
+  /** Conservative PII patterns, written in the common subset of Java
+    * regex and RE2 (no backreferences, no lookaround) so the same pattern
+    * text runs identically in Spark's codegen'd `regexp_replace` and in
+    * external engines. Deliberately precision-leaning: a training-data
+    * scrub that eats prose is worse than one that misses an oddly
+    * formatted phone number. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val ipv4Pattern: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers, and IPv4 addresses — a pure
+    * `regexp_replace` chain, fully codegen'd, no shuffle: the scan-speed
+    * scrub pass a corpus pipeline runs before anything else. */
+  def scrubPii(c: Column, replacement: String = "<PII>"): Column = {
+    val r = lit(replacement)
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(emailPattern), r),
+        lit(phonePattern), r),
+      lit(ipv4Pattern), r)
+  }
 }

@@ -628,4 +628,47 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(round(first(col("cosine")), 4).as("cosine"))
   }
+
+  // ---------------- cross-document segment dedup ----------------
+
+  /** C4/RefinedWeb-style boilerplate removal: drop every `segTokens`-token
+    * segment that occurs verbatim in more than `maxDocFreq` DISTINCT
+    * documents, and reassemble each document from its surviving segments
+    * (order preserved, single-space joined). The reference corpus segments
+    * on lines; this segments on fixed token windows so the operator is
+    * delimiter-agnostic — pre-split on `\n` upstream to get exact C4 line
+    * semantics.
+    *
+    * Scale shape: segmentation is a NARROW per-row transform (no
+    * explode-then-groupBy shuffle to form segments); the document
+    * frequency is one hash aggregation on the segment text; the
+    * keep-filter joins segs↔freq on the SAME key that aggregation just
+    * partitioned by, so the exchange is reused; reassembly is one shuffle
+    * on the document id. True boilerplate segments are by definition the
+    * hot keys of that join — AQE's skew-join split handles them, and they
+    * never reach the reassembly aggregate (dropped at the join filter).
+    *
+    * Returns (idCol, textCol — cleaned, droppedSegments). */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 8, maxDocFreq: Long = 1): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val w = split(col(textCol), " ")
+    val nSeg = ceil(size(w) / lit(segTokens.toDouble)).cast("int")
+    val segArr = transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
+      i => array_join(slice(w, i * segTokens + 1, lit(segTokens)), " "))
+    val segs = df.select(col(idCol),
+      posexplode(segArr).as(Seq("seg_idx", "seg")))
+    val freq = segs.groupBy(col("seg"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+    segs.join(freq, Seq("seg"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__df") <= maxDocFreq, struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as(textCol),
+        sum(when(col("__df") > maxDocFreq, 1L).otherwise(0L)).as("droppedSegments"))
+  }
 }

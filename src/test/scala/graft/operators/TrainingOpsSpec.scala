@@ -263,4 +263,50 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val bad = resized.filter($"target_width" > 256 || $"target_height" > 256).count()
     assert(bad == 0)
   }
+
+  // ---------------- segment dedup + PII scrub ----------------
+
+  test("segmentDedup drops cross-doc boilerplate windows, keeps unique text in order") {
+    // docs 1 and 2 share an identical 4-token boilerplate window at
+    // DIFFERENT positions; doc 3 is untouched
+    val df = Seq(
+      (1L, "alpha beta gamma delta one two three four"),
+      (2L, "one two three four epsilon zeta eta theta"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "text", "doc_id", segTokens = 4, maxDocFreq = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) == ((1L, "alpha beta gamma delta", 1L)))
+    assert(out(1) == ((2L, "epsilon zeta eta theta", 1L)))
+    assert(out(2) == ((3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen", 0L)))
+  }
+
+  test("segmentDedup: a doc that is ALL boilerplate reduces to empty, partial windows count") {
+    val df = Seq(
+      (1L, "one two three four five"),  // 4-window + 1-token tail window
+      (2L, "one two three four five"),  // exact duplicate doc
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "text", "doc_id", segTokens = 4, maxDocFreq = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // both windows of docs 1/2 (including the short tail "five") repeat
+    assert(out(0) == ((1L, "", 2L)))
+    assert(out(1) == ((2L, "", 2L)))
+    assert(out(2) == ((3L, "solo", 0L)))
+  }
+
+  test("scrubPii redacts emails, phones, and IPv4s; leaves prose intact") {
+    val df = Seq(
+      "mail jane.doe+x@corp.example.org now",
+      "call 555-123-4567 or +1 555.123.4567 today",
+      "host 192.168.0.1 responded",
+      "version 1.2 of chapter 3.4 is clean"
+    ).toDF("t").select(TextFunctions.scrubPii($"t").as("c")).as[String].collect()
+    assert(df(0) == "mail <PII> now")
+    assert(df(1) == "call <PII> or +1 <PII> today")
+    assert(df(2) == "host <PII> responded")
+    assert(df(3) == "version 1.2 of chapter 3.4 is clean")
+  }
 }
