@@ -295,20 +295,19 @@ object Dedup {
     * collapse to cluster 1. Returns (id, cluster). */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50,
                   checkpointEvery: Int = 4): DataFrame =
-    dupClustersManaged(pairs, maxIters, checkpointEvery).labels
+    dupClustersManaged(pairs, maxIters, checkpointEvery).df
 
-  /** [[dupClusters]] result plus an explicit storage release: the final
-    * iteration's cache / localCheckpoint blocks back the returned labels
-    * plan, and `Dataset.unpersist` is a no-op on checkpoint rounds (no
-    * cache-manager entry; the RDD blocks wait for the ContextCleaner).
-    * Long-lived sessions should call `release()` once the labels are
-    * consumed. `release` is safe while queries over `labels` are still
+  /** A lazily-defined result plus the release for whatever intermediate
+    * storage backs it (cache / persisted RDD — `Dataset.unpersist` is a
+    * no-op on checkpoint rounds, so the producer owns a real handle).
+    * Long-lived sessions should call `release()` once the result is
+    * consumed; `release` is safe while queries over `df` are still
     * defined — the plan recomputes, it doesn't break. */
-  final case class ClusterLabels(labels: DataFrame, release: () => Unit)
+  final case class Managed(df: DataFrame, release: () => Unit)
 
   def dupClustersManaged(pairs: DataFrame, maxIters: Int = 50,
                          checkpointEvery: Int = 4,
-                         smallGraphEdges: Long = 1L << 20): ClusterLabels = {
+                         smallGraphEdges: Long = 1L << 20): Managed = {
     // a null id is a malformed pair (it joins to nothing and labels
     // nothing) — dropped identically on both solver paths
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -336,7 +335,7 @@ object Dedup {
     if (edgeCount <= smallGraphEdges && edgeBytes <= (64L << 20)) {
       val labels = driverUnionFind(edges)
       edges.unpersist()
-      return ClusterLabels(labels, () => ())
+      return Managed(labels, () => ())
     }
     var labels = edges.select(col("src").as("id"))
       .distinct()
@@ -403,7 +402,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: hit maxIters=$maxIters before convergence — " +
           "labels may be partially propagated; raise maxIters or checkpointEvery")
-    ClusterLabels(labels, () => releaseRetained())
+    Managed(labels, () => releaseRetained())
   }
 
   /** Unsigned lexicographic comparison of the UTF-8 encodings — the order
@@ -492,23 +491,18 @@ object Dedup {
                            threshold: Double = 0.7): DataFrame =
     minhashDedupClustersManaged(df, textCol, idCol, k, numHashes, threshold).df
 
-  /** A lazily-defined result plus the release for whatever intermediate
-    * storage backs it. `release()` once consumed; re-use after release is
-    * safe (the plan recomputes, it doesn't break). */
-  final case class ManagedFrame(df: DataFrame, release: () => Unit)
-
   /** [[minhashDedupClusters]] with an explicit storage-release handle:
     * the clustering loop's persisted final iteration backs the survivors
     * plan until `release()`. */
   def minhashDedupClustersManaged(df: DataFrame, textCol: String, idCol: String,
                                   k: Int = 3, numHashes: Int = 32,
-                                  threshold: Double = 0.7): ManagedFrame = {
+                                  threshold: Double = 0.7): Managed = {
     val pairs = minhashLshPairs(df, textCol, idCol, k, numHashes, -1, threshold)
     val clusters = dupClustersManaged(pairs)
-    val losers = clusters.labels
+    val losers = clusters.df
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    ManagedFrame(df.join(losers, Seq(idCol), "left_anti"), clusters.release)
+    Managed(df.join(losers, Seq(idCol), "left_anti"), clusters.release)
   }
 
   // ---------------- SimHash ----------------
@@ -656,11 +650,11 @@ object Dedup {
     val nSeg = ceil(size(w) / lit(segTokens.toDouble)).cast("int")
     val segArr = transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
       i => array_join(slice(w, i * segTokens + 1, lit(segTokens)), " "))
-    val segs = df.select(col(idCol),
+    val segs = df.filter(col(textCol).isNotNull).select(col(idCol),
       posexplode(segArr).as(Seq("seg_idx", "seg")))
     val freq = segs.groupBy(col("seg"))
       .agg(count_distinct(col(idCol)).as("__df"))
-    segs.join(freq, Seq("seg"))
+    val cleaned = segs.join(freq, Seq("seg"))
       .groupBy(col(idCol))
       .agg(
         array_join(
@@ -670,5 +664,10 @@ object Dedup {
             x => x.getField("seg")),
           " ").as(textCol),
         sum(when(col("__df") > maxDocFreq, 1L).otherwise(0L)).as("droppedSegments"))
+    // a NULL document passes through untouched — posexplode of a null
+    // segment array yields no rows, which would otherwise silently DELETE
+    // the document from the corpus
+    cleaned.unionByName(df.filter(col(textCol).isNull)
+      .select(col(idCol), col(textCol), lit(0L).as("droppedSegments")))
   }
 }

@@ -328,11 +328,16 @@ final class GraftTable(
     uniqueKeys.zipWithIndex.foreach { case (uk, i) =>
       // ordering by the previous keep-flag makes the chain equivalent to
       // SEQUENTIAL dedup passes: a row eliminated by an earlier key never
-      // displaces a survivor in a later key's group
+      // displaces a survivor in a later key's group. A key with any NULL
+      // column never conflicts (SQL UNIQUE semantics — Postgres admits
+      // multiple NULLs), so such rows bypass the rank entirely; the
+      // snapshot probes below agree for free (a NULL key joins nothing).
+      val anyNull = uk.map(col(_).isNull).reduce(_ || _)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(uk.map(col): _*)
         .orderBy(keep.cast("int").desc, col("__mid"))
-      marked = marked.withColumn(s"__k$i", keep && row_number().over(w) === 1)
+      marked = marked.withColumn(s"__k$i",
+        keep && (anyNull || row_number().over(w) === 1))
       keep = col(s"__k$i")
       tmpCols :+= s"__k$i"
     }
@@ -365,7 +370,11 @@ final class GraftTable(
     if (!skipDuplicates && uniqueKeys.nonEmpty && n < rawN)
       throw new UniqueViolationException(
         s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
-    val clean = marked.filter(col("__keep")).drop("__keep")
+    // the probe using-joins moved the key columns to the front — put the
+    // returned slice back in declared order (createManyAndReturn hands
+    // this frame to the caller; positional consumers must see the schema)
+    val clean = marked.filter(col("__keep"))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     (Staged(current.unionByName(clean), touched, n), clean)
   }
 

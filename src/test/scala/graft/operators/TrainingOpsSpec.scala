@@ -134,7 +134,7 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     // union-find would otherwise absorb a graph this small)
     val clusters = Dedup.dupClustersManaged(pairs, maxIters = 50,
         checkpointEvery = 4, smallGraphEdges = 0)
-      .labels.as[(Long, Long)].collect().toMap
+      .df.as[(Long, Long)].collect().toMap
     assert((0L to 24L).forall(clusters(_) == 0L))
     assert(clusters(1000L) == 1000L)
     assert((1L to 200L).forall(i => clusters(1000L + i) == 1000L))
@@ -148,7 +148,7 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val fast = Dedup.dupClusters(pairs) // small → driver path
       .as[(Long, Long)].collect().toMap
     val dist = Dedup.dupClustersManaged(pairs, smallGraphEdges = 0)
-      .labels.as[(Long, Long)].collect().toMap
+      .df.as[(Long, Long)].collect().toMap
     assert(fast == dist)
   }
 
@@ -295,6 +295,16 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0) == ((1L, "", 2L)))
     assert(out(1) == ((2L, "", 2L)))
     assert(out(2) == ((3L, "solo", 0L)))
+  }
+
+  test("segmentDedup passes NULL documents through instead of deleting them") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(df, "text", "doc_id", segTokens = 4, maxDocFreq = 1)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.length == 3)
+    assert(out(0) == ((1L, null, 0L)))
+    assert(out(1) == ((2L, "", 1L)) && out(2) == ((3L, "", 1L)))
   }
 
   test("scrubPii redacts emails, phones, and IPv4s; leaves prose intact") {

@@ -75,6 +75,25 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 1)
   }
 
+  test("NULL unique-key values never conflict (SQL UNIQUE: multiple NULLs allowed)") {
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "contact", StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("email", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id"), Seq("email")))
+    // two NULL emails in ONE batch insert fine (Postgres admits both)...
+    assert(t.createMany(Seq(("c1", Option.empty[String]),
+      ("c2", Option.empty[String])).toDF("id", "email")) == 2)
+    // ...and another NULL email against the committed snapshot does too,
+    // while a REAL duplicate email still throws
+    assert(t.createMany(Seq(("c3", Option.empty[String]),
+      ("c4", Some("x@y.z"))).toDF("id", "email")) == 2)
+    intercept[UniqueViolationException] {
+      t.createMany(Seq(("c5", Some("x@y.z"))).toDF("id", "email"))
+    }
+    assert(t.snapshot().filter($"email".isNull).count() == 3)
+  }
+
   test("update sets fields, touches updatedAt, leaves others (runner/locator.ts:136-141)") {
     val t = urlTable(freshCatalog())
     t.createMany(urlRows(("u1", "https://a", Some("NY")), ("u2", "https://b", None)))
