@@ -635,12 +635,16 @@ object Dedup {
     *
     * Scale shape: segmentation is a NARROW per-row transform (no
     * explode-then-groupBy shuffle to form segments); the document
-    * frequency is one hash aggregation on the segment text; the
-    * keep-filter joins segs↔freq on the SAME key that aggregation just
-    * partitioned by, so the exchange is reused; reassembly is one shuffle
-    * on the document id. True boilerplate segments are by definition the
-    * hot keys of that join — AQE's skew-join split handles them, and they
-    * never reach the reassembly aggregate (dropped at the join filter).
+    * frequency is one partial-aggregated hash aggregation on the segment
+    * text; the keep-filter joins segs↔freq on the segment (broadcast
+    * while the frequency table fits — AQE decides — else sort-merge);
+    * reassembly is one shuffle on the document id. The corpus is scanned
+    * twice (segs side + freq side) — the standard shape for a
+    * semi-join-against-aggregated-self, cheaper at scale than
+    * materializing the exploded corpus once to save a pruned scan. True
+    * boilerplate segments are the hot keys of that join — AQE's skew
+    * split handles them, and their rows never reach the reassembly
+    * aggregate (dropped at the keep filter).
     *
     * Returns (idCol, textCol — cleaned, droppedSegments). */
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,

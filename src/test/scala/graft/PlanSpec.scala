@@ -80,4 +80,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val p = planOf("q_take_last")
     assert(p.contains("TakeOrdered"), p)
   }
+
+  test("segment dedup: pruned scans, distributed keep-join, no single-partition funnel") {
+    val p = planOf("q_segment_dedup")
+    // both corpus scans read ONLY (doc_id, text) with the null filter pushed
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "corpus scan not pruned to 2 columns:\n" + p)
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"), p)
+    // the keep-join broadcasts while the frequency table fits (AQE) —
+    // at scale the same plan degrades to sort-merge, never to a loop
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // and no stage funnels through one partition
+    assert(!p.contains("SinglePartition"), "single-partition funnel:\n" + p)
+  }
 }
