@@ -840,6 +840,22 @@ object SparkEntry {
           col("droppedSegments").as("n_dropped"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition signals: total/distinct/top-frequency of
+    // token 3-grams per document plus the duplicate-gram fraction — the
+    // intra-doc repetition gates of quality filtering, one kernel pass.
+    "q_repetition" -> ((s, dir) => {
+      val st = TextFunctions.repetitionStats(col("text"), 3)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          try_element_at(st, lit(1)).as("total_grams"),
+          try_element_at(st, lit(2)).as("distinct_grams"),
+          try_element_at(st, lit(3)).as("max_gram_freq"))
+        .withColumn("dup_fraction",
+          (col("total_grams") - col("distinct_grams")).cast("double") /
+            col("total_grams").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII scrub at scan speed (pure codegen'd regexp_replace chain). The
     // corpus itself is clean, so both engines inject the same
     // deterministic email/IP/phone built from the doc id, then redact.
@@ -1504,6 +1520,30 @@ object SparkEntry {
       FROM segs s JOIN freq f USING (seg)
       GROUP BY s.doc_id
       ORDER BY s.doc_id""",
+
+    "q_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM toks
+      ), grams AS (
+        SELECT doc_id,
+               word || ' ' ||
+               lead(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) || ' ' ||
+               lead(word, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM words
+      ), gfreq AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM grams WHERE g IS NOT NULL GROUP BY doc_id, g
+      )
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS total_grams,
+             CAST(count(*) AS BIGINT) AS distinct_grams,
+             CAST(max(c) AS BIGINT) AS max_gram_freq,
+             (CAST(sum(c) AS DOUBLE) - CAST(count(*) AS DOUBLE))
+               / CAST(sum(c) AS DOUBLE) AS dup_fraction
+      FROM gfreq GROUP BY doc_id ORDER BY doc_id""",
 
     "q_scrub_pii" -> """
       WITH dirty AS (

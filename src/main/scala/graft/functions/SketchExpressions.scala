@@ -100,6 +100,25 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Repetition stats over a non-distinct n-gram hash array in one pass:
+    * [total, distinct, maxFreq] — the Gopher/MassiveText intra-document
+    * repetition signals (duplicate-gram fraction, top-gram coverage)
+    * without a per-doc groupBy or an O(k²) HOF count. */
+  case class NgramRepStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "ngram_rep_stats"
+
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.ngramRepStats(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.ngramRepStats($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Marker-profile language scoring in one pass over the token array:
     * returns the profile with the most marker hits (ties → first in the
     * given order), or "und" when nothing scores. The HOF equivalent runs
@@ -238,6 +257,8 @@ object SketchExpressions {
     column(ShingleHashes(expression(tokens), k))
   def charStats(text: Column): Column =
     column(CharStats(expression(text)))
+  def ngramRepStats(hashes: Column): Column =
+    column(NgramRepStats(expression(hashes)))
   def langScore(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangScore(expression(tokens), profiles))
   def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =

@@ -165,6 +165,23 @@ object SketchKernels {
     new GenericArrayData(Array(n.toLong, letters, digits, punct, ws))
   }
 
+  /** Repetition stats over a (non-distinct) n-gram hash array in one
+    * pass: [total, distinct, maxFreq]. Frequency map is per-row and
+    * bounded by the gram count — no shuffle, no global state. */
+  def ngramRepStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val freq = new java.util.HashMap[java.lang.Long, Int](Math.max(16, n * 2))
+    var maxFreq = 0
+    var i = 0
+    while (i < n) {
+      val h = java.lang.Long.valueOf(arr.getLong(i))
+      val c = freq.merge(h, 1, (a, b) => a + b)
+      if (c > maxFreq) maxFreq = c
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, freq.size().toLong, maxFreq.toLong))
+  }
+
   def hyperplaneSig(arr: ArrayData, planes: Array[Array[Double]]): Long = {
     val d = arr.numElements()
     val v = new Array[Double](d)

@@ -154,6 +154,15 @@ object TextFunctions {
       .when(c >= hi, lit(buckets + 1))
       .otherwise(floor((c - lit(lo)) / lit((hi - lo) / buckets)).cast("int") + 1)
 
+  /** Gopher/MassiveText intra-document repetition signals in ONE pass:
+    * `[total, distinct, maxFreq]` over the token `n`-grams. Duplicate-gram
+    * fraction is `(total - distinct) / total`; top-gram coverage is
+    * `maxFreq / total` — the repetition gates of quality filtering,
+    * computed per row with a bounded frequency map (no per-doc groupBy,
+    * no O(k²) HOF count, no shuffle). */
+  def repetitionStats(c: Column, n: Int = 3): Column =
+    SketchExpressions.ngramRepStats(rollingFingerprints(c, n))
+
   // ---------------- PII scrubbing ----------------
 
   /** Conservative PII patterns, written in the common subset of Java

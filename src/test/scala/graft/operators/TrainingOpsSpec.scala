@@ -264,6 +264,19 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(bad == 0)
   }
 
+  test("repetitionStats: [total, distinct, maxFreq] over token 3-grams") {
+    val r = Seq(
+      "a b c a b c a b",   // 6 grams: abc bca cab abc bca cab → 3 distinct, max 2
+      "w x y z",           // 2 grams, both unique
+      "hi there"           // shorter than the window → one whole-text gram
+    ).toDF("t")
+      .select(TextFunctions.repetitionStats($"t", 3).as("s"))
+      .as[Seq[Long]].collect()
+    assert(r(0) == Seq(6L, 3L, 2L))
+    assert(r(1) == Seq(2L, 2L, 1L))
+    assert(r(2) == Seq(1L, 1L, 1L))
+  }
+
   // ---------------- segment dedup + PII scrub ----------------
 
   test("segmentDedup drops cross-doc boilerplate windows, keeps unique text in order") {
