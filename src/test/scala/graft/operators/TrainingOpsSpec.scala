@@ -320,6 +320,49 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == ((2L, "", 1L)) && out(2) == ((3L, "", 1L)))
   }
 
+  test("segmentDedup matches an in-memory reference on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1L to 40L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val segTokens = 3
+    def segsOf(t: String): Vector[String] =
+      t.split(" ", -1).grouped(segTokens).map(_.mkString(" ")).toVector
+    val docFreq = corpus.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    val expected = corpus.map { case (id, t) =>
+      val ss = segsOf(t)
+      (id, ss.filter(docFreq(_) <= 1).mkString(" "),
+        ss.count(docFreq(_) > 1).toLong)
+    }.sortBy(_._1)
+    val got = Dedup.segmentDedup(corpus.toDF("doc_id", "text"),
+        "text", "doc_id", segTokens = segTokens, maxDocFreq = 1)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("repetitionStats matches brute force on random docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("x", "y", "z")
+    val corpus = (1 to 30).map { i =>
+      val n = 1 + rnd.nextInt(9)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = corpus.toDF("id", "t")
+      .select($"id", TextFunctions.repetitionStats($"t", 3).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    corpus.foreach { case (id, t) =>
+      val toks = t.split(" ").toVector
+      val grams = if (toks.size < 3) Vector(toks.mkString(" "))
+                  else toks.sliding(3).map(_.mkString(" ")).toVector
+      val maxFreq = grams.groupBy(identity).values.map(_.size).max
+      assert(got(id) == Seq(grams.size.toLong, grams.distinct.size.toLong, maxFreq.toLong),
+        s"doc $id '$t'")
+    }
+  }
+
   test("scrubPii redacts emails, phones, and IPv4s; leaves prose intact") {
     val df = Seq(
       "mail jane.doe+x@corp.example.org now",
