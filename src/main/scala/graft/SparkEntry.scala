@@ -840,6 +840,20 @@ object SparkEntry {
           col("droppedSegments").as("n_dropped"))
         .orderBy(col("doc_id"))),
 
+    // Benchmark decontamination: every tenth document plays the held-out
+    // benchmark; corpus docs sharing >=1 distinct 8-gram with it are
+    // flagged with their hit counts (the organic near-dup pairs straddle
+    // the split, so the result is non-trivial and exactly checkable).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Dedup.decontaminationHits(corpus, bench, "text", "doc_id",
+          n = 8, minHits = 1)
+        .select(col("doc_id"), col("nHits").as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: total/distinct/top-frequency of
     // token 3-grams per document plus the duplicate-gram fraction — the
     // intra-doc repetition gates of quality filtering, one kernel pass.
@@ -1520,6 +1534,28 @@ object SparkEntry {
       FROM segs s JOIN freq f USING (seg)
       GROUP BY s.doc_id
       ORDER BY s.doc_id""",
+
+    "q_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM toks
+      ), grams AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY idx2) AS g
+        FROM (SELECT a.doc_id, a.idx AS base, b.idx AS idx2, b.word
+              FROM words a JOIN words b
+                ON a.doc_id = b.doc_id AND b.idx BETWEEN a.idx AND a.idx + 7) t
+        GROUP BY doc_id, base HAVING count(*) = 8
+      ), bgrams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+      ), cg AS (
+        SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0
+      )
+      SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cg JOIN bgrams USING (g)
+      GROUP BY cg.doc_id HAVING count(*) >= 1
+      ORDER BY cg.doc_id""",
 
     "q_repetition" -> """
       WITH toks AS (

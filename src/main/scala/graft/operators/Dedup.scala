@@ -623,6 +623,44 @@ object Dedup {
       .agg(round(first(col("cosine")), 4).as("cosine"))
   }
 
+  // ---------------- benchmark decontamination ----------------
+
+  /** Test-set decontamination: flag every corpus document sharing at
+    * least `minHits` distinct token `n`-grams with the benchmark set —
+    * the standard pre-training hygiene pass that keeps eval data out of
+    * the training corpus.
+    *
+    * Scale shape: the benchmark gram set is tiny next to the corpus
+    * (benchmarks are megabytes against 100 TB), so the join is a
+    * BROADCAST of the distinct benchmark gram hashes against one narrow
+    * pass over the corpus — no corpus-side shuffle until the per-doc hit
+    * count, which aggregates only the MATCHED grams. Grams ride as
+    * 64-bit rolling hashes, never strings.
+    *
+    * Returns (idCol, nHits) for contaminated documents only. */
+  def decontaminationHits(corpus: DataFrame, benchmark: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int = 8, minHits: Int = 1): DataFrame = {
+    val grams = TextFunctions.rollingFingerprints(col(textCol), n)
+    val bGrams = benchmark
+      .select(explode(array_distinct(grams)).as("__g")).distinct()
+    val cGrams = corpus
+      .select(col(idCol), explode(array_distinct(grams)).as("__g"))
+    cGrams.join(broadcast(bGrams), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nHits"))
+      .filter(col("nHits") >= minHits)
+  }
+
+  /** The cleaned corpus: [[decontaminationHits]] survivors removed. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 8, minHits: Int = 1): DataFrame =
+    corpus.join(
+      decontaminationHits(corpus, benchmark, textCol, idCol, n, minHits)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   // ---------------- cross-document segment dedup ----------------
 
   /** C4/RefinedWeb-style boilerplate removal: drop every `segTokens`-token

@@ -81,6 +81,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrdered"), p)
   }
 
+  test("decontamination broadcasts the benchmark gram set") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "benchmark gram set must broadcast, never shuffle the corpus:\n" + p)
+  }
+
   test("segment dedup: pruned scans, distributed keep-join, no single-partition funnel") {
     val p = planOf("q_segment_dedup")
     // both corpus scans read ONLY (doc_id, text) with the null filter pushed

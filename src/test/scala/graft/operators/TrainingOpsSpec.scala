@@ -320,6 +320,22 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == ((2L, "", 1L)) && out(2) == ((3L, "", 1L)))
   }
 
+  test("decontaminate removes corpus docs overlapping the benchmark, keeps clean ones") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta epsilon zeta eta theta copied"),
+      (2L, "completely clean document with none of the benchmark span present here"),
+      (3L, "alpha beta gamma but only a short fragment nothing eight tokens long")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminationHits(corpus, bench, "text", "doc_id", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(1L) && !hits.contains(2L) && !hits.contains(3L))
+    val clean = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 3L))
+  }
+
   test("segmentDedup matches an in-memory reference on a random corpus") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("a", "b", "c", "d", "e")
