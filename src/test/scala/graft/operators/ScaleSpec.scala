@@ -45,6 +45,27 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(top.getAs[Long]("k") == 42L && top.getAs[Long]("n") == 400L)
   }
 
+  test("segmentDedup survives a pathological hot segment (boilerplate in every doc)") {
+    // 5000 docs all share one boilerplate window; each also has unique text
+    val docs = spark.range(5000).select($"id".as("doc_id"),
+      concat(lit("copyright footer all rights reserved worldwide "),
+        lit("unique body "), $"id".cast("string")).as("text"))
+    val out = Dedup.segmentDedup(docs, "text", "doc_id", segTokens = 6, maxDocFreq = 1)
+    // every doc keeps its unique tail, loses the shared window
+    assert(out.count() == 5000)
+    assert(out.filter($"droppedSegments" === 0).count() == 0)
+    assert(out.filter($"text".contains("copyright")).count() == 0)
+    assert(out.filter($"text".contains("unique body")).count() == 5000)
+  }
+
+  test("decontaminate with an empty benchmark keeps the whole corpus") {
+    val corpus = Seq((1L, "some words here for the corpus document one two three four five"))
+      .toDF("doc_id", "text")
+    val bench = corpus.filter(lit(false))
+    assert(Dedup.decontaminationHits(corpus, bench, "text", "doc_id").count() == 0)
+    assert(Dedup.decontaminate(corpus, bench, "text", "doc_id").count() == 1)
+  }
+
   test("status-partitioned queue table: pending poll prunes partitions") {
     val st = new PipelineStore(spark,
       new Catalog(java.nio.file.Files.createTempDirectory("graft-part").toString))
