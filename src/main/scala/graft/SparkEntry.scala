@@ -857,18 +857,20 @@ object SparkEntry {
     // Gopher-style repetition signals: total/distinct/top-frequency of
     // token 3-grams per document plus the duplicate-gram fraction — the
     // intra-doc repetition gates of quality filtering, one kernel pass.
-    "q_repetition" -> ((s, dir) => {
-      val st = TextFunctions.repetitionStats(col("text"), 3)
+    "q_repetition" -> ((s, dir) =>
       Tables.documents(s, dir)
+        // barrier: three stat extractions + the fraction must read ONE
+        // kernel evaluation, not re-inline it per consumer
+        .select(col("doc_id"), graft.functions.Barrier.evalOnce(
+          TextFunctions.repetitionStats(col("text"), 3)).as("__st"))
         .select(col("doc_id"),
-          try_element_at(st, lit(1)).as("total_grams"),
-          try_element_at(st, lit(2)).as("distinct_grams"),
-          try_element_at(st, lit(3)).as("max_gram_freq"))
+          try_element_at(col("__st"), lit(1)).as("total_grams"),
+          try_element_at(col("__st"), lit(2)).as("distinct_grams"),
+          try_element_at(col("__st"), lit(3)).as("max_gram_freq"))
         .withColumn("dup_fraction",
           (col("total_grams") - col("distinct_grams")).cast("double") /
             col("total_grams").cast("double"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // PII scrub at scan speed (pure codegen'd regexp_replace chain). The
     // corpus itself is clean, so both engines inject the same

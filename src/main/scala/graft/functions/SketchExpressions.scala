@@ -100,20 +100,21 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
-  /** Repetition stats over a non-distinct n-gram hash array in one pass:
+  /** Repetition stats over the token n-grams in one pass:
     * [total, distinct, maxFreq] — the Gopher/MassiveText intra-document
     * repetition signals (duplicate-gram fraction, top-gram coverage)
-    * without a per-doc groupBy or an O(k²) HOF count. */
-  case class NgramRepStats(child: Expression) extends UnaryExpression {
+    * straight from the token array, without materializing a gram array,
+    * a per-doc groupBy, or an O(k²) HOF count. */
+  case class NgramRepStats(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def prettyName: String = "ngram_rep_stats"
 
     override def nullSafeEval(input: Any): Any =
-      SketchKernels.ngramRepStats(input.asInstanceOf[ArrayData])
+      SketchKernels.ngramRepStats(input.asInstanceOf[ArrayData], n)
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.ngramRepStats($c)")
+      defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.ngramRepStats($c, $n)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
@@ -257,8 +258,8 @@ object SketchExpressions {
     column(ShingleHashes(expression(tokens), k))
   def charStats(text: Column): Column =
     column(CharStats(expression(text)))
-  def ngramRepStats(hashes: Column): Column =
-    column(NgramRepStats(expression(hashes)))
+  def ngramRepStats(tokens: Column, n: Int): Column =
+    column(NgramRepStats(expression(tokens), n))
   def langScore(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangScore(expression(tokens), profiles))
   def hyperplaneSig(emb: Column, planes: Array[Array[Double]]): Column =

@@ -165,21 +165,39 @@ object SketchKernels {
     new GenericArrayData(Array(n.toLong, letters, digits, punct, ws))
   }
 
-  /** Repetition stats over a (non-distinct) n-gram hash array in one
-    * pass: [total, distinct, maxFreq]. Frequency map is per-row and
-    * bounded by the gram count — no shuffle, no global state. */
-  def ngramRepStats(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    val freq = new java.util.HashMap[java.lang.Long, Int](Math.max(16, n * 2))
-    var maxFreq = 0
+  /** Repetition stats over the token `n`-grams in ONE pass straight from
+    * the token array: [total, distinct, maxFreq]. Window identity is the
+    * XXH64 chain over the windows' token hashes (order-sensitive,
+    * injective up to 64-bit collision — the same trade every sketch here
+    * makes). A document shorter than the window contributes one
+    * whole-text gram. The frequency map is per-row and bounded by the
+    * gram count — no shuffle, no gram-array materialization. */
+  def ngramRepStats(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    val th = new Array[Long](cnt)
     var i = 0
-    while (i < n) {
-      val h = java.lang.Long.valueOf(arr.getLong(i))
-      val c = freq.merge(h, 1, (a, b) => a + b)
-      if (c > maxFreq) maxFreq = c
+    while (i < cnt) {
+      val s = toks.getUTF8String(i)
+      th(i) = if (s == null) 42L else hashUtf8(s)
       i += 1
     }
-    new GenericArrayData(Array(n.toLong, freq.size().toLong, maxFreq.toLong))
+    val total = if (cnt <= n) 1 else cnt - n + 1
+    val freq = new java.util.HashMap[java.lang.Long, Int](Math.max(16, total * 2))
+    var maxFreq = 0
+    var g = 0
+    while (g < total) {
+      var h = 42L
+      var j = g
+      val end = Math.min(g + n, cnt)
+      while (j < end) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(j), h)
+        j += 1
+      }
+      val c = freq.merge(java.lang.Long.valueOf(h), 1, (a, b) => a + b)
+      if (c > maxFreq) maxFreq = c
+      g += 1
+    }
+    new GenericArrayData(Array(total.toLong, freq.size().toLong, maxFreq.toLong))
   }
 
   def hyperplaneSig(arr: ArrayData, planes: Array[Array[Double]]): Long = {

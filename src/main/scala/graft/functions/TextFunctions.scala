@@ -161,7 +161,7 @@ object TextFunctions {
     * computed per row with a bounded frequency map (no per-doc groupBy,
     * no O(k²) HOF count, no shuffle). */
   def repetitionStats(c: Column, n: Int = 3): Column =
-    SketchExpressions.ngramRepStats(rollingFingerprints(c, n))
+    SketchExpressions.ngramRepStats(tokens(c), n)
 
   // ---------------- PII scrubbing ----------------
 

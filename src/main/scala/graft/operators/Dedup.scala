@@ -641,11 +641,14 @@ object Dedup {
   def decontaminationHits(corpus: DataFrame, benchmark: DataFrame,
                           textCol: String, idCol: String,
                           n: Int = 8, minHits: Int = 1): DataFrame = {
-    val grams = TextFunctions.rollingFingerprints(col(textCol), n)
+    // distinct window hashes in one kernel pass (same gram identity as
+    // rollingFingerprints: xxhash64 of the space-joined token window)
+    val grams = graft.functions.SketchExpressions.shingleHashes(
+      TextFunctions.tokens(col(textCol)), n)
     val bGrams = benchmark
-      .select(explode(array_distinct(grams)).as("__g")).distinct()
+      .select(explode(grams).as("__g")).distinct()
     val cGrams = corpus
-      .select(col(idCol), explode(array_distinct(grams)).as("__g"))
+      .select(col(idCol), explode(grams).as("__g"))
     cGrams.join(broadcast(bGrams), Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("nHits"))

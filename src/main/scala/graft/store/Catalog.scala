@@ -15,6 +15,13 @@ object Catalog {
     * token; mirrors Hive's default-partition idea with a private name). */
   val NullToken = "__NULL__"
 
+  /** Reserved manifest entry holding streaming-sink batch watermarks:
+    * `"<table>:<streamId>" → <last committed batchId>`. Rides the SAME
+    * atomic manifest swap as the data slices (exactly-once: data and
+    * watermark publish together or not at all). Never a real table — no
+    * directory exists for it, so vacuum and readers never see it. */
+  val StreamTable = "__stream__"
+
   /** Filesystem/JSON-safe encoding of one partition value. MUST agree with
     * the Spark-side expression in [[GraftTable.partKeyCol]]
     * (`url_encode(cast(col as string))`, which is `URLEncoder.encode` with

@@ -742,6 +742,18 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   /** Read within the transaction (sees staged, uncommitted state). */
   def read(t: GraftTable): DataFrame = stateOf(t)
 
+  /** Stage a streaming batch watermark (reserved [[Catalog.StreamTable]]
+    * manifest entry) so it publishes in the SAME atomic commit as this
+    * transaction's data slices — the exactly-once handshake of
+    * [[graft.streaming.StoreSink]]. OCC applies: a concurrent writer
+    * moving the watermark fails this commit. */
+  def recordStreamBatch(key: String, batchId: Long): Unit = {
+    if (!base.contains(Catalog.StreamTable))
+      base += (Catalog.StreamTable -> catalog.manifest().get(Catalog.StreamTable))
+    val parts = staged.getOrElse(Catalog.StreamTable, Map.empty[String, Option[String]])
+    staged += (Catalog.StreamTable -> (parts + (key -> Some(batchId.toString))))
+  }
+
   def commit(): Unit =
     if (staged.nonEmpty) catalog.commit(base, staged, opts.maxWaitMs)
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.store.{Catalog, GraftTable, Txn}
+import org.apache.spark.sql.DataFrame
+
+/** Exactly-once Structured Streaming sink into the copy-on-write store.
+  *
+  * `foreachBatch` alone is at-least-once: a crash between the batch write
+  * and the streaming checkpoint replays the batch on restart. The store
+  * closes the gap the same way Delta's idempotent `txnAppId`/`txnVersion`
+  * writes do: the last committed batch id is staged as a reserved manifest
+  * entry ([[Catalog.StreamTable]]) inside the SAME transaction as the data,
+  * so the atomic manifest swap publishes data + watermark together — a
+  * replayed batch sees its id already committed and becomes a no-op.
+  *
+  * Usage:
+  * {{{
+  *   query.writeStream
+  *     .foreachBatch(StoreSink.exactlyOnceAppend(table, "ingest-1"))
+  *     .start()
+  * }}}
+  *
+  * `streamId` distinguishes independent queries writing the same table
+  * (each owns its own watermark). Restarting a query from a FRESH
+  * checkpoint restarts batch numbering — pass a new `streamId` then, as
+  * with any idempotent-sink contract.
+  */
+object StoreSink {
+
+  /** Last committed batch id for (table, streamId), if any. */
+  def lastBatch(catalog: Catalog, table: GraftTable, streamId: String): Option[Long] =
+    catalog.manifest().get(Catalog.StreamTable)
+      .flatMap(_.get(s"${table.name}:$streamId"))
+      .map(_.toLong)
+
+  private def exactlyOnce(t: GraftTable, streamId: String)
+                         (write: (Txn, DataFrame) => Unit): (DataFrame, Long) => Unit =
+    (df: DataFrame, batchId: Long) => {
+      // replay detection: batch ids are monotone per checkpoint, so any
+      // id at-or-below the committed watermark was already published
+      if (!lastBatch(t.catalog, t, streamId).exists(_ >= batchId)) {
+        val txn = new Txn(t.catalog)
+        write(txn, df)
+        txn.recordStreamBatch(s"${t.name}:$streamId", batchId)
+        txn.commit()
+      }
+    }
+
+  /** Append each micro-batch with `createMany` semantics (P2002 on
+    * duplicates unless `skipDuplicates`). */
+  def exactlyOnceAppend(t: GraftTable, streamId: String,
+                        skipDuplicates: Boolean = false): (DataFrame, Long) => Unit =
+    exactlyOnce(t, streamId)((txn, df) => txn.createMany(t, df, skipDuplicates))
+
+  /** MERGE each micro-batch on `keyCols` (streaming upsert — the
+    * state-refresh shape of a CDC or status feed). */
+  def exactlyOnceUpsert(t: GraftTable, keyCols: Seq[String],
+                        streamId: String): (DataFrame, Long) => Unit =
+    exactlyOnce(t, streamId)((txn, df) => txn.upsert(t, keyCols, df))
+}

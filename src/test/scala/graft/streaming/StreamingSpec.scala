@@ -126,4 +126,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(store.urls.snapshot().count() == 15)
     assert(store.places.snapshot().count() == store.places.snapshot().dropDuplicates("url").count())
   }
+
+  test("StoreSink: replayed batches are no-ops, watermark commits atomically with data") {
+    val cat = new Catalog(java.nio.file.Files.createTempDirectory("graft-sink").toString)
+    val t = new graft.store.GraftTable(spark, cat, "ingest", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    val sink = StoreSink.exactlyOnceAppend(t, "s1")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    sink(b0, 0L)
+    sink(b0, 0L)                    // restart replays batch 0 → no-op
+    assert(t.snapshot().count() == 2)
+    assert(StoreSink.lastBatch(cat, t, "s1").contains(0L))
+    sink(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(t.snapshot().count() == 3)
+    assert(StoreSink.lastBatch(cat, t, "s1").contains(1L))
+    // a second independent stream owns its own watermark
+    val sink2 = StoreSink.exactlyOnceUpsert(t, Seq("id"), "s2")
+    sink2(Seq((3L, "c2"), (4L, "d")).toDF("id", "v"), 0L)
+    assert(t.snapshot().count() == 4)
+    assert(t.snapshot().filter($"id" === 3L).select("v").as[String].head() == "c2")
+    assert(StoreSink.lastBatch(cat, t, "s2").contains(0L))
+    assert(StoreSink.lastBatch(cat, t, "s1").contains(1L))
+  }
+
+  test("StoreSink drives a real memory-stream query end-to-end exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = new Catalog(java.nio.file.Files.createTempDirectory("graft-sink-q").toString)
+    val t = new graft.store.GraftTable(spark, cat, "stream_docs", StructType(Seq(
+      StructField("id", LongType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDS().toDF("id").writeStream
+      .foreachBatch(StoreSink.exactlyOnceAppend(t, "mq"))
+      .start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(t.snapshot().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(StoreSink.lastBatch(cat, t, "mq").nonEmpty)
+  }
 }
