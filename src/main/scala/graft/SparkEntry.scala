@@ -859,6 +859,9 @@ object SparkEntry {
     // intra-doc repetition gates of quality filtering, one kernel pass.
     "q_repetition" -> ((s, dir) =>
       Tables.documents(s, dir)
+        // parity guard: docs under the window size have no 3-grams in the
+        // oracle's lead() formulation (same split on both sides)
+        .filter(size(split(col("text"), " ")) >= 3)
         // barrier: three stat extractions + the fraction must read ONE
         // kernel evaluation, not re-inline it per consumer
         .select(col("doc_id"), graft.functions.Barrier.evalOnce(
@@ -1562,6 +1565,7 @@ object SparkEntry {
     "q_repetition" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
       ), words AS (
         SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
         FROM toks

@@ -134,20 +134,26 @@ object SketchKernels {
   /** xxhash64 (Spark's default seed 42) of every token — drop-in for
     * `transform(toks, t => xxhash64(t))` without the per-element
     * interpreted lambda dispatch. */
-  def tokenHashes(arr: ArrayData): ArrayData = {
+  /** One 64-bit hash per element; a null element hashes to the seed,
+    * matching xxhash64(null) under the transform() these kernels replace
+    * (callers pass arbitrary array columns, e.g. minhashSignature over
+    * user shingles). THE token-identity convention — every sketch that
+    * hashes tokens must route through here or gram/shingle identities
+    * silently desynchronize. */
+  private def tokenHashArray(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      // a null element hashes to the seed, matching xxhash64(null) under
-      // the transform() this kernel replaces (callers pass arbitrary
-      // array columns, e.g. minhashSignature over user shingles)
       out(i) = if (s == null) 42L else hashUtf8(s)
       i += 1
     }
-    new GenericArrayData(out)
+    out
   }
+
+  def tokenHashes(arr: ArrayData): ArrayData =
+    new GenericArrayData(tokenHashArray(arr))
 
   def charStats(in: UTF8String): ArrayData = {
     val s = in.toString
@@ -174,13 +180,7 @@ object SketchKernels {
     * gram count — no shuffle, no gram-array materialization. */
   def ngramRepStats(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
-    val th = new Array[Long](cnt)
-    var i = 0
-    while (i < cnt) {
-      val s = toks.getUTF8String(i)
-      th(i) = if (s == null) 42L else hashUtf8(s)
-      i += 1
-    }
+    val th = tokenHashArray(toks)
     val total = if (cnt <= n) 1 else cnt - n + 1
     val freq = new java.util.HashMap[java.lang.Long, Int](Math.max(16, total * 2))
     var maxFreq = 0

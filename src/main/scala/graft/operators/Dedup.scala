@@ -642,12 +642,16 @@ object Dedup {
                           textCol: String, idCol: String,
                           n: Int = 8, minHits: Int = 1): DataFrame = {
     // distinct window hashes in one kernel pass (same gram identity as
-    // rollingFingerprints: xxhash64 of the space-joined token window)
+    // rollingFingerprints: xxhash64 of the space-joined token window).
+    // Documents shorter than the window contribute NO grams — n-gram
+    // overlap is undefined below n, and the whole-text pseudo-gram the
+    // shingle kernel emits for short docs is a different quantity
+    val longEnough = size(TextFunctions.tokens(col(textCol))) >= n
     val grams = graft.functions.SketchExpressions.shingleHashes(
       TextFunctions.tokens(col(textCol)), n)
-    val bGrams = benchmark
+    val bGrams = benchmark.filter(longEnough)
       .select(explode(grams).as("__g")).distinct()
-    val cGrams = corpus
+    val cGrams = corpus.filter(longEnough)
       .select(col(idCol), explode(grams).as("__g"))
     cGrams.join(broadcast(bGrams), Seq("__g"))
       .groupBy(col(idCol))

@@ -16,11 +16,17 @@ object Catalog {
   val NullToken = "__NULL__"
 
   /** Reserved manifest entry holding streaming-sink batch watermarks:
-    * `"<table>:<streamId>" → <last committed batchId>`. Rides the SAME
-    * atomic manifest swap as the data slices (exactly-once: data and
+    * `streamKey(table, streamId) → <last committed batchId>`. Rides the
+    * SAME atomic manifest swap as the data slices (exactly-once: data and
     * watermark publish together or not at all). Never a real table — no
     * directory exists for it, so vacuum and readers never see it. */
   val StreamTable = "__stream__"
+
+  /** Watermark key for (table, streamId) — both components url-encoded,
+    * like every other manifest key, so quotes/braces can't corrupt the
+    * manifest text and `a:b`+`c` can never alias `a`+`b:c`. */
+  def streamKey(table: String, streamId: String): String =
+    s"${encodeValue(table)}:${encodeValue(streamId)}"
 
   /** Filesystem/JSON-safe encoding of one partition value. MUST agree with
     * the Spark-side expression in [[GraftTable.partKeyCol]]

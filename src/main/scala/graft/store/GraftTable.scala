@@ -745,13 +745,22 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   /** Stage a streaming batch watermark (reserved [[Catalog.StreamTable]]
     * manifest entry) so it publishes in the SAME atomic commit as this
     * transaction's data slices — the exactly-once handshake of
-    * [[graft.streaming.StoreSink]]. OCC applies: a concurrent writer
-    * moving the watermark fails this commit. */
-  def recordStreamBatch(key: String, batchId: Long): Unit = {
+    * [[graft.streaming.StoreSink]].
+    *
+    * `expectedBase` is the [[Catalog.StreamTable]] map from the manifest
+    * read that PERFORMED the replay check — the OCC baseline. Re-reading
+    * it here instead would open a check-then-commit window: a zombie
+    * instance of the same query committing the batch between our check
+    * and our commit would be silently absorbed and the batch applied
+    * twice. With the caller's baseline, that interleaving fails the
+    * commit with P2034 — the idempotent-sink contract. */
+  def recordStreamBatch(t: GraftTable, streamId: String, batchId: Long,
+                        expectedBase: Option[Map[String, String]]): Unit = {
     if (!base.contains(Catalog.StreamTable))
-      base += (Catalog.StreamTable -> catalog.manifest().get(Catalog.StreamTable))
+      base += (Catalog.StreamTable -> expectedBase)
     val parts = staged.getOrElse(Catalog.StreamTable, Map.empty[String, Option[String]])
-    staged += (Catalog.StreamTable -> (parts + (key -> Some(batchId.toString))))
+    staged += (Catalog.StreamTable ->
+      (parts + (Catalog.streamKey(t.name, streamId) -> Some(batchId.toString))))
   }
 
   def commit(): Unit =

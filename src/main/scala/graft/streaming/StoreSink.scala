@@ -30,18 +30,26 @@ object StoreSink {
   /** Last committed batch id for (table, streamId), if any. */
   def lastBatch(catalog: Catalog, table: GraftTable, streamId: String): Option[Long] =
     catalog.manifest().get(Catalog.StreamTable)
-      .flatMap(_.get(s"${table.name}:$streamId"))
+      .flatMap(_.get(Catalog.streamKey(table.name, streamId)))
       .map(_.toLong)
 
   private def exactlyOnce(t: GraftTable, streamId: String)
                          (write: (Txn, DataFrame) => Unit): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) => {
+      // ONE manifest read serves both the replay check and the OCC
+      // baseline: a zombie instance of the same query committing this
+      // batch after our check then fails OUR commit (P2034) instead of
+      // being silently absorbed — the check alone would be TOCTOU-racy
+      // over the multi-minute window a batch write can span
+      val streams = t.catalog.manifest().get(Catalog.StreamTable)
+      val last = streams
+        .flatMap(_.get(Catalog.streamKey(t.name, streamId))).map(_.toLong)
       // replay detection: batch ids are monotone per checkpoint, so any
       // id at-or-below the committed watermark was already published
-      if (!lastBatch(t.catalog, t, streamId).exists(_ >= batchId)) {
+      if (!last.exists(_ >= batchId)) {
         val txn = new Txn(t.catalog)
         write(txn, df)
-        txn.recordStreamBatch(s"${t.name}:$streamId", batchId)
+        txn.recordStreamBatch(t, streamId, batchId, streams)
         txn.commit()
       }
     }

@@ -151,6 +151,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(StoreSink.lastBatch(cat, t, "s1").contains(1L))
   }
 
+  test("StoreSink: a zombie writer holding a stale watermark fails its commit (P2034)") {
+    val cat = new Catalog(java.nio.file.Files.createTempDirectory("graft-zombie").toString)
+    val t = new graft.store.GraftTable(spark, cat, "z", StructType(Seq(
+      StructField("id", LongType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    // both instances read the manifest BEFORE either commits (the TOCTOU
+    // window: instance A finishes batch 0 while zombie B is mid-write)
+    val staleBaseline = cat.manifest().get(Catalog.StreamTable)
+    val txnA = new graft.store.Txn(cat)
+    txnA.createMany(t, Seq(1L).toDF("id"), skipDuplicates = false)
+    txnA.recordStreamBatch(t, "s", 0L, staleBaseline)
+    txnA.commit()
+    // zombie B still holds the pre-A baseline → its commit must FAIL
+    // instead of silently double-applying batch 0
+    val txnB = new graft.store.Txn(cat)
+    txnB.createMany(t, Seq(2L).toDF("id"), skipDuplicates = false)
+    txnB.recordStreamBatch(t, "s", 0L, staleBaseline)
+    intercept[graft.store.ConcurrentModificationException] { txnB.commit() }
+    // nothing of B's was published
+    assert(t.snapshot().select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("StoreSink drives a real memory-stream query end-to-end exactly once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cat = new Catalog(java.nio.file.Files.createTempDirectory("graft-sink-q").toString)
