@@ -960,6 +960,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup composition: tripled corpus (two id-shifted copies) →
+    // cosine-1.0 pairs → transitive clusters → one survivor per semantic
+    // cluster. Pairs are filtered to the planted id-shifts so the
+    // survivor set is exactly the originals — SQL-checkable like
+    // q_dedup_minhash/q_dup_clusters.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val c1 = emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      val c2 = emb.select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+      val all = emb.unionByName(c1).unionByName(c2)
+      val diff = col("id_b") - col("id_a")
+      val pairs = Dedup.embeddingNearDupPairs(all, "embedding", "vec_id",
+          dim = 64, threshold = 0.999, numPlanes = 16)
+        .filter(diff === 10000L || diff === 20000L)
+      val losers = Dedup.dupClusters(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("vec_id"))
+      all.join(losers, Seq("vec_id"), "left_anti")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // ANN: exact cosine top-5 for five query vectors (ids only — the
     // ordering is FP-robust, the raw cosine is not hash-comparable).
     // Ranked via the bounded-heap TopK aggregate: partial aggregation
@@ -1643,6 +1664,9 @@ object SparkEntry {
     "q_embed_neardup" -> """
       SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings
       ORDER BY id_a, id_b""",
+
+    "q_semantic_dedup" -> """
+      SELECT vec_id FROM embeddings ORDER BY vec_id""",
 
     "q_ann_topk" -> """
       WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

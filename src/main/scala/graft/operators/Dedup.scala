@@ -623,6 +623,24 @@ object Dedup {
       .agg(round(first(col("cosine")), 4).as("cosine"))
   }
 
+  /** SemDeDup-style semantic dedup: embedding cosine near-dup pairs
+    * ([[embeddingNearDupPairs]] — hyperplane-LSH blocked, exact-cosine
+    * verified) collapsed to transitive clusters, ONE survivor (smallest
+    * id) per semantic cluster. The embedding analog of
+    * [[minhashDedupClusters]]: text near-dup misses paraphrases that an
+    * embedding space catches. Same scale shape as its parts — per-row
+    * signatures, guarded bucket join, O(diameter) clustering with the
+    * driver fast path. `release()` the handle once consumed. */
+  def semanticDedup(df: DataFrame, embCol: String, idCol: String, dim: Int,
+                    threshold: Double = 0.95, numPlanes: Int = 16): Managed = {
+    val pairs = embeddingNearDupPairs(df, embCol, idCol, dim, threshold, numPlanes)
+    val clusters = dupClustersManaged(pairs)
+    val losers = clusters.df
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    Managed(df.join(losers, Seq(idCol), "left_anti"), clusters.release)
+  }
+
   // ---------------- benchmark decontamination ----------------
 
   /** Test-set decontamination: flag every corpus document sharing at

@@ -320,6 +320,20 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == ((2L, "", 1L)) && out(2) == ((3L, "", 1L)))
   }
 
+  test("semanticDedup keeps one survivor per embedding-cosine cluster") {
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq(
+      (1L, e1), (2L, e1), (3L, e1),   // one semantic cluster
+      (5L, e2)                         // distinct
+    ).toDF("id", "emb")
+    val managed = Dedup.semanticDedup(df, "emb", "id", dim = 4, threshold = 0.99,
+      numPlanes = 8)
+    val survivors = managed.df.select("id").as[Long].collect().toSet
+    managed.release()
+    assert(survivors == Set(1L, 5L))
+  }
+
   test("decontaminate removes corpus docs overlapping the benchmark, keeps clean ones") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
       .toDF("doc_id", "text")
