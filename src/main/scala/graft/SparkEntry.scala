@@ -960,6 +960,23 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Asymmetric containment: each doc paired with its own 12-token
+    // prefix "quote" (containment exactly 1.0) and with its NEIGHBOR's
+    // quote (low) — the partial-copy signal symmetric Jaccard misses.
+    "q_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val quotes = docs.select((col("doc_id") + 30000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+      val all = docs.unionByName(quotes)
+      val own = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 30000L).as("id_b"))
+      val nextQuote = docs.alias("a")
+        .join(docs.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), (col("b.doc_id") + 30000L).as("id_b"))
+      Dedup.ngramContainment(all, own.unionByName(nextQuote), "text", "doc_id", n = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SemDeDup composition: tripled corpus (two id-shifted copies) →
     // cosine-1.0 pairs → transitive clusters → one survivor per semantic
     // cluster. Pairs are filtered to the planted id-shifts so the
@@ -1667,6 +1684,37 @@ object SparkEntry {
 
     "q_semantic_dedup" -> """
       SELECT vec_id FROM embeddings ORDER BY vec_id""",
+
+    "q_containment" -> """
+      WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+      ), corpus AS (
+        SELECT doc_id, toks FROM base
+        UNION ALL
+        SELECT doc_id + 30000, toks[1:12] FROM base
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        FROM corpus
+      ), pairs AS (
+        SELECT doc_id AS id_a, doc_id + 30000 AS id_b FROM base
+        UNION ALL
+        SELECT a.doc_id, b.doc_id + 30000 FROM base a
+        JOIN base b ON b.doc_id = a.doc_id + 1
+      )
+      SELECT p.id_a, p.id_b,
+             round(CASE WHEN len(sb.s) = 0 THEN 0.0
+               ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sb.s)
+               END, 4) AS containment
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.id_a
+      JOIN sh sb ON sb.doc_id = p.id_b
+      ORDER BY id_a, id_b""",
 
     "q_ann_topk" -> """
       WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -19,6 +19,10 @@ object Curation {
       minTokens: Int = 5,
       maxTokens: Int = 100000,
       allowedLangs: Set[String] = Set.empty, // empty = all
+      /** Gopher-style repetition gate: drop docs whose duplicate 3-gram
+        * fraction exceeds this (1.0 = disabled; heavily-repetitive docs
+        * are boilerplate/spam). */
+      maxDupGramFraction: Double = 1.0,
       nearDupThreshold: Double = 0.85,
       shingleK: Int = 3)
 
@@ -40,6 +44,13 @@ object Curation {
       .withColumn("quality", TextFunctions.qualityScoreStaged(col(textCol), col("__toks")))
       .withColumn("lang_pred", TextFunctions.langIdStaged(col(textCol), col("__toks")))
       .withColumn("fingerprint", TextFunctions.fingerprintStaged(col("__toks")))
+      // one kernel evaluation behind the barrier — three consumers below
+      .withColumn("__rep", graft.functions.Barrier.evalOnce(
+        graft.functions.SketchExpressions.ngramRepStats(col("__toks"), 3)))
+      .withColumn("dup_gram_frac",
+        (try_element_at(col("__rep"), lit(1)) - try_element_at(col("__rep"), lit(2)))
+          .cast("double") / try_element_at(col("__rep"), lit(1)).cast("double"))
+      .drop("__rep")
     shingleK match {
       case Some(k) => base.withColumn("__sh",
         graft.functions.SketchExpressions.shingleHashes(col("__toks"), k))
@@ -56,6 +67,7 @@ object Curation {
     val gated = annotated
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
       .filter(col("quality") >= cfg.minQuality)
+      .filter(col("dup_gram_frac") <= cfg.maxDupGramFraction)
       .filter(if (cfg.allowedLangs.isEmpty) lit(true)
               else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*))
     val exactDeduped = Dedup.exactByKey(gated, col("fingerprint"), idCol)
@@ -72,9 +84,10 @@ object Curation {
     import spark.implicits._
     val lenOk = col("n_tokens").between(cfg.minTokens, cfg.maxTokens)
     val qOk = col("quality") >= cfg.minQuality
+    val repOk = col("dup_gram_frac") <= cfg.maxDupGramFraction
     val langOk = if (cfg.allowedLangs.isEmpty) lit(true)
                  else col("lang_pred").isin(cfg.allowedLangs.toSeq: _*)
-    val gateCond = lenOk && qOk && langOk
+    val gateCond = lenOk && qOk && repOk && langOk
     // The whole report tokenizes each document EXACTLY ONCE: the gate
     // counters ride the annotate pass as observe() metrics (collected
     // during the one materializing action, no separate aggregation job),
@@ -89,6 +102,7 @@ object Curation {
         count(lit(1)).as("total"),
         count(when(lenOk, 1)).as("nLen"),
         count(when(lenOk && qOk, 1)).as("nQ"),
+        count(when(lenOk && qOk && repOk, 1)).as("nRep"),
         count(when(gateCond, 1)).as("nLang"))
     // eager localCheckpoint = the single pass over the text; the exact-dedup
     // survivor count is just the checkpointed row count (one row survives
@@ -100,9 +114,9 @@ object Curation {
       .select(col(idCol), col("__sh"))
       .localCheckpoint()
     val gates = obs.get
-    val (total, nLen, nQ, nLang) = (gates("total").asInstanceOf[Long],
+    val (total, nLen, nQ, nRep, nLang) = (gates("total").asInstanceOf[Long],
       gates("nLen").asInstanceOf[Long], gates("nQ").asInstanceOf[Long],
-      gates("nLang").asInstanceOf[Long])
+      gates("nRep").asInstanceOf[Long], gates("nLang").asInstanceOf[Long])
     val nExact = afterExact.count()
     val losers = Dedup.minhashLshPairsFromHashes(afterExact, "__sh", idCol,
         threshold = cfg.nearDupThreshold)
@@ -112,7 +126,8 @@ object Curation {
       ("input", total, 0L),
       ("length_gate", nLen, total - nLen),
       ("quality_gate", nQ, nLen - nQ),
-      ("lang_gate", nLang, nQ - nLang),
+      ("repetition_gate", nRep, nQ - nRep),
+      ("lang_gate", nLang, nRep - nLang),
       ("exact_dedup", nExact, nLang - nExact),
       ("near_dedup", nNear, nExact - nNear)
     ).toDF("gate", "kept", "dropped")

@@ -564,6 +564,26 @@ object Dedup {
       round(when(union === 0, lit(0.0)).otherwise(inter / union), 4).as("jaccard"))
   }
 
+  /** Asymmetric containment score for given candidate pairs:
+    * `|grams(a) ∩ grams(b)| / |grams(b)|` over distinct `n`-gram sets —
+    * near 1.0 when b is quoted/embedded inside a, where Jaccard stays low
+    * (a long doc containing a short one unions far more than it
+    * intersects). The partial-copy detector that symmetric near-dup
+    * misses. Same join shape and cost as [[ngramJaccard]]. */
+  def ngramContainment(df: DataFrame, pairs: DataFrame, textCol: String,
+                       idCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      graft.functions.SketchExpressions.shingleHashes(
+        graft.functions.TextFunctions.tokens(col(textCol)), n).as("__sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    val joined = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val denom = size(col("sh_b")).cast("double")
+    joined.select(col("id_a"), col("id_b"),
+      round(when(denom === 0, lit(0.0)).otherwise(inter / denom), 4).as("containment"))
+  }
+
   // ---------------- embedding near-dup ----------------
 
   /** Deterministic random hyperplanes (seeded) as literal arrays. */

@@ -39,6 +39,25 @@ class CurationSpec extends AnyFunSuite with SparkTestBase {
     assert(rep("near_dedup") == (2L, 1L))    // drops 3
   }
 
+  test("repetition gate drops boilerplate-heavy docs; report accounts for it") {
+    val withSpam = corpus.unionByName(Seq(
+      (8L, "buy now buy now buy now buy now buy now buy now buy now buy now")
+    ).toDF("doc_id", "text"))
+    val cfg = Curation.Config(minQuality = 0.0, minTokens = 5,
+      maxDupGramFraction = 0.5, nearDupThreshold = 0.6)
+    val kept = Curation.curate(withSpam, "text", "doc_id", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(8L), "repetitive spam must be gated")
+    assert(kept.contains(4L))
+    val rep = Curation.report(withSpam, "text", "doc_id", cfg)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("repetition_gate")._2 == 1L) // doc 8
+    // annotate exposes the signal itself
+    val frac = Curation.annotate(withSpam, "text")
+      .filter($"doc_id" === 8L).select("dup_gram_frac").as[Double].head()
+    assert(frac > 0.8, s"16-token 2-phrase loop should be near-total repetition, got $frac")
+  }
+
   test("ivfTopK: self-hit at rank 1 and high recall vs brute force on clustered data") {
     val rnd = new scala.util.Random(5)
     val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian()))

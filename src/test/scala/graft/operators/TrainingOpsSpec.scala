@@ -320,6 +320,20 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == ((2L, "", 1L)) && out(2) == ((3L, "", 1L)))
   }
 
+  test("ngramContainment: quote fully contained scores 1.0, Jaccard stays low") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps")  // a quote of doc 1's prefix
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val c = Dedup.ngramContainment(corpus, pairs, "text", "doc_id", n = 3)
+      .select("containment").as[Double].head()
+    assert(c == 1.0)
+    val j = Dedup.ngramJaccard(corpus, pairs, "text", "doc_id", n = 3)
+      .select("jaccard").as[Double].head()
+    assert(j < 0.5, s"jaccard $j should be low where containment is 1.0")
+  }
+
   test("semanticDedup keeps one survivor per embedding-cosine cluster") {
     val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
     val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
