@@ -964,7 +964,10 @@ object SparkEntry {
     // prefix "quote" (containment exactly 1.0) and with its NEIGHBOR's
     // quote (low) — the partial-copy signal symmetric Jaccard misses.
     "q_containment" -> ((s, dir) => {
+      // parity guard: a zero-token doc (all punctuation) would get the
+      // kernel's empty set but the oracle CASE's [''] pseudo-gram
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(size(TextFunctions.tokens(col("text"))) >= 1)
       val quotes = docs.select((col("doc_id") + 30000L).as("doc_id"),
         array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
       val all = docs.unionByName(quotes)
@@ -991,10 +994,7 @@ object SparkEntry {
       val pairs = Dedup.embeddingNearDupPairs(all, "embedding", "vec_id",
           dim = 64, threshold = 0.999, numPlanes = 16)
         .filter(diff === 10000L || diff === 20000L)
-      val losers = Dedup.dupClusters(pairs)
-        .filter(col("id") =!= col("cluster"))
-        .select(col("id").as("vec_id"))
-      all.join(losers, Seq("vec_id"), "left_anti")
+      Dedup.dedupByPairs(all, pairs, "vec_id").df
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
@@ -1687,10 +1687,12 @@ object SparkEntry {
 
     "q_containment" -> """
       WITH base AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
-                           x -> len(x) > 0) AS toks
-        FROM documents
+        SELECT doc_id, toks FROM (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                             x -> len(x) > 0) AS toks
+          FROM documents)
+        WHERE len(toks) >= 1
       ), corpus AS (
         SELECT doc_id, toks FROM base
         UNION ALL

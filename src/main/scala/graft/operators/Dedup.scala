@@ -498,6 +498,13 @@ object Dedup {
                                   k: Int = 3, numHashes: Int = 32,
                                   threshold: Double = 0.7): Managed = {
     val pairs = minhashLshPairs(df, textCol, idCol, k, numHashes, -1, threshold)
+    dedupByPairs(df, pairs, idCol)
+  }
+
+  /** Transitive dedup given ANY dup-pair set: cluster the pairs, keep
+    * only cluster roots (smallest id) of `df` — THE survivor tail every
+    * clustering dedup (text, embedding, caller-filtered pairs) shares. */
+  def dedupByPairs(df: DataFrame, pairs: DataFrame, idCol: String): Managed = {
     val clusters = dupClustersManaged(pairs)
     val losers = clusters.df
       .filter(col("id") =!= col("cluster"))
@@ -552,16 +559,24 @@ object Dedup {
     * ~2^-64 collision). */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, textCol: String,
                    idCol: String, n: Int = 3): DataFrame = {
+    val joined = pairShingles(df, pairs, textCol, idCol, n)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    joined.select(col("id_a"), col("id_b"),
+      round(when(union === 0, lit(0.0)).otherwise(inter / union), 4).as("jaccard"))
+  }
+
+  /** Candidate pairs joined to BOTH sides' distinct shingle-hash sets
+    * (`sh_a`, `sh_b`) — the one staging used by every pairwise n-gram
+    * score, so gram identity can never drift between them. */
+  private def pairShingles(df: DataFrame, pairs: DataFrame, textCol: String,
+                           idCol: String, n: Int): DataFrame = {
     val sh = df.select(col(idCol),
       graft.functions.SketchExpressions.shingleHashes(
         graft.functions.TextFunctions.tokens(col(textCol)), n).as("__sh"))
     val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
-    val joined = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    joined.select(col("id_a"), col("id_b"),
-      round(when(union === 0, lit(0.0)).otherwise(inter / union), 4).as("jaccard"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
   }
 
   /** Asymmetric containment score for given candidate pairs:
@@ -572,12 +587,7 @@ object Dedup {
     * misses. Same join shape and cost as [[ngramJaccard]]. */
   def ngramContainment(df: DataFrame, pairs: DataFrame, textCol: String,
                        idCol: String, n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      graft.functions.SketchExpressions.shingleHashes(
-        graft.functions.TextFunctions.tokens(col(textCol)), n).as("__sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
-    val joined = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    val joined = pairShingles(df, pairs, textCol, idCol, n)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val denom = size(col("sh_b")).cast("double")
     joined.select(col("id_a"), col("id_b"),
@@ -652,14 +662,9 @@ object Dedup {
     * signatures, guarded bucket join, O(diameter) clustering with the
     * driver fast path. `release()` the handle once consumed. */
   def semanticDedup(df: DataFrame, embCol: String, idCol: String, dim: Int,
-                    threshold: Double = 0.95, numPlanes: Int = 16): Managed = {
-    val pairs = embeddingNearDupPairs(df, embCol, idCol, dim, threshold, numPlanes)
-    val clusters = dupClustersManaged(pairs)
-    val losers = clusters.df
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
-    Managed(df.join(losers, Seq(idCol), "left_anti"), clusters.release)
-  }
+                    threshold: Double = 0.95, numPlanes: Int = 16): Managed =
+    dedupByPairs(df,
+      embeddingNearDupPairs(df, embCol, idCol, dim, threshold, numPlanes), idCol)
 
   // ---------------- benchmark decontamination ----------------
 
