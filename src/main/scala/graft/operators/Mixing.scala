@@ -32,6 +32,36 @@ object Mixing {
     expand(df, copies)
   }
 
+  /** Temperature-scaled source epochs — the multilingual/source-balancing
+    * knob (sample with q_i ∝ p_i^alpha; alpha=1 keeps natural proportions,
+    * alpha→0 approaches uniform over sources). Returned epochs are scaled
+    * to PRESERVE the total row count in expectation
+    * (`epochs_i = q_i · N / n_i`) and rounded to 6 decimals so the same
+    * recipe re-derived elsewhere reproduces identical hash-draw decisions.
+    * `counts` is (source → row count) — one small aggregation the caller
+    * collects (bounded by the number of sources, not the corpus). */
+  def temperatureEpochs(counts: Map[String, Long], alpha: Double): Map[String, Double] = {
+    require(alpha > 0, s"alpha $alpha must be > 0")
+    require(counts.values.forall(_ >= 0), "negative source count")
+    val total = counts.values.sum.toDouble
+    if (total == 0) return counts.map { case (s, _) => s -> 0.0 }
+    val powSum = counts.values.map(n => math.pow(n / total, alpha)).sum
+    counts.map { case (s, n) =>
+      val q = math.pow(n / total, alpha) / powSum
+      val e = if (n == 0) 0.0 else q * total / n
+      s -> (math.rint(e * 1e6) / 1e6)
+    }
+  }
+
+  /** [[mixture]] with temperature-derived weights: one count aggregation
+    * over the source column, then the usual codegen'd CASE expansion. */
+  def temperatureMixture(df: DataFrame, key: Column, source: Column,
+                         alpha: Double): DataFrame = {
+    val counts = df.groupBy(source.as("__src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixture(df, key, source, temperatureEpochs(counts, alpha), defaultEpochs = 0.0)
+  }
+
   private def copiesFor(key: Column, epochs: Double): Column = {
     require(epochs >= 0, s"epochs $epochs must be >= 0")
     val whole = epochs.toInt

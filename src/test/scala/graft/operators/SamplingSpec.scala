@@ -53,6 +53,24 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(again.count() == mixed.count())
   }
 
+  test("temperature mixing flattens source proportions while preserving total size") {
+    // natural mix: en 3000 / de 1000
+    val eps = Mixing.temperatureEpochs(Map("en" -> 3000L, "de" -> 1000L), alpha = 0.5)
+    // alpha=0.5: q_en = sqrt(.75)/(sqrt(.75)+sqrt(.25)) ≈ .634, q_de ≈ .366
+    assert(math.abs(eps("en") - 0.845) < 0.01, s"en epochs ${eps("en")}")
+    assert(math.abs(eps("de") - 1.464) < 0.01, s"de epochs ${eps("de")}")
+    // alpha=1 is the identity recipe
+    val id = Mixing.temperatureEpochs(Map("en" -> 3000L, "de" -> 1000L), alpha = 1.0)
+    assert(id("en") == 1.0 && id("de") == 1.0)
+    val mixed = Mixing.temperatureMixture(docs, col("text"), col("lang"), alpha = 0.5)
+    val counts = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // realized counts track q_i * N (hash-draw tolerance), total preserved
+    assert(math.abs(counts("en") - 0.634 * 4000) < 120, s"en ${counts("en")}")
+    assert(math.abs(counts("de") - 0.366 * 4000) < 120, s"de ${counts("de")}")
+    assert(math.abs((counts("en") + counts("de")) - 4000L) < 200)
+  }
+
   test("stratified rates apply per stratum") {
     val out = Sampling.stratifiedHashSample(docs, col("text"), col("lang"),
         rates = Map("en" -> 0.2), defaultRate = 1.0)
