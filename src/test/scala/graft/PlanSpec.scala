@@ -81,6 +81,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("TakeOrdered"), p)
   }
 
+  test("repetition stats kernel evaluates once per row behind the barrier") {
+    val p = planOf("q_repetition")
+    // without the eval-once fence, CollapseProject inlines the kernel into
+    // all three stat extractions (measured 3x the scan cost)
+    val kernelCount = "ngram_rep_stats".r.findAllIn(p).length
+    assert(kernelCount == 1, s"expected ONE kernel call, found $kernelCount:\n" + p)
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     val p = planOf("q_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
