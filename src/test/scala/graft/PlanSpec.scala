@@ -82,7 +82,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("repetition stats kernel evaluates once per row behind the barrier") {
-    val p = planOf("q_repetition")
+    // AQE's toString prints Final AND Initial plans — count in the final only
+    val p = planOf("q_repetition").split("== Initial Plan ==").head
     // without the eval-once fence, CollapseProject inlines the kernel into
     // all three stat extractions (measured 3x the scan cost)
     val kernelCount = "ngram_rep_stats".r.findAllIn(p).length
