@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Dedup, Similarity}
+import graft.operators.{AsOf, Curation, Dedup, RangeJoin, Relevance, Sampling, Similarity}
 import graft.query._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1052,6 +1052,63 @@ object SparkEntry {
         .select(col("qid"), col("id"))
         .orderBy(col("qid"))
     }),
+
+    // As-of join: each purchase annotated with the user's latest prior-or-
+    // equal view — union+window plan (ONE shuffle of probes+quotes, no
+    // range explosion, no nested loop). operators/AsOf.scala.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("q_user"), col("ts").as("q_ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      AsOf.asofJoin(probes, quotes,
+          probeKey = "user_id", quoteKey = "q_user",
+          probeTime = "ts", quoteTime = "q_ts",
+          payload = Seq("view_id", "view_value"),
+          tieBreak = Some("view_id"))
+        .select(col("event_id"), col("view_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Band (range) join: events of the same user within ±1 h of each
+    // purchase — bucketed equi-join (≤2× explode of the probe side),
+    // never a broadcast nested-loop. operators/RangeJoin.scala.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val others = ev.select(col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("event_id").as("r_id"))
+      val joined = RangeJoin.bandJoin(purchases, others,
+        leftKey = "user_id", rightKey = "r_user",
+        leftTime = "ts", rightTime = "r_ts",
+        before = 3600L, after = 3600L)
+      joined.filter(col("r_id") =!= col("event_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_nearby"), max(col("r_id")).as("max_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // BM25 keyword relevance: one stats pass (N, avgdl, per-term df in a
+    // single Aggregate) broadcast back over one scoring scan — no corpus
+    // shuffle. operators/Relevance.scala.
+    "q_bm25" -> ((s, dir) =>
+      Relevance.bm25(Tables.documents(s, dir), "doc_id", "text", "n_chars",
+        terms = Seq("vector", "stream", "window"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis priorities on
+    // the shared md5 draw): longer documents proportionally likelier, yet
+    // the sample is fixed across engines/partitionings. Plan: scan +
+    // TakeOrdered(k), no shuffle. operators/Sampling.scala.
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedPrioritySample(Tables.documents(s, dir),
+          key = col("text"), weight = col("n_chars"), k = 50,
+          tieBreak = col("doc_id"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
   )
 
   private val textStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
@@ -1737,5 +1794,87 @@ object SparkEntry {
     "q_ann_ivf" -> """
       SELECT vec_id AS qid, vec_id AS id FROM embeddings
       WHERE vec_id < 10 ORDER BY qid""",
+
+    // Latest prior-or-equal view per purchase; ties (none in the corpus,
+    // but the contract is deterministic anyway) break on view_id DESC —
+    // the operator's tieBreak-ascending-last-wins. events.ts is µs-exact
+    // (no sub-µs component), so CAST(.. AS TIMESTAMP) loses nothing.
+    "q_asof_join" -> """
+      SELECT p.event_id, v.view_id, v.view_value
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN LATERAL (
+        SELECT e.event_id AS view_id, e.value AS view_value
+        FROM events e
+        WHERE e.event_type = 'view' AND e.user_id = p.user_id
+          AND e.ts <= p.ts
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
+      ORDER BY p.event_id""",
+
+    // Same-user events within ±3600 s of each purchase. The operator
+    // compares at whole-second resolution (timestamp -> long cast), so the
+    // oracle floors epochs to seconds too (all epochs positive: // == floor).
+    "q_range_join" -> """
+      SELECT p.event_id,
+             count(*) AS n_nearby,
+             max(e.event_id) AS max_id
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      JOIN events e ON e.user_id = p.user_id
+        AND e.event_id <> p.event_id
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000
+              BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000 - 3600
+                  AND epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000 + 3600
+      GROUP BY p.event_id
+      ORDER BY p.event_id""",
+
+    // BM25 with substring-count tf and n_chars length normalization —
+    // every arithmetic step mirrors Relevance.bm25's expression tree
+    // left-to-right so both engines execute the identical IEEE op
+    // sequence; the lone libm call (ln) is rounded away at 6 dp.
+    "q_bm25" -> """
+      WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               avg(CAST(n_chars AS DOUBLE)) AS avgdl,
+               CAST(sum(CASE WHEN CAST((length(text) - length(replace(text, 'vector', ''))) / 6 AS INT) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN CAST((length(text) - length(replace(text, 'stream', ''))) / 6 AS INT) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN CAST((length(text) - length(replace(text, 'window', ''))) / 6 AS INT) > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM documents),
+      t AS (
+        SELECT doc_id,
+               CAST(CAST((length(text) - length(replace(text, 'vector', ''))) / 6 AS INT) AS DOUBLE) AS tf0,
+               CAST(CAST((length(text) - length(replace(text, 'stream', ''))) / 6 AS INT) AS DOUBLE) AS tf1,
+               CAST(CAST((length(text) - length(replace(text, 'window', ''))) / 6 AS INT) AS DOUBLE) AS tf2,
+               CAST(n_chars AS DOUBLE) AS dl
+        FROM documents)
+      SELECT doc_id,
+             (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms,
+             round(
+               ln(1.0 + ((s.n - s.df0) + 0.5) / (s.df0 + 0.5))
+                 * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl))))
+               + ln(1.0 + ((s.n - s.df1) + 0.5) / (s.df1 + 0.5))
+                 * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl))))
+               + ln(1.0 + ((s.n - s.df2) + 0.5) / (s.df2 + 0.5))
+                 * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl)))),
+               6) AS bm25
+      FROM t, s
+      WHERE (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
+      ORDER BY doc_id""",
+
+    // Efraimidis–Spirakis priorities on the shared md5 draw; the float
+    // priority is ORDER-only (never output), so a last-ulp ln() divergence
+    // between engines cannot flip a hash compare.
+    "q_weighted_sample" -> """
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ln((CAST(concat('0x', substr(md5(text), 1, 8)) AS UBIGINT) + 0.5)
+                  / 4294967296.0) / CAST(n_chars AS DOUBLE) AS p
+        FROM documents
+        ORDER BY p DESC, doc_id ASC LIMIT 50)
+      ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (point-in-time) join.
+  *
+  * For every probe row, attach the payload of the latest quote row sharing
+  * its key whose time is `<=` (or `<` when `strict`) the probe's time —
+  * the "state as of this moment" shape (pandas `merge_asof`, DuckDB
+  * `ASOF JOIN`, kdb `aj`). Spark has no native operator for it, and the
+  * naive formulation — a theta-join on `quote.t <= probe.t` plus a
+  * per-probe argmax — plans a broadcast-nested-loop or cartesian product:
+  * quadratic per key, unrunnable at 100 TB.
+  *
+  * Plan here: tag both inputs, union them, and make ONE window pass
+  * partitioned by key and ordered by (time, side, tiebreak):
+  * `last(payload_struct, ignoreNulls)` over rows-unbounded-preceding
+  * carries the most recent quote forward onto each probe row. Cost is a
+  * single hash shuffle of |probes| + |quotes| rows and a per-key sort —
+  * the same shape as one sort-merge join, with no range explosion and no
+  * per-probe scan. The payload rides in one struct so every carried column
+  * comes from the SAME quote row (per-column `last` could stitch fields
+  * from different rows when payload fields are legitimately null).
+  *
+  * Determinism: quote-time ties are broken by `tieBreak` ascending — the
+  * greatest tiebreak value wins — so output is engine- and
+  * partitioning-independent.
+  *
+  * Scale notes: one hot key (a user with tens of millions of quotes)
+  * serializes into a single partition's sort; the remedy is the usual
+  * time-sliced carry-in (as-of join per coarse time bucket, then carry the
+  * last quote of bucket i into bucket i+1), which composes from this same
+  * operator. Both inputs keep their scan-level filters and pruned schemas —
+  * nothing here blocks pushdown.
+  */
+object AsOf {
+
+  /** Left as-of join: all probe columns plus `payload` columns from the
+    * matching quote (null when no quote precedes the probe).
+    *
+    * @param probes    left side; every row appears exactly once in the output
+    * @param quotes    right side; `payload` names its carried columns
+    * @param within    optional tolerance predicate `(probeTime, quoteTime) =>
+    *                  boolean` — a match older than the tolerance yields
+    *                  nulls, as in pandas `merge_asof(tolerance=...)`
+    * @param strict    true = `quote.t < probe.t` (an equal-time quote is
+    *                  invisible); false = `<=`
+    */
+  def asofJoin(
+      probes: DataFrame, quotes: DataFrame,
+      probeKey: String, quoteKey: String,
+      probeTime: String, quoteTime: String,
+      payload: Seq[String],
+      tieBreak: Option[String] = None,
+      within: Option[(Column, Column) => Column] = None,
+      strict: Boolean = false): DataFrame = {
+
+    // Sort order at equal time decides <= vs <: under <= the quote must be
+    // visible to the probe, so quotes sort first; under < probes sort first.
+    val (quoteSide, probeSide) = if (strict) (1, 0) else (0, 1)
+
+    // Quote time travels inside the struct so `within` can see it.
+    val qStruct = struct(
+      (col(quoteTime).as("__qt") +: payload.map(col)): _*)
+    val qSel = quotes.select(
+      col(quoteKey).as("__k"), col(quoteTime).as("__t"),
+      (tieBreak.map(col).getOrElse(lit(0L))).as("__tb"),
+      lit(quoteSide).as("__side"), qStruct.as("__q"))
+
+    val pStruct = struct(probes.columns.map(col): _*)
+    val qType = qSel.schema("__q").dataType
+    val tbType = qSel.schema("__tb").dataType
+    val pSel0 = probes.select(
+      col(probeKey).as("__k"), col(probeTime).as("__t"),
+      lit(null).cast(tbType).as("__tb"),
+      lit(probeSide).as("__side"), lit(null).cast(qType).as("__q"),
+      pStruct.as("__p"))
+    val pType = pSel0.schema("__p").dataType
+
+    val unioned = pSel0.unionByName(
+      qSel.withColumn("__p", lit(null).cast(pType)))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("__last", last(col("__q"), ignoreNulls = true).over(w))
+      .filter(col("__side") === probeSide)
+
+    val matched = within match {
+      case Some(pred) =>
+        when(col("__last").isNotNull &&
+          pred(col("__t"), col("__last").getField("__qt")), col("__last"))
+      case None => col("__last")
+    }
+    val probeCols = probes.columns.map(c => col("__p").getField(c).as(c))
+    val payloadCols = payload.map(c => matched.getField(c).as(c))
+    carried.select(probeCols ++ payloadCols: _*)
+  }
+}

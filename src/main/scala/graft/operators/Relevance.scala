@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword relevance scoring over a document corpus.
+  *
+  * The standard Okapi BM25 formula with two engine-portability choices that
+  * keep the score bit-reproducible across engines (the property every
+  * deterministic curation decision in this library shares — see
+  * [[Sampling]]):
+  *
+  *   - term frequency is exact substring occurrence count,
+  *     `(len(text) - len(replace(text, term)))/len(term)` — pure integer
+  *     string arithmetic any SQL engine evaluates identically (no
+  *     tokenizer to keep in sync across engines);
+  *   - document length is the corpus-provided `n_chars` (character
+  *     normalization instead of token normalization).
+  *
+  * Plan shape: one corpus aggregation computes N, avg length, and each
+  * term's document frequency in a single pass (every `df_t` is a
+  * conditional count in the same Aggregate — no per-term scan). That
+  * single stats row is broadcast-cross-joined back, so scoring is one scan
+  * + one 1-row broadcast: no shuffle of the corpus at all. At 100 TB the
+  * cost is exactly two corpus scans (stats + scoring), both
+  * whole-stage-codegen'd; for repeated query batches the stats pass is
+  * shared across all terms of all queries.
+  */
+object Relevance {
+
+  /** Occurrences of `term` in `text` (exact substring count). */
+  def termCount(text: Column, term: String): Column = {
+    require(term.nonEmpty, "empty term")
+    ((length(text) - length(replace(text, lit(term), lit("")))) / lit(term.length))
+      .cast("int")
+  }
+
+  /** Per-document BM25 scores for `terms`, over documents with at least one
+    * hit (the zero-score tail of a 100 TB corpus is never materialized).
+    * Output: idCol, matched term count, score rounded to 6 dp.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, lenCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "no terms")
+    val text = col(textCol)
+
+    // One pass: N, avgdl, and every term's document frequency.
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(termCount(text, t) > 0, 1L).otherwise(0L)).as(s"__df_$i")
+    }
+    val aggs = count(lit(1)).as("__n") +:
+      avg(col(lenCol).cast("double")).as("__avgdl") +: dfAggs
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+
+    val scored = docs.join(broadcast(stats))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      val tf = termCount(text, t).cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - col(s"__df_$i") + lit(0.5)) /
+          (col(s"__df_$i") + lit(0.5)))
+      val norm = tf * (lit(k1) + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col(lenCol).cast("double") / col("__avgdl")))
+      (idf * norm, tf > 0)
+    }
+    val score = perTerm.map(_._1).reduce(_ + _)
+    val nMatched = perTerm.map { case (_, hit) =>
+      when(hit, 1).otherwise(0) }.reduce(_ + _)
+
+    scored
+      .withColumn("n_terms", nMatched)
+      .filter(col("n_terms") > 0)
+      .select(col(idCol), col("n_terms"), round(score, 6).as("bm25"))
+  }
+}

@@ -45,6 +45,31 @@ object Sampling {
   def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(keepPredicate(key, rate))
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): row i gets priority u_i^(1/w_i) with u_i a uniform draw — here
+    * the md5 draw shared by every operator in this file, so the same row
+    * gets the same u everywhere — and the k largest priorities win.
+    * P(i in sample) follows the weights exactly as in the E-S construction,
+    * yet the result is reproducible across engines, partitionings, and
+    * reruns (a plain PRNG reservoir gives a different corpus cut per run —
+    * unusable for a pinned training mix).
+    *
+    * Computed as ln(u)/w (monotone in u^(1/w), no overflow for tiny u),
+    * descending. Plan: scan + TakeOrdered(k) — per-partition bounded heaps,
+    * no sort of the corpus, no shuffle beyond the k-row gather.
+    * Ties broken by `tieBreak` ascending for engine-independent output.
+    */
+  def weightedPrioritySample(df: DataFrame, key: Column, weight: Column,
+                             k: Int, tieBreak: Column): DataFrame = {
+    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + 0.5) /
+      lit(4294967296.0)
+    val priority = log(u) / weight.cast("double")
+    df.withColumn("__priority", priority)
+      .orderBy(col("__priority").desc, tieBreak.asc)
+      .limit(k)
+      .drop("__priority")
+  }
+
   /** Per-stratum deterministic rates (e.g. downsample dominant languages,
     * keep all of rare ones): `rates` maps stratum value → rate,
     * `defaultRate` applies to unlisted strata. One codegen'd CASE — no

@@ -79,4 +79,53 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(out("de") == 1000L, "default rate 1.0 keeps the whole stratum")
     assert(math.abs(out("en") / 3000.0 - 0.2) < 0.05, s"en rate off: ${out("en")}")
   }
+
+  private lazy val weighted = docs.withColumn("w",
+    when(col("id") % 4 === 0, 50.0).otherwise(1.0))
+
+  test("weighted sample: exactly k rows, independent of partitioning") {
+    val a = Sampling.weightedPrioritySample(weighted.repartition(32),
+        col("text"), col("w"), k = 200, tieBreak = col("id"))
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedPrioritySample(weighted.coalesce(1),
+        col("text"), col("w"), k = 200, tieBreak = col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 200 && a == b)
+  }
+
+  test("weighted sample favors heavy rows per the E-S construction") {
+    val sample = Sampling.weightedPrioritySample(weighted,
+        col("text"), col("w"), k = 400, tieBreak = col("id"))
+      .select("id").as[Long].collect()
+    val heavy = sample.count(_ % 4 == 0)
+    // 1000 heavy rows at weight 50 vs 3000 light at 1 — heavy rows should
+    // dominate a 400-row sample overwhelmingly (E[heavy] ≈ 390+)
+    assert(heavy > 340, s"only $heavy/400 heavy rows selected")
+  }
+
+  test("raising a selected row's weight never evicts it (priority monotone in w)") {
+    val base = Sampling.weightedPrioritySample(weighted,
+        col("text"), col("w"), k = 100, tieBreak = col("id"))
+      .select("id").as[Long].collect().toSet
+    val boosted = weighted.withColumn("w",
+      when(col("id").isin(base.toSeq.take(20).map(Long.box): _*), col("w") * 100)
+        .otherwise(col("w")))
+    val again = Sampling.weightedPrioritySample(boosted,
+        col("text"), col("w"), k = 100, tieBreak = col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(base.take(20).subsetOf(again))
+  }
+
+  test("equal weights reduce to top-k by the uniform draw") {
+    val flat = docs.withColumn("w", lit(1.0))
+    val got = Sampling.weightedPrioritySample(flat, col("text"), col("w"),
+        k = 50, tieBreak = col("id"))
+      .select("id").as[Long].collect().toSet
+    // reference: priority = ln(u)/1 = ln(u), maximal ⇔ maximal u
+    val ref = docs.withColumn("u",
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double"))
+      .orderBy(col("u").desc, col("id").asc).limit(50)
+      .select("id").as[Long].collect().toSet
+    assert(got == ref)
+  }
 }
