@@ -1109,6 +1109,28 @@ object SparkEntry {
           tieBreak = col("doc_id"))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+
+    // Stats-based data skipping through the REAL store: customers loaded
+    // into a mktsegment-partitioned COW table (one stats sidecar per
+    // slice), then snapshotWhere prunes slices by the c_custkey range
+    // before reading — StatsSkipSpec asserts the skip; this query proves
+    // the surviving rows are exactly right.
+    "q_stats_skip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(
+        java.nio.file.Files.createTempDirectory("graft-stats-q").toString)
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("segment", StringType, nullable = false),
+        StructField("acctbal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")), partitionCols = Seq("segment"))
+      t.createMany(Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("acctbal")))
+      t.snapshotWhere(col("id") <= 120L && col("acctbal") > 0.0)
+        .select(col("id"), col("segment"), col("acctbal"))
+        .orderBy(col("id"))
+    }),
   )
 
   private val textStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
@@ -1864,6 +1886,12 @@ object SparkEntry {
              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id""",
+
+    "q_stats_skip" -> """
+      SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS acctbal
+      FROM customer
+      WHERE c_custkey <= 120 AND c_acctbal > 0.0
+      ORDER BY id""",
 
     // Efraimidis–Spirakis priorities on the shared md5 draw; the float
     // priority is ORDER-only (never output), so a last-ulp ln() divergence

@@ -99,4 +99,108 @@ object AsOf {
     val payloadCols = payload.map(c => matched.getField(c).as(c))
     carried.select(probeCols ++ payloadCols: _*)
   }
+
+  /** Skew-proof as-of join: the time-sliced composition [[asofJoin]]'s
+    * scaladoc promises. A hot key (one user with 100 M quotes) serializes
+    * the plain plan into a single partition's sort; here both sides are
+    * cut into `bucketSeconds`-wide time slices so the window partitions on
+    * (key, bucket) — the hot key spreads across its time range — and
+    * correctness across slice boundaries comes from CARRY-IN rows: each
+    * (key, bucket)'s last quote is forward-filled (one tiny window over
+    * the per-bucket-last table, one row per key×bucket, NOT per quote)
+    * into the next occupied probe bucket it must seed.
+    *
+    * Semantics are identical to `asofJoin(strict = false)` with the same
+    * tiebreak — spec-asserted by equivalence on randomized data. Times
+    * must be castable to timestamp (epoch seconds drive the slicing).
+    *
+    * Cost: one shuffle of probes+quotes on (key, bucket) + one shuffle of
+    * the per-bucket-last summary — 2 shuffles total, each with bounded
+    * partitions, vs 1 unbounded-partition shuffle for the plain plan. Use
+    * this form when a key's quotes outgrow one executor's sort budget.
+    */
+  def bucketedAsofJoin(
+      probes: DataFrame, quotes: DataFrame,
+      probeKey: String, quoteKey: String,
+      probeTime: String, quoteTime: String,
+      payload: Seq[String],
+      bucketSeconds: Long,
+      tieBreak: Option[String] = None): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+
+    def bucketOf(c: Column): Column =
+      floor(c.cast("timestamp").cast("double") / lit(bucketSeconds.toDouble))
+        .cast("long")
+
+    // Probe buckets this key actually occupies — carry rows only need to
+    // land where a probe can see them.
+    val probeBuckets = probes
+      .select(col(probeKey).as("__k"), bucketOf(col(probeTime)).as("__b"))
+      .distinct()
+
+    // Last quote of each (key, quote-bucket): ONE row per key×bucket.
+    val qTagged = quotes.select(
+      col(quoteKey).as("__k"), col(quoteTime).as("__t"),
+      bucketOf(col(quoteTime)).as("__b"),
+      tieBreak.map(col).getOrElse(lit(0L)).as("__tb"),
+      struct((col(quoteTime).as("__qt") +: payload.map(col)): _*).as("__q"))
+    val lastPerBucket = qTagged
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__k"), col("__b"))
+          .orderBy(col("__t").desc, col("__tb").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // Forward-fill each bucket-last into the NEXT occupied probe buckets:
+    // union quote-bucket summaries with probe buckets, run last() over
+    // bucket order — the same union+window trick one level up, on the
+    // tiny summary table. Probe rows sort BEFORE the same bucket's quote
+    // summary (side 0 < 1) and the frame ends at -1, so a probe bucket's
+    // seed comes strictly from EARLIER buckets — its own bucket's quotes
+    // participate directly in the intra-bucket pass below.
+    val summaryW = Window.partitionBy(col("__k"))
+      .orderBy(col("__b").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carrySeeds = lastPerBucket
+      .select(col("__k"), col("__b"), lit(1).as("__side"), col("__q"))
+      .unionByName(probeBuckets.withColumn("__side", lit(0))
+        .withColumn("__q", lit(null).cast(
+          qTagged.schema("__q").dataType)))
+      .withColumn("__carry", last(col("__q"), ignoreNulls = true).over(summaryW))
+      .filter(col("__side") === 0 && col("__carry").isNotNull)
+      // the seed re-enters the bucket pass at its TRUE quote time, which
+      // is strictly older than the bucket's open — it sorts first
+      .select(col("__k"), col("__b"),
+        col("__carry").getField("__qt").as("__t"), col("__carry").as("__q"))
+
+    // Intra-bucket pass: quotes of the bucket + carry seed + probes.
+    val pTagged = probes.select(
+      col(probeKey).as("__k"), bucketOf(col(probeTime)).as("__b"),
+      col(probeTime).as("__t"),
+      lit(null).cast(qTagged.schema("__tb").dataType).as("__tb"),
+      lit(2).as("__side"),
+      lit(null).cast(qTagged.schema("__q").dataType).as("__q"),
+      struct(probes.columns.map(col): _*).as("__p"))
+    val pType = pTagged.schema("__p").dataType
+    val inBucket = pTagged
+      .unionByName(qTagged.withColumn("__side", lit(1))
+        .withColumn("__p", lit(null).cast(pType)))
+      .unionByName(carrySeeds
+        .withColumn("__tb", lit(null).cast(qTagged.schema("__tb").dataType))
+        .withColumn("__side", lit(0))
+        .withColumn("__p", lit(null).cast(pType)))
+
+    // Order inside a bucket: the carry seed's true time predates the
+    // bucket open, so plain (time, side, tiebreak) puts it first; at
+    // equal time quotes (1) sort before probes (2) for <= semantics;
+    // quote ties break by tiebreak ascending (last wins).
+    val bwOrdered = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = inBucket
+      .withColumn("__last", last(col("__q"), ignoreNulls = true).over(bwOrdered))
+      .filter(col("__side") === 2)
+    val probeCols = probes.columns.map(c => col("__p").getField(c).as(c))
+    val payloadCols = payload.map(c => col("__last").getField(c).as(c))
+    carried.select(probeCols ++ payloadCols: _*)
+  }
 }

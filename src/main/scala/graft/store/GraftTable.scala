@@ -122,19 +122,33 @@ final class GraftTable(
     * versions stay on disk until [[Catalog.vacuum]]. Returns the number
     * of slices rewritten. File listing goes through java.nio here because
     * the catalog root is a local path; an object-store deployment would
-    * swap in the Hadoop FileSystem API. */
-  def compact(maxFiles: Int = 4, targetBytes: Long = 128L << 20): Int = {
+    * swap in the Hadoop FileSystem API.
+    *
+    * `zorderBy`: when non-empty, EVERY current slice is rewritten (not
+    * just fragmented ones) range-partitioned + sorted by the Morton
+    * z-value of those columns ([[Zorder]]), so each output file covers a
+    * narrow band of every clustered column — [[snapshotWhere]]'s
+    * file-level skipping then prunes on any of them. */
+  def compact(maxFiles: Int = 4, targetBytes: Long = 128L << 20,
+              zorderBy: Seq[String] = Nil): Int = {
     val base = catalog.manifest().get(name)
     var staged = Map.empty[String, Option[String]]
     catalog.currentDirs(name).foreach { case (pk, dir) =>
       val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      if (files.length > maxFiles) {
+      if (files.length > maxFiles || (zorderBy.nonEmpty && files.nonEmpty)) {
         val totalBytes = files.map(_.length()).sum
         val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
         val (v, outDir) = catalog.newVersionDir(name, pk)
-        readDirs(Seq(dir)).coalesce(nOut)
-          .write.mode("overwrite").parquet(outDir)
+        val slice = readDirs(Seq(dir))
+        val out =
+          if (zorderBy.isEmpty) slice.coalesce(nOut)
+          else Zorder.withZValue(slice, zorderBy, "__z")
+            .repartitionByRange(nOut, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        out.write.mode("overwrite").parquet(outDir)
+        SliceStats.writeSidecar(spark, outDir)
         staged += (pk -> Some(v))
       }
     }
@@ -158,6 +172,78 @@ final class GraftTable(
       case (pk, dir) if tokens.subsetOf(pk.split(",").toSet) => dir
     }.toSeq
     readDirs(dirs)
+  }
+
+  /** Stats-based data skipping: a filtered snapshot that drops every slice
+    * whose footer-derived column ranges ([[SliceStats]] sidecar) prove the
+    * predicate can't match — the Iceberg/Delta file-skipping idea at the
+    * slice granularity, orthogonal to [[snapshotSlice]]'s partition-value
+    * pruning (this one prunes on ANY column with usable stats, e.g. an id
+    * range or a timestamp window on a status-partitioned table).
+    *
+    * Works on the predicate's AND-conjuncts of shape `col op literal`,
+    * `IN`, `IS [NOT] NULL`. The FULL predicate is always re-applied to the
+    * surviving slices — a missing/corrupt sidecar (e.g. a pre-stats slice)
+    * or an unrecognized conjunct only disables skipping, never correctness.
+    * At 100 TB this prunes before any slice file listing or footer open:
+    * the read plans over the kept directories only. */
+  def snapshotWhere(pred: Column): DataFrame =
+    readDirs(prunedPaths(pred)._1).filter(pred)
+
+  /** The predicate's AND-conjuncts, resolved against the table schema
+    * (driver-side analysis only, no job): typed catalyst comparisons with
+    * coerced literals — exactly what the stats domain can evaluate. */
+  private def resolvedConjuncts(pred: Column) = {
+    val analyzed = emptyDf.filter(pred).queryExecution.analyzed
+    analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.map(SliceStats.conjuncts).getOrElse(Nil)
+  }
+
+  /** (kept dirs, total dirs) under slice-level stats pruning — split out
+    * for tests and for callers that want the skip ratio. */
+  private[store] def prunedDirs(pred: Column): (Seq[String], Int) = {
+    val cs = resolvedConjuncts(pred)
+    val all = catalog.currentDirs(name).values.toSeq
+    val kept = all.filter { dir =>
+      SliceStats.readSidecar(dir) match {
+        case Some(st) => cs.forall(c => SliceStats.mayMatch(c, st))
+        case None     => true // no sidecar → never skip
+      }
+    }
+    (kept, all.size)
+  }
+
+  /** Two-level pruning: slices by merged stats, then FILES inside each
+    * surviving slice by their own footer ranges — the read plans over the
+    * kept file paths only. File granularity is what a z-order compaction
+    * ([[compact]]'s `zorderBy`) feeds: the slice range of a clustered
+    * column stays wide while each file covers a narrow band.
+    * Returns (kept paths — dirs when a slice has no file stats —, kept
+    * file count, total file count known to sidecars). */
+  private[store] def prunedPaths(pred: Column): (Seq[String], Int, Int) = {
+    val cs = resolvedConjuncts(pred)
+    var keptFiles = 0
+    var totalFiles = 0
+    val paths = catalog.currentDirs(name).values.toSeq.sorted.flatMap { dir =>
+      SliceStats.readSidecar(dir) match {
+        case Some(st) =>
+          totalFiles += st.files.size
+          if (!cs.forall(c => SliceStats.mayMatch(c, st))) Nil
+          else if (st.files.isEmpty) Seq(dir) // legacy sidecar: whole slice
+          else {
+            val kept = st.files.toSeq.sortBy(_._1).collect {
+              case (f, fs) if fs.rows > 0 && cs.forall(c =>
+                SliceStats.mayMatch(c,
+                  SliceStats.Stats(fs.rows, fs.cols))) => s"$dir/$f"
+            }
+            keptFiles += kept.size
+            kept
+          }
+        case None => Seq(dir) // no sidecar → never skip
+      }
+    }
+    (paths, keptFiles, totalFiles)
   }
 
   /** Scan-prunable predicate equivalent to `partKey == pk` over the RAW
@@ -521,6 +607,9 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       withPk.filter(pre).filter(col("__pk") === lit(pk)).drop("__pk")
         .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(dir)
+      // pin footer-derived column stats beside the slice (O(files) driver
+      // IO, no job) — snapshotWhere's data skipping reads these
+      SliceStats.writeSidecar(t.spark, dir)
       dirs += (pk -> dir)
       parts += (pk -> Some(v))
     }

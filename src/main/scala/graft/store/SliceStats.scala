@@ -1,0 +1,430 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.column.statistics._
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Slice-level column statistics for manifest-side data skipping — the
+  * Iceberg/Delta file-skipping idea applied to the store's unit of
+  * copy-on-write (a partition slice version).
+  *
+  * Collection is O(files), not O(rows): the numbers come out of the parquet
+  * FOOTERS the write already produced (min / max / null count per column
+  * chunk, merged across row groups and files) and are pinned into one tiny
+  * `_graft_stats.json` sidecar inside the slice version directory. The
+  * sidecar shares the slice's lifecycle for free: it becomes visible with
+  * the same atomic manifest commit that publishes the version, is immutable
+  * afterwards, and [[Catalog.vacuum]] reclaims it with the directory. The
+  * leading underscore keeps every parquet reader (Spark's included) from
+  * picking it up as data.
+  *
+  * Reading side: [[GraftTable.snapshotWhere]] evaluates a predicate's
+  * simple conjuncts (`col op literal`, `IN`, `IS [NOT] NULL`) against each
+  * slice's ranges and SKIPS slices that provably cannot match — before any
+  * parquet footer of the slice itself is opened. At 100 TB that's the
+  * difference between "open 2 M footers to learn 1.9 M are irrelevant" and
+  * "read 10 K sidecar summaries": scan-side row-group pruning still happens
+  * afterwards, this layer just removes whole slices from the listing.
+  * Stats are a PRUNING AID only, never a correctness dependency: the full
+  * predicate is always re-applied to what survives, an absent/stale sidecar
+  * or an unparseable conjunct merely disables skipping for that slice or
+  * clause.
+  */
+object SliceStats {
+
+  val SidecarName = "_graft_stats.json"
+
+  /** Merged per-column footer statistics of one slice or file.
+    * `min`/`max` are None when parquet omitted them (all-null chunk, NaN
+    * poisoning, or oversized binary values) — such a column still prunes
+    * IS [NOT] NULL via the counts when those are complete. */
+  final case class ColStats(min: Option[Any], max: Option[Any],
+                            nulls: Option[Long])
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** Slice totals + the per-file breakdown. File granularity is what makes
+    * z-order compaction pay: the slice-level range of a clustered column
+    * is unchanged, but each FILE covers a narrow band the read can skip. */
+  final case class Stats(rows: Long, cols: Map[String, ColStats],
+                         files: Map[String, FileStats] = Map.empty)
+
+  // ---------------------------------------------------------------- collect
+
+  private type Acc = Map[String, Option[(Any, Any, Long)]]
+
+  private def mergeAcc(a: Acc, b: Acc): Acc =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (Some(Some((m0, x0, n0))), Some(Some((m1, x1, n1)))) =>
+          Some((mergeMin(m0, m1), mergeMax(x0, x1), n0 + n1))
+        case (Some(e), None) => e
+        case (None, Some(e)) => e
+        case _ => None // anything unknown poisons the column
+      })
+    }.toMap
+
+  private def finish(acc: Acc): Map[String, ColStats] =
+    acc.collect { case (c, Some((mn, mx, n))) =>
+      c -> ColStats(Option(mn), Option(mx), Some(n))
+    }
+
+  private def collectFile(f: java.io.File, conf: Configuration): FileStats = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+    val reader = ParquetFileReader.open(in)
+    var rows = 0L
+    var acc: Acc = Map.empty
+    try {
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        rows += block.getRowCount
+        var blockAcc: Acc = Map.empty
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!name.contains('.')) { // nested columns: not prunable here
+            val s = cc.getStatistics
+            val usable = s != null && !s.isEmpty &&
+              (s.hasNonNullValue || s.getNumNulls == block.getRowCount) &&
+              s.isNumNullsSet
+            val entry: Option[(Any, Any, Long)] =
+              if (!usable) None
+              else if (!s.hasNonNullValue) Some((null, null, s.getNumNulls))
+              else decode(s).map { case (mn, mx) => (mn, mx, s.getNumNulls) }
+            blockAcc += (name -> entry)
+          }
+        }
+        acc = if (acc.isEmpty && rows == block.getRowCount) blockAcc
+              else mergeAcc(acc, blockAcc)
+      }
+    } finally reader.close()
+    FileStats(rows, finish(acc))
+  }
+
+  /** Read every data file's footer under `dir`; per-file stats plus the
+    * slice-level merge. Driver-side, no Spark job. */
+  def collect(dir: String, conf: Configuration): Stats = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val perFile = files.map(f => f.getName -> collectFile(f, conf)).toMap
+    val rows = perFile.valuesIterator.map(_.rows).sum
+    // slice-level merge: a column must carry usable stats in EVERY
+    // non-empty file (a zero-row part file has no chunks at all — it must
+    // not poison the merge; the read side skips it by its row count)
+    val dataFiles = perFile.filter(_._2.rows > 0)
+    val sliceCols =
+      if (dataFiles.isEmpty) Map.empty[String, ColStats]
+      else dataFiles.values.map(fs => fs.cols.view.mapValues(cs =>
+          Option((cs.min.orNull, cs.max.orNull, cs.nulls.getOrElse(0L)))).toMap: Acc)
+        .reduce { (a, b) =>
+          // a column missing from either side is unknown there → poison
+          (a.keySet ++ b.keySet).map { k =>
+            k -> ((a.get(k).flatten, b.get(k).flatten) match {
+              case (Some((m0, x0, n0)), Some((m1, x1, n1))) =>
+                Some((mergeMin(m0, m1), mergeMax(x0, x1), n0 + n1))
+              case _ => None
+            })
+          }.toMap
+        } match { case acc =>
+          acc.collect { case (c, Some((mn, mx, n))) =>
+            c -> ColStats(Option(mn), Option(mx), Some(n)) }
+        }
+    Stats(rows, sliceCols, perFile)
+  }
+
+  /** Typed min/max out of a parquet Statistics object. Double/Float NaN
+    * poisoning → None (parquet NaN ordering is unreliable). Binary stats
+    * are exact when present (parquet-mr omits them beyond the size cap). */
+  private def decode(s: Statistics[_]): Option[(Any, Any)] = s match {
+    case b: BooleanStatistics => Some((b.getMin, b.getMax))
+    case i: IntStatistics     => Some((i.getMin.toLong, i.getMax.toLong))
+    case l: LongStatistics    => Some((l.getMin, l.getMax))
+    case f: FloatStatistics =>
+      if (f.getMin.isNaN || f.getMax.isNaN) None
+      else Some((f.getMin.toDouble, f.getMax.toDouble))
+    case d: DoubleStatistics =>
+      if (d.getMin.isNaN || d.getMax.isNaN) None
+      else Some((d.getMin, d.getMax))
+    case b: BinaryStatistics =>
+      // UTF-8 decode; non-string binary (e.g. raw bytes, decimals) won't
+      // be matched by any literal we compare (orderings differ) — the
+      // read side only consults these for StringType literals.
+      Some((b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8))
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+    case (x: String, y: String)   => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => 0
+  }
+  private def mergeMin(a: Any, b: Any): Any = if (cmp(b, a) < 0) b else a
+  private def mergeMax(a: Any, b: Any): Any = if (cmp(b, a) > 0) b else a
+
+  // ------------------------------------------------------------- sidecar IO
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def renderValue(v: Any): String = v match {
+    case s: String  => "\"s:" + esc(s) + "\""
+    case b: Boolean => "\"b:" + b + "\""
+    case l: Long    => "\"l:" + l + "\""
+    case d: Double  => "\"d:" + java.lang.Double.toHexString(d) + "\""
+    case other      => "\"s:" + esc(other.toString) + "\""
+  }
+
+  private def parseValue(s: String): Option[Any] = {
+    val body = s.drop(2)
+    s.take(2) match {
+      case "s:" => Some(body)
+      case "b:" => Some(body.toBoolean)
+      case "l:" => body.toLongOption
+      case "d:" => try Some(java.lang.Double.parseDouble(body)) catch {
+        case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  private def renderColsObj(cols: Map[String, ColStats],
+                            key: String => String): Seq[String] =
+    cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      val fields = Seq(
+        cs.min.map(v => "\"min\": " + renderValue(v)),
+        cs.max.map(v => "\"max\": " + renderValue(v)),
+        cs.nulls.map(n => "\"nulls\": " + n)).flatten
+      s""""${esc(key(c))}": ${fields.mkString("{", ", ", "}")}"""
+    }
+
+  /** Collect footer stats for `dir` and pin the sidecar. Called right
+    * after a slice's parquet write, before the manifest commit.
+    *
+    * Format (deliberately FLAT — every stats object is a brace-free leaf,
+    * so the reader needs no recursive parser): slice totals under
+    * "rows"/"cols", the per-file breakdown under "frows" (file → rows) and
+    * "fcols" ("file|column" → stats). */
+  def writeSidecar(spark: SparkSession, dir: String): Unit = {
+    val st = collect(dir, spark.sessionState.newHadoopConf())
+    val cols = renderColsObj(st.cols, identity)
+    val frows = st.files.toSeq.sortBy(_._1)
+      .map { case (f, fs) => s""""${esc(f)}": ${fs.rows}""" }
+    val fcols = st.files.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
+      renderColsObj(fs.cols, c => s"$f|$c")
+    }
+    val json = s"""{"rows": ${st.rows}, """ +
+      s""""cols": ${cols.mkString("{", ", ", "}")}, """ +
+      s""""frows": ${frows.mkString("{", ", ", "}")}, """ +
+      s""""fcols": ${fcols.mkString("{", ", ", "}")}}"""
+    Files.write(Paths.get(dir, SidecarName),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Load a slice's sidecar; None (no skipping) when absent/corrupt. */
+  def readSidecar(dir: String): Option[Stats] = {
+    val p = Paths.get(dir, SidecarName)
+    if (!Files.exists(p)) None
+    else try {
+      val s = Files.readString(p)
+      val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      // leaf objects only (no nested braces) — the "cols"/"fcols" wrapper
+      // bodies contain braces so they can never match and swallow a column
+      val colRe = """"((?:[^"\\]|\\.)+)":\s*\{([^{}]*)\}""".r
+      val fRe = """"(min|max|nulls)":\s*("(?:[^"\\]|\\.)*"|\d+)""".r
+      val wrappers = Set("cols", "fcols", "frows")
+      val leaves = colRe.findAllMatchIn(s).flatMap { m =>
+        val name = unescape(m.group(1))
+        if (wrappers.contains(name)) None
+        else {
+          var mn: Option[Any] = None; var mx: Option[Any] = None
+          var nl: Option[Long] = None
+          fRe.findAllMatchIn(m.group(2)).foreach { f =>
+            val raw = f.group(2)
+            val v = if (raw.startsWith("\""))
+              parseValue(unescape(raw.substring(1, raw.length - 1)))
+            else raw.toLongOption
+            f.group(1) match {
+              case "min"   => mn = v
+              case "max"   => mx = v
+              case "nulls" => nl = v.collect { case l: Long => l }
+            }
+          }
+          Some(name -> ColStats(mn, mx, nl))
+        }
+      }.toSeq
+      // "file|col" keys are the per-file section; a real column name with
+      // '|' is only mistaken for one if its prefix also ends in .parquet
+      def isFileKey(n: String): Boolean = {
+        val i = n.indexOf('|')
+        i > 0 && n.substring(0, i).endsWith(".parquet")
+      }
+      val cols = leaves.collect {
+        case (n, cs) if !isFileKey(n) => n -> cs }.toMap
+      val frows = """"frows":\s*\{([^{}]*)\}""".r.findFirstMatchIn(s)
+        .map(_.group(1)).map { body =>
+          """"((?:[^"\\]|\\.)+)":\s*(\d+)""".r.findAllMatchIn(body)
+            .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap
+        }.getOrElse(Map.empty[String, Long])
+      val fcols = leaves.collect {
+        case (n, cs) if isFileKey(n) =>
+          val i = n.indexOf('|')
+          (n.substring(0, i), n.substring(i + 1), cs)
+      }.groupBy(_._1).map { case (f, xs) =>
+        f -> xs.map(x => x._2 -> x._3).toMap
+      }
+      val files = frows.map { case (f, r) =>
+        f -> FileStats(r, fcols.getOrElse(f, Map.empty))
+      }
+      rows.map(Stats(_, cols, files))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------- predicate
+
+  /** Split a predicate into AND-conjuncts. */
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Can any row of a slice with `stats` match conjunct `e`?
+    * Conservative: anything unrecognized answers true (no skipping). */
+  def mayMatch(e: Expression, stats: Stats): Boolean = e match {
+    // literal-first forms normalize to attr-first with the op mirrored
+    case EqualTo(l: Literal, a)            => mayMatch(EqualTo(a, l), stats)
+    case LessThan(l: Literal, a)           => mayMatch(GreaterThan(a, l), stats)
+    case LessThanOrEqual(l: Literal, a)    => mayMatch(GreaterThanOrEqual(a, l), stats)
+    case GreaterThan(l: Literal, a)        => mayMatch(LessThan(a, l), stats)
+    case GreaterThanOrEqual(l: Literal, a) => mayMatch(LessThanOrEqual(a, l), stats)
+    case EqualTo(a, l)            => cmpPrune(a, l, eqP = true)(stats)
+    case LessThan(a, l)           => ltPrune(a, l, orEq = false, stats)
+    case LessThanOrEqual(a, l)    => ltPrune(a, l, orEq = true, stats)
+    case GreaterThan(a, l)        => gtPrune(a, l, orEq = false, stats)
+    case GreaterThanOrEqual(a, l) => gtPrune(a, l, orEq = true, stats)
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      attrName(a) match {
+        case Some(_) =>
+          vs.exists(v => cmpPrune(a, v, eqP = true)(stats))
+        case None => true
+      }
+    case IsNull(a) => attrName(a).flatMap(stats.cols.get) match {
+      case Some(cs) => cs.nulls.forall(_ > 0)
+      case None     => true
+    }
+    case IsNotNull(a) => attrName(a).flatMap(stats.cols.get) match {
+      case Some(cs) => cs.nulls.forall(_ < stats.rows)
+      case None     => true
+    }
+    case _ => true
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case UnresolvedAttribute(parts) if parts.length == 1 => Some(parts.head)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** Literal → the comparison domain the stats use (Long / Double /
+    * String / Boolean). Dates (int days) and timestamps (long micros)
+    * land in Long — the same encoding the footers carry for them. */
+  private def litValue(e: Expression): Option[Any] = e match {
+    case Literal(null, _) => None
+    case Literal(v, _) => v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long    => Some(l.longValue)
+      case s: java.lang.Short   => Some(s.longValue)
+      case b: java.lang.Byte    => Some(b.longValue)
+      case d: java.lang.Double  => if (d.isNaN) None else Some(d.doubleValue)
+      case f: java.lang.Float   => if (f.isNaN) None else Some(f.doubleValue)
+      case u: UTF8String        => Some(u.toString)
+      case b: java.lang.Boolean => Some(b.booleanValue)
+      case d: Decimal           => Some(d.toDouble)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Ordered compare across the stats domain; None = not comparable. */
+  private def ordCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double)   => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long)   => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  private def cmpPrune(a: Expression, l: Expression, eqP: Boolean)
+                      (stats: Stats): Boolean =
+    (for {
+      name <- attrName(a)
+      cs   <- stats.cols.get(name)
+      v    <- litValue(l)
+    } yield cs match {
+      case ColStats(Some(mn), Some(mx), _) =>
+        (ordCmp(v, mn), ordCmp(v, mx)) match {
+          case (Some(c1), Some(c2)) => c1 >= 0 && c2 <= 0
+          case _ => true
+        }
+      case ColStats(None, None, Some(n)) if n == stats.rows => false // all null
+      case _ => true
+    }).getOrElse(true)
+
+  private def ltPrune(a: Expression, l: Expression, orEq: Boolean,
+                      stats: Stats): Boolean =
+    (for {
+      name <- attrName(a); cs <- stats.cols.get(name); v <- litValue(l)
+    } yield cs match {
+      case ColStats(Some(mn), _, _) => ordCmp(mn, v) match {
+        case Some(c) => if (orEq) c <= 0 else c < 0
+        case None    => true
+      }
+      case ColStats(None, None, Some(n)) if n == stats.rows => false
+      case _ => true
+    }).getOrElse(true)
+
+  private def gtPrune(a: Expression, l: Expression, orEq: Boolean,
+                      stats: Stats): Boolean =
+    (for {
+      name <- attrName(a); cs <- stats.cols.get(name); v <- litValue(l)
+    } yield cs match {
+      case ColStats(_, Some(mx), _) => ordCmp(mx, v) match {
+        case Some(c) => if (orEq) c >= 0 else c > 0
+        case None    => true
+      }
+      case ColStats(None, None, Some(n)) if n == stats.rows => false
+      case _ => true
+    }).getOrElse(true)
+}

@@ -82,6 +82,38 @@ class AsOfSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("bucketed (skew-proof) variant is equivalent to the plain plan") {
+    // long epoch-second times so bucketOf's timestamp cast is exercised;
+    // bucket width 40 s over a 300 s range → ~8 buckets, many empty per
+    // key → the carry-in must jump gaps
+    val got = AsOf.bucketedAsofJoin(probes, quotes,
+        probeKey = "k", quoteKey = "qk", probeTime = "pt", quoteTime = "qt",
+        payload = Seq("qid", "qv"), bucketSeconds = 40L,
+        tieBreak = Some("qid"))
+      .select($"pid", $"qid").as[(Long, Option[Long])].collect().toMap
+    assert(got.size == probeRows.size)
+    assert(got == expected(strict = false))
+  }
+
+  test("bucketed variant: hot key with every quote in one bucket-width") {
+    // one key owns 2000 quotes in [0, 40) and probes across [0, 200) —
+    // the plain plan would sort all 2000 in one partition; the bucketed
+    // plan cuts it, and results must still match the brute force
+    val hotQ = (0 until 2000).map(i => (i.toLong, 0L, (i % 40).toLong, i / 10.0))
+    val hotP = (0 until 100).map(i => (i.toLong, 0L, (i * 2).toLong))
+    val gotB = AsOf.bucketedAsofJoin(hotP.toDF("pid", "k", "pt"),
+        hotQ.toDF("qid", "qk", "qt", "qv"),
+        "k", "qk", "pt", "qt", Seq("qid"), bucketSeconds = 10L,
+        tieBreak = Some("qid"))
+      .select($"pid", $"qid").as[(Long, Option[Long])].collect().toMap
+    val want = hotP.map { case (pid, _, pt) =>
+      val c = hotQ.filter(_._3 <= pt)
+      pid -> (if (c.isEmpty) None
+              else Some(c.maxBy(q => (q._3, q._1))._1))
+    }.toMap
+    assert(gotB == want)
+  }
+
   test("plan: one shuffle pass, no join operator, no range explosion") {
     val plan = AsOf.asofJoin(probes, quotes, "k", "qk", "pt", "qt",
         Seq("qid"), tieBreak = Some("qid"))

@@ -1,0 +1,116 @@
+package graft.store
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Slice-stats data skipping: sidecar collection from parquet footers,
+  * predicate pruning correctness (never drops a matching row), skip
+  * ratios, and the no-sidecar fallback. */
+class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshCatalog(): Catalog =
+    new Catalog(java.nio.file.Files.createTempDirectory("graft-stats").toString)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("bucket", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = true),
+    StructField("label", StringType, nullable = true)))
+
+  /** 4 partitions × disjoint id ranges: bucket bN holds ids [N*100, N*100+25). */
+  private def seeded(): GraftTable = {
+    val t = new GraftTable(spark, freshCatalog(), "events", schema,
+      partitionCols = Seq("bucket"))
+    val rows = (0 until 4).flatMap { b =>
+      (0 until 25).map { i =>
+        (b * 100L + i, s"b$b", b * 1.0 + i / 100.0,
+          if (i % 5 == 0) null else s"l$i")
+      }
+    }
+    t.createMany(rows.toDF("id", "bucket", "score", "label"))
+    t
+  }
+
+  test("sidecars are written with merged footer stats") {
+    val t = seeded()
+    val dirs = t.catalog.currentDirs("events").values.toSeq
+    assert(dirs.size == 4)
+    dirs.foreach { d =>
+      val st = SliceStats.readSidecar(d)
+      assert(st.isDefined, s"missing sidecar in $d")
+      assert(st.get.rows == 25)
+      val id = st.get.cols("id")
+      assert(id.max.get.asInstanceOf[Long] - id.min.get.asInstanceOf[Long] == 24)
+      assert(st.get.cols("label").nulls.contains(5L))
+    }
+  }
+
+  test("range predicates skip non-overlapping slices, results stay exact") {
+    val t = seeded()
+    val pred = col("id") >= 100L && col("id") < 150L // only bucket b1
+    val (kept, total) = t.prunedDirs(pred)
+    assert(total == 4 && kept.size == 1, s"kept ${kept.size}/$total")
+    val got = t.snapshotWhere(pred).select("id").as[Long].collect().sorted
+    val want = t.snapshot().filter(pred).select("id").as[Long].collect().sorted
+    assert(got.sameElements(want) && got.length == 25)
+  }
+
+  test("equality, IN, double range and string prune too") {
+    val t = seeded()
+    assert(t.prunedDirs(col("id") === 305L)._1.size == 1)
+    assert(t.prunedDirs(col("id").isin(5L, 310L))._1.size == 2)
+    assert(t.prunedDirs(col("score") > 2.1)._1.size == 2) // b2 tail (max 2.24) + b3
+    assert(t.prunedDirs(col("bucket") === "b2")._1.size == 1)
+    assert(t.prunedDirs(col("id") === -1L)._1.isEmpty)
+  }
+
+  test("null-count pruning: IS NULL keeps slices with nulls only") {
+    val t = seeded()
+    // every slice has some null labels -> nothing skipped
+    assert(t.prunedDirs(col("label").isNull)._1.size == 4)
+    // id is never null -> IS NULL on it skips everything
+    assert(t.prunedDirs(col("id").isNull)._1.isEmpty)
+    assert(t.snapshotWhere(col("label").isNull).count() == 20)
+  }
+
+  test("unrecognized conjuncts and missing sidecars disable skipping, not correctness") {
+    val t = seeded()
+    // a non-analyzable conjunct (expression on both sides) -> no pruning on it
+    val mixed = (col("id") % 2 === 0) && col("id") >= 300L
+    val got = t.snapshotWhere(mixed).count()
+    assert(got == t.snapshot().filter(mixed).count())
+    assert(t.prunedDirs(mixed)._1.size == 1, "the range conjunct still prunes")
+    // delete a sidecar: that slice is always kept, results unchanged
+    val victim = t.prunedDirs(col("id") < 0L) // probe: everything skippable
+    t.catalog.currentDirs("events").values.foreach { d =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(d, SliceStats.SidecarName))
+    }
+    assert(t.prunedDirs(col("id") < 0L)._1.size == 4, "no sidecar -> never skip")
+    assert(t.snapshotWhere(col("id") === 305L).count() == 1)
+    assert(victim._1.isEmpty)
+  }
+
+  test("mutations refresh stats; compaction preserves them") {
+    val t = seeded()
+    t.updateMany(graft.query.RawCol(col("bucket") === "b0"),
+      Map("score" -> lit(99.9)))
+    val b0 = t.catalog.currentDirs("events")("bucket=b0")
+    val st = SliceStats.readSidecar(b0).get
+    assert(st.cols("score").max.get.asInstanceOf[Double] == 99.9)
+    // compaction rewrites the slice -> sidecar must ride along
+    (0 until 5).foreach { i =>
+      t.createMany(Seq((1000L + i, "b9", 0.5, "x"))
+        .toDF("id", "bucket", "score", "label"))
+    }
+    val n = t.compact(maxFiles = 1)
+    assert(n >= 1)
+    val b9 = t.catalog.currentDirs("events")("bucket=b9")
+    val st9 = SliceStats.readSidecar(b9)
+    assert(st9.isDefined && st9.get.rows == 5)
+    assert(t.prunedDirs(col("id") >= 1000L)._1.size == 1)
+  }
+}
