@@ -94,7 +94,36 @@ final class Model(
     val df: () => DataFrame,
     val primaryKey: String,
     val uniqueKeys: Seq[String] = Nil,
-    val relations: Seq[Relation] = Nil) {
+    val relations: Seq[Relation] = Nil,
+    /** Optional stats-pruned source (a store table's `snapshotWhere`):
+      * when set, reads route the where-clause's relation-free top-level
+      * AND-conjuncts into it, so slice/file data skipping happens BEFORE
+      * the scan — the Prisma surface gets the store's Iceberg-style
+      * pruning for free. Purely a sourcing optimization: the full where
+      * tree is still applied by [[applyWhere]] afterwards. */
+    val pruneSource: Option[Column => DataFrame] = None) {
+
+  /** The base frame for a read with `where`: the pruned source when one
+    * is wired and the where has a prunable scalar prefix, else `df()`. */
+  private def source(where: Option[Where]): DataFrame =
+    (pruneSource, where) match {
+      case (Some(f), Some(w)) =>
+        // top-level AND-conjuncts with no relation predicate inside —
+        // the fragment whose Column form is safe to hand a pruner. JSON
+        // predicates are excluded too: stats can't prune a JSON path and
+        // compiling one here would re-parse the document outside
+        // applyWhere's parse-once barrier (the round-3 q_json_array bug).
+        def scalar(x: Where): Seq[Where] = x match {
+          case And(ps) => ps.flatMap(scalar)
+          case leaf if Where.relationPreds(leaf).isEmpty &&
+            Where.jsonFields(leaf).isEmpty => Seq(leaf)
+          case _ => Nil
+        }
+        val prunable = scalar(w)
+        if (prunable.isEmpty) df()
+        else f(Where.compile(And(prunable), col(_)))
+      case _ => df()
+    }
 
   private def relByName(n: String): Relation =
     relations.find(_.name == n).getOrElse(
@@ -306,7 +335,7 @@ final class Model(
     * evaluation order: where → distinct-on (w.r.t. orderBy) → cursor →
     * orderBy → skip/take → select/include. */
   def findMany(args: QueryArgs = QueryArgs()): DataFrame = {
-    var cur = applyWhere(df(), args.where)
+    var cur = applyWhere(source(args.where), args.where)
     if (args.distinct.nonEmpty) {
       val orderCols =
         (if (args.orderBy.nonEmpty) args.orderBy.map(_.column)
@@ -365,11 +394,11 @@ final class Model(
 
   /** count (`effect.ts:544-550`). */
   def count(where: Option[Where] = None): Long =
-    applyWhere(df(), where).count()
+    applyWhere(source(where), where).count()
 
   /** aggregate (`effect.ts:552-558`): _count/_min/_max (+_sum/_avg). */
   def aggregate(spec: AggSpec, where: Option[Where] = None): DataFrame =
-    applyWhere(df(), where).agg(spec.columns.head, spec.columns.tail: _*)
+    applyWhere(source(where), where).agg(spec.columns.head, spec.columns.tail: _*)
 
   /** aggregate with the full pre-args surface (`effect.ts:552-558` declares
     * where/orderBy/cursor/take/skip BEFORE aggregating): the row pipeline is
@@ -406,7 +435,7 @@ final class Model(
     val aggCols = spec.columns ++ hidden.toSeq.sortBy(_._2).map {
       case ((f, a), n) => HavingW.aggColumn(f, a).as(n)
     }
-    var cur = applyWhere(df(), where)
+    var cur = applyWhere(source(where), where)
       .groupBy(by.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
     having.foreach(h => cur = cur.filter(h))

@@ -76,12 +76,42 @@ object Catalog {
 final class Catalog(val root: String) {
   private val rootPath: Path = Paths.get(root)
   private val manifestPath: Path = rootPath.resolve("manifest.json")
+  private val historyDir: Path = rootPath.resolve("_history")
   Files.createDirectories(rootPath)
 
   /** table name → (partition key → current version id), or empty map. */
   def manifest(): Map[String, Map[String, String]] =
     if (!Files.exists(manifestPath)) Map.empty
     else parse(Files.readString(manifestPath))
+
+  // ------------------------------------------------------------ time travel
+
+  /** Monotone id of the latest commit (0 before the first). Every commit
+    * archives the manifest it publishes as `_history/<id>.json`, so a
+    * reader can pin "the catalog exactly as of commit N" — the snapshot a
+    * reproducible training run records next to its config. Old slice
+    * versions stay readable until [[vacuum]]'s retention window passes;
+    * history files themselves are tiny and never vacuumed. */
+  def currentCommitId(): Long =
+    if (!Files.exists(historyDir)) 0L
+    else Files.list(historyDir).iterator().asScala
+      .map(_.getFileName.toString).collect {
+        case s if s.endsWith(".json") => s.stripSuffix(".json").toLong
+      }.maxOption.getOrElse(0L)
+
+  /** The manifest as of commit `id` (a value from [[currentCommitId]]).
+    * Throws if that commit was never made on this catalog. */
+  def manifestAt(id: Long): Map[String, Map[String, String]] = {
+    val p = historyDir.resolve(s"$id.json")
+    if (!Files.exists(p))
+      throw new RecordNotFoundException(s"no commit $id in ${historyDir}")
+    parse(Files.readString(p))
+  }
+
+  /** partition key → slice directory for `table` as of commit `id`. */
+  def dirsAt(table: String, id: Long): Map[String, String] =
+    manifestAt(id).getOrElse(table, Map.empty)
+      .map { case (pk, v) => pk -> versionDir(table, pk, v) }
 
   /** Current partition-key → version map for one table. */
   def partVersions(table: String): Map[String, String] =
@@ -151,9 +181,15 @@ final class Catalog(val root: String) {
         }
       }
       val tmp = rootPath.resolve(s".manifest.${UUID.randomUUID()}.tmp")
-      Files.write(tmp, render(next).getBytes(StandardCharsets.UTF_8))
+      val rendered = render(next).getBytes(StandardCharsets.UTF_8)
+      Files.write(tmp, rendered)
       Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      // archive AFTER the swap: the history entry exists only for
+      // manifests that were actually published (a crash between the two
+      // writes loses the history copy, never publishes a phantom one)
+      Files.createDirectories(historyDir)
+      Files.write(historyDir.resolve(s"${currentCommitId() + 1}.json"), rendered)
     } finally commitLock.unlock()
   }
 

@@ -110,6 +110,28 @@ final class GraftTable(
   /** Current committed snapshot (empty DataFrame before first insert). */
   def snapshot(): DataFrame = readDirs(catalog.currentDirs(name).values.toSeq)
 
+  /** A [[graft.query.Model]] reading this table's current snapshot with
+    * stats-based data skipping wired in: the model's where-clause scalar
+    * conjuncts route through [[snapshotWhere]], so Prisma-surface reads
+    * (findMany/count/aggregate/groupBy) prune slices and files before the
+    * scan. Resolve-per-call (`df` is a thunk) — each read sees the latest
+    * committed snapshot, exactly like `snapshot()`. */
+  def model(primaryKey: String,
+            relations: Seq[graft.query.Relation] = Nil): graft.query.Model =
+    new graft.query.Model(
+      () => snapshot(), primaryKey,
+      uniqueKeys = uniqueKeys.flatten.distinct,
+      relations = relations,
+      pruneSource = Some(snapshotWhere _))
+
+  /** Time travel: the table exactly as of catalog commit `commitId`
+    * ([[Catalog.currentCommitId]] — record it next to a training run's
+    * config and the run's corpus is pinned forever, or until
+    * [[Catalog.vacuum]]'s retention reclaims the superseded versions;
+    * within retention this is Iceberg/Delta `VERSION AS OF`). */
+  def snapshotAt(commitId: Long): DataFrame =
+    readDirs(catalog.dirsAt(name, commitId).values.toSeq)
+
   /** Bin-pack small slice files. Every commit writes a slice with the
     * mutation's write parallelism, so a frequently-flipped slice (the
     * status-partitioned poll queue) accumulates file sets commit after

@@ -177,6 +177,10 @@ object SliceStats {
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
+    // braces are escaped so every stats object stays a BRACE-FREE leaf
+    // (the parser depends on it) even when a string min/max is JSON text
+    case '{'  => "\\u007b"
+    case '}'  => "\\u007d"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
@@ -211,35 +215,33 @@ object SliceStats {
       s""""${esc(key(c))}": ${fields.mkString("{", ", ", "}")}"""
     }
 
-  /** Collect footer stats for `dir` and pin the sidecar. Called right
-    * after a slice's parquet write, before the manifest commit.
-    *
-    * Format (deliberately FLAT — every stats object is a brace-free leaf,
-    * so the reader needs no recursive parser): slice totals under
-    * "rows"/"cols", the per-file breakdown under "frows" (file → rows) and
-    * "fcols" ("file|column" → stats). */
-  def writeSidecar(spark: SparkSession, dir: String): Unit = {
-    val st = collect(dir, spark.sessionState.newHadoopConf())
+  /** Sidecar text for `st`. Format (deliberately FLAT — every stats
+    * object is a brace-free leaf, so the reader needs no recursive
+    * parser): slice totals under "rows"/"cols", the per-file breakdown
+    * under "frows" (file → rows) and "fcols" ("file|column" → stats). */
+  def render(st: Stats): String = {
     val cols = renderColsObj(st.cols, identity)
     val frows = st.files.toSeq.sortBy(_._1)
       .map { case (f, fs) => s""""${esc(f)}": ${fs.rows}""" }
     val fcols = st.files.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
       renderColsObj(fs.cols, c => s"$f|$c")
     }
-    val json = s"""{"rows": ${st.rows}, """ +
+    s"""{"rows": ${st.rows}, """ +
       s""""cols": ${cols.mkString("{", ", ", "}")}, """ +
       s""""frows": ${frows.mkString("{", ", ", "}")}, """ +
       s""""fcols": ${fcols.mkString("{", ", ", "}")}}"""
-    Files.write(Paths.get(dir, SidecarName),
-      json.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Load a slice's sidecar; None (no skipping) when absent/corrupt. */
-  def readSidecar(dir: String): Option[Stats] = {
-    val p = Paths.get(dir, SidecarName)
-    if (!Files.exists(p)) None
-    else try {
-      val s = Files.readString(p)
+  /** Collect footer stats for `dir` and pin the sidecar. Called right
+    * after a slice's parquet write, before the manifest commit. */
+  def writeSidecar(spark: SparkSession, dir: String): Unit =
+    Files.write(Paths.get(dir, SidecarName),
+      render(collect(dir, spark.sessionState.newHadoopConf()))
+        .getBytes(StandardCharsets.UTF_8))
+
+  /** Parse sidecar text; None on anything corrupt. */
+  def parseStats(s: String): Option[Stats] =
+    try {
       val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       // leaf objects only (no nested braces) — the "cols"/"fcols" wrapper
       // bodies contain braces so they can never match and swallow a column
@@ -291,6 +293,12 @@ object SliceStats {
       }
       rows.map(Stats(_, cols, files))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Load a slice's sidecar; None (no skipping) when absent/corrupt. */
+  def readSidecar(dir: String): Option[Stats] = {
+    val p = Paths.get(dir, SidecarName)
+    if (!Files.exists(p)) None
+    else parseStats(Files.readString(p))
   }
 
   private def unescape(s: String): String = {
