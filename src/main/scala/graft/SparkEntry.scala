@@ -1110,6 +1110,55 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Time travel through the REAL store: load customers (commit 1), then
+    // mutate twice — the pinned snapshotAt(commit 1) must reproduce the
+    // original load byte-for-byte, which the oracle checks against the
+    // source table directly. TimeTravelSpec covers the mechanics; this
+    // proves the pinned read end-to-end against DuckDB.
+    "q_time_travel" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(
+        java.nio.file.Files.createTempDirectory("graft-tt-q").toString)
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("acctbal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      t.createMany(Tables.customer(s, dir).filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal")))
+      val pin = cat.currentCommitId()
+      t.updateMany(graft.query.RawCol(col("id") <= 100L),
+        Map("acctbal" -> lit(0.0)))
+      t.deleteMany(graft.query.RawCol(col("id") > 150L))
+      t.snapshotAt(pin)
+        .select(col("id"), col("name"), col("acctbal"))
+        .orderBy(col("id"))
+    }),
+
+    // Z-order clustering end-to-end: orders loaded into the store, slice
+    // rewritten Morton-ordered on (o_custkey, o_totalprice), then a
+    // snapshotWhere range on BOTH clustered columns reads only the files
+    // whose bands overlap (ZorderSpec asserts the skip ratio; this proves
+    // the surviving rows against DuckDB).
+    "q_zorder_skip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(
+        java.nio.file.Files.createTempDirectory("graft-z-q").toString)
+      val t = new graft.store.GraftTable(s, cat, "ord", StructType(Seq(
+        StructField("okey", LongType, nullable = false),
+        StructField("cust", LongType, nullable = false),
+        StructField("total", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("okey")))
+      t.createMany(Tables.orders(s, dir).select(
+        col("o_orderkey").as("okey"), col("o_custkey").as("cust"),
+        col("o_totalprice").as("total")))
+      t.compact(targetBytes = 64L << 10, zorderBy = Seq("cust", "total"))
+      t.snapshotWhere(col("cust") < 100L && col("total") > 200000.0)
+        .select(col("okey"), col("cust"), col("total"))
+        .orderBy(col("okey"))
+    }),
+
     // Stats-based data skipping through the REAL store: customers loaded
     // into a mktsegment-partitioned COW table (one stats sidecar per
     // slice), then snapshotWhere prunes slices by the c_custkey range
@@ -1892,6 +1941,17 @@ object SparkEntry {
       FROM customer
       WHERE c_custkey <= 120 AND c_acctbal > 0.0
       ORDER BY id""",
+
+    // the pinned commit predates both mutations → the original load
+    "q_time_travel" -> """
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+      FROM customer WHERE c_custkey <= 200 ORDER BY id""",
+
+    "q_zorder_skip" -> """
+      SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS total
+      FROM orders
+      WHERE o_custkey < 100 AND o_totalprice > 200000.0
+      ORDER BY okey""",
 
     // Efraimidis–Spirakis priorities on the shared md5 draw; the float
     // priority is ORDER-only (never output), so a last-ulp ln() divergence
