@@ -64,7 +64,11 @@ object Sampling {
     val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + 0.5) /
       lit(4294967296.0)
     val priority = log(u) / weight.cast("double")
-    df.withColumn("__priority", priority)
+    // E-S is only defined for w > 0: a negative w flips ln(u)/w positive
+    // (such rows would ALWAYS win the top-k) and 0/null yields -Inf/NaN.
+    // Non-positive/null weights are excluded rather than corrupting the cut.
+    df.filter(weight.cast("double") > 0d)
+      .withColumn("__priority", priority)
       .orderBy(col("__priority").desc, tieBreak.asc)
       .limit(k)
       .drop("__priority")

@@ -94,10 +94,20 @@ final class Catalog(val root: String) {
     * history files themselves are tiny and never vacuumed. */
   def currentCommitId(): Long =
     if (!Files.exists(historyDir)) 0L
-    else Files.list(historyDir).iterator().asScala
-      .map(_.getFileName.toString).collect {
-        case s if s.endsWith(".json") => s.stripSuffix(".json").toLong
-      }.maxOption.getOrElse(0L)
+    else {
+      listDir(historyDir)
+        .map(_.getFileName.toString).collect {
+          case s if s.endsWith(".json") => s.stripSuffix(".json").toLong
+        }.maxOption.getOrElse(0L)
+    }
+
+  /** `Files.list` with the stream CLOSED (it holds a directory fd until
+    * GC otherwise — a long-running driver doing many commits would leak
+    * one per call). Materializes: every caller walks the full listing. */
+  private def listDir(p: Path): Seq[Path] = {
+    val stream = Files.list(p)
+    try stream.iterator().asScala.toSeq finally stream.close()
+  }
 
   /** The manifest as of commit `id` (a value from [[currentCommitId]]).
     * Throws if that commit was never made on this catalog. */
@@ -204,14 +214,14 @@ final class Catalog(val root: String) {
     val cur = manifest()
     val cutoff = System.currentTimeMillis() - retainMs
     if (Files.exists(rootPath)) {
-      Files.list(rootPath).iterator().asScala
+      listDir(rootPath)
         .filter(p => Files.isDirectory(p)).foreach { tableDir =>
           val table = tableDir.getFileName.toString
           val keep = cur.getOrElse(table, Map.empty)
-          Files.list(tableDir).iterator().asScala
+          listDir(tableDir)
             .filter(p => Files.isDirectory(p)).foreach { partDir =>
               val pk = partDir.getFileName.toString
-              Files.list(partDir).iterator().asScala
+              listDir(partDir)
                 .filter(p => Files.isDirectory(p))
                 .filter(p => !keep.get(pk).contains(p.getFileName.toString))
                 .filter(p => retainMs <= 0 ||
@@ -224,7 +234,7 @@ final class Catalog(val root: String) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 

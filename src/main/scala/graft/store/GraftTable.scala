@@ -120,7 +120,10 @@ final class GraftTable(
             relations: Seq[graft.query.Relation] = Nil): graft.query.Model =
     new graft.query.Model(
       () => snapshot(), primaryKey,
-      uniqueKeys = uniqueKeys.flatten.distinct,
+      // Only SINGLE-column keys are individually unique: a column of a
+      // composite key (Seq("a","b")) admits duplicates on its own, so
+      // passing it would let findUnique return an arbitrary limit(1) row.
+      uniqueKeys = uniqueKeys.collect { case Seq(c) => c }.distinct,
       relations = relations,
       pruneSource = Some(snapshotWhere _))
 

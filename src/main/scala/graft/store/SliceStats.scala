@@ -99,7 +99,8 @@ object SliceStats {
             val entry: Option[(Any, Any, Long)] =
               if (!usable) None
               else if (!s.hasNonNullValue) Some((null, null, s.getNumNulls))
-              else decode(s).map { case (mn, mx) => (mn, mx, s.getNumNulls) }
+              else decode(s, decimalScale(cc.getPrimitiveType))
+                     .map { case (mn, mx) => (mn, mx, s.getNumNulls) }
             blockAcc += (name -> entry)
           }
         }
@@ -141,26 +142,56 @@ object SliceStats {
     Stats(rows, sliceCols, perFile)
   }
 
+  /** Decimal-annotated chunks carry UNSCALED integers (or unscaled
+    * big-endian bytes for BINARY/FLBA); the comparison domain litValue
+    * uses is the scaled Double. Returns the scale so decode can land
+    * decimal stats in that domain instead of leaking raw unscaled values
+    * that would wrongly prune (e.g. decimal(5,2) 123.45 stored as 12345). */
+  private def decimalScale(tpe: org.apache.parquet.schema.PrimitiveType): Option[Int] =
+    tpe.getLogicalTypeAnnotation match {
+      case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+        Some(d.getScale)
+      case _ => None
+    }
+
+  /** Correctly-rounded double of the exact decimal value — the same result
+    * as Spark's `Decimal.toDouble` on the literal side, and MONOTONIC, so
+    * m <= L <= M implies dm <= dL <= dM and boundary rounding can only
+    * under-prune, never skip a matching slice. */
+  private def scaled(unscaled: java.math.BigInteger, scale: Int): Double =
+    new java.math.BigDecimal(unscaled, scale).doubleValue
+
   /** Typed min/max out of a parquet Statistics object. Double/Float NaN
     * poisoning → None (parquet NaN ordering is unreliable). Binary stats
     * are exact when present (parquet-mr omits them beyond the size cap). */
-  private def decode(s: Statistics[_]): Option[(Any, Any)] = s match {
-    case b: BooleanStatistics => Some((b.getMin, b.getMax))
-    case i: IntStatistics     => Some((i.getMin.toLong, i.getMax.toLong))
-    case l: LongStatistics    => Some((l.getMin, l.getMax))
-    case f: FloatStatistics =>
-      if (f.getMin.isNaN || f.getMax.isNaN) None
-      else Some((f.getMin.toDouble, f.getMax.toDouble))
-    case d: DoubleStatistics =>
-      if (d.getMin.isNaN || d.getMax.isNaN) None
-      else Some((d.getMin, d.getMax))
-    case b: BinaryStatistics =>
-      // UTF-8 decode; non-string binary (e.g. raw bytes, decimals) won't
-      // be matched by any literal we compare (orderings differ) — the
-      // read side only consults these for StringType literals.
-      Some((b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8))
-    case _ => None
-  }
+  private def decode(s: Statistics[_], decScale: Option[Int]): Option[(Any, Any)] =
+    (s, decScale) match {
+      case (i: IntStatistics, Some(sc)) =>
+        Some((scaled(java.math.BigInteger.valueOf(i.getMin.toLong), sc),
+              scaled(java.math.BigInteger.valueOf(i.getMax.toLong), sc)))
+      case (l: LongStatistics, Some(sc)) =>
+        Some((scaled(java.math.BigInteger.valueOf(l.getMin), sc),
+              scaled(java.math.BigInteger.valueOf(l.getMax), sc)))
+      case (b: BinaryStatistics, Some(sc)) =>
+        // unscaled two's-complement big-endian bytes (FLBA / BINARY decimal)
+        Some((scaled(new java.math.BigInteger(b.genericGetMin.getBytes), sc),
+              scaled(new java.math.BigInteger(b.genericGetMax.getBytes), sc)))
+      case (b: BooleanStatistics, _) => Some((b.getMin, b.getMax))
+      case (i: IntStatistics, _)     => Some((i.getMin.toLong, i.getMax.toLong))
+      case (l: LongStatistics, _)    => Some((l.getMin, l.getMax))
+      case (f: FloatStatistics, _) =>
+        if (f.getMin.isNaN || f.getMax.isNaN) None
+        else Some((f.getMin.toDouble, f.getMax.toDouble))
+      case (d: DoubleStatistics, _) =>
+        if (d.getMin.isNaN || d.getMax.isNaN) None
+        else Some((d.getMin, d.getMax))
+      case (b: BinaryStatistics, _) =>
+        // UTF-8 decode; non-string binary (raw bytes) won't be matched by
+        // any literal we compare (orderings differ) — the read side only
+        // consults these for StringType literals.
+        Some((b.genericGetMin.toStringUsingUTF8, b.genericGetMax.toStringUsingUTF8))
+      case _ => None
+    }
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
@@ -340,7 +371,8 @@ object SliceStats {
     case LessThanOrEqual(a, l)    => ltPrune(a, l, orEq = true, stats)
     case GreaterThan(a, l)        => gtPrune(a, l, orEq = false, stats)
     case GreaterThanOrEqual(a, l) => gtPrune(a, l, orEq = true, stats)
-    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+    case In(a, vs) if vs.forall(v => v.isInstanceOf[Literal] ||
+                                     (v.isInstanceOf[Cast] && v.foldable)) =>
       attrName(a) match {
         case Some(_) =>
           vs.exists(v => cmpPrune(a, v, eqP = true)(stats))
@@ -360,6 +392,17 @@ object SliceStats {
   private def attrName(e: Expression): Option[String] = e match {
     case UnresolvedAttribute(parts) if parts.length == 1 => Some(parts.head)
     case a: AttributeReference => Some(a.name)
+    // The analyzer widens comparison operands: `decimal(12,2)Col >
+    // 99999.99` becomes `Cast(col) > Cast(lit)`. A lossless NUMERIC
+    // up-cast is monotonic and lands in the same Long/Double stats
+    // domain as the un-cast column, so pruning through it stays safe.
+    // Non-numeric casts (date→timestamp etc.) change the encoded domain
+    // (days vs micros) — refuse those and keep the slice.
+    case c: Cast
+        if c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+           c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+           Cast.canUpCast(c.child.dataType, c.dataType) =>
+      attrName(c.child)
     case _ => None
   }
 
@@ -368,18 +411,25 @@ object SliceStats {
     * land in Long — the same encoding the footers carry for them. */
   private def litValue(e: Expression): Option[Any] = e match {
     case Literal(null, _) => None
-    case Literal(v, _) => v match {
-      case i: java.lang.Integer => Some(i.longValue)
-      case l: java.lang.Long    => Some(l.longValue)
-      case s: java.lang.Short   => Some(s.longValue)
-      case b: java.lang.Byte    => Some(b.longValue)
-      case d: java.lang.Double  => if (d.isNaN) None else Some(d.doubleValue)
-      case f: java.lang.Float   => if (f.isNaN) None else Some(f.doubleValue)
-      case u: UTF8String        => Some(u.toString)
-      case b: java.lang.Boolean => Some(b.booleanValue)
-      case d: Decimal           => Some(d.toDouble)
-      case _ => None
-    }
+    case Literal(v, _) => domainValue(v)
+    // analyzer-inserted cast around a literal: fold it and convert the
+    // RESULT (ANSI cast may throw on overflow → treat as unreadable)
+    case c: Cast if c.foldable =>
+      val v = try c.eval(null) catch { case _: Exception => null }
+      if (v == null) None else domainValue(v)
+    case _ => None
+  }
+
+  private def domainValue(v: Any): Option[Any] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long    => Some(l.longValue)
+    case s: java.lang.Short   => Some(s.longValue)
+    case b: java.lang.Byte    => Some(b.longValue)
+    case d: java.lang.Double  => if (d.isNaN) None else Some(d.doubleValue)
+    case f: java.lang.Float   => if (f.isNaN) None else Some(f.doubleValue)
+    case u: UTF8String        => Some(u.toString)
+    case b: java.lang.Boolean => Some(b.booleanValue)
+    case d: Decimal           => Some(d.toDouble)
     case _ => None
   }
 

@@ -94,6 +94,49 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     assert(victim._1.isEmpty)
   }
 
+  test("decimal columns: stats land in the scaled domain, never wrongly prune") {
+    // Regression: int32/int64 decimal footer stats are UNSCALED (123.45 as
+    // 12345); compared raw against a scaled-double literal they'd skip the
+    // only matching slice. decode() must rescale via the logical type.
+    val decSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("bucket", StringType, nullable = false),
+      StructField("amount", DecimalType(5, 2), nullable = false),
+      StructField("big", DecimalType(12, 2), nullable = false),   // int64-backed
+      StructField("wide", DecimalType(25, 2), nullable = false))) // binary-backed
+    val t = new GraftTable(spark, freshCatalog(), "money", decSchema,
+      partitionCols = Seq("bucket"))
+    val rows = (0 until 2).flatMap { b =>
+      (0 until 10).map { i =>
+        (b * 100L + i, s"b$b",
+          BigDecimal(b * 100 + i) + BigDecimal("0.45"),
+          BigDecimal(b * 10000 + i) + BigDecimal("0.45"),
+          BigDecimal(b * 1000000 + i) + BigDecimal("0.45"))
+      }
+    }
+    t.createMany(rows.toDF("id", "bucket", "amount", "big", "wide")
+      .select(col("id"), col("bucket"),
+        col("amount").cast(DecimalType(5, 2)).as("amount"),
+        col("big").cast(DecimalType(12, 2)).as("big"),
+        col("wide").cast(DecimalType(25, 2)).as("wide")))
+    // b1 holds amount in [100.45, 109.45]: the matching slice must be KEPT
+    for (c <- Seq("amount", "big", "wide")) {
+      val target = c match {
+        case "amount" => BigDecimal("103.45")
+        case "big"    => BigDecimal("10003.45")
+        case "wide"   => BigDecimal("1000003.45")
+      }
+      val pred = col(c) === lit(target)
+      assert(t.snapshotWhere(pred).count() == 1, s"$c === $target must survive pruning")
+      val (kept, total) = t.prunedDirs(pred)
+      assert(total == 2 && kept.size <= 2 && kept.nonEmpty, s"$c kept ${kept.size}")
+    }
+    // and pruning still WORKS (scaled domains compare correctly): a value
+    // outside every slice's range skips both slices for int-backed decimals
+    assert(t.prunedDirs(col("amount") === lit(BigDecimal("999.99")))._1.isEmpty)
+    assert(t.prunedDirs(col("big") > lit(BigDecimal("99999.99")))._1.isEmpty)
+  }
+
   test("mutations refresh stats; compaction preserves them") {
     val t = seeded()
     t.updateMany(graft.query.RawCol(col("bucket") === "b0"),

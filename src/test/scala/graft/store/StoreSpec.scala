@@ -540,4 +540,28 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     cat.vacuum(retainMs = 0)
     assert(t.snapshot().count() == 2)
   }
+
+  test("composite unique key columns are NOT individually unique in model()") {
+    // Regression: flattening Seq(Seq("a","b")) into uniqueKeys let
+    // findUnique("a", v) pass its uniqueness require and return an
+    // arbitrary limit(1) row when several rows share that value.
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false)))
+    val t = new GraftTable(spark, cat, "composite", schema,
+      uniqueKeys = Seq(Seq("id"), Seq("a", "b")))
+    t.createMany(Seq(("r1", "x", "1"), ("r2", "x", "2")).toDF("id", "a", "b"))
+    val m = t.model("id")
+    // the single-column key still works
+    assert(m.findUnique("id", "r1").count() == 1)
+    // a composite-member column must be rejected, not silently limit(1)'d
+    val e = intercept[IllegalArgumentException](m.findUnique("a", "x"))
+    assert(e.getMessage.contains("not unique"))
+    // the composite key itself still enforces uniqueness on write
+    intercept[UniqueViolationException] {
+      t.createMany(Seq(("r3", "x", "1")).toDF("id", "a", "b"))
+    }
+  }
 }
