@@ -890,6 +890,92 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal frame-sampling plan: the synthetic media table is fully
+    // deterministic from media_id, so DuckDB re-derives it with
+    // generate_series and the explode(sequence(0, min(duration, cap),
+    // stride)) plan is oracle-checkable pure arithmetic. Null durations
+    // (images) coalesce to one offset-0 row — the "at least a poster
+    // frame" contract.
+    "q_media_offsets" -> ((s, _) => {
+      val media = graft.multimodal.Multimodal.synthetic(s, 500)
+      // stride/cap chosen so the synthetic durations (1000..1499 ms)
+      // exercise BOTH branches: rows under 1050 ms are duration-bound
+      // (7 frames), rows at/over it hit the maxFrames cap (8 frames)
+      graft.multimodal.Multimodal
+        .sampleOffsets(media, strideMs = 150L, maxFrames = 8)
+        .select(col("media_id"), col("meta.modality").as("modality"),
+          col("offset_ms"))
+        .orderBy(col("media_id"), col("offset_ms"))
+    }),
+
+    // Multimodal resize metadata rewrite: fit-to-256 preserving aspect
+    // ratio, pure plan (least/greatest/ceil — IEEE op order mirrored in
+    // the oracle parenthesis-for-parenthesis). Audio/video rows carry
+    // null width/height and must pass through as null targets.
+    "q_media_resize" -> ((s, _) => {
+      val media = graft.multimodal.Multimodal.synthetic(s, 500)
+      graft.multimodal.Multimodal.resizePlan(media, maxSide = 256)
+        .select(col("media_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("target_width"), col("target_height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Exactly-once streaming sink, driver-gated end-to-end: a REAL file-
+    // source stream (Trigger.AvailableNow) appends the corpus through
+    // StoreSink into a COW table; the committed batch is then DELIBERATELY
+    // replayed (what a crash between data commit and checkpoint commit
+    // does on restart) — the watermark makes it a no-op, and a failure of
+    // the guard would throw P2002 on the duplicate ids, failing the gate
+    // loudly. A second stream upserts v=-1 for doc_id%10==0 (the CDC
+    // shape) and is replayed too. Oracle = DuckDB computing the same
+    // final state directly.
+    "q_stream_store" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+      val cat = new graft.store.Catalog(tmp + "/cat")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val t = new graft.store.GraftTable(s, cat, "stream_docs", schema,
+        uniqueKeys = Seq(Seq("doc_id")))
+      val docSchema = Tables.documents(s, dir).schema
+      // glob form: the file source derives basePath from the glob's
+      // parent DIRECTORY (a bare file path is rejected as basePath)
+      def docStream() = s.readStream.schema(docSchema)
+        .parquet(s"$dir/documents.parque[t]")
+
+      val appendSink = graft.streaming.StoreSink.exactlyOnceAppend(t, "ingest")
+      val q1 = docStream()
+        .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+        .writeStream.foreachBatch(appendSink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt1").start()
+      q1.awaitTermination(180000)
+
+      // replay batch 0 — must be absorbed by the committed watermark
+      appendSink(Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("v")), 0L)
+
+      val upsertSink =
+        graft.streaming.StoreSink.exactlyOnceUpsert(t, Seq("doc_id"), "cdc")
+      val q2 = docStream()
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), lit(-1L).as("v"))
+        .writeStream.foreachBatch(upsertSink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt2").start()
+      q2.awaitTermination(180000)
+
+      // replay the upsert batch as well — same no-op contract
+      upsertSink(Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), lit(-1L).as("v")), 0L)
+
+      t.snapshot().select(col("doc_id"), col("v")).orderBy(col("doc_id"))
+    }),
+
     // MinHash-LSH near-dedup: corpus ∪ id-shifted copy — every copy is a
     // guaranteed jaccard-1.0 duplicate of its original; the recovered
     // (id, id+10000) pairs are the oracle-checkable slice (the corpus also
@@ -1067,6 +1153,30 @@ object SparkEntry {
           probeKey = "user_id", quoteKey = "q_user",
           probeTime = "ts", quoteTime = "q_ts",
           payload = Seq("view_id", "view_value"),
+          tieBreak = Some("view_id"))
+        .select(col("event_id"), col("view_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Skew-proof as-of join: identical semantics to q_asof_join but run
+    // through the time-sliced plan (window partitions on (key, bucket),
+    // carry-in seeds across bucket boundaries) on deliberately HOT keys —
+    // user_id folded mod 7 concentrates the whole corpus onto 7 keys,
+    // the shape that serializes the plain plan's per-key sort at scale.
+    "q_asof_skew" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), pmod(col("user_id"), lit(7)).as("hot_user"),
+          col("ts"))
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(pmod(col("user_id"), lit(7)).as("q_user"),
+          col("ts").as("q_ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      AsOf.bucketedAsofJoin(probes, quotes,
+          probeKey = "hot_user", quoteKey = "q_user",
+          probeTime = "ts", quoteTime = "q_ts",
+          payload = Seq("view_id", "view_value"),
+          bucketSeconds = 3600L,
           tieBreak = Some("view_id"))
         .select(col("event_id"), col("view_id"), col("view_value"))
         .orderBy(col("event_id"))
@@ -1772,6 +1882,42 @@ object SparkEntry {
              CAST(len(string_split(clean, '<PII>')) - 1 AS BIGINT) AS n_redacted
       FROM cleaned ORDER BY doc_id""",
 
+    "q_stream_store" -> """
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN -1
+                  ELSE length(text) END AS v
+      FROM documents ORDER BY doc_id""",
+
+    "q_media_offsets" -> """
+      WITH base AS (
+        SELECT i AS media_id,
+               CASE (i % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS modality,
+               CASE WHEN i % 3 <> 0 THEN i % 60000 + 1000 ELSE 0 END AS dur
+        FROM generate_series(0, 499) AS t(i)
+      )
+      SELECT * FROM (
+        SELECT media_id, modality,
+               unnest(generate_series(0, least(dur, 1050), 150)) AS offset_ms
+        FROM base)
+      ORDER BY media_id, offset_ms""",
+
+    "q_media_resize" -> """
+      WITH base AS (
+        SELECT i AS media_id,
+               CASE WHEN i % 3 = 0 THEN CAST(i % 1000 + 100 AS INTEGER) END AS width,
+               CASE WHEN i % 3 = 0 THEN CAST(i % 800 + 100 AS INTEGER) END AS height
+        FROM generate_series(0, 499) AS t(i)
+      )
+      SELECT media_id, width, height,
+             CAST(ceil(width * least(CAST(1 AS DOUBLE),
+               CAST(256 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)))
+               AS INTEGER) AS target_width,
+             CAST(ceil(height * least(CAST(1 AS DOUBLE),
+               CAST(256 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)))
+               AS INTEGER) AS target_height
+      FROM base ORDER BY media_id""",
+
     "q_dedup_minhash" -> """
       SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
       ORDER BY id_a""",
@@ -1878,6 +2024,20 @@ object SparkEntry {
         SELECT e.event_id AS view_id, e.value AS view_value
         FROM events e
         WHERE e.event_type = 'view' AND e.user_id = p.user_id
+          AND e.ts <= p.ts
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
+      ORDER BY p.event_id""",
+
+    // Same semantics as q_asof_join on the mod-7 hot keys: the bucketed
+    // plan must be indistinguishable from the plain one by construction.
+    "q_asof_skew" -> """
+      SELECT p.event_id, v.view_id, v.view_value
+      FROM (SELECT event_id, user_id % 7 AS hot_user, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN LATERAL (
+        SELECT e.event_id AS view_id, e.value AS view_value
+        FROM events e
+        WHERE e.event_type = 'view' AND e.user_id % 7 = p.hot_user
           AND e.ts <= p.ts
         ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
       ORDER BY p.event_id""",

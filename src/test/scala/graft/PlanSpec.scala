@@ -108,4 +108,22 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // and no stage funnels through one partition
     assert(!p.contains("SinglePartition"), "single-partition funnel:\n" + p)
   }
+
+  test("skew-proof as-of: the main window partitions on (key, time-bucket)") {
+    val p = planOf("q_asof_skew")
+    // The carry-forward pass over the big union (the one producing __last)
+    // must spread a hot key over its time range: partition cols [__k, __b],
+    // never [__k] alone. The per-key __carry window is exempt by design —
+    // it runs over the per-bucket-last SUMMARY (one row per key×bucket).
+    val mainSpecs = """AS __last#\d+\], \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(mainSpecs.nonEmpty, "no __last window found:\n" + p)
+    assert(mainSpecs.forall(s => s.contains("__k#") && s.contains("__b#")),
+      s"main window not partitioned on (key, bucket): $mainSpecs")
+    // the per-bucket-last extraction is likewise (key, bucket)-partitioned
+    val rnSpecs = """AS __rn#\d+\], \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(rnSpecs.forall(s => s.contains("__k#") && s.contains("__b#")),
+      s"bucket-last window not partitioned on (key, bucket): $rnSpecs")
+  }
 }
