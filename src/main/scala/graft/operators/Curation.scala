@@ -105,19 +105,22 @@ object Curation {
         count(when(lenOk && qOk && repOk, 1)).as("nRep"),
         count(when(gateCond, 1)).as("nLang"))
     // eager localCheckpoint = the single pass over the text; the exact-dedup
-    // survivor count is just the checkpointed row count (one row survives
-    // per fingerprint — no countDistinct pass needed)
+    // survivor count RIDES that same action as a second observe() (one row
+    // survives per fingerprint, so the row count is the survivor count —
+    // no separate count job, the checkpoint materialization tallies it)
+    val obsExact = new org.apache.spark.sql.Observation()
     val afterExact = Dedup.exactByKey(
       annotated.filter(gateCond)
         .select(col(idCol), col("fingerprint"), col("__sh")),
       col("fingerprint"), idCol)
       .select(col(idCol), col("__sh"))
+      .observe(obsExact, count(lit(1)).as("nExact"))
       .localCheckpoint()
     val gates = obs.get
     val (total, nLen, nQ, nRep, nLang) = (gates("total").asInstanceOf[Long],
       gates("nLen").asInstanceOf[Long], gates("nQ").asInstanceOf[Long],
       gates("nRep").asInstanceOf[Long], gates("nLang").asInstanceOf[Long])
-    val nExact = afterExact.count()
+    val nExact = obsExact.get("nExact").asInstanceOf[Long]
     val losers = Dedup.minhashLshPairsFromHashes(afterExact, "__sh", idCol,
         threshold = cfg.nearDupThreshold)
       .select(col("id_b")).distinct().count()

@@ -176,12 +176,22 @@ object Similarity {
         col(embCol).cast("array<double>").as("__ce"), sig.as("__bucket"))
       .withColumn("__cn", norm(col("__ce")))
 
-    // probe set: own signature + all signatures within hamming distance
-    val probes: Seq[Column] = {
-      val base = sig
-      val flips1 = (0 until numPlanes).map(i => base.bitwiseXOR(shiftleft(lit(1L), i)))
-      if (maxHammingProbe >= 1) base +: flips1 else Seq(base)
+    // Probe set: every signature within `maxHammingProbe` bit flips —
+    // ALL of them, not a truncation (a radius the parameter promises but
+    // the probe list doesn't honor would silently lose recall). The probe
+    // count is sum_{r<=R} C(numPlanes, r), materialized driver-side as
+    // XOR masks; the guard keeps an over-eager radius from exploding the
+    // broadcast query side.
+    require(maxHammingProbe >= 0 && maxHammingProbe <= numPlanes,
+      s"maxHammingProbe $maxHammingProbe outside [0, $numPlanes]")
+    val flipMasks: Seq[Long] = (0 to maxHammingProbe).flatMap { r =>
+      (0 until numPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq
     }
+    require(flipMasks.size <= 8192,
+      s"probe set ${flipMasks.size} too large: lower maxHammingProbe or numPlanes")
+    val probes: Seq[Column] =
+      flipMasks.map(m => if (m == 0L) sig else sig.bitwiseXOR(lit(m)))
     val q = queries.select(col(qidCol).as("qid"),
         col(embCol).cast("array<double>").as("__qe"),
         explode(array_distinct(array(probes: _*))).as("__bucket"))

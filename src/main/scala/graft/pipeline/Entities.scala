@@ -104,10 +104,15 @@ final class PipelineStore(spark: SparkSession, val catalog: Catalog) {
 
   // CrmSyncEvent.companyId → Company.id is ON DELETE RESTRICT
   // (migration.sql:93, schema.prisma:80-82): deleting a company with a live
-  // sync event raises P2003. The implicit M-N join table cascades in Prisma,
-  // so it is NOT restricted — stage-3 compensation deletes link rows and
-  // companies in one transaction (syncCrm.ts:108-113).
+  // sync event raises P2003. The implicit M-N join table's FKs CASCADE
+  // (migration.sql:96-99): deleting a company (or service) auto-removes
+  // its link rows in the same commit, exactly as Postgres does — the
+  // stage-3 compensation path (delete links, then companies, one
+  // transaction, syncCrm.ts:108-113) still works; its explicit link
+  // delete just leaves nothing for the cascade to find.
   companies.onDeleteRestrict(crmEvents, "companyId", "id")
+  companies.onDeleteCascade(companyServices, "A", "id")
+  services.onDeleteCascade(companyServices, "B", "id")
 }
 
 /** Legal-services tag vocabulary gate. The reference constrains extracted

@@ -97,6 +97,28 @@ final class GraftTable(
     this
   }
 
+  /** ON DELETE CASCADE relations: (child, childCol, parentCol) triples
+    * whose referencing child rows are DELETED in the same transaction as
+    * referenced parent rows — the join-table behavior of the reference's
+    * `_CompanyToFirmService` FKs (`migration.sql:96-99`). */
+  private[store] var cascades: Seq[(GraftTable, String, String)] = Nil
+
+  /** Declare `child.childCol REFERENCES this.parentCol ON DELETE CASCADE`:
+    * deleting rows here deletes matching `child` rows inside the SAME
+    * commit (atomic: the manifest swap publishes both or neither).
+    * Cascades compose depth-first — a cascaded child delete honors the
+    * child's own declared CASCADE/RESTRICT relations — and child-side
+    * writes validate the FK exactly as under RESTRICT (a dangling insert
+    * is P2003 either way; only the delete behavior differs). */
+  def onDeleteCascade(child: GraftTable, childCol: String, parentCol: String): this.type = {
+    require(child.schema.fieldNames.contains(childCol),
+      s"${child.name}: no column $childCol")
+    require(schema.fieldNames.contains(parentCol), s"$name: no column $parentCol")
+    cascades :+= ((child, childCol, parentCol))
+    child.parentRefs :+= ((this, childCol, parentCol))
+    this
+  }
+
   private[store] def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
@@ -772,11 +794,27 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
           s"${t.name}: delete restricted — ${child.name}.$childCol still references doomed ${t.name}.$parentCol row(s)")
     }
 
+  /** FK `ON DELETE CASCADE` (`migration.sql:96-99`): delete referencing
+    * child rows inside THIS transaction, depth-first, BEFORE the parent's
+    * RESTRICT checks run — so a child's own relations (its cascades, its
+    * restricting grandchildren) apply to the cascaded delete too, and the
+    * atomic manifest swap publishes parent + child deletions together. */
+  private def cascadeDeletes(t: GraftTable, doomed: DataFrame): Unit =
+    t.cascades.foreach { case (child, childCol, parentCol) =>
+      val keys = doomed.select(col(parentCol).as(childCol))
+        .filter(col(childCol).isNotNull)
+      // emptiness probe (one limit(1) job on a delete-sized set) is the
+      // recursion base case — a self-referential cascade terminates when
+      // a level condemns no rows, the Postgres fixpoint semantics
+      if (!keys.isEmpty) deleteWhereIn(child, childCol, keys)
+    }
+
   /** Join-based bulk delete: drop rows whose `keyCol` appears in `keys`. */
   def deleteWhereIn(t: GraftTable, keyCol: String, keys: DataFrame): Long = {
     val cur = stateOf(t)
     val marker = keys.select(col(keyCol)).distinct()
     val doomed = cur.join(marker, Seq(keyCol), "left_semi")
+    cascadeDeletes(t, doomed)
     checkRestricts(t, doomed)
     val stats = doomed.groupBy(t.partKeyCol.as("__pk")).count().collect()
     val s = Staged(cur.join(marker, Seq(keyCol), "left_anti"),
@@ -786,12 +824,14 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
 
   def delete(t: GraftTable, where: Where): Long = {
     val (s, doomed) = t.stagedDelete(stateOf(t), where, single = true)
+    cascadeDeletes(t, doomed)
     checkRestricts(t, doomed)
     stage(t, s); s.n
   }
 
   def deleteMany(t: GraftTable, where: Where): Long = {
     val (s, doomed) = t.stagedDelete(stateOf(t), where, single = false)
+    cascadeDeletes(t, doomed)
     checkRestricts(t, doomed)
     stage(t, s); s.n
   }

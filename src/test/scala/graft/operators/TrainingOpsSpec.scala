@@ -234,6 +234,37 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.groupBy("qid").count().agg(max("count")).as[Long].head() <= 5)
   }
 
+  test("LSH topK: probe radius 2 recalls at least as much as radius 1") {
+    // Regression: maxHammingProbe > 1 used to silently degrade to 1 —
+    // the radius the API promised bought nothing. The probe set is a
+    // SUPERSET per radius, so recall must be monotone in it.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(25)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for (c <- centers.indices; m <- 0 until 20) yield {
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.15).toFloat)
+      ((c * 20 + m).toLong, v)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val queries = clustered.filter($"vec_id" % 20 === 0 && $"vec_id" < 200)
+      .select($"vec_id".as("qid"), $"embedding")
+    val exact = Similarity.bruteForceTopK(clustered, queries,
+        "embedding", "vec_id", "qid", k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def recallAt(r: Int): Double = {
+      val got = Similarity.lshTopK(clustered, queries, "embedding", "vec_id",
+          "qid", dim = 16, k = 5, numPlanes = 10, maxHammingProbe = r)
+        .select("qid", "id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val (r1, r2) = (recallAt(1), recallAt(2))
+    assert(r2 >= r1, s"radius-2 recall $r2 below radius-1 $r1")
+    // and an out-of-range radius is rejected, not silently capped
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(clustered, queries, "embedding", "vec_id", "qid",
+        dim = 16, k = 5, numPlanes = 10, maxHammingProbe = 11)
+    }
+  }
+
   private def Tables(): DataFrame = graft.Tables.embeddings(spark, sfDir)
 
   // ---------------- multimodal ----------------

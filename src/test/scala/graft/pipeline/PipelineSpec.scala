@@ -157,12 +157,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .withColumn("createdAt", lit(null).cast(TimestampType))
       .withColumn("updatedAt", lit(null).cast(TimestampType))
     st.companies.createMany(co)
-    val link = Seq(("co_bad", "fs_x")).toDF("A", "B")
-    st.companyServices.createMany(link)
+    // service before link — the join table's FKs validate on write now,
+    // exactly as the reference's Postgres schema does
     val fs = Seq(("fs_x", "Family Law")).toDF("id", "name")
       .withColumn("createdAt", lit(null).cast(TimestampType))
       .withColumn("updatedAt", lit(null).cast(TimestampType))
     st.services.createMany(fs)
+    val link = Seq(("co_bad", "fs_x")).toDF("A", "B")
+    st.companyServices.createMany(link)
 
     val m = Stages.runCrmSync(st, new DeterministicCrmSink())
     assert(m.processed == 1 && m.failed == 1)

@@ -541,6 +541,57 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(t.snapshot().count() == 2)
   }
 
+  test("ON DELETE CASCADE removes join-table rows atomically; RESTRICT still blocks (migration.sql:96-99)") {
+    val cat = freshCatalog()
+    val company = new GraftTable(spark, cat, "company",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("name", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id"), Seq("name")))
+    val service = new GraftTable(spark, cat, "firm_service",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("name", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id"), Seq("name")))
+    val link = new GraftTable(spark, cat, "company_to_firm_service",
+      StructType(Seq(
+        StructField("A", StringType, nullable = false),
+        StructField("B", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("A", "B")))
+    val events = new GraftTable(spark, cat, "crm_sync_event",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("companyId", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    company.onDeleteCascade(link, "A", "id")
+    service.onDeleteCascade(link, "B", "id")
+    company.onDeleteRestrict(events, "companyId", "id")
+
+    company.createMany(Seq(("c1", "Acme"), ("c2", "Blob")).toDF("id", "name"))
+    service.createMany(Seq(("s1", "Family Law"), ("s2", "Tax Law")).toDF("id", "name"))
+    link.createMany(Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1")).toDF("A", "B"))
+    events.createMany(Seq(("e1", "c2")).toDF("id", "companyId"))
+
+    // deleting c1 removes BOTH its link rows in the same commit
+    val before = cat.currentCommitId()
+    assert(company.delete(F.eq("id", "c1")) == 1)
+    assert(cat.currentCommitId() == before + 1, "cascade must share the parent's commit")
+    assert(link.snapshot().select("A").as[String].collect().toSeq == Seq("c2"))
+    // deleting a service cascades from the other side of the join table
+    assert(service.delete(F.eq("id", "s1")) == 1)
+    assert(link.snapshot().count() == 0)
+    // RESTRICT is unaffected: c2 still has a live sync event
+    val ex = intercept[ForeignKeyViolationException] {
+      company.delete(F.eq("id", "c2"))
+    }
+    assert(ex.code == "P2003")
+    assert(company.snapshot().count() == 1 && events.snapshot().count() == 1)
+    // a dangling link insert is P2003 either way (FK constrains writes too)
+    intercept[ForeignKeyViolationException] {
+      link.createMany(Seq(("ghost", "s2")).toDF("A", "B"))
+    }
+  }
+
   test("composite unique key columns are NOT individually unique in model()") {
     // Regression: flattening Seq(Seq("a","b")) into uniqueKeys let
     // findUnique("a", v) pass its uniqueness require and return an
