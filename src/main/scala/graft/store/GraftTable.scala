@@ -521,6 +521,11 @@ final class GraftTable(
     withSet(current.filter(cond), lit(true), set)
   }
 
+  /** The PRE-update image of the matched rows (ON UPDATE CASCADE builds
+    * its old→new key map from this). */
+  private[store] def matchedView(current: DataFrame, where: Where): DataFrame =
+    current.filter(coalesce(Where.compile(where, current.apply), lit(false)))
+
   /** stagedUpdate that also returns the post-update matched slice
     * (updateManyAndReturn, `effect.ts:527-533`). */
   private[store] def stagedUpdateReturning(current: DataFrame, where: Where,
@@ -713,9 +718,10 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   }
 
   def updateManyAndReturn(t: GraftTable, where: Where, set: Map[String, Column]): DataFrame = {
-    val (s, updated) = t.stagedUpdateReturning(stateOf(t), where, set)
+    val cur = stateOf(t)
+    val (s, updated) = t.stagedUpdateReturning(cur, where, set)
     checkUpdatedRefs(t, set, updated)
-    checkParentKeyRewrite(t, set, s.next)
+    cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
     stage(t, s); updated
   }
 
@@ -729,28 +735,66 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     if (t.parentRefs.exists { case (_, childCol, _) => set.contains(childCol) })
       checkParentRefs(t, updated)
 
-  /** An update that rewrites a REFERENCED key column on a parent table
-    * must not orphan children (Postgres `ON UPDATE NO ACTION`): every live
-    * child FK value must still exist in the post-update parent state. */
-  private def checkParentKeyRewrite(t: GraftTable, set: Map[String, Column],
-                                    next: => DataFrame): Unit =
-    t.restricts.foreach { case (child, childCol, parentCol) =>
-      if (set.contains(parentCol)) {
-        val dangling = stateOf(child).select(col(childCol))
-          .filter(col(childCol).isNotNull)
-          .join(next.select(col(parentCol).as(childCol)), Seq(childCol), "left_anti")
-          .limit(1).count()
-        if (dangling > 0)
-          throw new ForeignKeyViolationException(
-            s"${t.name}: rewriting $parentCol would orphan ${child.name}.$childCol row(s)")
+  /** FK `ON UPDATE CASCADE` — every reference FK declares it
+    * (`migration.sql:93,96-99`; Prisma's default referential action):
+    * rewriting a REFERENCED parent key propagates the new value into every
+    * referencing child FK column inside the SAME transaction, transitively
+    * — instead of rejecting the update as the old NO ACTION check did.
+    * The old→new map is built from the PRE-update matched rows with the
+    * SET expression applied: update-sized, never table-sized. */
+  private def cascadeParentKeyRewrite(t: GraftTable, set: Map[String, Column],
+                                      matchedPre: => DataFrame): Unit = {
+    val rels = (t.restricts ++ t.cascades)
+      .filter { case (_, _, parentCol) => set.contains(parentCol) }
+    if (rels.nonEmpty) {
+      val pre = matchedPre
+      rels.foreach { case (child, childCol, parentCol) =>
+        val keyMap = pre
+          .select(col(parentCol).as("__old"), set(parentCol).as("__new"))
+          .filter(col("__old").isNotNull && !(col("__new") <=> col("__old")))
+          .distinct()
+        if (!keyMap.isEmpty) rewriteChildKeys(child, childCol, keyMap)
       }
     }
+  }
+
+  /** Apply an old→new FK value map to `child.childCol`, staged in this
+    * transaction. Grandchildren referencing `childCol` as THEIR parent key
+    * see the same map first (transitive cascade); a self-referential FK
+    * terminates because its parent key differs from its FK column. */
+  private def rewriteChildKeys(child: GraftTable, childCol: String,
+                               keyMap: DataFrame): Unit = {
+    (child.restricts ++ child.cascades).foreach { case (gc, gcCol, pCol) =>
+      if (pCol == childCol) rewriteChildKeys(gc, gcCol, keyMap)
+    }
+    val cur = stateOf(child)
+    val affected = cur.join(keyMap.select(col("__old").as(childCol)),
+      Seq(childCol), "left_semi")
+    val preStats = affected.groupBy(child.partKeyCol.as("__pk")).count().collect()
+    if (preStats.nonEmpty) {
+      val joined = cur.join(keyMap, cur(childCol) === keyMap("__old"), "left")
+      val next = joined
+        .withColumn(childCol, coalesce(col("__new"), col(childCol)))
+        .drop("__old", "__new")
+      // a rewritten FK that is also a partition column moves rows across
+      // slices — the destination slices are touched too
+      val touched: Set[String] =
+        if (child.partitionCols.contains(childCol)) {
+          val post = cur.join(keyMap, cur(childCol) === keyMap("__old"), "inner")
+            .withColumn(childCol, col("__new")).drop("__old", "__new")
+          preStats.map(_.getString(0)).toSet ++
+            post.groupBy(child.partKeyCol.as("__pk")).count().collect()
+              .map(_.getString(0))
+        } else preStats.map(_.getString(0)).toSet
+      stage(child, Staged(next, touched, preStats.map(_.getLong(1)).sum))
+    }
+  }
 
   def update(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
     val cur = stateOf(t)
     val s = t.stagedUpdate(cur, where, set, single = true)
     checkUpdatedRefs(t, set, t.updatedView(cur, where, set))
-    checkParentKeyRewrite(t, set, s.next)
+    cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
     stage(t, s); s.n
   }
 
@@ -758,7 +802,7 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     val cur = stateOf(t)
     val s = t.stagedUpdate(cur, where, set, single = false)
     checkUpdatedRefs(t, set, t.updatedView(cur, where, set))
-    checkParentKeyRewrite(t, set, s.next)
+    cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
     stage(t, s); s.n
   }
 
@@ -766,14 +810,14 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
                     extraCond: Column, set: Map[String, Column]): Long = {
     val cur = stateOf(t)
     val s = t.stagedUpdateWhereIn(cur, keyCol, keys, extraCond, set)
-    // matched-rows view: key ∈ keys ∧ extraCond, post-SET
-    checkUpdatedRefs(t, set, {
+    // matched-rows view: key ∈ keys ∧ extraCond
+    def matched = {
       val marker = keys.select(col(keyCol)).distinct()
-      val matched = cur.join(marker, Seq(keyCol), "left_semi")
+      cur.join(marker, Seq(keyCol), "left_semi")
         .filter(coalesce(extraCond, lit(false)))
-      t.applySet(matched, set)
-    })
-    checkParentKeyRewrite(t, set, s.next)
+    }
+    checkUpdatedRefs(t, set, t.applySet(matched, set))
+    cascadeParentKeyRewrite(t, set, matched)
     stage(t, s); s.n
   }
 
@@ -879,9 +923,10 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     * matched slice, staged in this transaction. Returns the matched count. */
   def updateNested(t: GraftTable, where: Where, set: Map[String, Column],
                    nested: Seq[NestedWrite]): Long = {
-    val (s, updated) = t.stagedUpdateReturning(stateOf(t), where, set)
+    val cur = stateOf(t)
+    val (s, updated) = t.stagedUpdateReturning(cur, where, set)
     checkUpdatedRefs(t, set, updated)
-    checkParentKeyRewrite(t, set, s.next)
+    cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
     stage(t, s)
     nested.foreach {
       case NestedCreate(child, f, skipDup) =>

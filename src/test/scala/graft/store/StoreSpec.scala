@@ -472,10 +472,12 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(events.createMany(
       Seq(("e1", "ghost"), ("e2", "c2")).toDF("id", "companyId"),
       skipDuplicates = true) == 1)
-    // rewriting the referenced parent key would orphan children → P2003
-    intercept[ForeignKeyViolationException] {
-      company.update(F.eq("id", "c1"), Map("id" -> lit("c99")))
-    }
+    // rewriting the referenced parent key CASCADES into children in the
+    // same commit (ON UPDATE CASCADE, migration.sql:93 — Prisma default)
+    company.update(F.eq("id", "c1"), Map("id" -> lit("c99")))
+    assert(company.snapshot().filter(col("id") === "c99").count() == 1)
+    assert(events.snapshot().filter(col("id") === "e1")
+      .select("companyId").as[String].head() == "c99")
     // self-referential FK satisfied within one batch (end-of-statement check)
     val tree = new GraftTable(spark, cat, "tree",
       StructType(Seq(
@@ -590,6 +592,42 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     intercept[ForeignKeyViolationException] {
       link.createMany(Seq(("ghost", "s2")).toDF("A", "B"))
     }
+  }
+
+  test("ON UPDATE CASCADE rewrites child FK values atomically (migration.sql:96-99)") {
+    val cat = freshCatalog()
+    val company = new GraftTable(spark, cat, "company",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("name", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id"), Seq("name")))
+    val link = new GraftTable(spark, cat, "company_to_firm_service",
+      StructType(Seq(
+        StructField("A", StringType, nullable = false),
+        StructField("B", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("A", "B")))
+    val events = new GraftTable(spark, cat, "crm_sync_event",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("companyId", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    company.onDeleteCascade(link, "A", "id")
+    company.onDeleteRestrict(events, "companyId", "id")
+    company.createMany(Seq(("c1", "Acme"), ("c2", "Blob")).toDF("id", "name"))
+    link.createMany(Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1")).toDF("A", "B"))
+    events.createMany(Seq(("e1", "c1")).toDF("id", "companyId"))
+
+    val before = cat.currentCommitId()
+    // key rewrite cascades into BOTH child tables in one commit
+    assert(company.update(F.eq("id", "c1"), Map("id" -> lit("c9"))) == 1)
+    assert(cat.currentCommitId() == before + 1)
+    assert(link.snapshot().filter(col("A") === "c9").count() == 2)
+    assert(link.snapshot().filter(col("A") === "c1").count() == 0)
+    assert(link.snapshot().filter(col("A") === "c2").count() == 1, "unrelated rows untouched")
+    assert(events.snapshot().select("companyId").as[String].head() == "c9")
+    // a no-op rewrite (same value) stages nothing extra in children
+    assert(company.update(F.eq("id", "c2"), Map("name" -> lit("Blob2"))) == 1)
+    assert(link.snapshot().filter(col("A") === "c2").count() == 1)
   }
 
   test("composite unique key columns are NOT individually unique in model()") {
