@@ -790,6 +790,37 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
 
+    // Per-source quota: cap every source at its 15 longest documents —
+    // the Common-Crawl "cap every domain" gate. The rank<=n filter
+    // compiles to WindowGroupLimit (map-side bounded heaps before the
+    // shuffle — plan-asserted), so a 100 M-row source ships ~15 rows per
+    // input partition, never the whole group.
+    "q_source_quota" -> ((s, dir) =>
+      operators.Sampling.capPerGroup(Tables.documents(s, dir),
+          group = col("source"), n = 15,
+          order = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic content-hash train/val/test split: byte-identical
+    // documents always land in the same split (exact-dup leakage is
+    // structurally impossible), pure codegen'd CASE, no shuffle.
+    "q_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          operators.Sampling.hashSplitAssign(col("text"),
+            Seq(("train", 0.8), ("val", 0.9)), "test").as("split"))
+        .orderBy(col("doc_id"))),
+
+    // DSIR importance weights (data selection via importance resampling):
+    // per-document mean log-likelihood ratio of hashed word-bigram buckets
+    // under the English-slice LM vs the full-corpus LM. One gram scan,
+    // one 1024-row LM aggregation broadcast back, one per-doc aggregation.
+    "q_dsir" -> ((s, dir) =>
+      operators.Importance.dsirWeights(Tables.documents(s, dir),
+          "doc_id", "text", isTarget = col("lang") === "en", buckets = 1024)
+        .orderBy(col("doc_id"))),
+
     // Mixture weighting: per-source fractional epochs (the pretraining
     // "N epochs of source X" recipe), deterministic hash-draw for the
     // fractional copy, exploded with a 1-based epoch tag.
@@ -1787,6 +1818,59 @@ object SparkEntry {
         CASE lang WHEN 'en' THEN '19999999' WHEN 'de' THEN '80000000'
                   ELSE 'g' END
       GROUP BY lang ORDER BY lang""",
+
+    "q_source_quota" -> """
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 15 ORDER BY doc_id""",
+
+    "q_split" -> """
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(text), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""",
+
+    // DSIR: same bigrams (space split + lead), same md5 bucket fold, the
+    // ln() terms mirrored parenthesis-for-parenthesis, mean rounded to 6
+    // decimals (the BM25 float-parity contract).
+    "q_dsir" -> """
+      WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+      ), words AS (
+        SELECT doc_id, lang, unnest(w) AS word,
+               generate_subscripts(w, 1) AS idx
+        FROM toks
+      ), grams AS (
+        SELECT doc_id, lang,
+               word || ' ' ||
+               lead(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM words
+      ), g2 AS (
+        SELECT doc_id,
+               (lang = 'en') AS tgt,
+               CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 1024 AS b
+        FROM grams WHERE g IS NOT NULL
+      ), lm AS (
+        SELECT b, CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(count(*) AS BIGINT) AS call
+        FROM g2 GROUP BY b
+      ), tot AS (
+        SELECT CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t_all,
+               CAST(count(*) AS BIGINT) AS n_all
+        FROM g2
+      )
+      SELECT g2.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum( ln((lm.ct + 1) / (tot.t_all + 1024.0))
+                      - ln((lm.call + 1) / (tot.n_all + 1024.0)) )
+                   / count(*), 6) AS dsir
+      FROM g2 JOIN lm USING (b) CROSS JOIN tot
+      GROUP BY g2.doc_id ORDER BY g2.doc_id""",
 
     "q_dedup_exact" -> """
       SELECT doc_id, source FROM (

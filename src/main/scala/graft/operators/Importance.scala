@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"): score
+  * each document by the log-likelihood ratio of its hashed n-gram buckets
+  * under a TARGET-corpus bag-of-grams LM versus the BACKGROUND (full)
+  * corpus LM. High scores mark background documents that look like the
+  * target distribution — the standard recipe for up-weighting quality
+  * domains when curating a 100 TB crawl toward a curated target.
+  *
+  * Scale shape (the reason hashed BUCKETS exist at all): the vocabulary
+  * is folded into `buckets` hash cells, so the "language model" is a
+  * `buckets`-row table regardless of corpus size. The plan is
+  *   one gram-explode scan
+  *   → one `buckets`-row aggregation (map-side partial, broadcast back)
+  *   → one per-document aggregation,
+  * i.e. two shuffles total, the first bounded by `buckets`, the second by
+  * |docs|. Nothing driver-side except the 2-value totals row.
+  *
+  * Determinism: grams hash through the md5 draw shared by every operator
+  * in this package ([[Sampling]]), so scores are partition- and
+  * engine-independent (the oracle reproduces them in DuckDB bit-for-bit
+  * after 6-decimal rounding — same contract as BM25).
+  */
+object Importance {
+
+  /** DSIR importance weights over word bigrams (plain single-space split —
+    * the engine-portable tokenization the oracle mirrors with
+    * `string_split(text, ' ')` + `lead()`).
+    *
+    * @param docs     corpus
+    * @param isTarget predicate marking the TARGET slice (e.g. a curated
+    *                 domain, `lang === "en"`); the background LM is the
+    *                 whole corpus
+    * @param buckets  hash-bucket count for the gram vocabulary
+    * @return (idCol, n_grams, dsir) — mean per-gram log-likelihood ratio
+    *         with add-one smoothing, rounded to 6 decimals; documents with
+    *         fewer than 2 tokens carry no bigram and are excluded
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = split(col(textCol), " ")
+    val grams = docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol), isTarget.as("__tgt"), toks.as("__t"))
+      .select(col(idCol), col("__tgt"), explode(expr(
+        "transform(sequence(1, size(__t) - 1)," +
+          " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+      )).as("__g"))
+      // the shared md5 draw: engine-portable, uniform over buckets
+      .withColumn("__b",
+        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets)
+      .select(col(idCol), col("__tgt"), col("__b"))
+
+    // `buckets`-row LM table + 1-row totals, both broadcast back
+    val lm = grams.groupBy(col("__b")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      count(lit(1)).as("__call"))
+    val totals = grams.agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t_all"),
+      count(lit(1)).as("__n_all"))
+
+    // mirrored parenthesis-for-parenthesis in the oracle: exact-integer
+    // numerators over double denominators, two ln() per gram, mean per doc
+    val term =
+      log((col("__ct") + lit(1L)) /
+          (col("__t_all").cast("double") + lit(buckets.toDouble))) -
+      log((col("__call") + lit(1L)) /
+          (col("__n_all").cast("double") + lit(buckets.toDouble)))
+    grams
+      .join(broadcast(lm), Seq("__b"))
+      .join(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(term) / count(lit(1)), 6).as("dsir"))
+  }
+}

@@ -87,4 +87,41 @@ object Sampling {
     }
     df.filter(drawBelow(key, threshold))
   }
+
+  /** Per-group quota: keep at most `n` rows per group, preferring `order`
+    * (the Common-Crawl-style "cap every domain at N documents" gate — one
+    * over-represented source must not dominate the mixture).
+    *
+    * Scale: `row_number() <= n` compiles to `WindowGroupLimit` — Spark
+    * keeps a bounded per-group heap on the MAP side before the shuffle,
+    * so a group with 100 M rows ships ~n rows per input partition, not
+    * 100 M, and the per-group sort never materializes (plan-asserted).
+    * Order must be total (include a tiebreak) for deterministic output. */
+  def capPerGroup(df: DataFrame, group: Column, n: Int,
+                  order: Seq[Column]): DataFrame = {
+    require(n > 0, "quota must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(order: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Deterministic train/val/test split assignment by CONTENT hash:
+    * cumulative md5 thresholds over `key`, so byte-identical content
+    * always lands in the same split — exact duplicates can never leak
+    * across the boundary (near-dup leakage composes with
+    * [[Dedup.dupClusters]]: split on the cluster representative).
+    * `cuts` are (name, cumulativeUpperBound) ascending, final name is the
+    * remainder; e.g. `Seq(("train",0.8),("val",0.9))` + `"test"`.
+    * Pure codegen'd CASE — no shuffle, no join, engine-reproducible. */
+  def hashSplitAssign(key: Column, cuts: Seq[(String, Double)],
+                      lastName: String): Column = {
+    require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted,
+      "cuts must be ascending cumulative bounds")
+    val draw = substring(md5(key), 1, 8)
+    cuts.foldRight(lit(lastName): Column) { case ((name, ub), els) =>
+      when(draw < lit(thresholdFor(ub)), lit(name)).otherwise(els)
+    }
+  }
 }

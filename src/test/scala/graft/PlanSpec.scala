@@ -109,6 +109,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SinglePartition"), "single-partition funnel:\n" + p)
   }
 
+  test("per-source quota compiles to WindowGroupLimit (map-side bounded heaps)") {
+    val p = planOf("q_source_quota")
+    // rank<=n must push a group-limit below the shuffle: a 100 M-row
+    // source then ships ~n rows per input partition, not the whole group
+    assert(p.contains("WindowGroupLimit"), "no WindowGroupLimit:\n" + p)
+    assert(p.contains("Partial"), "no map-side (Partial) group limit:\n" + p)
+  }
+
+  test("DSIR broadcasts the bucket LM and totals, never shuffles the gram stream to join") {
+    val p = planOf("q_dsir")
+    // both joins (1024-row LM, 1-row totals) must be broadcast hash joins;
+    // a sort-merge join here would shuffle the full gram stream twice
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "LM/totals not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "gram stream shuffled for a join:\n" + p)
+  }
+
   test("skew-proof as-of: the main window partitions on (key, time-bucket)") {
     val p = planOf("q_asof_skew")
     // The carry-forward pass over the big union (the one producing __last)

@@ -116,6 +116,50 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(base.take(20).subsetOf(again))
   }
 
+  test("capPerGroup keeps at most n per group, the preferred rows, layout-independent") {
+    val grouped = docs.withColumn("grp", (col("id") % 7).cast("string"))
+      .withColumn("score", col("id") * 13 % 101)
+    val capped = Sampling.capPerGroup(grouped, col("grp"), 50,
+      Seq(col("score").desc, col("id").asc))
+    val sizes = capped.groupBy("grp").count().select("count").as[Long].collect()
+    assert(sizes.forall(_ == 50), s"quota violated: ${sizes.mkString(",")}")
+    // kept = the 50 best by (score desc, id) in every group
+    val want = grouped.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rk") <= 50).select("id").as[Long].collect().toSet
+    assert(capped.select("id").as[Long].collect().toSet == want)
+    // physical layout must not change the cut
+    val b = Sampling.capPerGroup(grouped.repartition(32), col("grp"), 50,
+      Seq(col("score").desc, col("id").asc)).select("id").as[Long].collect().toSet
+    assert(b == want)
+    // small groups pass through whole
+    val tiny = Sampling.capPerGroup(grouped.filter(col("id") < 5), col("grp"),
+      50, Seq(col("id").asc))
+    assert(tiny.count() == 5)
+  }
+
+  test("hashSplitAssign: content-stable splits with the asked fractions") {
+    val split = docs.withColumn("split",
+      Sampling.hashSplitAssign(col("text"), Seq(("train", 0.8), ("val", 0.9)), "test"))
+    val byName = split.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(byName("train") / 4000.0 - 0.8) < 0.03, byName.toString)
+    assert(math.abs(byName("val") / 4000.0 - 0.1) < 0.02, byName.toString)
+    assert(math.abs(byName("test") / 4000.0 - 0.1) < 0.02, byName.toString)
+    // identical content → identical split, independent of row identity
+    val dup = docs.withColumn("id", col("id") + 100000L)
+    val joined = split.select(col("text"), col("split"))
+      .join(dup.withColumn("split2",
+          Sampling.hashSplitAssign(col("text"), Seq(("train", 0.8), ("val", 0.9)), "test"))
+        .select(col("text"), col("split2")), Seq("text"))
+    assert(joined.filter(col("split") =!= col("split2")).count() == 0)
+    // malformed cuts rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplitAssign(col("text"), Seq(("a", 0.9), ("b", 0.5)), "c")
+    }
+  }
+
   test("equal weights reduce to top-k by the uniform draw") {
     val flat = docs.withColumn("w", lit(1.0))
     val got = Sampling.weightedPrioritySample(flat, col("text"), col("w"),

@@ -234,6 +234,31 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.groupBy("qid").count().agg(max("count")).as[Long].head() <= 5)
   }
 
+  test("DSIR: target-slice documents outscore the background on average") {
+    // Two dialects: target docs share a vocabulary ("alpha beta ..."),
+    // background docs another — the LM ratio must separate them.
+    val rnd = new scala.util.Random(7)
+    val tgtWords = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    val bgWords = Array("zeta", "eta", "theta", "iota", "kappa")
+    def sentence(ws: Array[String]): String =
+      Array.fill(12)(ws(rnd.nextInt(ws.length))).mkString(" ")
+    val rows = (0 until 200).map { i =>
+      val isTgt = i % 2 == 0
+      (i.toLong, sentence(if (isTgt) tgtWords else bgWords), isTgt)
+    }
+    val df = rows.toDF("doc_id", "text", "is_tgt")
+    val w = graft.operators.Importance.dsirWeights(df, "doc_id", "text",
+      isTarget = col("is_tgt"), buckets = 256)
+    val joined = w.join(df.select("doc_id", "is_tgt"), "doc_id")
+    val avgT = joined.filter(col("is_tgt")).agg(avg("dsir")).as[Double].head()
+    val avgB = joined.filter(!col("is_tgt")).agg(avg("dsir")).as[Double].head()
+    assert(avgT > avgB + 0.5, s"target $avgT vs background $avgB")
+    // short docs (<2 tokens) carry no bigram and are excluded, not scored
+    val tiny = Seq((1L, "word", true)).toDF("doc_id", "text", "is_tgt")
+    assert(graft.operators.Importance.dsirWeights(tiny, "doc_id", "text",
+      col("is_tgt")).count() == 0)
+  }
+
   test("LSH topK: probe radius 2 recalls at least as much as radius 1") {
     // Regression: maxHammingProbe > 1 used to silently degrade to 1 —
     // the radius the API promised bought nothing. The probe set is a
