@@ -885,6 +885,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-accelerated decontamination: identical OUTPUT to
+    // q_decontaminate (the exact verify join kills Bloom false
+    // positives, so the same oracle applies) — only the data movement
+    // differs: a ~10-bit/key sketch probes scan-side inside codegen and
+    // culls the corpus grams BEFORE any join, the path that survives a
+    // benchmark suite too large to broadcast exactly.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Dedup.decontaminationHitsBloom(corpus, bench, "text", "doc_id",
+          n = 8, minHits = 1, fpp = 0.01)
+        .select(col("doc_id"), col("nHits").as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: total/distinct/top-frequency of
     // token 3-grams per document plus the duplicate-gram fraction — the
     // intra-doc repetition gates of quality filtering, one kernel pass.
@@ -1901,6 +1917,29 @@ object SparkEntry {
       ORDER BY s.doc_id""",
 
     "q_decontaminate" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM toks
+      ), grams AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY idx2) AS g
+        FROM (SELECT a.doc_id, a.idx AS base, b.idx AS idx2, b.word
+              FROM words a JOIN words b
+                ON a.doc_id = b.doc_id AND b.idx BETWEEN a.idx AND a.idx + 7) t
+        GROUP BY doc_id, base HAVING count(*) = 8
+      ), bgrams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+      ), cg AS (
+        SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0
+      )
+      SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cg JOIN bgrams USING (g)
+      GROUP BY cg.doc_id HAVING count(*) >= 1
+      ORDER BY cg.doc_id""",
+
+    // bloom pre-filter + exact verify == the exact operator's output
+    "q_decontaminate_bloom" -> """
       WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ), words AS (

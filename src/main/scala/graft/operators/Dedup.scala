@@ -702,6 +702,46 @@ object Dedup {
       .filter(col("nHits") >= minHits)
   }
 
+  /** [[decontaminationHits]] with a BLOOM pre-filter — the form that
+    * scales past "the benchmark gram set broadcasts comfortably".
+    *
+    * A full benchmark suite can reach hundreds of millions of distinct
+    * grams; broadcasting the exact 8-byte hash set then costs GBs per
+    * executor. A Bloom filter at `fpp` is ~10 bits per key (≈16× smaller
+    * than exact 64-bit hashes at 1%) and probes scan-side inside codegen
+    * (Spark's own `BloomFilterMightContain`, the runtime-filter
+    * expression), so 99%+ of corpus grams die BEFORE any join. The exact
+    * verify join then runs over the tiny candidate remainder — false
+    * positives are eliminated, output is IDENTICAL to the exact
+    * operator (same oracle), only the data movement changes. The verify
+    * join is deliberately un-hinted: with a small benchmark AQE
+    * broadcasts it, with a huge one it degrades to a shuffle of the
+    * (bloom-culled) candidates — never of the corpus.
+    *
+    * The filter itself is built ON the benchmark executors and reduced
+    * to the driver (`stat.bloomFilter`), driver memory = the sketch
+    * size, not the gram set. */
+  def decontaminationHitsBloom(corpus: DataFrame, benchmark: DataFrame,
+                               textCol: String, idCol: String,
+                               n: Int = 8, minHits: Int = 1,
+                               fpp: Double = 0.01): DataFrame = {
+    val longEnough = size(TextFunctions.tokens(col(textCol))) >= n
+    val grams = graft.functions.SketchExpressions.shingleHashes(
+      TextFunctions.tokens(col(textCol)), n)
+    val bGrams = benchmark.filter(longEnough)
+      .select(explode(grams).as("__g")).distinct()
+    val nb = math.max(bGrams.count(), 1L)
+    val bloom = bGrams.stat.bloomFilter("__g", nb, fpp)
+    val cGrams = corpus.filter(longEnough)
+      .select(col(idCol), explode(grams).as("__g"))
+    cGrams
+      .filter(graft.functions.SketchExpressions.bloomMightContain(bloom, col("__g")))
+      .join(bGrams, Seq("__g")) // exact verify: FPs die here, AQE sizes it
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nHits"))
+      .filter(col("nHits") >= minHits)
+  }
+
   /** The cleaned corpus: [[decontaminationHits]] survivors removed. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String,

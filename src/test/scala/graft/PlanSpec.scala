@@ -126,6 +126,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "gram stream shuffled for a join:\n" + p)
   }
 
+  test("bloom decontamination probes scan-side, before any join") {
+    val p = planOf("q_decontaminate_bloom")
+    // the sketch probe is a codegen'd filter on the gram scan
+    assert(p.contains("might_contain"), "no scan-side bloom probe:\n" + p)
+    // and the exact verify join still exists (FP elimination)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("skew-proof as-of: the main window partitions on (key, time-bucket)") {
     val p = planOf("q_asof_skew")
     // The carry-forward pass over the big union (the one producing __last)

@@ -234,6 +234,20 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.groupBy("qid").count().agg(max("count")).as[Long].head() <= 5)
   }
 
+  test("bloom decontamination == exact decontamination (FPs die in the verify join)") {
+    val docs = graft.Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val exact = Dedup.decontaminationHits(corpus, bench, "text", "doc_id", n = 6)
+      .as[(Long, Long)].collect().toSet
+    // an aggressive FPP still yields identical output — the sketch only
+    // routes data, it never decides membership
+    val bloom = Dedup.decontaminationHitsBloom(corpus, bench, "text", "doc_id",
+      n = 6, fpp = 0.2)
+      .as[(Long, Long)].collect().toSet
+    assert(bloom == exact, s"bloom ${bloom.size} vs exact ${exact.size}")
+  }
+
   test("DSIR: target-slice documents outscore the background on average") {
     // Two dialects: target docs share a vocabulary ("alpha beta ..."),
     // background docs another — the LM ratio must separate them.
