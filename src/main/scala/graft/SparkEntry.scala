@@ -1023,6 +1023,42 @@ object SparkEntry {
       t.snapshot().select(col("doc_id"), col("v")).orderBy(col("doc_id"))
     }),
 
+    // Watermarked streaming window aggregation, driver-gated end-to-end:
+    // a real file-source stream over the events fixture through
+    // withWatermark + window(1 day) + count, complete-mode foreachBatch
+    // into parquet, read back. Exercises the actual StateStore-backed
+    // streaming aggregation, not the batch plan; the oracle is the batch
+    // equivalent (UTC-day truncation, same ns→µs timestamp contract the
+    // batch event queries use).
+    "q_stream_window" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qsw").toString
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val toTs: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          c => timestamp_micros((c / 1000L).cast("long"))
+        case _ => identity
+      }
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque[t]")
+        .select(toTs(col("ts")).as("ts"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val out = tmp + "/win"
+      val q = stream.writeStream.outputMode("complete")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt").start()
+      q.awaitTermination(180000)
+      s.read.parquet(out)
+        .select(col("w.start").cast("long").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // MinHash-LSH near-dedup: corpus ∪ id-shifted copy — every copy is a
     // guaranteed jaccard-1.0 duplicate of its original; the recovered
     // (id, id+10000) pairs are the oracle-checkable slice (the corpus also
@@ -1046,6 +1082,37 @@ object SparkEntry {
         maxHamming = 0)
         .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
+    }),
+
+    // The DISTRIBUTED connected-components path, driver-gated: same
+    // planted chains as q_dup_clusters, but smallGraphEdges=0 disables
+    // the driver union-find fast path, forcing the min-label propagation
+    // loop (join + aggregate per round, periodic lineage truncation) —
+    // the solver that actually runs at 100 TB, now oracle-checked too.
+    // The result is materialized eagerly so the Managed storage handle
+    // releases before the query returns (no cache squatting in a
+    // long-lived session).
+    "q_dup_clusters_dist" -> ((s, dir) => {
+      // an eighth of the corpus: the distributed loop's round count is
+      // what's under test, not the volume (q_dup_clusters covers that)
+      val docs = Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(8)) === 0)
+        .select(col("doc_id"), col("text"))
+      val c1 = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val c2 = docs.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      val all = docs.unionByName(c1).unionByName(c2)
+      val diff = col("id_b") - col("id_a")
+      val pairs = Dedup.minhashLshPairs(all, "text", "doc_id",
+          threshold = 0.7)
+        .filter(diff === 10000L || diff === 20000L)
+      val m = Dedup.dupClustersManaged(pairs, smallGraphEdges = 0L)
+      val out = m.df
+        .select(col("id").cast("long").as("id"),
+          col("cluster").cast("long").as("cluster"))
+        .orderBy(col("id"))
+        .localCheckpoint() // eager: cluster-label-sized, frees the loop's storage
+      m.release()
+      out
     }),
 
     // Connected-component dup clusters, oracle-checked: two id-shifted
@@ -2005,6 +2072,15 @@ object SparkEntry {
              CAST(len(string_split(clean, '<PII>')) - 1 AS BIGINT) AS n_redacted
       FROM cleaned ORDER BY doc_id""",
 
+    "q_stream_window" -> """
+      SELECT epoch_us(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+               AS TIMESTAMP)) // 1000000 AS win_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
     "q_stream_store" -> """
       SELECT doc_id,
              CASE WHEN doc_id % 10 = 0 THEN -1
@@ -2051,6 +2127,14 @@ object SparkEntry {
 
     "q_dup_clusters" -> """
       WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0)
+      SELECT id, cluster FROM (
+        SELECT doc_id AS id, doc_id AS cluster FROM d
+        UNION ALL SELECT doc_id + 10000 AS id, doc_id AS cluster FROM d
+        UNION ALL SELECT doc_id + 20000 AS id, doc_id AS cluster FROM d)
+      ORDER BY id""",
+
+    "q_dup_clusters_dist" -> """
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0)
       SELECT id, cluster FROM (
         SELECT doc_id AS id, doc_id AS cluster FROM d
         UNION ALL SELECT doc_id + 10000 AS id, doc_id AS cluster FROM d
