@@ -641,6 +641,28 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))),
 
+    // Boilerplate mining: the corpus's 20 most frequent token 3-grams
+    // with document frequency — the exact heavy-hitters pass that seeds
+    // a template/boilerplate blocklist. One explode scan → one gram
+    // aggregation (map-side partial) → TakeOrdered(20); grams ride as
+    // strings only because the top-k output needs them — the count
+    // shuffle itself is gram-keyed, never corpus-wide.
+    "q_top_ngrams" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 2)," +
+            " i -> concat_ws(' ', element_at(split(text, ' '), i)," +
+            " element_at(split(text, ' '), i + 1)," +
+            " element_at(split(text, ' '), i + 2)))")).as("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(20)
+    }),
+
     // §2.E derived metric: success rate percentage from status counts
     // (runner/locator.ts:192-195), orders: F=failed, P=skipped analog.
     "q_success_rate" -> ((s, dir) =>
@@ -1668,6 +1690,25 @@ object SparkEntry {
              trim(regexp_extract('call +' || CAST(p_partkey % 1000000 AS VARCHAR) || ' ext',
                                  '(\+?\d[\d\s()-]+)', 1)) AS phone
       FROM part ORDER BY p_partkey""",
+
+    "q_top_ngrams" -> """
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM toks
+      ), grams AS (
+        SELECT doc_id,
+               word || ' ' ||
+               lead(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) || ' ' ||
+               lead(word, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM words
+      )
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM grams WHERE g IS NOT NULL
+      GROUP BY g ORDER BY n DESC, g ASC LIMIT 20""",
 
     "q_token_hist" -> """
       WITH t AS (
