@@ -617,6 +617,26 @@ object SparkEntry {
         ORDER BY n_orders DESC, n_name ASC""")
     }),
 
+    // The SQL-function surface end-to-end: the codegen'd Tokenize kernel
+    // registered into the session registry (graftbridge
+    // FunctionRegistration — what GraftExtensions injects at session
+    // build) and driven through spark.sql TEXT, not the Column API. The
+    // oracle mirrors the kernel's [letter/digit]+ runs on this ASCII
+    // corpus with the same regexp split every other tokenizing oracle
+    // uses.
+    "q_raw_fn" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      org.apache.spark.sql.graftbridge.FunctionRegistration.register(
+        s, "graft_tokenize",
+        exprs => graft.functions.SketchExpressions.Tokenize(exprs.head))
+      s.sql("""
+        SELECT doc_id,
+               size(graft_tokenize(lower(trim(text)))) AS n_tokens,
+               try_element_at(graft_tokenize(lower(trim(text))), 1) AS first_tok
+        FROM documents WHERE doc_id < 200
+        ORDER BY doc_id""")
+    }),
+
     // §2.E scalar functions: regexp extraction, trim, coalesce defaulting,
     // string assembly (the extractGooglePlaces.ts:272-276 shapes).
     "q_scalar_funcs" -> ((s, dir) =>
@@ -1690,6 +1710,17 @@ object SparkEntry {
              trim(regexp_extract('call +' || CAST(p_partkey % 1000000 AS VARCHAR) || ' ext',
                                  '(\+?\d[\d\s()-]+)', 1)) AS phone
       FROM part ORDER BY p_partkey""",
+
+    "q_raw_fn" -> """
+      SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             toks[1] AS first_tok
+      FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)),
+                 '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        FROM documents WHERE doc_id < 200)
+      ORDER BY doc_id""",
 
     "q_top_ngrams" -> """
       WITH toks AS (

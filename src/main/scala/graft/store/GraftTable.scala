@@ -753,6 +753,17 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
           .select(col(parentCol).as("__old"), set(parentCol).as("__new"))
           .filter(col("__old").isNotNull && !(col("__new") <=> col("__old")))
           .distinct()
+        // An ambiguous remap (one old key → several new values: parentCol
+        // was not unique across the matched rows) would FAN OUT the child
+        // join and corrupt rows — refuse it. One limit(1) probe on the
+        // update-sized map.
+        val ambiguous = keyMap.groupBy(col("__old"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).count()
+        if (ambiguous > 0)
+          throw new ForeignKeyViolationException(
+            s"${t.name}: ON UPDATE CASCADE on non-unique $parentCol is " +
+              s"ambiguous — several new values for one referenced key")
         if (!keyMap.isEmpty) rewriteChildKeys(child, childCol, keyMap)
       }
     }

@@ -628,6 +628,28 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     // a no-op rewrite (same value) stages nothing extra in children
     assert(company.update(F.eq("id", "c2"), Map("name" -> lit("Blob2"))) == 1)
     assert(link.snapshot().filter(col("A") === "c2").count() == 1)
+    // an AMBIGUOUS remap (several matched rows collapse one referenced
+    // key to different new values) must be refused, not fan the child out
+    val tag = new GraftTable(spark, cat, "tag",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("grp", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    val tagRef = new GraftTable(spark, cat, "tag_ref",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("grpRef", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    tag.onDeleteCascade(tagRef, "grpRef", "grp") // grp is NOT unique
+    tag.createMany(Seq(("t1", "g"), ("t2", "g")).toDF("id", "grp"))
+    tagRef.createMany(Seq(("r1", "g")).toDF("id", "grpRef"))
+    intercept[ForeignKeyViolationException] {
+      // both matched rows carry grp='g' but map it to different values
+      tag.updateMany(F.raw(col("id").isin("t1", "t2")),
+        Map("grp" -> concat(lit("x-"), col("id"))))
+    }
+    assert(tagRef.snapshot().select("grpRef").as[String].head() == "g",
+      "nothing published on refusal")
   }
 
   test("composite unique key columns are NOT individually unique in model()") {
