@@ -668,19 +668,37 @@ object SparkEntry {
     // strings only because the top-k output needs them — the count
     // shuffle itself is gram-keyed, never corpus-wide.
     "q_top_ngrams" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      Tables.documents(s, dir)
-        .filter(size(toks) >= 3)
+      // token array projected ONCE (element_at over a re-inlined split
+      // would re-split the text per element — quadratic per doc), and
+      // doc-frequency via two-level aggregation instead of
+      // count(distinct): no Expand, both shuffles gram-keyed
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__w"))
+        .filter(size(col("__w")) >= 3)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 2)," +
-            " i -> concat_ws(' ', element_at(split(text, ' '), i)," +
-            " element_at(split(text, ' '), i + 1)," +
-            " element_at(split(text, ' '), i + 2)))")).as("g"))
+          "transform(sequence(1, size(__w) - 2)," +
+            " i -> concat_ws(' ', element_at(__w, i)," +
+            " element_at(__w, i + 1), element_at(__w, i + 2)))")).as("g"))
+      grams
+        .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("__c"))
         .groupBy(col("g"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("doc_id")).as("n_docs"))
+        .agg(sum(col("__c")).as("n"), count(lit(1)).as("n_docs"))
         .orderBy(col("n").desc, col("g").asc)
         .limit(20)
+    }),
+
+    // Cross-source overlap audit: pairwise Jaccard of each source pair's
+    // distinct word-3-gram sets — which sources duplicate each other,
+    // the question that decides mixture weights. Aggregate-then-expand
+    // (inverted gram→sources index, pair explosion bounded by |sources|
+    // per gram), never a corpus-sized gram self-join.
+    "q_source_overlap" -> ((s, dir) => {
+      val grams = operators.CorpusAudit.wordGrams(
+        Tables.documents(s, dir), "text", n = 3, keep = Seq(col("source")))
+      operators.CorpusAudit.sourceOverlap(grams, "source", "gram")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("inter"), col("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
     }),
 
     // §2.E derived metric: success rate percentage from status counts
@@ -1710,6 +1728,39 @@ object SparkEntry {
              trim(regexp_extract('call +' || CAST(p_partkey % 1000000 AS VARCHAR) || ' ext',
                                  '(\+?\d[\d\s()-]+)', 1)) AS phone
       FROM part ORDER BY p_partkey""",
+
+    "q_source_overlap" -> """
+      WITH toks AS (
+        SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+      ), words AS (
+        SELECT source, doc_id, unnest(w) AS word,
+               generate_subscripts(w, 1) AS idx
+        FROM toks
+      ), grams AS (
+        SELECT DISTINCT source,
+               word || ' ' ||
+               lead(word, 1) OVER (PARTITION BY doc_id ORDER BY idx) || ' ' ||
+               lead(word, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+        FROM words
+      ), sg AS (
+        SELECT source, g FROM grams WHERE g IS NOT NULL
+      ), sizes AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY source
+      ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+      )
+      SELECT sa.source AS src_a, sb.source AS src_b,
+             sa.n AS n_a, sb.n AS n_b,
+             COALESCE(i.inter, 0) AS inter,
+             round(COALESCE(i.inter, 0) /
+               CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS DOUBLE), 6) AS jaccard
+      FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+      LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
+      ORDER BY src_a, src_b""",
 
     "q_raw_fn" -> """
       SELECT doc_id,

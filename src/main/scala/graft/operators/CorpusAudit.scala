@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level audits — the "do my sources overlap?" questions a
+  * training-mix owner asks before weighting them.
+  *
+  * [[sourceOverlap]] computes the pairwise Jaccard similarity of the
+  * distinct-gram sets of every source pair. The naive formulation — a
+  * gram-keyed SELF-JOIN of (source, gram) — explodes on common grams
+  * (a gram shared by every source yields |S|² join rows PER GRAM and the
+  * join's build side is corpus-sized). Here the inverted index
+  * `gram → set(sources)` is aggregated first: the per-gram source set is
+  * bounded by |sources| (dozens), so the pair explosion is
+  * |grams| × |S_g|²/2 with tiny |S_g|, and every shuffle is gram- or
+  * pair-keyed — never corpus-wide. This is the same
+  * "aggregate-then-expand" shape the LSH band join uses.
+  */
+object CorpusAudit {
+
+  /** Pairwise source overlap over a pre-gramized frame.
+    *
+    * @param grams (sourceCol, gramCol) rows — duplicates allowed, the
+    *              operator reduces to DISTINCT sets; produce grams with
+    *              whatever tokenization the caller wants (word n-grams,
+    *              shingle hashes, URLs, ...)
+    * @return (src_a, src_b, n_a, n_b, inter, jaccard) for src_a < src_b,
+    *         jaccard = |A∩B| / (|A|+|B|-|A∩B|), 6-decimal rounded;
+    *         pairs with zero intersection are included (jaccard 0) so the
+    *         matrix is complete
+    */
+  def sourceOverlap(grams: DataFrame, sourceCol: String,
+                    gramCol: String): DataFrame = {
+    val sg = grams.select(col(sourceCol).as("__src"), col(gramCol).as("__g"))
+      .distinct()
+    val sizes = sg.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+
+    // inverted index: per-gram source set (bounded by |sources|), then
+    // ordered pairs exploded INSIDE the bounded set
+    val inter = sg.groupBy(col("__g"))
+      .agg(collect_set(col("__src")).as("__srcs"))
+      .select(explode(col("__srcs")).as("src_a"), col("__srcs"))
+      .select(col("src_a"), explode(col("__srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    // complete matrix: every source pair, zero-intersection included
+    val a = sizes.select(col("__src").as("src_a"), col("__n").as("n_a"))
+    val b = sizes.select(col("__src").as("src_b"), col("__n").as("n_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard",
+        round(col("inter") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+  }
+
+  /** Word n-grams of `textCol` under a plain single-space split, for
+    * callers without a staged gram column (the oracle-portable
+    * tokenization). The token array is projected ONCE before the
+    * transform — re-inlining `split` into each element_at re-splits the
+    * text per element. */
+  def wordGrams(docs: DataFrame, textCol: String, n: Int,
+                keep: Seq[Column]): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val mk = (0 until n).map(j => s"element_at(__w, i + $j)")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs.select(keep :+ split(col(textCol), " ").as("__w"): _*)
+      .filter(size(col("__w")) >= n)
+      .select(keep :+ explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> $mk)")).as("gram"): _*)
+  }
+}

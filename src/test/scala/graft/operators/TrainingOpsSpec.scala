@@ -248,6 +248,25 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(bloom == exact, s"bloom ${bloom.size} vs exact ${exact.size}")
   }
 
+  test("sourceOverlap: exact jaccard on constructed sets, complete matrix") {
+    // srcA grams {g0..g9}, srcB {g5..g14} (overlap 5/15), srcC disjoint
+    val rows =
+      (0 until 10).map(i => ("A", s"g$i")) ++
+      (5 until 15).map(i => ("B", s"g$i")) ++
+      (100 until 105).map(i => ("C", s"g$i")) ++
+      Seq(("A", "g0"), ("B", "g5")) // duplicates must not inflate sets
+    val grams = rows.toDF("source", "gram")
+    val m = graft.operators.CorpusAudit.sourceOverlap(grams, "source", "gram")
+      .orderBy("src_a", "src_b")
+      .collect()
+    assert(m.length == 3, "3 pairs for 3 sources (complete matrix)")
+    val ab = m.find(r => r.getString(0) == "A" && r.getString(1) == "B").get
+    assert(ab.getAs[Long]("inter") == 5 &&
+      ab.getAs[Double]("jaccard") == 0.333333) // 5/15 rounded to 6 decimals
+    val ac = m.find(r => r.getString(0) == "A" && r.getString(1) == "C").get
+    assert(ac.getAs[Long]("inter") == 0 && ac.getAs[Double]("jaccard") == 0.0)
+  }
+
   test("DSIR: target-slice documents outscore the background on average") {
     // Two dialects: target docs share a vocabulary ("alpha beta ..."),
     // background docs another — the LM ratio must separate them.
