@@ -1083,6 +1083,37 @@ object SparkEntry {
       t.snapshot().select(col("doc_id"), col("v")).orderBy(col("doc_id"))
     }),
 
+    // Watermarked STREAM-STREAM interval join, driver-gated: every click
+    // within 60 minutes after a view by the same user, through the real
+    // symmetric-hash-join state machinery (both sides watermarked — the
+    // hardest Structured Streaming operator), AvailableNow into parquet.
+    // Oracle = the batch interval join at µs precision.
+    "q_stream_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qsj").toString
+      val out = tmp + "/attr"
+      // a quarter of the users: the gate tests the symmetric-join STATE
+      // MACHINERY, not volume; and 8 state partitions — per-partition
+      // state-store file IO dominates a small fixture at 32
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val joined = graft.streaming.Streaming.attributionJoin(
+          graft.streaming.Streaming.readEventStream(s, dir)
+            .filter(pmod(col("user_id"), lit(4)) === 0), "view", "click")
+        val q = joined.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", tmp + "/ckpt").start()
+        q.awaitTermination(180000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out)
+        .select(col("user_id"), col("l_id").as("view_id"),
+          col("r_id").as("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     // Watermarked streaming window aggregation, driver-gated end-to-end:
     // a real file-source stream over the events fixture through
     // withWatermark + window(1 day) + count, complete-mode foreachBatch
@@ -1106,13 +1137,19 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       val out = tmp + "/win"
-      val q = stream.writeStream.outputMode("complete")
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(out); ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", tmp + "/ckpt").start()
-      q.awaitTermination(180000)
+      // ~100 result groups: 8 state partitions, not 32 — per-partition
+      // state-store file IO dominates a small aggregation
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", tmp + "/ckpt").start()
+        q.awaitTermination(180000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.read.parquet(out)
         .select(col("w.start").cast("long").as("win_start"),
           col("event_type"), col("n"))
@@ -2194,6 +2231,17 @@ object SparkEntry {
       SELECT doc_id, clean,
              CAST(len(string_split(clean, '<PII>')) - 1 AS BIGINT) AS n_redacted
       FROM cleaned ORDER BY doc_id""",
+
+    "q_stream_join" -> """
+      SELECT l.user_id, l.event_id AS view_id, r.event_id AS click_id
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view' AND user_id % 4 = 0) l
+      JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click' AND user_id % 4 = 0) r
+        ON r.user_id = l.user_id
+       AND r.ts >= l.ts
+       AND r.ts <= l.ts + INTERVAL 60 MINUTE
+      ORDER BY view_id, click_id""",
 
     "q_stream_window" -> """
       SELECT epoch_us(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
