@@ -687,6 +687,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Sliding-window chunking: 60-token windows advancing by 50 (10-token
+    // overlap), one row per chunk with index/count/re-joined text — the
+    // long-document splitter every pretrain/RAG ingest needs. Pure
+    // explode + array-slice expressions, no shuffle.
+    "q_chunk" -> ((s, dir) =>
+      operators.Packing.chunkDocs(
+          Tables.documents(s, dir).filter(col("doc_id") < 200),
+          "text", "doc_id", maxTokens = 60, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Cross-source overlap audit: pairwise Jaccard of each source pair's
     // distinct word-3-gram sets — which sources duplicate each other,
     // the question that decides mixture weights. Aggregate-then-expand
@@ -1765,6 +1775,24 @@ object SparkEntry {
              trim(regexp_extract('call +' || CAST(p_partkey % 1000000 AS VARCHAR) || ' ext',
                                  '(\+?\d[\d\s()-]+)', 1)) AS phone
       FROM part ORDER BY p_partkey""",
+
+    "q_chunk" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents WHERE doc_id < 200
+      ), chunks AS (
+        SELECT doc_id, w, n,
+               unnest(generate_series(0,
+                 greatest(CAST(1 AS BIGINT), (n - 10 + 49) // 50) - 1)) AS chunk_idx
+        FROM base
+      )
+      SELECT doc_id, chunk_idx,
+             least(60, n - chunk_idx * 50) AS chunk_tokens,
+             array_to_string(w[CAST(chunk_idx * 50 + 1 AS INTEGER)
+               : CAST(chunk_idx * 50 + 60 AS INTEGER)], ' ') AS chunk_text
+      FROM chunks
+      ORDER BY doc_id, chunk_idx""",
 
     "q_source_overlap" -> """
       WITH toks AS (

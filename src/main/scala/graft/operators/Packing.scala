@@ -33,6 +33,35 @@ object Packing {
       .drop("__off")
   }
 
+  /** Sliding-window document chunking (the RAG / long-doc pretrain
+    * chunker): cut each document's token sequence into windows of
+    * `maxTokens` advancing by `maxTokens - overlap`, so consecutive
+    * chunks share `overlap` tokens. Emits one row per chunk with its
+    * 0-based index, token count, and re-joined text. Pure per-row
+    * expressions — explode over an integer sequence plus array slices,
+    * no shuffle, engine-reproducible (the oracle mirrors it with list
+    * slicing). A document shorter than one window yields exactly one
+    * chunk; step arithmetic is integer end-to-end (no float ceil). */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "0 <= overlap < maxTokens")
+    val step = maxTokens - overlap
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .withColumn("__n", size(col("__w")).cast("long"))
+      // ceil((n - overlap) / step) in integers, min 1
+      .withColumn("__nc",
+        greatest(lit(1L), expr(s"(__n - $overlap + $step - 1) div $step")))
+      .select(col(idCol), col("__w"), col("__n"),
+        explode(expr("sequence(0, __nc - 1)")).as("chunk_idx"))
+      .withColumn("chunk_tokens",
+        least(lit(maxTokens.toLong), col("__n") - col("chunk_idx") * step))
+      .withColumn("chunk_text", expr(
+        s"array_join(slice(__w, cast(chunk_idx * $step + 1 as int), $maxTokens), ' ')"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_tokens"),
+        col("chunk_text"))
+  }
+
   /** Output-stage shard assignment: `rowsPerShard` consecutive rows of the
     * global (sortCols) order per shard — built on [[Ranking]]'s two-pass
     * global position, so no single-reducer numbering. At write time,
