@@ -668,17 +668,12 @@ object SparkEntry {
     // strings only because the top-k output needs them — the count
     // shuffle itself is gram-keyed, never corpus-wide.
     "q_top_ngrams" -> ((s, dir) => {
-      // token array projected ONCE (element_at over a re-inlined split
-      // would re-split the text per element — quadratic per doc), and
-      // doc-frequency via two-level aggregation instead of
-      // count(distinct): no Expand, both shuffles gram-keyed
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("__w"))
-        .filter(size(col("__w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(__w) - 2)," +
-            " i -> concat_ws(' ', element_at(__w, i)," +
-            " element_at(__w, i + 1), element_at(__w, i + 2)))")).as("g"))
+      // shared gram producer (token array projected once); doc-frequency
+      // via two-level aggregation instead of count(distinct): no Expand,
+      // both shuffles gram-keyed
+      val grams = operators.CorpusAudit.wordGrams(
+          Tables.documents(s, dir), "text", n = 3, keep = Seq(col("doc_id")))
+        .select(col("doc_id"), col("gram").as("g"))
       grams
         .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("__c"))
         .groupBy(col("g"))
@@ -1134,10 +1129,13 @@ object SparkEntry {
     "q_stream_window" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-qsw").toString
       val raw = s.read.parquet(s"$dir/events.parquet")
+      // EXACT integer ns→µs (`div`), the same contract Tables.events uses
+      // — `/` on longs is a double divide, and ns epochs exceed 2^53, so
+      // a ts near a day boundary could land in the wrong window
       val toTs: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          c => timestamp_micros((c / 1000L).cast("long"))
+          _ => timestamp_micros(expr("ts div 1000"))
         case _ => identity
       }
       val stream = s.readStream.schema(raw.schema)

@@ -67,9 +67,13 @@ object CorpusAudit {
     require(n >= 1, "n must be positive")
     val mk = (0 until n).map(j => s"element_at(__w, i + $j)")
       .mkString("concat_ws(' ', ", ", ", ")")
+    // `keep` exprs evaluate ONCE in the first projection; downstream the
+    // results travel by name (re-applying a computed keep expr after its
+    // inputs are projected away would fail resolution)
     docs.select(keep :+ split(col(textCol), " ").as("__w"): _*)
       .filter(size(col("__w")) >= n)
-      .select(keep :+ explode(expr(
-        s"transform(sequence(1, size(__w) - ${n - 1}), i -> $mk)")).as("gram"): _*)
+      .withColumn("gram", explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), i -> $mk)")))
+      .drop("__w")
   }
 }

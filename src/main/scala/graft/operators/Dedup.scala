@@ -728,8 +728,13 @@ object Dedup {
     val longEnough = size(TextFunctions.tokens(col(textCol))) >= n
     val grams = graft.functions.SketchExpressions.shingleHashes(
       TextFunctions.tokens(col(textCol)), n)
+    // ONE tokenize+shingle+distinct pass over the benchmark: the
+    // checkpointed gram set serves the size count, the filter build, and
+    // the exact verify join (three consumers; recomputing the heavy scan
+    // per consumer tripled the benchmark-side work). Blocks free on GC.
     val bGrams = benchmark.filter(longEnough)
       .select(explode(grams).as("__g")).distinct()
+      .localCheckpoint()
     val nb = math.max(bGrams.count(), 1L)
     val bloom = bGrams.stat.bloomFilter("__g", nb, fpp)
     val cGrams = corpus.filter(longEnough)

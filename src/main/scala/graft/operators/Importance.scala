@@ -43,17 +43,11 @@ object Importance {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val toks = split(col(textCol), " ")
-    val grams = docs
-      .filter(size(toks) >= 2)
-      .select(col(idCol), isTarget.as("__tgt"), toks.as("__t"))
-      .select(col(idCol), col("__tgt"), explode(expr(
-        "transform(sequence(1, size(__t) - 1)," +
-          " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
-      )).as("__g"))
+    val grams = CorpusAudit.wordGrams(docs, textCol, n = 2,
+        keep = Seq(col(idCol), isTarget.as("__tgt")))
       // the shared md5 draw: engine-portable, uniform over buckets
       .withColumn("__b",
-        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast("long") % buckets)
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
       .select(col(idCol), col("__tgt"), col("__b"))
 
     // `buckets`-row LM table + 1-row totals, both broadcast back

@@ -184,12 +184,25 @@ object Similarity {
     // broadcast query side.
     require(maxHammingProbe >= 0 && maxHammingProbe <= numPlanes,
       s"maxHammingProbe $maxHammingProbe outside [0, $numPlanes]")
+    // bound the probe count ARITHMETICALLY before generating any mask —
+    // a guard after materialization would OOM on the inputs it exists
+    // for. Incremental C(n,r) with early exit: once the running total
+    // passes the cap we stop, so no intermediate can overflow.
+    val probeCount = {
+      var total = 0L; var c = 1L; var r = 0
+      while (r <= maxHammingProbe && total <= 8192) {
+        total += c
+        c = c * (numPlanes - r) / (r + 1)
+        r += 1
+      }
+      total
+    }
+    require(probeCount <= 8192,
+      s"probe set >$probeCount masks: lower maxHammingProbe or numPlanes")
     val flipMasks: Seq[Long] = (0 to maxHammingProbe).flatMap { r =>
       (0 until numPlanes).combinations(r)
         .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq
     }
-    require(flipMasks.size <= 8192,
-      s"probe set ${flipMasks.size} too large: lower maxHammingProbe or numPlanes")
     val probes: Seq[Column] =
       flipMasks.map(m => if (m == 0L) sig else sig.bitwiseXOR(lit(m)))
     val q = queries.select(col(qidCol).as("qid"),

@@ -721,8 +721,9 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     val cur = stateOf(t)
     val (s, updated) = t.stagedUpdateReturning(cur, where, set)
     checkUpdatedRefs(t, set, updated)
+    stage(t, s)
     cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
-    stage(t, s); updated
+    updated
   }
 
   /** An update that rewrites a declared FK column must re-validate it —
@@ -748,7 +749,10 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       .filter { case (_, _, parentCol) => set.contains(parentCol) }
     if (rels.nonEmpty) {
       val pre = matchedPre
-      rels.foreach { case (child, childCol, parentCol) =>
+      // the map and its ambiguity probe depend only on (parentCol, set):
+      // build each ONCE and fan it out to every child relation on that
+      // column instead of paying N identical jobs for N children
+      rels.groupBy(_._3).foreach { case (parentCol, relsOnCol) =>
         val keyMap = pre
           .select(col(parentCol).as("__old"), set(parentCol).as("__new"))
           .filter(col("__old").isNotNull && !(col("__new") <=> col("__old")))
@@ -764,7 +768,10 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
           throw new ForeignKeyViolationException(
             s"${t.name}: ON UPDATE CASCADE on non-unique $parentCol is " +
               s"ambiguous — several new values for one referenced key")
-        if (!keyMap.isEmpty) rewriteChildKeys(child, childCol, keyMap)
+        if (!keyMap.isEmpty)
+          relsOnCol.foreach { case (child, childCol, _) =>
+            rewriteChildKeys(child, childCol, keyMap)
+          }
       }
     }
   }
@@ -797,24 +804,49 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
             post.groupBy(child.partKeyCol.as("__pk")).count().collect()
               .map(_.getString(0))
         } else preStats.map(_.getString(0)).toSet
+      // A CONSISTENT many-old→one-new remap passes the ambiguity probe
+      // but can still collide child UNIQUE keys (Postgres raises
+      // unique_violation at the child constraint) — re-validate every
+      // unique key containing the FK column over the affected slice of
+      // the post-rewrite state. NULL rows never conflict (SQL UNIQUE).
+      child.uniqueKeys.filter(_.contains(childCol)).foreach { uk =>
+        val affectedKeys = next
+          .join(keyMap.select(col("__new").as(childCol)).distinct(),
+            Seq(childCol), "left_semi")
+          .filter(uk.map(c => col(c).isNotNull).reduce(_ && _))
+        val dup = affectedKeys
+          .groupBy(uk.map(col): _*).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1).limit(1).count()
+        if (dup > 0)
+          throw new UniqueViolationException(
+            s"${child.name}: ON UPDATE CASCADE would collide unique key " +
+              s"(${uk.mkString(",")})")
+      }
       stage(child, Staged(next, touched, preStats.map(_.getLong(1)).sum))
     }
   }
+
+  // Update statements stage their own rewrite BEFORE the key-rewrite
+  // cascade (the matched view stays evaluable — pre-stage dirs are
+  // immutable), so a self-referential ON UPDATE CASCADE rewrites child
+  // FK columns on top of the renamed state instead of clobbering it.
 
   def update(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
     val cur = stateOf(t)
     val s = t.stagedUpdate(cur, where, set, single = true)
     checkUpdatedRefs(t, set, t.updatedView(cur, where, set))
+    stage(t, s)
     cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
-    stage(t, s); s.n
+    s.n
   }
 
   def updateMany(t: GraftTable, where: Where, set: Map[String, Column]): Long = {
     val cur = stateOf(t)
     val s = t.stagedUpdate(cur, where, set, single = false)
     checkUpdatedRefs(t, set, t.updatedView(cur, where, set))
+    stage(t, s)
     cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
-    stage(t, s); s.n
+    s.n
   }
 
   def updateWhereIn(t: GraftTable, keyCol: String, keys: DataFrame,
@@ -828,8 +860,9 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
         .filter(coalesce(extraCond, lit(false)))
     }
     checkUpdatedRefs(t, set, t.applySet(matched, set))
+    stage(t, s)
     cascadeParentKeyRewrite(t, set, matched)
-    stage(t, s); s.n
+    s.n
   }
 
   /** FK `ON DELETE RESTRICT` (P2003): a delete whose doomed rows are still
@@ -864,31 +897,44 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       if (!keys.isEmpty) deleteWhereIn(child, childCol, keys)
     }
 
-  /** Join-based bulk delete: drop rows whose `keyCol` appears in `keys`. */
+  /** Join-based bulk delete: drop rows whose `keyCol` appears in `keys`.
+    *
+    * Statement order matters for SAME-TABLE cascades: the statement's own
+    * delete stages FIRST — `doomed`/`cur` stay evaluable because they are
+    * bound to the pre-stage version directories, which copy-on-write
+    * never touches — so a self-referential or cyclic cascade reads the
+    * post-delete state and stages ON TOP of it instead of being clobbered
+    * when both target the same partition slices. RESTRICT checks run
+    * LAST, against post-cascade child state (a cascade elsewhere may
+    * legitimately remove the referencing rows); a throw aborts the whole
+    * transaction, so nothing staged ever publishes. */
   def deleteWhereIn(t: GraftTable, keyCol: String, keys: DataFrame): Long = {
     val cur = stateOf(t)
     val marker = keys.select(col(keyCol)).distinct()
     val doomed = cur.join(marker, Seq(keyCol), "left_semi")
-    cascadeDeletes(t, doomed)
-    checkRestricts(t, doomed)
     val stats = doomed.groupBy(t.partKeyCol.as("__pk")).count().collect()
     val s = Staged(cur.join(marker, Seq(keyCol), "left_anti"),
       stats.map(_.getString(0)).toSet, stats.map(_.getLong(1)).sum)
-    stage(t, s); s.n
+    stage(t, s)
+    cascadeDeletes(t, doomed)
+    checkRestricts(t, doomed)
+    s.n
   }
 
   def delete(t: GraftTable, where: Where): Long = {
     val (s, doomed) = t.stagedDelete(stateOf(t), where, single = true)
+    stage(t, s)
     cascadeDeletes(t, doomed)
     checkRestricts(t, doomed)
-    stage(t, s); s.n
+    s.n
   }
 
   def deleteMany(t: GraftTable, where: Where): Long = {
     val (s, doomed) = t.stagedDelete(stateOf(t), where, single = false)
+    stage(t, s)
     cascadeDeletes(t, doomed)
     checkRestricts(t, doomed)
-    stage(t, s); s.n
+    s.n
   }
 
   def upsert(t: GraftTable, keyCols: Seq[String], rows: DataFrame): Long = {
@@ -937,8 +983,8 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     val cur = stateOf(t)
     val (s, updated) = t.stagedUpdateReturning(cur, where, set)
     checkUpdatedRefs(t, set, updated)
-    cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
     stage(t, s)
+    cascadeParentKeyRewrite(t, set, t.matchedView(cur, where))
     nested.foreach {
       case NestedCreate(child, f, skipDup) =>
         createMany(child, f(updated), skipDup)

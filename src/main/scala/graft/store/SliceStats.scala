@@ -257,7 +257,7 @@ object SliceStats {
     val fcols = st.files.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
       renderColsObj(fs.cols, c => s"$f|$c")
     }
-    s"""{"rows": ${st.rows}, """ +
+    s"""{"v": $FormatVersion, "rows": ${st.rows}, """ +
       s""""cols": ${cols.mkString("{", ", ", "}")}, """ +
       s""""frows": ${frows.mkString("{", ", ", "}")}, """ +
       s""""fcols": ${fcols.mkString("{", ", ", "}")}}"""
@@ -270,8 +270,23 @@ object SliceStats {
       render(collect(dir, spark.sessionState.newHadoopConf()))
         .getBytes(StandardCharsets.UTF_8))
 
-  /** Parse sidecar text; None on anything corrupt. */
+  /** Sidecar format version. v2: decimal min/max are SCALED doubles (v1
+    * leaked raw unscaled integers that wrongly pruned). Readers refuse
+    * any other version — an old sidecar degrades to "never skip" until
+    * the next write/compaction rebuilds it, never to a wrong skip. */
+  val FormatVersion = 2
+
+  /** Parse sidecar text; None on anything corrupt or on a sidecar
+    * written by a different format version (stats are a pruning aid —
+    * unreadable means keep, not guess). */
   def parseStats(s: String): Option[Stats] =
+    try {
+      val ver = """"v":\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      if (!ver.contains(FormatVersion)) None
+      else parseStatsBody(s)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseStatsBody(s: String): Option[Stats] =
     try {
       val rows = """"rows":\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
       // leaf objects only (no nested braces) — the "cols"/"fcols" wrapper

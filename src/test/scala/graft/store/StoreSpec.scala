@@ -652,6 +652,69 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
       "nothing published on refusal")
   }
 
+  test("self-referential CASCADE: descendants die with the root, same commit") {
+    // Regression: the statement's own stage used to run LAST and clobber
+    // the cascade's staged slices for the same table — descendants were
+    // resurrected with dangling parents.
+    val cat = freshCatalog()
+    val tree = new GraftTable(spark, cat, "tree",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("parentId", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    tree.onDeleteCascade(tree, "parentId", "id")
+    tree.createMany(Seq(
+      ("root", None), ("kid", Some("root")), ("grandkid", Some("kid")),
+      ("other", None)).toDF("id", "parentId"))
+    val before = cat.currentCommitId()
+    assert(tree.delete(F.eq("id", "root")) == 1)
+    assert(cat.currentCommitId() == before + 1, "one atomic commit")
+    // the whole chain is gone; the unrelated root survives
+    assert(tree.snapshot().select("id").as[String].collect().sorted.toSeq
+      == Seq("other"))
+  }
+
+  test("self-referential ON UPDATE CASCADE: children follow the renamed key") {
+    val cat = freshCatalog()
+    val tree = new GraftTable(spark, cat, "tree2",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("parentId", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    tree.onDeleteCascade(tree, "parentId", "id")
+    tree.createMany(Seq(
+      ("root", None), ("kid", Some("root"))).toDF("id", "parentId"))
+    assert(tree.update(F.eq("id", "root"), Map("id" -> lit("trunk"))) == 1)
+    val rows = tree.snapshot().orderBy("id")
+      .as[(String, Option[String])].collect().toSeq
+    // BOTH the rename and the FK rewrite are published
+    assert(rows == Seq(("kid", Some("trunk")), ("trunk", None)), rows.toString)
+  }
+
+  test("ON UPDATE CASCADE refuses a remap that collides a child unique key") {
+    val cat = freshCatalog()
+    val grp = new GraftTable(spark, cat, "grp",
+      StructType(Seq(StructField("g", StringType, nullable = false))),
+      uniqueKeys = Nil) // g NOT unique
+    val ref = new GraftTable(spark, cat, "grp_ref",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("gRef", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id"), Seq("gRef")))
+    grp.onDeleteCascade(ref, "gRef", "g")
+    grp.createMany(Seq("g1", "g2").toDF("g"))
+    ref.createMany(Seq(("r1", "g1"), ("r2", "g2")).toDF("id", "gRef"))
+    // consistent many->one remap: both g1 and g2 become 'z' (unambiguous
+    // per old key) — but rewriting gRef would put two 'z' rows into a
+    // UNIQUE column, the Postgres unique_violation shape
+    intercept[UniqueViolationException] {
+      grp.updateMany(F.raw(col("g").isin("g1", "g2")),
+        Map("g" -> lit("z")))
+    }
+    assert(ref.snapshot().select("gRef").as[String].collect().sorted.toSeq
+      == Seq("g1", "g2"), "nothing published on refusal")
+  }
+
   test("composite unique key columns are NOT individually unique in model()") {
     // Regression: flattening Seq(Seq("a","b")) into uniqueKeys let
     // findUnique("a", v) pass its uniqueness require and return an
