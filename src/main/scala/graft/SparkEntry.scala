@@ -950,6 +950,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental near-dedup: the 100 TB regime sketches ONLY the new
+    // batch and band-joins it against the prebuilt corpus index — here
+    // the batch is an id-shifted copy of the corpus, so every new doc
+    // must resolve to its original with jaccard exactly 1.0 (identical
+    // shingle sets). Organic matches are filtered to the planted diff,
+    // as in q_dedup_minhash.
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val index = Dedup.minhashIndex(docs, "text", "doc_id")
+      val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      Dedup.minhashIncremental(index, batch, "text", "doc_id")
+        .filter(col("dup_of") === col("new_id") - 10000L)
+        .select(col("new_id"), col("dup_of"), col("jaccard"))
+        .orderBy(col("new_id"))
+    }),
+
     // Bloom-accelerated decontamination: identical OUTPUT to
     // q_decontaminate (the exact verify join kills Bloom false
     // positives, so the same oracle applies) — only the data movement
@@ -2190,6 +2206,11 @@ object SparkEntry {
       FROM cg JOIN bgrams USING (g)
       GROUP BY cg.doc_id HAVING count(*) >= 1
       ORDER BY cg.doc_id""",
+
+    "q_dedup_incr" -> """
+      SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
+             CAST(1.0 AS DOUBLE) AS jaccard
+      FROM documents ORDER BY new_id""",
 
     // bloom pre-filter + exact verify == the exact operator's output
     "q_decontaminate_bloom" -> """
