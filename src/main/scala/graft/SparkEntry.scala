@@ -661,6 +661,17 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .orderBy(col("bucket"))),
 
+    // Token budget accounting: whitespace tokens (the fast path) and the
+    // BPE-ish subword estimate (letter/digit runs, long words contribute
+    // ceil(len/4) pieces) side by side — the numbers a mixture planner
+    // budgets context windows with. Pure codegen'd kernels.
+    "q_token_budget" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          TextFunctions.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy(col("doc_id"))),
+
     // Boilerplate mining: the corpus's 20 most frequent token 3-grams
     // with document frequency — the exact heavy-hitters pass that seeds
     // a template/boilerplate blocklist. One explode scan → one gram
@@ -1851,6 +1862,18 @@ object SparkEntry {
                  '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         FROM documents WHERE doc_id < 200)
       ORDER BY doc_id""",
+
+    "q_token_budget" -> """
+      SELECT doc_id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS BIGINT) AS ws_tokens,
+             CAST(COALESCE(list_sum(list_transform(
+               list_filter(regexp_split_to_array(lower(trim(text)),
+                 '[^a-z0-9]+'), x -> len(x) > 0),
+               x -> greatest(1, CAST(ceil(len(x) / 4.0) AS INTEGER)))), 0)
+               AS BIGINT) AS bpe_tokens
+      FROM documents ORDER BY doc_id""",
 
     "q_top_ngrams" -> """
       WITH toks AS (
