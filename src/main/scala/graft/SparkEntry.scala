@@ -1158,16 +1158,18 @@ object SparkEntry {
       val raw = s.read.parquet(s"$dir/events.parquet")
       // EXACT integer ns→µs (`div`), the same contract Tables.events uses
       // — `/` on longs is a double divide, and ns epochs exceed 2^53, so
-      // a ts near a day boundary could land in the wrong window
-      val toTs: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          _ => timestamp_micros(expr("ts div 1000"))
-        case _ => identity
-      }
+      // a ts near a day boundary could land in the wrong window. Keyed by
+      // column NAME (the expr must reference it) so the shape can't
+      // silently convert a different column than the one passed.
+      def tsToMicros(name: String): org.apache.spark.sql.Column =
+        raw.schema(name).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr(s"`$name` div 1000"))
+          case _ => col(name)
+        }
       val stream = s.readStream.schema(raw.schema)
         .parquet(s"$dir/events.parque[t]")
-        .select(toTs(col("ts")).as("ts"), col("event_type"))
+        .select(tsToMicros("ts").as("ts"), col("event_type"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -790,10 +790,23 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       Seq(childCol), "left_semi")
     val preStats = affected.groupBy(child.partKeyCol.as("__pk")).count().collect()
     if (preStats.nonEmpty) {
-      val joined = cur.join(keyMap, cur(childCol) === keyMap("__old"), "left")
+      // the JOIN MATCH decides "remapped", not the new value's nullness:
+      // coalesce(__new, old) would conflate "not remapped" with
+      // "remapped to NULL" and commit a dangling FK — Postgres cascades
+      // the NULL into the child (the FK then passes as MATCH SIMPLE),
+      // unless the child column is NOT NULL, which is its
+      // not_null_violation
+      if (!child.schema(childCol).nullable &&
+          keyMap.filter(col("__new").isNull).limit(1).count() > 0)
+        throw new NullConstraintException(
+          s"${child.name}: ON UPDATE CASCADE would null non-nullable $childCol")
+      val km = keyMap.withColumn("__hit", lit(true))
+      val joined = cur.join(km, cur(childCol) === km("__old"), "left")
       val next = joined
-        .withColumn(childCol, coalesce(col("__new"), col(childCol)))
-        .drop("__old", "__new")
+        .withColumn(childCol,
+          when(coalesce(col("__hit"), lit(false)), col("__new"))
+            .otherwise(col(childCol)))
+        .drop("__old", "__new", "__hit")
       // a rewritten FK that is also a partition column moves rows across
       // slices — the destination slices are touched too
       val touched: Set[String] =
@@ -899,41 +912,43 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
 
   /** Join-based bulk delete: drop rows whose `keyCol` appears in `keys`.
     *
-    * Statement order matters for SAME-TABLE cascades: the statement's own
-    * delete stages FIRST — `doomed`/`cur` stay evaluable because they are
-    * bound to the pre-stage version directories, which copy-on-write
-    * never touches — so a self-referential or cyclic cascade reads the
-    * post-delete state and stages ON TOP of it instead of being clobbered
-    * when both target the same partition slices. RESTRICT checks run
-    * LAST, against post-cascade child state (a cascade elsewhere may
-    * legitimately remove the referencing rows); a throw aborts the whole
-    * transaction, so nothing staged ever publishes. */
+    * Statement order: RESTRICT checks run FIRST, against statement-start
+    * state — Postgres RESTRICT is the immediate, non-deferrable check
+    * that rejects the delete even when the same statement also removes
+    * the referencing row (that is its documented difference from
+    * NO ACTION). Then the statement's own delete stages — `doomed`/`cur`
+    * stay evaluable because they are bound to the pre-stage version
+    * directories, which copy-on-write never touches — and cascades run
+    * LAST, reading the post-delete state and staging ON TOP of it, so a
+    * self-referential or cyclic cascade is never clobbered by the
+    * statement's own stage. A throw anywhere aborts the transaction;
+    * nothing staged ever publishes. */
   def deleteWhereIn(t: GraftTable, keyCol: String, keys: DataFrame): Long = {
     val cur = stateOf(t)
     val marker = keys.select(col(keyCol)).distinct()
     val doomed = cur.join(marker, Seq(keyCol), "left_semi")
+    checkRestricts(t, doomed)
     val stats = doomed.groupBy(t.partKeyCol.as("__pk")).count().collect()
     val s = Staged(cur.join(marker, Seq(keyCol), "left_anti"),
       stats.map(_.getString(0)).toSet, stats.map(_.getLong(1)).sum)
     stage(t, s)
     cascadeDeletes(t, doomed)
-    checkRestricts(t, doomed)
     s.n
   }
 
   def delete(t: GraftTable, where: Where): Long = {
     val (s, doomed) = t.stagedDelete(stateOf(t), where, single = true)
+    checkRestricts(t, doomed)
     stage(t, s)
     cascadeDeletes(t, doomed)
-    checkRestricts(t, doomed)
     s.n
   }
 
   def deleteMany(t: GraftTable, where: Where): Long = {
     val (s, doomed) = t.stagedDelete(stateOf(t), where, single = false)
+    checkRestricts(t, doomed)
     stage(t, s)
     cascadeDeletes(t, doomed)
-    checkRestricts(t, doomed)
     s.n
   }
 

@@ -715,6 +715,63 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
       == Seq("g1", "g2"), "nothing published on refusal")
   }
 
+  test("ON UPDATE CASCADE propagates a NULL new key (or throws on NOT NULL child)") {
+    val cat = freshCatalog()
+    val grp = new GraftTable(spark, cat, "grpn",
+      StructType(Seq(StructField("g", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("g")))
+    val refNullable = new GraftTable(spark, cat, "refn",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("gRef", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    grp.onDeleteCascade(refNullable, "gRef", "g")
+    grp.createMany(Seq("g1", "g2").toDF("g"))
+    refNullable.createMany(Seq(("r1", "g1"), ("r2", "g2")).toDF("id", "gRef"))
+    // remap g1 -> NULL: the child FK follows to NULL (MATCH SIMPLE), it
+    // must NOT silently keep the dangling old value
+    assert(grp.update(F.eq("g", "g1"), Map("g" -> lit(null))) == 1)
+    val got = refNullable.snapshot().orderBy("id")
+      .as[(String, Option[String])].collect().toSeq
+    assert(got == Seq(("r1", None), ("r2", Some("g2"))), got.toString)
+    // a NOT NULL child column refuses the NULL cascade (P2011 shape)
+    val refStrict = new GraftTable(spark, cat, "refs",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("gRef", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    grp.onDeleteCascade(refStrict, "gRef", "g")
+    refStrict.createMany(Seq(("s1", "g2")).toDF("id", "gRef"))
+    intercept[NullConstraintException] {
+      grp.update(F.eq("g", "g2"), Map("g" -> lit(null)))
+    }
+    assert(refStrict.snapshot().select("gRef").as[String].head() == "g2")
+  }
+
+  test("self-referential RESTRICT rejects same-statement parent+child delete (immediate check)") {
+    val cat = freshCatalog()
+    val tree = new GraftTable(spark, cat, "tree3",
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("parentId", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    tree.onDeleteRestrict(tree, "parentId", "id")
+    tree.createMany(Seq(
+      ("root", None), ("kid", Some("root"))).toDF("id", "parentId"))
+    // Postgres RESTRICT is immediate and non-deferrable: deleting root
+    // and kid in ONE statement still errors (NO ACTION would allow it)
+    intercept[ForeignKeyViolationException] {
+      tree.deleteMany(F.raw(col("id").isin("root", "kid")))
+    }
+    assert(tree.snapshot().count() == 2, "nothing published")
+    // two statements in one txn still compose: children first, then root
+    Txn.run(cat) { tx =>
+      tx.deleteMany(tree, F.eq("id", "kid"))
+      tx.deleteMany(tree, F.eq("id", "root"))
+    }
+    assert(tree.snapshot().count() == 0)
+  }
+
   test("composite unique key columns are NOT individually unique in model()") {
     // Regression: flattening Seq(Seq("a","b")) into uniqueKeys let
     // findUnique("a", v) pass its uniqueness require and return an
