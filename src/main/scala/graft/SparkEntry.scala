@@ -971,10 +971,18 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val index = Dedup.minhashIndex(docs, "text", "doc_id")
       val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-      Dedup.minhashIncremental(index, batch, "text", "doc_id")
+      // persistSketch: the batch sketch feeds BOTH sides of the
+      // within-batch join plus the vs-corpus probe — uncached it would
+      // re-tokenize the batch three times. The pair-sized result is
+      // materialized eagerly so the cache releases with the query.
+      val out = Dedup.minhashIncremental(index, batch, "text", "doc_id",
+          persistSketch = true)
         .filter(col("dup_of") === col("new_id") - 10000L)
         .select(col("new_id"), col("dup_of"), col("jaccard"))
         .orderBy(col("new_id"))
+        .localCheckpoint()
+      s.catalog.clearCache()
+      out
     }),
 
     // Bloom-accelerated decontamination: identical OUTPUT to

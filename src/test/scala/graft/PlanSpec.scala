@@ -134,6 +134,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("chunking and splitting shuffle only for the output ORDER BY") {
+    for (q <- Seq("q_chunk", "q_split")) {
+      val p = planOf(q)
+      // the operators are pure per-row expressions: any hash shuffle or
+      // join in the plan means a regression broke the no-shuffle shape
+      // (the range exchange for the deterministic output order is fine)
+      assert(!p.contains("hashpartitioning"), s"$q compute shuffle:\n" + p)
+      assert(!p.contains("Join"), s"$q grew a join:\n" + p)
+    }
+  }
+
   test("skew-proof as-of: the main window partitions on (key, time-bucket)") {
     val p = planOf("q_asof_skew")
     // The carry-forward pass over the big union (the one producing __last)
