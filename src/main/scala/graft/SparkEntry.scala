@@ -866,6 +866,22 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))),
 
+    // Temperature-weighted mixture epochs (the pretraining α-smoothing
+    // recipe: q_i ∝ p_i^α flattens dominant sources): per-source epoch
+    // factors q_i·N/n_i at α=0.5, computed from one bounded count
+    // aggregation (the operator is driver-side by design — #sources
+    // values). Formula mirrored parenthesis-for-parenthesis, 6-decimal
+    // rounded on both sides (pow differs in the last ulp across libms).
+    "q_temperature" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir).groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val eps = operators.Mixing.temperatureEpochs(counts, alpha = 0.5)
+      import s.implicits._
+      counts.toSeq.map { case (src, n) => (src, n, eps(src)) }
+        .toDF("source", "n", "epochs")
+        .orderBy(col("source"))
+    }),
+
     // Per-source quota: cap every source at its 15 longest documents —
     // the Common-Crawl "cap every domain" gate. The rank<=n filter
     // compiles to WindowGroupLimit (map-side bounded heaps before the
@@ -1410,6 +1426,30 @@ object SparkEntry {
           probeTime = "ts", quoteTime = "q_ts",
           payload = Seq("view_id", "view_value"),
           tieBreak = Some("view_id"))
+        .select(col("event_id"), col("view_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // As-of join, STRICT + tolerance mode (pandas merge_asof
+    // tolerance=1h, allow_exact_matches=False): an equal-time view is
+    // invisible, and a latest-prior view older than an hour yields
+    // nulls. Monotonicity makes the oracle's in-window LATERAL
+    // equivalent: if the latest prior quote is outside the window, every
+    // earlier one is too.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("q_user"), col("ts").as("q_ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      AsOf.asofJoin(probes, quotes,
+          probeKey = "user_id", quoteKey = "q_user",
+          probeTime = "ts", quoteTime = "q_ts",
+          payload = Seq("view_id", "view_value"),
+          tieBreak = Some("view_id"),
+          within = Some((pt, qt) => qt >= pt - expr("INTERVAL 1 HOUR")),
+          strict = true)
         .select(col("event_id"), col("view_id"), col("view_value"))
         .orderBy(col("event_id"))
     }),
@@ -2137,6 +2177,22 @@ object SparkEntry {
                   ELSE 'g' END
       GROUP BY lang ORDER BY lang""",
 
+    "q_temperature" -> """
+      WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+      ), t AS (
+        SELECT CAST(sum(n) AS DOUBLE) AS total FROM c
+      ), p AS (
+        SELECT c.source, c.n, pow(c.n / t.total, 0.5) AS pn, t.total
+        FROM c, t
+      ), ps AS (
+        SELECT sum(pn) AS powsum FROM p
+      )
+      SELECT p.source, p.n,
+             round(pn / ps.powsum * p.total / p.n, 6) AS epochs
+      FROM p, ps ORDER BY source""",
+
     "q_source_quota" -> """
       SELECT doc_id, source, n_chars FROM (
         SELECT doc_id, source, n_chars,
@@ -2483,6 +2539,20 @@ object SparkEntry {
         FROM events e
         WHERE e.event_type = 'view' AND e.user_id = p.user_id
           AND e.ts <= p.ts
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
+      ORDER BY p.event_id""",
+
+    "q_asof_tolerance" -> """
+      SELECT p.event_id, v.view_id, v.view_value
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN LATERAL (
+        SELECT e.event_id AS view_id, e.value AS view_value
+        FROM events e
+        WHERE e.event_type = 'view' AND e.user_id = p.user_id
+          AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+          AND CAST(e.ts AS TIMESTAMP) >=
+              CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
         ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
       ORDER BY p.event_id""",
 
