@@ -57,22 +57,34 @@ object Bench {
         if (ok) dt else -1.0
       }
       var times = Seq(once(), once())
-      // the two runs disagreeing badly means one was hit by external load
-      // (this box runs other work during benched rounds) — buy one more
-      // sample rather than report a time that isn't the plan's
-      if (times.forall(_ >= 0) && times.max / times.min > 2.0)
+      // the two runs disagreeing means one was hit by external load (this
+      // box runs other work during benched rounds) — buy up to two more
+      // samples rather than report a time that isn't the plan's
+      def unstable(ts: Seq[Double]): Boolean = {
+        val best = ts.sorted.take(2)
+        best(1) / best(0) > 1.5 // the two best samples still disagree
+      }
+      while (times.forall(_ >= 0) && times.size < 4 && unstable(times))
         times :+= once()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // locale-proof decimal formatting (a comma decimal separator would
     // silently break the driver's JSON parse)
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def dict(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // "sf" is NUMERIC per the driver contract (sf0.1 -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
+    // The full per-query dict goes to STDERR (humans read it in the sbt log):
+    // at 100+ queries it outgrew the driver's stdout tail-capture window and
+    // truncated the metric line mid-JSON. Stdout stays one compact line —
+    // total plus a handful of headline queries — well under 1 KB forever.
+    System.err.println(s"""[bench] per-query: ${dict(results)}""")
+    val headline = Seq("q1_agg", "q_dedup_minhash", "q_ann_topk",
+      "q_asof_join", "q_nested_create", "q_dup_clusters_dist")
+    val qs = dict(results.filter(r => headline.contains(r._1)))
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }

@@ -484,20 +484,26 @@ final class GraftTable(
       keep = keep && col(s"__ex$i").isNull
       tmpCols :+= s"__ex$i"
     }
-    marked = marked.withColumn("__keep", keep).drop(tmpCols: _*).localCheckpoint()
-    // per-slice stats + raw count + null-constraint check in ONE action:
-    // NULL into a non-nullable column is the P2011 equivalent (parquet
-    // itself would happily store it; only surviving rows are checked)
+    // stats + raw count + null-constraint check RIDE THE CHECKPOINT action
+    // as observed metrics — the insert path pays TWO driver actions
+    // (materialize-with-stats, slice write), not three. NULL into a
+    // non-nullable column is the P2011 equivalent (parquet itself would
+    // happily store it; only surviving rows are checked).
     val required = schema.fields.filterNot(_.nullable).map(_.name).toSeq
     val nullViol = required.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
-    val stats = marked.groupBy(partKeyCol.as("__pk"))
-      .agg(count(lit(1)).as("all"),
+    val obs = new org.apache.spark.sql.Observation()
+    marked = marked.withColumn("__keep", keep).drop(tmpCols: _*)
+      .observe(obs,
+        count(lit(1)).as("all"),
         count(when(col("__keep"), 1)).as("n"),
-        count(when(col("__keep") && nullViol, 1)).as("nv")).collect()
-    val rawN = stats.map(_.getLong(1)).sum
-    val n = stats.map(_.getLong(2)).sum
-    val touched = stats.filter(_.getLong(2) > 0).map(_.getString(0)).toSet
-    if (stats.map(_.getLong(3)).sum > 0)
+        count(when(col("__keep") && nullViol, 1)).as("nv"),
+        collect_set(when(col("__keep"), partKeyCol)).as("pks"))
+      .localCheckpoint()
+    val m = obs.get
+    val rawN = m("all").asInstanceOf[Long]
+    val n = m("n").asInstanceOf[Long]
+    val touched = m("pks").asInstanceOf[scala.collection.Seq[String]].toSet
+    if (m("nv").asInstanceOf[Long] > 0)
       throw new NullConstraintException(
         s"$name: NULL in non-nullable column (one of ${required.mkString(",")})")
     if (!skipDuplicates && uniqueKeys.nonEmpty && n < rawN)
@@ -527,12 +533,34 @@ final class GraftTable(
     current.filter(coalesce(Where.compile(where, current.apply), lit(false)))
 
   /** stagedUpdate that also returns the post-update matched slice
-    * (updateManyAndReturn, `effect.ts:527-533`). */
+    * (updateManyAndReturn, `effect.ts:527-533`).
+    *
+    * The matched count and touched-slice stats ride the returned slice's
+    * checkpoint as observed metrics — ONE driver action where the naive
+    * path (stagedUpdate's pkStats + a separate checkpoint) paid three.
+    * Pre-image partition keys are carried through the SET as a projected
+    * column so a partition-moving update still touches both source and
+    * destination slices. */
   private[store] def stagedUpdateReturning(current: DataFrame, where: Where,
                                            set: Map[String, Column]): (Staged, DataFrame) = {
-    val s = stagedUpdate(current, where, set, single = false)
-    val updated = updatedView(current, where, set).localCheckpoint()
-    (s, updated)
+    val cond0 = coalesce(Where.compile(where, current.apply), lit(false))
+    val movesParts = partitionCols.exists(set.contains)
+    val matched = current.filter(cond0).withColumn("__prepk", partKeyCol)
+    val obs = new org.apache.spark.sql.Observation()
+    val obsCols = Seq(count(lit(1)).as("n"), collect_set(col("__prepk")).as("pre")) ++
+      (if (movesParts) Seq(collect_set(partKeyCol).as("post")) else Nil)
+    val updated = withSet(matched, lit(true), set)
+      .observe(obs, obsCols.head, obsCols.tail: _*)
+      .drop("__prepk").localCheckpoint()
+    val m = obs.get
+    def pks(key: String): Set[String] =
+      m(key).asInstanceOf[scala.collection.Seq[String]].toSet
+    val touched = pks("pre") ++ (if (movesParts) pks("post") else Set.empty[String])
+    // materialize the predicate BEFORE any column is rewritten (see
+    // stagedUpdate) — the next-state plan itself stays lazy
+    val withCond = current.withColumn("__upd", cond0)
+    val next = withSet(withCond, col("__upd"), set).drop("__upd")
+    (Staged(next, touched, m("n").asInstanceOf[Long]), updated)
   }
 
   private[store] def stagedUpdate(current: DataFrame, where: Where,
