@@ -990,14 +990,17 @@ object SparkEntry {
       // persistSketch: the batch sketch feeds BOTH sides of the
       // within-batch join plus the vs-corpus probe — uncached it would
       // re-tokenize the batch three times. The pair-sized result is
-      // materialized eagerly so the cache releases with the query.
-      val out = Dedup.minhashIncremental(index, batch, "text", "doc_id",
-          persistSketch = true)
+      // materialized eagerly so the SCOPED release (the Managed handle
+      // unpersists only the sketch this query cached — never the rest of
+      // a shared session's cache) can run inside the query.
+      val managed = Dedup.minhashIncrementalManaged(index, batch, "text", "doc_id",
+        persistSketch = true)
+      val out = managed.df
         .filter(col("dup_of") === col("new_id") - 10000L)
         .select(col("new_id"), col("dup_of"), col("jaccard"))
         .orderBy(col("new_id"))
         .localCheckpoint()
-      s.catalog.clearCache()
+      managed.release()
       out
     }),
 

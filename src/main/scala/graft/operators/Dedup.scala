@@ -254,7 +254,20 @@ object Dedup {
                          textCol: String, idCol: String,
                          k: Int = 3, numHashes: Int = 32,
                          threshold: Double = 0.7,
-                         persistSketch: Boolean = false): DataFrame = {
+                         persistSketch: Boolean = false): DataFrame =
+    minhashIncrementalManaged(index, newDocs, textCol, idCol, k, numHashes,
+      threshold, persistSketch).df
+
+  /** [[minhashIncremental]] returning a [[Managed]] handle: `release()`
+    * unpersists the batch sketch this call cached (no-op when
+    * `persistSketch` is off) — scoped teardown instead of a session-wide
+    * `clearCache()` that would clobber unrelated cached frames in a
+    * shared long-lived session. Call it after materializing `df`. */
+  def minhashIncrementalManaged(index: DataFrame, newDocs: DataFrame,
+                                textCol: String, idCol: String,
+                                k: Int = 3, numHashes: Int = 32,
+                                threshold: Double = 0.7,
+                                persistSketch: Boolean = false): Managed = {
     val b = bandsFor(threshold, numHashes)
     val rows = numHashes / b
     def banded(sigs: DataFrame): DataFrame =
@@ -280,11 +293,12 @@ object Dedup {
       .select(col("new_id"), col("dup_of"), col("sh_a"), col("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    candidates
+    val out = candidates
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("new_id"), col("dup_of"))
       .agg(round(first(col("jaccard")), 4).as("jaccard"))
+    Managed(out, () => if (persistSketch) { newIdx.unpersist(); () })
   }
 
   /** Connected components over dup pairs: label every node with the
@@ -729,13 +743,17 @@ object Dedup {
     val grams = graft.functions.SketchExpressions.shingleHashes(
       TextFunctions.tokens(col(textCol)), n)
     // ONE tokenize+shingle+distinct pass over the benchmark: the
-    // checkpointed gram set serves the size count, the filter build, and
-    // the exact verify join (three consumers; recomputing the heavy scan
-    // per consumer tripled the benchmark-side work). Blocks free on GC.
+    // checkpointed gram set serves the size count (an observed metric
+    // riding the checkpoint action — not a separate count job), the
+    // filter build, and the exact verify join (three consumers;
+    // recomputing the heavy scan per consumer tripled the benchmark-side
+    // work). Blocks free on GC.
+    val obs = new org.apache.spark.sql.Observation()
     val bGrams = benchmark.filter(longEnough)
       .select(explode(grams).as("__g")).distinct()
+      .observe(obs, count(lit(1)).as("nb"))
       .localCheckpoint()
-    val nb = math.max(bGrams.count(), 1L)
+    val nb = math.max(obs.get("nb").asInstanceOf[Long], 1L)
     val bloom = bGrams.stat.bloomFilter("__g", nb, fpp)
     val cGrams = corpus.filter(longEnough)
       .select(col(idCol), explode(grams).as("__g"))

@@ -823,11 +823,17 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       // "remapped to NULL" and commit a dangling FK — Postgres cascades
       // the NULL into the child (the FK then passes as MATCH SIMPLE),
       // unless the child column is NOT NULL, which is its
-      // not_null_violation
-      if (!child.schema(childCol).nullable &&
-          keyMap.filter(col("__new").isNull).limit(1).count() > 0)
-        throw new NullConstraintException(
-          s"${child.name}: ON UPDATE CASCADE would null non-nullable $childCol")
+      // not_null_violation. The violation is raised only for child rows
+      // ACTUALLY cascaded to NULL (a statement nulling key A and moving
+      // key B is fine when children only reference B) — probe the
+      // NULL-new old keys against the child, not the map alone.
+      if (!child.schema(childCol).nullable) {
+        val nullOld = keyMap.filter(col("__new").isNull)
+          .select(col("__old").as(childCol))
+        if (cur.join(nullOld, Seq(childCol), "left_semi").limit(1).count() > 0)
+          throw new NullConstraintException(
+            s"${child.name}: ON UPDATE CASCADE would null non-nullable $childCol")
+      }
       val km = keyMap.withColumn("__hit", lit(true))
       val joined = cur.join(km, cur(childCol) === km("__old"), "left")
       val next = joined
