@@ -637,6 +637,35 @@ object SparkEntry {
         ORDER BY doc_id""")
     }),
 
+    // §2.A #18 write side — the $executeRaw surface
+    // (internal/class.ts:118-153): raw SQL INSERT / UPDATE / DELETE text
+    // parsed by Spark's own parser and routed into the COW store's
+    // staged statement surface, batched in ONE atomic transaction. The
+    // read-back goes through the store snapshot; the oracle is the
+    // declaratively-equivalent single SELECT (DuckDB runs one statement
+    // per gate) over the same input slice.
+    "q_exec_raw" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      Tables.registerViews(s, dir)
+      val cat = new graft.store.Catalog(
+        java.nio.file.Files.createTempDirectory("graft-execraw-q").toString)
+      val acct = new graft.store.GraftTable(s, cat, "acct", StructType(Seq(
+        StructField("custkey", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("segment", StringType, nullable = true),
+        StructField("bal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("custkey")))
+      graft.store.ExecuteRaw.executeMany(s, Map("acct" -> acct), Seq(
+        """INSERT INTO acct
+           SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 500""",
+        "UPDATE acct SET bal = bal * 1.1, segment = 'VIP' WHERE bal > 5000",
+        "DELETE FROM acct WHERE bal < 0"))
+      acct.snapshot()
+        .select(col("custkey"), col("name"), col("segment"), col("bal"))
+        .orderBy(col("custkey"))
+    }),
+
     // §2.E scalar functions: regexp extraction, trim, coalesce defaulting,
     // string assembly (the extractGooglePlaces.ts:272-276 shapes).
     "q_scalar_funcs" -> ((s, dir) =>
@@ -1915,6 +1944,24 @@ object SparkEntry {
                  '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         FROM documents WHERE doc_id < 200)
       ORDER BY doc_id""",
+
+    // the INSERT/UPDATE/DELETE sequence as one declarative SELECT: the
+    // UPDATE's SET expressions both read the PRE-update row (SQL UPDATE
+    // semantics), and the DELETE keeps NULL-predicate rows
+    "q_exec_raw" -> """
+      WITH ins AS (
+        SELECT c_custkey AS custkey, c_name AS name,
+               c_mktsegment AS segment, c_acctbal AS bal
+        FROM customer WHERE c_custkey <= 500
+      ), upd AS (
+        SELECT custkey, name,
+               CASE WHEN bal > 5000 THEN 'VIP' ELSE segment END AS segment,
+               CASE WHEN bal > 5000 THEN bal * 1.1 ELSE bal END AS bal
+        FROM ins
+      )
+      SELECT custkey, name, segment, bal FROM upd
+      WHERE NOT coalesce(bal < 0, FALSE)
+      ORDER BY custkey""",
 
     "q_token_budget" -> """
       SELECT doc_id,

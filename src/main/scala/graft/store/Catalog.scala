@@ -209,9 +209,23 @@ final class Catalog(val root: String) {
     * holding a snapshot resolved up to `retainMs` ago stay readable — the
     * standard time-travel/GC retention contract (Iceberg/Delta do the
     * same). `0` reclaims everything not current (only safe when no reader
-    * holds an old snapshot). */
-  def vacuum(retainMs: Long = 0): Unit = {
+    * holds an old snapshot).
+    *
+    * `keepHistory`: opt-in cap on archived `_history` manifests — keep
+    * only the newest N commit entries (the current commit is always kept,
+    * so the cap clamps to ≥ 1). History files are tiny JSON but unbounded
+    * in a long-lived store; the default keeps all of them. `manifestAt`/
+    * `snapshotAt` on a reclaimed commit id throws the documented
+    * RecordNotFoundException ("no commit <id>"). */
+  def vacuum(retainMs: Long = 0, keepHistory: Int = Int.MaxValue): Unit = {
     val cur = manifest()
+    if (keepHistory != Int.MaxValue && Files.exists(historyDir)) {
+      val ids = listDir(historyDir).map(_.getFileName.toString)
+        .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+        .sorted(Ordering[Long].reverse)
+      ids.drop(math.max(keepHistory, 1))
+        .foreach(id => Files.deleteIfExists(historyDir.resolve(s"$id.json")))
+    }
     val cutoff = System.currentTimeMillis() - retainMs
     if (Files.exists(rootPath)) {
       listDir(rootPath)

@@ -410,17 +410,22 @@ final class GraftTable(
   /** Apply a SET clause to rows where `cond` holds (untouched rows pass
     * through); `updatedAt` is touched on matched rows. The caller must have
     * materialized `cond` into a column BEFORE this rewrites anything the
-    * predicate references. */
+    * predicate references.
+    *
+    * ONE simultaneous projection, not a per-column fold: every SET
+    * expression evaluates against the PRE-update row, so
+    * `SET a = b, b = a` swaps (Postgres semantics) instead of reading a
+    * half-rewritten row. */
   private def withSet(df: DataFrame, cond: Column, set: Map[String, Column]): DataFrame =
-    df.columns.foldLeft(df) { (d, c) =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       set.get(c) match {
-        case Some(newVal) => d.withColumn(c, when(cond, newVal).otherwise(col(c)))
-        case None if schema.fieldNames.contains("updatedAt") && c == "updatedAt" &&
+        case Some(newVal) => when(cond, newVal).otherwise(col(c)).as(c)
+        case None if c == "updatedAt" && schema.fieldNames.contains("updatedAt") &&
           timestampCols.contains("updatedAt") =>
-          d.withColumn(c, when(cond, current_timestamp()).otherwise(col(c)))
-        case None => d
+          when(cond, current_timestamp()).otherwise(col(c)).as(c)
+        case None => col(c)
       }
-    }
+    }: _*)
 
   private[store] def stagedCreate(current: DataFrame, rows: DataFrame,
                                   failOnDup: Boolean): Staged =

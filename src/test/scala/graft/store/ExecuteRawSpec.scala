@@ -1,0 +1,109 @@
+package graft.store
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `\$executeRaw` analog: raw SQL mutations parsed by Spark's own parser
+  * and routed into the copy-on-write store statement surface. */
+class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshCatalog(): Catalog =
+    new Catalog(java.nio.file.Files.createTempDirectory("graft-execraw").toString)
+
+  private def acctTable(cat: Catalog): GraftTable =
+    new GraftTable(spark, cat, "acct", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("bal", DoubleType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+
+  test("INSERT VALUES, UPDATE with WHERE, DELETE round-trip") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    val n1 = ExecuteRaw.execute(spark, tabs,
+      "INSERT INTO acct VALUES (1, 'a', 10.0), (2, 'b', -5.0), (3, 'c', 100.0)")
+    assert(n1 == 3)
+    val n2 = ExecuteRaw.execute(spark, tabs,
+      "UPDATE acct SET bal = bal * 2, name = 'big' WHERE bal > 50")
+    assert(n2 == 1)
+    val n3 = ExecuteRaw.execute(spark, tabs, "DELETE FROM acct WHERE bal < 0")
+    assert(n3 == 1)
+    val out = t.snapshot().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (3L, "big", 200.0)))
+  }
+
+  test("INSERT with a column list defaults unnamed columns to NULL") {
+    val t = acctTable(freshCatalog())
+    val n = ExecuteRaw.execute(spark, Map("acct" -> t),
+      "INSERT INTO acct (id, name) VALUES (7, 'x')")
+    assert(n == 1)
+    val r = t.snapshot().collect().head
+    assert(r.getLong(0) == 7L && r.getString(1) == "x" && r.isNullAt(2))
+  }
+
+  test("INSERT INTO ... SELECT over a temp view is distributed end to end") {
+    val t = acctTable(freshCatalog())
+    Seq((10L, "p", 1.5), (11L, "q", 2.5)).toDF("k", "nm", "v")
+      .createOrReplaceTempView("exec_raw_src")
+    val n = ExecuteRaw.execute(spark, Map("acct" -> t),
+      "INSERT INTO acct SELECT k, nm, v * 10 FROM exec_raw_src WHERE v > 2")
+    assert(n == 1)
+    assert(t.snapshot().collect().head.getDouble(2) == 25.0)
+  }
+
+  test("UPDATE SET a=b, b=a swaps against the pre-update row") {
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "pair", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", LongType, nullable = true),
+      StructField("b", LongType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    t.createMany(Seq((1L, 10L, 20L)).toDF("id", "a", "b"))
+    ExecuteRaw.execute(spark, Map("pair" -> t), "UPDATE pair SET a = b, b = a")
+    val r = t.snapshot().collect().head
+    assert(r.getLong(1) == 20L && r.getLong(2) == 10L)
+  }
+
+  test("batched statements stage in one transaction and publish atomically") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    val ns = ExecuteRaw.executeMany(spark, tabs, Seq(
+      "INSERT INTO acct VALUES (1, 'a', 1.0)",
+      "UPDATE acct SET bal = 2.0 WHERE id = 1"))
+    assert(ns == Seq(1L, 1L))
+    assert(t.snapshot().collect().head.getDouble(2) == 2.0)
+    // a failing statement in the batch publishes NOTHING
+    intercept[Exception] {
+      ExecuteRaw.executeMany(spark, tabs, Seq(
+        "DELETE FROM acct WHERE id = 1",
+        "INSERT INTO missing_table VALUES (9)"))
+    }
+    assert(t.snapshot().count() == 1) // the delete was rolled back
+  }
+
+  test("unique and FK machinery applies to raw statements") {
+    val cat = freshCatalog()
+    val t = acctTable(cat)
+    ExecuteRaw.execute(spark, Map("acct" -> t),
+      "INSERT INTO acct VALUES (1, 'a', 1.0)")
+    intercept[UniqueViolationException] {
+      ExecuteRaw.execute(spark, Map("acct" -> t),
+        "INSERT INTO acct VALUES (1, 'dup', 2.0)")
+    }
+  }
+
+  test("non-mutation and unknown-table statements are refused") {
+    val t = acctTable(freshCatalog())
+    intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, Map("acct" -> t), "SELECT * FROM acct")
+    }
+    intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, Map("acct" -> t),
+        "INSERT INTO nope VALUES (1, 'a', 1.0)")
+    }
+  }
+}

@@ -79,4 +79,24 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     assert(a.snapshotAt(before + 1).count() == 1)
     assert(b.snapshotAt(before + 1).count() == 1)
   }
+
+  test("vacuum(keepHistory) reclaims old commit manifests, never the current") {
+    val t = table()
+    t.createMany(Seq((1L, "a")).toDF("id", "v"))
+    t.updateMany(graft.query.RawCol(col("id") === 1L), Map("v" -> lit("b")))
+    t.updateMany(graft.query.RawCol(col("id") === 1L), Map("v" -> lit("c")))
+    val cur = t.catalog.currentCommitId()
+    assert(cur == 3L)
+    t.catalog.vacuum(retainMs = Long.MaxValue, keepHistory = 2)
+    // oldest commit's manifest reclaimed → documented P2025
+    val e = intercept[RecordNotFoundException](t.snapshotAt(1L))
+    assert(e.code == "P2025")
+    // newest two still travel exactly (slices retained by retainMs)
+    assert(t.snapshotAt(2L).select($"v").as[String].head() == "b")
+    assert(t.snapshotAt(cur).select($"v").as[String].head() == "c")
+    // a cap below 1 still refuses to drop the current commit
+    t.catalog.vacuum(retainMs = Long.MaxValue, keepHistory = 0)
+    assert(t.snapshotAt(cur).select($"v").as[String].head() == "c")
+    assert(t.catalog.currentCommitId() == cur)
+  }
 }
