@@ -96,6 +96,51 @@ class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("typo'd or duplicate column lists are errors, not silent NULLs") {
+    val t = acctTable(freshCatalog())
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, Map("acct" -> t),
+        "INSERT INTO acct (id, nam) VALUES (1, 'x')")
+    }
+    assert(e.getMessage.contains("unknown column nam"))
+    intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, Map("acct" -> t),
+        "INSERT INTO acct (id, id) VALUES (1, 2)")
+    }
+    assert(t.snapshot().count() == 0)
+  }
+
+  test("identifiers resolve case-insensitively to declared names") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    assert(ExecuteRaw.execute(spark, tabs,
+      "INSERT INTO Acct (ID, Name, BAL) VALUES (1, 'x', 3.0)") == 1)
+    assert(ExecuteRaw.execute(spark, tabs,
+      "UPDATE ACCT SET Bal = 4.0 WHERE id = 1") == 1)
+    val r = t.snapshot().collect().head
+    assert(r.getLong(0) == 1L && r.getDouble(2) == 4.0)
+  }
+
+  test("INSERT BY NAME maps by source column names, not position") {
+    val t = acctTable(freshCatalog())
+    val n = ExecuteRaw.execute(spark, Map("acct" -> t),
+      "INSERT INTO acct BY NAME SELECT 5.5 AS bal, 7 AS id, 'x' AS name")
+    assert(n == 1)
+    val r = t.snapshot().collect().head
+    assert(r.getLong(0) == 7L && r.getString(1) == "x" && r.getDouble(2) == 5.5)
+  }
+
+  test("tables spanning several catalogs are refused") {
+    val a = acctTable(freshCatalog())
+    val other = new GraftTable(spark, freshCatalog(), "other", StructType(Seq(
+      StructField("id", LongType, nullable = false))), uniqueKeys = Seq(Seq("id")))
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, Map("acct" -> a, "other" -> other),
+        "INSERT INTO other VALUES (1)")
+    }
+    assert(e.getMessage.contains("multiple catalogs"))
+  }
+
   test("non-mutation and unknown-table statements are refused") {
     val t = acctTable(freshCatalog())
     intercept[IllegalArgumentException] {
