@@ -973,6 +973,42 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("shard").cast("long").as("shard"))
         .orderBy(col("doc_id"))),
 
+    // Token-BALANCED sharding: shards cut on a cumulative token budget
+    // (what the trainer's loader wants), via the two-pass distributed
+    // prefix sum — sum() OVER (ORDER BY ...) semantics with no
+    // single-reducer window.
+    "q_shard_budget" -> ((s, dir) =>
+      operators.Packing.assignShardsByTokenBudget(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+          Seq(col("source"), col("doc_id")), col("n_tok"), budget = 5000L)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("shard"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style rule filtering (Rae et al. 2021 §A1.1): per-doc
+    // surface stats + pass/fail verdict, pure codegen'd column algebra —
+    // the narrow scan-side filter a 1000-executor read applies for free.
+    "q_gopher" -> ((s, dir) =>
+      operators.QualityRules.gopherStats(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text", operators.QualityRules.Thresholds(minWords = 40, minStopwordHits = 1))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          col("sw_hits"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // Out-of-vocabulary rate vs the corpus's own top-500 vocabulary
+    // (CCNet-style curation signal, minus the LM): one tokenize pass,
+    // TakeOrdered vocabulary, broadcast probe — the corpus never
+    // self-joins or shuffles twice.
+    "q_oov" -> ((s, dir) =>
+      operators.CorpusAudit.oovRate(Tables.documents(s, dir), "text",
+          "doc_id", vocabSize = 20)
+        .select(col("doc_id"), col("n_tokens"), col("oov"), col("oov_rate"))
+        .orderBy(col("doc_id"))),
+
     // Exact dedup: byte-exact winners via md5-keyed first-row-per-group.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactByKey(Tables.documents(s, dir), md5(col("text")), "doc_id")
@@ -2183,6 +2219,88 @@ object SparkEntry {
     "q_lang_dist" -> """
       SELECT lang, count(*) AS n FROM documents
       GROUP BY lang ORDER BY n DESC, lang""",
+
+    // DuckDB sum() windows type as HUGEINT — cast the floor-div back
+    "q_shard_budget" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+        FROM documents
+      )
+      SELECT doc_id, source, n_tok,
+        CAST((sum(n_tok) OVER (ORDER BY source, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 5000 AS BIGINT) AS shard
+      FROM t ORDER BY doc_id""",
+
+    // mirrors QualityRules.gopherStats expression for expression: the
+    // substring counts use the portable (len - len(replace))/len(t)
+    // form, every ratio divides the same exact-integer doubles
+    "q_gopher" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+          CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
+          regexp_split_to_array(trim(text), '\s+') AS words,
+          list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+            x -> len(x) > 0) AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id, n_words,
+          CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE) END AS mean_word_len,
+          CASE WHEN n_words = 0 THEN 0.0
+               ELSE ((len(text) - len(replace(text, '#', ''))) / 1
+                     + (len(text) - len(replace(text, '...', ''))) / 3)
+                    / CAST(n_words AS DOUBLE) END AS symbol_ratio,
+          CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE) END AS alpha_frac,
+          CAST(len(list_intersect(toks,
+            ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS sw_hits,
+          CAST(len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+            / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS bullet_frac,
+          CAST(len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+            / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS ellipsis_frac
+        FROM t
+      )
+      SELECT doc_id, n_words,
+             round(mean_word_len, 6) AS mean_word_len,
+             round(symbol_ratio, 6) AS symbol_ratio,
+             round(alpha_frac, 6) AS alpha_frac,
+             sw_hits,
+             (n_words BETWEEN 40 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND symbol_ratio <= 0.1
+              AND alpha_frac >= 0.8
+              AND sw_hits >= 1
+              AND bullet_frac <= 0.9
+              AND ellipsis_frac <= 0.3) AS keep
+      FROM s ORDER BY doc_id""",
+
+    "q_oov" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+          x -> len(x) > 0)) AS t
+        FROM documents
+      ), vocab AS (
+        SELECT t FROM (
+          SELECT t, count(*) AS c FROM toks GROUP BY t
+          ORDER BY c DESC, t ASC LIMIT 20)
+      ), per AS (
+        SELECT k.doc_id,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(count(CASE WHEN v.t IS NULL THEN 1 END) AS BIGINT) AS oov
+        FROM toks k LEFT JOIN vocab v USING (t)
+        GROUP BY k.doc_id
+      )
+      SELECT doc_id, n_tokens, oov,
+             round(oov / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+      FROM per ORDER BY doc_id""",
 
     "q_sharding" -> """
       SELECT doc_id, source,

@@ -57,6 +57,37 @@ object CorpusAudit {
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
   }
 
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * vocabulary — the cheap "is this document made of normal words?"
+    * curation signal (CCNet-style, minus the LM).
+    *
+    * Scale shape: ONE tokenize+explode pass feeds a two-level count
+    * aggregation; the vocabulary is `vocabSize` rows taken with
+    * TakeOrdered (map-side bounded heaps, no global sort) and
+    * BROADCAST back against the token stream — the corpus-sized side is
+    * never shuffled twice and never self-joined. Ties at the boundary
+    * break deterministically (count desc, token asc).
+    *
+    * @return (idCol, n_tokens, oov, oov_rate) — one row per document
+    *         with at least one token; oov_rate 6-decimal rounded
+    */
+  def oovRate(docs: DataFrame, textCol: String, idCol: String,
+              vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs
+      .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__t"))
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__t").asc)
+      .limit(vocabSize)
+      .select(col("__t"), lit(true).as("__in"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("oov"))
+      .withColumn("oov_rate",
+        round(col("oov") / col("n_tokens").cast("double"), 6))
+  }
+
   /** Word n-grams of `textCol` under a plain single-space split, for
     * callers without a staged gram column (the oracle-portable
     * tokenization). The token array is projected ONCE before the

@@ -74,4 +74,25 @@ object Packing {
       .withColumn("shard", expr(s"__pos div $rowsPerShard"))
       .drop("__pos")
   }
+
+  /** Token-BALANCED shard assignment: shards cut on a cumulative token
+    * budget instead of a row count, so a shard of short tweets and a
+    * shard of book chapters carry the same training cost — what the
+    * trainer's data loader actually wants from its shards. A document is
+    * never split: doc d lands in shard `floor(prefix_before(d) /
+    * budget)` of the global (sortCols) order — `sum(tokens) OVER
+    * (ORDER BY …)` semantics, computed by [[Ranking]]'s two-pass prefix
+    * sum (per-partition subtotals to the driver; no single-reducer
+    * window). Oversized documents (> budget tokens) get a shard of their
+    * own and spill the boundary forward, exactly like the SQL window
+    * formulation. */
+  def assignShardsByTokenBudget(df: DataFrame, sortCols: Seq[Column],
+                                tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val v = coalesce(tokensCol.cast("long"), lit(0L))
+    Ranking.withGlobalPrefixSum(df, "__cum", tokensCol, sortCols)
+      .withColumn("__before", col("__cum") - v)
+      .withColumn("shard", expr(s"__before div $budget"))
+      .drop("__cum", "__before")
+  }
 }

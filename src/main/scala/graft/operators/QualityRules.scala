@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Gopher-style rule-based quality filtering (Rae et al. 2021 §A1.1, the
+  * heuristics RefinedWeb/Dolma reuse): per-document surface statistics
+  * with pass/fail thresholds. Everything is built-in codegen'd column
+  * algebra over one pass of the text — no UDFs, no shuffle; the filter is
+  * a narrow map a 1000-executor scan applies at read time.
+  *
+  * Stats (all engine-portable, mirrored exactly by the DuckDB oracle):
+  *   - `n_words`         whitespace token count
+  *   - `mean_word_len`   mean whitespace-token length
+  *   - `symbol_ratio`    ("#" + "...") occurrences per word
+  *   - `alpha_frac`      fraction of words containing an ASCII letter
+  *   - `sw_hits`         distinct hits from a small stopword probe list
+  *   - `bullet_frac`     fraction of lines starting with a bullet
+  *   - `ellipsis_frac`   fraction of lines ending with an ellipsis
+  */
+object QualityRules {
+
+  /** The Gopher probe stopwords (the paper uses exactly such a tiny
+    * presence list — fluency evidence, not coverage). */
+  val probeStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  final case class Thresholds(
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwordHits: Long = 2,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3)
+
+  /** Substring occurrence count — `(len(s) - len(replace(s, t, ''))) /
+    * len(t)`, the engine-portable formulation. */
+  private def occurrences(c: Column, t: String): Column =
+    (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(t), ""))) / t.length
+
+  /** Append the stat columns plus a `keep` verdict. */
+  def gopherStats(df: DataFrame, textCol: String,
+                  th: Thresholds = Thresholds()): DataFrame = {
+    val text = col(textCol)
+    val words = split(trim(text), "\\s+")
+    val nWords = when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(words).cast("long"))
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
+        nWords.cast("double"))
+    val symbols = (occurrences(text, "#") + occurrences(text, "...")).cast("double")
+    val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(symbols / nWords.cast("double"))
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") /
+        nWords.cast("double"))
+    val swHits = size(array_intersect(
+      array(probeStopwords.map(lit): _*),
+      TextFunctions.tokens(text))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l =>
+        ltrim(l).rlike("^[-*•]"))).cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, lit(0.0))
+      .otherwise(size(filter(lines, l =>
+        rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("sw_hits", swHits)
+      .withColumn("bullet_frac", bulletFrac)
+      .withColumn("ellipsis_frac", ellipsisFrac)
+      .withColumn("keep",
+        col("n_words").between(th.minWords, th.maxWords) &&
+          col("mean_word_len").between(th.minMeanWordLen, th.maxMeanWordLen) &&
+          col("symbol_ratio") <= th.maxSymbolRatio &&
+          col("alpha_frac") >= th.minAlphaFrac &&
+          col("sw_hits") >= th.minStopwordHits &&
+          col("bullet_frac") <= th.maxBulletFrac &&
+          col("ellipsis_frac") <= th.maxEllipsisFrac)
+  }
+
+  /** The cleaned corpus: rows passing every rule. */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   th: Thresholds = Thresholds()): DataFrame =
+    gopherStats(df, textCol, th).filter(col("keep"))
+      .drop("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "sw_hits", "bullet_frac", "ellipsis_frac", "keep")
+}

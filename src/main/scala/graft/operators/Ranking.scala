@@ -45,6 +45,45 @@ object Ranking {
     pos.withColumn(tileCol, (bucket + 1).cast("long")).drop("__gr_pos")
   }
 
+  /** Append an INCLUSIVE global running sum of `valueCol` (a non-negative
+    * long) over the `sortCols` order — `sum(v) OVER (ORDER BY … ROWS
+    * UNBOUNDED PRECEDING)` without the single-reducer window. Same
+    * two-pass shape as [[withGlobalPosition]]: per-partition sums are
+    * numPartitions longs to the driver, pass two adds the partition
+    * prefix to a partition-local running sum. Ties must be broken by
+    * `sortCols` itself for deterministic output. */
+  def withGlobalPrefixSum(df: DataFrame, outCol: String, valueCol: Column,
+                          sortCols: Seq[Column], numPartitions: Int = 32): DataFrame = {
+    val tmp = "__gps_v"
+    val withV = df.withColumn(tmp, coalesce(valueCol.cast("long"), lit(0L)))
+    val sorted = withV.repartitionByRange(numPartitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val vIdx = sorted.schema.fieldIndex(tmp)
+    // pin ONE rdd so both passes see the same range boundaries (below)
+    val rdd = org.apache.spark.sql.graftbridge.InternalRowBridge.toRdd(sorted)
+    val sums = rdd.mapPartitions(it => {
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(vIdx)
+      Iterator(s)
+    }, true).collect()
+    val offsets = sums.scanLeft(0L)(_ + _).init
+    val withSum = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val sumRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      var s = offsets(pid)
+      it.map[org.apache.spark.sql.catalyst.InternalRow] { row =>
+        s += row.getLong(vIdx)
+        sumRow.setLong(0, s)
+        joined(row, sumRow)
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    org.apache.spark.sql.graftbridge.InternalRowBridge.fromRdd(
+      df.sparkSession, withSum, outSchema).drop(tmp)
+  }
+
   private def positioned(df: DataFrame, posCol: String, sortCols: Seq[Column],
                          numPartitions: Int): (DataFrame, Long) = {
     val sorted = df.repartitionByRange(numPartitions, sortCols: _*)

@@ -44,4 +44,42 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window ["),
       "ranking should not plan a window operator:\n" + plan)
   }
+
+  test("withGlobalPrefixSum matches the single-reducer running-sum window") {
+    val df = spark.range(777)
+      .select((col("id") * 53 % 211).as("v"), col("id"),
+        (col("id") % 17).as("w"))
+    val expected = df.withColumn("s",
+        sum(col("w")).over(Window.orderBy(col("v"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val actual = Ranking.withGlobalPrefixSum(df, "s", col("w"),
+        Seq(col("v"), col("id")), numPartitions = 8)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(actual == expected)
+    // null values count as zero
+    val withNulls = df.withColumn("w",
+      when(col("id") % 3 === 0, lit(null)).otherwise(col("w")))
+    val total = Ranking.withGlobalPrefixSum(withNulls, "s", col("w"),
+        Seq(col("v"), col("id"))).agg(max("s")).head().getLong(0)
+    val direct = withNulls.agg(sum(coalesce(col("w"), lit(0L)))).head().getLong(0)
+    assert(total == direct)
+  }
+
+  test("token-budget shards are contiguous, budget-bounded, and split no doc") {
+    val df = spark.range(300).select(col("id"),
+      ((col("id") * 7919 % 97) + 1).as("tok"))
+    val out = Packing.assignShardsByTokenBudget(df, Seq(col("id")),
+      col("tok"), budget = 500L).orderBy("id").collect()
+    val shards = out.map(_.getLong(2))
+    // contiguous non-decreasing assignment over the global order
+    assert(shards.sameElements(shards.sorted))
+    // each shard's token total stays under budget + one doc spill
+    val byShard = out.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum)
+    byShard.toSeq.sortBy(_._1).init.foreach { case (sh, tot) =>
+      assert(tot <= 500L + 97L, s"shard $sh overfilled: $tot") }
+    // every shard except possibly the last is at least budget-minus-one-doc full
+    byShard.toSeq.sortBy(_._1).init.foreach { case (sh, tot) =>
+      assert(tot >= 500L - 97L, s"shard $sh underfilled: $tot") }
+  }
 }
