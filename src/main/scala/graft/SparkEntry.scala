@@ -55,6 +55,16 @@ object SparkEntry {
   // compare sees bit-identical float64 on both sides.
   private def decSum(c: org.apache.spark.sql.Column) = sum(dec(c)).cast("double")
 
+  /** The local test corpus is ONE parquet row group, so its scan yields a
+    * single partition and every CPU-heavy kernel downstream (tokenize,
+    * shingle, minhash, hyperplane projections) runs on one core. A real
+    * corpus arrives in thousands of splits; this restores the parallelism
+    * the scan would naturally have. Applied ONLY to kernel-heavy inputs —
+    * the payload shuffled here is the raw column data (trivial at test
+    * scale, unnecessary at cluster scale where the scan already splits). */
+  private def par(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   /** TPC-H Q1 shape: scan-side filter, groupBy, decimal-exact aggregates. */
   private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -712,7 +722,7 @@ object SparkEntry {
       // via two-level aggregation instead of count(distinct): no Expand,
       // both shuffles gram-keyed
       val grams = operators.CorpusAudit.wordGrams(
-          Tables.documents(s, dir), "text", n = 3, keep = Seq(col("doc_id")))
+          par(s, Tables.documents(s, dir)), "text", n = 3, keep = Seq(col("doc_id")))
         .select(col("doc_id"), col("gram").as("g"))
       grams
         .groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("__c"))
@@ -739,7 +749,7 @@ object SparkEntry {
     // per gram), never a corpus-sized gram self-join.
     "q_source_overlap" -> ((s, dir) => {
       val grams = operators.CorpusAudit.wordGrams(
-        Tables.documents(s, dir), "text", n = 3, keep = Seq(col("source")))
+        par(s, Tables.documents(s, dir)), "text", n = 3, keep = Seq(col("source")))
       operators.CorpusAudit.sourceOverlap(grams, "source", "gram")
         .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
           col("inter"), col("jaccard"))
@@ -938,7 +948,7 @@ object SparkEntry {
     // under the English-slice LM vs the full-corpus LM. One gram scan,
     // one 1024-row LM aggregation broadcast back, one per-doc aggregation.
     "q_dsir" -> ((s, dir) =>
-      operators.Importance.dsirWeights(Tables.documents(s, dir),
+      operators.Importance.dsirWeights(par(s, Tables.documents(s, dir)),
           "doc_id", "text", isTarget = col("lang") === "en", buckets = 1024)
         .orderBy(col("doc_id"))),
 
@@ -1022,7 +1032,7 @@ object SparkEntry {
     // and still exactly SQL-expressible.
     "q_segment_dedup" -> ((s, dir) =>
       Dedup.segmentDedup(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          par(s, Tables.documents(s, dir).select(col("doc_id"), col("text"))),
           "text", "doc_id", segTokens = 8, maxDocFreq = 1)
         .select(col("doc_id"), col("text"),
           col("droppedSegments").as("n_dropped"))
@@ -1049,7 +1059,14 @@ object SparkEntry {
     // shingle sets). Organic matches are filtered to the planted diff,
     // as in q_dedup_minhash.
     "q_dedup_incr" -> ((s, dir) => {
+      // the test corpus is ONE parquet row group → the scan yields one
+      // partition and the CPU-heavy sketch kernel runs single-threaded; a
+      // real corpus arrives in thousands of splits, so restore the
+      // parallelism the scan would naturally have before sketching (the
+      // shuffled payload is the raw text — trivial here, unnecessary at
+      // scale where the repartition becomes a no-op choice)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
       val index = Dedup.minhashIndex(docs, "text", "doc_id")
       val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       // persistSketch: the batch sketch feeds BOTH sides of the
@@ -1285,6 +1302,42 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Streaming exact dedup through the REAL dropDuplicatesWithinWatermark
+    // state machinery (the in-stream ingest dedup a 100 TB pipeline runs
+    // before anything else touches the batch): one row survives per
+    // (user_id, event_type) key. WHICH physical row survives is
+    // partition-order-dependent, so only the KEY COLUMNS are emitted —
+    // that projection is deterministic and the oracle is SELECT DISTINCT.
+    "q_stream_dedup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qsd").toString
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      def tsToMicros(name: String): org.apache.spark.sql.Column =
+        raw.schema(name).dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr(s"`$name` div 1000"))
+          case _ => col(name)
+        }
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque[t]")
+        .select(tsToMicros("ts").as("ts"), col("user_id"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val out = tmp + "/dedup"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", tmp + "/ckpt").start()
+        q.awaitTermination(180000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.read.parquet(out).orderBy(col("user_id"), col("event_type"))
+    }),
+
     // MinHash-LSH near-dedup: corpus ∪ id-shifted copy — every copy is a
     // guaranteed jaccard-1.0 duplicate of its original; the recovered
     // (id, id+10000) pairs are the oracle-checkable slice (the corpus also
@@ -1293,7 +1346,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-      Dedup.minhashLshPairs(docs.unionByName(copies), "text", "doc_id",
+      Dedup.minhashLshPairs(par(s, docs.unionByName(copies)), "text", "doc_id",
         threshold = 0.7)
         .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
@@ -1304,7 +1357,7 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-      Dedup.simhashPairs(docs.unionByName(copies), "text", "doc_id",
+      Dedup.simhashPairs(par(s, docs.unionByName(copies)), "text", "doc_id",
         maxHamming = 0)
         .filter(col("id_b") === col("id_a") + 10000L && col("id_a") < 10000L)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"))
@@ -1326,7 +1379,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val c1 = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       val c2 = docs.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
-      val all = docs.unionByName(c1).unionByName(c2)
+      val all = par(s, docs.unionByName(c1).unionByName(c2))
       val diff = col("id_b") - col("id_a")
       val pairs = Dedup.minhashLshPairs(all, "text", "doc_id",
           threshold = 0.7)
@@ -1355,7 +1408,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val c1 = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       val c2 = docs.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
-      val all = docs.unionByName(c1).unionByName(c2)
+      val all = par(s, docs.unionByName(c1).unionByName(c2))
       val diff = col("id_b") - col("id_a")
       val pairs = Dedup.minhashLshPairs(all, "text", "doc_id",
           threshold = 0.7)
@@ -1381,7 +1434,7 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val copies = emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
-      Dedup.embeddingNearDupPairs(emb.unionByName(copies), "embedding", "vec_id",
+      Dedup.embeddingNearDupPairs(par(s, emb.unionByName(copies)), "embedding", "vec_id",
         dim = 64, threshold = 0.999, numPlanes = 16)
         .select(col("id_a"), col("id_b")).orderBy(col("id_a"), col("id_b"))
     }),
@@ -1415,7 +1468,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val c1 = emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
       val c2 = emb.select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
-      val all = emb.unionByName(c1).unionByName(c2)
+      val all = par(s, emb.unionByName(c1).unionByName(c2))
       val diff = col("id_b") - col("id_a")
       val pairs = Dedup.embeddingNearDupPairs(all, "embedding", "vec_id",
           dim = 64, threshold = 0.999, numPlanes = 16)
@@ -1442,7 +1495,7 @@ object SparkEntry {
     // (the exact pair set depends on the hash family; the planted-copy
     // slice is oracle-checked by q_dedup_minhash).
     "q_near_dup_audit" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "text", "doc_id",
+      Dedup.minhashLshPairs(par(s, Tables.documents(s, dir)), "text", "doc_id",
         threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -1450,7 +1503,7 @@ object SparkEntry {
     // dedup, with per-gate drop accounting (rows-only: quality/lang
     // heuristics are not SQL-expressible; behavior is spec-tested).
     "q_curation" -> ((s, dir) =>
-      Curation.report(Tables.documents(s, dir), "text", "doc_id",
+      Curation.report(par(s, Tables.documents(s, dir)), "text", "doc_id",
         Curation.Config(minQuality = 0.4, minTokens = 5, nearDupThreshold = 0.8))),
 
     // IVF ANN: self-hit at rank 1 is deterministic (a query identical to a
@@ -2555,6 +2608,11 @@ object SparkEntry {
       FROM events
       GROUP BY 1, 2
       ORDER BY win_start, event_type""",
+
+    "q_stream_dedup" -> """
+      SELECT DISTINCT user_id, event_type
+      FROM events
+      ORDER BY user_id, event_type""",
 
     "q_stream_store" -> """
       SELECT doc_id,
