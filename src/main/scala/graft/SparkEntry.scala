@@ -1509,7 +1509,7 @@ object SparkEntry {
     // IVF ANN: self-hit at rank 1 is deterministic (a query identical to a
     // corpus vector lands in its own probed centroid; cosine 1.0 wins).
     "q_ann_ivf" -> ((s, dir) => {
-      val corpus = Tables.embeddings(s, dir)
+      val corpus = par(s, Tables.embeddings(s, dir))
       val queries = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
       Similarity.ivfTopK(corpus, queries, "embedding", "vec_id", "qid",

@@ -141,6 +141,35 @@ class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("multiple catalogs"))
   }
 
+  test("raw statements drive the full referential machinery") {
+    val cat = freshCatalog()
+    val parent = new GraftTable(spark, cat, "client", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    val child = new GraftTable(spark, cat, "event", StructType(Seq(
+      StructField("eid", LongType, nullable = false),
+      StructField("client_id", LongType, nullable = true))),
+      uniqueKeys = Seq(Seq("eid")))
+    parent.onDeleteCascade(child, "client_id", "id")
+    val tabs = Map("client" -> parent, "event" -> child)
+    ExecuteRaw.executeMany(spark, tabs, Seq(
+      "INSERT INTO client VALUES (1, 'a'), (2, 'b')",
+      "INSERT INTO event VALUES (10, 1), (11, 1), (12, 2)"))
+    // dangling FK through raw SQL is P2003
+    intercept[ForeignKeyViolationException] {
+      ExecuteRaw.execute(spark, tabs, "INSERT INTO event VALUES (13, 99)")
+    }
+    // ON UPDATE CASCADE: renaming the referenced key remaps children
+    assert(ExecuteRaw.execute(spark, tabs,
+      "UPDATE client SET id = 5 WHERE id = 1") == 1)
+    assert(child.snapshot().filter(col("client_id") === 5L).count() == 2)
+    // ON DELETE CASCADE through a raw DELETE drops the referencing rows
+    assert(ExecuteRaw.execute(spark, tabs, "DELETE FROM client WHERE id = 5") == 1)
+    assert(child.snapshot().count() == 1)
+    assert(child.snapshot().head().getLong(0) == 12L)
+  }
+
   test("non-mutation and unknown-table statements are refused") {
     val t = acctTable(freshCatalog())
     intercept[IllegalArgumentException] {
