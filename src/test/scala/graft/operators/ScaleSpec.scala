@@ -142,4 +142,24 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.filter($"status" <=> true).count() == 1)
     assert(snap.filter($"status".isNull).count() == 0)
   }
+
+  test("prefix-sum sharding holds at 1M rows across 64 partitions, no window") {
+    val n = 1000000L
+    val df = spark.range(n).select($"id", (($"id" * 31) % 100 + 1).as("tok"))
+    val out = Packing.assignShardsByTokenBudget(df, Seq($"id"), $"tok",
+      budget = 1000000L)
+    // total volume and shard count line up exactly with the direct sum
+    val total = df.agg(sum($"tok")).head().getLong(0)
+    val stats = out.agg(max($"shard"), count(lit(1))).head()
+    assert(stats.getLong(1) == n)
+    assert(stats.getLong(0) == (total - 1) / 1000000L ||
+      stats.getLong(0) == total / 1000000L)
+    // the plan must not contain a window operator (single-reducer risk)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window ["),
+      "prefix-sum sharding must not plan a window")
+    // boundary exactness: first doc of shard 1 starts at or after budget
+    val firstOfShard1 = out.filter($"shard" === 1L).agg(min($"id")).head().getLong(0)
+    val before = df.filter($"id" < firstOfShard1).agg(sum($"tok")).head().getLong(0)
+    assert(before >= 1000000L && before - 100 < 1000000L)
+  }
 }
