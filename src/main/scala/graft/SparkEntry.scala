@@ -65,6 +65,57 @@ object SparkEntry {
   private def par(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
+  /** EXACT integer ns→µs (`div`) when the parquet column read as LONG
+    * (nanosAsLong), the same contract [[Tables.events]] uses — `/` on
+    * longs is a double divide, and ns epochs exceed 2^53, so a ts near a
+    * day boundary could land in the wrong window. Keyed by column NAME
+    * (the expr must reference it) so the shape can't silently convert a
+    * different column than the one passed. */
+  private def tsToMicros(schema: org.apache.spark.sql.types.StructType,
+                         name: String): org.apache.spark.sql.Column =
+    schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"`$name` div 1000"))
+      case _ => col(name)
+    }
+
+  /** Shared harness for the streaming gates: run an AvailableNow stream
+    * into parquet via foreachBatch and read the result back.
+    *
+    *   - Writes are IDEMPOTENT under foreachBatch re-execution: complete
+    *     mode overwrites one directory (last batch wins — the mode's
+    *     semantics); append mode overwrites a per-batch directory, so a
+    *     replayed batch never appends duplicates.
+    *   - The timeout is HARD: an overrun stops the query and throws —
+    *     returning partial output to a hash-compared oracle would be a
+    *     flaky failure with the query still writing in the background.
+    *   - Small-state scope-down: 8 shuffle partitions (per-partition
+    *     state-store file IO dominates these fixture-sized states at 32),
+    *     restored afterwards. */
+  private def runStreamToParquet(s: SparkSession, stream: DataFrame,
+                                 mode: String, tmpPrefix: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val out = tmp + "/out"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream.outputMode(mode)
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          val dir = if (mode == "complete") out else s"$out/b$bid"
+          b.write.mode("overwrite").parquet(dir); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt").start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"$tmpPrefix: stream exceeded its 180s budget — refusing partial output")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    if (mode == "complete") s.read.parquet(out)
+    else s.read.parquet(out + "/b*")
+  }
+
   /** TPC-H Q1 shape: scan-side filter, groupBy, decimal-exact aggregates. */
   private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -1009,10 +1060,10 @@ object SparkEntry {
           col("sw_hits"), col("keep"))
         .orderBy(col("doc_id"))),
 
-    // Out-of-vocabulary rate vs the corpus's own top-500 vocabulary
-    // (CCNet-style curation signal, minus the LM): one tokenize pass,
-    // TakeOrdered vocabulary, broadcast probe — the corpus never
-    // self-joins or shuffles twice.
+    // Out-of-vocabulary rate vs the corpus's own top-k vocabulary (k=20
+    // here — the synthetic corpus has ~31 distinct tokens; CCNet-style
+    // curation signal, minus the LM): TakeOrdered vocabulary, broadcast
+    // probe — the corpus never self-joins.
     "q_oov" -> ((s, dir) =>
       operators.CorpusAudit.oovRate(Tables.documents(s, dir), "text",
           "doc_id", vocabSize = 20)
@@ -1059,14 +1110,7 @@ object SparkEntry {
     // shingle sets). Organic matches are filtered to the planted diff,
     // as in q_dedup_minhash.
     "q_dedup_incr" -> ((s, dir) => {
-      // the test corpus is ONE parquet row group → the scan yields one
-      // partition and the CPU-heavy sketch kernel runs single-threaded; a
-      // real corpus arrives in thousands of splits, so restore the
-      // parallelism the scan would naturally have before sketching (the
-      // shuffled payload is the raw text — trivial here, unnecessary at
-      // scale where the repartition becomes a no-op choice)
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
+      val docs = par(s, Tables.documents(s, dir).select(col("doc_id"), col("text")))
       val index = Dedup.minhashIndex(docs, "text", "doc_id")
       val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       // persistSketch: the batch sketch feeds BOTH sides of the
@@ -1230,26 +1274,12 @@ object SparkEntry {
     // hardest Structured Streaming operator), AvailableNow into parquet.
     // Oracle = the batch interval join at µs precision.
     "q_stream_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-qsj").toString
-      val out = tmp + "/attr"
       // a quarter of the users: the gate tests the symmetric-join STATE
-      // MACHINERY, not volume; and 8 state partitions — per-partition
-      // state-store file IO dominates a small fixture at 32
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val joined = graft.streaming.Streaming.attributionJoin(
-          graft.streaming.Streaming.readEventStream(s, dir)
-            .filter(pmod(col("user_id"), lit(4)) === 0), "view", "click")
-        val q = joined.writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out); ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", tmp + "/ckpt").start()
-        q.awaitTermination(180000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(out)
+      // MACHINERY, not volume
+      val joined = graft.streaming.Streaming.attributionJoin(
+        graft.streaming.Streaming.readEventStream(s, dir)
+          .filter(pmod(col("user_id"), lit(4)) === 0), "view", "click")
+      runStreamToParquet(s, joined, "append", "graft-qsj")
         .select(col("user_id"), col("l_id").as("view_id"),
           col("r_id").as("click_id"))
         .orderBy(col("view_id"), col("click_id"))
@@ -1263,40 +1293,14 @@ object SparkEntry {
     // equivalent (UTC-day truncation, same ns→µs timestamp contract the
     // batch event queries use).
     "q_stream_window" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-qsw").toString
       val raw = s.read.parquet(s"$dir/events.parquet")
-      // EXACT integer ns→µs (`div`), the same contract Tables.events uses
-      // — `/` on longs is a double divide, and ns epochs exceed 2^53, so
-      // a ts near a day boundary could land in the wrong window. Keyed by
-      // column NAME (the expr must reference it) so the shape can't
-      // silently convert a different column than the one passed.
-      def tsToMicros(name: String): org.apache.spark.sql.Column =
-        raw.schema(name).dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            timestamp_micros(expr(s"`$name` div 1000"))
-          case _ => col(name)
-        }
       val stream = s.readStream.schema(raw.schema)
         .parquet(s"$dir/events.parque[t]")
-        .select(tsToMicros("ts").as("ts"), col("event_type"))
+        .select(tsToMicros(raw.schema, "ts").as("ts"), col("event_type"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      val out = tmp + "/win"
-      // ~100 result groups: 8 state partitions, not 32 — per-partition
-      // state-store file IO dominates a small aggregation
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream.outputMode("complete")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("overwrite").parquet(out); ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", tmp + "/ckpt").start()
-        q.awaitTermination(180000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(out)
+      runStreamToParquet(s, stream, "complete", "graft-qsw")
         .select(col("w.start").cast("long").as("win_start"),
           col("event_type"), col("n"))
         .orderBy(col("win_start"), col("event_type"))
@@ -1309,33 +1313,16 @@ object SparkEntry {
     // partition-order-dependent, so only the KEY COLUMNS are emitted —
     // that projection is deterministic and the oracle is SELECT DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-qsd").toString
       val raw = s.read.parquet(s"$dir/events.parquet")
-      def tsToMicros(name: String): org.apache.spark.sql.Column =
-        raw.schema(name).dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            timestamp_micros(expr(s"`$name` div 1000"))
-          case _ => col(name)
-        }
       val stream = s.readStream.schema(raw.schema)
         .parquet(s"$dir/events.parque[t]")
-        .select(tsToMicros("ts").as("ts"), col("user_id"), col("event_type"))
+        .select(tsToMicros(raw.schema, "ts").as("ts"),
+          col("user_id"), col("event_type"))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
-      val out = tmp + "/dedup"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream.outputMode("append")
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out); ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", tmp + "/ckpt").start()
-        q.awaitTermination(180000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.read.parquet(out).orderBy(col("user_id"), col("event_type"))
+      runStreamToParquet(s, stream, "append", "graft-qsd")
+        .orderBy(col("user_id"), col("event_type"))
     }),
 
     // MinHash-LSH near-dedup: corpus ∪ id-shifted copy — every copy is a

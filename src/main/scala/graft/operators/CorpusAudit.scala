@@ -61,12 +61,15 @@ object CorpusAudit {
     * vocabulary — the cheap "is this document made of normal words?"
     * curation signal (CCNet-style, minus the LM).
     *
-    * Scale shape: ONE tokenize+explode pass feeds a two-level count
-    * aggregation; the vocabulary is `vocabSize` rows taken with
-    * TakeOrdered (map-side bounded heaps, no global sort) and
-    * BROADCAST back against the token stream — the corpus-sized side is
-    * never shuffled twice and never self-joined. Ties at the boundary
-    * break deterministically (count desc, token asc).
+    * Scale shape: the tokenize+explode scan runs twice (once under the
+    * vocabulary count, once under the probe join — the two subplans have
+    * different exchanges, so ReuseExchange cannot share them; stage the
+    * token stream to storage first if the scan dominates). The
+    * vocabulary is `vocabSize` rows taken with TakeOrdered (map-side
+    * bounded heaps, no global sort) and BROADCAST back against the token
+    * stream — the corpus is never self-joined and never shuffled
+    * corpus-wide. Ties at the boundary break deterministically
+    * (count desc, token asc).
     *
     * @return (idCol, n_tokens, oov, oov_rate) — one row per document
     *         with at least one token; oov_rate 6-decimal rounded

@@ -87,10 +87,11 @@ object Packing {
     * own and spill the boundary forward, exactly like the SQL window
     * formulation. */
   def assignShardsByTokenBudget(df: DataFrame, sortCols: Seq[Column],
-                                tokensCol: Column, budget: Long): DataFrame = {
+                                tokensCol: Column, budget: Long,
+                                numPartitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
     val v = coalesce(tokensCol.cast("long"), lit(0L))
-    Ranking.withGlobalPrefixSum(df, "__cum", tokensCol, sortCols)
+    Ranking.withGlobalPrefixSum(df, "__cum", tokensCol, sortCols, numPartitions)
       .withColumn("__before", col("__cum") - v)
       .withColumn("shard", expr(s"__before div $budget"))
       .drop("__cum", "__before")

@@ -7,9 +7,13 @@ import graft.functions.TextFunctions
 
 /** Gopher-style rule-based quality filtering (Rae et al. 2021 §A1.1, the
   * heuristics RefinedWeb/Dolma reuse): per-document surface statistics
-  * with pass/fail thresholds. Everything is built-in codegen'd column
-  * algebra over one pass of the text — no UDFs, no shuffle; the filter is
-  * a narrow map a 1000-executor scan applies at read time.
+  * with pass/fail thresholds. Everything is built-in column algebra over
+  * one pass of the text — no UDFs, no shuffle; the filter is a narrow
+  * per-row map a 1000-executor scan applies at read time. (The
+  * higher-order `aggregate`/`filter` lambdas here are CodegenFallback —
+  * interpreted, but still bounded per-row work with no data movement;
+  * the hot tokenize path goes through the compiled
+  * [[graft.functions.SketchExpressions.Tokenize]] kernel.)
   *
   * Stats (all engine-portable, mirrored exactly by the DuckDB oracle):
   *   - `n_words`         whitespace token count

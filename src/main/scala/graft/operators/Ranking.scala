@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 
 /** Distributed global ranking — the scale-safe replacement for
@@ -9,12 +10,13 @@ import org.apache.spark.sql.functions._
   * Partition Defined`).
   *
   * Strategy (classic two-pass ranking): range-repartition on the sort key
-  * so partitions are globally ordered, rank within each partition, then
-  * shift each partition's ranks by the total row count of the partitions
-  * before it. The per-partition counts are numPartitions values collected
-  * to the driver — metadata, not data. Cost: two passes over the data
-  * instead of one pass through a single machine; at 100 TB the second pass
-  * is embarrassingly parallel while the single-reducer plan simply dies.
+  * so partitions are globally ordered, fold each partition to one Long in
+  * pass one (row count, value sum, ... — numPartitions values collected
+  * to the driver: metadata, not data), then append one Long column in
+  * pass two from the partition's prefix plus a per-row accumulator update.
+  * Cost: two passes over the data instead of one pass through a single
+  * machine; at 100 TB the second pass is embarrassingly parallel while
+  * the single-reducer plan simply dies.
   */
 object Ranking {
 
@@ -24,6 +26,25 @@ object Ranking {
   def withGlobalPosition(df: DataFrame, posCol: String, sortCols: Seq[Column],
                          numPartitions: Int = 32): DataFrame =
     positioned(df, posCol, sortCols, numPartitions)._1
+
+  /** Append an INCLUSIVE global running sum of `valueCol` (cast to long,
+    * NULL as zero) over the `sortCols` order — `sum(v) OVER (ORDER BY …
+    * ROWS UNBOUNDED PRECEDING)` without the single-reducer window. */
+  def withGlobalPrefixSum(df: DataFrame, outCol: String, valueCol: Column,
+                          sortCols: Seq[Column], numPartitions: Int = 32): DataFrame = {
+    val tmp = "__gps_v"
+    val withV = df.withColumn(tmp, coalesce(valueCol.cast("long"), lit(0L)))
+    var vIdx = -1 // resolved against the sorted schema inside twoPass
+    twoPass(withV, outCol, sortCols, numPartitions,
+      resolve = schema => vIdx = schema.fieldIndex(tmp),
+      fold = { it =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(vIdx)
+        s
+      },
+      start = identity,
+      next = (acc, row) => acc + row.getLong(vIdx))._1.drop(tmp)
+  }
 
   /** Exact SQL `NTILE(k)` over a global order, without a global window:
     * first `n % k` tiles get `n/k + 1` rows, the rest `n/k` — bit-for-bit
@@ -45,80 +66,66 @@ object Ranking {
     pos.withColumn(tileCol, (bucket + 1).cast("long")).drop("__gr_pos")
   }
 
-  /** Append an INCLUSIVE global running sum of `valueCol` (a non-negative
-    * long) over the `sortCols` order — `sum(v) OVER (ORDER BY … ROWS
-    * UNBOUNDED PRECEDING)` without the single-reducer window. Same
-    * two-pass shape as [[withGlobalPosition]]: per-partition sums are
-    * numPartitions longs to the driver, pass two adds the partition
-    * prefix to a partition-local running sum. Ties must be broken by
-    * `sortCols` itself for deterministic output. */
-  def withGlobalPrefixSum(df: DataFrame, outCol: String, valueCol: Column,
-                          sortCols: Seq[Column], numPartitions: Int = 32): DataFrame = {
-    val tmp = "__gps_v"
-    val withV = df.withColumn(tmp, coalesce(valueCol.cast("long"), lit(0L)))
-    val sorted = withV.repartitionByRange(numPartitions, sortCols: _*)
+  private def positioned(df: DataFrame, posCol: String, sortCols: Seq[Column],
+                         numPartitions: Int): (DataFrame, Long) =
+    twoPass(df, posCol, sortCols, numPartitions,
+      resolve = _ => (),
+      fold = { it =>
+        // Long counter, not Iterator.size — that one is Int and wraps
+        // negative past 2^31 rows per partition
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        n
+      },
+      start = _ - 1, // emit-after-update yields offset, offset+1, ...
+      next = (acc, _) => acc + 1)
+
+  /** The shared two-pass scaffold. Both passes MUST see the same range
+    * boundaries: range-exchange boundary sampling is seeded per RDD id,
+    * so two separately-planned executions could partition differently;
+    * pinning ONE RDD makes the second job reuse the first job's shuffle
+    * output (stage skipped), so the pass-one folds and the pass-two rows
+    * describe the same physical partitions. The pinned RDD is the
+    * INTERNAL (Tungsten) one: `df.rdd` would box every field of every
+    * row into an external Row on both passes. The appended value rides
+    * as a JoinedRow over the unmodified shuffle row — zero per-field
+    * copying; the downstream scan node's UnsafeProjection materializes
+    * it.
+    *
+    * @param resolve called once with the SORTED schema (field-index setup)
+    * @param fold    pass 1: one Long per partition, collected to the driver
+    * @param start   maps the partition's exclusive prefix (scanLeft of the
+    *                folds) to the pass-2 accumulator seed
+    * @param next    pass 2: new accumulator value for a row — EMITTED as
+    *                the appended column
+    */
+  private def twoPass(df: DataFrame, outCol: String, sortCols: Seq[Column],
+                      numPartitions: Int,
+                      resolve: org.apache.spark.sql.types.StructType => Unit,
+                      fold: Iterator[InternalRow] => Long,
+                      start: Long => Long,
+                      next: (Long, InternalRow) => Long): (DataFrame, Long) = {
+    val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val vIdx = sorted.schema.fieldIndex(tmp)
-    // pin ONE rdd so both passes see the same range boundaries (below)
+    resolve(sorted.schema)
     val rdd = org.apache.spark.sql.graftbridge.InternalRowBridge.toRdd(sorted)
-    val sums = rdd.mapPartitions(it => {
-      var s = 0L
-      while (it.hasNext) s += it.next().getLong(vIdx)
-      Iterator(s)
-    }, true).collect()
-    val offsets = sums.scanLeft(0L)(_ + _).init
-    val withSum = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      val sumRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    val folds = rdd.mapPartitions(it => Iterator(fold(it)), true).collect()
+    val offsets = folds.scanLeft(0L)(_ + _).init
+    val total = folds.sum
+    val withOut = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      var s = offsets(pid)
-      it.map[org.apache.spark.sql.catalyst.InternalRow] { row =>
-        s += row.getLong(vIdx)
-        sumRow.setLong(0, s)
-        joined(row, sumRow)
+      var acc = start(offsets(pid))
+      it.map[InternalRow] { row =>
+        acc = next(acc, row)
+        outRow.setLong(0, acc)
+        joined(row, outRow)
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         outCol, org.apache.spark.sql.types.LongType, nullable = false))
-    org.apache.spark.sql.graftbridge.InternalRowBridge.fromRdd(
-      df.sparkSession, withSum, outSchema).drop(tmp)
-  }
-
-  private def positioned(df: DataFrame, posCol: String, sortCols: Seq[Column],
-                         numPartitions: Int): (DataFrame, Long) = {
-    val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    // Both passes MUST see the same range boundaries. Range-exchange
-    // boundary sampling is seeded per RDD id, so two separate DataFrame
-    // executions could partition differently; pinning ONE RDD makes the
-    // second job reuse the first job's shuffle output (stage skipped), so
-    // the counts and the ranks describe the same physical partitions.
-    // The pinned RDD is the INTERNAL (Tungsten) one: `df.rdd` would box
-    // every field of every row into an external Row on both passes.
-    val rdd = org.apache.spark.sql.graftbridge.InternalRowBridge.toRdd(sorted)
-    // pass 1: per-partition row counts (numPartitions longs to the driver)
-    val counts = rdd.mapPartitions(it => Iterator(it.size.toLong), true).collect()
-    val offsets = counts.scanLeft(0L)(_ + _).init
-    val total = counts.sum
-    // pass 2: partition-local index + the preceding partitions' offset
-    // (Long counter, not Iterator.zipWithIndex — that one is Int and wraps
-    // negative past 2^31 rows per partition). The position rides as a
-    // JoinedRow over the unmodified shuffle row — zero per-field copying;
-    // the downstream scan node's UnsafeProjection materializes it.
-    val withPos = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      val posRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      var j = offsets(pid) - 1
-      it.map[org.apache.spark.sql.catalyst.InternalRow] { row =>
-        j += 1
-        posRow.setLong(0, j)
-        joined(row, posRow)
-      }
-    }
-    val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        posCol, org.apache.spark.sql.types.LongType, nullable = false))
     (org.apache.spark.sql.graftbridge.InternalRowBridge.fromRdd(
-      df.sparkSession, withPos, outSchema), total)
+      df.sparkSession, withOut, outSchema), total)
   }
 }

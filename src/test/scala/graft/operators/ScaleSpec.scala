@@ -147,7 +147,7 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val n = 1000000L
     val df = spark.range(n).select($"id", (($"id" * 31) % 100 + 1).as("tok"))
     val out = Packing.assignShardsByTokenBudget(df, Seq($"id"), $"tok",
-      budget = 1000000L)
+      budget = 1000000L, numPartitions = 64)
     // total volume and shard count line up exactly with the direct sum
     val total = df.agg(sum($"tok")).head().getLong(0)
     val stats = out.agg(max($"shard"), count(lit(1))).head()
