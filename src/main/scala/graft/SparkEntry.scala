@@ -2041,8 +2041,8 @@ object SparkEntry {
 
     "q_token_budget" -> """
       SELECT doc_id,
-             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             CAST(CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                   END AS BIGINT) AS ws_tokens,
              CAST(COALESCE(list_sum(list_transform(
                list_filter(regexp_split_to_array(lower(trim(text)),
@@ -2072,8 +2072,8 @@ object SparkEntry {
 
     "q_token_hist" -> """
       WITH t AS (
-        SELECT CASE WHEN len(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        SELECT CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens
         FROM documents)
       SELECT CASE WHEN CAST(n_tokens AS DOUBLE) < 0 THEN 0
                   WHEN CAST(n_tokens AS DOUBLE) >= 100 THEN 11
@@ -2248,8 +2248,8 @@ object SparkEntry {
 
     "q_text_stats" -> """
       SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
              len(list_filter(
                list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'), x -> len(x) > 0),
                x -> x IN ('the','a','and','of','to','in','is'))) AS n_stopwords,
@@ -2264,8 +2264,8 @@ object SparkEntry {
     "q_shard_budget" -> """
       WITH t AS (
         SELECT doc_id, source,
-          CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok
+          CAST(CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+               ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS BIGINT) AS n_tok
         FROM documents
       )
       SELECT doc_id, source, n_tok,
@@ -2279,9 +2279,9 @@ object SparkEntry {
     "q_gopher" -> """
       WITH t AS (
         SELECT doc_id, text,
-          CASE WHEN len(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-               ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_words,
-          regexp_split_to_array(trim(text), '\s+') AS words,
+          CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS BIGINT) END AS n_words,
+          regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS words,
           list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
             x -> len(x) > 0) AS toks
         FROM documents

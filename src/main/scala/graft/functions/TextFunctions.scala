@@ -22,10 +22,20 @@ object TextFunctions {
   def tokens(c: Column): Column =
     SketchExpressions.tokenize(lower(trim(c)))
 
-  /** Whitespace token count — the fast path used for budget accounting. */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+  /** Whitespace token count — the fast path used for budget accounting.
+    * Edges are trimmed with a REGEX (`trim` strips only spaces in both
+    * Spark and DuckDB — a doc starting with `\n` would otherwise split
+    * into a phantom leading empty token and overcount by one; caught by
+    * GopherPropertySpec's randomized parity). */
+  def tokenCount(c: Column): Column = {
+    val t = wsTrim(c)
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+  }
+
+  /** Trim ALL whitespace (not just spaces) off both ends. Oracle mirror:
+    * `regexp_replace(x, '^\s+|\s+$', '', 'g')` — DuckDB needs the 'g'
+    * flag or only the FIRST alternation match is replaced. */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** BPE-ish subword count estimate: words are split at letter/digit
     * boundaries and long words contribute ceil(len/4) pieces — a

@@ -49,8 +49,11 @@ object QualityRules {
   def gopherStats(df: DataFrame, textCol: String,
                   th: Thresholds = Thresholds()): DataFrame = {
     val text = col(textCol)
-    val words = split(trim(text), "\\s+")
-    val nWords = when(length(trim(text)) === 0, lit(0L))
+    // regex-trim, not trim(): trim strips only SPACES in both engines, so
+    // a doc starting with "\n" would split into a phantom empty token
+    val wst = TextFunctions.wsTrim(text)
+    val words = split(wst, "\\s+")
+    val nWords = when(length(wst) === 0, lit(0L))
       .otherwise(size(words).cast("long"))
     val meanLen = when(nWords === 0, lit(0.0))
       .otherwise(aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
