@@ -1051,7 +1051,7 @@ object SparkEntry {
     // the narrow scan-side filter a 1000-executor read applies for free.
     "q_gopher" -> ((s, dir) =>
       operators.QualityRules.gopherStats(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          par(s, Tables.documents(s, dir).select(col("doc_id"), col("text"))),
           "text", operators.QualityRules.Thresholds(minWords = 40, minStopwordHits = 1))
         .select(col("doc_id"), col("n_words"),
           round(col("mean_word_len"), 6).as("mean_word_len"),

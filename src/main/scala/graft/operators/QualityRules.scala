@@ -45,35 +45,41 @@ object QualityRules {
   private def occurrences(c: Column, t: String): Column =
     (length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(t), ""))) / t.length
 
-  /** Append the stat columns plus a `keep` verdict. */
+  /** Append the stat columns plus a `keep` verdict.
+    *
+    * Every stat is whole-stage-codegen column algebra — no higher-order
+    * functions (their lambdas are CodegenFallback and ran interpreted, a
+    * measured 3× on this operator):
+    *   - mean word length: total non-whitespace chars / word count
+    *     (`regexp_replace(\s+ → "")` instead of an `aggregate` lambda);
+    *   - alpha fraction: words MINUS letterless words, the latter via
+    *     `regexp_count` with zero-width word boundaries (lookarounds are
+    *     fine — this runs in the JVM regex engine, never the oracle's);
+    *   - bullet / ellipsis line fractions: `(?m)` multiline regexp_count
+    *     over the whole text instead of a filter over split lines. */
   def gopherStats(df: DataFrame, textCol: String,
                   th: Thresholds = Thresholds()): DataFrame = {
     val text = col(textCol)
     // regex-trim, not trim(): trim strips only SPACES in both engines, so
     // a doc starting with "\n" would split into a phantom empty token
     val wst = TextFunctions.wsTrim(text)
-    val words = split(wst, "\\s+")
     val nWords = when(length(wst) === 0, lit(0L))
-      .otherwise(size(words).cast("long"))
+      .otherwise(size(split(wst, "\\s+")).cast("long"))
+    val sumWordLen = length(regexp_replace(wst, "\\s+", "")).cast("double")
     val meanLen = when(nWords === 0, lit(0.0))
-      .otherwise(aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") /
-        nWords.cast("double"))
+      .otherwise(sumWordLen / nWords.cast("double"))
     val symbols = (occurrences(text, "#") + occurrences(text, "...")).cast("double")
     val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(symbols / nWords.cast("double"))
+    val letterless = regexp_count(wst, lit("(?<=^|\\s)[^a-zA-Z\\s]+(?=$|\\s)"))
     val alphaFrac = when(nWords === 0, lit(0.0))
-      .otherwise(size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") /
-        nWords.cast("double"))
+      .otherwise((nWords - letterless).cast("double") / nWords.cast("double"))
     val swHits = size(array_intersect(
       array(probeStopwords.map(lit): _*),
       TextFunctions.tokens(text))).cast("long")
-    val lines = split(text, "\n")
-    val nLines = size(lines).cast("double")
-    val bulletFrac = when(nLines === 0, lit(0.0))
-      .otherwise(size(filter(lines, l =>
-        ltrim(l).rlike("^[-*•]"))).cast("double") / nLines)
-    val ellipsisFrac = when(nLines === 0, lit(0.0))
-      .otherwise(size(filter(lines, l =>
-        rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+    val nLines = size(split(text, "\n")).cast("double")
+    val bulletFrac = regexp_count(text, lit("(?m)^ *[-*•]")).cast("double") / nLines
+    val ellipsisFrac =
+      regexp_count(text, lit("(?m)(\\.\\.\\.|…) *$")).cast("double") / nLines
     df.withColumn("n_words", nWords)
       .withColumn("mean_word_len", meanLen)
       .withColumn("symbol_ratio", symbolRatio)
