@@ -29,13 +29,21 @@ object TextFunctions {
     * GopherPropertySpec's randomized parity). */
   def tokenCount(c: Column): Column = {
     val t = wsTrim(c)
-    when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+")))
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, wsClass + "+")))
   }
 
-  /** Trim ALL whitespace (not just spaces) off both ends. Oracle mirror:
+  /** The whitespace class, written out EXPLICITLY as RE2's `\s`
+    * (`[\t\n\f\r ]`): Java's `\s` additionally matches `\x0B` (vertical
+    * tab), so a bare `\\s` here would disagree with every DuckDB oracle
+    * on documents containing one. */
+  private[graft] val wsClass = "[ \\t\\n\\f\\r]"
+
+  /** Trim ALL whitespace (not just spaces — `trim` strips only spaces in
+    * both engines) off both ends. Oracle mirror:
     * `regexp_replace(x, '^\s+|\s+$', '', 'g')` — DuckDB needs the 'g'
     * flag or only the FIRST alternation match is replaced. */
-  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  def wsTrim(c: Column): Column =
+    regexp_replace(c, s"^$wsClass+|$wsClass+$$", "")
 
   /** BPE-ish subword count estimate: words are split at letter/digit
     * boundaries and long words contribute ceil(len/4) pieces — a

