@@ -61,24 +61,27 @@ object CorpusAudit {
     * vocabulary — the cheap "is this document made of normal words?"
     * curation signal (CCNet-style, minus the LM).
     *
-    * Scale shape: the tokenize+explode scan runs twice (once under the
-    * vocabulary count, once under the probe join — the two subplans have
-    * different exchanges, so ReuseExchange cannot share them; stage the
-    * token stream to storage first if the scan dominates). The
-    * vocabulary is `vocabSize` rows taken with TakeOrdered (map-side
-    * bounded heaps, no global sort) and BROADCAST back against the token
-    * stream — the corpus is never self-joined and never shuffled
-    * corpus-wide. Ties at the boundary break deterministically
+    * Scale shape: by default the tokenize+explode scan runs twice (once
+    * under the vocabulary count, once under the probe join — the two
+    * subplans have different exchanges, so ReuseExchange cannot share
+    * them); pass `stageTokens = true` to materialize the token stream
+    * once (localCheckpoint — executor storage, spill-backed) and feed
+    * both consumers from it, the right trade when tokenization dominates
+    * the scan. The vocabulary is `vocabSize` rows taken with TakeOrdered
+    * (map-side bounded heaps, no global sort) and BROADCAST back against
+    * the token stream — the corpus is never self-joined and never
+    * shuffled corpus-wide. Ties at the boundary break deterministically
     * (count desc, token asc).
     *
     * @return (idCol, n_tokens, oov, oov_rate) — one row per document
     *         with at least one token; oov_rate 6-decimal rounded
     */
   def oovRate(docs: DataFrame, textCol: String, idCol: String,
-              vocabSize: Int = 1000): DataFrame = {
+              vocabSize: Int = 1000, stageTokens: Boolean = false): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
-    val toks = docs
+    val toks0 = docs
       .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__t"))
+    val toks = if (stageTokens) toks0.localCheckpoint() else toks0
     val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(vocabSize)

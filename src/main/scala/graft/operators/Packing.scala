@@ -85,7 +85,9 @@ object Packing {
     * sum (per-partition subtotals to the driver; no single-reducer
     * window). Oversized documents (> budget tokens) get a shard of their
     * own and spill the boundary forward, exactly like the SQL window
-    * formulation. */
+    * formulation. Token counts are assumed NON-NEGATIVE (NULL counts as
+    * zero); a negative value makes shard ids non-monotone, exactly as
+    * the SQL window formulation would. */
   def assignShardsByTokenBudget(df: DataFrame, sortCols: Seq[Column],
                                 tokensCol: Column, budget: Long,
                                 numPartitions: Int = 32): DataFrame = {

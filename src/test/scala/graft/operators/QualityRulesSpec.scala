@@ -66,6 +66,11 @@ class QualityRulesSpec extends AnyFunSuite with SparkTestBase {
     // vocab (k=2, ties count desc then token asc) = {alpha, beta}
     val out = CorpusAudit.oovRate(docs, "text", "doc_id", vocabSize = 2)
       .orderBy("doc_id").collect()
+    // the staged-token variant returns the identical result
+    val staged = CorpusAudit.oovRate(docs, "text", "doc_id", vocabSize = 2,
+        stageTokens = true)
+      .orderBy("doc_id").collect()
+    assert(staged.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
     // doc 4 has no tokens -> no row
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
