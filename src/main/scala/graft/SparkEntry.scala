@@ -59,11 +59,16 @@ object SparkEntry {
     * single partition and every CPU-heavy kernel downstream (tokenize,
     * shingle, minhash, hyperplane projections) runs on one core. A real
     * corpus arrives in thousands of splits; this restores the parallelism
-    * the scan would naturally have. Applied ONLY to kernel-heavy inputs —
-    * the payload shuffled here is the raw column data (trivial at test
-    * scale, unnecessary at cluster scale where the scan already splits). */
-  private def par(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    * the scan would naturally have. Applied ONLY to kernel-heavy inputs,
+    * and CONDITIONALLY: when the planned scan already yields at least
+    * one partition per core (the 100 TB case), no shuffle is added at
+    * all — the partition probe plans the query but runs no job. */
+  private def par(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    val scanParts = org.apache.spark.sql.graftbridge.InternalRowBridge
+      .toRdd(df).getNumPartitions
+    if (scanParts >= target) df else df.repartition(target)
+  }
 
   /** EXACT integer ns→µs (`div`) when the parquet column read as LONG
     * (nanosAsLong), the same contract [[Tables.events]] uses — `/` on
