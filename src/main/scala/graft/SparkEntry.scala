@@ -911,6 +911,40 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // §2.A #9/#10 referential actions through the REAL store engine,
+    // oracle-gated (the cascade matrix was spec-only before): load a
+    // customer/orders slice with ON DELETE CASCADE + ON UPDATE CASCADE
+    // declared, delete a parent subset (children follow in the SAME
+    // commit), then remap a parent-key subset (children follow), and
+    // read the child table back. The oracle is the declaratively
+    // equivalent SELECT over the same input slice.
+    "q_cascade" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(
+        java.nio.file.Files.createTempDirectory("graft-cascade-q").toString)
+      val cust = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("custkey", LongType, nullable = false),
+        StructField("name", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("custkey")))
+      val ord = new graft.store.GraftTable(s, cat, "ord", StructType(Seq(
+        StructField("orderkey", LongType, nullable = false),
+        StructField("custkey", LongType, nullable = false),
+        StructField("totalprice", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("orderkey")))
+      cust.onDeleteCascade(ord, "custkey", "custkey")
+      cust.createMany(Tables.customer(s, dir).filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("custkey"), col("c_name").as("name")))
+      ord.createMany(Tables.orders(s, dir).filter(col("o_custkey") <= 300)
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+          col("o_totalprice").as("totalprice")))
+      cust.deleteMany(graft.query.RawCol(pmod(col("custkey"), lit(7)) === 0))
+      cust.updateMany(graft.query.RawCol(pmod(col("custkey"), lit(11)) === 0),
+        Map("custkey" -> (col("custkey") + 100000L)))
+      ord.snapshot()
+        .select(col("orderkey"), col("custkey"), col("totalprice"))
+        .orderBy(col("orderkey"))
+    }),
+
     // ---- beyond-reference training-data operators (BASELINE.json) ----
 
     // Text analysis: token counting + stopword counting, pure codegen.
@@ -2025,6 +2059,26 @@ object SparkEntry {
                  '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         FROM documents WHERE doc_id < 200)
       ORDER BY doc_id""",
+
+    // delete-then-remap as one declarative SELECT: survivors are
+    // custkey % 7 <> 0 (ON DELETE CASCADE drops the children of the
+    // rest), and custkey % 11 = 0 survivors remap to +100000 in BOTH
+    // tables (ON UPDATE CASCADE)
+    "q_cascade" -> """
+      WITH surviving AS (
+        SELECT c_custkey AS custkey FROM customer
+        WHERE c_custkey <= 300 AND c_custkey % 7 <> 0
+      ), remap AS (
+        SELECT custkey,
+               CASE WHEN custkey % 11 = 0 THEN custkey + 100000
+                    ELSE custkey END AS new_key
+        FROM surviving
+      )
+      SELECT o.o_orderkey AS orderkey, r.new_key AS custkey,
+             o.o_totalprice AS totalprice
+      FROM orders o JOIN remap r ON o.o_custkey = r.custkey
+      WHERE o.o_custkey <= 300
+      ORDER BY orderkey""",
 
     // the INSERT/UPDATE/DELETE sequence as one declarative SELECT: the
     // UPDATE's SET expressions both read the PRE-update row (SQL UPDATE
