@@ -62,12 +62,47 @@ object SparkEntry {
     * the scan would naturally have. Applied ONLY to kernel-heavy inputs,
     * and CONDITIONALLY: when the planned scan already yields at least
     * one partition per core (the 100 TB case), no shuffle is added at
-    * all — the partition probe plans the query but runs no job. */
+    * all. The probe is restricted to SCAN-SHAPED plans (scans, unions,
+    * projections, filters): on those, building the RDD runs no job even
+    * under AQE (there are no shuffle stages to materialize). A plan that
+    * already contains a shuffle-inducing operator is returned unchanged
+    * — probing it under AQE would EXECUTE its map stages just to read a
+    * partition count, and the count would reflect shuffle.partitions,
+    * not scan splits. */
+  /** Temp directory for a query-scoped throwaway store/stream, deleted
+    * recursively at JVM exit — repeated dev-loop runs (determinism
+    * double-runs, best-of-N bench samples) otherwise accumulate parquet
+    * versions under /tmp indefinitely. */
+  private val tmpRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  private lazy val tmpCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpRoots.synchronized(tmpRoots.foreach { root =>
+        scala.util.Try {
+          import java.nio.file._
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      })))
+  private def tempDir(prefix: String): String = {
+    tmpCleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpRoots.synchronized(tmpRoots += p)
+    p.toString
+  }
+
   private def par(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    val scanParts = org.apache.spark.sql.graftbridge.InternalRowBridge
-      .toRdd(df).getNumPartitions
-    if (scanParts >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffleShaped = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: RepartitionOperation | _: Distinct | _: GlobalLimit) => p
+    }.isDefined
+    if (shuffleShaped) df
+    else {
+      val target = s.sparkContext.defaultParallelism
+      val scanParts = org.apache.spark.sql.graftbridge.InternalRowBridge
+        .toRdd(df).getNumPartitions
+      if (scanParts >= target) df else df.repartition(target)
+    }
   }
 
   /** EXACT integer ns→µs (`div`) when the parquet column read as LONG
@@ -99,7 +134,7 @@ object SparkEntry {
     *     restored afterwards. */
   private def runStreamToParquet(s: SparkSession, stream: DataFrame,
                                  mode: String, tmpPrefix: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory(tmpPrefix).toString
+    val tmp = tempDir(tmpPrefix)
     val out = tmp + "/out"
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -323,7 +358,7 @@ object SparkEntry {
     "q_update_nested" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
-        java.nio.file.Files.createTempDirectory("graft-upd-nested-q").toString)
+        tempDir("graft-upd-nested-q"))
       val clientT = new graft.store.GraftTable(s, cat, "client", StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("name", StringType, nullable = true),
@@ -714,7 +749,7 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       Tables.registerViews(s, dir)
       val cat = new graft.store.Catalog(
-        java.nio.file.Files.createTempDirectory("graft-execraw-q").toString)
+        tempDir("graft-execraw-q"))
       val acct = new graft.store.GraftTable(s, cat, "acct", StructType(Seq(
         StructField("custkey", LongType, nullable = false),
         StructField("name", StringType, nullable = true),
@@ -869,7 +904,7 @@ object SparkEntry {
     "q_nested_create" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
-        java.nio.file.Files.createTempDirectory("graft-nested-q").toString)
+        tempDir("graft-nested-q"))
       val parentT = new graft.store.GraftTable(s, cat, "client", StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("name", StringType, nullable = true))),
@@ -921,7 +956,7 @@ object SparkEntry {
     "q_cascade" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
-        java.nio.file.Files.createTempDirectory("graft-cascade-q").toString)
+        tempDir("graft-cascade-q"))
       val cust = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
         StructField("custkey", LongType, nullable = false),
         StructField("name", StringType, nullable = true))),
@@ -1262,7 +1297,7 @@ object SparkEntry {
     // shape) and is replayed too. Oracle = DuckDB computing the same
     // final state directly.
     "q_stream_store" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+      val tmp = tempDir("graft-qstream")
       val cat = new graft.store.Catalog(tmp + "/cat")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -1671,7 +1706,7 @@ object SparkEntry {
     "q_time_travel" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
-        java.nio.file.Files.createTempDirectory("graft-tt-q").toString)
+        tempDir("graft-tt-q"))
       val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("name", StringType, nullable = true),
@@ -1697,7 +1732,7 @@ object SparkEntry {
     "q_zorder_skip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
-        java.nio.file.Files.createTempDirectory("graft-z-q").toString)
+        tempDir("graft-z-q"))
       val t = new graft.store.GraftTable(s, cat, "ord", StructType(Seq(
         StructField("okey", LongType, nullable = false),
         StructField("cust", LongType, nullable = false),
@@ -1720,7 +1755,7 @@ object SparkEntry {
     "q_stats_skip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
-        java.nio.file.Files.createTempDirectory("graft-stats-q").toString)
+        tempDir("graft-stats-q"))
       val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("segment", StringType, nullable = false),

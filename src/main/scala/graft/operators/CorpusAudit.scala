@@ -81,7 +81,10 @@ object CorpusAudit {
     require(vocabSize > 0, "vocabSize must be positive")
     val toks0 = docs
       .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__t"))
-    val toks = if (stageTokens) toks0.localCheckpoint() else toks0
+    // lazy: materializes on the FIRST action over the returned frame (an
+    // eager checkpoint would run the corpus-wide tokenize job at plan
+    // time, even if the result is never executed)
+    val toks = if (stageTokens) toks0.localCheckpoint(eager = false) else toks0
     val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__t").asc)
       .limit(vocabSize)
