@@ -61,6 +61,7 @@ object Bench {
     // cost. clearCache() between queries keeps any cache an operator stages
     // from squatting on block-manager memory for the rest of the run —
     // per-query numbers must be isolated.
+    var baselineExtras = 0
     val results = names.map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -77,13 +78,19 @@ object Bench {
       // the two runs disagreeing means one was hit by external load (this
       // box runs other work during benched rounds) — buy up to two more
       // samples rather than report a time that isn't the plan's
-      def unstable(ts: Seq[Double]): Boolean = {
+      def disagree(ts: Seq[Double]): Boolean = {
         val best = ts.sorted.take(2)
-        best(1) / best(0) > 1.5 || // the two best samples still disagree
-          baseline.get(name).exists(b => best(0) > b * 1.5) // or both ran hot
+        best(1) / best(0) > 1.5 // the two best samples still disagree
       }
-      while (times.forall(_ >= 0) && times.size < 4 && unstable(times))
+      def ranHot(ts: Seq[Double]): Boolean = // both samples far above best-known
+        baseline.get(name).exists(b => ts.min > b * 1.5)
+      while (times.forall(_ >= 0) && times.size < 4 &&
+             (disagree(times) ||
+               // bounded: a fully-loaded box can't stretch the whole run
+               (baselineExtras < 80 && ranHot(times)))) {
+        if (!disagree(times)) baselineExtras += 1
         times :+= once()
+      }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // locale-proof decimal formatting (a comma decimal separator would
