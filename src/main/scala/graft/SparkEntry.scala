@@ -980,6 +980,33 @@ object SparkEntry {
         .orderBy(col("orderkey"))
     }),
 
+    // End-to-end curation pipeline, hash-gated as ONE composition: Gopher
+    // quality filter → exact dedup (md5 winner) → content-hash
+    // train/val/test split → token-budget shards over the train slice.
+    // Every stage is the production operator, chained the way a real
+    // ingest run chains them, and the whole lineage stays declarative —
+    // one plan, no driver materialization between stages.
+    "q_pipeline" -> ((s, dir) => {
+      val docs = par(s, Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text")))
+      val kept = operators.QualityRules.gopherFilter(docs, "text",
+        operators.QualityRules.Thresholds(minWords = 40, minStopwordHits = 1))
+      val deduped = Dedup.exactByKey(kept, md5(col("text")), "doc_id")
+      val split = deduped.withColumn("split",
+          operators.Sampling.hashSplitAssign(col("text"),
+            Seq(("train", 0.8), ("val", 0.9)), "test"))
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")).cast("long"))
+      val train = operators.Packing.assignShardsByTokenBudget(
+          split.filter(col("split") === "train"),
+          Seq(col("source"), col("doc_id")), col("n_tok"), budget = 3000L)
+        .select(col("doc_id"), col("source"), col("split"), col("n_tok"),
+          col("shard"))
+      train.unionByName(split.filter(col("split") =!= "train")
+          .select(col("doc_id"), col("source"), col("split"), col("n_tok"),
+            lit(-1L).as("shard")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- beyond-reference training-data operators (BASELINE.json) ----
 
     // Text analysis: token counting + stopword counting, pure codegen.
@@ -2353,6 +2380,67 @@ object SparkEntry {
     "q_lang_dist" -> """
       SELECT lang, count(*) AS n FROM documents
       GROUP BY lang ORDER BY n DESC, lang""",
+
+    // the four stage formulations of q_gopher / q_dedup_exact / q_split /
+    // q_shard_budget chained into one CTE pipeline
+    "q_pipeline" -> """
+      WITH wst AS (
+        SELECT doc_id, source, text,
+               regexp_replace(text, '^\s+|\s+$', '', 'g') AS t
+        FROM documents
+      ), stats AS (
+        SELECT doc_id, source, text,
+          CASE WHEN len(t) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(len(regexp_split_to_array(t, '\s+')) AS BIGINT) END AS n_words,
+          regexp_split_to_array(t, '\s+') AS words,
+          list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+            x -> len(x) > 0) AS toks
+        FROM wst
+      ), keepers AS (
+        SELECT doc_id, source, text, n_words FROM stats
+        WHERE n_words BETWEEN 40 AND 100000
+          AND (CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(words, w -> len(w))) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE) END) BETWEEN 3.0 AND 10.0
+          AND (CASE WHEN n_words = 0 THEN 0.0
+               ELSE ((len(text) - len(replace(text, '#', ''))) / 1
+                     + (len(text) - len(replace(text, '...', ''))) / 3)
+                    / CAST(n_words AS DOUBLE) END) <= 0.1
+          AND (CASE WHEN n_words = 0 THEN 0.0
+               ELSE CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                    / CAST(n_words AS DOUBLE) END) >= 0.8
+          AND len(list_intersect(toks,
+            ['the','be','to','of','and','that','have','with'])) >= 1
+          AND CAST(len(list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+              / CAST(len(string_split(text, chr(10))) AS DOUBLE) <= 0.9
+          AND CAST(len(list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+              / CAST(len(string_split(text, chr(10))) AS DOUBLE) <= 0.3
+      ), dedup AS (
+        SELECT doc_id, source, text FROM (
+          SELECT k.*, row_number() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) AS rn FROM keepers k) WHERE rn = 1
+      ), assigned AS (
+        SELECT doc_id, source,
+          CASE WHEN substr(md5(text), 1, 8) < 'cccccccc' THEN 'train'
+               WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
+               ELSE 'test' END AS split,
+          CAST(CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+               ELSE len(regexp_split_to_array(
+                 regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
+               END AS BIGINT) AS n_tok
+        FROM dedup
+      )
+      SELECT doc_id, source, split, n_tok,
+        CAST((sum(n_tok) OVER (ORDER BY source, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 3000
+          AS BIGINT) AS shard
+      FROM assigned WHERE split = 'train'
+      UNION ALL
+      SELECT doc_id, source, split, n_tok, CAST(-1 AS BIGINT) AS shard
+      FROM assigned WHERE split <> 'train'
+      ORDER BY doc_id""",
 
     // DuckDB sum() windows type as HUGEINT — cast the floor-div back
     "q_shard_budget" -> """
