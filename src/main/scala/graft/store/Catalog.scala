@@ -220,8 +220,10 @@ final class Catalog(val root: String) {
   def vacuum(retainMs: Long = 0, keepHistory: Int = Int.MaxValue): Unit = {
     val cur = manifest()
     if (keepHistory != Int.MaxValue && Files.exists(historyDir)) {
+      // Only numeric manifests count — a stray non-numeric .json (crash
+      // leftover, editor artifact) must not abort the whole vacuum.
       val ids = listDir(historyDir).map(_.getFileName.toString)
-        .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+        .collect { case s if s.matches("\\d+\\.json") => s.stripSuffix(".json").toLong }
         .sorted(Ordering[Long].reverse)
       ids.drop(math.max(keepHistory, 1))
         .foreach(id => Files.deleteIfExists(historyDir.resolve(s"$id.json")))

@@ -105,7 +105,7 @@ object ExecuteRaw {
 
       case UpdateTable(table, assignments, condition) =>
         val t = resolve(tables, table, sql)
-        val set = assignments.map { a =>
+        val setSeq = assignments.map { a =>
           val name = a.key match {
             case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
               fieldOf(t, u.nameParts.last, sql)
@@ -114,8 +114,16 @@ object ExecuteRaw {
                 s"executeRaw: unsupported SET target $other in: $sql")
           }
           name -> ColumnBridge.column(a.value)
-        }.toMap
-        txn.updateMany(t, RawCol(whereOf(condition, sql)), set)
+        }
+        // Postgres raises "multiple assignments to the same column"; a
+        // silent last-wins .toMap would diverge from the INSERT path's
+        // duplicate-column strictness on the same surface.
+        val dups = setSeq.map(_._1.toLowerCase).groupBy(identity)
+          .collect { case (n, hits) if hits.size > 1 => n }
+        require(dups.isEmpty,
+          s"executeRaw: multiple assignments to the same column " +
+            s"(${dups.mkString(", ")}) in: $sql")
+        txn.updateMany(t, RawCol(whereOf(condition, sql)), setSeq.toMap)
 
       case DeleteFromTable(table, condition) =>
         val t = resolve(tables, table, sql)

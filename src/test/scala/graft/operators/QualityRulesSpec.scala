@@ -90,4 +90,22 @@ class QualityRulesSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       "vocabulary must be TakeOrdered (bounded heaps), not a global sort:\n" + plan)
   }
+
+  test("oovRate stageTokens tokenizes ONCE: both consumers read the staged RDD") {
+    val docs = (1L to 200L).map(i => (i, s"tok$i common word stuff thing item"))
+      .toDF("doc_id", "text")
+    def generates(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // resolve AQE final plan (and materialize the checkpoint)
+      "Generate explode".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    // default: the explode appears under BOTH the vocab count and the probe
+    // (AQE prints initial+final plans, so the count doubles — assert ≥2)
+    assert(generates(CorpusAudit.oovRate(docs, "text", "doc_id", 5)) >= 2)
+    // staged: the explode lives inside the checkpointed lineage (runs once);
+    // the SQL plan sees only the staged RDD scans — zero Generate nodes
+    assert(generates(
+      CorpusAudit.oovRate(docs, "text", "doc_id", 5, stageTokens = true)) == 0,
+      "staged path must feed both consumers from the one materialized token stream")
+  }
 }

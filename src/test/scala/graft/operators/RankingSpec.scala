@@ -66,6 +66,25 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(total == direct)
   }
 
+  test("default partition count follows spark.sql.shuffle.partitions") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val df = spark.range(1000)
+        .select((col("id") * 37 % 501).as("v"), col("id"))
+      val out = Ranking.withGlobalPosition(df, "p", Seq(col("v"), col("id")))
+      assert(out.rdd.getNumPartitions == 5,
+        "two-pass ranking should size its range exchange from the session conf")
+      // and the result is still the gapless global order
+      assert(out.orderBy("p").select("p").collect().map(_.getLong(0)).toSeq
+        == (0L until 1000L))
+      // explicit caller count still wins over the conf
+      val explicit = Ranking.withGlobalPosition(df, "p",
+        Seq(col("v"), col("id")), numPartitions = 8)
+      assert(explicit.rdd.getNumPartitions == 8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("token-budget shards are contiguous, budget-bounded, and split no doc") {
     val df = spark.range(300).select(col("id"),
       ((col("id") * 7919 % 97) + 1).as("tok"))

@@ -110,6 +110,18 @@ class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
     assert(t.snapshot().count() == 0)
   }
 
+  test("duplicate SET targets are refused like Postgres, case-folded") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    ExecuteRaw.execute(spark, tabs, "INSERT INTO acct VALUES (1, 'x', 1.0)")
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, tabs,
+        "UPDATE acct SET bal = 2.0, BAL = 3.0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("multiple assignments"))
+    assert(t.snapshot().collect().head.getDouble(2) == 1.0)
+  }
+
   test("identifiers resolve case-insensitively to declared names") {
     val t = acctTable(freshCatalog())
     val tabs = Map("acct" -> t)
