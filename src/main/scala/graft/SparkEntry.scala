@@ -1043,20 +1043,26 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("lang"))),
 
-    // Language-ID heuristic over the corpus (not SQL-expressible —
-    // rows-only check; accuracy is spec-tested on real-language fixtures).
+    // Language-ID heuristic over the corpus. The heuristic is pure column
+    // algebra — CJK codepoint probe, then argmax of marker-token counts
+    // (ties → first profile in sorted order, "und" when nothing scores) —
+    // so the oracle replays the same CASE in SQL; accuracy on
+    // real-language fixtures is additionally spec-tested.
     "q_lang_id" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
-    // Document fingerprints + SimHash sketches (rows-only: xxhash64 has no
-    // DuckDB equivalent; determinism is spec-tested).
+    // Document fingerprints through the ORACLE-PORTABLE md5 twins: same
+    // canonicalization and windowing as the xxhash64 production path
+    // (fingerprint/winnowFingerprint — those stay the fast path inside
+    // curation/dedup and are spec-tested for determinism), hash swapped to
+    // md5 so an independent engine can recompute every value.
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          TextFunctions.fingerprint(col("text")).as("fingerprint"),
-          Dedup.simhash(col("text")).as("simhash"))
+          TextFunctions.fingerprintPortable(col("text")).as("fp_md5"),
+          TextFunctions.winnowFingerprintPortable(col("text"), 5).as("winnow_md5"))
         .orderBy(col("doc_id"))),
 
     // Deterministic content-hash sampling (reproducible corpus cuts — the
@@ -1616,11 +1622,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // Full curation composition: annotate → gates → exact dedup → near
-    // dedup, with per-gate drop accounting (rows-only: quality/lang
-    // heuristics are not SQL-expressible; behavior is spec-tested).
+    // dedup, with per-gate drop accounting — HASH-GATED end to end. The
+    // near-dup stage runs at threshold 1.0, where LSH is exact (identical
+    // shingle sets ⇒ identical signatures ⇒ every band collides; verified
+    // jaccard = 1.0 ⇔ set equality), so the whole report is arithmetic an
+    // independent engine can reproduce: gate counts from the mirrored
+    // quality algebra, exact-dedup survivors = distinct canonical texts,
+    // near-dedup survivors = distinct 3-shingle sets. The sub-1.0
+    // threshold behavior (probabilistic banding) stays spec-tested
+    // (CurationSpec) and oracle-gated on the planted-copy slice
+    // (q_dedup_minhash).
     "q_curation" -> ((s, dir) =>
       Curation.report(par(s, Tables.documents(s, dir)), "text", "doc_id",
-        Curation.Config(minQuality = 0.4, minTokens = 5, nearDupThreshold = 0.8))),
+        Curation.Config(minQuality = 0.4, minTokens = 5, nearDupThreshold = 1.0))
+        .orderBy(col("gate"))),
 
     // IVF ANN: self-hit at rank 1 is deterministic (a query identical to a
     // corpus vector lands in its own probed centroid; cosine 1.0 wins).
@@ -2408,6 +2423,117 @@ object SparkEntry {
     "q_lang_dist" -> """
       SELECT lang, count(*) AS n FROM documents
       GROUP BY lang ORDER BY n DESC, lang""",
+
+    // the langId heuristic replayed in SQL: CJK probe, then argmax of
+    // marker counts over the sorted profiles (de,en,es,fr) — the CASE
+    // cascade "cK >= every later count" picks the FIRST maximum, exactly
+    // the kernel's tie rule; all-zero → 'und'
+    "q_lang_id" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                 x -> len(x) > 0) AS toks
+        FROM documents
+      ), s AS (
+        SELECT doc_id, text,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','sich'))) AS c_de,
+          len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','are'))) AS c_en,
+          len(list_filter(toks, x -> x IN ('el','los','las','una','es','que','para','con','por','del'))) AS c_es,
+          len(list_filter(toks, x -> x IN ('le','la','les','des','une','est','dans','pour','que','sur'))) AS c_fr
+        FROM t
+      )
+      SELECT doc_id,
+        CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+             WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+             WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+             WHEN c_es >= c_fr THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM s ORDER BY doc_id""",
+
+    // portable fingerprints: md5 over the identical canonical form and
+    // shingle windows the Spark side hashes (hex strings are ASCII, so
+    // the lexicographic winnow min agrees engine-to-engine)
+    "q_fingerprint" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                 x -> len(x) > 0) AS toks
+        FROM documents
+      )
+      SELECT doc_id,
+             md5(array_to_string(toks, ' ')) AS fp_md5,
+             CASE WHEN len(toks) < 5 THEN md5(array_to_string(toks, ' '))
+                  ELSE list_min(list_transform(generate_series(0, len(toks) - 5),
+                    i -> md5(array_to_string(toks[i+1:i+5], ' ')))) END AS winnow_md5
+      FROM t ORDER BY doc_id""",
+
+    // the curation report replayed as SQL arithmetic: quality algebra
+    // mirrored term-for-term (charStats classes are exact set differences
+    // on this ASCII corpus; addition order matches the Spark expression
+    // parenthesis-for-parenthesis), exact-dedup survivors = distinct
+    // canonical texts, near-dedup (threshold 1.0 ⇒ set equality) =
+    // distinct 3-shingle sets; repetition/lang gates pass everything
+    // under this config (maxDupGramFraction = 1.0, allowedLangs = all)
+    "q_curation" -> """
+      WITH t AS (
+        SELECT doc_id, text,
+          list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+            x -> len(x) > 0) AS toks,
+          CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+               ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tok
+        FROM documents
+      ), c AS (
+        SELECT doc_id, toks, n_tok,
+          len(text) AS n_chars,
+          len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_let,
+          len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig,
+          len(text) - len(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS n_ws
+        FROM t
+      ), q AS (
+        SELECT doc_id, toks, n_tok,
+          (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                WHEN n_tok BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END * 0.3
+           + CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) END)
+                       BETWEEN 2.5 AND 10.0 THEN 1.0 ELSE 0.3 END * 0.2
+           + CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+                             ELSE CAST(n_chars - n_let - n_dig - n_ws AS DOUBLE) / n_chars END) < 0.2
+                  THEN 1.0 ELSE 0.0 END * 0.2
+           + CASE WHEN (CASE WHEN n_chars = 0 THEN 0.0
+                             ELSE CAST(n_dig AS DOUBLE) / n_chars END) < 0.3 THEN 1.0 ELSE 0.0 END * 0.1
+           + CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be'))) AS DOUBLE) / len(toks) END)
+                       BETWEEN 0.05 AND 0.7 THEN 1.0 ELSE 0.3 END * 0.2
+          ) AS raw_q
+        FROM c
+      ), g AS (
+        SELECT doc_id,
+          n_tok BETWEEN 5 AND 100000 AS len_ok,
+          round(raw_q, 4) >= 0.4 AS q_ok,
+          array_to_string(toks, ' ') AS canon,
+          CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+               ELSE array_to_string(list_sort(list_distinct(
+                 list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' ')))), chr(1)) END AS sset
+        FROM q
+      ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS total,
+               CAST(count(CASE WHEN len_ok THEN 1 END) AS BIGINT) AS n_len,
+               CAST(count(CASE WHEN len_ok AND q_ok THEN 1 END) AS BIGINT) AS n_q,
+               CAST(count(DISTINCT CASE WHEN len_ok AND q_ok THEN canon END) AS BIGINT) AS n_exact,
+               CAST(count(DISTINCT CASE WHEN len_ok AND q_ok THEN sset END) AS BIGINT) AS n_near
+        FROM g
+      )
+      SELECT gate, kept, dropped FROM (
+        SELECT 'exact_dedup' AS gate, n_exact AS kept, n_q - n_exact AS dropped FROM agg
+        UNION ALL SELECT 'input', total, CAST(0 AS BIGINT) FROM agg
+        UNION ALL SELECT 'lang_gate', n_q, CAST(0 AS BIGINT) FROM agg
+        UNION ALL SELECT 'length_gate', n_len, total - n_len FROM agg
+        UNION ALL SELECT 'near_dedup', n_near, n_exact - n_near FROM agg
+        UNION ALL SELECT 'quality_gate', n_q, n_len - n_q FROM agg
+        UNION ALL SELECT 'repetition_gate', n_q, CAST(0 AS BIGINT) FROM agg
+      ) ORDER BY gate""",
 
     // the four stage formulations of q_gopher / q_dedup_exact / q_split /
     // q_shard_budget chained into one CTE pipeline

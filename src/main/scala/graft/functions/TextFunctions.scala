@@ -150,6 +150,28 @@ object TextFunctions {
   def fingerprintStaged(toks: Column): Column =
     xxhash64(concat_ws(" ", toks))
 
+  /** Oracle-portable canonical fingerprint: md5 hex of the same canonical
+    * form [[fingerprint]] hashes. The xxhash64 variant is the production
+    * fast path (8 bytes, codegen'd, no hex string); this one exists so the
+    * fingerprinting CONTRACT — tokenize, single-space join, hash — is
+    * cross-checkable against an independent engine (md5 is bit-identical
+    * everywhere; xxhash64 has no DuckDB twin). */
+  def fingerprintPortable(c: Column): Column =
+    md5(concat_ws(" ", tokens(c)))
+
+  /** Oracle-portable winnowed fingerprint: lexicographic min over the md5
+    * hex strings of every `window`-token shingle (hex is ASCII, so string
+    * min agrees across engines) — the portable twin of
+    * [[winnowFingerprint]]'s min-xxhash64. */
+  def winnowFingerprintPortable(c: Column, window: Int = 5): Column = {
+    val toks = tokens(c)
+    val n = size(toks)
+    val rolled = when(n < window, array(md5(concat_ws(" ", toks))))
+      .otherwise(transform(sequence(lit(0), n - lit(window)),
+        i => md5(concat_ws(" ", slice(toks, i + 1, lit(window))))))
+    array_min(rolled)
+  }
+
   /** Rolling (Rabin-Karp-style) window fingerprints: hash of every
     * `window`-token shingle — the winnowing substrate for near-dup and
     * containment detection. */
