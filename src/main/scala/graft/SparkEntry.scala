@@ -88,12 +88,39 @@ object SparkEntry {
           finally st.close()
         }
       })))
+  /** One live temp root PER PREFIX: a repeated invocation of the same
+    * query (Verify determinism double-runs, best-of-N bench samples,
+    * dev loops) deletes the previous run's store/checkpoint before
+    * creating the fresh one, so temp disk is bounded by the number of
+    * distinct store-building queries, not the number of invocations.
+    * Safe because every gate materializes a query fully before the same
+    * query runs again — nothing holds a lazy frame over the old files. */
+  private val tmpByPrefix = scala.collection.mutable.HashMap[String, java.nio.file.Path]()
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    scala.util.Try {
+      import java.nio.file._
+      val st = Files.walk(root)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally st.close()
+    }
   private def tempDir(prefix: String): String = {
     tmpCleanupHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    tmpRoots.synchronized(tmpRoots += p)
-    p.toString
+    tmpRoots.synchronized {
+      tmpByPrefix.remove(prefix).foreach { old =>
+        deleteRecursively(old)
+        tmpRoots -= old
+      }
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      tmpByPrefix(prefix) = p
+      tmpRoots += p
+      p.toString
+    }
   }
+  /** Test hook: live temp roots for a prefix (the no-orphan invariant). */
+  private[graft] def liveTempDirs(prefix: String): Seq[java.nio.file.Path] =
+    tmpRoots.synchronized(
+      tmpRoots.filter(_.getFileName.toString.startsWith(prefix)).toSeq)
 
   private def par(s: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -780,6 +807,42 @@ object SparkEntry {
            FROM customer WHERE c_custkey <= 500""",
         "UPDATE acct SET bal = bal * 1.1, segment = 'VIP' WHERE bal > 5000",
         "DELETE FROM acct WHERE bal < 0"))
+      acct.snapshot()
+        .select(col("custkey"), col("name"), col("segment"), col("bal"))
+        .orderBy(col("custkey"))
+    }),
+
+    // §2.A #19 × #18 — `$transaction([$executeRaw…])` ATOMICITY, oracle-
+    // proven (effect.ts:369-396 + :398-428): a batch whose SECOND
+    // statement violates a unique key must publish NOTHING — including
+    // its first statement's `UPDATE … SET bal = 0`, which would
+    // otherwise zero every balance and empty the final snapshot through
+    // the later DELETE. The oracle replays only the seed and the
+    // successful batch; any leak from the rolled-back batch is a hash
+    // mismatch.
+    "q_exec_raw_txn" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      Tables.registerViews(s, dir)
+      val cat = new graft.store.Catalog(tempDir("graft-execraw-txn"))
+      val acct = new graft.store.GraftTable(s, cat, "acct", StructType(Seq(
+        StructField("custkey", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("segment", StringType, nullable = true),
+        StructField("bal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("custkey")))
+      val tabs = Map("acct" -> acct)
+      graft.store.ExecuteRaw.execute(s, tabs,
+        """INSERT INTO acct
+           SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 300""")
+      val failed = scala.util.Try(graft.store.ExecuteRaw.executeMany(s, tabs, Seq(
+        "UPDATE acct SET bal = 0",
+        "INSERT INTO acct VALUES (1, 'dup', 'X', 1.0)")))
+      require(failed.isFailure,
+        "q_exec_raw_txn: the duplicate-key batch must abort")
+      graft.store.ExecuteRaw.executeMany(s, tabs, Seq(
+        "UPDATE acct SET bal = bal + 100 WHERE segment = 'BUILDING'",
+        "DELETE FROM acct WHERE bal < 500"))
       acct.snapshot()
         .select(col("custkey"), col("name"), col("segment"), col("bal"))
         .orderBy(col("custkey"))
@@ -1612,12 +1675,15 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // Near-dup audit: the corpus's ORGANIC near-duplicate pairs (the
-    // synthetic generator plants them) surfaced by MinHash-LSH — rows-only
-    // (the exact pair set depends on the hash family; the planted-copy
-    // slice is oracle-checked by q_dedup_minhash).
+    // Near-dup audit: the corpus's ORGANIC near-duplicate pairs surfaced
+    // by MinHash-LSH through the ORACLE-PORTABLE md5 hash family — the
+    // oracle recomputes every signature, band key, and surviving pair
+    // bit-for-bit, so the banding/collision/verify machinery itself is
+    // hash-gated (not just the planted-copy slice q_dedup_minhash
+    // checks). Production dedup keeps the xxhash64 fast path
+    // (minhashLshPairs), spec-tested for family-agnostic agreement.
     "q_near_dup_audit" -> ((s, dir) =>
-      Dedup.minhashLshPairs(par(s, Tables.documents(s, dir)), "text", "doc_id",
+      Dedup.minhashLshPairsPortable(par(s, Tables.documents(s, dir)), "text", "doc_id",
         threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -2201,6 +2267,22 @@ object SparkEntry {
       )
       SELECT custkey, name, segment, bal FROM upd
       WHERE NOT coalesce(bal < 0, FALSE)
+      ORDER BY custkey""",
+
+    // seed + the SUCCESSFUL batch only — the aborted batch (zero every
+    // balance, then a duplicate-key INSERT) must contribute nothing
+    "q_exec_raw_txn" -> """
+      WITH ins AS (
+        SELECT c_custkey AS custkey, c_name AS name,
+               c_mktsegment AS segment, c_acctbal AS bal
+        FROM customer WHERE c_custkey <= 300
+      ), upd AS (
+        SELECT custkey, name, segment,
+               CASE WHEN segment = 'BUILDING' THEN bal + 100 ELSE bal END AS bal
+        FROM ins
+      )
+      SELECT custkey, name, segment, bal FROM upd
+      WHERE NOT coalesce(bal < 500, FALSE)
       ORDER BY custkey""",
 
     "q_token_budget" -> """
@@ -3014,6 +3096,50 @@ object SparkEntry {
       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
       WHERE b.doc_id < 500
       ORDER BY id_a""",
+
+    // the md5-family MinHash-LSH replayed end to end: same 60-bit md5
+    // prefix hashes (hash i of shingle s = md5('i:' || s)), same 16
+    // bands x 2 rows banding (threshold 0.7 -> bandsFor = numHashes/2),
+    // same band-collision join and exact-Jaccard >= 0.7 verify
+    "q_near_dup_audit" -> """
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                           x -> len(x) > 0) AS toks
+        FROM documents
+      ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+        FROM t
+      ), sig AS (
+        SELECT doc_id, s,
+               list_transform(range(0, 32), i ->
+                 list_min(list_transform(s, x ->
+                   CAST(CAST(concat('0x', substr(md5(concat(i, ':', x)), 1, 15))
+                        AS UBIGINT) AS BIGINT)))) AS g
+        FROM sh
+      ), bands AS (
+        SELECT doc_id, s, j,
+               md5(concat(CAST(g[2*j+1] AS VARCHAR), ':',
+                          CAST(g[2*j+2] AS VARCHAR))) AS bh
+        FROM (SELECT doc_id, s, g, unnest(range(0, 16)) AS j FROM sig)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.s AS sa, b.s AS sb
+        FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id
+      ), verified AS (
+        SELECT id_a, id_b,
+               CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+                 ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                      / len(list_distinct(list_concat(sa, sb))) END AS j
+        FROM cand
+      )
+      SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified
+      WHERE j >= 0.7
+      ORDER BY id_a, id_b""",
 
     "q_embed_neardup" -> """
       SELECT vec_id AS id_a, vec_id + 10000 AS id_b FROM embeddings

@@ -25,4 +25,19 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
     val rows = SparkEntry.queries("q_find_unique")(spark, sfDir).collect()
     assert(rows.length == 1 && rows(0).getAs[Long]("c_custkey") == 42L)
   }
+
+  test("store-building queries leave no orphan temp stores on re-invocation") {
+    // two full invocations of a store-building gate (the determinism
+    // double-run / bench best-of-N shape): the second must reclaim the
+    // first's temp store, keeping live temp roots for the prefix at one
+    SparkEntry.queries("q_exec_raw")(spark, sfDir).collect()
+    val afterFirst = SparkEntry.liveTempDirs("graft-execraw-q")
+    assert(afterFirst.size == 1, s"expected one live store, got $afterFirst")
+    SparkEntry.queries("q_exec_raw")(spark, sfDir).collect()
+    val afterSecond = SparkEntry.liveTempDirs("graft-execraw-q")
+    assert(afterSecond.size == 1, s"expected one live store, got $afterSecond")
+    assert(afterSecond != afterFirst, "second run must use a fresh root")
+    assert(!java.nio.file.Files.exists(afterFirst.head),
+      "first run's store must be deleted from disk")
+  }
 }
