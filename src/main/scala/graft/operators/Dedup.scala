@@ -198,6 +198,56 @@ object Dedup {
       .agg(round(first(col("jaccard")), 4).as("jaccard"))
   }
 
+  /** Oracle-portable MinHash-LSH pairs: the SAME banded algorithm as
+    * [[minhashLshPairs]] — per-row signatures, band-key bucket join,
+    * exact-Jaccard verify — with the hash family swapped from xxhash64
+    * to md5 prefixes, so an independent SQL engine can recompute every
+    * signature value, band key, and surviving pair bit-for-bit
+    * (hash function i of shingle s = first 60 bits of `md5("i:" || s)`;
+    * band key = md5 over the ':'-joined signature slice). xxhash64
+    * ([[minhashLshPairs]]) stays the production fast path; this twin
+    * exists so the LSH machinery itself — banding, collision join,
+    * verification — is provable against an oracle, not just spec-tested.
+    * Per-shingle cost is `numHashes` md5 calls (vs one xxhash64 batch),
+    * so reserve it for audits, not the 100 TB dedup pass.
+    *
+    * No bucket guard: the guard's cell split intentionally trades recall
+    * for bounded buckets, which an oracle cannot mirror; audit corpora
+    * are ≤ the guard threshold anyway. */
+  def minhashLshPairsPortable(df: DataFrame, textCol: String, idCol: String,
+                              k: Int = 3, numHashes: Int = 32, bands: Int = -1,
+                              threshold: Double = 0.7): DataFrame = {
+    val b = if (bands <= 0) bandsFor(threshold, numHashes) else bands
+    require(numHashes % b == 0, "bands must divide numHashes")
+    val rows = numHashes / b
+    def h(seed: Int, c: Column): Column =
+      conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
+    val withSig = df
+      .select(col(idCol).as("__id"), array_distinct(shingles(col(textCol), k)).as("__sh"))
+      .withColumn("__sig", array((0 until numHashes).map(i =>
+        array_min(transform(col("__sh"), s => h(i, s)))): _*))
+    val banded = withSig.select(col("__id"), col("__sh"),
+      posexplode(array((0 until b).map(j =>
+        md5(concat_ws(":", (0 until rows).map(r0 =>
+          element_at(col("__sig"), j * rows + r0 + 1).cast("string")): _*))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
+
+    val left = banded.select(col("__band"), col("__bh"),
+      col("__id").as("id_a"), col("__sh").as("sh_a"))
+    val right = banded.select(col("__band"), col("__bh"),
+      col("__id").as("id_b"), col("__sh").as("sh_b"))
+    val joined = left.hint("merge").join(right, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    joined
+      .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("jaccard")), 4).as("jaccard"))
+  }
+
   /** Survivors after MinHash-LSH near-dedup: drop the larger id of every
     * matched pair (transitive chains collapse to the smallest id via
     * iteration-free min propagation over direct pairs — adequate for

@@ -99,6 +99,26 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors == Set(1L, 5L, 6L))
   }
 
+  test("portable md5 minhash family agrees with the xxhash64 production path") {
+    // The exact-dup pairs (jaccard 1.0, every band collides regardless of
+    // hash family) must be identical, with identical verified jaccard; the
+    // probabilistic sub-1.0 candidates may differ per family but every
+    // surviving pair's jaccard is exact set arithmetic, so any pair BOTH
+    // families surface must agree on the value.
+    val prod = Dedup.minhashLshPairs(docsDf, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val port = Dedup.minhashLshPairsPortable(docsDf, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    for (p <- Seq((1L, 2L), (1L, 3L), (2L, 3L))) {
+      assert(prod.get(p).contains(1.0), s"production family must find exact dup $p")
+      assert(port.get(p).contains(1.0), s"portable family must find exact dup $p")
+    }
+    for ((p, j) <- port)
+      assert(prod.get(p).forall(_ == j), s"family-independent jaccard differs at $p")
+    assert(!port.keys.exists(p => p._2 == 5L || p._2 == 6L),
+      "portable family must not pair unrelated docs")
+  }
+
   test("simhash: identical docs distance 0, near-dups small hamming, unrelated far") {
     val sigs = docsDf.select($"doc_id", Dedup.simhash($"text").as("s"))
       .as[(Long, Long)].collect().toMap
