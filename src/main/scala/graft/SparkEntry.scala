@@ -1191,6 +1191,16 @@ object SparkEntry {
           "doc_id", "text", isTarget = col("lang") === "en", buckets = 1024)
         .orderBy(col("doc_id"))),
 
+    // CCNet-style perplexity filter: per-document cross-entropy under a
+    // unigram LM trained on the src0/src1 reference slice (the
+    // "Wikipedia KenLM" analog). One token scan, one 4096-row LM
+    // aggregation broadcast back, one per-doc aggregation.
+    "q_perplexity" -> ((s, dir) =>
+      operators.Importance.unigramCrossEntropy(par(s, Tables.documents(s, dir)),
+          "doc_id", "text", isRef = col("source").isin("src0", "src1"),
+          buckets = 4096)
+        .orderBy(col("doc_id"))),
+
     // Mixture weighting: per-source fractional epochs (the pretraining
     // "N epochs of source X" recipe), deterministic hash-draw for the
     // fractional copy, exploded with a 1-based epoch tag.
@@ -2871,6 +2881,27 @@ object SparkEntry {
                    / count(*), 6) AS dsir
       FROM g2 JOIN lm USING (b) CROSS JOIN tot
       GROUP BY g2.doc_id ORDER BY g2.doc_id""",
+
+    // the unigram-LM cross-entropy replayed: same hashed buckets (md5
+    // 8-hex prefix % 4096), same add-one smoothing, same negated mean
+    "q_perplexity" -> """
+      WITH words AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS ref,
+               CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) % 4096 AS b
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE len(string_split(text, ' ')) >= 1)
+      ), lm AS (
+        SELECT b, CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        FROM words GROUP BY b
+      ), tot AS (
+        SELECT CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS t
+        FROM words
+      )
+      SELECT words.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             round(-sum(ln((lm.cnt + 1) / (tot.t + 4096.0))) / count(*), 6) AS ce
+      FROM words JOIN lm USING (b) CROSS JOIN tot
+      GROUP BY words.doc_id ORDER BY words.doc_id""",
 
     "q_dedup_exact" -> """
       SELECT doc_id, source FROM (

@@ -40,6 +40,53 @@ object Importance {
     *         with add-one smoothing, rounded to 6 decimals; documents with
     *         fewer than 2 tokens carry no bigram and are excluded
     */
+  /** CCNet-style perplexity quality filter (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * per-document cross-entropy under a unigram LM trained on a REFERENCE
+    * slice of the corpus. CCNet scores crawl paragraphs with a
+    * Wikipedia-trained KenLM and cuts head/middle/tail on the score; the
+    * Spark-native analog trains the LM as one hashed-bucket aggregation
+    * over the reference predicate — low cross-entropy ≈ looks like the
+    * reference domain. Complements [[dsirWeights]]: DSIR RANKS documents
+    * by target-vs-background likelihood ratio for importance resampling;
+    * this scores absolute reference-likeness for threshold filtering.
+    *
+    * Same scale shape as DSIR: one token-explode scan → one `buckets`-row
+    * LM aggregation (map-side partial, broadcast back) → one per-document
+    * aggregation. Two shuffles, the first bounded by `buckets`.
+    *
+    * @param isRef reference-slice predicate (the "Wikipedia" stand-in)
+    * @return (idCol, n_tok, ce) — add-one-smoothed cross-entropy in nats,
+    *         rounded to 6 decimals (the BM25/DSIR libm-parity contract)
+    */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                          isRef: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = CorpusAudit.wordGrams(docs, textCol, n = 1,
+        keep = Seq(col(idCol), isRef.as("__ref")))
+      .withColumn("__b",
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
+      .select(col(idCol), col("__ref"), col("__b"))
+
+    // `buckets`-row LM over the reference slice + 1-row total, broadcast;
+    // built with conditional aggregation over the full token stream so
+    // every bucket appearing in the corpus has a row (no join-miss case)
+    val lm = toks.groupBy(col("__b"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cnt"))
+    val tot = toks.agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__t"))
+
+    // mirrored parenthesis-for-parenthesis in the oracle: exact-integer
+    // numerator over double denominator, one ln() per token, negated mean
+    val term = log((col("__cnt") + lit(1L)) /
+                   (col("__t").cast("double") + lit(buckets.toDouble)))
+    toks
+      .join(broadcast(lm), Seq("__b"))
+      .join(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(-sum(term) / count(lit(1)), 6).as("ce"))
+  }
+
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")

@@ -126,6 +126,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "gram stream shuffled for a join:\n" + p)
   }
 
+  test("perplexity filter broadcasts the unigram LM, never shuffles the token stream to join") {
+    val p = planOf("q_perplexity")
+    // same contract as DSIR: the 4096-row LM and 1-row total broadcast
+    // back over the token stream; a sort-merge join would shuffle every
+    // token of a 100 TB corpus twice
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "LM/total not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "token stream shuffled for a join:\n" + p)
+  }
+
   test("bloom decontamination probes scan-side, before any join") {
     val p = planOf("q_decontaminate_bloom")
     // the sketch probe is a codegen'd filter on the gram scan

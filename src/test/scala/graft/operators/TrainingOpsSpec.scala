@@ -99,6 +99,23 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors == Set(1L, 5L, 6L))
   }
 
+  test("unigramCrossEntropy: reference-like docs score lower than unseen vocabulary") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat near the door", true),
+      (2L, "the dog sat on the mat near the cat", true),
+      (3L, "the cat and the dog sat near the mat", false),   // ref vocabulary
+      (4L, "zyx wvu tsr qpo nml kji hgf edc baz", false))    // unseen words
+      .toDF("doc_id", "text", "is_ref")
+    val ce = Importance.unigramCrossEntropy(corpus, "doc_id", "text",
+        isRef = $"is_ref", buckets = 512)
+      .select($"doc_id", $"ce").as[(Long, Double)].collect().toMap
+    assert(ce(3L) < ce(4L),
+      s"reference-vocabulary doc must score lower ce: ${ce(3L)} vs ${ce(4L)}")
+    // unseen-vocab ce is exactly the add-one floor: every token hits a
+    // zero-count bucket (modulo rare hash collisions into ref buckets)
+    assert(ce(4L) > ce(1L) && ce(4L) > ce(2L))
+  }
+
   test("portable md5 minhash family agrees with the xxhash64 production path") {
     // The exact-dup pairs (jaccard 1.0, every band collides regardless of
     // hash family) must be identical, with identical verified jaccard; the
