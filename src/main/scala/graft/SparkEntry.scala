@@ -1122,10 +1122,15 @@ object SparkEntry {
     // curation/dedup and are spec-tested for determinism), hash swapped to
     // md5 so an independent engine can recompute every value.
     "q_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      // par: the one-row-group test parquet would run this md5 kernel
+      // single-threaded; barrier: both fingerprint flavors read ONE
+      // tokenize (CollapseProject would re-inline the regex into each)
+      par(s, Tables.documents(s, dir))
+        .withColumn("__toks",
+          graft.functions.Barrier.evalOnce(TextFunctions.tokens(col("text"))))
         .select(col("doc_id"),
-          TextFunctions.fingerprintPortable(col("text")).as("fp_md5"),
-          TextFunctions.winnowFingerprintPortable(col("text"), 5).as("winnow_md5"))
+          TextFunctions.fingerprintPortableStaged(col("__toks")).as("fp_md5"),
+          TextFunctions.winnowFingerprintPortableStaged(col("__toks"), 5).as("winnow_md5"))
         .orderBy(col("doc_id"))),
 
     // Deterministic content-hash sampling (reproducible corpus cuts — the

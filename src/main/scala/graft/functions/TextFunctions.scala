@@ -157,14 +157,24 @@ object TextFunctions {
     * cross-checkable against an independent engine (md5 is bit-identical
     * everywhere; xxhash64 has no DuckDB twin). */
   def fingerprintPortable(c: Column): Column =
-    md5(concat_ws(" ", tokens(c)))
+    fingerprintPortableStaged(tokens(c))
+
+  /** Portable fingerprint over a pre-tokenized column (stage the tokens
+    * behind a [[Barrier.evalOnce]] when several fingerprint flavors read
+    * the same text — CollapseProject would otherwise re-inline the
+    * tokenize regex into every consumer). */
+  def fingerprintPortableStaged(toks: Column): Column =
+    md5(concat_ws(" ", toks))
 
   /** Oracle-portable winnowed fingerprint: lexicographic min over the md5
     * hex strings of every `window`-token shingle (hex is ASCII, so string
     * min agrees across engines) — the portable twin of
     * [[winnowFingerprint]]'s min-xxhash64. */
-  def winnowFingerprintPortable(c: Column, window: Int = 5): Column = {
-    val toks = tokens(c)
+  def winnowFingerprintPortable(c: Column, window: Int = 5): Column =
+    winnowFingerprintPortableStaged(tokens(c), window)
+
+  /** Winnowed portable fingerprint over a pre-tokenized column. */
+  def winnowFingerprintPortableStaged(toks: Column, window: Int = 5): Column = {
     val n = size(toks)
     val rolled = when(n < window, array(md5(concat_ws(" ", toks))))
       .otherwise(transform(sequence(lit(0), n - lit(window)),
