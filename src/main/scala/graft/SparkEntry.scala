@@ -1718,6 +1718,20 @@ object SparkEntry {
         Curation.Config(minQuality = 0.4, minTokens = 5, nearDupThreshold = 1.0))
         .orderBy(col("gate"))),
 
+    // Hard-negative mining (DPR-style): top-5 corpus items per query
+    // inside the cosine band (0.1, 0.9] — informative negatives below
+    // the near-dup band; self (cosine 1.0) falls out of the band. The
+    // rank order is FP-robust like q_ann_topk; the cut boundaries sit
+    // far from any synthetic cosine value.
+    "q_hard_negatives" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.hardNegatives(corpus, queries, "embedding", "vec_id", "qid",
+        k = 5, loCos = 0.1, hiCos = 0.9)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF ANN: self-hit at rank 1 is deterministic (a query identical to a
     // corpus vector lands in its own probed centroid; cosine 1.0 wins).
     "q_ann_ivf" -> ((s, dir) => {
@@ -3227,6 +3241,23 @@ object SparkEntry {
                           c.vec_id ASC) AS rank
         FROM embeddings c CROSS JOIN q)
       SELECT qid, id, rank FROM scored WHERE rank <= 5
+      ORDER BY qid, rank""",
+
+    // the hard-negative band replayed: same cosine, same (0.1, 0.9]
+    // band, same (cos DESC, id ASC) tie-break
+    "q_hard_negatives" -> """
+      WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                 FROM embeddings WHERE vec_id < 10),
+           scored AS (
+        SELECT q.qid, c.vec_id AS id,
+               list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qe) AS cos
+        FROM embeddings c CROSS JOIN q),
+           banded AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, id ASC) AS rank
+        FROM scored WHERE cos > 0.1 AND cos <= 0.9)
+      SELECT qid, id, rank FROM banded WHERE rank <= 5
       ORDER BY qid, rank""",
 
     "q_ann_lsh" -> """

@@ -71,6 +71,40 @@ object Similarity {
         round(col("t.score"), 4).as("cosine"), col("t.rank").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training (the
+    * DPR-style recipe, Karpukhin et al. 2020): for each query, the top-k
+    * most-similar corpus items whose cosine lies INSIDE `(loCos, hiCos]`
+    * — similar enough to be informative negatives, capped below the
+    * near-duplicate band that would poison the label (a near-copy of the
+    * positive is not a negative). Self-matches sit at cosine 1.0 and fall
+    * out of any `hiCos < 1` band.
+    *
+    * Same scale shape as [[bruteForceTopKAgg]]: queries broadcast over
+    * one corpus scan, band filter evaluated scan-side, bounded-heap TopK
+    * partial aggregation — at most k candidates per query leave each
+    * partition, so the shuffle is |queries|·k rows regardless of corpus
+    * size. For corpus-scale query sets, block first (IVF/LSH) and band
+    * inside the bucket. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    embCol: String, idCol: String, qidCol: String,
+                    k: Int = 10, loCos: Double = 0.0,
+                    hiCos: Double = 0.95): DataFrame = {
+    require(loCos < hiCos, "band must be non-empty")
+    val c = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("__ce"))
+      .withColumn("__cn", norm(col("__ce")))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(embCol).cast("array<double>").as("__qe"))
+      .withColumn("__qn", norm(col("__qe")))
+    c.crossJoin(broadcast(q))
+      .withColumn("__cos", dot(col("__ce"), col("__qe")) / (col("__cn") * col("__qn")))
+      .filter(col("__cos") > loCos && col("__cos") <= hiCos)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(col("__cos"), col("id"), k).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("id"), col("t.rank").cast("long").as("rank"))
+  }
+
   /** IVF (inverted-file) ANN: the corpus is clustered once (deterministic
     * seeding + a few Lloyd refinements, all as DataFrame plans); a query
     * probes only its `nProbe` nearest centroids' posting lists. The

@@ -31,6 +31,24 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Window"), "still using a window:\n" + plan)
   }
 
+  test("hardNegatives respects the cosine band and excludes self/near-dups") {
+    // q = (1,0); a ~cos .995 (above band), b cos .707, d cos .447, c cos 0
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),          // self: cosine 1.0, out of band
+      (1L, Array(0.995f, 0.0995f)),     // near-dup, above hiCos
+      (2L, Array(1.0f, 1.0f)),          // cos ≈ .707 — in band
+      (3L, Array(1.0f, 2.0f)),          // cos ≈ .447 — in band
+      (4L, Array(0.0f, 1.0f)))          // cos 0 — below loCos
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("qid"), $"embedding")
+    val r = Similarity.hardNegatives(corpus, queries, "embedding", "vec_id", "qid",
+        k = 5, loCos = 0.1, hiCos = 0.9)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((0L, 2L, 1L), (0L, 3L, 2L)),
+      s"expected in-band negatives ranked by cosine, got $r")
+  }
+
   test("topK keeps k best with deterministic tie-break") {
     val df = Seq(
       (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.9), // ties → smaller id first
