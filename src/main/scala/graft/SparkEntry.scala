@@ -1718,6 +1718,20 @@ object SparkEntry {
         Curation.Config(minQuality = 0.4, minTokens = 5, nearDupThreshold = 1.0))
         .orderBy(col("gate"))),
 
+    // Int8-quantized ANN: corpus compressed to per-vector scale + int8
+    // codes (the 100 TB memory lever), queries full precision, ranked
+    // over the dequantized reconstruction. The quantize/dequantize
+    // arithmetic mirrors exactly (round half-away-from-zero both
+    // engines); rank order is FP-robust like q_ann_topk.
+    "q_ann_quantized" -> ((s, dir) => {
+      val corpus = par(s, Tables.embeddings(s, dir))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Similarity.quantizedTopK(corpus, queries, "embedding", "vec_id", "qid", k = 5)
+        .select(col("qid"), col("id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hard-negative mining (DPR-style): top-5 corpus items per query
     // inside the cosine band (0.1, 0.9] — informative negatives below
     // the near-dup band; self (cosine 1.0) falls out of the band. The
@@ -3240,6 +3254,32 @@ object SparkEntry {
                  ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qe) DESC,
                           c.vec_id ASC) AS rank
         FROM embeddings c CROSS JOIN q)
+      SELECT qid, id, rank FROM scored WHERE rank <= 5
+      ORDER BY qid, rank""",
+
+    // the int8 quantization replayed: same per-vector max-abs/127
+    // scale, same round-half-away codes, same dequantized ranking
+    "q_ann_quantized" -> """
+      WITH c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x))) / 127.0 AS s
+        FROM embeddings
+      ), deq AS (
+        SELECT vec_id,
+               CASE WHEN s = 0 THEN list_transform(e, x -> 0.0)
+                 ELSE list_transform(e,
+                   x -> CAST(CAST(round(x / s) AS INTEGER) AS DOUBLE) * s)
+               END AS d
+        FROM c
+      ), q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id < 10),
+           scored AS (
+        SELECT q.qid, deq.vec_id AS id,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(deq.d, q.qe) DESC,
+                          deq.vec_id ASC) AS rank
+        FROM deq CROSS JOIN q)
       SELECT qid, id, rank FROM scored WHERE rank <= 5
       ORDER BY qid, rank""",
 

@@ -71,6 +71,47 @@ object Similarity {
         round(col("t.score"), 4).as("cosine"), col("t.rank").as("rank"))
   }
 
+  /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
+    * `code_i = round(x_i / scale)` ∈ [-127, 127]. The memory lever for
+    * corpus-scale ANN: 100 TB of float32 embeddings become ~25 TB of
+    * codes (+ one scale per row), which is the difference between a
+    * scored scan living in page cache and thrashing it. Reconstruction
+    * error is bounded by `scale/2` per component (exact rounding
+    * property, spec-asserted); zero vectors quantize to zero codes.
+    * Codes stay `ARRAY<INT>` here for engine portability — a cluster
+    * deployment would pack them to BINARY at the storage boundary. */
+  def quantizeInt8(df: DataFrame, embCol: String,
+                   scaleCol: String = "qscale",
+                   codesCol: String = "qcodes"): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    // barrier: the scale aggregate feeds every element of the codes
+    // transform — CollapseProject would otherwise re-inline the max-abs
+    // fold into each lambda evaluation
+    val scale = graft.functions.Barrier.evalOnce(
+      aggregate(e, lit(0.0), (acc, x) => greatest(acc, abs(x))) / lit(127.0))
+    df.withColumn(scaleCol, scale)
+      .withColumn(codesCol, transform(e, x =>
+        when(col(scaleCol) === 0.0, lit(0.0))
+          .otherwise(round(x / col(scaleCol))).cast("int")))
+  }
+
+  /** Reconstruct the search-space vector from int8 codes. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
+  /** Exact top-k over the int8-QUANTIZED corpus (queries stay full
+    * precision — the standard asymmetric search): quantize, dequantize,
+    * rank by cosine through the bounded-heap aggregate. Recall vs the
+    * float corpus is spec-asserted; the point is the 4× smaller scan. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    embCol: String, idCol: String, qidCol: String,
+                    k: Int = 10): DataFrame = {
+    val qc = quantizeInt8(corpus, embCol)
+      .select(col(idCol), dequantize(col("qcodes"), col("qscale")).as("__deq"))
+    val q = queries.select(col(qidCol), col(embCol).cast("array<double>").as("__deq"))
+    bruteForceTopKAgg(qc, q, "__deq", idCol, qidCol, k)
+  }
+
   /** Hard-negative mining for contrastive/retrieval training (the
     * DPR-style recipe, Karpukhin et al. 2020): for each query, the top-k
     * most-similar corpus items whose cosine lies INSIDE `(loCos, hiCos]`

@@ -49,6 +49,26 @@ class TopKSpec extends AnyFunSuite with SparkTestBase {
       s"expected in-band negatives ranked by cosine, got $r")
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2, high recall vs exact") {
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+    // exact rounding property: |x - code*scale| <= scale/2 per component
+    val bad = Similarity.quantizeInt8(corpus, "embedding")
+      .select($"embedding".cast("array<double>").as("e"), $"qscale",
+        Similarity.dequantize($"qcodes", $"qscale").as("d"))
+      .filter(exists(zip_with($"e", $"d", (x, y) => abs(x - y) > $"qscale" / 2 + 1e-12),
+        identity))
+      .count()
+    assert(bad == 0, s"$bad vectors violate the scale/2 reconstruction bound")
+    // recall@5: the quantized ranking must mostly agree with the exact one
+    val queries = corpus.filter($"vec_id" < 10).select($"vec_id".as("qid"), $"embedding")
+    val exact = Similarity.bruteForceTopKAgg(corpus, queries, "embedding", "vec_id", "qid", k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(corpus, queries, "embedding", "vec_id", "qid", k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall@5 $recall below 0.8")
+  }
+
   test("topK keeps k best with deterministic tie-break") {
     val df = Seq(
       (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.9), // ties → smaller id first
