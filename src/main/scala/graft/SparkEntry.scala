@@ -1263,6 +1263,28 @@ object SparkEntry {
           col("sw_hits"), col("keep"))
         .orderBy(col("doc_id"))),
 
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    // deterministic LINED fixture (the synthetic corpus has no newlines
+    // or punctuation, so the gate rebuilds each doc as 8-word lines:
+    // every (doc_id+i)%3==0 line terminated with '.', %3==1 left bare
+    // — dropped by the terminal-punct rule — and %3==2 suffixed with
+    // ' {' — dropped by the banned-fragment rule). The oracle replays
+    // BOTH the fixture construction and the cleaning.
+    "q_c4_clean" -> ((s, dir) => {
+      val docs = par(s, Tables.documents(s, dir)).select(col("doc_id"), col("text"))
+      val lined = docs
+        .withColumn("__w", graft.functions.Barrier.evalOnce(split(col("text"), " ")))
+        .withColumn("text2", array_join(
+          transform(sequence(lit(0), ceil(size(col("__w")) / 8.0).cast("int") - 1), i =>
+            concat(array_join(slice(col("__w"), i * 8 + 1, lit(8)), " "),
+              when((col("doc_id") + i) % 3 === 0, lit("."))
+                .when((col("doc_id") + i) % 3 === 1, lit(""))
+                .otherwise(lit(" {")))), "\n"))
+      operators.QualityRules.c4LineClean(lined, "text2", minLineWords = 3, minLines = 1)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Out-of-vocabulary rate vs the corpus's own top-k vocabulary (k=20
     // here — the synthetic corpus has ~31 distinct tokens; CCNet-style
     // curation signal, minus the LM): TakeOrdered vocabulary, broadcast
@@ -2781,6 +2803,41 @@ object SparkEntry {
               AND bullet_frac <= 0.9
               AND ellipsis_frac <= 0.3) AS keep
       FROM s ORDER BY doc_id""",
+
+    // the lined fixture rebuilt with the same 8-word slicing and %3
+    // suffix cycle, then the same line rules: whitespace-trim, terminal
+    // punctuation, >=3 words, no banned fragment
+    "q_c4_clean" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), lined AS (
+        SELECT doc_id,
+          array_to_string(list_transform(
+            range(0, CAST(ceil(len(w) / 8.0) AS INT)), i ->
+              concat(array_to_string(w[i*8+1:i*8+8], ' '),
+                CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                     WHEN (doc_id + i) % 3 = 1 THEN ''
+                     ELSE ' {' END)), chr(10)) AS text2
+        FROM base
+      ), cleaned AS (
+        SELECT doc_id,
+          CAST(len(string_split(text2, chr(10))) AS BIGINT) AS n_lines,
+          list_filter(string_split(text2, chr(10)), l ->
+            regexp_matches(regexp_replace(l, '^[ \t\r]+|[ \t\r]+$', '', 'g'),
+                           '[.!?"]$')
+            AND len(list_filter(string_split(
+                  regexp_replace(l, '^[ \t\r]+|[ \t\r]+$', '', 'g'), ' '),
+                  x -> len(x) > 0)) >= 3
+            AND NOT contains(lower(l), 'lorem ipsum')
+            AND NOT contains(l, '{')
+            AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM lined
+      )
+      SELECT doc_id, n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             array_to_string(kept, chr(10)) AS text_clean
+      FROM cleaned WHERE len(kept) >= 1
+      ORDER BY doc_id""",
 
     "q_oov" -> """
       WITH toks AS (

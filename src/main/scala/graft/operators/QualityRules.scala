@@ -112,4 +112,38 @@ object QualityRules {
     gopherStats(df, textCol, th).filter(col("keep"))
       .drop("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
         "sw_hits", "bullet_frac", "ellipsis_frac", "keep")
+
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2 — the
+    * complement of the document-level Gopher rules above): keep a line
+    * only if, after whitespace trim, it (a) ends in terminal
+    * punctuation (. ! ? ") — the rule that strips menus and nav
+    * boilerplate, (b) has at least `minLineWords` words, and (c)
+    * contains none of the paper's boilerplate/code tells ("lorem
+    * ipsum", "{", "javascript"). Documents keeping fewer than
+    * `minLines` lines are dropped entirely.
+    *
+    * Adds `n_lines`, `n_kept`, `text_clean`. Pure per-row array algebra
+    * (split → filter → rejoin) behind one barrier-pinned line split —
+    * no shuffle, no UDF, evaluated scan-side at any corpus size. */
+  def c4LineClean(df: DataFrame, textCol: String,
+                  minLineWords: Int = 3, minLines: Int = 1): DataFrame = {
+    def keepLine(l: Column): Column = {
+      // trim evaluated per use — value-identical, and the oracle mirrors
+      // the same re-application
+      def t = regexp_replace(l, "^[ \t\r]+|[ \t\r]+$", "")
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, " "), w => length(w) > lit(0))) >= minLineWords &&
+        !lower(l).contains("lorem ipsum") &&
+        !l.contains("{") &&
+        !lower(l).contains("javascript")
+    }
+    df.withColumn("__lines",
+        graft.functions.Barrier.evalOnce(split(col(textCol), "\n")))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("__kept", filter(col("__lines"), keepLine _))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("text_clean", array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept")
+      .filter(col("n_kept") >= minLines)
+  }
 }

@@ -108,4 +108,24 @@ class QualityRulesSpec extends AnyFunSuite with SparkTestBase {
       CorpusAudit.oovRate(docs, "text", "doc_id", 5, stageTokens = true)) == 0,
       "staged path must feed both consumers from the one materialized token stream")
   }
+
+  test("c4LineClean keeps punctuated prose lines, drops boilerplate/code/short lines") {
+    val doc =
+      "The quick brown fox jumps over the dog.\n" + // kept
+      "  Trailing-trim still counts as terminal!  \n" + // kept (trimmed)
+      "Home | About | Contact\n" +                  // no terminal punct
+      "Yes.\n" +                                    // punct but < 3 words
+      "function f() { return 1; }\n" +              // banned '{'
+      "Please enable JavaScript to continue.\n" +   // banned 'javascript'
+      "Lorem ipsum dolor sit amet.\n" +             // banned 'lorem ipsum'
+      "A second honest sentence ends here?"         // kept
+    val r = QualityRules.c4LineClean(
+        Seq((1L, doc), (2L, "no lines survive here")).toDF("id", "text"), "text")
+      .select("id", "n_lines", "n_kept", "text_clean").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 1L, "doc 2 must be dropped entirely")
+    assert(r(0).getLong(1) == 8L && r(0).getLong(2) == 3L, r(0).toString)
+    val kept = r(0).getString(3).split("\n")
+    assert(kept(0).endsWith("dog.") && kept(1).contains("terminal!")
+      && kept(2).endsWith("here?"))
+  }
 }
