@@ -1196,6 +1196,22 @@ object SparkEntry {
           "doc_id", "text", isTarget = col("lang") === "en", buckets = 1024)
         .orderBy(col("doc_id"))),
 
+    // Curriculum construction: the corpus ordered by reference-likeness
+    // (cross-entropy ascending — cleanest-first, the curriculum-learning
+    // data layout) and cut into 5000-token training stages via the
+    // window-free two-pass prefix sum. Composes the production CE
+    // scorer and the budget sharder in ONE declarative plan; the
+    // round-6 ce is hash-stable, so ordering on it is engine-safe.
+    "q_curriculum" -> ((s, dir) => {
+      val ce = operators.Importance.unigramCrossEntropy(
+        par(s, Tables.documents(s, dir)), "doc_id", "text",
+        isRef = col("source").isin("src0", "src1"), buckets = 4096)
+      operators.Packing.assignShardsByTokenBudget(ce,
+          Seq(col("ce"), col("doc_id")), col("n_tok"), budget = 5000L)
+        .select(col("doc_id"), col("n_tok"), col("ce"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style perplexity filter: per-document cross-entropy under a
     // unigram LM trained on the src0/src1 reference slice (the
     // "Wikipedia KenLM" analog). One token scan, one 4096-row LM
@@ -2971,6 +2987,34 @@ object SparkEntry {
                    / count(*), 6) AS dsir
       FROM g2 JOIN lm USING (b) CROSS JOIN tot
       GROUP BY g2.doc_id ORDER BY g2.doc_id""",
+
+    // the curriculum replayed: the q_perplexity cross-entropy CTEs, then
+    // the running token sum over (ce, doc_id) order integer-div'd by the
+    // 5000-token stage budget
+    "q_curriculum" -> """
+      WITH words AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS ref,
+               CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) % 4096 AS b
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+              FROM documents WHERE len(string_split(text, ' ')) >= 1)
+      ), lm AS (
+        SELECT b, CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+        FROM words GROUP BY b
+      ), tot AS (
+        SELECT CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS t
+        FROM words
+      ), ce AS (
+        SELECT words.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               round(-sum(ln((lm.cnt + 1) / (tot.t + 4096.0))) / count(*), 6) AS ce
+        FROM words JOIN lm USING (b) CROSS JOIN tot
+        GROUP BY words.doc_id
+      )
+      SELECT doc_id, n_tok, ce,
+        CAST((sum(n_tok) OVER (ORDER BY ce, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok) // 5000
+           AS BIGINT) AS shard
+      FROM ce ORDER BY doc_id""",
 
     // the unigram-LM cross-entropy replayed: same hashed buckets (md5
     // 8-hex prefix % 4096), same add-one smoothing, same negated mean

@@ -90,7 +90,7 @@ object Packing {
     * the SQL window formulation would. */
   def assignShardsByTokenBudget(df: DataFrame, sortCols: Seq[Column],
                                 tokensCol: Column, budget: Long,
-                                numPartitions: Int = 32): DataFrame = {
+                                numPartitions: Int = -1): DataFrame = {
     require(budget > 0, "budget must be positive")
     val v = coalesce(tokensCol.cast("long"), lit(0L))
     Ranking.withGlobalPrefixSum(df, "__cum", tokensCol, sortCols, numPartitions)
