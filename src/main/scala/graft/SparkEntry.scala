@@ -96,20 +96,22 @@ object SparkEntry {
     * Safe because every gate materializes a query fully before the same
     * query runs again — nothing holds a lazy frame over the old files. */
   private val tmpByPrefix = scala.collection.mutable.HashMap[String, java.nio.file.Path]()
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
+  private def deleteRecursively(root: java.nio.file.Path): Boolean =
     scala.util.Try {
       import java.nio.file._
       val st = Files.walk(root)
       try st.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.deleteIfExists(p))
       finally st.close()
-    }
+    }.isSuccess
   private def tempDir(prefix: String): String = {
     tmpCleanupHook
     tmpRoots.synchronized {
       tmpByPrefix.remove(prefix).foreach { old =>
-        deleteRecursively(old)
-        tmpRoots -= old
+        // a failed/partial delete (transient open handle) stays registered
+        // so the JVM shutdown hook retries it — unregistering here would
+        // leak the half-deleted root forever
+        if (deleteRecursively(old)) tmpRoots -= old
       }
       val p = java.nio.file.Files.createTempDirectory(prefix)
       tmpByPrefix(prefix) = p
@@ -1570,9 +1572,16 @@ object SparkEntry {
       // across batches is legitimately re-emitted (that IS the operator's
       // contract). The batch distinct on the read-back pins the gate to
       // the global-set oracle without weakening the streaming machinery
-      // under test; at scale the within-watermark semantics are the point.
-      runStreamToParquet(s, stream, "append", "graft-qsd")
-        .distinct()
+      // under test; the count assertion keeps the distinct from MASKING a
+      // broken dedup stage (for the one-batch fixture the stream output
+      // must already be duplicate-free — if the invariant ever breaks,
+      // fail loudly instead of silently collapsing leaked duplicates).
+      val out = runStreamToParquet(s, stream, "append", "graft-qsd")
+      val (raw_n, dedup_n) = (out.count(), out.distinct().count())
+      require(raw_n == dedup_n,
+        s"q_stream_dedup: stream emitted $raw_n rows but only $dedup_n are " +
+          "distinct — the within-watermark dedup leaked duplicates")
+      out.distinct()
         .orderBy(col("user_id"), col("event_type"))
     }),
 

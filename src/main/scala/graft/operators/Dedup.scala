@@ -183,12 +183,19 @@ object Dedup {
     val joined = left.hint("merge").join(right, Seq("__band", "__bh", "__cell"))
       .filter(col("id_a") < col("id_b"))
 
-    // Verify BEFORE per-pair dedup: a pair colliding in several bands pays
-    // the (cheap, codegen'd) set-overlap check once per collision, but the
-    // dedup then groups SCALARS over the rare post-threshold survivors —
-    // a HashAggregate. Deduping candidates first must drag the shingle
-    // arrays through a SortAggregate over every candidate (arrays are not
-    // hash-aggregable), which dominated the whole query's runtime.
+    verifyCandidatePairs(joined, threshold)
+  }
+
+  /** Exact-Jaccard verify + per-pair dedup over banded candidate pairs
+    * (`id_a`, `id_b`, `sh_a`, `sh_b`) — the shared tail of every
+    * MinHash-LSH flavor. Verify BEFORE per-pair dedup: a pair colliding
+    * in several bands pays the (cheap, codegen'd) set-overlap check once
+    * per collision, but the dedup then groups SCALARS over the rare
+    * post-threshold survivors — a HashAggregate. Deduping candidates
+    * first must drag the shingle arrays through a SortAggregate over
+    * every candidate (arrays are not hash-aggregable), which dominated
+    * the whole query's runtime. */
+  private def verifyCandidatePairs(joined: DataFrame, threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     joined
@@ -238,14 +245,7 @@ object Dedup {
       col("__id").as("id_b"), col("__sh").as("sh_b"))
     val joined = left.hint("merge").join(right, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
-
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    joined
-      .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
-      .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("jaccard")), 4).as("jaccard"))
+    verifyCandidatePairs(joined, threshold)
   }
 
   /** Survivors after MinHash-LSH near-dedup: drop the larger id of every

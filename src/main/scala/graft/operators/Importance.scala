@@ -70,10 +70,14 @@ object Importance {
 
     // `buckets`-row LM over the reference slice + 1-row total, broadcast;
     // built with conditional aggregation over the full token stream so
-    // every bucket appearing in the corpus has a row (no join-miss case)
+    // every bucket appearing in the corpus has a row (no join-miss case).
+    // The total folds from the LM — an exact integer sum over the
+    // `buckets`-row aggregate, NOT a second pass over the corpus (its
+    // exchange is shared with the join side, so the token stream
+    // materializes once for the LM and once for scoring)
     val lm = toks.groupBy(col("__b"))
       .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cnt"))
-    val tot = toks.agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__t"))
+    val tot = lm.agg(sum(col("__cnt")).as("__t"))
 
     // mirrored parenthesis-for-parenthesis in the oracle: exact-integer
     // numerator over double denominator, one ln() per token, negated mean
@@ -97,13 +101,15 @@ object Importance {
         conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % buckets)
       .select(col(idCol), col("__tgt"), col("__b"))
 
-    // `buckets`-row LM table + 1-row totals, both broadcast back
+    // `buckets`-row LM table + 1-row totals, both broadcast back; the
+    // totals fold from the LM (exact integer sums over `buckets` rows),
+    // not from a third pass over the gram stream
     val lm = grams.groupBy(col("__b")).agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
       count(lit(1)).as("__call"))
-    val totals = grams.agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t_all"),
-      count(lit(1)).as("__n_all"))
+    val totals = lm.agg(
+      sum(col("__ct")).as("__t_all"),
+      sum(col("__call")).as("__n_all"))
 
     // mirrored parenthesis-for-parenthesis in the oracle: exact-integer
     // numerators over double denominators, two ln() per gram, mean per doc

@@ -131,7 +131,10 @@ object QualityRules {
       // trim evaluated per use — value-identical, and the oracle mirrors
       // the same re-application
       def t = regexp_replace(l, "^[ \t\r]+|[ \t\r]+$", "")
-      t.rlike("[.!?\"]$") &&
+      // \z, not $: Java's $ also matches before a trailing Unicode line
+      // terminator (NEL/LS/PS) the [ \t\r] trim leaves in place — RE2's $
+      // (the oracle) and the C4 rule mean absolute end-of-text
+      t.rlike("[.!?\"]\\z") &&
         size(filter(split(t, " "), w => length(w) > lit(0))) >= minLineWords &&
         !lower(l).contains("lorem ipsum") &&
         !l.contains("{") &&
