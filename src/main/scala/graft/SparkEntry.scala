@@ -1303,6 +1303,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Intra-document line dedup over a lined fixture with PLANTED
+    // within-page repetition: each doc's 8-word lines plus a re-appended
+    // copy of its first third — the first-occurrence pass must strip
+    // exactly the planted copies (plus any organic repeats, which the
+    // oracle computes identically). Order-preserving, scan-side.
+    "q_line_dedup" -> ((s, dir) => {
+      val docs = par(s, Tables.documents(s, dir)).select(col("doc_id"), col("text"))
+      val lined = docs
+        .withColumn("__w", graft.functions.Barrier.evalOnce(split(col("text"), " ")))
+        .withColumn("__ls", graft.functions.Barrier.evalOnce(
+          transform(sequence(lit(0), ceil(size(col("__w")) / 8.0).cast("int") - 1),
+            i => array_join(slice(col("__w"), i * 8 + 1, lit(8)), " "))))
+        .withColumn("text3", array_join(
+          concat(col("__ls"),
+            slice(col("__ls"), lit(1), ceil(size(col("__ls")) / 3.0).cast("int"))),
+          "\n"))
+      Dedup.dedupLinesWithinDoc(lined, "text3")
+        .select(col("doc_id"), col("n_lines"), col("n_unique"), col("text_dedup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Out-of-vocabulary rate vs the corpus's own top-k vocabulary (k=20
     // here — the synthetic corpus has ~31 distinct tokens; CCNet-style
     // curation signal, minus the LM): TakeOrdered vocabulary, broadcast
@@ -2828,6 +2849,32 @@ object SparkEntry {
               AND bullet_frac <= 0.9
               AND ellipsis_frac <= 0.3) AS keep
       FROM s ORDER BY doc_id""",
+
+    // the planted-repetition fixture rebuilt (8-word lines + the first
+    // third re-appended), then the same first-occurrence filter —
+    // DuckDB's lambda index is 1-based where Spark's is 0-based, hence
+    // `list_position = i` against Spark's `array_position = i + 1`
+    "q_line_dedup" -> """
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), ls AS (
+        SELECT doc_id,
+          list_transform(range(0, CAST(ceil(len(w) / 8.0) AS INT)), i ->
+            array_to_string(w[i*8+1:i*8+8], ' ')) AS ls
+        FROM base
+      ), t AS (
+        SELECT doc_id, string_split(array_to_string(
+          list_concat(ls, ls[1:CAST(ceil(len(ls) / 3.0) AS INT)]), chr(10)),
+          chr(10)) AS lines
+        FROM ls
+      )
+      SELECT doc_id,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lines, (l, i) -> list_position(lines, l) = i))
+             AS BIGINT) AS n_unique,
+        array_to_string(list_filter(lines,
+          (l, i) -> list_position(lines, l) = i), chr(10)) AS text_dedup
+      FROM t ORDER BY doc_id""",
 
     // the lined fixture rebuilt with the same 8-word slicing and %3
     // suffix cycle, then the same line rules: whitespace-trim, terminal

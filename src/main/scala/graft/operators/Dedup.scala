@@ -248,6 +248,28 @@ object Dedup {
     verifyCandidatePairs(joined, threshold)
   }
 
+  /** Intra-document line dedup (the RefinedWeb/C4-adjacent within-page
+    * pass): keep the FIRST occurrence of every line, preserving order.
+    * Cross-document boilerplate is [[segmentDedup]]'s job (document
+    * frequency across pages); this removes the repetition document
+    * frequency can't see — nav blocks and footers repeated INSIDE one
+    * page. Adds `n_lines`, `n_unique`, `text_dedup`. Scan-side per-row
+    * array algebra, no shuffle; first-occurrence probing is O(lines²)
+    * per document, which is fine at real page line counts — a pathological
+    * million-line document belongs to [[segmentDedup]]'s exploded path. */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
+    def firstOccurrence(lines: Column): Column =
+      filter(lines, (l, i) =>
+        array_position(lines, l) === (i + 1).cast("long"))
+    df.withColumn("__lines",
+        graft.functions.Barrier.evalOnce(split(col(textCol), "\n")))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("__kept", firstOccurrence(col("__lines")))
+      .withColumn("n_unique", size(col("__kept")).cast("long"))
+      .withColumn("text_dedup", array_join(col("__kept"), "\n"))
+      .drop("__lines", "__kept")
+  }
+
   /** Survivors after MinHash-LSH near-dedup: drop the larger id of every
     * matched pair (transitive chains collapse to the smallest id via
     * iteration-free min propagation over direct pairs — adequate for

@@ -99,6 +99,16 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors == Set(1L, 5L, 6L))
   }
 
+  test("dedupLinesWithinDoc keeps first occurrences in order") {
+    val doc = "nav home about\nreal content line one\nnav home about\n" +
+      "real content line two\nnav home about\nreal content line one"
+    val r = Dedup.dedupLinesWithinDoc(Seq((1L, doc)).toDF("id", "text"), "text")
+      .select($"n_lines", $"n_unique", $"text_dedup")
+      .as[(Long, Long, String)].head()
+    assert(r._1 == 6L && r._2 == 3L)
+    assert(r._3 == "nav home about\nreal content line one\nreal content line two")
+  }
+
   test("unigramCrossEntropy: reference-like docs score lower than unseen vocabulary") {
     val corpus = Seq(
       (1L, "the cat sat on the mat near the door", true),
