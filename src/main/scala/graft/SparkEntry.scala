@@ -868,7 +868,7 @@ object SparkEntry {
     // §2.E histogram: width_bucket over order totals (the duration
     // histogram shape, runner/locator.ts:47-50).
     "q_token_hist" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(TextFunctions.widthBucket(
           TextFunctions.tokenCount(col("text")).cast("double"), 0, 100, 10).as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -879,7 +879,7 @@ object SparkEntry {
     // ceil(len/4) pieces) side by side — the numbers a mixture planner
     // budgets context windows with. Pure codegen'd kernels.
     "q_token_budget" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"),
           TextFunctions.bpeishTokenCount(col("text")).cast("long").as("bpe_tokens"))
@@ -1094,7 +1094,7 @@ object SparkEntry {
 
     // Text analysis: token counting + stopword counting, pure codegen.
     "q_text_stats" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
           size(filter(TextFunctions.tokens(col("text")),
@@ -1261,7 +1261,7 @@ object SparkEntry {
     // single-reducer window.
     "q_shard_budget" -> ((s, dir) =>
       operators.Packing.assignShardsByTokenBudget(
-          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          par(s, Tables.documents(s, dir)).select(col("doc_id"), col("source"),
             TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
           Seq(col("source"), col("doc_id")), col("n_tok"), budget = 5000L)
         .select(col("doc_id"), col("source"), col("n_tok"), col("shard"))
