@@ -1303,6 +1303,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary building + token-id encoding (the corpus-side half of
+    // tokenizer training): top-20 tokens by (freq desc, token asc)
+    // become ids 1..20, docs encode as id sequences with 0 for OOV. The
+    // vocab is a bounded driver list rebroadcast as a map literal —
+    // scan-side element_at per token, no join, no shuffle beyond the
+    // one vocabulary aggregation.
+    "q_vocab_encode" -> ((s, dir) =>
+      operators.CorpusAudit.encodeTokenIds(
+          par(s, Tables.documents(s, dir)), "doc_id", "text", vocabSize = 20)
+        .orderBy(col("doc_id"))),
+
     // Intra-document line dedup over a lined fixture with PLANTED
     // within-page repetition: each doc's 8-word lines plus a re-appended
     // copy of its first third — the first-occurrence pass must strip
@@ -2849,6 +2860,27 @@ object SparkEntry {
               AND bullet_frac <= 0.9
               AND ellipsis_frac <= 0.3) AS keep
       FROM s ORDER BY doc_id""",
+
+    // the vocabulary replayed: same (count desc, token asc) top-20 rank
+    // ids, same 0-for-OOV encoding, ids space-joined in token order
+    "q_vocab_encode" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), vocab AS (
+        SELECT t AS tok,
+               row_number() OVER (ORDER BY count(*) DESC, t ASC) AS id
+        FROM toks GROUP BY t
+        QUALIFY id <= 20
+      ), enc AS (
+        SELECT toks.doc_id, toks.pos, coalesce(v.id, 0) AS tid
+        FROM toks LEFT JOIN vocab v ON v.tok = toks.t
+      )
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids_str
+      FROM enc GROUP BY doc_id ORDER BY doc_id""",
 
     // the planted-repetition fixture rebuilt (8-word lines + the first
     // third re-appended), then the same first-occurrence filter —

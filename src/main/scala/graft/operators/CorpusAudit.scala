@@ -97,6 +97,37 @@ object CorpusAudit {
         round(col("oov") / col("n_tokens").cast("double"), 6))
   }
 
+  /** Frequency vocabulary + token-id encoding — the corpus-side half of
+    * tokenizer training: the top-`vocabSize` tokens by (count desc,
+    * token asc — deterministic tie-break) become ids 1..N in rank
+    * order, and every document encodes as its id sequence with 0 for
+    * out-of-vocabulary. The vocabulary is a `vocabSize`-bounded
+    * driver-side list (metadata-sized at any corpus scale — the
+    * IVF-centers pattern) rebroadcast as a map literal, so encoding is
+    * one scan-side `element_at` per token: no join, no shuffle beyond
+    * the one vocabulary aggregation.
+    *
+    * @return (idCol, n_tok, ids_str) — ids space-joined for
+    *         engine-portable comparison */
+  def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
+                     vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = wordGrams(docs, textCol, n = 1, keep = Seq(col(idCol)))
+      .groupBy(col("gram")).agg(count(lit(1)).as("__freq"))
+      .orderBy(col("__freq").desc, col("gram").asc)
+      .limit(vocabSize)
+      .select(col("gram")).collect().map(_.getString(0))
+    val idMap = map(vocab.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), lit((i + 1).toLong)) }.toIndexedSeq: _*)
+    docs
+      .withColumn("__toks",
+        graft.functions.Barrier.evalOnce(split(col(textCol), " ")))
+      .select(col(idCol), size(col("__toks")).cast("long").as("n_tok"),
+        array_join(transform(col("__toks"),
+          t => coalesce(element_at(idMap, t), lit(0L)).cast("string")), " ")
+          .as("ids_str"))
+  }
+
   /** Word n-grams of `textCol` under a plain single-space split, for
     * callers without a staged gram column (the oracle-portable
     * tokenization). The token array is projected ONCE before the
