@@ -139,19 +139,14 @@ object SparkEntry {
     }
   }
 
-  /** EXACT integer ns→µs (`div`) when the parquet column read as LONG
-    * (nanosAsLong), the same contract [[Tables.events]] uses — `/` on
-    * longs is a double divide, and ns epochs exceed 2^53, so a ts near a
-    * day boundary could land in the wrong window. Keyed by column NAME
-    * (the expr must reference it) so the shape can't silently convert a
-    * different column than the one passed. */
+  /** Event-time normalization for the streaming gates — delegates to the
+    * shared three-way adapter [[Tables.eventTime]] (legacy nanos-long /
+    * TIMESTAMP_NTZ / TIMESTAMP), so a producer-side encoding change in the
+    * fixture can never skew event time here without also being handled in
+    * the batch loader: one contract, one place. */
   private def tsToMicros(schema: org.apache.spark.sql.types.StructType,
                          name: String): org.apache.spark.sql.Column =
-    schema(name).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr(s"`$name` div 1000"))
-      case _ => col(name)
-    }
+    Tables.eventTime(schema, name)
 
   /** Shared harness for the streaming gates: run an AvailableNow stream
     * into parquet via foreachBatch and read the result back.

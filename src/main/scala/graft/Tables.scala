@@ -44,19 +44,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) cannot hold natively — sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and the loader converts
-    * (floor to micros) so downstream event-time logic sees a timestamp. */
+  /** Type-adaptive event-time adapter — the producer-side encoding of a
+    * timestamp column is NOT under this engine's control (at 100 TB scale
+    * upstream writers vary: ns-as-INT64, µs TIMESTAMP_NTZ, µs TIMESTAMP),
+    * so ingestion adapts to the footer schema instead of pinning one:
+    *
+    *   - `LongType`  — legacy parquet TIMESTAMP(NANOS) read under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true`: EXACT integer ns→µs
+    *     (`div`, not `/` — a double divide loses precision past 2^53);
+    *   - `TimestampNTZType` — cast to session-TZ TimestampType. Sessions
+    *     run UTC, so the cast is value-preserving AND the column becomes
+    *     watermark-eligible (`withWatermark` rejects NTZ in Spark 4);
+    *   - `TimestampType` — already event-time-ready, passed through.
+    *
+    * Keyed by column NAME (the expr must reference it) so the shape can't
+    * silently convert a different column than the one passed. Shared by
+    * [[events]], the streaming reader, and the gate queries — one contract,
+    * one place to grow when the next encoding shows up. */
+  def eventTime(schema: org.apache.spark.sql.types.StructType,
+                name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr(s"`$name` div 1000"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(name).cast(org.apache.spark.sql.types.TimestampType)
+      case _ => col(name)
+    }
+  }
+
+  /** `events` with `ts` normalized to TimestampType via [[eventTime]],
+    * whatever the file's physical encoding. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
-    }
+    raw.withColumn("ts", eventTime(raw.schema, "ts"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -27,19 +27,21 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** events schema for the streaming source (ts read as raw nanos long —
-    * `spark.sql.legacy.parquet.nanosAsLong` — and converted). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema)
+  /** Streaming source over the events table. The `ts` encoding is NOT
+    * pinned: a one-time batch read takes the real footer schema (file
+    * streams require an explicit schema) and [[graft.Tables.eventTime]]
+    * adapts by type — legacy nanos-as-INT64, µs TIMESTAMP_NTZ, or µs
+    * TIMESTAMP all land on the same watermark-eligible TimestampType.
+    * Producer encodings vary at scale; schema-pinning here once silently
+    * compressed every event time 1000× when the producer switched ns→µs. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
       // file-stream sources take a directory; restrict to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.eventTime(schema, "ts"))
+  }
 
   /** Watermarked tumbling-window aggregate: count + sum(value) per
     * (window, event_type). Late data beyond 10 minutes is dropped —
