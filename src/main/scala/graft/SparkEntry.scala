@@ -1309,6 +1309,26 @@ object SparkEntry {
           par(s, Tables.documents(s, dir)), "doc_id", "text", vocabSize = 20)
         .orderBy(col("doc_id"))),
 
+    // Same operator at REALISTIC tokenizer-vocabulary size — the corpus's
+    // ~31 distinct tokens are first diversified deterministically (token i
+    // of doc d gets suffix (d*31+i) mod 997 → ~30k distinct tokens, the
+    // identical derivation in both engines), then encoded at vocabSize
+    // 5000: far above the literal-map threshold, so this exercises the
+    // broadcast-join path a 32k–100k BPE vocab needs (a 5k-entry map
+    // LITERAL is a codegen/constant-pool hazard — PlanSpec asserts the
+    // join). ids 1..5000 by (freq desc, token asc), 0 = OOV.
+    "q_vocab_encode_large" -> ((s, dir) => {
+      val derived = par(s, Tables.documents(s, dir))
+        .select(col("doc_id"), array_join(
+          transform(split(col("text"), " "), (t, i) =>
+            concat(t, lit("_"),
+              ((col("doc_id") * 31 + i.cast("long")) % 997).cast("string"))),
+          " ").as("text2"))
+      operators.CorpusAudit.encodeTokenIds(
+          derived, "doc_id", "text2", vocabSize = 5000)
+        .orderBy(col("doc_id"))
+    }),
+
     // Intra-document line dedup over a lined fixture with PLANTED
     // within-page repetition: each doc's 8-word lines plus a re-appended
     // copy of its first third — the first-occurrence pass must strip
@@ -2868,6 +2888,32 @@ object SparkEntry {
                row_number() OVER (ORDER BY count(*) DESC, t ASC) AS id
         FROM toks GROUP BY t
         QUALIFY id <= 20
+      ), enc AS (
+        SELECT toks.doc_id, toks.pos, coalesce(v.id, 0) AS tid
+        FROM toks LEFT JOIN vocab v ON v.tok = toks.t
+      )
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS ids_str
+      FROM enc GROUP BY doc_id ORDER BY doc_id""",
+
+    // large-vocab twin: the deterministic token diversification (suffix
+    // (doc_id*31 + 0-based-pos) mod 997 — generate_subscripts is 1-based,
+    // hence pos-1), then the identical rank-5000 vocabulary and encoding
+    "q_vocab_encode_large" -> """
+      WITH toks0 AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t0,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      ), toks AS (
+        SELECT doc_id, pos,
+               t0 || '_' || CAST((doc_id*31 + pos - 1) % 997 AS VARCHAR) AS t
+        FROM toks0
+      ), vocab AS (
+        SELECT t AS tok,
+               row_number() OVER (ORDER BY count(*) DESC, t ASC) AS id
+        FROM toks GROUP BY t
+        QUALIFY id <= 5000
       ), enc AS (
         SELECT toks.doc_id, toks.pos, coalesce(v.id, 0) AS tid
         FROM toks LEFT JOIN vocab v ON v.tok = toks.t

@@ -101,31 +101,61 @@ object CorpusAudit {
     * tokenizer training: the top-`vocabSize` tokens by (count desc,
     * token asc — deterministic tie-break) become ids 1..N in rank
     * order, and every document encodes as its id sequence with 0 for
-    * out-of-vocabulary. The vocabulary is a `vocabSize`-bounded
-    * driver-side list (metadata-sized at any corpus scale — the
-    * IVF-centers pattern) rebroadcast as a map literal, so encoding is
-    * one scan-side `element_at` per token: no join, no shuffle beyond
-    * the one vocabulary aggregation.
+    * out-of-vocabulary.
+    *
+    * Two physical paths, switched on `vocabSize` vs `literalMapThreshold`:
+    *
+    *   - SMALL vocab (≤ threshold): the ranked vocabulary is collected
+    *     (metadata-sized) and rebroadcast as a map literal — encoding is
+    *     one scan-side `element_at` per token, no join, no extra shuffle.
+    *   - LARGE vocab (> threshold): a real 32k–100k tokenizer vocabulary
+    *     as a map LITERAL is a codegen/64KB-constant-pool blow-up, so the
+    *     vocabulary never leaves the cluster: it stays a frame, ranks via
+    *     one bounded `row_number` window (≤ vocabSize rows, one
+    *     partition — metadata-sized by construction), and BROADCAST
+    *     left-joins against the posexploded token stream; documents
+    *     reassemble order-exactly via sort-by-position. One extra
+    *     doc-keyed shuffle, bounded by corpus token count — the price of
+    *     not compiling the vocabulary into the plan.
     *
     * @return (idCol, n_tok, ids_str) — ids space-joined for
     *         engine-portable comparison */
   def encodeTokenIds(docs: DataFrame, idCol: String, textCol: String,
-                     vocabSize: Int): DataFrame = {
+                     vocabSize: Int, literalMapThreshold: Int = 1024): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
-    val vocab = wordGrams(docs, textCol, n = 1, keep = Seq(col(idCol)))
+    val ranked = wordGrams(docs, textCol, n = 1, keep = Seq(col(idCol)))
       .groupBy(col("gram")).agg(count(lit(1)).as("__freq"))
       .orderBy(col("__freq").desc, col("gram").asc)
       .limit(vocabSize)
-      .select(col("gram")).collect().map(_.getString(0))
-    val idMap = map(vocab.zipWithIndex.flatMap { case (t, i) =>
-      Seq(lit(t), lit((i + 1).toLong)) }.toIndexedSeq: _*)
-    docs
-      .withColumn("__toks",
-        graft.functions.Barrier.evalOnce(split(col(textCol), " ")))
-      .select(col(idCol), size(col("__toks")).cast("long").as("n_tok"),
-        array_join(transform(col("__toks"),
-          t => coalesce(element_at(idMap, t), lit(0L)).cast("string")), " ")
-          .as("ids_str"))
+    if (vocabSize <= literalMapThreshold) {
+      val vocab = ranked.select(col("gram")).collect().map(_.getString(0))
+      val idMap = map(vocab.zipWithIndex.flatMap { case (t, i) =>
+        Seq(lit(t), lit((i + 1).toLong)) }.toIndexedSeq: _*)
+      docs
+        .withColumn("__toks",
+          graft.functions.Barrier.evalOnce(split(col(textCol), " ")))
+        .select(col(idCol), size(col("__toks")).cast("long").as("n_tok"),
+          array_join(transform(col("__toks"),
+            t => coalesce(element_at(idMap, t), lit(0L)).cast("string")), " ")
+            .as("ids_str"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__freq").desc, col("gram").asc)
+      val vocabIds = ranked
+        .select(col("gram").as("__t"),
+          row_number().over(w).cast("long").as("__id"))
+      val toks = docs.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__p", "__t")))
+      toks.join(broadcast(vocabIds), Seq("__t"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tok"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("__p"),
+                coalesce(col("__id"), lit(0L)).as("__id")))),
+              e => e.getField("__id").cast("string")),
+            " ").as("ids_str"))
+    }
   }
 
   /** Word n-grams of `textCol` under a plain single-space split, for

@@ -172,4 +172,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(rnSpecs.forall(s => s.contains("__k#") && s.contains("__b#")),
       s"bucket-last window not partitioned on (key, bucket): $rnSpecs")
   }
+
+  test("large-vocab encoding joins the vocabulary frame, never a map literal") {
+    // vocabSize 5000 > literalMapThreshold: the vocabulary must reach the
+    // encoder as a BROADCAST join side — a 5k-entry map literal is a
+    // codegen/constant-pool blow-up at real 32k–100k tokenizer vocabs
+    val p = planOf("q_vocab_encode_large")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "large vocab must broadcast-join, not inline a literal:\n" + p)
+    assert(!p.contains("keys: ["), "no map literal expected in plan")
+    // the small-vocab path stays join-free (element_at against the literal)
+    val small = planOf("q_vocab_encode")
+    assert(!small.contains("Join"),
+      "small-vocab path should encode scan-side without a join:\n" + small)
+  }
 }

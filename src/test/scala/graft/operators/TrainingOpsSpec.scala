@@ -555,4 +555,24 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(df(2) == "host <PII> responded")
     assert(df(3) == "version 1.2 of chapter 3.4 is clean")
   }
+
+  test("encodeTokenIds: literal-map and broadcast-join paths agree exactly") {
+    val rnd = new scala.util.Random(7)
+    val vocabPool = (0 until 120).map(i => s"w$i")
+    val docs = (1L to 60L).map { i =>
+      val n = 5 + rnd.nextInt(40)
+      (i, Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // same vocabSize, forced down each path via the threshold
+    val viaLiteral = CorpusAudit.encodeTokenIds(docs, "doc_id", "text",
+        vocabSize = 50, literalMapThreshold = 1000)
+      .orderBy($"doc_id").collect().toSeq
+    val viaJoin = CorpusAudit.encodeTokenIds(docs, "doc_id", "text",
+        vocabSize = 50, literalMapThreshold = 10)
+      .orderBy($"doc_id").collect().toSeq
+    assert(viaLiteral == viaJoin)
+    // sanity: some OOV zeros exist (vocab 50 < 120 distinct) and ids ≤ 50
+    val ids = viaJoin.flatMap(_.getString(2).split(" ")).map(_.toLong)
+    assert(ids.contains(0L) && ids.max <= 50L)
+  }
 }
