@@ -253,19 +253,33 @@ object Dedup {
     * Cross-document boilerplate is [[segmentDedup]]'s job (document
     * frequency across pages); this removes the repetition document
     * frequency can't see — nav blocks and footers repeated INSIDE one
-    * page. Adds `n_lines`, `n_unique`, `text_dedup`. Scan-side per-row
-    * array algebra, no shuffle; first-occurrence probing is O(lines²)
-    * per document, which is fine at real page line counts — a pathological
-    * million-line document belongs to [[segmentDedup]]'s exploded path. */
-  def dedupLinesWithinDoc(df: DataFrame, textCol: String): DataFrame = {
+    * page. Adds `n_lines`, `n_unique`, `text_dedup`,
+    * `line_dedup_skipped`. Scan-side per-row array algebra, no shuffle.
+    *
+    * First-occurrence probing is O(lines²) per document — fine at real
+    * page line counts, but ONE pathological crawl page (a 100k-line log
+    * dump) would pin its task for hours. Documents above `maxLines` are
+    * therefore passed through UNMODIFIED and flagged
+    * (`line_dedup_skipped = true`, `n_unique` NULL — unknown, not a
+    * lie); the branch is a lazy CASE, so the quadratic probe never
+    * evaluates for skipped rows. Route flagged docs to [[segmentDedup]]'s
+    * exploded path, which handles them in O(lines) shuffle volume. */
+  def dedupLinesWithinDoc(df: DataFrame, textCol: String,
+                          maxLines: Int = 10000): DataFrame = {
+    require(maxLines > 0, "maxLines must be positive")
     def firstOccurrence(lines: Column): Column =
       filter(lines, (l, i) =>
         array_position(lines, l) === (i + 1).cast("long"))
     df.withColumn("__lines",
         graft.functions.Barrier.evalOnce(split(col(textCol), "\n")))
       .withColumn("n_lines", size(col("__lines")).cast("long"))
-      .withColumn("__kept", firstOccurrence(col("__lines")))
-      .withColumn("n_unique", size(col("__kept")).cast("long"))
+      .withColumn("line_dedup_skipped", col("n_lines") > maxLines)
+      .withColumn("__kept",
+        when(col("line_dedup_skipped"), col("__lines"))
+          .otherwise(firstOccurrence(col("__lines"))))
+      .withColumn("n_unique",
+        when(col("line_dedup_skipped"), lit(null).cast("long"))
+          .otherwise(size(col("__kept")).cast("long")))
       .withColumn("text_dedup", array_join(col("__kept"), "\n"))
       .drop("__lines", "__kept")
   }

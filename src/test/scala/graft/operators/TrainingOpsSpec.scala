@@ -109,6 +109,25 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r._3 == "nav home about\nreal content line one\nreal content line two")
   }
 
+  test("dedupLinesWithinDoc: over-maxLines docs pass through flagged, bounded") {
+    // 50k distinct lines: unguarded first-occurrence probing is ~2.5e9
+    // string comparisons (minutes); the guard must make this instant
+    val monster = (0 until 50000).map(i => s"line $i").mkString("\n")
+    val small = "a\nb\na"
+    val df = Seq((1L, monster), (2L, small)).toDF("id", "text")
+    val t0 = System.nanoTime()
+    val rows = Dedup.dedupLinesWithinDoc(df, "text", maxLines = 1000)
+      .select($"id", $"n_lines", $"n_unique", $"text_dedup", $"line_dedup_skipped")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"guard did not bound the quadratic probe: ${secs}s")
+    val m = rows(1L)
+    assert(m.getBoolean(4) && m.getLong(1) == 50000L && m.isNullAt(2))
+    assert(m.getString(3) == monster, "skipped doc must pass through unmodified")
+    val s2 = rows(2L)
+    assert(!s2.getBoolean(4) && s2.getLong(2) == 2L && s2.getString(3) == "a\nb")
+  }
+
   test("unigramCrossEntropy: reference-like docs score lower than unseen vocabulary") {
     val corpus = Seq(
       (1L, "the cat sat on the mat near the door", true),
