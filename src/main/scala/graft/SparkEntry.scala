@@ -1309,6 +1309,16 @@ object SparkEntry {
           par(s, Tables.documents(s, dir)), "doc_id", "text", vocabSize = 20)
         .orderBy(col("doc_id"))),
 
+    // Distributed BPE merge training (operators/Bpe.scala): 8 iterations
+    // of weighted pair-count → deterministic argmax → literal-replace
+    // rewrite over the distinct-word frame. The trained merge table IS
+    // the output; the oracle unrolls the identical 8 iterations as
+    // chained CTEs (same fixpoint-replace application, same
+    // count-desc/pair-asc tie-break).
+    "q_bpe_train" -> ((s, dir) =>
+      operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)
+        .orderBy(col("step"))),
+
     // Same operator at REALISTIC tokenizer-vocabulary size — the corpus's
     // ~31 distinct tokens are first diversified deterministically (token i
     // of doc d gets suffix (d*31+i) mod 997 → ~30k distinct tokens, the
@@ -2045,9 +2055,54 @@ object SparkEntry {
 
   private val textStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** DuckDB twin of [[operators.Bpe.train]], generated: the k training
+    * iterations unroll as chained CTEs — w0 is the word-frequency table
+    * as spaced char sequences; each step counts adjacent pairs (weighted
+    * by word freq), argmaxes with the count-desc/pair-asc tie-break, and
+    * rewrites via the same depth-nested literal replace (fixpoint
+    * application) the Spark side uses. One generated string so the two
+    * engines cannot drift on depth or tie-break. */
+  private def bpeOracle(k: Int, depth: Int): String = {
+    def rep(inner: String): String =
+      (1 to depth).foldLeft(inner)((e, _) =>
+        s"replace($e, ' ' || pr || ' ', ' ' || mg || ' ')")
+    val sb = new StringBuilder
+    sb.append("""
+      WITH w0 AS (
+        SELECT ' ' || regexp_replace(t, '(.)', '\1 ', 'g') AS seq,
+               CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE t <> '' GROUP BY t
+      )""")
+    for (i <- 1 to k) {
+      sb.append(s""",
+      p$i AS (
+        SELECT pr, CAST(sum(f) AS BIGINT) AS c FROM (
+          SELECT f, unnest(list_transform(range(1, len(toks)),
+                     j -> toks[j] || ' ' || toks[j+1])) AS pr
+          FROM (SELECT f, string_split(trim(seq), ' ') AS toks FROM w${i - 1})
+        ) GROUP BY pr
+      ),
+      m$i AS (
+        SELECT pr, replace(pr, ' ', '') AS mg, c
+        FROM p$i ORDER BY c DESC, pr ASC LIMIT 1
+      )""")
+      if (i < k) sb.append(s""",
+      w$i AS (
+        SELECT ${rep("seq")} AS seq, f FROM w${i - 1} CROSS JOIN m$i
+      )""")
+    }
+    sb.append("\n      " + (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pr AS pair, c AS freq FROM m$i")
+      .mkString("\n      UNION ALL "))
+    sb.append("\n      ORDER BY step")
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
     "q_count_filter" ->
       "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'P'",
 
