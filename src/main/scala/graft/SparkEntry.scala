@@ -1319,6 +1319,23 @@ object SparkEntry {
       operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)
         .orderBy(col("step"))),
 
+    // Exact substring dedup (operators/SubstringDedup.scala) over the
+    // corpus plus PLANTED cross-doc substrings: every doc_id % 10 == 0
+    // spawns a twin (+100000) carrying its first 60 tokens verbatim — a
+    // guaranteed ≥ 50-token shared run, so each twin must report the
+    // merged span [0, 59] (plus any organic ≥50-token repeats, which the
+    // oracle derives identically). Ownership = smallest doc_id, so spans
+    // land on the twins, never the originals.
+    "q_substring_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 60), " ").as("text"))
+      operators.SubstringDedup.dupSpans(
+          par(s, docs.unionByName(twins)), "doc_id", "text", k = 50)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // Same operator at REALISTIC tokenizer-vocabulary size — the corpus's
     // ~31 distinct tokens are first diversified deterministically (token i
     // of doc d gets suffix (d*31+i) mod 997 → ~30k distinct tokens, the
@@ -2103,6 +2120,54 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
+
+    // the planted-twin corpus rebuilt, then the same k=50 gram-anchor
+    // pipeline on gram TEXT (the Spark side ships xxhash64 of the same
+    // gram — identical grouping): distinct (doc, gram) → min-doc owner
+    // of grams in ≥2 docs → non-owner occurrences → gaps-and-islands
+    // merge of [p, p+49] windows
+    "q_substring_dedup" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(string_split(text, ' ')[1:60], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+      ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+        WHERE len(string_split(text, ' ')) >= 50
+      ), pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i FROM toks
+      ), grams AS (
+        SELECT doc_id, i - 1 AS p,
+               array_to_string(t[i:i+49], ' ') AS g
+        FROM pos
+      ), owners AS (
+        SELECT g, min(doc_id) AS owner FROM (
+          SELECT DISTINCT doc_id, g FROM grams
+        ) GROUP BY g HAVING count(*) >= 2
+      ), marked AS (
+        SELECT DISTINCT gr.doc_id, gr.p
+        FROM grams gr JOIN owners o ON o.g = gr.g AND gr.doc_id <> o.owner
+      ), m2 AS (
+        SELECT doc_id, p,
+               max(p + 49) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM marked
+      ), m3 AS (
+        SELECT doc_id, p,
+               CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END AS nw
+        FROM m2
+      ), m4 AS (
+        SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS sid
+        FROM m3
+      )
+      SELECT doc_id,
+             CAST(min(p) AS BIGINT) AS span_start,
+             CAST(max(p) + 49 AS BIGINT) AS span_end,
+             CAST(max(p) + 49 - min(p) + 1 AS BIGINT) AS span_tokens
+      FROM m4 GROUP BY doc_id, sid
+      ORDER BY doc_id, span_start""",
     "q_count_filter" ->
       "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'P'",
 
