@@ -298,3 +298,13 @@ final class CommitWaitTimeoutException(msg: String) extends GraftException("P202
 /** P2003: foreign key constraint violation (ON DELETE RESTRICT — deleting a
   * parent row that live child rows still reference, `migration.sql:93`). */
 final class ForeignKeyViolationException(msg: String) extends GraftException("P2003", msg)
+/** P2000: provided value too long for the column's declared maximum
+  * length (the `VARCHAR(n)` overflow the reference's Postgres raises;
+  * declared per column via `GraftTable.maxLengths` — parquet itself has
+  * no length-typed strings, so the engine enforces the contract). */
+final class ValueTooLongException(msg: String) extends GraftException("P2000", msg)
+/** P2014: required-relation violation — a write that would sever a
+  * REQUIRED relation between two models (here: updating a declared
+  * non-nullable FK column to NULL, the relation-level counterpart of the
+  * raw-column P2011). */
+final class RequiredRelationException(msg: String) extends GraftException("P2014", msg)

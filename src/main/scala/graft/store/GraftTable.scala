@@ -66,7 +66,13 @@ final class GraftTable(
       * matching slice directories ([[snapshotSlice]]) and (b) mutations
       * rewrite only the slices they touch — the SURVEY §4.2 layout
       * requirement for status-polled tables at 100 TB. */
-    val partitionCols: Seq[String] = Nil) {
+    val partitionCols: Seq[String] = Nil,
+    /** Per-column maximum string lengths (the `VARCHAR(n)` contract of
+      * the reference's Postgres columns): any written value longer than
+      * its declared cap raises the P2000 equivalent. Parquet stores
+      * strings untyped, so enforcement is engine-side, riding the same
+      * validation pass as the NULL/unique checks. */
+    val maxLengths: Map[String, Int] = Map.empty) {
 
   /** ON DELETE RESTRICT relations: (child table, child FK column, parent
     * key column) triples whose live child rows block deletion of referenced
@@ -74,6 +80,13 @@ final class GraftTable(
     * reference's `CrmSyncEvent.companyId → Company.id` FK
     * (`migration.sql:93`, declared `schema.prisma:80-82`). */
   private[store] var restricts: Seq[(GraftTable, String, String)] = Nil
+
+  maxLengths.foreach { case (c, mx) =>
+    require(mx > 0, s"$name: maxLength for $c must be positive")
+    require(schema.fieldNames.contains(c), s"$name: no column $c for maxLengths")
+    require(schema(c).dataType == StringType,
+      s"$name: maxLengths applies to string columns only ($c is ${schema(c).dataType})")
+  }
 
   /** The inverse view, registered on the CHILD: (parent, childCol,
     * parentCol) triples validated on child-side writes — inserting or
@@ -489,19 +502,24 @@ final class GraftTable(
       keep = keep && col(s"__ex$i").isNull
       tmpCols :+= s"__ex$i"
     }
-    // stats + raw count + null-constraint check RIDE THE CHECKPOINT action
-    // as observed metrics — the insert path pays TWO driver actions
-    // (materialize-with-stats, slice write), not three. NULL into a
-    // non-nullable column is the P2011 equivalent (parquet itself would
-    // happily store it; only surviving rows are checked).
+    // stats + raw count + null-constraint + length checks RIDE THE
+    // CHECKPOINT action as observed metrics — the insert path pays TWO
+    // driver actions (materialize-with-stats, slice write), not three.
+    // NULL into a non-nullable column is the P2011 equivalent; a string
+    // over its declared maxLengths cap is P2000 (parquet itself would
+    // happily store either; only surviving rows are checked).
     val required = schema.fields.filterNot(_.nullable).map(_.name).toSeq
     val nullViol = required.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
+    val lenViol = maxLengths.toSeq
+      .map { case (c, mx) => length(col(c)) > mx }
+      .reduceOption(_ || _).getOrElse(lit(false))
     val obs = new org.apache.spark.sql.Observation()
     marked = marked.withColumn("__keep", keep).drop(tmpCols: _*)
       .observe(obs,
         count(lit(1)).as("all"),
         count(when(col("__keep"), 1)).as("n"),
         count(when(col("__keep") && nullViol, 1)).as("nv"),
+        count(when(col("__keep") && lenViol, 1)).as("lv"),
         collect_set(when(col("__keep"), partKeyCol)).as("pks"))
       .localCheckpoint()
     val m = obs.get
@@ -511,6 +529,10 @@ final class GraftTable(
     if (m("nv").asInstanceOf[Long] > 0)
       throw new NullConstraintException(
         s"$name: NULL in non-nullable column (one of ${required.mkString(",")})")
+    if (m("lv").asInstanceOf[Long] > 0)
+      throw new ValueTooLongException(
+        s"$name: value exceeds declared max length " +
+          s"(${maxLengths.map { case (c, mx) => s"$c<=$mx" }.mkString(",")})")
     if (!skipDuplicates && uniqueKeys.nonEmpty && n < rawN)
       throw new UniqueViolationException(
         s"$name: unique constraint would be violated on ${uniqueKeys.mkString(",")}")
@@ -546,6 +568,41 @@ final class GraftTable(
     * Pre-image partition keys are carried through the SET as a projected
     * column so a partition-moving update still touches both source and
     * destination slices. */
+  /** Update-path constraint checks over the ACTUALLY-updated rows
+    * (already materialized by the caller's localCheckpoint): a capped
+    * string column over its maxLengths limit is P2000; NULL written into
+    * a non-nullable SET column is P2014 when the column is a declared FK
+    * (a required relation severed at the relation level) and P2011
+    * otherwise (the raw column constraint). limit(1) probes on the
+    * checkpointed frame — the violation set never materializes. */
+  private def validateUpdated(updated: DataFrame, setCols: Set[String]): Unit = {
+    val lenChecks = maxLengths.filter { case (c, _) => setCols.contains(c) }.toSeq
+    val nnCols = setCols
+      .filter(c => schema.fieldNames.contains(c) && !schema(c).nullable).toSeq
+    if (lenChecks.isEmpty && nnCols.isEmpty) return
+    // one combined probe on the happy path; per-class probes only run to
+    // pick the precise P-code once a violation is known to exist
+    val anyViol = (lenChecks.map { case (c, mx) => length(col(c)) > mx } ++
+      nnCols.map(col(_).isNull)).reduce(_ || _)
+    if (updated.filter(anyViol).limit(1).count() == 0) return
+    lenChecks.foreach { case (c, mx) =>
+      if (updated.filter(length(col(c)) > mx).limit(1).count() > 0)
+        throw new ValueTooLongException(
+          s"$name: update writes a value over $c's declared max length $mx")
+    }
+    val fkCols = parentRefs.map(_._2).toSet
+    nnCols.foreach { c =>
+      if (updated.filter(col(c).isNull).limit(1).count() > 0) {
+        if (fkCols.contains(c))
+          throw new RequiredRelationException(
+            s"$name: update would sever the required relation on $c " +
+              "(NULL into a non-nullable FK column)")
+        else throw new NullConstraintException(
+          s"$name: update writes NULL into non-nullable $c")
+      }
+    }
+  }
+
   private[store] def stagedUpdateReturning(current: DataFrame, where: Where,
                                            set: Map[String, Column]): (Staged, DataFrame) = {
     val cond0 = coalesce(Where.compile(where, current.apply), lit(false))
@@ -558,6 +615,7 @@ final class GraftTable(
       .observe(obs, obsCols.head, obsCols.tail: _*)
       .drop("__prepk").localCheckpoint()
     val m = obs.get
+    validateUpdated(updated, set.keySet)
     def pks(key: String): Set[String] =
       m(key).asInstanceOf[scala.collection.Seq[String]].toSet
     val touched = pks("pre") ++ (if (movesParts) pks("post") else Set.empty[String])
@@ -576,6 +634,7 @@ final class GraftTable(
     val (before, n) = pkStats(matched)
     if (single && n == 0)
       throw new RecordNotFoundException(s"$name: update found no row")
+    validateUpdated(withSet(matched, lit(true), set), set.keySet)
     // if the SET moves rows across partitions, the destination slices are
     // touched too (computed on the matched slice only — small)
     val touched =

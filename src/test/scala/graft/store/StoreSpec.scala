@@ -717,8 +717,12 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
 
   test("ON UPDATE CASCADE propagates a NULL new key (or throws on NOT NULL child)") {
     val cat = freshCatalog()
+    // the parent key column must itself be NULLABLE for a NULL remap to be
+    // a legal statement — Postgres raises not_null_violation on
+    // `UPDATE parent SET g = NULL` before any cascade when g is NOT NULL
+    // (and so does the engine's update-path P2011 check)
     val grp = new GraftTable(spark, cat, "grpn",
-      StructType(Seq(StructField("g", StringType, nullable = false))),
+      StructType(Seq(StructField("g", StringType, nullable = true))),
       uniqueKeys = Seq(Seq("g")))
     val refNullable = new GraftTable(spark, cat, "refn",
       StructType(Seq(
