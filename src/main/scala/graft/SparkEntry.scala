@@ -1336,6 +1336,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // The actionable half of exact substring dedup: the detected spans
+    // applied back to the corpus — every token inside a span dropped,
+    // text canonically single-space rejoined for every doc (fully-covered
+    // twins collapse to n_kept 0 / empty text). Same planted-twin corpus
+    // as q_substring_dedup so the two gates cross-check.
+    "q_substring_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val twins = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 60), " ").as("text"))
+      val corpus = par(s, docs.unionByName(twins))
+      val spans = operators.SubstringDedup.dupSpans(
+        corpus, "doc_id", "text", k = 50)
+      operators.SubstringDedup.removeSpans(corpus, spans, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Same operator at REALISTIC tokenizer-vocabulary size — the corpus's
     // ~31 distinct tokens are first diversified deterministically (token i
     // of doc d gets suffix (d*31+i) mod 997 → ~30k distinct tokens, the
@@ -2168,6 +2185,67 @@ object SparkEntry {
              CAST(max(p) + 49 - min(p) + 1 AS BIGINT) AS span_tokens
       FROM m4 GROUP BY doc_id, sid
       ORDER BY doc_id, span_start""",
+
+    // the same span pipeline, then applied: tokens at covered 0-based
+    // positions dropped, text rebuilt single-spaced per doc; docs whose
+    // every token is covered survive as empty rows via the left join
+    "q_substring_scrub" -> """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(string_split(text, ' ')[1:60], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+      ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+        WHERE len(string_split(text, ' ')) >= 50
+      ), pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i FROM toks
+      ), grams AS (
+        SELECT doc_id, i - 1 AS p,
+               array_to_string(t[i:i+49], ' ') AS g
+        FROM pos
+      ), owners AS (
+        SELECT g, min(doc_id) AS owner FROM (
+          SELECT DISTINCT doc_id, g FROM grams
+        ) GROUP BY g HAVING count(*) >= 2
+      ), marked AS (
+        SELECT DISTINCT gr.doc_id, gr.p
+        FROM grams gr JOIN owners o ON o.g = gr.g AND gr.doc_id <> o.owner
+      ), m2 AS (
+        SELECT doc_id, p,
+               max(p + 49) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM marked
+      ), m3 AS (
+        SELECT doc_id, p,
+               CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END AS nw
+        FROM m2
+      ), m4 AS (
+        SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS sid
+        FROM m3
+      ), spans AS (
+        SELECT doc_id, min(p) AS s, max(p) + 49 AS e
+        FROM m4 GROUP BY doc_id, sid
+      ), alltoks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM corpus
+      ), kept AS (
+        SELECT a.doc_id, a.t, a.pos FROM alltoks a
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+                          WHERE s.doc_id = a.doc_id
+                            AND a.pos - 1 BETWEEN s.s AND s.e)
+      ), agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(t, ' ' ORDER BY pos) AS text_scrub
+        FROM kept GROUP BY doc_id
+      )
+      SELECT c.doc_id,
+             CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+             coalesce(a.text_scrub, '') AS text_scrub
+      FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
+      ORDER BY c.doc_id""",
     "q_count_filter" ->
       "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'P'",
 

@@ -75,4 +75,32 @@ object SubstringDedup {
       .select(col("__id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
   }
+
+  /** Apply [[dupSpans]] output back to the corpus: drop every token
+    * whose 0-based position falls inside one of the document's spans and
+    * rejoin. Each document carries at most a handful of merged spans, so
+    * the spans frame aggregates to one small array per affected doc, one
+    * doc-keyed join ships it, and the drop itself is a scan-side
+    * higher-order filter (codegen'd, no explode of the token stream).
+    * Text is canonically single-space rejoined for EVERY document —
+    * affected or not — so output text is uniformly normalized.
+    *
+    * @return (idCol, n_kept, text_scrub) for every input document;
+    *         a fully-covered document yields n_kept 0, text "" */
+  def removeSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val sp = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    docs.join(sp, Seq(idCol), "left")
+      .withColumn("__spans",
+        coalesce(col("__spans"),
+          array().cast("array<struct<span_start:long,span_end:long>>")))
+      .withColumn("__kept", filter(split(col(textCol), " "), (t, i) =>
+        !exists(col("__spans"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") <= s.getField("span_end"))))
+      .select(col(idCol), size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_scrub"))
+  }
 }

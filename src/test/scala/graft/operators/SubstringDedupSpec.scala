@@ -47,6 +47,29 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(spans.isEmpty)
   }
 
+  test("removeSpans drops exactly the covered tokens, keeps untouched docs") {
+    val a = words("a", 100)
+    val d2 = (words("b", 20) ++ a.slice(10, 40) ++ words("c", 20)).mkString(" ")
+    val d3 = words("q", 5).mkString(" ") // untouched, and too short to gram
+    val df = Seq((1L, a.mkString(" ")), (2L, d2), (3L, d3))
+      .toDF("doc_id", "text")
+    val spans = SubstringDedup.dupSpans(df, "doc_id", "text", k = 10)
+    val out = SubstringDedup.removeSpans(df, spans, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 100L, a.mkString(" "))))
+    // doc 2 loses positions 20..49 (the shared run), keeps b* and c*
+    assert(out(1) == ((2L, 40L,
+      (words("b", 20) ++ words("c", 20)).mkString(" "))))
+    assert(out(2) == ((3L, 5L, d3)))
+    // a FULLY covered doc collapses to an empty row, not a missing one
+    val full = Seq((1L, a.mkString(" ")),
+      (4L, a.slice(0, 60).mkString(" "))).toDF("doc_id", "text")
+    val fullSpans = SubstringDedup.dupSpans(full, "doc_id", "text", k = 50)
+    val scrubbed = SubstringDedup.removeSpans(full, fullSpans, "doc_id", "text")
+      .filter($"doc_id" === 4L).as[(Long, Long, String)].head()
+    assert(scrubbed == ((4L, 0L, "")))
+  }
+
   test("hashGrams=false (exact text) agrees with the hashed path") {
     val a = words("a", 120)
     val d2 = (words("b", 10) ++ a.slice(30, 90)).mkString(" ")
