@@ -1319,6 +1319,14 @@ object SparkEntry {
       operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)
         .orderBy(col("step"))),
 
+    // The inference half: every distinct corpus word segmented under the
+    // 8 trained merges — one scan-side chain of literal replaces over
+    // the distinct-word frame; the oracle replays training AND
+    // application in the same generated CTE chain (segment mode).
+    "q_bpe_encode" -> ((s, dir) =>
+      operators.Bpe.segment(Tables.documents(s, dir), "text", numMerges = 8)
+        .orderBy(col("word"))),
+
     // Exact substring dedup (operators/SubstringDedup.scala) over the
     // corpus plus PLANTED cross-doc substrings: every doc_id % 10 == 0
     // spawns a twin (+100000) carrying its first 60 tokens verbatim — a
@@ -2096,14 +2104,16 @@ object SparkEntry {
     * rewrites via the same depth-nested literal replace (fixpoint
     * application) the Spark side uses. One generated string so the two
     * engines cannot drift on depth or tie-break. */
-  private def bpeOracle(k: Int, depth: Int): String = {
+  private def bpeOracle(k: Int, depth: Int,
+                        segment: Boolean = false): String = {
     def rep(inner: String): String =
       (1 to depth).foldLeft(inner)((e, _) =>
         s"replace($e, ' ' || pr || ' ', ' ' || mg || ' ')")
     val sb = new StringBuilder
     sb.append("""
       WITH w0 AS (
-        SELECT ' ' || regexp_replace(t, '(.)', '\1 ', 'g') AS seq,
+        SELECT t AS word,
+               ' ' || regexp_replace(t, '(.)', '\1 ', 'g') AS seq,
                CAST(count(*) AS BIGINT) AS f
         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         WHERE t <> '' GROUP BY t
@@ -2121,15 +2131,23 @@ object SparkEntry {
         SELECT pr, replace(pr, ' ', '') AS mg, c
         FROM p$i ORDER BY c DESC, pr ASC LIMIT 1
       )""")
-      if (i < k) sb.append(s""",
+      if (i < k || segment) sb.append(s""",
       w$i AS (
-        SELECT ${rep("seq")} AS seq, f FROM w${i - 1} CROSS JOIN m$i
+        SELECT word, ${rep("seq")} AS seq, f FROM w${i - 1} CROSS JOIN m$i
       )""")
     }
-    sb.append("\n      " + (1 to k).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, pr AS pair, c AS freq FROM m$i")
-      .mkString("\n      UNION ALL "))
-    sb.append("\n      ORDER BY step")
+    if (segment)
+      sb.append(s"""
+      SELECT word,
+             CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_symbols,
+             trim(seq) AS seq
+      FROM w$k ORDER BY word""")
+    else {
+      sb.append("\n      " + (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, pr AS pair, c AS freq FROM m$i")
+        .mkString("\n      UNION ALL "))
+      sb.append("\n      ORDER BY step")
+    }
     sb.toString
   }
 
@@ -2137,6 +2155,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
+    "q_bpe_encode" -> bpeOracle(k = 8, depth = 16, segment = true),
 
     // the planted-twin corpus rebuilt, then the same k=50 gram-anchor
     // pipeline on gram TEXT (the Spark side ships xxhash64 of the same

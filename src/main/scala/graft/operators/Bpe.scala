@@ -98,4 +98,32 @@ object Bpe {
     }
     merges.toSeq.toDF("step", "pair", "freq")
   }
+
+  /** The inference half: segment every distinct word of `textCol` under
+    * the first `numMerges` trained merges (trained on the SAME corpus —
+    * the gate shape; production would persist [[train]]'s table and fold
+    * it here). The merge list is metadata-sized (one row per merge), so
+    * application compiles to a single scan-side chain of literal
+    * replaces over the distinct-word frame — no join, no extra shuffle
+    * beyond the word distinct.
+    *
+    * @return (word, n_symbols, seq) — seq is the space-joined subword
+    *         segmentation, one row per distinct word */
+  def segment(docs: DataFrame, textCol: String, numMerges: Int,
+              replaceDepth: Int = 16): DataFrame = {
+    val mergeRows = train(docs, textCol, numMerges, replaceDepth)
+      .orderBy(col("step")).collect()
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("__w"))
+      .filter(col("__w") =!= "").distinct()
+    val finalSeq = mergeRows.foldLeft(charSeq(col("__w"))) { (c, r) =>
+      val pair = r.getString(1)
+      nestedReplace(c, lit(s" $pair "), lit(s" ${pair.replace(" ", "")} "),
+        replaceDepth)
+    }
+    words.select(col("__w").as("word"), trim(finalSeq).as("seq"))
+      .select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_symbols"),
+        col("seq"))
+  }
 }

@@ -40,4 +40,17 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       .orderBy($"step").as[(Long, String, Long)].collect().toSeq
     assert(out == Seq((1L, "a b", 2L)))
   }
+
+  test("segment applies trained merges in order to every distinct word") {
+    // Sennrich corpus, 3 merges: es, est, lo
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val seg = Bpe.segment(Seq(text).toDF("text"), "text", numMerges = 3)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(seg("low") == ((2L, "lo w")))
+    assert(seg("lower") == ((4L, "lo w e r")))
+    assert(seg("newest") == ((4L, "n e w est")))
+    assert(seg("widest") == ((4L, "w i d est")))
+  }
 }
