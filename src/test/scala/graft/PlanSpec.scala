@@ -173,6 +173,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"bucket-last window not partitioned on (key, bucket): $rnSpecs")
   }
 
+  test("substring dedup: pruned scans, no nested-loop or cartesian join") {
+    val p = planOf("q_substring_dedup")
+    // the corpus scan reads only (doc_id, text)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "corpus scan not pruned to 2 columns:\n" + p)
+    // gram ownership and marking are equi-joins — a nested loop here is
+    // corpus × grams and cannot survive any scale-up
+    assert(!p.contains("CartesianProduct"), "cartesian product:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join:\n" + p)
+    // the island merge windows per document, never one partition
+    assert(!p.contains("Window [") || !p.contains(", []"),
+      "unpartitioned window:\n" + p)
+  }
+
   test("large-vocab encoding joins the vocabulary frame, never a map literal") {
     // vocabSize 5000 > literalMapThreshold: the vocabulary must reach the
     // encoder as a BROADCAST join side — a 5k-entry map literal is a

@@ -162,4 +162,25 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     val before = df.filter($"id" < firstOfShard1).agg(sum($"tok")).head().getLong(0)
     assert(before >= 1000000L && before - 100 < 1000000L)
   }
+
+  test("substring dedup stays linear under corpus-wide boilerplate") {
+    // EVERY doc opens with the same 12-token header (the nav-block shape):
+    // the header grams' ownership groups span the whole corpus, and the
+    // marked set must stay O(docs), never docs² — this completes in
+    // seconds only if no per-gram pair expansion exists
+    val header = (0 until 12).map(i => s"nav$i").mkString(" ")
+    val docs = spark.range(2000).select($"id".as("doc_id"),
+      concat(lit(header + " "),
+        concat_ws(" ", (0 until 10).map(j => concat(lit("b"), $"id", lit(s"_$j"))): _*))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val spans = SubstringDedup.dupSpans(docs, "doc_id", "text", k = 10)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, s"boilerplate marking not linear: ${secs}s")
+    // doc 0 owns the header; all 1999 others carry exactly the [0, 11] span
+    assert(spans.length == 1999)
+    assert(spans.forall(r => r.getLong(1) == 0L && r.getLong(2) == 11L))
+    assert(!spans.exists(r => r.getLong(0) == 0L), "owner doc must keep its header")
+  }
 }
