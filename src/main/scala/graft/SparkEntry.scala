@@ -1651,6 +1651,24 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // Watermarked SESSION-window aggregation, driver-gated end-to-end:
+    // the native session_window dynamic-gap merge state (per-user
+    // 30-minute-gap sessions) through the real streaming machinery,
+    // complete-mode foreachBatch into parquet. The oracle is the batch
+    // gaps-and-islands sessionization — the same contract q_sessions
+    // checks in batch, now proven equivalent through streaming state.
+    "q_stream_session" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val stream = graft.streaming.Streaming.sessionWindowAggregates(
+        s.readStream.schema(raw.schema)
+          .parquet(s"$dir/events.parque[t]")
+          .select(tsToMicros(raw.schema, "ts").as("ts"), col("user_id")))
+      runStreamToParquet(s, stream, "complete", "graft-qses")
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
+          col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Streaming exact dedup through the REAL dropDuplicatesWithinWatermark
     // state machinery (the in-stream ingest dedup a 100 TB pipeline runs
     // before anything else touches the batch): one row survives per
@@ -3529,6 +3547,33 @@ object SparkEntry {
       SELECT DISTINCT user_id, event_type
       FROM events
       ORDER BY user_id, event_type""",
+
+    // per-user gaps-and-islands sessionization — session_window merges
+    // strictly-overlapping [ts, ts+gap) windows, so a gap of EXACTLY the
+    // window size starts a new session (>=, not >)
+    "q_stream_session" -> """
+      WITH o AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               lag(CAST(ts AS TIMESTAMP))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+      ), f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL
+                      OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1
+                    ELSE 0 END AS nw
+        FROM o
+      ), s AS (
+        SELECT user_id, ts,
+               sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM f
+      )
+      SELECT user_id,
+             CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
 
     "q_stream_store" -> """
       SELECT doc_id,

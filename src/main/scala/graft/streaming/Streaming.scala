@@ -43,6 +43,21 @@ object Streaming {
       .withColumn("ts", graft.Tables.eventTime(schema, "ts"))
   }
 
+  /** Watermarked SESSION-window aggregate — the native
+    * `session_window` state machinery (dynamic-gap windows that merge as
+    * events arrive, the hardest streaming-aggregation state shape) over
+    * the event stream: events of one user belong to one session while
+    * gaps stay under `gap`. Equivalent to the batch gaps-and-islands
+    * sessionization ([[sessionize]] / the `q_sessions` plan), which is
+    * what the gate's oracle replays. */
+  def sessionWindowAggregates(events: DataFrame,
+                              gap: String = "30 minutes",
+                              watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
   /** Watermarked tumbling-window aggregate: count + sum(value) per
     * (window, event_type). Late data beyond 10 minutes is dropped —
     * state stays bounded no matter how long the stream runs. */
