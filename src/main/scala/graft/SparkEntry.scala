@@ -139,14 +139,19 @@ object SparkEntry {
     }
   }
 
-  /** Event-time normalization for the streaming gates — delegates to the
-    * shared three-way adapter [[Tables.eventTime]] (legacy nanos-long /
-    * TIMESTAMP_NTZ / TIMESTAMP), so a producer-side encoding change in the
-    * fixture can never skew event time here without also being handled in
-    * the batch loader: one contract, one place. */
-  private def tsToMicros(schema: org.apache.spark.sql.types.StructType,
-                         name: String): org.apache.spark.sql.Column =
-    Tables.eventTime(schema, name)
+
+  /** The substring-dedup gate corpus: documents plus, for every
+    * doc_id % 10 == 0, a twin (+100000) carrying the doc's first 60
+    * tokens verbatim — a guaranteed ≥50-token cross-doc run. ONE
+    * definition shared by the span and scrub gates (their oracles build
+    * the identical corpus), so the planted-fixture construction cannot
+    * drift between them. */
+  private def plantedTwinCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 60), " ").as("text")))
+  }
 
   /** Shared harness for the streaming gates: run an AvailableNow stream
     * into parquet via foreachBatch and read the result back.
@@ -1334,15 +1339,10 @@ object SparkEntry {
     // merged span [0, 59] (plus any organic ≥50-token repeats, which the
     // oracle derives identically). Ownership = smallest doc_id, so spans
     // land on the twins, never the originals.
-    "q_substring_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val twins = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          array_join(slice(split(col("text"), " "), 1, 60), " ").as("text"))
+    "q_substring_dedup" -> ((s, dir) =>
       operators.SubstringDedup.dupSpans(
-          par(s, docs.unionByName(twins)), "doc_id", "text", k = 50)
-        .orderBy(col("doc_id"), col("span_start"))
-    }),
+          par(s, plantedTwinCorpus(s, dir)), "doc_id", "text", k = 50)
+        .orderBy(col("doc_id"), col("span_start"))),
 
     // The actionable half of exact substring dedup: the detected spans
     // applied back to the corpus — every token inside a span dropped,
@@ -1350,11 +1350,7 @@ object SparkEntry {
     // twins collapse to n_kept 0 / empty text). Same planted-twin corpus
     // as q_substring_dedup so the two gates cross-check.
     "q_substring_scrub" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val twins = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"),
-          array_join(slice(split(col("text"), " "), 1, 60), " ").as("text"))
-      val corpus = par(s, docs.unionByName(twins))
+      val corpus = par(s, plantedTwinCorpus(s, dir))
       val spans = operators.SubstringDedup.dupSpans(
         corpus, "doc_id", "text", k = 50)
       operators.SubstringDedup.removeSpans(corpus, spans, "doc_id", "text")
@@ -1397,7 +1393,10 @@ object SparkEntry {
           concat(col("__ls"),
             slice(col("__ls"), lit(1), ceil(size(col("__ls")) / 3.0).cast("int"))),
           "\n"))
-      Dedup.dedupLinesWithinDoc(lined, "text3")
+      // maxLines pinned above any fixture size: the oracle SQL dedups
+      // unconditionally, so the guard (spec-tested in TrainingOpsSpec)
+      // must not fire here even if a future corpus grows 10k+-line docs
+      Dedup.dedupLinesWithinDoc(lined, "text3", maxLines = Int.MaxValue)
         .select(col("doc_id"), col("n_lines"), col("n_unique"), col("text_dedup"))
         .orderBy(col("doc_id"))
     }),
@@ -1638,10 +1637,8 @@ object SparkEntry {
     // equivalent (UTC-day truncation, same ns→µs timestamp contract the
     // batch event queries use).
     "q_stream_window" -> ((s, dir) => {
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val stream = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque[t]")
-        .select(tsToMicros(raw.schema, "ts").as("ts"), col("event_type"))
+      val stream = graft.streaming.Streaming.readEventStream(s, dir)
+        .select(col("ts"), col("event_type"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -1658,11 +1655,9 @@ object SparkEntry {
     // gaps-and-islands sessionization — the same contract q_sessions
     // checks in batch, now proven equivalent through streaming state.
     "q_stream_session" -> ((s, dir) => {
-      val raw = s.read.parquet(s"$dir/events.parquet")
       val stream = graft.streaming.Streaming.sessionWindowAggregates(
-        s.readStream.schema(raw.schema)
-          .parquet(s"$dir/events.parque[t]")
-          .select(tsToMicros(raw.schema, "ts").as("ts"), col("user_id")))
+        graft.streaming.Streaming.readEventStream(s, dir)
+          .select(col("ts"), col("user_id")))
       runStreamToParquet(s, stream, "complete", "graft-qses")
         .select(col("user_id"), unix_micros(col("w.start")).as("session_start"),
           col("n"))
@@ -1676,11 +1671,8 @@ object SparkEntry {
     // partition-order-dependent, so only the KEY COLUMNS are emitted —
     // that projection is deterministic and the oracle is SELECT DISTINCT.
     "q_stream_dedup" -> ((s, dir) => {
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val stream = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque[t]")
-        .select(tsToMicros(raw.schema, "ts").as("ts"),
-          col("user_id"), col("event_type"))
+      val stream = graft.streaming.Streaming.readEventStream(s, dir)
+        .select(col("ts"), col("user_id"), col("event_type"))
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
@@ -2136,6 +2128,18 @@ object SparkEntry {
         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
         WHERE t <> '' GROUP BY t
       )""")
+    // In segment mode m$i must NEVER be empty: w$i = w$(i-1) CROSS JOIN
+    // m$i would annihilate the word table when the corpus runs out of
+    // pairs before step k (Spark's train stops early and segment applies
+    // only the real merges). A sentinel pair of control chars (absent
+    // from any text) at count −1 loses every argmax with candidates and
+    // its replace is a no-op when it wins an empty round. Train mode
+    // stays sentinel-free: an empty m$i contributes zero rows to the
+    // UNION, matching the early stop.
+    val mSrc =
+      if (segment) "(SELECT pr, c FROM p%d UNION ALL " +
+        "SELECT chr(1) || ' ' || chr(1), CAST(-1 AS BIGINT))"
+      else "p%d"
     for (i <- 1 to k) {
       sb.append(s""",
       p$i AS (
@@ -2147,7 +2151,7 @@ object SparkEntry {
       ),
       m$i AS (
         SELECT pr, replace(pr, ' ', '') AS mg, c
-        FROM p$i ORDER BY c DESC, pr ASC LIMIT 1
+        FROM ${mSrc.format(i)} ORDER BY c DESC, pr ASC LIMIT 1
       )""")
       if (i < k || segment) sb.append(s""",
       w$i AS (
@@ -2169,99 +2173,70 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared CTE prefix of the two substring gates: the planted-twin
+    * corpus ([[plantedTwinCorpus]]'s SQL twin), the k=50 gram scan on
+    * gram TEXT (the Spark side ships xxhash64 of the same gram —
+    * identical grouping), min-doc ownership, non-owner marking, and the
+    * gaps-and-islands pass `m4`. One string, two consumers — the span
+    * and scrub oracles cannot drift on corpus or policy. */
+  private val substringSpanCtes: String = """
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               array_to_string(string_split(text, ' ')[1:60], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0
+      ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+        WHERE len(string_split(text, ' ')) >= 50
+      ), pos AS (
+        SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i FROM toks
+      ), grams AS (
+        SELECT doc_id, i - 1 AS p,
+               array_to_string(t[i:i+49], ' ') AS g
+        FROM pos
+      ), owners AS (
+        SELECT g, min(doc_id) AS owner FROM (
+          SELECT DISTINCT doc_id, g FROM grams
+        ) GROUP BY g HAVING count(*) >= 2
+      ), marked AS (
+        SELECT DISTINCT gr.doc_id, gr.p
+        FROM grams gr JOIN owners o ON o.g = gr.g AND gr.doc_id <> o.owner
+      ), m2 AS (
+        SELECT doc_id, p,
+               max(p + 49) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM marked
+      ), m3 AS (
+        SELECT doc_id, p,
+               CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END AS nw
+        FROM m2
+      ), m4 AS (
+        SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS sid
+        FROM m3
+      )"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
     "q_bpe_encode" -> bpeOracle(k = 8, depth = 16, segment = true),
 
-    // the planted-twin corpus rebuilt, then the same k=50 gram-anchor
-    // pipeline on gram TEXT (the Spark side ships xxhash64 of the same
-    // gram — identical grouping): distinct (doc, gram) → min-doc owner
-    // of grams in ≥2 docs → non-owner occurrences → gaps-and-islands
-    // merge of [p, p+49] windows
-    "q_substring_dedup" -> """
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id,
-               array_to_string(string_split(text, ' ')[1:60], ' ') AS text
-        FROM documents WHERE doc_id % 10 = 0
-      ), toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM corpus
-        WHERE len(string_split(text, ' ')) >= 50
-      ), pos AS (
-        SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i FROM toks
-      ), grams AS (
-        SELECT doc_id, i - 1 AS p,
-               array_to_string(t[i:i+49], ' ') AS g
-        FROM pos
-      ), owners AS (
-        SELECT g, min(doc_id) AS owner FROM (
-          SELECT DISTINCT doc_id, g FROM grams
-        ) GROUP BY g HAVING count(*) >= 2
-      ), marked AS (
-        SELECT DISTINCT gr.doc_id, gr.p
-        FROM grams gr JOIN owners o ON o.g = gr.g AND gr.doc_id <> o.owner
-      ), m2 AS (
-        SELECT doc_id, p,
-               max(p + 49) OVER (PARTITION BY doc_id ORDER BY p
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        FROM marked
-      ), m3 AS (
-        SELECT doc_id, p,
-               CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END AS nw
-        FROM m2
-      ), m4 AS (
-        SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS sid
-        FROM m3
-      )
+    // the shared span CTE chain, reported as merged spans
+    "q_substring_dedup" -> (substringSpanCtes + """
       SELECT doc_id,
              CAST(min(p) AS BIGINT) AS span_start,
              CAST(max(p) + 49 AS BIGINT) AS span_end,
              CAST(max(p) + 49 - min(p) + 1 AS BIGINT) AS span_tokens
       FROM m4 GROUP BY doc_id, sid
-      ORDER BY doc_id, span_start""",
+      ORDER BY doc_id, span_start"""),
 
-    // the same span pipeline, then applied: tokens at covered 0-based
-    // positions dropped, text rebuilt single-spaced per doc; docs whose
-    // every token is covered survive as empty rows via the left join
-    "q_substring_scrub" -> """
-      WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000 AS doc_id,
-               array_to_string(string_split(text, ' ')[1:60], ' ') AS text
-        FROM documents WHERE doc_id % 10 = 0
-      ), toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM corpus
-        WHERE len(string_split(text, ' ')) >= 50
-      ), pos AS (
-        SELECT doc_id, t, unnest(range(1, len(t) - 48)) AS i FROM toks
-      ), grams AS (
-        SELECT doc_id, i - 1 AS p,
-               array_to_string(t[i:i+49], ' ') AS g
-        FROM pos
-      ), owners AS (
-        SELECT g, min(doc_id) AS owner FROM (
-          SELECT DISTINCT doc_id, g FROM grams
-        ) GROUP BY g HAVING count(*) >= 2
-      ), marked AS (
-        SELECT DISTINCT gr.doc_id, gr.p
-        FROM grams gr JOIN owners o ON o.g = gr.g AND gr.doc_id <> o.owner
-      ), m2 AS (
-        SELECT doc_id, p,
-               max(p + 49) OVER (PARTITION BY doc_id ORDER BY p
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-        FROM marked
-      ), m3 AS (
-        SELECT doc_id, p,
-               CASE WHEN pm IS NULL OR p > pm + 1 THEN 1 ELSE 0 END AS nw
-        FROM m2
-      ), m4 AS (
-        SELECT doc_id, p, sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS sid
-        FROM m3
-      ), spans AS (
+    // the same shared span CTE chain, then applied: tokens at covered
+    // 0-based positions dropped, text rebuilt single-spaced per doc;
+    // docs whose every token is covered survive as empty rows via the
+    // left join
+    "q_substring_scrub" -> (substringSpanCtes + """
+      , spans AS (
         SELECT doc_id, min(p) AS s, max(p) + 49 AS e
         FROM m4 GROUP BY doc_id, sid
       ), alltoks AS (
@@ -2282,7 +2257,7 @@ object SparkEntry {
              CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
              coalesce(a.text_scrub, '') AS text_scrub
       FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
-      ORDER BY c.doc_id""",
+      ORDER BY c.doc_id"""),
     "q_count_filter" ->
       "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'P'",
 

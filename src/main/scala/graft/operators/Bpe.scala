@@ -28,11 +28,12 @@ import org.apache.spark.sql.functions._
   *
   * Merge application semantics are "leftmost non-overlapping, rescan to
   * fixpoint": ` a b ` → ` ab ` applied repeatedly until no occurrence
-  * remains. For runs of a self-pair (`a a a a`) this differs from the
-  * strict left-to-right single scan only in which positions coalesce
-  * first — the multiset of merged symbols is the same — and it is
-  * exactly expressible in any SQL engine (nested literal `replace`),
-  * which keeps the whole loop oracle-checkable end to end.
+  * remains. On runs of a self-pair this can differ from reference BPE's
+  * strict left-to-right single scan (e.g. six `a`s under merge (a,a):
+  * fixpoint yields [aa, a, aa, a] where the strict scan yields
+  * [aa, aa, aa]) — a deliberate variant, rare in natural text, chosen
+  * because it is exactly expressible in any SQL engine (nested literal
+  * `replace`), which keeps the whole loop oracle-checkable end to end.
   */
 object Bpe {
 

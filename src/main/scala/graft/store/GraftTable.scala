@@ -568,14 +568,18 @@ final class GraftTable(
     * Pre-image partition keys are carried through the SET as a projected
     * column so a partition-moving update still touches both source and
     * destination slices. */
-  /** Update-path constraint checks over the ACTUALLY-updated rows
-    * (already materialized by the caller's localCheckpoint): a capped
-    * string column over its maxLengths limit is P2000; NULL written into
-    * a non-nullable SET column is P2014 when the column is a declared FK
-    * (a required relation severed at the relation level) and P2011
-    * otherwise (the raw column constraint). limit(1) probes on the
-    * checkpointed frame — the violation set never materializes. */
-  private def validateUpdated(updated: DataFrame, setCols: Set[String]): Unit = {
+  /** Write-path constraint checks over the written/updated rows: a
+    * capped string column over its maxLengths limit is P2000; NULL
+    * written into a non-nullable SET column is P2014 when the column is
+    * a declared FK (a required relation severed at the relation level)
+    * and P2011 otherwise (the raw column constraint). All probes are
+    * limit(1) — the violation set never materializes. Probe cost: zero
+    * when no SET column is capped or non-nullable; otherwise one
+    * evaluation of the frame's plan on the happy path (cheap where the
+    * caller checkpointed — the Returning and upsert paths — one re-scan
+    * of the matched slice on the lazy stagedUpdate/WhereIn paths), plus
+    * per-class probes only once a violation is known to exist. */
+  private[store] def validateUpdated(updated: DataFrame, setCols: Set[String]): Unit = {
     val lenChecks = maxLengths.filter { case (c, _) => setCols.contains(c) }.toSeq
     val nnCols = setCols
       .filter(c => schema.fieldNames.contains(c) && !schema(c).nullable).toSeq
@@ -663,6 +667,8 @@ final class GraftTable(
       .withColumn("__upd", coalesce(col("__match"), lit(false)) && coalesce(extraCond, lit(false)))
     val cond = col("__upd")
     val matched = joined.filter(cond)
+    validateUpdated(
+      withSet(matched, lit(true), set).drop("__match", "__upd"), set.keySet)
     val (before, n) = pkStats(matched)
     val touched =
       if (partitionCols.exists(set.contains))
@@ -693,6 +699,10 @@ final class GraftTable(
   private[store] def stagedUpsert(current: DataFrame, keyCols: Seq[String],
                                   rows: DataFrame): Staged = {
     val incoming = materializeIncoming(rows).dropDuplicates(keyCols)
+    // every incoming column is "written" — same P2000/P2011/P2014
+    // contract as the create and update paths (the frame is already
+    // checkpointed, so the probes are cheap)
+    validateUpdated(incoming, schema.fieldNames.toSet)
     val keysOnly = incoming.select(keyCols.map(col): _*)
     val kept = current.join(keysOnly, keyCols, "left_anti")
     val replaced = current.join(keysOnly, keyCols, "left_semi")

@@ -53,6 +53,20 @@ class ConstraintCodesSpec extends AnyFunSuite with SparkTestBase {
     assert(t.snapshot().filter($"name" === "short").count() == 1)
   }
 
+  test("P2000: upsert over a declared max length fails and stages nothing") {
+    val t = new GraftTable(spark, freshCatalog(), "company", companySchema,
+      uniqueKeys = Seq(Seq("id")), maxLengths = Map("name" -> 10))
+    t.createMany(companyRows((1L, "short")))
+    val e = intercept[ValueTooLongException] {
+      t.upsert(Seq("id"), companyRows((1L, "definitely-too-long")))
+    }
+    assert(e.code == "P2000")
+    assert(t.snapshot().filter($"name" === "short").count() == 1)
+    // at-cap upsert passes (update arm) and a fresh key inserts
+    t.upsert(Seq("id"), companyRows((1L, "exactlyten"), (2L, "ok")))
+    assert(t.snapshot().count() == 2)
+  }
+
   test("maxLengths config rejects unknown and non-string columns") {
     intercept[IllegalArgumentException] {
       new GraftTable(spark, freshCatalog(), "bad1", companySchema,

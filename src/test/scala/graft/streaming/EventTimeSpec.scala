@@ -58,9 +58,19 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
     dir
   }
 
-  private val encodings = Seq("nanos", "ntz", "ltz")
+  // "nanos" writes a plain INT64 column (what nanosAsLong hands back);
+  // "nanos_real" is a committed pyarrow-written parquet whose ts is a
+  // genuine annotated TIMESTAMP(NANOS) of the SAME four events — the
+  // actual round-8-era producer encoding, exercising the real
+  // nanosAsLong read path rather than a simulation of its result
+  private val encodings = Seq("nanos", "nanos_real", "ntz", "ltz")
   private lazy val dirs: Map[String, String] =
-    encodings.map(k => k -> writeEncoding(k)).toMap
+    encodings.map {
+      case "nanos_real" => "nanos_real" -> new java.io.File(
+        getClass.getResource("/events_nanos/events.parquet").getPath)
+        .getParent
+      case k => k -> writeEncoding(k)
+    }.toMap
 
   test("Tables.events yields identical TimestampType instants for all encodings") {
     val got = encodings.map { k =>
