@@ -1324,6 +1324,19 @@ object SparkEntry {
       operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)
         .orderBy(col("step"))),
 
+    // Deterministic weighted interleaving (operators/Mixing.scala): the
+    // materialized global training order under stride scheduling —
+    // source srcN gets weight N%4+1 (derived from the name so the
+    // oracle replays it), per-source rank windows + the two-pass global
+    // position, virtual-time ties broken by (source, id).
+    "q_interleave" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      operators.Mixing.interleaveByWeight(par(s, docs), "doc_id", "source",
+          expr("CAST(substring(source, 4) AS INT) % 4 + 1"))
+        .select(col("doc_id"), col("source"), col("global_pos"))
+        .orderBy(col("global_pos"))
+    }),
+
     // The inference half: every distinct corpus word segmented under the
     // 8 trained merges — one scan-side chain of literal replaces over
     // the distinct-word frame; the oracle replays training AND
@@ -2221,6 +2234,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
     "q_bpe_encode" -> bpeOracle(k = 8, depth = 16, segment = true),
+
+    // stride scheduling replayed: per-source rank, virtual time
+    // (2i-1)/(2w) as the identical IEEE division, global row_number
+    "q_interleave" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INT) % 4 + 1 AS w,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+      )
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               ORDER BY (2*rn - 1) / (2.0*w), source, doc_id) - 1
+               AS BIGINT) AS global_pos
+      FROM d ORDER BY global_pos""",
 
     // the shared span CTE chain, reported as merged spans
     "q_substring_dedup" -> (substringSpanCtes + """

@@ -76,4 +76,39 @@ object Mixing {
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
       .drop("__copies")
+
+  /** Deterministic weighted interleaving — MATERIALIZE the global
+    * training order in which each source's documents appear in
+    * proportion to its weight (the mixture-schedule step after
+    * [[mixture]]/[[temperatureEpochs]] decide the weights): source s's
+    * i-th document (1-based, ordered by `idCol`) is scheduled at virtual
+    * time (2i−1)/(2·w_s) — stride scheduling / weighted round-robin —
+    * so every prefix of the order carries each source at ≈ w_s/Σw.
+    * Virtual-time ties break by (source, id), making the order total and
+    * engine-portable (both sides compute the identical IEEE division of
+    * exact small integers).
+    *
+    * Scale shape: one window partitioned BY SOURCE for the per-source
+    * rank (each partition is one source's rows — bounded, parallel), and
+    * the two-pass distributed ranking for the global position — no
+    * single-partition window anywhere. Rows where `weight` is NULL or
+    * ≤ 0 are dropped (a zero-weight source supplies nothing).
+    *
+    * @param weight per-row weight expression (a literal CASE over the
+    *        source column, a joined column — caller's choice)
+    * @return input columns + 0-based `global_pos` */
+  def interleaveByWeight(df: DataFrame, idCol: String, sourceCol: String,
+                         weight: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val ranked = df
+      .withColumn("__w", weight.cast("double"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__vt",
+        (col("__rn") * 2 - 1).cast("double") / (col("__w") * lit(2.0)))
+    Ranking.withGlobalPosition(ranked, "global_pos",
+        Seq(col("__vt"), col(sourceCol), col(idCol)))
+      .drop("__w", "__rn", "__vt")
+  }
 }

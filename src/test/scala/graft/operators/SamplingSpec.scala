@@ -172,4 +172,28 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(got == ref)
   }
+
+  test("interleaveByWeight: weighted round-robin order, prefix proportions") {
+    // source A weight 3, source B weight 1, 40 docs each
+    val docs = ((1L to 40L).map(i => (i, "A")) ++
+      (101L to 140L).map(i => (i, "B"))).toDF("doc_id", "source")
+    val out = Mixing.interleaveByWeight(docs, "doc_id", "source",
+        when(col("source") === "A", 3.0).otherwise(1.0))
+      .orderBy(col("global_pos"))
+      .select("source", "global_pos").as[(String, Long)].collect()
+    // positions are 0-based, dense, gapless
+    assert(out.map(_._2).toSeq == (0L until 80L))
+    // every prefix of length 4k carries exactly 3k A's (stride scheduling
+    // with w=3:1 emits A,A,B/A cycles: A@1/6, A@3/6=B@1/2 tie->A, ...)
+    (1 to 10).foreach { k =>
+      val prefix = out.take(4 * k)
+      assert(prefix.count(_._1 == "A") == 3 * k,
+        s"prefix ${4 * k}: ${prefix.count(_._1 == "A")} A's")
+    }
+    // zero/negative weights drop the source entirely
+    val dropped = Mixing.interleaveByWeight(docs, "doc_id", "source",
+        when(col("source") === "A", 2.0).otherwise(0.0))
+      .select("source").distinct().as[String].collect().toSeq
+    assert(dropped == Seq("A"))
+  }
 }
