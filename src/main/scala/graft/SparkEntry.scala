@@ -1677,6 +1677,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Stream-STATIC broadcast enrichment join, driver-gated: the event
+    // stream joined per-microbatch against the static customer dimension
+    // (stateless — no watermark, the dimension broadcast to every task;
+    // the most common production streaming join), then a complete-mode
+    // aggregation by (segment, event_type). The oracle is the plain
+    // batch join — stream-static semantics guarantee equality.
+    "q_stream_enrich" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val stream = graft.streaming.Streaming.readEventStream(s, dir)
+        .withColumn("c_custkey", pmod(col("user_id"), lit(100)) + 1)
+        .join(broadcast(dim), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      runStreamToParquet(s, stream, "complete", "graft-qse")
+        .select(col("c_mktsegment"), col("event_type"), col("n"), col("total"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
     // Streaming exact dedup through the REAL dropDuplicatesWithinWatermark
     // state machinery (the in-stream ingest dedup a 100 TB pipeline runs
     // before anything else touches the batch): one row survives per
@@ -3550,6 +3570,16 @@ object SparkEntry {
       SELECT DISTINCT user_id, event_type
       FROM events
       ORDER BY user_id, event_type""",
+
+    // stream-static join ≡ the batch join (per-microbatch dimension
+    // lookup changes nothing on a static dimension)
+    "q_stream_enrich" -> """
+      SELECT c.c_mktsegment, e.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id % 100 + 1
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
 
     // per-user gaps-and-islands sessionization — session_window merges
     // strictly-overlapping [ts, ts+gap) windows, so a gap of EXACTLY the
