@@ -906,6 +906,53 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Heavy hitters by sketch-then-verify: tokens above 0.5% corpus
+    // frequency. Pass 1 aggregates a 512-counter Misra–Gries summary —
+    // partial-aggregated, so each map task ships ≤512 counters instead of
+    // its whole vocabulary, and the merged sketch is a guaranteed
+    // SUPERSET of every token with frequency > N/513 (mergeable-summaries
+    // bound) ⊇ all tokens over the N/200 gate threshold. Pass 2 re-scans
+    // with a ≤512-literal IN filter and counts EXACTLY — the shuffle is
+    // keyed on ≤512 candidates, never the corpus vocabulary (billions of
+    // singleton keys at 100 TB, almost none of which can be heavy). Same
+    // sketch-then-verify shape as the Bloom decontamination gate; output
+    // is exact, so the oracle is the plain GROUP BY/HAVING.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = par(s, Tables.documents(s, dir))
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val head = toks.agg(
+          count(lit(1)).as("n_total"),
+          graft.functions.MisraGries.heavyHitterCandidates(col("tok"), 512)
+            .as("cands"))
+        .collect()(0) // bounded: one row, ≤512 strings
+      val nTotal = head.getLong(0)
+      val cands = head.getSeq[String](1)
+      toks.filter(col("tok").isin(cands: _*))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .filter(col("n") * lit(200L) > lit(nTotal))
+        .orderBy(col("tok"))
+    }),
+
+    // Unicode NFC normalization ahead of fingerprinting: decomposed
+    // accents (e + U+0301), the canonical mixed-normalization hazard of
+    // crawl text, must compose to single code points before any exact or
+    // near-dup hash — byte-different spellings of the same string are
+    // otherwise distinct documents forever. Runs as a custom codegen
+    // Expression (UnicodeExpressions.NfcNormalize) with an isNormalized
+    // fast path, inside the whole-stage span — not a UDF. The fixture
+    // corpus is ASCII (already NFC), so the gate plants a decomposed
+    // suffix on every row and checks both the composed text and the
+    // char-count contraction; oracle = DuckDB's nfc_normalize.
+    "q_nfc_normalize" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" cafe\u0301"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.UnicodeExpressions.nfcNormalize(raw).as("text_nfc"),
+          (length(graft.functions.UnicodeExpressions.nfcNormalize(raw)) -
+            length(raw)).cast("long").as("nfc_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sliding-window chunking: 60-token windows advancing by 50 (10-token
     // overlap), one row per chunk with index/count/re-joined text — the
     // long-document splitter every pretrain/RAG ingest needs. Pure
@@ -1661,6 +1708,28 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // APPEND-mode watermarked window aggregation, driver-gated: unlike
+    // the complete-mode gate (q_stream_window), append mode emits a
+    // window ONLY once the watermark proves it final — the
+    // StateStoreSave eviction path that complete mode never runs, and
+    // the only correct output mode when a downstream sink cannot absorb
+    // retractions. Windows still open when the stream ends are WITHHELD
+    // by design; the oracle keeps exactly the finalized ones
+    // (window end ≤ max(ts) − 1h watermark delay — the fixture's max ts
+    // sits minutes past the last midnight, so the day-boundary window
+    // ends can never tie with the watermark and < vs ≤ is moot).
+    "q_stream_window_append" -> ((s, dir) => {
+      val stream = graft.streaming.Streaming.readEventStream(s, dir)
+        .select(col("ts"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runStreamToParquet(s, stream, "append", "graft-qswa")
+        .select(col("w.start").cast("long").as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // Watermarked SESSION-window aggregation, driver-gated end-to-end:
     // the native session_window dynamic-gap merge state (per-user
     // 30-minute-gap sessions) through the real streaming machinery,
@@ -1725,6 +1794,40 @@ object SparkEntry {
           "distinct — the within-watermark dedup leaked duplicates")
       out.distinct()
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // LEFT-OUTER watermarked stream-stream interval join, driver-gated:
+    // a view with NO click inside the 60-minute window emits exactly once
+    // with a null (coalesced to -1) click id. The null row is produced by
+    // state EVICTION — only once the global watermark proves no matching
+    // click can still arrive — which is the half of the outer-join state
+    // machine the inner gate (q_stream_join) never exercises. Views are
+    // bounded to 2h before the EARLIER of the two sides' max event times:
+    // the global watermark is the MIN across both watermarked inputs, so
+    // every admitted view's eviction horizon (l_ts + 60min) sits ≥30min
+    // below the final watermark and is guaranteed to flush before the
+    // AvailableNow run ends. The cutoff predicate references the
+    // watermark column, so Catalyst keeps it ABOVE the EventTimeWatermark
+    // node — the watermark still observes the full event range and the
+    // filter cannot starve its own eviction clock. Oracle = the batch
+    // left join with the identical cutoff expression.
+    "q_stream_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(4)) === 0)
+      val cutoff = ev.agg(least(
+          max(when(col("event_type") === "view", col("ts"))),
+          max(when(col("event_type") === "click", col("ts")))).as("m"))
+        .select((col("m") - expr("INTERVAL 2 HOURS")).as("c"))
+        .collect()(0).getTimestamp(0) // bounded: one scalar row
+      val joined = graft.streaming.Streaming.attributionJoin(
+        graft.streaming.Streaming.readEventStream(s, dir)
+          .filter(pmod(col("user_id"), lit(4)) === 0),
+        "view", "click", joinType = "left_outer")
+        .filter(col("l_ts") <= lit(cutoff))
+      runStreamToParquet(s, joined, "append", "graft-qso")
+        .select(col("user_id"), col("l_id").as("view_id"),
+          coalesce(col("r_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
     }),
 
     // MinHash-LSH near-dedup: corpus ∪ id-shifted copy — every copy is a
@@ -2711,6 +2814,22 @@ object SparkEntry {
       FROM grams WHERE g IS NOT NULL
       GROUP BY g ORDER BY n DESC, g ASC LIMIT 20""",
 
+    "q_heavy_hitters" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM toks
+      GROUP BY tok
+      HAVING count(*) * 200 > (SELECT count(*) FROM toks)
+      ORDER BY tok""",
+
+    "q_nfc_normalize" -> """
+      SELECT doc_id,
+             nfc_normalize(text || ' cafe' || chr(769)) AS text_nfc,
+             CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+                  - length(text || ' cafe' || chr(769)) AS BIGINT) AS nfc_delta
+      FROM documents ORDER BY doc_id""",
+
     "q_token_hist" -> """
       WITH t AS (
         SELECT CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
@@ -3557,12 +3676,43 @@ object SparkEntry {
        AND r.ts <= l.ts + INTERVAL 60 MINUTE
       ORDER BY view_id, click_id""",
 
+    "q_stream_outer" -> """
+      WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE user_id % 4 = 0),
+      cut AS (SELECT least(
+                max(CASE WHEN event_type = 'view' THEN ts END),
+                max(CASE WHEN event_type = 'click' THEN ts END))
+                - INTERVAL 2 HOUR AS c
+              FROM ev),
+      v AS (SELECT user_id, event_id, ts FROM ev
+            WHERE event_type = 'view' AND ts <= (SELECT c FROM cut)),
+      c AS (SELECT user_id, event_id, ts FROM ev WHERE event_type = 'click')
+      SELECT v.user_id AS user_id, v.event_id AS view_id,
+             COALESCE(c.event_id, -1) AS click_id
+      FROM v LEFT JOIN c
+        ON c.user_id = v.user_id
+       AND c.ts >= v.ts
+       AND c.ts <= v.ts + INTERVAL 60 MINUTE
+      ORDER BY view_id, click_id""",
+
     "q_stream_window" -> """
       SELECT epoch_us(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
                AS TIMESTAMP)) // 1000000 AS win_start,
              event_type,
              CAST(count(*) AS BIGINT) AS n
       FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    "q_stream_window_append" -> """
+      SELECT epoch_us(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+               AS TIMESTAMP)) // 1000000 AS win_start,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL 1 DAY
+            <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+                FROM events)
       GROUP BY 1, 2
       ORDER BY win_start, event_type""",
 

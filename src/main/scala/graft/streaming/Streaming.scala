@@ -100,11 +100,19 @@ object Streaming {
   /** Stream-stream self-join with watermarks: pair each "view"-class event
     * with "click"-class events by the same user within the next hour —
     * the attribution-join shape; both sides watermarked so join state is
-    * bounded (late side evicted after the interval + watermark). */
+    * bounded (late side evicted after the interval + watermark).
+    *
+    * `joinType = "left_outer"` gives the unmatched-conversion variant: a
+    * view with NO click inside the interval emits once with nulls, and
+    * only once the watermark proves no matching click can still arrive —
+    * the null row is produced by state EVICTION, not by the join probe,
+    * which is why outer stream-stream joins require both watermarks and
+    * the time-range condition. */
   def attributionJoin(events: DataFrame,
                       leftType: String, rightType: String,
                       withinMinutes: Int = 60,
-                      watermark: String = "30 minutes"): DataFrame = {
+                      watermark: String = "30 minutes",
+                      joinType: String = "inner"): DataFrame = {
     val l = events.filter(col("event_type") === leftType)
       .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
       .withWatermark("l_ts", watermark)
@@ -115,7 +123,7 @@ object Streaming {
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 

@@ -45,6 +45,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("left-outer attribution join: unmatched views flush nulls via state eviction") {
+    // Bound views to 2h before the earlier side-max so every unmatched
+    // view's eviction horizon clears the final min-across-inputs
+    // watermark — same construction as the q_stream_outer gate.
+    val ev = graft.Tables.events(spark, sfDir)
+    val cutoff = ev.agg(least(
+        max(when($"event_type" === "view", $"ts")),
+        max(when($"event_type" === "click", $"ts"))).as("m"))
+      .select(($"m" - expr("INTERVAL 2 HOURS")).as("c"))
+      .collect()(0).getTimestamp(0)
+    val stream = Streaming.attributionJoin(
+        Streaming.readEventStream(spark, sfDir), "view", "click",
+        joinType = "left_outer")
+      .filter($"l_ts" <= lit(cutoff))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("attr_outer_spec")
+      .select($"user_id", $"l_id", coalesce($"r_id", lit(-1L)).as("r_id"))
+    val l = ev.filter($"event_type" === "view" && $"ts" <= lit(cutoff))
+      .select($"user_id", $"ts".as("l_ts"), $"event_id".as("l_id"))
+    val r = ev.filter($"event_type" === "click")
+      .select($"user_id".as("r_user"), $"ts".as("r_ts"), $"event_id".as("r_id"))
+    val batch = l.join(r, $"user_id" === $"r_user" && $"r_ts" >= $"l_ts" &&
+        $"r_ts" <= $"l_ts" + expr("INTERVAL 60 MINUTES"), "left_outer")
+      .select($"user_id", $"l_id", coalesce($"r_id", lit(-1L)).as("r_id"))
+    // the eviction-produced half must actually be present
+    assert(streamed.filter($"r_id" === -1L).count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("sessionize groups events by gap, per user") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val events = Seq(
