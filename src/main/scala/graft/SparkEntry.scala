@@ -1886,6 +1886,31 @@ object SparkEntry {
       out
     }),
 
+    // Fixed-point PageRank over the nation trade graph: 5 rounds of
+    // damped importance propagation (operators.Graph), entirely in
+    // integer millionth-units — integer sums commute across partition
+    // orders, so the distributed join+agg loop is bit-identical to the
+    // oracle's single-threaded unrolled CTE chain (a double-typed
+    // PageRank could never hash-match). The graph derives from the
+    // lineitem⋈orders⋈customer⋈supplier star: customer-nation →
+    // supplier-nation edges weighted by lineitem count, broadcast
+    // dimension joins, one fact-scan aggregation. Per iteration: one
+    // src-keyed hash join + one dst-keyed partial agg — the canonical
+    // distributed PageRank step; at 100 TB the edge frame shuffles once
+    // and the rank vector (nodes, not edges) is the only per-round state.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = operators.Graph.nationTradeEdges(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir))
+      val nodes = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("id"))
+      operators.Graph.pageRankFixedPoint(edges, nodes, iters = 5)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("id") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("r"))
+        .orderBy(col("n_name"))
+    }),
+
     // Connected-component dup clusters, oracle-checked: two id-shifted
     // copies per doc plant the transitive chain x ~ x+10000 ~ x+20000;
     // min-label propagation must collapse every chain to x. Edges are
@@ -2306,6 +2331,51 @@ object SparkEntry {
         .mkString("\n      UNION ALL "))
       sb.append("\n      ORDER BY step")
     }
+    sb.toString
+  }
+
+  /** Unrolled fixed-point PageRank oracle: the same integer millionth-
+    * unit recurrence as `operators.Graph.pageRankFixedPoint`, one CTE
+    * per iteration (`//` = DuckDB floor division = Spark `div` on the
+    * all-positive operands). Integer arithmetic is what makes the
+    * distributed and single-threaded evaluations hash-identical. */
+  private def pagerankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+      WITH edges AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+               CAST(s.s_nationkey AS BIGINT) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+      ), ew AS (
+        SELECT e.src, e.dst, e.w, o.ow
+        FROM edges e
+        JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+              FROM edges GROUP BY src) o USING (src)
+      ), nodes AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+      ), r0 AS (
+        SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes
+      )""")
+    for (i <- 1 to iters)
+      sb.append(s""",
+      r$i AS (
+        SELECT n.id,
+               CAST(150000 + COALESCE(
+                 sum((p.r * e.w * 850) // (e.ow * 1000)), 0) AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN ew e ON e.dst = n.id
+        LEFT JOIN r${i - 1} p ON p.id = e.src
+        GROUP BY n.id
+      )""")
+    sb.append(s"""
+      SELECT nation.n_name AS n_name, r$iters.r AS r
+      FROM r$iters JOIN nation ON r$iters.id = CAST(n_nationkey AS BIGINT)
+      ORDER BY n_name""")
     sb.toString
   }
 
@@ -3809,6 +3879,8 @@ object SparkEntry {
         UNION ALL SELECT doc_id + 10000 AS id, doc_id AS cluster FROM d
         UNION ALL SELECT doc_id + 20000 AS id, doc_id AS cluster FROM d)
       ORDER BY id""",
+
+    "q_pagerank" -> pagerankOracle(5),
 
     "q_dup_clusters_dist" -> """
       WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0)

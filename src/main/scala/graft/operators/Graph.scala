@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation beyond connected components: PageRank-style
+  * importance propagation, the link-based quality signal web-scale corpus
+  * curation uses to prioritize crawl sources (the reference's quality
+  * gates are per-document; this is the cross-document complement).
+  *
+  * The whole computation runs in FIXED-POINT integer arithmetic (rank in
+  * millionths, one floor division per edge): integer sums are exactly
+  * order-independent, so the result is bit-identical however Spark
+  * partitions the aggregation — which is what lets a distributed 5-round
+  * propagation hash-match a single-threaded SQL oracle. A double-typed
+  * PageRank can never promise that (FP addition does not commute across
+  * partition orders); determinism here is a semantics choice, not an
+  * implementation accident.
+  *
+  * Scale shape: per iteration, one hash join of the edge table against
+  * the current rank vector on `src` followed by one `dst`-keyed partial
+  * aggregation — the canonical distributed PageRank step (edges never
+  * materialize per-node adjacency on the driver). Edge weights and
+  * out-weights ride the pre-joined edge frame, built once. Overflow
+  * bound: contrib = r·w·850 with r ≤ ~25e6 units and w ≤ ~2.4e7
+  * (sf10 lineitem) stays under 2^63; at larger edge weights, pre-scale
+  * weights down before calling.
+  *
+  * Fixed 5 iterations keeps the plan finite and the oracle unrollable;
+  * production would loop to a delta threshold with `localCheckpoint`
+  * lineage truncation every few rounds (same pattern as the distributed
+  * dup-cluster loop in [[Dedup]]).
+  */
+object Graph {
+
+  /** Five rounds of damped (0.85) importance propagation over a weighted
+    * directed graph, in millionth-units: every node starts at 1_000_000;
+    * each round `r(v) = 150000 + Σ_incoming (r(u)·w(u,v)·850) div
+    * (outw(u)·1000)` (per-edge floor; dangling mass is dropped, the
+    * standard simplification). Output: (id, r) with r as LONG units.
+    *
+    * @param edges (src: long, dst: long, w: long) weighted edges
+    * @param nodes (id: long) the node universe (isolated nodes keep the
+    *              teleport mass only)
+    */
+  def pageRankFixedPoint(edges: DataFrame, nodes: DataFrame,
+                         iters: Int = 5): DataFrame = {
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // (src, dst, w, ow) — built once, reused every round
+    val e = edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+    var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
+    var i = 0
+    while (i < iters) {
+      val contribs = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          expr("(r * w * 850) div (ow * 1000)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), (lit(150000L) + coalesce(col("s"), lit(0L))).as("r"))
+      i += 1
+    }
+    ranks
+  }
+
+  /** The trade graph the gate runs PageRank over: customer-nation →
+    * supplier-nation edges weighted by lineitem count, from the
+    * lineitem⋈orders⋈customer⋈supplier star (one aggregation over the
+    * fact scan; the three dimension joins are broadcast-able). */
+  def nationTradeEdges(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("src").cast("long"), col("dst").cast("long"), col("w"))
+}

@@ -200,4 +200,36 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!small.contains("Join"),
       "small-vocab path should encode scan-side without a join:\n" + small)
   }
+
+  test("heavy hitters: sketch runs as a partial object aggregate, verify stays join-free") {
+    // the verify pass is the plan the driver re-executes: a scan-side IN
+    // filter over the ≤512 candidates + one candidate-keyed aggregation —
+    // no join, no full-vocabulary shuffle
+    val p = planOf("q_heavy_hitters")
+    assert(!p.contains("Join"),
+      "verify pass must filter scan-side, not join the candidate set:\n" + p)
+    assert(p.contains("HashAggregate"), p)
+    // the sketch aggregate itself (TypedImperativeAggregate) must plan as
+    // ObjectHashAggregate with a partial phase — map tasks ship k counters,
+    // not their vocabulary
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.MisraGries.heavyHitterCandidates(
+        org.apache.spark.sql.functions.col("tok"), 512))
+    val sp = sketch.queryExecution.executedPlan.toString
+    assert(sp.contains("ObjectHashAggregate"), sp)
+    assert(sp.contains("partial_misra_gries") || sp.contains("partial misra_gries")
+      || sp.contains("Partial"), "sketch must partial-aggregate before the exchange:\n" + sp)
+  }
+
+  test("pagerank: per-round contribution agg is partial, dimensions broadcast into the edge build") {
+    val p = planOf("q_pagerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "customer/supplier dims should broadcast into the edge aggregation:\n" + p)
+    // no cartesian anywhere in the 5-round loop
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

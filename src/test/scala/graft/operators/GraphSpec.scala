@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** Independent single-threaded reference of the fixed-point recurrence. */
+  private def reference(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                        iters: Int): Map[Long, Long] = {
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2)
+      r = nodes.map { v =>
+        val s = in.getOrElse(v, Seq.empty)
+          .map { case (u, _, w) => (r(u) * w * 850L) / (outw(u) * 1000L) }
+          .sum
+        v -> (150000L + s)
+      }.toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                  iters: Int, parts: Int): Map[Long, Long] =
+    Graph.pageRankFixedPoint(
+        edges.toDF("src", "dst", "w").repartition(parts),
+        nodes.toDF("id"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a symmetric 2-cycle is a fixed point at the initial mass") {
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L))
+    val out = run(edges, Seq(1L, 2L), iters = 5, parts = 2)
+    // 150000 + (1000000*850)//1000 = 1000000 exactly, every round
+    assert(out == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("matches the single-threaded reference on a weighted digraph with danglers") {
+    val edges = Seq(
+      (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 1L), (4L, 1L, 5L)) // 5 is isolated, 4 has no in-edges
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val expect = reference(edges, nodes, 5)
+    assert(run(edges, nodes, 5, parts = 3) == expect)
+    assert(expect(5L) == 150000L) // isolated: teleport mass only
+  }
+
+  test("bit-identical across partitionings (integer fixed point commutes)") {
+    val rng = new scala.util.Random(7)
+    val edges = (0 until 200).map(_ =>
+      (rng.nextInt(20).toLong, rng.nextInt(20).toLong, 1L + rng.nextInt(9)))
+      .distinct.map { case (a, b, w) => (a, b, w.toLong) }
+    val nodes = (0L until 20L).toSeq
+    assert(run(edges, nodes, 5, parts = 1) == run(edges, nodes, 5, parts = 13))
+  }
+}
