@@ -933,6 +933,22 @@ object SparkEntry {
         .orderBy(col("tok"))
     }),
 
+    // One-pass column profiling over the event stream: row count, null
+    // count, exact distinct cardinality, stringified min/max per column —
+    // the ingest observability audit that catches schema drift and null
+    // explosions before curation runs. The k exact distincts plan as ONE
+    // scan + Expand (k× partial-aggregated shuffle rows), never k
+    // rescans; `opt_type` (nullif of a value known present) exercises
+    // the null-accounting path on a null-free fixture. min/max stringify
+    // AFTER aggregation — a pre-cast would order "10" < "9".
+    "q_profile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("opt_type", expr("nullif(event_type, 'click')"))
+      operators.Profile.profile(
+          ev, Seq("event_type", "opt_type", "user_id", "event_id"))
+        .orderBy(col("col_name"))
+    }),
+
     // Unicode NFC normalization ahead of fingerprinting: decomposed
     // accents (e + U+0301), the canonical mixed-normalization hazard of
     // crawl text, must compose to single code points before any exact or
@@ -2892,6 +2908,36 @@ object SparkEntry {
       GROUP BY tok
       HAVING count(*) * 200 > (SELECT count(*) FROM toks)
       ORDER BY tok""",
+
+    "q_profile" -> """
+      WITH ev AS (
+        SELECT event_type, nullif(event_type, 'click') AS opt_type,
+               user_id, event_id
+        FROM events),
+      s AS (SELECT count(*) AS n FROM ev)
+      SELECT * FROM (
+        SELECT 'event_type' AS col_name, s.n AS n_rows,
+               CAST(s.n - count(event_type) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               CAST(min(event_type) AS VARCHAR) AS min_s,
+               CAST(max(event_type) AS VARCHAR) AS max_s
+        FROM ev, s GROUP BY s.n
+        UNION ALL
+        SELECT 'opt_type', s.n, CAST(s.n - count(opt_type) AS BIGINT),
+               CAST(count(DISTINCT opt_type) AS BIGINT),
+               CAST(min(opt_type) AS VARCHAR), CAST(max(opt_type) AS VARCHAR)
+        FROM ev, s GROUP BY s.n
+        UNION ALL
+        SELECT 'user_id', s.n, CAST(s.n - count(user_id) AS BIGINT),
+               CAST(count(DISTINCT user_id) AS BIGINT),
+               CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        FROM ev, s GROUP BY s.n
+        UNION ALL
+        SELECT 'event_id', s.n, CAST(s.n - count(event_id) AS BIGINT),
+               CAST(count(DISTINCT event_id) AS BIGINT),
+               CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR)
+        FROM ev, s GROUP BY s.n)
+      ORDER BY col_name""",
 
     "q_nfc_normalize" -> """
       SELECT doc_id,

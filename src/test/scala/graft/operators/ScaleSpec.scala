@@ -183,4 +183,24 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(spans.forall(r => r.getLong(1) == 0L && r.getLong(2) == 11L))
     assert(!spans.exists(r => r.getLong(0) == 0L), "owner doc must keep its header")
   }
+
+  test("Misra-Gries survives a singleton flood: bounded buffers, heavies intact") {
+    // 500k near-unique tokens + 3 planted heavies across 16 partitions:
+    // the buffer must stay ≤k at every merge (an unbounded map here is a
+    // per-task OOM at 100 TB vocabularies) and the heavies must be in
+    // the candidate set by the N/(k+1) superset guarantee.
+    val n = 500000L
+    val toks = spark.range(n).select(
+      when(pmod($"id", lit(50)) === 0, lit("heavy_a"))
+        .when(pmod($"id", lit(50)) === 1, lit("heavy_b"))
+        .when(pmod($"id", lit(50)) === 2, lit("heavy_c"))
+        .otherwise(concat(lit("u"), $"id")).as("tok"))
+      .repartition(16)
+    val cands = toks.agg(
+        graft.functions.MisraGries.heavyHitterCandidates($"tok", 256).as("c"))
+      .head().getSeq[String](0)
+    assert(cands.size <= 256, s"buffer leaked: ${cands.size} candidates")
+    // each heavy is 2% of the stream ≫ N/257
+    assert(Set("heavy_a", "heavy_b", "heavy_c").subsetOf(cands.toSet))
+  }
 }
