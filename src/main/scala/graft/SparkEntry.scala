@@ -949,6 +949,42 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // Sketch-audited cardinality: the gate output is the EXACT per-type
+    // distinct-user count (oracle-checkable), but the query first runs
+    // the HyperLogLog++ estimate alongside it and REQUIREs agreement
+    // within 6·rsd — the sketch path a 100 TB continuous profile
+    // actually runs (mergeable fixed-size state, no distinct shuffle),
+    // audited against exactness on the same scan shape.
+    "q_approx_distinct" -> ((s, dir) =>
+      operators.Profile.cardinalityAudit(
+          Tables.events(s, dir), "event_type", "user_id", rsd = 0.02)
+        .orderBy(col("event_type"))),
+
+    // SCD Type-2 history build from the append-only event log: one row
+    // per event_type TRANSITION per user with half-open validity
+    // intervals, 1-based versions, and a current flag — the
+    // history-preserving counterpart of the reference's overwrite-in-
+    // place status machine. Interval bounds go out as epoch
+    // microseconds (exact integers both engines). All three windows
+    // share one (user_id, ts, event_id) sort → a single Exchange.
+    "q_scd2" -> ((s, dir) =>
+      operators.Temporal.scd2(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("version"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy(col("user_id"), col("version"))),
+
+    // Market-basket co-occurrence: top-20 part pairs ordered within the
+    // same order, counted across orders. The self-join fans out C(k,2)
+    // per basket (TPC-H: k ≤ 7, bounded); the global top-20 plans as
+    // TakeOrderedAndProject — per-partition bounded heaps, never a full
+    // sort of the pair space.
+    "q_copurchase" -> ((s, dir) =>
+      operators.Temporal.coOccurrence(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", topN = 20)),
+
     // Unicode NFC normalization ahead of fingerprinting: decomposed
     // accents (e + U+0301), the canonical mixed-normalization hazard of
     // crawl text, must compose to single code points before any exact or
@@ -1924,6 +1960,33 @@ object SparkEntry {
         .join(broadcast(Tables.nation(s, dir)),
           col("id") === col("n_nationkey").cast("long"))
         .select(col("n_name"), col("r"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Per-nation triangle participation over the trade graph, sparsified
+    // to undirected pairs whose combined weight beats the global average
+    // (the complete-ish graph would put every nation in every triangle —
+    // the threshold makes local density a real signal). Triangles are
+    // enumerated once each via the ordered wedge join a<b<c; integer
+    // counts, exactly order-independent.
+    "q_triangles" -> ((s, dir) => {
+      val e = operators.Graph.nationTradeEdges(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir))
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("wu"))
+      // scalar mean rides the plan as a 1-row broadcast, not a collect
+      val kept = und.crossJoin(broadcast(und.agg(avg(col("wu")).as("avgw"))))
+        .filter(col("wu") > col("avgw"))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("id"))
+      operators.Graph.triangleCounts(kept, nodes)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("id") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("n_triangles"))
         .orderBy(col("n_name"))
     }),
 
@@ -2939,6 +3002,40 @@ object SparkEntry {
         FROM ev, s GROUP BY s.n)
       ORDER BY col_name""",
 
+    "q_approx_distinct" -> """
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_scd2" -> """
+      WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             event_type,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER w) AS valid_to_us,
+             CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS is_current
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version""",
+
+    "q_copurchase" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+      pairs AS (
+        SELECT a.i AS item_a, b.i AS item_b, count(*) AS n
+        FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2)
+      SELECT item_a, item_b, CAST(n AS BIGINT) AS n
+      FROM pairs ORDER BY n DESC, item_a, item_b LIMIT 20""",
+
     "q_nfc_normalize" -> """
       SELECT doc_id,
              nfc_normalize(text || ' cafe' || chr(769)) AS text_nfc,
@@ -3927,6 +4024,36 @@ object SparkEntry {
       ORDER BY id""",
 
     "q_pagerank" -> pagerankOracle(5),
+
+    "q_triangles" -> """
+      WITH e AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+      und AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               sum(w) AS wu
+        FROM e WHERE src <> dst GROUP BY 1, 2),
+      kept AS (
+        SELECT a, b FROM und WHERE wu > (SELECT avg(wu) FROM und)),
+      wedge AS (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM kept e1 JOIN kept e2 ON e1.b = e2.a),
+      tri AS (
+        SELECT w.a, w.b, w.c
+        FROM wedge w JOIN kept e3 ON w.a = e3.a AND w.c = e3.b),
+      corners AS (
+        SELECT a AS id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri),
+      cnt AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY id)
+      SELECT n.n_name,
+             CAST(coalesce(c.n_triangles, 0) AS BIGINT) AS n_triangles
+      FROM nation n LEFT JOIN cnt c ON n.n_nationkey = c.id
+      ORDER BY n.n_name""",
 
     "q_dup_clusters_dist" -> """
       WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 8 = 0)

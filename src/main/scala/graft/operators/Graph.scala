@@ -63,6 +63,47 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle participation counts over an UNDIRECTED simple
+    * graph — the local clustering signal (community density, link-farm
+    * detection) that complements [[pageRankFixedPoint]]'s global
+    * importance.
+    *
+    * Input edges may be directed/duplicated/weighted; they are first
+    * canonicalized to distinct unordered pairs (a < b). Triangles are
+    * enumerated once each by the ordered two-join: wedge a<b<c from
+    * edges (a,b)⋈(b,c), closed by probing (a,c) — the standard
+    * distributed pattern (node-iterator via join). Both joins are plain
+    * hash equi-joins; fan-out per wedge hub is C(deg,2), so a
+    * power-law hub dominates — at web scale, cap or sample hub
+    * neighborhoods upstream (degree-threshold split), same hot-key story
+    * as every self-join here. Every triangle (a,b,c) credits all three
+    * corners; nodes in no triangle report 0.
+    *
+    * @param edges (src: long, dst: long, ...) directed edge list
+    * @param nodes (id: long) node universe (for the zero rows)
+    */
+  def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val wedges = und.join(
+        und.select(col("a").as("b2"), col("b").as("c")),
+        col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+    val tris = wedges.join(
+        und.select(col("a").as("a3"), col("b").as("c3")),
+        col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val corner = tris.select(col("a").as("id"))
+      .unionAll(tris.select(col("b").as("id")))
+      .unionAll(tris.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.join(corner, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** The trade graph the gate runs PageRank over: customer-nation →
     * supplier-nation edges weighted by lineitem count, from the
     * lineitem⋈orders⋈customer⋈supplier star (one aggregation over the

@@ -22,6 +22,38 @@ object Profile {
     * n_distinct, min_s, max_s), one row per column, stringified bounds.
     * NULLs are excluded from n_distinct (SQL count-distinct semantics)
     * and from the bounds. */
+  /** Sketch-audited per-group cardinality: returns the EXACT distinct
+    * count of `valCol` per `keyCol`, after asserting that the
+    * HyperLogLog++ estimate (`approx_count_distinct`, relative sd `rsd`)
+    * agrees within `tolSigma`·rsd (+1 for integer rounding at tiny
+    * cardinalities). The point of the gate is the AGREEMENT: at 100 TB
+    * the continuous profile runs the sketch (mergeable, fixed-size
+    * state, no distinct shuffle) and only a sampled audit pays for
+    * exactness — this operator IS that audit, exact and approximate in
+    * one partial-aggregable scan.
+    *
+    * The audit collects one row per group — callers pass a bounded
+    * audit key (event types, sources, shards), not a high-cardinality
+    * column. Output is recomputed as its own plan so the returned frame
+    * stays a distributed exact aggregate.
+    */
+  def cardinalityAudit(df: DataFrame, keyCol: String, valCol: String,
+                       rsd: Double = 0.02, tolSigma: Double = 6.0): DataFrame = {
+    val audited = df.groupBy(col(keyCol))
+      .agg(countDistinct(col(valCol)).as("n_exact"),
+        approx_count_distinct(col(valCol), rsd).as("n_approx"))
+      .collect() // bounded: one row per audit group
+    audited.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      require(math.abs(approx - exact) <= exact * rsd * tolSigma + 1.0,
+        s"cardinality sketch out of tolerance for ${r.get(0)}: " +
+          s"approx $approx vs exact $exact (rsd=$rsd)")
+    }
+    df.groupBy(col(keyCol))
+      .agg(countDistinct(col(valCol)).as("n_distinct"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

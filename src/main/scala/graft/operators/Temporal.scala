@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal dimension modeling — turning an append-only event log into the
+  * versioned "what was true when" shape every warehouse dimension (and
+  * every point-in-time training-data join) needs. The reference keeps only
+  * the LATEST status per row (`status` columns overwritten in place,
+  * `runner/locator.ts` state machine); this is the history-preserving
+  * counterpart: SCD Type-2 validity intervals derived from the log.
+  *
+  * Scale shape: one shuffle on the entity key; the change filter, version
+  * numbering, and interval close all ride the SAME (key, order) window
+  * sort, so Catalyst plans a single Window chain over one Exchange —
+  * adding history never costs a second shuffle. Per-key state is a sort
+  * run, not a collected list; a hot entity with millions of events sorts
+  * within its partition (salt upstream if one key exceeds a partition).
+  */
+object Temporal {
+
+  /** SCD Type-2 build: collapse an event log to one row per VALUE CHANGE
+    * of `attrCol` per `keyCol`, with `valid_from` / `valid_to` interval
+    * bounds (half-open; `valid_to` NULL = current), a 1-based `version`,
+    * and an `is_current` flag.
+    *
+    * Consecutive events carrying the same attribute value collapse into
+    * one version (only transitions create rows — the defining SCD2
+    * property). Ordering is (`tsCol`, `tieCol`) so same-timestamp events
+    * resolve deterministically.
+    */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+    // second window over the CHANGE rows: same partitioning and ordering,
+    // so the sort from the first window is reusable (one Exchange total)
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("version", row_number().over(wc).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  /** Pairwise co-occurrence mining (the market-basket / co-citation
+    * primitive): for every basket (`basketCol`), every unordered item
+    * pair that appears together, counted across baskets; the `topN`
+    * heaviest pairs returned with a deterministic total order
+    * (count desc, then item_a, item_b asc).
+    *
+    * Scale shape: the self-join key is the basket id, so fan-out per
+    * basket is C(k,2) for k items — bounded whenever basket size is
+    * bounded (TPC-H orders: ≤ 7 lineitems). The final top-N plans as
+    * TakeOrderedAndProject: a per-partition bounded heap, never a full
+    * sort. Unbounded baskets (a crawl domain with 10^6 docs) need a
+    * per-basket item cap upstream — C(k,2) growth is quadratic and no
+    * join strategy fixes that.
+    */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+                   topN: Int = 20): DataFrame = {
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val a = items.select(col("__b"), col("__i").as("item_a"))
+    val b = items.select(col("__b").as("__b2"), col("__i").as("item_b"))
+    a.join(b, col("__b") === col("__b2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item_a"), col("item_b"))
+      .limit(topN)
+  }
+}

@@ -22,6 +22,28 @@ class ApproxSpec extends AnyFunSuite with SparkTestBase {
       s"approx $approx vs exact $exact")
   }
 
+  test("cardinalityAudit returns exact counts and the sketch stays in tolerance") {
+    val out = Profile.cardinalityAudit(
+        graft.Tables.events(spark, sfDir), "event_type", "user_id", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == exact)
+  }
+
+  test("cardinalityAudit rejects a sketch outside tolerance") {
+    // tolSigma = 0 leaves only the ±1 integer slack: a coarse sketch
+    // (rsd 0.1) over 10k distinct event_ids cannot land within ±1 of
+    // exact, so the audit must throw.
+    val e = intercept[IllegalArgumentException] {
+      Profile.cardinalityAudit(
+        graft.Tables.events(spark, sfDir).withColumn("g", lit("all")),
+        "g", "event_id", rsd = 0.1, tolSigma = 0.0)
+    }
+    assert(e.getMessage.contains("out of tolerance"))
+  }
+
   test("percentile_approx brackets the exact median") {
     val o = graft.Tables.orders(spark, sfDir)
     val approxMed = o.agg(percentile_approx($"o_totalprice", lit(0.5), lit(1000)))

@@ -48,6 +48,28 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     assert(expect(5L) == 150000L) // isolated: teleport mass only
   }
 
+  private def triangles(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+    Graph.triangleCounts(
+        edges.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w"),
+        nodes.toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: 4-clique gives every node C(3,2)=3 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(triangles(k4, 1L to 4L) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: paths and isolated nodes report 0") {
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 1L to 5L) ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+  }
+
+  test("triangleCounts: direction, duplicates, and self-loops are canonicalized away") {
+    // the same triangle expressed with reversed/duplicated edges + a self-loop
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 3L))
+    assert(triangles(messy, 1L to 3L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("bit-identical across partitionings (integer fixed point commutes)") {
     val rng = new scala.util.Random(7)
     val edges = (0 until 200).map(_ =>

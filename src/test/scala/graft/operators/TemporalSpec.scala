@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val log = Seq(
+    // user 1: A → A (collapse) → B → A again (new version, not a merge)
+    (1L, "A", ts("2026-01-01 10:00:00"), 1L),
+    (1L, "A", ts("2026-01-01 10:05:00"), 2L),
+    (1L, "B", ts("2026-01-01 10:10:00"), 3L),
+    (1L, "A", ts("2026-01-01 10:20:00"), 4L),
+    // user 2: single event — one current version
+    (2L, "X", ts("2026-01-01 09:00:00"), 5L),
+    // user 3: same-timestamp tie broken by event_id
+    (3L, "P", ts("2026-01-01 08:00:00"), 7L),
+    (3L, "Q", ts("2026-01-01 08:00:00"), 6L))
+
+  test("scd2: only transitions create versions; intervals chain half-open") {
+    val out = Temporal.scd2(
+        log.toDF("user_id", "event_type", "ts", "event_id").repartition(3),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy($"user_id", $"version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "A", ts("2026-01-01 10:00:00"), Some(ts("2026-01-01 10:10:00")), false),
+      (1L, 2L, "B", ts("2026-01-01 10:10:00"), Some(ts("2026-01-01 10:20:00")), false),
+      (1L, 3L, "A", ts("2026-01-01 10:20:00"), None, true),
+      (2L, 1L, "X", ts("2026-01-01 09:00:00"), None, true),
+      // event_id 6 (Q) sorts before 7 (P) at the tied timestamp
+      (3L, 1L, "Q", ts("2026-01-01 08:00:00"), Some(ts("2026-01-01 08:00:00")), false),
+      (3L, 2L, "P", ts("2026-01-01 08:00:00"), None, true)))
+  }
+
+  test("scd2: the three windows share one exchange (single shuffle)") {
+    // count on the rendered plan — AQE's wrapper hides exchange nodes
+    // from collect() until the final plan materializes
+    val plan = Temporal.scd2(
+        log.toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, got:\n$plan")
+  }
+
+  test("coOccurrence: counts unordered pairs across baskets, dedups within") {
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (20L, 2L), // duplicate item in basket: counted once
+      (30L, 2L), (30L, 1L))
+    val out = Temporal.coOccurrence(
+        baskets.toDF("basket", "item").repartition(4), "basket", "item", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("coOccurrence: topN truncates on the deterministic total order") {
+    val baskets = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))
+    val out = Temporal.coOccurrence(
+        baskets.toDF("basket", "item"), "basket", "item", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // all 6 pairs tie at n=1 → (item_a, item_b) ascending decides
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L)))
+  }
+}
