@@ -2322,6 +2322,41 @@ object SparkEntry {
         .orderBy(col("okey"))
     }),
 
+    // Bucketed co-located join: both sides written bucketBy(8) on the
+    // join key, then sort-merge-joined WITHOUT any shuffle — the scan
+    // itself provides the hash distribution, which at 100 TB is the
+    // difference between a layout decision made once at write time and
+    // re-shuffling the fact table on every join. Broadcast is hinted
+    // off (a broadcast would hide the property being gated); the query
+    // REQUIREs the join sub-plan contains zero exchanges before
+    // aggregating. Oracle = the same join over the raw parquet.
+    "q_bucket_join" -> ((s, dir) => {
+      val base = tempDir("graft-bkt-q")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_cust")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").option("path", s"$base/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bkt_orders")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("path", s"$base/cust")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bkt_cust")
+      val joined = s.table("graft_bkt_orders")
+        .hint("merge")
+        .join(s.table("graft_bkt_cust"),
+          col("o_custkey") === col("c_custkey"))
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).size
+      require(exchanges == 0,
+        s"q_bucket_join: bucketed join planned $exchanges shuffles, expected 0")
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("rev"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Stats-based data skipping through the REAL store: customers loaded
     // into a mktsegment-partitioned COW table (one stats sidecar per
     // slice), then snapshotWhere prunes slices by the c_custkey range
@@ -4331,6 +4366,12 @@ object SparkEntry {
       FROM customer
       WHERE c_custkey <= 120 AND c_acctbal > 0.0
       ORDER BY id""",
+
+    "q_bucket_join" -> """
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // the pinned commit predates both mutations → the original load
     "q_time_travel" -> """
