@@ -1323,6 +1323,17 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // FineWeb-Edu-style model-based quality filter: hashed bag-of-words
+    // linear classifier scored via a BROADCAST join against the 4096-row
+    // weight table (the shape a trained fastText model loads as), one
+    // shuffle on doc_id, integer milliweight sums so the score is
+    // bit-stable under any partitioning.
+    "q_quality_classifier" -> ((s, dir) =>
+      operators.QualityClassifier.scoreWithModel(
+          par(s, Tables.documents(s, dir)), "text", "doc_id",
+          operators.QualityClassifier.syntheticModel(s, 4096), dim = 4096)
+        .orderBy(col("doc_id"))),
+
     // Mixture weighting: per-source fractional epochs (the pretraining
     // "N epochs of source X" recipe), deterministic hash-draw for the
     // fractional copy, exploded with a 1-based epoch tag.
@@ -3703,6 +3714,33 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // Quality classifier: same tokenization, same md5 bucket fold, the
+    // milliweight model regenerated by the same integer formula; the one
+    // division and the sigmoid mirrored shape-for-shape, rounded to 6
+    // (the BM25/DSIR libm-parity contract).
+    "q_quality_classifier" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+          x -> len(x) > 0)) AS t
+        FROM documents
+      ), feats AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT)
+                    % 4096 AS BIGINT) AS b
+        FROM toks
+      ), agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum((b * 37 + 11) % 2001 - 1000) AS BIGINT) AS milli
+        FROM feats GROUP BY doc_id
+      )
+      SELECT doc_id, n_tokens,
+             round(1.0 / (1.0 + exp(-(CAST(milli AS DOUBLE)
+                                      / (1000.0 * n_tokens)))), 6) AS edu_score,
+             (milli >= 0) AS keep
+      FROM agg ORDER BY doc_id""",
 
     // DSIR: same bigrams (space split + lead), same md5 bucket fold, the
     // ln() terms mirrored parenthesis-for-parenthesis, mean rounded to 6

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Model-based quality filtering: score every document with a hashed
+  * bag-of-words LINEAR classifier (the fastText shape used by CCNet's
+  * quality head, GPT-3/LLaMA's "looks-like-curated-pages" filter, and
+  * FineWeb-Edu's educational-quality scorer), then threshold on the
+  * sigmoid probability. The model is a weight-per-hash-bucket table —
+  * exactly what a trained fastText/logistic model exports — so scoring
+  * is pure dataflow: no inference service, no UDF.
+  *
+  * Scale shape (the production path, [[scoreWithModel]]):
+  *   one tokenize+explode scan
+  *   → broadcast hash join against the `dim`-row weight table
+  *   → one per-document aggregation.
+  * ONE shuffle, bounded by |docs|; the model broadcasts everywhere
+  * (a 1M-bucket float model is ~8 MB — broadcastable at any corpus
+  * size). The corpus never self-joins and nothing lands on the driver.
+  *
+  * Weights are INTEGER milliweights (w × 1000): partial sums stay in
+  * exact long arithmetic across any partitioning, so the score is
+  * bit-stable regardless of shuffle order — the only floats are one
+  * final division and the sigmoid, both reproduced term-for-term by the
+  * DuckDB oracle under the round-6 libm-parity contract (same as
+  * BM25/DSIR).
+  *
+  * [[scoreInline]] is the distilled-model twin: when the weight rule is
+  * expressible as a closed form (as this fixture's is), the whole score
+  * folds into ONE codegen'd scan-side kernel — zero joins, zero
+  * shuffles beyond the per-doc agg already embedded in `aggregate()`.
+  * The two paths are asserted identical in QualityClassifierSpec.
+  *
+  * Reference analog: the pipeline's lead-quality heuristics
+  * (src/services/scrapeWebsite.ts:184-194 scores scraped pages before
+  * CRM ingestion); re-expressed as the corpus-scale classifier stage a
+  * training-data pipeline runs between language ID and dedup.
+  */
+object QualityClassifier {
+
+  /** Feature hash of one token: fold the ORACLE-PORTABLE md5 draw (the
+    * family shared by [[Importance]]/[[Sampling]]) into `dim` buckets.
+    * DuckDB mirror: `CAST(concat('0x', substr(md5(t),1,8)) AS UBIGINT)
+    * % dim`. */
+  def tokenBucket(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dim
+
+  /** The fixture "trained model": bucket b → milliweight
+    * ((b*37 + 11) % 2001) - 1000 ∈ [-1000, 1000]. Integer arithmetic
+    * only, so the oracle regenerates it exactly; in production this
+    * frame is `spark.read.parquet(modelPath)` instead. */
+  def syntheticModel(spark: SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(
+      col("id").as("bucket"),
+      ((col("id") * 37 + 11) % 2001 - 1000).as("w_milli"))
+
+  private def finish(grouped: DataFrame, idCol: String): DataFrame = {
+    // score s = Σw / (1000·n); prob = σ(s). The division and exp() are
+    // the ONLY floating ops — mirrored shape-for-shape in the oracle.
+    val s = col("__milli").cast("double") / (lit(1000.0) * col("n_tokens"))
+    grouped
+      .withColumn("edu_score", round(lit(1.0) / (lit(1.0) + exp(-s)), 6))
+      .withColumn("keep", col("__milli") >= 0)
+      .select(col(idCol), col("n_tokens"), col("edu_score"), col("keep"))
+  }
+
+  /** Production path: score against a weight TABLE (bucket, w_milli) —
+    * the shape a real trained model loads as. Broadcast join; one
+    * shuffle on `idCol`. Documents with zero tokens carry no features
+    * and are excluded (same rule as the oracle's GROUP BY). */
+  def scoreWithModel(docs: DataFrame, textCol: String, idCol: String,
+                     model: DataFrame, dim: Int): DataFrame = {
+    val feats = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .withColumn("bucket", tokenBucket(col("__t"), dim))
+    val joined = feats.join(broadcast(model), Seq("bucket"))
+    finish(
+      joined.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("w_milli")).as("__milli")),
+      idCol)
+  }
+
+  /** Distilled path: the weight rule inlined as a codegen'd scan kernel —
+    * zero joins. Only valid when the model IS a closed form; the spec
+    * pins it to [[scoreWithModel]] output. */
+  def scoreInline(docs: DataFrame, textCol: String, idCol: String,
+                  dim: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val milli = aggregate(toks, lit(0L),
+      (acc, t) => acc + (tokenBucket(t, dim) * 37 + 11) % 2001 - 1000)
+    finish(
+      docs.select(col(idCol), size(toks).as("n_tokens"), milli.as("__milli"))
+        .filter(col("n_tokens") > 0),
+      idCol)
+  }
+}

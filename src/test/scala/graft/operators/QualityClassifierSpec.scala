@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hashed linear quality classifier: hand-computed scores, model-join vs
+  * distilled-inline parity, zero-token exclusion, and the broadcast-join
+  * plan shape of the production path. */
+class QualityClassifierSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 4096
+  private def model = QualityClassifier.syntheticModel(spark, dim)
+
+  test("score matches the formula computed by hand") {
+    val docs = Seq((1L, "alpha beta alpha")).toDF("id", "text")
+    val got = QualityClassifier.scoreWithModel(docs, "text", "id", model, dim)
+      .select($"id", $"n_tokens", $"edu_score", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % dim
+    }
+    def w(b: Long): Long = (b * 37 + 11) % 2001 - 1000
+    val milli = 2 * w(bucket("alpha")) + w(bucket("beta"))
+    val s = milli.toDouble / (1000.0 * 3)
+    val prob = BigDecimal(1.0 / (1.0 + math.exp(-s)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 3L, prob, milli >= 0)))
+  }
+
+  test("distilled inline path is identical to the model join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = QualityClassifier.scoreWithModel(docs, "text", "doc_id", model, dim)
+      .orderBy($"doc_id").collect().toSeq
+    val b = QualityClassifier.scoreInline(docs, "text", "doc_id", dim)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("zero-token documents are excluded, not scored as NaN") {
+    val docs = Seq((1L, "real words"), (2L, "   "), (3L, "")).toDF("id", "text")
+    val ids = QualityClassifier.scoreWithModel(docs, "text", "id", model, dim)
+      .select($"id").as[Long].collect().toSeq
+    assert(ids == Seq(1L))
+  }
+
+  test("production path broadcasts the model and shuffles once") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = QualityClassifier.scoreWithModel(docs, "text", "doc_id", model, dim)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected one doc_id shuffle, got $shuffles:\n$p")
+  }
+}
