@@ -2153,6 +2153,16 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Distributed Lloyd's k-means over the embedding corpus (SemDeDup
+    // clustering / IVF coarse-quantizer training), HASH-exact via the
+    // integer-arithmetic contract: milli-quantized coords, micro-unit
+    // centers by truncating division, exact integer squared distances,
+    // md5-draw seeding — zero floating point, so the oracle replays every
+    // Lloyd round bit-for-bit.
+    "q_kmeans" -> ((s, dir) =>
+      operators.Clustering.kmeans(par(s, Tables.embeddings(s, dir)),
+        "embedding", "vec_id", k = 10, iters = 2)),
+
     // IVF ANN: self-hit at rank 1 is deterministic (a query identical to a
     // corpus vector lands in its own probed centroid; cosine 1.0 wins).
     "q_ann_ivf" -> ((s, dir) => {
@@ -2464,6 +2474,62 @@ object SparkEntry {
     * per iteration (`//` = DuckDB floor division = Spark `div` on the
     * all-positive operands). Integer arithmetic is what makes the
     * distributed and single-threaded evaluations hash-identical. */
+  /** DuckDB replay of [[operators.Clustering.kmeans]]: one CTE pair
+    * (assign aN, update cN) per Lloyd round, all-integer arithmetic so
+    * every round is bit-identical to the Spark side. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH pts AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x ->
+                 greatest(-2000, least(2000,
+                   CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) + 2000) AS e
+        FROM embeddings
+      ), seed AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid, e
+        FROM (SELECT id, e FROM pts
+              ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)
+      ), c0 AS (
+        SELECT CAST(cid AS BIGINT) AS cid,
+               list_transform(e, v -> v * 1000) AS c
+        FROM seed
+      )""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+      a$i AS (
+        SELECT id, e, cid FROM (
+          SELECT p.id, p.e, c.cid,
+                 row_number() OVER (PARTITION BY p.id ORDER BY
+                   list_sum(list_transform(range(1, len(p.e) + 1),
+                     i -> (p.e[i] * 1000 - c.c[i]) * (p.e[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM pts p CROSS JOIN c${i - 1} c) WHERE rn = 1
+      ), c$i AS (
+        SELECT cid, list(v ORDER BY pos) AS c FROM (
+          SELECT cid, pos,
+                 CAST((sum(v) * 1000) // count(*) AS BIGINT) AS v
+          FROM (SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS pos
+                FROM a$i)
+          GROUP BY cid, pos)
+        GROUP BY cid
+      )""")
+    }
+    val f = iters + 1
+    sb.append(s""",
+      a$f AS (
+        SELECT id, cid FROM (
+          SELECT p.id, c.cid,
+                 row_number() OVER (PARTITION BY p.id ORDER BY
+                   list_sum(list_transform(range(1, len(p.e) + 1),
+                     i -> (p.e[i] * 1000 - c.c[i]) * (p.e[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM pts p CROSS JOIN c$iters c) WHERE rn = 1
+      )
+      SELECT id, CAST(cid AS BIGINT) AS cid FROM a$f ORDER BY id""")
+    sb.toString
+  }
+
   private def pagerankOracle(iters: Int): String = {
     val sb = new StringBuilder
     sb.append("""
@@ -4097,6 +4163,8 @@ object SparkEntry {
       ORDER BY id""",
 
     "q_pagerank" -> pagerankOracle(5),
+
+    "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
 
     "q_triangles" -> """
       WITH e AS (

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over embedding columns — the clustering
+  * stage a training-data pipeline runs for SemDeDup-style pruning,
+  * domain discovery, and diversity-balanced sampling (and the offline
+  * trainer behind [[Similarity.ivfTopK]]'s coarse quantizer).
+  *
+  * Scale shape: centers are the ONLY driver-side state (k × dim longs —
+  * metadata-sized at any corpus size; they broadcast to every task
+  * anyway). Each Lloyd round is one corpus scan:
+  *   broadcast cross join against the k-row center table
+  *   → min-distance assignment as a map-side-combinable `min_by` agg
+  *   → per-(cluster, position) sum/count agg for the center update.
+  * Two bounded shuffles per round (|points| and k·dim rows); no window
+  * over an unpartitioned frame, nothing quadratic, no iteration state
+  * cached on executors (each round's lineage re-reads the scan — at
+  * 100 TB you'd persist `pts` once; the operator takes the caller's
+  * DataFrame as-is so that choice stays with the caller).
+  *
+  * Determinism (the reason this gate can be HASH-matched against an
+  * independent engine, same contract as the integer PageRank gate):
+  * coordinates quantize to integer MILLI units on ingest
+  * (`clamp(round(x·1000), ±2000) + 2000` — non-negative so truncating
+  * and flooring division agree), centers live in integer MICRO units
+  * (`(Σmilli · 1000) div n`), distances are exact integer squared
+  * Euclidean in micro space, ties break on smallest cluster id, and
+  * seeding orders by the portable md5 draw. Zero floating-point ops
+  * anywhere — partition order, engine, and libm cannot move a single
+  * assignment. Clusters that lose all members drop out (mirrored by the
+  * oracle's GROUP BY).
+  */
+object Clustering {
+
+  /** @param points DataFrame with `idCol` and an array-of-float/double
+    *               `embCol`
+    * @param k      cluster count
+    * @param iters  Lloyd refinement rounds (assignments output are from
+    *               one final assignment pass after the last update)
+    * @return (id, cid) — cid ∈ 1..k by seed order, BIGINT, hash-exact
+    */
+  def kmeans(points: DataFrame, embCol: String, idCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val eMilli = transform(col(embCol).cast("array<double>"),
+      x => greatest(lit(-2000L),
+        least(lit(2000L), round(x * 1000, 0).cast("long"))) + 2000L)
+    val pts = points.select(col(idCol).as("id"), eMilli.as("__e"))
+
+    // Seeds: the k rows with the smallest (md5(id), id) draw, cid 1..k in
+    // that order — portable, and independent of physical row order.
+    val seedRows: Array[Row] = pts
+      .withColumn("__m", md5(col("id").cast("string")))
+      .orderBy(col("__m"), col("id")).limit(k)
+      .select(col("__e")).collect()
+    var centers: IndexedSeq[(Long, Seq[Long])] =
+      seedRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        ((i + 1).toLong, r.getSeq[Long](0).map(_ * 1000L))
+      }
+
+    // LocalRelation per reference — no executor-resident cache to leak
+    // (the ivfTopK lesson); k·dim longs broadcast for free.
+    def centersDf = centers.toDF("cid", "__c")
+
+    def assign(p: DataFrame): DataFrame = {
+      val d = aggregate(
+        zip_with(col("__e"), col("__c"),
+          (a, b) => { val t = a * lit(1000L) - b; t * t }),
+        lit(0L), (acc, x) => acc + x)
+      p.crossJoin(broadcast(centersDf))
+        .withColumn("__d", d)
+        .groupBy(col("id"))
+        .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("cid"),
+          first(col("__e")).as("__e"))
+    }
+
+    (1 to iters).foreach { _ =>
+      centers = assign(pts)
+        .select(col("cid"), posexplode(col("__e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", expr("(s * 1000) div n"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("cid"), transform(col("pv"), x => x.getField("v")).as("__c"))
+        .collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        .sortBy(_._1)
+    }
+
+    assign(pts).select(col("id"), col("cid")).orderBy(col("id"))
+  }
+
+  /** Per-cluster audit of a finished clustering: size and integer inertia
+    * (Σ min-distance in micro² units) — the elbow-curve input. Same
+    * exact-integer contract as [[kmeans]]. */
+  def clusterSizes(assignments: DataFrame): DataFrame =
+    assignments.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cid"))
+}
