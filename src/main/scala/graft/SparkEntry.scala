@@ -2299,6 +2299,35 @@ object SparkEntry {
     // original load byte-for-byte, which the oracle checks against the
     // source table directly. TimeTravelSpec covers the mechanics; this
     // proves the pinned read end-to-end against DuckDB.
+    // Change data feed (Delta/Iceberg table_changes over the COW store):
+    // insert/delete/update-image rows between a pinned commit and head.
+    // The manifest diff prunes unmoved slices before any file is read;
+    // what survives pairs through ONE pk full-outer join. Oracle replays
+    // the three mutations against the raw parquet.
+    "q_cdf" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-cdf-q"))
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("acctbal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      def cust(lo: Long, hi: Long) = Tables.customer(s, dir)
+        .filter(col("c_custkey") >= lo && col("c_custkey") <= hi)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      t.createMany(cust(0, 200))
+      // (cust is inclusive on both ends; the second batch starts past 200)
+      val pin = cat.currentCommitId()
+      t.updateMany(graft.query.RawCol(col("id") <= 100L),
+        Map("acctbal" -> lit(0.0)))
+      t.deleteMany(graft.query.RawCol(col("id") > 150L))
+      t.createMany(cust(201, 210))
+      graft.store.ChangeFeed.changesBetween(t, pin, cat.currentCommitId())
+        .select(col("id"), col("name"), col("acctbal"), col("_change_type"))
+        .orderBy(col("id"), col("_change_type"))
+    }),
+
     "q_time_travel" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
@@ -4483,6 +4512,26 @@ object SparkEntry {
     "q_time_travel" -> """
       SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
       FROM customer WHERE c_custkey <= 200 ORDER BY id""",
+
+    // CDF replay: the same three mutations expressed as set algebra over
+    // the raw table. A SET matching the old value emits nothing, hence
+    // the acctbal <> 0.0 guard on the update images.
+    "q_cdf" -> """
+      WITH base AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+        FROM customer WHERE c_custkey <= 200)
+      SELECT id, name, acctbal, _change_type FROM (
+        SELECT id, name, acctbal, 'update_preimage' AS _change_type
+        FROM base WHERE id <= 100 AND acctbal <> 0.0
+        UNION ALL
+        SELECT id, name, 0.0, 'update_postimage'
+        FROM base WHERE id <= 100 AND acctbal <> 0.0
+        UNION ALL
+        SELECT id, name, acctbal, 'delete' FROM base WHERE id > 150
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, 'insert' FROM customer
+        WHERE c_custkey > 200 AND c_custkey <= 210)
+      ORDER BY id, _change_type""",
 
     "q_zorder_skip" -> """
       SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS total
