@@ -2299,6 +2299,41 @@ object SparkEntry {
     // original load byte-for-byte, which the oracle checks against the
     // source table directly. TimeTravelSpec covers the mechanics; this
     // proves the pinned read end-to-end against DuckDB.
+    // Incremental view maintenance: a per-status count/sum view kept
+    // current by folding the change feed (signed-delta algebra, decimal
+    // sums) instead of re-aggregating the table. The OUTPUT comes from
+    // the delta path; the ORACLE recomputes the final state from
+    // scratch — hash equality proves maintenance correctness against an
+    // independent engine.
+    "q_ivm" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-ivm-q"))
+      val t = new graft.store.GraftTable(s, cat, "ord", StructType(Seq(
+        StructField("okey", LongType, nullable = false),
+        StructField("status", StringType, nullable = false),
+        StructField("total", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("okey")))
+      def ord(lo: Long, hi: Long) = Tables.orders(s, dir)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status"), col("o_totalprice").as("total"))
+      t.createMany(ord(0, 2000))
+      val state0 = graft.store.MaterializedAgg.compute(
+        t.snapshot(), Seq("status"), Seq("total"))
+      val pin = cat.currentCommitId()
+      t.updateMany(graft.query.RawCol(col("okey") <= 500L),
+        Map("status" -> lit("X")))
+      t.deleteMany(graft.query.RawCol(col("okey") > 1500L))
+      t.createMany(ord(2001, 2100))
+      val maintained = graft.store.MaterializedAgg.applyDelta(state0,
+        graft.store.ChangeFeed.changesBetween(t, pin, cat.currentCommitId()),
+        Seq("status"), Seq("total"))
+      maintained
+        .select(col("status"), col("n"),
+          col("sum_total").cast("double").as("sum_total"))
+        .orderBy(col("status"))
+    }),
+
     // Change data feed (Delta/Iceberg table_changes over the COW store):
     // insert/delete/update-image rows between a pinned commit and head.
     // The manifest diff prunes unmoved slices before any file is read;
@@ -4512,6 +4547,20 @@ object SparkEntry {
     "q_time_travel" -> """
       SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
       FROM customer WHERE c_custkey <= 200 ORDER BY id""",
+
+    // IVM oracle: recompute the FINAL state from scratch — the Spark side
+    // answers from the delta-maintained view, so equality is the proof.
+    "q_ivm" -> """
+      WITH finals AS (
+        SELECT CASE WHEN o_orderkey <= 500 THEN 'X'
+                    ELSE o_orderstatus END AS status,
+               o_totalprice AS total
+        FROM orders
+        WHERE o_orderkey <= 1500
+           OR (o_orderkey >= 2001 AND o_orderkey <= 2100))
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      FROM finals GROUP BY status ORDER BY status""",
 
     // CDF replay: the same three mutations expressed as set algebra over
     // the raw table. A SET matching the old value emits nothing, hence
