@@ -2299,6 +2299,26 @@ object SparkEntry {
     // original load byte-for-byte, which the oracle checks against the
     // source table directly. TimeTravelSpec covers the mechanics; this
     // proves the pinned read end-to-end against DuckDB.
+    // Metadata-only schema evolution: ADD COLUMN costs one manifest
+    // line, never a file rewrite — old rows null-fill through the
+    // explicit-schema read, new writes and updates carry the column.
+    "q_schema_evolve" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-evo-q"))
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      t.createMany(Tables.customer(s, dir).filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("id"), col("c_name").as("name")))
+      val t2 = t.evolve(add = Seq(StructField("tier", StringType, nullable = true)))
+      t2.updateMany(graft.query.RawCol(col("id") <= 100L),
+        Map("tier" -> lit("gold")))
+      t2.snapshot()
+        .select(col("id"), col("name"), col("tier"))
+        .orderBy(col("id"))
+    }),
+
     // Incremental view maintenance: a per-status count/sum view kept
     // current by folding the change feed (signed-delta algebra, decimal
     // sums) instead of re-aggregating the table. The OUTPUT comes from
@@ -4547,6 +4567,11 @@ object SparkEntry {
     "q_time_travel" -> """
       SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
       FROM customer WHERE c_custkey <= 200 ORDER BY id""",
+
+    "q_schema_evolve" -> """
+      SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN c_custkey <= 100 THEN 'gold' END AS tier
+      FROM customer WHERE c_custkey <= 300 ORDER BY id""",
 
     // IVM oracle: recompute the FINAL state from scratch — the Spark side
     // answers from the delta-maintained view, so equality is the proof.

@@ -132,6 +132,41 @@ final class GraftTable(
     this
   }
 
+  /** Metadata-only schema evolution (Delta/Iceberg ADD/DROP COLUMN): a
+    * new handle over the SAME catalog state with the evolved schema — no
+    * file is rewritten. Added columns must be nullable; existing files
+    * simply lack them, and the explicit-schema parquet read
+    * ([[readDirs]]) null-fills on the fly, so at 100 TB adding a column
+    * costs one manifest line, not a table rewrite. Dropped columns keep
+    * their bytes on disk (reads project them away); a later vacuum-style
+    * rewrite could reclaim them. Writes through the evolved handle carry
+    * the new shape; readers holding the old handle keep working (their
+    * schema is a projection of the files either way). FK registrations
+    * carry over; uniqueKeys/timestampCols/partitionCols must survive a
+    * drop (enforced). */
+  def evolve(add: Seq[StructField] = Nil, drop: Seq[String] = Nil): GraftTable = {
+    add.foreach { f =>
+      require(f.nullable,
+        s"$name: added column ${f.name} must be nullable (existing rows have no value)")
+      require(!schema.fieldNames.contains(f.name), s"$name: column ${f.name} exists")
+    }
+    val protectedCols =
+      uniqueKeys.flatten ++ timestampCols ++ partitionCols
+    drop.foreach { c =>
+      require(schema.fieldNames.contains(c), s"$name: no column $c to drop")
+      require(!protectedCols.contains(c),
+        s"$name: cannot drop $c (key/timestamp/partition column)")
+    }
+    val evolved = StructType(
+      schema.fields.filterNot(f => drop.contains(f.name)) ++ add)
+    val t = new GraftTable(spark, catalog, name, evolved, uniqueKeys,
+      timestampCols, partitionCols, maxLengths -- drop)
+    t.restricts = restricts
+    t.parentRefs = parentRefs
+    t.cascades = cascades
+    t
+  }
+
   private[store] def emptyDf: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 

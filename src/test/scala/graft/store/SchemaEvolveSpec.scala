@@ -1,0 +1,74 @@
+package graft.store
+
+import graft.SparkTestBase
+import graft.query.RawCol
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only schema evolution: add/drop without file rewrites,
+  * null-fill on old files, old handles unaffected, guarded drops. */
+class SchemaEvolveSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true)))
+
+  private def fresh(): (Catalog, GraftTable) = {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-evolve").toString)
+    (cat, new GraftTable(spark, cat, "t", schema, uniqueKeys = Seq(Seq("id"))))
+  }
+
+  test("added column null-fills old files and carries new writes") {
+    val (cat, t) = fresh()
+    t.createMany(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val fileCount0 = cat.currentDirs("t").values
+      .flatMap(d => new java.io.File(d).listFiles().toSeq).size
+
+    val t2 = t.evolve(add = Seq(StructField("tier", StringType, nullable = true)))
+    // evolution itself rewrote nothing
+    val fileCount1 = cat.currentDirs("t").values
+      .flatMap(d => new java.io.File(d).listFiles().toSeq).size
+    assert(fileCount0 == fileCount1)
+
+    t2.createMany(Seq((3L, "c", "gold")).toDF("id", "name", "tier"))
+    val got = t2.snapshot().select($"id", $"tier")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, None), (2L, None), (3L, Some("gold"))))
+
+    // updates through the evolved handle can set the new column
+    t2.updateMany(RawCol(col("id") === 1L), Map("tier" -> lit("silver")))
+    assert(t2.snapshot().filter($"id" === 1L).select($"tier")
+      .as[String].head() == "silver")
+  }
+
+  test("old handle keeps reading after evolution (projection of the files)") {
+    val (_, t) = fresh()
+    t.createMany(Seq((1L, "a")).toDF("id", "name"))
+    val t2 = t.evolve(add = Seq(StructField("tier", StringType, nullable = true)))
+    t2.createMany(Seq((2L, "b", "gold")).toDF("id", "name", "tier"))
+    assert(t.snapshot().columns.toSeq == Seq("id", "name"))
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("dropped column disappears from reads without touching files") {
+    val (_, t) = fresh()
+    t.createMany(Seq((1L, "a")).toDF("id", "name"))
+    val t2 = t.evolve(drop = Seq("name"))
+    assert(t2.snapshot().columns.toSeq == Seq("id"))
+    assert(t2.snapshot().count() == 1)
+  }
+
+  test("guards: non-nullable add, duplicate add, protected drop") {
+    val (_, t) = fresh()
+    intercept[IllegalArgumentException] {
+      t.evolve(add = Seq(StructField("x", LongType, nullable = false)))
+    }
+    intercept[IllegalArgumentException] {
+      t.evolve(add = Seq(StructField("name", StringType, nullable = true)))
+    }
+    intercept[IllegalArgumentException] { t.evolve(drop = Seq("id")) }
+  }
+}
