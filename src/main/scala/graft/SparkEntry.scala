@@ -1323,6 +1323,19 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // Distribution drift alarm (PSI): per-bin population-stability
+    // contributions between the purchase and click value distributions —
+    // fixed-width scan-side binning, shuffle bounded by bins, totals
+    // broadcast from a 1-row frame; ln/divisions mirrored term-for-term.
+    "q_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      operators.Profile.drift(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          "value", binWidth = 50.0)
+        .orderBy(col("bin"))
+    }),
+
     // FineWeb-Edu-style model-based quality filter: hashed bag-of-words
     // linear classifier scored via a BROADCAST join against the 4096-row
     // weight table (the shape a trained fastText model loads as), one
@@ -3864,6 +3877,32 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // PSI drift: same fixed-width bins, add-one smoothing over the bin
+    // union, the ln() and divisions mirrored shape-for-shape, round 6.
+    "q_drift" -> """
+      WITH a AS (
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_a
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+      ), b AS (
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_b
+        FROM events WHERE event_type = 'click' GROUP BY 1
+      ), j AS (
+        SELECT coalesce(a.bin, b.bin) AS bin,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM a FULL OUTER JOIN b ON a.bin = b.bin
+      ), t AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+               CAST(count(*) AS BIGINT) AS k
+        FROM j
+      )
+      SELECT bin, n_a, n_b,
+             round(((n_a + 1.0) / (ta + k) - (n_b + 1.0) / (tb + k))
+                   * ln(((n_a + 1.0) / (ta + k)) / ((n_b + 1.0) / (tb + k))),
+                   6) AS psi
+      FROM j CROSS JOIN t ORDER BY bin""",
 
     // Quality classifier: same tokenization, same md5 bucket fold, the
     // milliweight model regenerated by the same integer formula; the one

@@ -71,4 +71,42 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Distribution drift between two slices of a numeric column:
+    * per-bin Population Stability Index contributions — the
+    * between-snapshot / between-source alarm a continuous ingest runs
+    * to catch a producer silently changing its value distribution
+    * (the round-8 timestamp-encoding incident, but for data values).
+    * Σ psi < 0.1 is the conventional "stable" band, > 0.25 "shifted".
+    *
+    * Bins are EXPLICIT fixed-width (`floor(value / binWidth)`), not
+    * corpus-derived quantiles, so the binning is one scan-side codegen
+    * expression, needs no first pass over the data, and an independent
+    * engine reproduces it exactly. Shares are add-one smoothed over the
+    * union of observed bins (no ln(0)); the single ln() and divisions
+    * mirror term-for-term under the round-6 libm-parity contract.
+    *
+    * Scale shape: one partial-aggregable count per side (shuffle
+    * bounded by bins, not rows), one full-outer join on bin id, the
+    * totals broadcast from a 1-row frame. Nothing driver-side.
+    */
+  def drift(a: DataFrame, b: DataFrame, valueCol: String,
+            binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, n: String) = df
+      .select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val joined = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+      count(lit(1)).as("__k"))
+    val pa = (col("n_a") + 1.0) / (col("__ta") + col("__k"))
+    val pb = (col("n_b") + 1.0) / (col("__tb") + col("__k"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("psi", round((pa - pb) * log(pa / pb), 6))
+      .select(col("bin"), col("n_a"), col("n_b"), col("psi"))
+  }
 }

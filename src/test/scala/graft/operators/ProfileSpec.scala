@@ -29,4 +29,22 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("Expand"), plan)
     assert(!plan.contains("Union"), plan)
   }
+
+  test("drift of a slice against itself is zero in every bin") {
+    val df = Seq(1.0, 7.0, 55.0, 120.0, 120.5).toDF("v")
+    val psi = Profile.drift(df, df, "v", binWidth = 50.0)
+      .select($"psi").as[Double].collect()
+    assert(psi.nonEmpty && psi.forall(_ == 0.0))
+  }
+
+  test("a shifted distribution yields positive total PSI and union bins") {
+    val a = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")     // all in bin 0
+    val b = Seq(110.0, 120.0, 130.0, 140.0).toDF("v") // all in bin 2
+    val rows = Profile.drift(a, b, "v", binWidth = 50.0)
+      .select($"bin", $"n_a", $"n_b", $"psi")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(0L, 2L), "union of observed bins")
+    assert(rows.map(r => (r._2, r._3)) == Seq((4L, 0L), (0L, 4L)))
+    assert(rows.map(_._4).sum > 0.25, "conventional 'shifted' band")
+  }
 }
