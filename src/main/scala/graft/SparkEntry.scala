@@ -1323,6 +1323,23 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // Entity resolution: every distinct part name corrupted by dropping
+    // its (len-2)th character, then fuzzy-matched back to the clean set —
+    // blocked on the first token (hash equi-join, never all-pairs),
+    // length-banded before any distance, Levenshtein-verified. Blocking
+    // recall itself is under oracle: a planted pair the scheme loses
+    // would be missing from BOTH engines' outputs only if the algebra
+    // says so.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val corrupted = names.select(expr(
+        "concat(substr(p_name, 1, length(p_name) - 3), " +
+          "substr(p_name, length(p_name) - 1)) AS dirty"))
+      operators.Linkage.fuzzyJoin(corrupted, "dirty", names, "p_name",
+          maxDist = 1)
+        .orderBy(col("left_val"), col("right_val"))
+    }),
+
     // Distribution drift alarm (PSI): per-bin population-stability
     // contributions between the purchase and click value distributions —
     // fixed-width scan-side binning, shuffle bounded by bins, totals
@@ -3877,6 +3894,21 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // Fuzzy join: same corruption, same first-token block, same length
+    // band, same Levenshtein verify (identical semantics both engines).
+    "q_fuzzy_join" -> """
+      WITH names AS (SELECT DISTINCT p_name FROM part),
+      d AS (SELECT DISTINCT concat(substr(p_name, 1, length(p_name) - 3),
+                                   substr(p_name, length(p_name) - 1)) AS dirty
+            FROM names)
+      SELECT d.dirty AS left_val, n.p_name AS right_val,
+             CAST(levenshtein(d.dirty, n.p_name) AS BIGINT) AS dist
+      FROM d JOIN names n
+        ON split_part(d.dirty, ' ', 1) = split_part(n.p_name, ' ', 1)
+      WHERE abs(length(d.dirty) - length(n.p_name)) <= 1
+        AND levenshtein(d.dirty, n.p_name) = 1
+      ORDER BY left_val, right_val""",
 
     // PSI drift: same fixed-width bins, add-one smoothing over the bin
     // union, the ln() and divisions mirrored shape-for-shape, round 6.
