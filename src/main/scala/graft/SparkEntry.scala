@@ -1323,6 +1323,16 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // Sketch-audited quantiles: output is the EXACT per-type value
+    // percentiles (quantile_cont semantics both engines), but the query
+    // first requires the mergeable approx_percentile sketch — the state
+    // a 100 TB continuous profile actually keeps — inside each target's
+    // exact rank-tolerance bracket.
+    "q_quantile_audit" -> ((s, dir) =>
+      operators.Profile.quantileAudit(Tables.events(s, dir),
+          "event_type", "value", probs = Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy(col("event_type"), col("p"))),
+
     // Entity resolution: every distinct part name corrupted by dropping
     // its (len-2)th character, then fuzzy-matched back to the clean set —
     // blocked on the first token (hash equi-join, never all-pairs),
@@ -3894,6 +3904,16 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // Quantile audit: DuckDB's quantile_cont is the same continuous
+    // interpolation as Spark's percentile; equal-length unnests zip.
+    "q_quantile_audit" -> """
+      SELECT event_type, p, q FROM (
+        SELECT event_type,
+               unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+               unnest(quantile_cont(value, [0.25, 0.5, 0.75, 0.95])) AS q
+        FROM events GROUP BY event_type)
+      ORDER BY event_type, p""",
 
     // Fuzzy join: same corruption, same first-token block, same length
     // band, same Levenshtein verify (identical semantics both engines).

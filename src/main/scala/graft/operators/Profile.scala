@@ -72,6 +72,53 @@ object Profile {
         col("n_distinct"), col("min_s"), col("max_s"))
   }
 
+  /** Sketch-audited quantiles — the [[cardinalityAudit]] pattern for
+    * order statistics: returns the EXACT per-group percentiles
+    * (continuous interpolation, the engine-portable `quantile_cont`
+    * semantics), after asserting that the mergeable
+    * `approx_percentile` sketch lands inside each target's exact
+    * [p−tolProb, p+tolProb] value bracket — the value-space image of
+    * its rank-error guarantee (≤ n/accuracy, so tolProb must be ≥
+    * 1/accuracy). At 100 TB the continuous profile runs the sketch
+    * (fixed-size mergeable state, no sort, no full shuffle of values);
+    * this audit is the sampled exactness check that keeps trusting it
+    * honest. Audit groups are bounded (event types, sources, shards) —
+    * one collected row each.
+    *
+    * @return (keyCol, p, q) — one row per group × probability, exact.
+    */
+  def quantileAudit(df: DataFrame, keyCol: String, valCol: String,
+                    probs: Seq[Double], accuracy: Int = 10000,
+                    tolProb: Double = 0.01): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must lie strictly inside (0, 1)")
+    require(tolProb * accuracy >= 1.0,
+      s"tolProb $tolProb is tighter than the sketch guarantee 1/$accuracy")
+    val lo = probs.map(p => math.max(0.0, p - tolProb))
+    val hi = probs.map(p => math.min(1.0, p + tolProb))
+    def pct(ps: Seq[Double], alias: String) = expr(
+      s"percentile($valCol, array(${ps.mkString(", ")}))").as(alias)
+    val audited = df.groupBy(col(keyCol))
+      .agg(pct(lo, "__lo"), pct(hi, "__hi"),
+        expr(s"approx_percentile($valCol, array(${probs.mkString(", ")}), " +
+          s"$accuracy)").as("__ap"))
+      .collect() // bounded: one row per audit group
+    audited.foreach { r =>
+      val blo = r.getSeq[Double](1); val bhi = r.getSeq[Double](2)
+      val ap = r.getSeq[Double](3)
+      probs.indices.foreach { i =>
+        require(ap(i) >= blo(i) && ap(i) <= bhi(i),
+          s"quantile sketch out of tolerance for ${r.get(0)} p=${probs(i)}: " +
+            s"approx ${ap(i)} outside exact bracket [${blo(i)}, ${bhi(i)}]")
+      }
+    }
+    df.groupBy(col(keyCol))
+      .agg(pct(probs, "__q"))
+      .select(col(keyCol),
+        explode(arrays_zip(typedlit(probs).as("p"), col("__q").as("q"))).as("__e"))
+      .select(col(keyCol), col("__e.p").as("p"), col("__e.q").as("q"))
+  }
+
   /** Distribution drift between two slices of a numeric column:
     * per-bin Population Stability Index contributions — the
     * between-snapshot / between-source alarm a continuous ingest runs

@@ -37,6 +37,22 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(psi.nonEmpty && psi.forall(_ == 0.0))
   }
 
+  test("quantileAudit returns exact interpolated percentiles") {
+    // 1..100 → p=0.5 interpolates to 50.5, p=0.25 to 25.75
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = Profile.quantileAudit(df, "k", "v", Seq(0.25, 0.5))
+      .select($"p", $"q").as[(Double, Double)].collect().toMap
+    assert(got(0.25) == 25.75 && got(0.5) == 50.5)
+  }
+
+  test("quantileAudit rejects a tolerance tighter than the sketch bound") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Profile.quantileAudit(df, "k", "v", Seq(0.5), accuracy = 100,
+        tolProb = 0.001)
+    }
+  }
+
   test("a shifted distribution yields positive total PSI and union bins") {
     val a = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")     // all in bin 0
     val b = Seq(110.0, 120.0, 130.0, 140.0).toDF("v") // all in bin 2
