@@ -1323,6 +1323,24 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // Point-in-time join: every purchase enriched with the SCD2 state
+    // version valid at its instant — the feature-store no-future-leakage
+    // rule, planned as an as-of carry-forward (one shuffle), never an
+    // interval theta-join. The oracle evaluates the honest half-open
+    // interval join; equality proves the as-of reduction.
+    "q_pit_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hist = operators.Temporal.scd2(ev, "user_id", "event_type",
+          "ts", "event_id")
+        .withColumnRenamed("event_type", "state")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      operators.Temporal.pointInTime(facts, hist, "user_id", "ts",
+          Seq("state", "version"))
+        .select(col("event_id"), col("user_id"), col("state"), col("version"))
+        .orderBy(col("event_id"))
+    }),
+
     // Sketch-audited quantiles: output is the EXACT per-type value
     // percentiles (quantile_cont semantics both engines), but the query
     // first requires the mergeable approx_percentile sketch — the state
@@ -3904,6 +3922,34 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // PIT join: the oracle runs the honest half-open interval join
+    // against the same SCD2 CTEs — zero-width versions self-exclude
+    // under `ts < valid_to`, matching the as-of tiebreak.
+    "q_pit_join" -> """
+      WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR prev <> event_type),
+      hist AS (
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               event_type AS state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      facts AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase')
+      SELECT f.event_id, f.user_id, h.state, h.version
+      FROM facts f LEFT JOIN hist h
+        ON h.user_id = f.user_id AND h.valid_from <= f.ts
+       AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+      ORDER BY f.event_id""",
 
     // Quantile audit: DuckDB's quantile_cont is the same continuous
     // interpolation as Spark's percentile; equal-length unnests zip.

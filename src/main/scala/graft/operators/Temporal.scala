@@ -48,6 +48,28 @@ object Temporal {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** Point-in-time (feature-store) join: each fact row enriched with the
+    * [[scd2]] dimension version valid AT its timestamp — the training-
+    * label correctness rule ("no feature leakage from the future") every
+    * feature store enforces. NOT an interval theta-join (quadratic per
+    * key, unrunnable at scale): because SCD2 intervals partition time
+    * contiguously per key, the version valid at `ts` is simply the last
+    * `valid_from <= ts`, i.e. an AS-OF join — one union + one window
+    * carry-forward, one shuffle total ([[AsOf.asofJoin]]). Zero-width
+    * versions (several transitions at one instant) resolve to the
+    * highest version via the tiebreak, exactly matching the half-open
+    * interval semantics an independent engine evaluates.
+    *
+    * @param history [[scd2]] output (or anything with `keyCol`,
+    *                `valid_from`, `version`, and the payload columns)
+    * @return all fact columns plus `attrCols` from the matching version
+    *         (null when the fact predates every version)
+    */
+  def pointInTime(facts: DataFrame, history: DataFrame, keyCol: String,
+                  factTs: String, attrCols: Seq[String]): DataFrame =
+    AsOf.asofJoin(facts, history, keyCol, keyCol, factTs, "valid_from",
+      payload = attrCols, tieBreak = Some("version"))
+
   /** Pairwise co-occurrence mining (the market-basket / co-citation
     * primitive): for every basket (`basketCol`), every unordered item
     * pair that appears together, counted across baskets; the `topN`

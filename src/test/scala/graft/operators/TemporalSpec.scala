@@ -69,4 +69,27 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     // all 6 pairs tie at n=1 → (item_a, item_b) ascending decides
     assert(out.toSeq == Seq((1L, 2L), (1L, 3L)))
   }
+
+  test("pointInTime: facts pick the version valid at their instant") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A@10, B@20 (zero-width: B then C both @20), C@20, then D@30
+    val ev = Seq(
+      (1L, "A", ts(10), 1L), (1L, "B", ts(20), 2L),
+      (1L, "C", ts(20), 3L), (1L, "D", ts(30), 4L))
+      .toDF("user_id", "state", "ts", "event_id")
+    val hist = Temporal.scd2(ev, "user_id", "state", "ts", "event_id")
+    val facts = Seq(
+      (100L, 1L, ts(5)),   // before any version → null
+      (101L, 1L, ts(15)),  // inside A
+      (102L, 1L, ts(20)),  // AT the double transition → C (highest version)
+      (103L, 1L, ts(99))). // current → D
+      toDF("fact_id", "user_id", "fts")
+    val got = Temporal.pointInTime(facts, hist, "user_id", "fts",
+        Seq("state", "version"))
+      .select($"fact_id", $"state").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(100L -> None, 101L -> Some("A"),
+      102L -> Some("C"), 103L -> Some("D")))
+  }
 }
