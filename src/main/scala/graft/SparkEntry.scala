@@ -2019,6 +2019,23 @@ object SparkEntry {
     // src-keyed hash join + one dst-keyed partial agg — the canonical
     // distributed PageRank step; at 100 TB the edge frame shuffles once
     // and the rank vector (nodes, not edges) is the only per-round state.
+    // Label-propagation communities over the trade graph: 4 synchronous
+    // rounds, integer vote sums + smallest-label ties, isolated nodes
+    // keep their own label — bit-deterministic, oracle-unrolled like
+    // PageRank.
+    "q_label_prop" -> ((s, dir) => {
+      val edges = operators.Graph.nationTradeEdges(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir))
+      val nodes = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("id"))
+      operators.Graph.labelPropagation(edges, nodes, iters = 4)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("id") === col("n_nationkey").cast("long"))
+        .select(col("n_name"), col("community"))
+        .orderBy(col("n_name"))
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       val edges = operators.Graph.nationTradeEdges(
         Tables.lineitem(s, dir), Tables.orders(s, dir),
@@ -2669,6 +2686,53 @@ object SparkEntry {
           FROM pts p CROSS JOIN c$iters c) WHERE rn = 1
       )
       SELECT id, CAST(cid AS BIGINT) AS cid FROM a$f ORDER BY id""")
+    sb.toString
+  }
+
+  /** DuckDB replay of [[operators.Graph.labelPropagation]]: one CTE per
+    * synchronous round, integer vote sums, smallest-label tie-breaks. */
+  private def labelPropOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+      WITH edges AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+               CAST(s.s_nationkey AS BIGINT) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+      ), und AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               CAST(sum(w) AS BIGINT) AS wu
+        FROM edges WHERE src <> dst GROUP BY 1, 2
+      ), sym AS (
+        SELECT a AS v, b AS u, wu FROM und
+        UNION ALL SELECT b, a, wu FROM und
+      ), nodes AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+      ), l0 AS (
+        SELECT id, id AS lbl FROM nodes
+      )""")
+    for (i <- 1 to iters)
+      sb.append(s""",
+      l$i AS (
+        SELECT p.id, coalesce(b.best, p.lbl) AS lbl
+        FROM l${i - 1} p
+        LEFT JOIN (
+          SELECT v AS id, lbl AS best FROM (
+            SELECT s.v, p2.lbl,
+                   row_number() OVER (PARTITION BY s.v
+                     ORDER BY sum(s.wu) DESC, p2.lbl ASC) AS rn
+            FROM sym s JOIN l${i - 1} p2 ON p2.id = s.u
+            GROUP BY s.v, p2.lbl) t WHERE rn = 1
+        ) b ON b.id = p.id
+      )""")
+    sb.append(s"""
+      SELECT nation.n_name AS n_name, l$iters.lbl AS community
+      FROM l$iters JOIN nation ON l$iters.id = CAST(n_nationkey AS BIGINT)
+      ORDER BY n_name""")
     sb.toString
   }
 
@@ -4386,6 +4450,8 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracle(5),
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
+
+    "q_label_prop" -> labelPropOracle(4),
 
     "q_triangles" -> """
       WITH e AS (

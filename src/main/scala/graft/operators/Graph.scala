@@ -63,6 +63,55 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over the undirected weighted closure — the cheap community detector
+    * corpus curation runs to group near-dup CLUSTERS into sources/topics
+    * (connected components answer "touching?"; this answers "densely
+    * trading together?"). Every node starts labeled with its own id;
+    * each round it adopts the label with the greatest incident edge
+    * weight among its neighbors (tie → smallest label; isolated nodes
+    * keep theirs). Integer weight sums + id tie-breaks make every round
+    * bit-deterministic under any partitioning — the same
+    * determinism-as-semantics contract as [[pageRankFixedPoint]], so the
+    * oracle replays all rounds as unrolled CTEs.
+    *
+    * Scale shape per round: one hash join of the symmetric edge frame
+    * against the label vector on the neighbor key, one (node, label)
+    * partial aggregation, one per-node argmax (`max_by`, map-side
+    * combinable) — never adjacency on the driver. Fixed `iters` keeps
+    * the oracle unrollable; production loops to label-change delta with
+    * periodic `localCheckpoint` truncation.
+    *
+    * @param edges (src, dst, w) directed weighted edges (symmetrized,
+    *              self-loops dropped, parallel edges weight-summed)
+    * @param nodes (id) node universe
+    * @return (id, community) — the label after `iters` rounds
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+                       iters: Int = 4): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("wu"))
+    val sym = und.select(col("a").as("v"), col("b").as("u"), col("wu"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("u"), col("wu")))
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var i = 0
+    while (i < iters) {
+      val votes = sym
+        .join(labels.select(col("id").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl")).agg(sum(col("wu")).as("s"))
+        .groupBy(col("v"))
+        .agg(max_by(col("lbl"), struct(col("s"), -col("lbl"))).as("best"))
+      labels = labels
+        .join(votes.withColumnRenamed("v", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("best"), col("lbl")).as("lbl"))
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle participation counts over an UNDIRECTED simple
     * graph — the local clustering signal (community density, link-farm
     * detection) that complements [[pageRankFixedPoint]]'s global

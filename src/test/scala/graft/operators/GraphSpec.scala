@@ -78,4 +78,41 @@ class GraphSpec extends AnyFunSuite with SparkTestBase {
     val nodes = (0L until 20L).toSeq
     assert(run(edges, nodes, 5, parts = 1) == run(edges, nodes, 5, parts = 13))
   }
+
+  private def communities(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                          iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"),
+        nodes.toDF("id"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two heavy cliques joined by a light bridge split") {
+    // clique {1,2,3} and {10,11,12} with weight-5 edges; bridge 3-10 weight 1
+    val heavy = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L)).map { case (a, b) => (a, b, 5L) }
+    val got = communities(heavy :+ ((3L, 10L, 1L)),
+      Seq(1L, 2L, 3L, 10L, 11L, 12L), iters = 4)
+    assert(got.filterKeys(_ <= 3L).values.toSet.size == 1)
+    assert(got.filterKeys(_ >= 10L).values.toSet.size == 1)
+    assert(got(1L) != got(10L), got.toString)
+  }
+
+  test("labelPropagation: isolated nodes keep their own label") {
+    val got = communities(Seq((1L, 2L, 3L)), Seq(1L, 2L, 9L), iters = 3)
+    assert(got(9L) == 9L)
+  }
+
+  test("labelPropagation: deterministic across partitionings") {
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 150).map(_ =>
+      (rng.nextInt(15).toLong, rng.nextInt(15).toLong,
+        (1L + rng.nextInt(9)).toLong)).distinct
+    val nodes = (0L until 15L).toSeq
+    val a = Graph.labelPropagation(
+      edges.toDF("src", "dst", "w").repartition(1), nodes.toDF("id"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.labelPropagation(
+      edges.toDF("src", "dst", "w").repartition(13), nodes.toDF("id"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
