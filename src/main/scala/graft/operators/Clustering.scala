@@ -96,11 +96,4 @@ object Clustering {
     assign(pts).select(col("id"), col("cid")).orderBy(col("id"))
   }
 
-  /** Per-cluster audit of a finished clustering: size and integer inertia
-    * (Σ min-distance in micro² units) — the elbow-curve input. Same
-    * exact-integer contract as [[kmeans]]. */
-  def clusterSizes(assignments: DataFrame): DataFrame =
-    assignments.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("cid"))
 }

@@ -101,17 +101,32 @@ object Profile {
     val audited = df.groupBy(col(keyCol))
       .agg(pct(lo, "__lo"), pct(hi, "__hi"),
         expr(s"approx_percentile($valCol, array(${probs.mkString(", ")}), " +
-          s"$accuracy)").as("__ap"))
+          s"$accuracy)").as("__ap"),
+        count(col(valCol)).as("__n"))
       .collect() // bounded: one row per audit group
     audited.foreach { r =>
-      val blo = r.getSeq[Double](1); val bhi = r.getSeq[Double](2)
-      val ap = r.getSeq[Double](3)
-      probs.indices.foreach { i =>
-        require(ap(i) >= blo(i) && ap(i) <= bhi(i),
-          s"quantile sketch out of tolerance for ${r.get(0)} p=${probs(i)}: " +
-            s"approx ${ap(i)} outside exact bracket [${blo(i)}, ${bhi(i)}]")
+      // Skip groups with nothing auditable: all-NULL values have no
+      // order statistics (exact and approx both NULL — the result frame
+      // reports NULL quantiles consistently), and a group smaller than
+      // ~2/tolProb gives the probability bracket sub-rank width — the
+      // continuous interpolation can then exclude the sketch's discrete
+      // data-value answer even when it is exactly right. Small groups
+      // are cheap to check exactly; the audit exists for the big ones.
+      val auditable = !r.isNullAt(1) && !r.isNullAt(3) &&
+        r.getLong(4) * tolProb >= 2.0
+      if (auditable) {
+        val blo = r.getSeq[Double](1); val bhi = r.getSeq[Double](2)
+        val ap = r.getSeq[Double](3)
+        probs.indices.foreach { i =>
+          require(ap(i) >= blo(i) && ap(i) <= bhi(i),
+            s"quantile sketch out of tolerance for ${r.get(0)} p=${probs(i)}: " +
+              s"approx ${ap(i)} outside exact bracket [${blo(i)}, ${bhi(i)}]")
+        }
       }
     }
+    // recomputed as its own plan — same deliberate choice as
+    // [[cardinalityAudit]]: the returned frame stays a distributed exact
+    // aggregate instead of a driver-collected LocalRelation
     df.groupBy(col(keyCol))
       .agg(pct(probs, "__q"))
       .select(col(keyCol),
@@ -140,7 +155,11 @@ object Profile {
   def drift(a: DataFrame, b: DataFrame, valueCol: String,
             binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // NULLs are not observations of the distribution — and a NULL bin
+    // would split into two unpaired rows under the join below (null-
+    // unsafe equality), inflating the smoothing union
     def binned(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
       .select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(n))
     val joined = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")

@@ -68,15 +68,20 @@ object QualityClassifier {
   }
 
   /** Production path: score against a weight TABLE (bucket, w_milli) —
-    * the shape a real trained model loads as. Broadcast join; one
-    * shuffle on `idCol`. Documents with zero tokens carry no features
-    * and are excluded (same rule as the oracle's GROUP BY). */
+    * the shape a real trained model loads as. Broadcast LEFT join (a
+    * trained export commonly prunes zero/unseen buckets; a missing
+    * bucket means weight 0, and the token still counts toward the
+    * divisor — an inner join would silently shrink n_tokens and drop
+    * all-miss documents entirely); one shuffle on `idCol`. Documents
+    * with zero tokens carry no features and are excluded (same rule as
+    * the oracle's GROUP BY). */
   def scoreWithModel(docs: DataFrame, textCol: String, idCol: String,
                      model: DataFrame, dim: Int): DataFrame = {
     val feats = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
       .withColumn("bucket", tokenBucket(col("__t"), dim))
-    val joined = feats.join(broadcast(model), Seq("bucket"))
+    val joined = feats.join(broadcast(model), Seq("bucket"), "left")
+      .withColumn("w_milli", coalesce(col("w_milli"), lit(0L)))
     finish(
       joined.groupBy(col(idCol)).agg(
         count(lit(1)).as("n_tokens"),

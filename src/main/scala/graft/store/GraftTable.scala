@@ -150,12 +150,17 @@ final class GraftTable(
         s"$name: added column ${f.name} must be nullable (existing rows have no value)")
       require(!schema.fieldNames.contains(f.name), s"$name: column ${f.name} exists")
     }
+    // FK-backing columns are as load-bearing as keys: restricts/cascades
+    // reference parentCol on THIS table, parentRefs reference childCol
+    // on THIS table — dropping any of them would break FK validation at
+    // the next write, far from this call
     val protectedCols =
-      uniqueKeys.flatten ++ timestampCols ++ partitionCols
+      uniqueKeys.flatten ++ timestampCols ++ partitionCols ++
+        restricts.map(_._3) ++ cascades.map(_._3) ++ parentRefs.map(_._2)
     drop.foreach { c =>
       require(schema.fieldNames.contains(c), s"$name: no column $c to drop")
       require(!protectedCols.contains(c),
-        s"$name: cannot drop $c (key/timestamp/partition column)")
+        s"$name: cannot drop $c (key/timestamp/partition/FK column)")
     }
     val evolved = StructType(
       schema.fields.filterNot(f => drop.contains(f.name)) ++ add)

@@ -36,7 +36,11 @@ object MaterializedAgg {
 
   /** Fold one change feed (the [[ChangeFeed.changesBetween]] output for
     * the commit range since `state` was computed) into `state`. Groups
-    * whose count reaches zero drop out, matching recompute semantics. */
+    * whose count reaches zero drop out, matching recompute semantics.
+    * The merge join is NULL-SAFE on the group keys: `compute` groups
+    * NULL keys into one group (SQL GROUP BY semantics), so the delta
+    * must pair with that group too — a null-unsafe join would strand
+    * both sides and silently diverge from recompute forever. */
   def applyDelta(state: DataFrame, changes: DataFrame,
                  keys: Seq[String], sumCols: Seq[String]): DataFrame = {
     val w = when(col("_change_type").isin("insert", "update_postimage"),
@@ -45,11 +49,14 @@ object MaterializedAgg {
       .agg(sum(w).as("__dn"),
         sumCols.map(c => sum(dec(c) * w).as(s"__ds_$c")): _*)
     val zero = lit(0).cast("decimal(18,2)")
-    state.join(delta, keys, "full_outer")
-      .select((keys.map(col) :+
-        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n")) ++
+    val s = state.as("s")
+    val d = delta.as("d")
+    val cond = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
+    s.join(d, cond, "full_outer")
+      .select((keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) :+
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.__dn"), lit(0L))).as("n")) ++
         sumCols.map(c =>
-          (coalesce(col(s"sum_$c"), zero) + coalesce(col(s"__ds_$c"), zero))
+          (coalesce(col(s"s.sum_$c"), zero) + coalesce(col(s"d.__ds_$c"), zero))
             .cast("decimal(18,2)").as(s"sum_$c")): _*)
       .filter(col("n") > 0)
   }

@@ -45,6 +45,24 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0.25) == 25.75 && got(0.5) == 50.5)
   }
 
+  test("quantileAudit: an all-NULL group is skipped, not an NPE") {
+    val df = ((1 to 50).map(i => ("g", Some(i.toDouble))) :+
+      (("empty", Option.empty[Double]))).toDF("k", "v")
+    val got = Profile.quantileAudit(df, "k", "v", Seq(0.5))
+      .select($"k", $"q").as[(String, Double)].collect().toMap
+    // the valueless group has no order statistics and drops from the
+    // output (explode of the null quantile array); no NPE in the audit
+    assert(got == Map("g" -> 25.5))
+  }
+
+  test("drift ignores NULL values instead of binning them") {
+    val a = Seq(Some(10.0), None, Some(20.0)).toDF("v")
+    val b = Seq(Some(10.0), Some(20.0), None).toDF("v")
+    val rows = Profile.drift(a, b, "v", binWidth = 50.0)
+      .select($"bin", $"psi").as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((0L, 0.0)), rows.toString)
+  }
+
   test("quantileAudit rejects a tolerance tighter than the sketch bound") {
     val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
     intercept[IllegalArgumentException] {

@@ -41,6 +41,16 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(a.nonEmpty && a == b)
   }
 
+  test("a sparse (pruned) model scores missing buckets as weight 0") {
+    val docs = Seq((1L, "alpha beta alpha")).toDF("id", "text")
+    val empty = model.filter(lit(false)) // every bucket pruned away
+    val got = QualityClassifier.scoreWithModel(docs, "text", "id", empty, dim)
+      .select($"id", $"n_tokens", $"edu_score", $"keep")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // all weights 0 → s = 0 → sigmoid 0.5; n_tokens still counts all 3
+    assert(got == Seq((1L, 3L, 0.5, true)))
+  }
+
   test("zero-token documents are excluded, not scored as NaN") {
     val docs = Seq((1L, "real words"), (2L, "   "), (3L, "")).toDF("id", "text")
     val ids = QualityClassifier.scoreWithModel(docs, "text", "id", model, dim)

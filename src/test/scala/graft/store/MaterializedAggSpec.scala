@@ -49,6 +49,28 @@ class MaterializedAggSpec extends AnyFunSuite with SparkTestBase {
     assert(normalized(state) == normalized(recomputed))
   }
 
+  test("NULL-keyed groups pair null-safely with their deltas") {
+    val nullableSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("status", StringType, nullable = true),
+      StructField("amount", DoubleType, nullable = true)))
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-ivm-null").toString)
+    val t = new GraftTable(spark, cat, "jobs", nullableSchema,
+      uniqueKeys = Seq(Seq("id")))
+    t.createMany(Seq((1L, null, 5.0), (2L, null, 7.0), (3L, "a", 1.0))
+      .toDF("id", "status", "amount"))
+    var state = MaterializedAgg.compute(t.snapshot(), Seq("status"), Seq("amount"))
+    val pin = cat.currentCommitId()
+    t.deleteMany(RawCol(col("id") === 1L))
+    state = MaterializedAgg.applyDelta(state,
+      ChangeFeed.changesBetween(t, pin, cat.currentCommitId()),
+      Seq("status"), Seq("amount"))
+    val recomputed = MaterializedAgg.compute(t.snapshot(), Seq("status"), Seq("amount"))
+    assert(normalized(state) == normalized(recomputed))
+    assert(state.filter($"status".isNull).select($"n").as[Long].head() == 1L)
+  }
+
   test("a group emptied by deletes drops out of the state") {
     val (cat, t) = fresh()
     t.createMany(Seq((1L, "only", 5.0), (2L, "keep", 1.0))

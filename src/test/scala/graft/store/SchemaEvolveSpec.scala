@@ -71,4 +71,22 @@ class SchemaEvolveSpec extends AnyFunSuite with SparkTestBase {
     }
     intercept[IllegalArgumentException] { t.evolve(drop = Seq("id")) }
   }
+
+  test("FK-backing columns refuse to drop on both sides") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-evolve-fk").toString)
+    val parent = new GraftTable(spark, cat, "p", schema,
+      uniqueKeys = Seq(Seq("id")))
+    val child = new GraftTable(spark, cat, "c", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pid", LongType, nullable = true),
+      StructField("note", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    parent.onDeleteRestrict(child, "pid", "name") // name backs the FK
+    intercept[IllegalArgumentException] { parent.evolve(drop = Seq("name")) }
+    intercept[IllegalArgumentException] { child.evolve(drop = Seq("pid")) }
+    // unrelated columns still drop fine
+    assert(child.evolve(drop = Seq("note")).schema.fieldNames.toSeq ==
+      Seq("id", "pid"))
+  }
 }
