@@ -1323,6 +1323,42 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // Salted join under oracle: the hot-key spreading (left side salted,
+    // right side replicated x8, join on (key, salt)) must be output-
+    // invariant — every left row carries exactly one salt and the right
+    // replica set covers all salts, so the pair set equals the plain
+    // join. The oracle runs the plain join; equality gates the rewrite.
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      operators.Skew.saltedJoin(li, sup, "suppkey", factor = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Two-phase salted aggregation under oracle: partial collect on
+    // (key, salt), final flatten on key — the explicit map-side combine
+    // for non-algebraic aggregates. Output exploded to scalar
+    // (key, pos, value) rows after a deterministic sort, so the hash
+    // compare sees content, not list layout.
+    "q_salted_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_orderkey") < 400)
+      operators.Skew.twoPhaseCollect(li, "l_returnflag", "l_quantity",
+          factor = 8)
+        .select(col("l_returnflag"),
+          posexplode(array_sort(col("l_quantity_list"))))
+        .select(col("l_returnflag"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("qty"))
+        .orderBy(col("l_returnflag"), col("pos"))
+    }),
+
     // Point-in-time join: every purchase enriched with the SCD2 state
     // version valid at its instant — the feature-store no-future-leakage
     // rule, planned as an as-of carry-forward (one shuffle), never an
@@ -3986,6 +4022,29 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // Salted join: the oracle is the PLAIN join — equality proves the
+    // salt-and-replicate rewrite is output-invariant.
+    "q_salted_join" -> """
+      SELECT s.s_nationkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey ORDER BY s.s_nationkey""",
+
+    // Salted two-phase collect: the oracle is the plain grouped list,
+    // sorted — content equality modulo the salt routing.
+    "q_salted_agg" -> """
+      SELECT l_returnflag, CAST(pos - 1 AS BIGINT) AS pos,
+             CAST(qty AS DOUBLE) AS qty
+      FROM (
+        SELECT l_returnflag, unnest(list_sort(list(l_quantity))) AS qty,
+               generate_subscripts(list_sort(list(l_quantity)), 1) AS pos
+        FROM lineitem WHERE l_orderkey < 400
+        GROUP BY l_returnflag)
+      ORDER BY l_returnflag, pos""",
 
     // PIT join: the oracle runs the honest half-open interval join
     // against the same SCD2 CTEs — zero-width versions self-exclude
