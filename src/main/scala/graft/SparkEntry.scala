@@ -1323,6 +1323,14 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // Cohort retention triangle: weekly first-event cohorts x distinct
+    // active users per offset — integer epoch-division bucketing, two
+    // bounded shuffles, no windows.
+    "q_retention" -> ((s, dir) =>
+      operators.Temporal.retentionMatrix(Tables.events(s, dir),
+          "user_id", "ts")
+        .orderBy(col("cohort"), col("period_offset"))),
+
     // Salted join under oracle: the hot-key spreading (left side salted,
     // right side replicated x8, join on (key, salt)) must be output-
     // invariant — every left row carries exactly one salt and the right
@@ -4022,6 +4030,18 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // Retention: same integer week division, same first-event cohorts.
+    "q_retention" -> """
+      WITH p AS (
+        SELECT user_id AS u, epoch_us(ts) // 604800000000 AS w
+        FROM events),
+      c AS (SELECT u, min(w) AS cohort FROM p GROUP BY u)
+      SELECT c.cohort, p.w - c.cohort AS period_offset,
+             CAST(count(DISTINCT p.u) AS BIGINT) AS n_users
+      FROM p JOIN c ON p.u = c.u
+      GROUP BY c.cohort, period_offset
+      ORDER BY cohort, period_offset""",
 
     // Salted join: the oracle is the PLAIN join — equality proves the
     // salt-and-replicate rewrite is output-invariant.

@@ -48,6 +48,36 @@ object Temporal {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** Cohort retention matrix: users bucketed by the period of their
+    * FIRST event (the cohort), then counted distinct per (cohort,
+    * period-offset) — the classic retention triangle product analytics
+    * reads ("of the week-12 cohort, how many were still active in week
+    * 15?"). Periods are integer epoch divisions (`epoch_us div
+    * periodUs`), so bucketing is scan-side codegen and engine-exact.
+    *
+    * Scale shape: one aggregation for first-events (map-side
+    * combinable min per user), one broadcast-or-shuffle join back on
+    * the user key, one (cohort, offset) count-distinct — shuffles
+    * bounded by |users| then |cohorts × offsets|. No windows, no
+    * driver state.
+    *
+    * @return (cohort, period_offset, n_users) — offset-0 row is the cohort
+    *         size itself
+    */
+  def retentionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                      periodUs: Long = 604800000000L): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    val period = expr(
+      s"unix_micros(cast($tsCol as timestamp)) div ${periodUs}L")
+    val withPeriod = events.select(col(userCol).as("__u"), period.as("__p"))
+    val cohorts = withPeriod.groupBy(col("__u"))
+      .agg(min(col("__p")).as("cohort"))
+    withPeriod.join(cohorts, "__u")
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("period_offset"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+      .select(col("cohort"), col("period_offset"), col("n_users"))
+  }
+
   /** Point-in-time (feature-store) join: each fact row enriched with the
     * [[scd2]] dimension version valid AT its timestamp — the training-
     * label correctness rule ("no feature leakage from the future") every

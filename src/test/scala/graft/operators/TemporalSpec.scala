@@ -70,6 +70,25 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L), (1L, 3L)))
   }
 
+  test("retentionMatrix: cohorts by first event, offsets count distinct") {
+    import java.sql.Timestamp
+    val week = 604800L
+    def ts(w: Long) = new Timestamp(w * week * 1000L)
+    // u1 joins week 0, active weeks 0,1,2; u2 joins week 0, active 0,2
+    // (twice in week 2 — counted once); u3 joins week 1, active 1 only
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(2)),
+      (2L, ts(0)), (2L, ts(2)), (2L, ts(2)),
+      (3L, ts(1)))
+      .toDF("user_id", "ts")
+    val got = Temporal.retentionMatrix(ev, "user_id", "ts")
+      .select($"cohort", $"period_offset", $"n_users")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L)))
+  }
+
   test("pointInTime: facts pick the version valid at their instant") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)
