@@ -52,6 +52,16 @@ class ClusteringSpec extends AnyFunSuite with SparkTestBase {
     assert(got.keySet == Set(1L, 2L) && got.values.toSet.size == 2)
   }
 
+  test("k larger than the point count degrades to one cluster per point") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.3f, 0.3f)),
+      (3L, Array(-0.3f, 0.4f))).toDF("id", "embedding")
+    val got = Clustering.kmeans(df, "embedding", "id", k = 5, iters = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(got.map(_._2).toSet.size == 3, got.toString)
+  }
+
   test("assignment rounds broadcast the centers (no point-side shuffle join)") {
     val p = Clustering.kmeans(embeddings, "embedding", "vec_id", 10, 1)
       .queryExecution.executedPlan.toString

@@ -79,6 +79,26 @@ class ChangeFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set((1L, "update_preimage"), (1L, "update_postimage")))
   }
 
+  test("composite unique keys pair rows across versions") {
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "shards", StructType(Seq(
+      StructField("epoch", LongType, nullable = false),
+      StructField("shard", LongType, nullable = false),
+      StructField("state", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("epoch", "shard")))
+    t.createMany(Seq((1L, 1L, "open"), (1L, 2L, "open"), (2L, 1L, "open"))
+      .toDF("epoch", "shard", "state"))
+    val pin = cat.currentCommitId()
+    t.updateMany(RawCol(col("epoch") === 1L && col("shard") === 2L),
+      Map("state" -> lit("sealed")))
+    val got = ChangeFeed.changesBetween(t, pin, cat.currentCommitId())
+      .select($"epoch", $"shard", $"state", $"_change_type")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, "open", "update_preimage"),
+      (1L, 2L, "sealed", "update_postimage")))
+  }
+
   test("feed across several commits composes (from table creation)") {
     val cat = freshCatalog()
     val t = table(cat)
