@@ -1323,6 +1323,24 @@ object SparkEntry {
           buckets = 4096)
         .orderBy(col("doc_id"))),
 
+    // Linear multi-touch attribution: each purchase splits 1000 milli-
+    // credits equally over its view/click touches in the preceding hour
+    // (remainder to the most recent touch) — banded pair join, one
+    // conversion-id window, integer credit sums.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("conv_id"), col("user_id"),
+          col("ts").as("conv_ts"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          col("ts").as("touch_ts"))
+      operators.Temporal.linearAttribution(conv, touch, "user_id",
+          "conv_ts", "touch_ts", "conv_id", "touch_id",
+          windowSeconds = 3600)
+        .orderBy(col("touch_id"))
+    }),
+
     // Cohort retention triangle: weekly first-event cohorts x distinct
     // active users per offset — integer epoch-division bucketing, two
     // bounded shuffles, no windows.
@@ -4030,6 +4048,32 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // Attribution: same second-truncated band, same integer credit split
+    // with the remainder on the (tts DESC, tid DESC) leader.
+    "q_attribution" -> """
+      WITH conv AS (
+        SELECT event_id AS cid, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS cs
+        FROM events WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT event_id AS tid, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, ts AS tts
+        FROM events WHERE event_type IN ('view', 'click')),
+      pairs AS (
+        SELECT c.cid, t.tid, t.tts
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+         AND t.tsec >= c.cs - 3600 AND t.tsec <= c.cs),
+      credit AS (
+        SELECT cid, tid,
+               1000 // (count(*) OVER (PARTITION BY cid))
+               + CASE WHEN row_number() OVER (PARTITION BY cid
+                        ORDER BY tts DESC, tid DESC) = 1
+                      THEN 1000 % (count(*) OVER (PARTITION BY cid))
+                      ELSE 0 END AS c
+        FROM pairs)
+      SELECT tid AS touch_id, CAST(sum(c) AS BIGINT) AS credit_milli
+      FROM credit GROUP BY tid ORDER BY touch_id""",
 
     // Retention: same integer week division, same first-event cohorts.
     "q_retention" -> """

@@ -100,6 +100,46 @@ object Temporal {
     AsOf.asofJoin(facts, history, keyCol, keyCol, factTs, "valid_from",
       payload = attrCols, tieBreak = Some("version"))
 
+  /** Linear multi-touch attribution: every conversion splits one unit of
+    * credit equally across its preceding touchpoints inside the lookback
+    * window — the marketing-analytics counterpart of the last-touch
+    * stream join ([[graft.streaming.Streaming]] attribution), here with
+    * EVERY touch credited. Credit is integer MILLI-units (`1000 div n`
+    * per touch, remainder to the most recent touch, ties to the larger
+    * id), so per-touch sums are exact longs — order-independent and
+    * engine-exact, the same determinism contract as the graph gates.
+    *
+    * Scale shape: pair generation rides [[RangeJoin.bandJoin]] (bucketed
+    * equi-join, never an interval nested-loop); the per-conversion count
+    * and remainder rank share ONE window partition (one shuffle on the
+    * conversion id, width bounded by touches-per-window); the final
+    * per-touch sum is a plain partial-aggregable groupBy.
+    *
+    * Inputs must carry distinct column names apart from `keyCol` (the
+    * band join unions both schemas). Conversions with no touch in the
+    * window credit nobody (inner band join).
+    *
+    * @return (touchId, credit_milli) — Σ over conversions, exact longs
+    */
+  def linearAttribution(conversions: DataFrame, touches: DataFrame,
+                        keyCol: String, convTs: String, touchTs: String,
+                        convId: String, touchId: String,
+                        windowSeconds: Long): DataFrame = {
+    val pairs = RangeJoin.bandJoin(conversions, touches, keyCol, keyCol,
+      convTs, touchTs, before = windowSeconds, after = 0)
+    val w = Window.partitionBy(col(convId))
+    val wOrd = Window.partitionBy(col(convId))
+      .orderBy(col(touchTs).desc, col(touchId).desc)
+    pairs
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__credit",
+        expr("1000 div __n") +
+          when(col("__rn") === 1, expr("1000 % __n")).otherwise(lit(0L)))
+      .groupBy(col(touchId))
+      .agg(sum(col("__credit")).as("credit_milli"))
+  }
+
   /** Pairwise co-occurrence mining (the market-basket / co-citation
     * primitive): for every basket (`basketCol`), every unordered item
     * pair that appears together, counted across baskets; the `topN`

@@ -70,6 +70,24 @@ class TemporalSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq((1L, 2L), (1L, 3L)))
   }
 
+  test("linearAttribution: 1000 milli-credits split, remainder to latest") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // purchase at t=100 for user 1; touches at 10, 50, 90 → 333/333/334
+    // user 2's touch is outside the 60 s window → uncredited
+    val conv = Seq((100L, 1L, ts(100)), (200L, 2L, ts(500)))
+      .toDF("conv_id", "user_id", "conv_ts")
+    val touch = Seq(
+      (11L, 1L, ts(50)), (12L, 1L, ts(60)), (13L, 1L, ts(90)),
+      (21L, 2L, ts(100)))
+      .toDF("touch_id", "user_id", "touch_ts")
+    val got = Temporal.linearAttribution(conv, touch, "user_id",
+        "conv_ts", "touch_ts", "conv_id", "touch_id", windowSeconds = 60)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(11L -> 333L, 12L -> 333L, 13L -> 334L))
+    assert(got.values.sum == 1000L, "credit is conserved per conversion")
+  }
+
   test("retentionMatrix: cohorts by first event, offsets count distinct") {
     import java.sql.Timestamp
     val week = 604800L
