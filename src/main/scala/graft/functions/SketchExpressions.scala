@@ -224,6 +224,27 @@ object SketchExpressions {
       copy(child = newChild)
   }
 
+  /** Oracle-portable md5-family MinHash signature over string shingles
+    * (see [[SketchKernels.md5MinhashSignature]]) — the audit twin of
+    * [[MinHashSignature]]: same banding machinery, hash family an
+    * independent SQL engine can recompute bit-for-bit. */
+  case class Md5MinhashSignature(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "md5_minhash_signature"
+
+    override def nullSafeEval(input: Any): Any =
+      SketchKernels.md5MinhashSignature(input.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.SketchKernels.md5MinhashSignature($c, $numHashes)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Primitive-loop dot product of two double arrays. */
   case class DotProduct(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -246,6 +267,8 @@ object SketchExpressions {
 
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     column(MinHashSignature(expression(hashes), numHashes))
+  def md5MinhashSignature(shingles: Column, numHashes: Int): Column =
+    column(Md5MinhashSignature(expression(shingles), numHashes))
   def tokenize(text: Column): Column =
     column(Tokenize(expression(text)))
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =

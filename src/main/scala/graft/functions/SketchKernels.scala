@@ -155,6 +155,58 @@ object SketchKernels {
   def tokenHashes(arr: ArrayData): ArrayData =
     new GenericArrayData(tokenHashArray(arr))
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  // "0:" .. "255:" prefix bytes, allocated once — the per-hash seed prefix
+  // of the oracle-portable family (hash i of shingle s = md5("i:" || s)).
+  private val md5SeedPrefix: Array[Array[Byte]] =
+    Array.tabulate(256)(i => s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Oracle-portable MinHash signature over STRING shingles: slot i is the
+    * minimum over shingles s of the first 60 bits of `md5("i:" || s)` —
+    * bit-equal to the SQL form
+    * `conv(substring(md5(concat('i:', s)), 1, 15), 16, 10)` (the first 15
+    * hex chars of a big-endian digest are its leading 8 bytes shifted
+    * right 4), which is what an independent engine recomputes. One digest
+    * per (slot, shingle) is inherent to the family; this kernel removes
+    * everything else the HOF chain paid per element — 32 separate
+    * interpreted `transform` passes, hex-string materialization, and
+    * base-16 string parsing via `conv` (measured 12.2 s → sub-second on
+    * the 50 k-doc sf1 probe corpus). Empty array → Long.MaxValue slots;
+    * null elements are skipped (SQL md5(null) is null and array_min
+    * ignores nulls). */
+  def md5MinhashSignature(arr: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes <= 256, "md5 minhash family is seeded 0..255")
+    val n = arr.numElements()
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val md = md5Digest.get()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        val sb = s.getBytes
+        var i = 0
+        while (i < numHashes) {
+          md.reset()
+          md.update(md5SeedPrefix(i))
+          md.update(sb)
+          val d = md.digest()
+          val v = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def charStats(in: UTF8String): ArrayData = {
     val s = in.toString
     var letters = 0L; var digits = 0L; var punct = 0L; var ws = 0L

@@ -163,16 +163,19 @@ object Dedup {
       .withColumn("__sig", minhashSignatureFromHashes(col("__sh"), numHashes))
     val withSig = if (persistSketch) withSig0.cache() else withSig0
 
-    // one (band, bandHash) row per band — compiled per-band keys
-    val banded = withSig.select(col("__id"), col("__sh"),
+    // one (band, bandHash) row per band — compiled per-band keys. Band rows
+    // carry the id ONLY: shipping the shingle arrays through this exchange
+    // write-amplifies the whole corpus's shingle sets `bands`× (16× at the
+    // default banding) — the arrays are re-joined per distinct pair later.
+    val banded = withSig.select(col("__id"),
       posexplode(graft.functions.SketchExpressions.bandHashes(col("__sig"), b, rows)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
     val guarded = withBucketGuard(banded, Seq("__band", "__bh"), "__id", maxBucket)
     val left = guarded.select(col("__band"), col("__bh"), col("__cell"),
-      col("__id").as("id_a"), col("__sh").as("sh_a"))
+      col("__id").as("id_a"))
     val right = guarded.select(col("__band"), col("__bh"), col("__cell"),
-      col("__id").as("id_b"), col("__sh").as("sh_b"))
+      col("__id").as("id_b"))
 
     // merge hint: Catalyst's size estimate may elect to BROADCAST one side
     // of this self-join, which recomputes the whole sketch pipeline for the
@@ -180,29 +183,37 @@ object Dedup {
     // (measured: the broadcast plan re-tokenizes the corpus twice; the
     // shuffle join's two identical child exchanges are computed once via
     // AQE stage reuse).
-    val joined = left.hint("merge").join(right, Seq("__band", "__bh", "__cell"))
+    val candidates = left.hint("merge").join(right, Seq("__band", "__bh", "__cell"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
 
-    verifyCandidatePairs(joined, threshold)
+    verifyPairsByRejoin(withSig.select(col("__id"), col("__sh")), candidates, threshold)
   }
 
-  /** Exact-Jaccard verify + per-pair dedup over banded candidate pairs
-    * (`id_a`, `id_b`, `sh_a`, `sh_b`) — the shared tail of every
-    * MinHash-LSH flavor. Verify BEFORE per-pair dedup: a pair colliding
-    * in several bands pays the (cheap, codegen'd) set-overlap check once
-    * per collision, but the dedup then groups SCALARS over the rare
-    * post-threshold survivors — a HashAggregate. Deduping candidates
-    * first must drag the shingle arrays through a SortAggregate over
-    * every candidate (arrays are not hash-aggregable), which dominated
-    * the whole query's runtime. */
-  private def verifyCandidatePairs(joined: DataFrame, threshold: Double): DataFrame = {
+  /** Exact-Jaccard verify over banded candidate pairs — the shared tail of
+    * every MinHash-LSH flavor: dedupe the (id_a, id_b) key pairs FIRST
+    * (a HashAggregate over two longs), then join the hashed shingle sets
+    * back per side and intersect once per distinct pair. A duplicate-heavy
+    * corpus makes the alternative — verifying per band collision —
+    * quadratic in cluster size TIMES band count: on the 10×-replicated
+    * sf1 probe the band join emits 4.17 M collision rows for 436 k
+    * distinct pairs (9.6× multiplicity), so per-collision verification
+    * re-intersected every array ~10 times. (An earlier shape that deduped
+    * candidates WITH their arrays was worse still — arrays are not
+    * hash-aggregable, forcing a SortAggregate over every collision row;
+    * keys-only dedup + rejoin keeps both aggregates on scalars.) */
+  private def verifyPairsByRejoin(sigTable: DataFrame, candidates: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val pairs = candidates.distinct()
+    val joined = pairs
+      .join(sigTable.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sigTable.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     joined
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("jaccard")), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Oracle-portable MinHash-LSH pairs: the SAME banded algorithm as
@@ -215,8 +226,12 @@ object Dedup {
     * ([[minhashLshPairs]]) stays the production fast path; this twin
     * exists so the LSH machinery itself — banding, collision join,
     * verification — is provable against an oracle, not just spec-tested.
-    * Per-shingle cost is `numHashes` md5 calls (vs one xxhash64 batch),
-    * so reserve it for audits, not the 100 TB dedup pass.
+    * Per-shingle cost is `numHashes` md5 calls (vs one xxhash64 batch) —
+    * inherent to the family, but paid in ONE codegen'd kernel pass
+    * ([[graft.functions.SketchKernels.md5MinhashSignature]]) rather than
+    * `numHashes` interpreted HOF passes with hex-string `conv` parsing
+    * (measured 12.2 s → sub-second signature stage on the sf1 probe).
+    * Still reserve it for audits, not the 100 TB dedup pass.
     *
     * No bucket guard: the guard's cell split intentionally trades recall
     * for bounded buckets, which an oracle cannot mirror; audit corpora
@@ -227,25 +242,22 @@ object Dedup {
     val b = if (bands <= 0) bandsFor(threshold, numHashes) else bands
     require(numHashes % b == 0, "bands must divide numHashes")
     val rows = numHashes / b
-    def h(seed: Int, c: Column): Column =
-      conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10).cast("long")
     val withSig = df
       .select(col(idCol).as("__id"), array_distinct(shingles(col(textCol), k)).as("__sh"))
-      .withColumn("__sig", array((0 until numHashes).map(i =>
-        array_min(transform(col("__sh"), s => h(i, s)))): _*))
-    val banded = withSig.select(col("__id"), col("__sh"),
+      .withColumn("__sig",
+        graft.functions.SketchExpressions.md5MinhashSignature(col("__sh"), numHashes))
+    val banded = withSig.select(col("__id"),
       posexplode(array((0 until b).map(j =>
         md5(concat_ws(":", (0 until rows).map(r0 =>
           element_at(col("__sig"), j * rows + r0 + 1).cast("string")): _*))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
-    val left = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val right = banded.select(col("__band"), col("__bh"),
-      col("__id").as("id_b"), col("__sh").as("sh_b"))
-    val joined = left.hint("merge").join(right, Seq("__band", "__bh"))
+    val left = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))
+    val right = banded.select(col("__band"), col("__bh"), col("__id").as("id_b"))
+    val candidates = left.hint("merge").join(right, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
-    verifyCandidatePairs(joined, threshold)
+      .select(col("id_a"), col("id_b"))
+    verifyPairsByRejoin(withSig.select(col("__id"), col("__sh")), candidates, threshold)
   }
 
   /** Intra-document line dedup (the RefinedWeb/C4-adjacent within-page
