@@ -4169,11 +4169,11 @@ object SparkEntry {
       WITH a AS (
         SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS n_a
-        FROM events WHERE event_type = 'purchase' GROUP BY 1
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
       ), b AS (
         SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
                CAST(count(*) AS BIGINT) AS n_b
-        FROM events WHERE event_type = 'click' GROUP BY 1
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
       ), j AS (
         SELECT coalesce(a.bin, b.bin) AS bin,
                coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
@@ -4915,17 +4915,19 @@ object SparkEntry {
 
     // CDF replay: the same three mutations expressed as set algebra over
     // the raw table. A SET matching the old value emits nothing, hence
-    // the acctbal <> 0.0 guard on the update images.
+    // the guard on the update images — IS DISTINCT FROM, not <>, because
+    // ChangeFeed's compare is null-safe: a NULL acctbal DOES differ from
+    // 0.0 and must emit an update pair.
     "q_cdf" -> """
       WITH base AS (
         SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
         FROM customer WHERE c_custkey <= 200)
       SELECT id, name, acctbal, _change_type FROM (
         SELECT id, name, acctbal, 'update_preimage' AS _change_type
-        FROM base WHERE id <= 100 AND acctbal <> 0.0
+        FROM base WHERE id <= 100 AND acctbal IS DISTINCT FROM 0.0
         UNION ALL
         SELECT id, name, 0.0, 'update_postimage'
-        FROM base WHERE id <= 100 AND acctbal <> 0.0
+        FROM base WHERE id <= 100 AND acctbal IS DISTINCT FROM 0.0
         UNION ALL
         SELECT id, name, acctbal, 'delete' FROM base WHERE id > 150
         UNION ALL

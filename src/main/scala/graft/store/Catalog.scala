@@ -22,6 +22,17 @@ object Catalog {
     * directory exists for it, so vacuum and readers never see it. */
   val StreamTable = "__stream__"
 
+  /** Reserved manifest entry holding the current schema fingerprint per
+    * evolved table: `<encoded table name> → sha-256 of the schema DDL`.
+    * Written by [[GraftTable.evolve]] through the same atomic manifest
+    * swap as data commits, read by every write transaction: a writer
+    * still holding a PRE-evolve handle would otherwise rewrite whole
+    * slices through its old projection, silently nulling evolved-column
+    * values for bystander rows. Tables that never evolved have no entry
+    * (any handle writes freely). Never a real table — no directory
+    * exists for it, so vacuum and readers never see it. */
+  val SchemaTable = "__schema__"
+
   /** Watermark key for (table, streamId) — both components url-encoded,
     * like every other manifest key, so quotes/braces can't corrupt the
     * manifest text and `a:b`+`c` can never alias `a`+`b:c`. */
@@ -308,3 +319,9 @@ final class ValueTooLongException(msg: String) extends GraftException("P2000", m
   * non-nullable FK column to NULL, the relation-level counterpart of the
   * raw-column P2011). */
 final class RequiredRelationException(msg: String) extends GraftException("P2014", msg)
+/** P2022: the table's schema has evolved since this handle was created —
+  * a stale writer's slice rewrite would project evolved columns away and
+  * silently null them for bystander rows. Re-acquire the table via the
+  * evolved handle (the return value of `evolve`). Stale READERS stay
+  * valid: their schema is a projection of the files either way. */
+final class StaleSchemaException(msg: String) extends GraftException("P2022", msg)

@@ -169,7 +169,28 @@ final class GraftTable(
     t.restricts = restricts
     t.parentRefs = parentRefs
     t.cascades = cascades
+    // Persist the evolved schema's fingerprint in the manifest (reserved
+    // __schema__ entry, same atomic swap + OCC as data commits): writers
+    // still holding THIS pre-evolve handle now fail fast with P2022
+    // instead of silently nulling evolved columns in rewritten slices.
+    // The expectedBase guard makes two racing evolve() calls an explicit
+    // P2034 conflict rather than a lost schema.
+    catalog.commit(
+      Map(Catalog.SchemaTable -> catalog.manifest().get(Catalog.SchemaTable)),
+      Map(Catalog.SchemaTable ->
+        Map(Catalog.encodeValue(name) -> Some(t.schemaFingerprint))))
     t
+  }
+
+  /** Stable fingerprint of the declared schema (name:type:nullability per
+    * field, order-sensitive) — the value [[evolve]] persists and write
+    * transactions validate against. */
+  private[store] lazy val schemaFingerprint: String = {
+    val ddl = schema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}:${f.nullable}").mkString(";")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   private[store] def emptyDf: DataFrame =
@@ -773,6 +794,18 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
 
   private def workingDirs(t: GraftTable): Map[String, String] =
     working.getOrElse(t.name, {
+      // Stale-writer guard: if the table's schema has evolved since this
+      // handle was created (reserved __schema__ manifest entry), rewriting
+      // slices through the old projection would null evolved-column values
+      // for every bystander row in the touched slices — fail fast instead.
+      catalog.manifest().get(Catalog.SchemaTable)
+        .flatMap(_.get(Catalog.encodeValue(t.name)))
+        .filter(_ != t.schemaFingerprint)
+        .foreach { _ =>
+          throw new StaleSchemaException(
+            s"${t.name}: schema evolved since this handle was created — " +
+              "write through the handle returned by evolve()")
+        }
       base += (t.name -> catalog.manifest().get(t.name))
       val dirs = catalog.currentDirs(t.name)
       working += (t.name -> dirs)

@@ -26,13 +26,23 @@ import org.apache.spark.sql.functions._
 object MaterializedAgg {
 
   private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+  // sum(decimal(18,2)) widens to decimal(28,2) (Spark's +10 precision
+  // headroom); the merged state stays at that type so repeated folds can
+  // never overflow-null a sum that compute() could represent.
+  private val sumType = "decimal(28,2)"
 
-  /** From-scratch materialization: per-key row count plus decimal-exact
-    * sums. Schema: keys…, n, sum_<col>… */
+  /** From-scratch materialization: per-key row count, decimal-exact sums,
+    * and per-sum NON-NULL value counts. Schema: keys…, n, sum_<col>…,
+    * cnt_<col>…. The cnt columns exist so [[applyDelta]] can distinguish
+    * "sum of zero values" (0.00) from "no non-null values" (NULL, which
+    * is what a recompute's `sum()` yields) — without them a group whose
+    * rows all carry NULL measures would materialize 0.00 and silently
+    * break the bit-equal-to-recompute contract. */
   def compute(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        sumCols.map(c => sum(dec(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(dec(c)).as(s"sum_$c")) ++
+          sumCols.map(c => count(col(c)).as(s"cnt_$c")): _*)
 
   /** Fold one change feed (the [[ChangeFeed.changesBetween]] output for
     * the commit range since `state` was computed) into `state`. Groups
@@ -47,17 +57,28 @@ object MaterializedAgg {
       lit(1L)).otherwise(lit(-1L))
     val delta = changes.groupBy(keys.map(col): _*)
       .agg(sum(w).as("__dn"),
-        sumCols.map(c => sum(dec(c) * w).as(s"__ds_$c")): _*)
-    val zero = lit(0).cast("decimal(18,2)")
+        sumCols.map(c => sum(dec(c) * w).as(s"__ds_$c")) ++
+          sumCols.map(c =>
+            sum(when(col(c).isNotNull, w).otherwise(lit(0L))).as(s"__dc_$c")): _*)
+    val zero = lit(0).cast(sumType)
     val s = state.as("s")
     val d = delta.as("d")
     val cond = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
-    s.join(d, cond, "full_outer")
+    val merged = s.join(d, cond, "full_outer")
       .select((keys.map(k => coalesce(col(s"s.$k"), col(s"d.$k")).as(k)) :+
         (coalesce(col("s.n"), lit(0L)) + coalesce(col("d.__dn"), lit(0L))).as("n")) ++
         sumCols.map(c =>
           (coalesce(col(s"s.sum_$c"), zero) + coalesce(col(s"d.__ds_$c"), zero))
-            .cast("decimal(18,2)").as(s"sum_$c")): _*)
+            .cast(sumType).as(s"__raw_$c")) ++
+        sumCols.map(c =>
+          (coalesce(col(s"s.cnt_$c"), lit(0L)) + coalesce(col(s"d.__dc_$c"), lit(0L)))
+            .as(s"cnt_$c")): _*)
+    // all-NULL groups report a NULL sum, exactly as a recompute would
+    merged.select((keys.map(col) :+ col("n")) ++
+        sumCols.map(c =>
+          when(col(s"cnt_$c") === 0L, lit(null).cast(sumType))
+            .otherwise(col(s"__raw_$c")).as(s"sum_$c")) ++
+        sumCols.map(c => col(s"cnt_$c")): _*)
       .filter(col("n") > 0)
   }
 }

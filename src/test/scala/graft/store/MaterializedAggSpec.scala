@@ -83,6 +83,30 @@ class MaterializedAggSpec extends AnyFunSuite with SparkTestBase {
     assert(normalized(state).map(_._1) == Set("keep"))
   }
 
+  test("all-NULL-measure groups report NULL sums, exactly as recompute") {
+    val (cat, t) = fresh()
+    t.createMany(Seq((1L, "ghost", None: Option[Double]),
+        (2L, "ghost", None), (3L, "real", Some(4.0)))
+      .toDF("id", "status", "amount"))
+    var state = MaterializedAgg.compute(t.snapshot(), Seq("status"), Seq("amount"))
+    val pin = cat.currentCommitId()
+    // a delta-born group whose only rows carry NULL measures must ALSO
+    // come out NULL (this is the path that used to coalesce to 0.00)
+    t.createMany(Seq((4L, "ghost2", None: Option[Double]))
+      .toDF("id", "status", "amount"))
+    t.deleteMany(RawCol(col("id") === 3L))
+    state = MaterializedAgg.applyDelta(state,
+      ChangeFeed.changesBetween(t, pin, cat.currentCommitId()),
+      Seq("status"), Seq("amount"))
+    val recomputed = MaterializedAgg.compute(t.snapshot(), Seq("status"), Seq("amount"))
+    val sums = state.select($"status", $"sum_amount")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(sums == Map("ghost" -> None, "ghost2" -> None))
+    def rows(df: DataFrame) = df.select($"status", $"n", $"sum_amount", $"cnt_amount")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.toString), r.getLong(3))).toSet
+    assert(rows(state) == rows(recomputed))
+  }
+
   test("folding two commit ranges sequentially equals one combined fold") {
     val (cat, t) = fresh()
     t.createMany((1L to 10L).map(i => (i, "a", i * 2.0)).toDF("id", "status", "amount"))

@@ -61,6 +61,41 @@ class SchemaEvolveSpec extends AnyFunSuite with SparkTestBase {
     assert(t2.snapshot().count() == 1)
   }
 
+  test("stale PRE-evolve writer fails with P2022 instead of nulling evolved columns") {
+    val (_, t) = fresh()
+    t.createMany(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val t2 = t.evolve(add = Seq(StructField("tier", StringType, nullable = true)))
+    t2.updateMany(RawCol(col("id") === 1L), Map("tier" -> lit("gold")))
+
+    // the stale handle's rewrite would project `tier` away for EVERY row
+    // in the touched slice — the guard turns that silent loss into P2022
+    val e = intercept[StaleSchemaException] {
+      t.updateMany(RawCol(col("id") === 2L), Map("name" -> lit("B")))
+    }
+    assert(e.getMessage.contains("P2022"))
+    intercept[StaleSchemaException] {
+      t.createMany(Seq((9L, "z")).toDF("id", "name"))
+    }
+    // evolved-column data survived untouched; the evolved handle still writes
+    assert(t2.snapshot().filter($"id" === 1L).select($"tier").as[String].head() == "gold")
+    t2.updateMany(RawCol(col("id") === 2L), Map("name" -> lit("B")))
+    assert(t2.snapshot().filter($"id" === 2L).select($"name").as[String].head() == "B")
+    // stale READERS stay valid (projection of the files)
+    assert(t.snapshot().count() == 2)
+  }
+
+  test("second evolve supersedes the first fingerprint; mid handles go stale") {
+    val (_, t) = fresh()
+    t.createMany(Seq((1L, "a")).toDF("id", "name"))
+    val t2 = t.evolve(add = Seq(StructField("tier", StringType, nullable = true)))
+    val t3 = t2.evolve(add = Seq(StructField("score", LongType, nullable = true)))
+    intercept[StaleSchemaException] {
+      t2.updateMany(RawCol(col("id") === 1L), Map("tier" -> lit("x")))
+    }
+    t3.updateMany(RawCol(col("id") === 1L), Map("score" -> lit(7L)))
+    assert(t3.snapshot().filter($"id" === 1L).select($"score").as[Long].head() == 7L)
+  }
+
   test("guards: non-nullable add, duplicate add, protected drop") {
     val (_, t) = fresh()
     intercept[IllegalArgumentException] {
