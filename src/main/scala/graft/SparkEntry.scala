@@ -238,6 +238,84 @@ object SparkEntry {
         where = Some(F.cmp("o_totalprice", CmpF(gt = Some(100000.0)))),
         orderBy = Seq(OrderBy("o_orderdate"), OrderBy("o_orderkey"))))),
 
+    // §2.A #2 findUniqueOrThrow — BOTH legs of the P2025 contract as data:
+    // a present key returns its row, a missing key raises
+    // RecordNotFoundException whose code lands in `err`. The oracle is a
+    // probe-list left join deriving the same code from key absence.
+    "q_find_unique_throw" -> ((s, dir) => {
+      import s.implicits._
+      val m = TpchModels.customer(s, dir)
+      Seq(42L, 999999999L).map { k =>
+        try {
+          val r = m.findUniqueOrThrow("c_custkey", k)
+          (k, Option(r.getAs[String]("c_name")), None: Option[String])
+        } catch {
+          case e: graft.store.RecordNotFoundException => (k, None, Some(e.code))
+        }
+      }.toDF("key", "name", "err").orderBy("key")
+    }),
+
+    // §2.A #4 findFirstOrThrow — hit leg returns the first row under the
+    // declared order; miss leg (an unsatisfiable filter) surfaces P2025.
+    "q_find_first_throw" -> ((s, dir) => {
+      import s.implicits._
+      val m = TpchModels.orders(s, dir)
+      def probe(tag: String, minTotal: Double) =
+        try {
+          val r = m.findFirstOrThrow(QueryArgs(
+            where = Some(F.cmp("o_totalprice", CmpF(gt = Some(minTotal)))),
+            orderBy = Seq(OrderBy("o_totalprice", desc = true), OrderBy("o_orderkey"))))
+          (tag, Option(r.getAs[Long]("o_orderkey").toString), None: Option[String])
+        } catch {
+          case e: graft.store.RecordNotFoundException => (tag, None, Some(e.code))
+        }
+      Seq(probe("hit", 100000.0), probe("miss", 1.0e9))
+        .toDF("probe", "okey", "err").orderBy("probe")
+    }),
+
+    // §2.A #8 createManyAndReturn through the REAL store path: seed ids
+    // 1..50, bulk-insert ids 1..80 under skipDuplicates — the returned
+    // frame is exactly the actually-inserted rows (51..80), duplicates
+    // excluded, which the oracle derives by set difference.
+    "q_create_many_return" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-cmr-q"))
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("seg", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      def cust(hi: Long) = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= hi)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("seg"))
+      t.createMany(cust(50))
+      t.createManyAndReturn(cust(80), skipDuplicates = true).orderBy("id")
+    }),
+
+    // §2.A #12 updateManyAndReturn through the REAL store path: flag the
+    // high-balance slice and return the post-update images, which the
+    // oracle reconstructs with a CASE over the same input slice.
+    "q_update_many_return" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-umr-q"))
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("acctbal", DoubleType, nullable = true),
+        StructField("seg", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      t.createMany(Tables.customer(s, dir).filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), col("c_mktsegment").as("seg")))
+      t.updateManyAndReturn(
+        F.cmp("acctbal", CmpF(gt = Some(5000.0))),
+        Map("seg" -> lit("FLAGGED")))
+        .select(col("id"), col("name"), col("acctbal").cast("double").as("acctbal"),
+          col("seg"))
+        .orderBy("id")
+    }),
+
     // §2.A #5 findMany — filter + orderBy + skip/take (offset pagination).
     "q_find_many_page" -> ((s, dir) =>
       TpchModels.customer(s, dir).findMany(QueryArgs(
@@ -2958,6 +3036,45 @@ object SparkEntry {
     "q_find_first" -> """
       SELECT * FROM orders WHERE o_totalprice > 100000.0
       ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1""",
+
+    // the P2025 contract as data: code present exactly when the key is
+    // absent (probe-list left join — no hardcoded outcomes)
+    "q_find_unique_throw" -> """
+      WITH probes(key) AS (VALUES (42), (999999999))
+      SELECT CAST(p.key AS BIGINT) AS key, c.c_name AS name,
+             CASE WHEN c.c_custkey IS NULL THEN 'P2025' END AS err
+      FROM probes p LEFT JOIN customer c ON c.c_custkey = p.key
+      ORDER BY key""",
+
+    "q_find_first_throw" -> """
+      WITH hit AS (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+      ), miss AS (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 1000000000.0
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+      )
+      SELECT 'hit' AS probe,
+             (SELECT CAST(o_orderkey AS VARCHAR) FROM hit) AS okey,
+             CASE WHEN NOT EXISTS (SELECT 1 FROM hit) THEN 'P2025' END AS err
+      UNION ALL
+      SELECT 'miss',
+             (SELECT CAST(o_orderkey AS VARCHAR) FROM miss),
+             CASE WHEN NOT EXISTS (SELECT 1 FROM miss) THEN 'P2025' END
+      ORDER BY probe""",
+
+    // actually-inserted rows only: the incoming batch minus the seeded keys
+    "q_create_many_return" -> """
+      SELECT c_custkey AS id, c_name AS name, c_mktsegment AS seg
+      FROM customer WHERE c_custkey > 50 AND c_custkey <= 80
+      ORDER BY id""",
+
+    // post-update images of the matched slice
+    "q_update_many_return" -> """
+      SELECT c_custkey AS id, c_name AS name,
+             CAST(c_acctbal AS DOUBLE) AS acctbal, 'FLAGGED' AS seg
+      FROM customer WHERE c_custkey <= 200 AND c_acctbal > 5000.0
+      ORDER BY id""",
 
     "q_find_many_page" -> """
       SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'

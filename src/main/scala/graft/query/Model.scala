@@ -376,9 +376,14 @@ final class Model(
     df().filter(col(key) === lit(value)).limit(1)
   }
 
+  /** findUniqueOrThrow (`effect.ts:439-445`): the P2025 path — Prisma
+    * raises `An operation failed because it depends on one or more records
+    * that were required but not found`; here the store's typed
+    * [[graft.store.RecordNotFoundException]] carries the same code. */
   def findUniqueOrThrow(key: String, value: Any): org.apache.spark.sql.Row = {
     val rows = findUnique(key, value).collect()
-    if (rows.isEmpty) throw new NoSuchElementException(s"no row with $key=$value")
+    if (rows.isEmpty)
+      throw new graft.store.RecordNotFoundException(s"no row with $key=$value")
     rows.head
   }
 
@@ -386,9 +391,12 @@ final class Model(
   def findFirst(args: QueryArgs = QueryArgs()): DataFrame =
     findMany(args.copy(take = Some(1)))
 
+  /** findFirstOrThrow (`effect.ts:455-461`): P2025 on an empty match, as
+    * [[findUniqueOrThrow]]. */
   def findFirstOrThrow(args: QueryArgs = QueryArgs()): org.apache.spark.sql.Row = {
     val rows = findFirst(args).collect()
-    if (rows.isEmpty) throw new NoSuchElementException("findFirstOrThrow: empty")
+    if (rows.isEmpty)
+      throw new graft.store.RecordNotFoundException("findFirstOrThrow: empty")
     rows.head
   }
 

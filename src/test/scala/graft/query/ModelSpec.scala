@@ -54,9 +54,17 @@ class ModelSpec extends AnyFunSuite with SparkTestBase {
     assert(idsOf(r) == Seq("c1"))
   }
 
-  test("findFirstOrThrow throws on empty") {
-    intercept[NoSuchElementException] {
+  test("findFirstOrThrow throws P2025 on empty") {
+    val e = intercept[graft.store.RecordNotFoundException] {
       companies.findFirstOrThrow(QueryArgs(where = Some(F.eq("id", "nope"))))
+    }
+    assert(e.getMessage.contains("P2025"))
+  }
+
+  test("findUniqueOrThrow throws P2025 on a missing key, returns the row otherwise") {
+    assert(companies.findUniqueOrThrow("id", "c1").getAs[String]("id") == "c1")
+    intercept[graft.store.RecordNotFoundException] {
+      companies.findUniqueOrThrow("id", "nope")
     }
   }
 
