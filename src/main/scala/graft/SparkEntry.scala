@@ -1240,6 +1240,48 @@ object SparkEntry {
         .orderBy(col("orderkey"))
     }),
 
+    // Partition-scoped copy-on-write PROVEN, not promised: a status-
+    // partitioned store takes one slice-local update and one slice-local
+    // delete; the result row per partition carries `rewritten` = "did the
+    // manifest version move" (read from the catalog, i.e. what the engine
+    // DID) while the oracle derives the same flag from the data ("does
+    // the partition contain a matched row") — plus the post-mutation
+    // count/sum per partition. A whole-table rewrite, or a write that
+    // skipped a touched slice, hash-mismatches. This is the write-path
+    // 100 TB lever: a status flip at scale rewrites ONE slice, not the
+    // table (ARCHITECTURE.md §layout; reference polls status slices via
+    // runner/locator.ts:61-67).
+    "q_cascade_part" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      val cat = new graft.store.Catalog(tempDir("graft-part-q"))
+      val t = new graft.store.GraftTable(s, cat, "jobs", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("status", StringType, nullable = false),
+        StructField("total", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")), partitionCols = Seq("status"))
+      t.createMany(Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total")))
+      val pre = cat.partVersions("jobs")
+      t.updateMany(graft.query.RawCol(col("status") === "F" && col("id") <= 500L),
+        Map("total" -> lit(0.0)))
+      t.deleteMany(graft.query.RawCol(col("status") === "P" && col("id") > 1500L))
+      val post = cat.partVersions("jobs")
+      val flags = pre.keys.toSeq.sorted.map { pk =>
+        (pk.stripPrefix("status="), post.get(pk) != pre.get(pk))
+      }
+      val agg = t.snapshot().groupBy(col("status"))
+        .agg(count(lit(1)).as("__n"),
+          sum(col("total").cast("decimal(18,2)")).as("__s"))
+      flags.toDF("part", "rewritten")
+        .join(agg, col("part") === col("status"), "left")
+        .select(col("part"), col("rewritten"),
+          coalesce(col("__n"), lit(0L)).as("n_after"),
+          coalesce(col("__s").cast("double"), lit(0.0)).as("sum_total"))
+        .orderBy(col("part"))
+    }),
+
     // End-to-end curation pipeline, hash-gated as ONE composition: Gopher
     // quality filter → exact dedup (md5 winner) → content-hash
     // train/val/test split → token-budget shards over the train slice.
@@ -3394,6 +3436,33 @@ object SparkEntry {
       FROM orders o JOIN remap r ON o.o_custkey = r.custkey
       WHERE o.o_custkey <= 300
       ORDER BY orderkey""",
+
+    // rewritten = "partition contains a matched row" derived from DATA;
+    // the Spark side reads the same flag from the manifest version diff —
+    // a whole-table rewrite (or a skipped touched slice) hash-mismatches
+    "q_cascade_part" -> """
+      WITH base AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS total
+        FROM orders WHERE o_orderkey <= 2000
+      ), post AS (
+        SELECT id, status,
+               CASE WHEN status = 'F' AND id <= 500 THEN 0.0 ELSE total END AS total
+        FROM base WHERE NOT (status = 'P' AND id > 1500)
+      ), flags AS (
+        SELECT p.status,
+               EXISTS (SELECT 1 FROM base b WHERE b.status = p.status
+                       AND ((b.status = 'F' AND b.id <= 500)
+                         OR (b.status = 'P' AND b.id > 1500))) AS rewritten
+        FROM (SELECT DISTINCT status FROM base) p
+      )
+      SELECT f.status AS part, f.rewritten AS rewritten,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n_after,
+             CAST(coalesce(c.s, 0.00) AS DOUBLE) AS sum_total
+      FROM flags f LEFT JOIN (
+        SELECT status, count(*) AS n,
+               sum(CAST(total AS DECIMAL(18,2))) AS s
+        FROM post GROUP BY status) c ON c.status = f.status
+      ORDER BY part""",
 
     // the INSERT/UPDATE/DELETE sequence as one declarative SELECT: the
     // UPDATE's SET expressions both read the PRE-update row (SQL UPDATE
