@@ -1895,6 +1895,61 @@ object SparkEntry {
     // stride)) plan is oracle-checkable pure arithmetic. Null durations
     // (images) coalesce to one offset-0 row — the "at least a poster
     // frame" contract.
+    // REAL byte-level multimodal decode, not plan arithmetic: build a
+    // complete 24bpp BMP per document (id-derived dims and pixels), then
+    // PARSE the actual bytes back — header fields from the little-endian
+    // layout, channel sums from walking the padded bottom-up pixel rows.
+    // The oracle recomputes every output from the format's published
+    // arithmetic (stride = ((3w+3)/4)*4, file size = 54 + stride*h, the
+    // pixel formulas summed symbolically) — any builder/parser offset
+    // slip, stride error, or sign bug hash-mismatches. Scan-side codegen'd
+    // expressions; no shuffle.
+    "q_media_bmp" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(32)) + 1).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(24)) + 1).cast("int").as("h"))
+      d.withColumn("p", M.bmpParse(M.bmpSynth(col("id"), col("w"), col("h"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("bpp"),
+          element_at(col("p"), 4).as("file_size"),
+          element_at(col("p"), 5).as("actual_size"),
+          element_at(col("p"), 6).as("sum_b"),
+          element_at(col("p"), 7).as("sum_g"),
+          element_at(col("p"), 8).as("sum_r"))
+        .orderBy(col("id"))
+    }),
+
+    // REAL RIFF/WAVE parse: build a PCM-16 file per document with an
+    // id-derived junk LIST chunk BETWEEN fmt and data (a parser that
+    // assumes fixed offsets instead of walking chunks fails), then parse
+    // the bytes back and decode the int16 frames into a
+    // sum-of-absolute-amplitudes. Oracle mirrors the chunk arithmetic and
+    // sums the sample formula symbolically.
+    "q_media_wav" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(2)) + 1).cast("int").as("ch"),
+          (lit(8000) + pmod(col("doc_id"), lit(4)) * 4000).cast("int").as("rate"),
+          (lit(100) + pmod(col("doc_id"), lit(156))).cast("int").as("frames"))
+      d.withColumn("p",
+          M.wavParse(M.wavSynth(col("id"), col("ch"), col("rate"), col("frames"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("channels"),
+          element_at(col("p"), 2).as("sample_rate"),
+          element_at(col("p"), 3).as("bits"),
+          element_at(col("p"), 4).as("byte_rate"),
+          element_at(col("p"), 5).as("block_align"),
+          element_at(col("p"), 6).as("data_bytes"),
+          element_at(col("p"), 7).as("duration_ms"),
+          element_at(col("p"), 8).as("sum_abs"))
+        .orderBy(col("id"))
+    }),
+
     "q_media_offsets" -> ((s, _) => {
       val media = graft.multimodal.Multimodal.synthetic(s, 500)
       // stride/cap chosen so the synthetic durations (1000..1499 ms)
@@ -4709,6 +4764,52 @@ object SparkEntry {
              CASE WHEN doc_id % 10 = 0 THEN -1
                   ELSE length(text) END AS v
       FROM documents ORDER BY doc_id""",
+
+    // the BMP builder+parser replayed symbolically: every header field
+    // from the format's published arithmetic, every channel sum from the
+    // pixel formulas summed over the (x, y) grid
+    "q_media_bmp" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(24 AS BIGINT) AS bpp,
+             CAST(54 + ((w*3+3)//4)*4*h AS BIGINT) AS file_size,
+             CAST(54 + ((w*3+3)//4)*4*h AS BIGINT) AS actual_size,
+             CAST(sum((x*7 + y*13 + id) % 256) AS BIGINT) AS sum_b,
+             CAST(sum((x*11 + y*3 + id*5) % 251) AS BIGINT) AS sum_g,
+             CAST(sum((x*5 + y*17 + id*3) % 239) AS BIGINT) AS sum_r
+      FROM px GROUP BY id, w, h ORDER BY id""",
+
+    // the RIFF/WAVE builder+parser replayed symbolically: chunk
+    // arithmetic for the derived header fields, the PCM sample formula
+    // summed over (frame, channel)
+    "q_media_wav" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 2 + 1 AS ch,
+               8000 + (doc_id % 4) * 4000 AS rate,
+               100 + doc_id % 156 AS frames
+        FROM documents
+      ), di AS (
+        SELECT id, ch, rate, frames, unnest(range(0, frames)) AS i FROM d
+      ), sm AS (
+        SELECT id, ch, rate, frames, i, unnest(range(0, ch)) AS c FROM di
+      )
+      SELECT id,
+             CAST(ch AS BIGINT) AS channels,
+             CAST(rate AS BIGINT) AS sample_rate,
+             CAST(16 AS BIGINT) AS bits,
+             CAST(rate * ch * 2 AS BIGINT) AS byte_rate,
+             CAST(ch * 2 AS BIGINT) AS block_align,
+             CAST(frames * ch * 2 AS BIGINT) AS data_bytes,
+             CAST((frames * ch * 2 * 1000) // (rate * ch * 2) AS BIGINT) AS duration_ms,
+             CAST(sum(abs((i*31 + c*17 + id) % 4001 - 2000)) AS BIGINT) AS sum_abs
+      FROM sm GROUP BY id, ch, rate, frames ORDER BY id""",
 
     "q_media_offsets" -> """
       WITH base AS (

@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions over [[MediaKernels]] — the byte-level media
+  * construct/parse steps as codegen'd scan-side columns (same static-call
+  * pattern as [[graft.functions.SketchExpressions]]: whole-stage codegen
+  * stays unbroken, the JVM JIT owns the kernel loops). */
+object MediaExpressions {
+
+  /** (id, width, height) → complete 24bpp BMP file bytes. */
+  case class BmpSynth(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "bmp_synth"
+
+    override def nullSafeEval(id: Any, w: Any, h: Any): Any =
+      MediaKernels.bmpSynth(id.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, w, h) =>
+        s"graft.multimodal.MediaKernels.bmpSynth($i, $w, $h)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** BMP bytes → [width, height, bpp, file_size_declared, file_size_actual,
+    * sum_b, sum_g, sum_r]; all(-1) when not a valid 24bpp BMP. */
+  case class BmpParse(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bmp_parse"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.bmpParse(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.bmpParse($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** (id, channels, sampleRate, frames) → complete RIFF/WAVE PCM-16 bytes. */
+  case class WavSynth(first: Expression, second: Expression, third: Expression,
+                      fourth: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "wav_synth"
+
+    override def nullSafeEval(id: Any, ch: Any, rate: Any, fr: Any): Any =
+      MediaKernels.wavSynth(id.asInstanceOf[Long], ch.asInstanceOf[Int],
+        rate.asInstanceOf[Int], fr.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, c, r, f) =>
+        s"graft.multimodal.MediaKernels.wavSynth($i, $c, $r, $f)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  /** WAV bytes → [channels, sample_rate, bits, byte_rate, block_align,
+    * data_bytes, duration_ms, sum_abs]; all(-1) when not PCM-16 RIFF. */
+  case class WavParse(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "wav_parse"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.wavParse(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.wavParse($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def bmpSynth(id: Column, width: Column, height: Column): Column =
+    column(BmpSynth(expression(id), expression(width), expression(height)))
+  def bmpParse(payload: Column): Column = column(BmpParse(expression(payload)))
+  def wavSynth(id: Column, channels: Column, sampleRate: Column, frames: Column): Column =
+    column(WavSynth(expression(id), expression(channels),
+      expression(sampleRate), expression(frames)))
+  def wavParse(payload: Column): Column = column(WavParse(expression(payload)))
+}

@@ -1,0 +1,225 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Per-row media container kernels — REAL byte-level construction and
+  * parsing of the two classic uncompressed containers (BMP/BITMAPINFOHEADER
+  * and RIFF/WAVE PCM), shared by the interpreted and generated paths of
+  * [[MediaExpressions]] the same way [[graft.functions.SketchKernels]]
+  * backs the sketch expressions.
+  *
+  * These exist because "multimodal = opaque binary + stubbed decode" is
+  * only half a story: for containers that need no external codec the
+  * engine decodes REAL bytes — header fields come from parsing the actual
+  * little-endian layout (not echoing inputs), pixel/sample aggregates come
+  * from walking the actual pixel rows / PCM frames. Compressed codecs
+  * (JPEG/MP3/H.264) stay behind the pluggable
+  * [[Multimodal.MediaDecoder]] boundary, where a production build drops in
+  * its codec libraries.
+  *
+  * Failure contract: a payload that does not parse (bad magic, truncated,
+  * unsupported variant) yields an all(-1) result vector, NOT null — keeps
+  * the output array non-null-typed and codegen branch-free; callers gate
+  * on `result[0] >= 0`.
+  */
+object MediaKernels {
+
+  // ---------------- little-endian helpers ----------------
+
+  private def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >>> 8) & 0xff).toByte
+    b(off + 2) = ((v >>> 16) & 0xff).toByte
+    b(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+  private def putLE16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >>> 8) & 0xff).toByte
+  }
+  private def getLE32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def getLE16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  // ---------------- BMP (24bpp, BITMAPINFOHEADER) ----------------
+
+  /** Deterministic pixel channels for image row y (top-down), column x of
+    * image `id` — the formula the DuckDB oracle mirrors symbolically. */
+  @inline private def pxB(id: Long, x: Int, y: Int): Int = ((x * 7L + y * 13L + id) % 256).toInt
+  @inline private def pxG(id: Long, x: Int, y: Int): Int = ((x * 11L + y * 3L + id * 5L) % 251).toInt
+  @inline private def pxR(id: Long, x: Int, y: Int): Int = ((x * 5L + y * 17L + id * 3L) % 239).toInt
+
+  /** Build a complete, valid 24bpp BMP file: 14-byte BITMAPFILEHEADER +
+    * 40-byte BITMAPINFOHEADER + bottom-up pixel rows padded to 4-byte
+    * stride. Pixel (x, y) channels are the deterministic id-derived
+    * formulas above. */
+  def bmpSynth(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "bmpSynth: dims must be positive")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val fileSize = 54 + stride * height
+    val b = new Array[Byte](fileSize)
+    b(0) = 'B'; b(1) = 'M'
+    putLE32(b, 2, fileSize)
+    putLE32(b, 10, 54)            // pixel data offset
+    putLE32(b, 14, 40)            // BITMAPINFOHEADER size
+    putLE32(b, 18, width)
+    putLE32(b, 22, height)        // positive = bottom-up row order
+    putLE16(b, 26, 1)             // planes
+    putLE16(b, 28, 24)            // bpp
+    putLE32(b, 30, 0)             // BI_RGB
+    putLE32(b, 34, stride * height)
+    putLE32(b, 38, 2835); putLE32(b, 42, 2835) // 72 DPI
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow  // bottom-up storage
+      val base = 54 + fileRow * stride
+      var x = 0
+      while (x < width) {
+        b(base + x * 3) = pxB(id, x, y).toByte
+        b(base + x * 3 + 1) = pxG(id, x, y).toByte
+        b(base + x * 3 + 2) = pxR(id, x, y).toByte
+        x += 1
+      }
+      fileRow += 1
+    }
+    b
+  }
+
+  private val BmpFail = new GenericArrayData(Array.fill(8)(-1L))
+
+  /** Parse a 24bpp BMP from its actual bytes: header fields from the
+    * little-endian layout, pixel-channel sums from walking the stored
+    * rows (stride and offset COMPUTED from the parsed header — any
+    * misalignment between builder and parser shows up as wrong sums).
+    * Returns [width, height, bpp, file_size_declared, file_size_actual,
+    * sum_b, sum_g, sum_r]; all(-1) when the payload is not a bottom-up
+    * uncompressed 24bpp BMP. */
+  def bmpParse(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return BmpFail
+    val declared = getLE32(bytes, 2)
+    val pixelOff = getLE32(bytes, 10)
+    val width = getLE32(bytes, 18)
+    val height = getLE32(bytes, 22)
+    val bpp = getLE16(bytes, 28)
+    val compression = getLE32(bytes, 30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return BmpFail
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (pixelOff + stride.toLong * height > bytes.length) return BmpFail
+    var sumB = 0L; var sumG = 0L; var sumR = 0L
+    var row = 0
+    while (row < height) {
+      val base = pixelOff + row * stride
+      var x = 0
+      while (x < width) {
+        sumB += bytes(base + x * 3) & 0xff
+        sumG += bytes(base + x * 3 + 1) & 0xff
+        sumR += bytes(base + x * 3 + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    new GenericArrayData(Array(width.toLong, height.toLong, bpp.toLong,
+      declared.toLong, bytes.length.toLong, sumB, sumG, sumR))
+  }
+
+  // ---------------- WAV (RIFF/WAVE, PCM int16) ----------------
+
+  /** Deterministic PCM sample for frame i, channel c of clip `id` —
+    * mirrored symbolically by the DuckDB oracle. In [-2000, 2000]. */
+  @inline private def sample(id: Long, i: Int, c: Int): Int =
+    (((i * 31L + c * 17L + id) % 4001) - 2000).toInt
+
+  /** Build a complete RIFF/WAVE file: 'fmt ' (16-byte PCM), an id-derived
+    * 'LIST' junk chunk BETWEEN fmt and data (so a parser must genuinely
+    * walk chunks, not assume fixed offsets), then interleaved int16 LE
+    * PCM. */
+  def wavSynth(id: Long, channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0 && frames >= 0, "wavSynth: bad params")
+    val junkLen = 6 + (id % 4).toInt * 2 // even → no RIFF pad byte ambiguity
+    val dataBytes = frames * channels * 2
+    val total = 12 + (8 + 16) + (8 + junkLen) + (8 + dataBytes)
+    val b = new Array[Byte](total)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putLE32(b, 4, total - 8)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    // fmt chunk
+    var o = 12
+    b(o) = 'f'; b(o + 1) = 'm'; b(o + 2) = 't'; b(o + 3) = ' '
+    putLE32(b, o + 4, 16)
+    putLE16(b, o + 8, 1)                      // PCM
+    putLE16(b, o + 10, channels)
+    putLE32(b, o + 12, sampleRate)
+    putLE32(b, o + 16, sampleRate * channels * 2) // byteRate
+    putLE16(b, o + 20, channels * 2)          // blockAlign
+    putLE16(b, o + 22, 16)                    // bits
+    o += 8 + 16
+    // junk LIST chunk
+    b(o) = 'L'; b(o + 1) = 'I'; b(o + 2) = 'S'; b(o + 3) = 'T'
+    putLE32(b, o + 4, junkLen)
+    var j = 0
+    while (j < junkLen) { b(o + 8 + j) = ((id + j) % 256).toByte; j += 1 }
+    o += 8 + junkLen
+    // data chunk
+    b(o) = 'd'; b(o + 1) = 'a'; b(o + 2) = 't'; b(o + 3) = 'a'
+    putLE32(b, o + 4, dataBytes)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        putLE16(b, o + 8 + (i * channels + c) * 2, sample(id, i, c) & 0xffff)
+        c += 1
+      }
+      i += 1
+    }
+    b
+  }
+
+  private val WavFail = new GenericArrayData(Array.fill(8)(-1L))
+
+  /** Parse a RIFF/WAVE from its actual bytes by WALKING the chunk list
+    * (fmt may sit anywhere before data; unknown chunks are skipped with
+    * even-size padding, per RIFF). Decodes the int16 PCM frames into a
+    * sum-of-absolute-amplitudes. Returns [channels, sample_rate, bits,
+    * byte_rate, block_align, data_bytes, duration_ms, sum_abs]; all(-1)
+    * for anything that is not PCM-16 RIFF/WAVE. duration_ms =
+    * data_bytes * 1000 / byte_rate (integer). */
+  def wavParse(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return WavFail
+    var o = 12
+    var channels = -1; var rate = -1; var bits = -1; var byteRate = -1; var blockAlign = -1
+    var dataOff = -1; var dataLen = -1
+    while (o + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
+      val size = getLE32(bytes, o + 4)
+      if (size < 0 || o + 8 + size > bytes.length) return WavFail
+      if (bytes(o) == 'f' && bytes(o + 1) == 'm' && bytes(o + 2) == 't' && bytes(o + 3) == ' ') {
+        if (size < 16 || getLE16(bytes, o + 8) != 1) return WavFail // PCM only
+        channels = getLE16(bytes, o + 10)
+        rate = getLE32(bytes, o + 12)
+        byteRate = getLE32(bytes, o + 16)
+        blockAlign = getLE16(bytes, o + 20)
+        bits = getLE16(bytes, o + 22)
+      } else if (bytes(o) == 'd' && bytes(o + 1) == 'a' && bytes(o + 2) == 't' && bytes(o + 3) == 'a') {
+        dataOff = o + 8; dataLen = size
+      }
+      o += 8 + size + (size & 1) // RIFF chunks pad to even
+    }
+    if (channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0 || byteRate <= 0)
+      return WavFail
+    var sumAbs = 0L
+    var p = dataOff
+    val end = dataOff + dataLen
+    while (p + 1 < end) {
+      val v = (getLE16(bytes, p) << 16) >> 16 // sign-extend int16
+      sumAbs += math.abs(v)
+      p += 2
+    }
+    new GenericArrayData(Array(channels.toLong, rate.toLong, bits.toLong,
+      byteRate.toLong, blockAlign.toLong, dataLen.toLong,
+      dataLen.toLong * 1000L / byteRate, sumAbs))
+  }
+}

@@ -39,9 +39,30 @@ object Multimodal {
     def dim: Int
   }
 
-  /** Stable fake decoder: features are a seeded hash cascade of the bytes —
-    * deterministic, mixes with payload content, right shape. A real
-    * implementation would decode pixels/samples here. */
+  /** REAL image decoder for the uncompressed container: parses the BMP
+    * byte layout ([[MediaKernels.bmpParse]] — header walk + padded
+    * bottom-up pixel rows) and emits [mean_r, mean_g, mean_b] in [0, 1].
+    * No external codec needed; proof that the [[MediaDecoder]] boundary
+    * carries real byte-level decode, not only the stub. Invalid payloads
+    * → null features (the decoder analog of the parser's all(-1)). */
+  final class BmpPixelDecoder extends MediaDecoder {
+    val dim = 3
+    def decode(payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return null
+      val p = MediaKernels.bmpParse(payload)
+      if (p.getLong(0) < 0) return null
+      val n = (p.getLong(0) * p.getLong(1)).toFloat // width * height
+      Array(p.getLong(7) / (255.0f * n),            // sum_r
+        p.getLong(6) / (255.0f * n),                // sum_g
+        p.getLong(5) / (255.0f * n))                // sum_b
+    }
+  }
+
+  /** Stable fake decoder for formats whose codecs live outside this
+    * container (JPEG/MP3/H.264): features are a seeded hash cascade of
+    * the bytes — deterministic, mixes with payload content, right shape.
+    * A production build swaps its codec in behind [[MediaDecoder]];
+    * [[BmpPixelDecoder]] shows the boundary carrying a real decode. */
   final class DeterministicStubDecoder(val dim: Int = 16) extends MediaDecoder {
     def decode(payload: Array[Byte]): Array[Float] = {
       if (payload == null) return null

@@ -11,6 +11,41 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("AQE skew-join fires on a planted hot key (built-in path validated)") {
+    // The manual rewrites (saltedJoin/twoPhaseCollect) are for a-priori
+    // known hot keys; AQE's runtime skew split is the first line of
+    // defense and must be VALIDATED firing, not assumed — thresholds are
+    // lowered to make a test-sized hot partition legible to the planner.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // hot key 0 carries ~95% of the left side's bytes
+      val left = spark.range(0, 60000)
+        .select((when(col("id") % 20 === 0, col("id") % 50).otherwise(lit(0L))).as("k"),
+          concat(lit("payload-"), col("id")).as("v"))
+      val right = spark.range(0, 50).select(col("id").as("k"),
+        concat(lit("dim-"), col("id")).as("name"))
+      val joined = left.join(right, Seq("k"))
+      assert(joined.collect().length == 60000) // run THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("saltedJoin matches the plain join result on a skewed key") {
     // 90% of left rows share one hot key
     val left = spark.range(2000)

@@ -410,6 +410,60 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
       out2.select("media_id", "features")).count() == 0)
   }
 
+  test("multimodal: BMP kernel round-trips through real bytes; corrupt -> all(-1)") {
+    import graft.multimodal.{MediaExpressions, MediaKernels}
+    // kernel level: build a 5x3 image, parse it back, check a hand-derived pixel
+    val bytes = MediaKernels.bmpSynth(7L, 5, 3)
+    assert(bytes(0) == 'B' && bytes(1) == 'M')
+    val p = MediaKernels.bmpParse(bytes)
+    assert(p.getLong(0) == 5 && p.getLong(1) == 3 && p.getLong(2) == 24)
+    assert(p.getLong(3) == bytes.length && p.getLong(4) == bytes.length)
+    // sum_b = Σ (7x + 13y + 7) % 256 over x<5, y<3
+    val expB = (for (x <- 0 until 5; y <- 0 until 3) yield (x * 7 + y * 13 + 7) % 256).sum
+    assert(p.getLong(5) == expB)
+    // corrupt payloads degrade to all(-1), never throw
+    assert(MediaKernels.bmpParse("nope".getBytes).getLong(0) == -1L)
+    assert(MediaKernels.bmpParse(bytes.take(20)).getLong(0) == -1L)
+    // expression level, inside a plan
+    val out = spark.range(1, 4).select(
+      MediaExpressions.bmpParse(MediaExpressions.bmpSynth(
+        $"id", lit(4).cast("int"), lit(2).cast("int"))).as("p"))
+      .select(element_at($"p", 1)).as[Long].collect()
+    assert(out.toSeq == Seq(4L, 4L, 4L))
+  }
+
+  test("multimodal: WAV chunk walk parses around junk chunks; PCM decode is exact") {
+    import graft.multimodal.MediaKernels
+    val bytes = MediaKernels.wavSynth(11L, 2, 8000, 50)
+    val p = MediaKernels.wavParse(bytes)
+    assert(p.getLong(0) == 2 && p.getLong(1) == 8000 && p.getLong(2) == 16)
+    assert(p.getLong(3) == 8000 * 2 * 2 && p.getLong(4) == 4)
+    assert(p.getLong(5) == 50 * 2 * 2)
+    assert(p.getLong(6) == 50L * 2 * 2 * 1000 / (8000 * 2 * 2))
+    val expAbs = (for (i <- 0 until 50; c <- 0 until 2)
+      yield math.abs((i * 31 + c * 17 + 11) % 4001 - 2000)).sum
+    assert(p.getLong(7) == expAbs)
+    assert(MediaKernels.wavParse(bytes.take(30)).getLong(0) == -1L)
+  }
+
+  test("multimodal: BmpPixelDecoder does a REAL byte-level decode behind MediaDecoder") {
+    import graft.multimodal.MediaKernels
+    val dec = new Multimodal.BmpPixelDecoder
+    // uniform test: a 1x1 image — means equal the single pixel's channels
+    val one = MediaKernels.bmpSynth(3L, 1, 1)
+    val f = dec.decode(one)
+    assert(f.length == 3)
+    assert(math.abs(f(2) - (3 % 256) / 255.0f) < 1e-6) // mean_b of pixel(0,0)
+    assert(dec.decode("garbage".getBytes) == null)
+    assert(dec.decode(null) == null)
+    // flows through the same mapPartitions boundary as the stub
+    val media = spark.range(0, 20).select($"id".as("media_id"),
+      graft.multimodal.MediaExpressions.bmpSynth(
+        $"id", lit(3).cast("int"), lit(2).cast("int")).as("payload"))
+    val out = Multimodal.withFeatures(media, dec)
+    assert(out.filter(size($"features") === 3).count() == 20)
+  }
+
   test("multimodal: frame sampling and resize plans") {
     val media = Multimodal.synthetic(spark, 30)
     val frames = Multimodal.sampleOffsets(media.filter($"meta.duration_ms".isNotNull), 1000L, 4)
