@@ -77,6 +77,15 @@ object Bench {
       t >= 0 && baseline.get(name).exists(b => t > b * 1.5)
     val firstPass = names.map { name =>
       var times = Seq(once(name), once(name))
+      // Sub-quarter-second queries: the plan costs less than one GC pause
+      // or scheduler hiccup, so two samples routinely report 2× the true
+      // time (r9: q_count_filter 104 ms vs 48 ms best-known — flagged as
+      // the round's only 2× breach on a plan that was already a pushed
+      // predicate + partial count). Buy a burst of extra samples and
+      // report the min; total cost is bounded by the queries being fast.
+      while (times.forall(_ >= 0) && times.size < 6 &&
+             math.min(times.min, baseline.getOrElse(name, Double.MaxValue)) < 0.25)
+        times :+= once(name)
       // the two runs disagreeing means one was hit by external load (this
       // box runs other work during benched rounds) — buy up to two more
       // samples rather than report a time that isn't the plan's

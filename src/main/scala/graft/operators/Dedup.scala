@@ -376,26 +376,33 @@ object Dedup {
     val newIdx0 = minhashIndex(newDocs, textCol, idCol, k, numHashes)
     val newIdx = if (persistSketch) newIdx0.cache() else newIdx0
     val newBands = banded(newIdx)
-    // candidates: new-vs-corpus ∪ new-vs-new (smaller id wins within batch)
+    // candidates: new-vs-corpus ∪ new-vs-new (smaller id wins within
+    // batch). Band rows carry ids only — the shingle arrays re-join per
+    // DISTINCT pair below (see minhashLshPairsFromHashes: per-collision
+    // verification re-intersects every array once per colliding band).
     val corpusSide = banded(index).select(col("__band"), col("__bh"),
-      col("id").as("dup_of"), col("sh").as("sh_b"))
+      col("id").as("dup_of"))
     val newSideA = newBands.select(col("__band"), col("__bh"),
-      col("id").as("new_id"), col("sh").as("sh_a"))
+      col("id").as("new_id"))
     val newSideB = newBands.select(col("__band"), col("__bh"),
-      col("id").as("dup_of"), col("sh").as("sh_b"))
+      col("id").as("dup_of"))
     val vsCorpus = newSideA.join(corpusSide, Seq("__band", "__bh"))
     val vsNew = newSideA.join(newSideB, Seq("__band", "__bh"))
       .filter(col("dup_of") < col("new_id"))
-    // verify-before-dedup: see minhashLshPairsFromHashes
-    val candidates = vsCorpus.unionByName(vsNew)
-      .select(col("new_id"), col("dup_of"), col("sh_a"), col("sh_b"))
+    val pairs = vsCorpus.unionByName(vsNew)
+      .select(col("new_id"), col("dup_of")).distinct()
+    // dup_of resolves against corpus AND batch (new-vs-new pairs)
+    val shAll = index.select(col("id"), col("sh"))
+      .unionByName(newIdx.select(col("id"), col("sh")))
+    val joined = pairs
+      .join(newIdx.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(shAll.select(col("id").as("dup_of"), col("sh").as("sh_b")), "dup_of")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    val out = candidates
+    val out = joined
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("new_id"), col("dup_of"))
-      .agg(round(first(col("jaccard")), 4).as("jaccard"))
+      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
     Managed(out, () => if (persistSketch) { newIdx.unpersist(); () })
   }
 
@@ -741,28 +748,35 @@ object Dedup {
       .withColumn("__nrm", norm(col("__emb")))
     val withSig = if (persistSketch) withSig0.cache() else withSig0
     val chunks = numPlanes / 8
-    val chunked0 = withSig.select(col("__id"), col("__emb"), col("__nrm"),
+    // chunk rows carry the id ONLY: shipping dim-sized embedding arrays
+    // through the bucket exchange write-amplifies the whole matrix
+    // `chunks`×, and per-collision verification re-runs the O(dim) dot
+    // product once per colliding chunk — the embeddings re-join per
+    // DISTINCT candidate pair instead (see minhashLshPairsFromHashes)
+    val chunked0 = withSig.select(col("__id"),
       posexplode(array((0 until chunks).map(i =>
         shiftrightunsigned(col("__sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)))
       .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__ck")
     val chunked = withBucketGuard(chunked0, Seq("__chunk", "__ck"), "__id", maxBucket)
     val left = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
-      col("__id").as("id_a"),
-      col("__emb").as("emb_a"), col("__nrm").as("nrm_a"))
+      col("__id").as("id_a"))
     val right = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
-      col("__id").as("id_b"),
-      col("__emb").as("emb_b"), col("__nrm").as("nrm_b"))
-    // merge hint + verify-before-dedup: see minhashLshPairsFromHashes —
-    // self-join sides must share one exchange, and the per-pair dedup must
-    // group scalars (post-verify), not drag embeddings through a
-    // SortAggregate over every candidate
-    left.hint("merge").join(right, Seq("__chunk", "__ck", "__cell"))
+      col("__id").as("id_b"))
+    // merge hint: self-join sides must share one exchange (see
+    // minhashLshPairsFromHashes)
+    val pairs = left.hint("merge").join(right, Seq("__chunk", "__ck", "__cell"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = withSig.select(col("__id"), col("__emb"), col("__nrm"))
+    pairs
+      .join(vecs.select(col("__id").as("id_a"),
+        col("__emb").as("emb_a"), col("__nrm").as("nrm_a")), "id_a")
+      .join(vecs.select(col("__id").as("id_b"),
+        col("__emb").as("emb_b"), col("__nrm").as("nrm_b")), "id_b")
       .withColumn("cosine",
         dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(round(first(col("cosine")), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
   /** SemDeDup-style semantic dedup: embedding cosine near-dup pairs

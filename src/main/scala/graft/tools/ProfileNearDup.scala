@@ -62,6 +62,15 @@ object ProfileNearDup {
     val full = graft.operators.Dedup.minhashLshPairsPortable(
       docs, "text", "doc_id", threshold = 0.7)
     time("full pipeline (noop)") { full.write.format("noop").mode("overwrite").save() }
+
+    // bucket audit at the production banding/guard defaults: how many
+    // (band, hash) buckets exceed maxBucket, and how wide is the widest
+    val audit = graft.operators.Dedup.minhashBucketAudit(
+      docs, "text", "doc_id", threshold = 0.7, maxBucket = 1000)
+    val stats = audit.agg(count(lit(1)).as("over_width_buckets"),
+      max(col("width")).as("max_width"), sum(col("cells")).as("total_cells")).collect()(0)
+    println(s"[profile] bucketAudit(maxBucket=1000): " +
+      s"over=${stats.get(0)} maxWidth=${stats.get(1)} cells=${stats.get(2)}")
     spark.stop()
   }
 }
