@@ -377,32 +377,33 @@ object Dedup {
     val newIdx = if (persistSketch) newIdx0.cache() else newIdx0
     val newBands = banded(newIdx)
     // candidates: new-vs-corpus ∪ new-vs-new (smaller id wins within
-    // batch). Band rows carry ids only — the shingle arrays re-join per
-    // DISTINCT pair below (see minhashLshPairsFromHashes: per-collision
-    // verification re-intersects every array once per colliding band).
+    // batch). This path intentionally KEEPS the shingle arrays on the
+    // band rows and verifies per collision — the id-only+rejoin shape
+    // that wins for the batch pass (minhashLshPairsFromHashes) was
+    // MEASURED SLOWER here (sf1 probe: 2.5 s → 4.4 s): the rejoin's
+    // sh-lookup sides re-scan/re-sketch the full index in addition to its
+    // banded exchange, and an incremental BATCH is small, so the batch
+    // side's band rows (the only amplified side that matters per run)
+    // carry little. Verify-per-collision redundancy is bounded by the
+    // batch size, not the corpus.
     val corpusSide = banded(index).select(col("__band"), col("__bh"),
-      col("id").as("dup_of"))
+      col("id").as("dup_of"), col("sh").as("sh_b"))
     val newSideA = newBands.select(col("__band"), col("__bh"),
-      col("id").as("new_id"))
+      col("id").as("new_id"), col("sh").as("sh_a"))
     val newSideB = newBands.select(col("__band"), col("__bh"),
-      col("id").as("dup_of"))
+      col("id").as("dup_of"), col("sh").as("sh_b"))
     val vsCorpus = newSideA.join(corpusSide, Seq("__band", "__bh"))
     val vsNew = newSideA.join(newSideB, Seq("__band", "__bh"))
       .filter(col("dup_of") < col("new_id"))
-    val pairs = vsCorpus.unionByName(vsNew)
-      .select(col("new_id"), col("dup_of")).distinct()
-    // dup_of resolves against corpus AND batch (new-vs-new pairs)
-    val shAll = index.select(col("id"), col("sh"))
-      .unionByName(newIdx.select(col("id"), col("sh")))
-    val joined = pairs
-      .join(newIdx.select(col("id").as("new_id"), col("sh").as("sh_a")), "new_id")
-      .join(shAll.select(col("id").as("dup_of"), col("sh").as("sh_b")), "dup_of")
+    val candidates = vsCorpus.unionByName(vsNew)
+      .select(col("new_id"), col("dup_of"), col("sh_a"), col("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    val out = joined
+    val out = candidates
       .withColumn("jaccard", when(union === 0, lit(0.0)).otherwise(inter / union))
       .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+      .groupBy(col("new_id"), col("dup_of"))
+      .agg(round(first(col("jaccard")), 4).as("jaccard"))
     Managed(out, () => if (persistSketch) { newIdx.unpersist(); () })
   }
 
@@ -748,35 +749,40 @@ object Dedup {
       .withColumn("__nrm", norm(col("__emb")))
     val withSig = if (persistSketch) withSig0.cache() else withSig0
     val chunks = numPlanes / 8
-    // chunk rows carry the id ONLY: shipping dim-sized embedding arrays
-    // through the bucket exchange write-amplifies the whole matrix
-    // `chunks`×, and per-collision verification re-runs the O(dim) dot
-    // product once per colliding chunk — the embeddings re-join per
-    // DISTINCT candidate pair instead (see minhashLshPairsFromHashes)
-    val chunked0 = withSig.select(col("__id"),
+    // This path intentionally carries the embeddings ON the chunk rows
+    // and verifies per collision, unlike the batch MinHash path's
+    // id-only+rejoin shape. The regimes differ and both were MEASURED
+    // (sf1 probe): MinHash bands 16 ways with ~10× verify multiplicity
+    // on a duplicate-heavy corpus → rejoin wins 3×; hyperplane chunking
+    // is only `chunks`-way (2 at the default 16 planes) with verify
+    // multiplicity ≤ chunks, and the candidate-pair count exceeds the
+    // corpus on duplicate-heavy data — re-joining a dim-sized vector
+    // per PAIR side shuffles far more array bytes than the chunks×
+    // corpus carry (0.9 s → 8.3 s when tried). Rule of thumb: rejoin
+    // pays off when bands × corpus ≫ 2 × pairs; with 2 chunks it never
+    // does.
+    val chunked0 = withSig.select(col("__id"), col("__emb"), col("__nrm"),
       posexplode(array((0 until chunks).map(i =>
         shiftrightunsigned(col("__sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)))
       .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__ck")
     val chunked = withBucketGuard(chunked0, Seq("__chunk", "__ck"), "__id", maxBucket)
     val left = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
-      col("__id").as("id_a"))
+      col("__id").as("id_a"),
+      col("__emb").as("emb_a"), col("__nrm").as("nrm_a"))
     val right = chunked.select(col("__chunk"), col("__ck"), col("__cell"),
-      col("__id").as("id_b"))
-    // merge hint: self-join sides must share one exchange (see
-    // minhashLshPairsFromHashes)
-    val pairs = left.hint("merge").join(right, Seq("__chunk", "__ck", "__cell"))
+      col("__id").as("id_b"),
+      col("__emb").as("emb_b"), col("__nrm").as("nrm_b"))
+    // merge hint + verify-before-dedup: see minhashLshPairsFromHashes —
+    // self-join sides must share one exchange, and the per-pair dedup must
+    // group scalars (post-verify), not drag embeddings through a
+    // SortAggregate over every candidate
+    left.hint("merge").join(right, Seq("__chunk", "__ck", "__cell"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val vecs = withSig.select(col("__id"), col("__emb"), col("__nrm"))
-    pairs
-      .join(vecs.select(col("__id").as("id_a"),
-        col("__emb").as("emb_a"), col("__nrm").as("nrm_a")), "id_a")
-      .join(vecs.select(col("__id").as("id_b"),
-        col("__emb").as("emb_b"), col("__nrm").as("nrm_b")), "id_b")
       .withColumn("cosine",
         dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(first(col("cosine")), 4).as("cosine"))
   }
 
   /** SemDeDup-style semantic dedup: embedding cosine near-dup pairs
