@@ -89,13 +89,21 @@ object QualityRules {
     val bulletFrac = regexp_count(text, lit("(?md)^ *[-*•]")).cast("double") / nLines
     val ellipsisFrac =
       regexp_count(text, lit("(?md)(\\.\\.\\.|…) *$")).cast("double") / nLines
-    df.withColumn("n_words", nWords)
-      .withColumn("mean_word_len", meanLen)
-      .withColumn("symbol_ratio", symbolRatio)
-      .withColumn("alpha_frac", alphaFrac)
-      .withColumn("sw_hits", swHits)
-      .withColumn("bullet_frac", bulletFrac)
-      .withColumn("ellipsis_frac", ellipsisFrac)
+    // Every stat is PINNED to this projection (Barrier.evalOnce):
+    // without the fence, [[gopherFilter]]'s filter(keep) re-inlines all
+    // seven stat trees into one FilterExec predicate, whose codegen does
+    // no cross-predicate subexpression elimination — the whitespace-trim
+    // regexp alone re-ran ~15× per row (measured 19.8 s → 3.7 s for the
+    // sf1 curation pipeline's gopher stage; same failure class as the
+    // round-3 q_json_array fix that introduced the barrier).
+    val once = graft.functions.Barrier.evalOnce _
+    df.withColumn("n_words", once(nWords))
+      .withColumn("mean_word_len", once(meanLen))
+      .withColumn("symbol_ratio", once(symbolRatio))
+      .withColumn("alpha_frac", once(alphaFrac))
+      .withColumn("sw_hits", once(swHits))
+      .withColumn("bullet_frac", once(bulletFrac))
+      .withColumn("ellipsis_frac", once(ellipsisFrac))
       .withColumn("keep",
         col("n_words").between(th.minWords, th.maxWords) &&
           col("mean_word_len").between(th.minMeanWordLen, th.maxMeanWordLen) &&
