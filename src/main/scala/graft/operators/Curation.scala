@@ -38,12 +38,20 @@ object Curation {
     * tokenizes each document exactly once. */
   def annotateStaged(docs: DataFrame, textCol: String,
                      shingleK: Option[Int]): DataFrame = {
+    // Signals are Barrier-pinned: [[curate]] filters on four of them, and
+    // unpinned columns get re-inlined into one FilterExec predicate whose
+    // codegen does no cross-predicate subexpression elimination — the
+    // tokenize pass would re-run once per gate (the failure class the
+    // round-10 gopherStats fix measured at ~15× per row). Pure-projection
+    // consumers (report's observe metrics) are unaffected: the barrier
+    // just pins a Project.
+    val once = graft.functions.Barrier.evalOnce _
     val base = docs
-      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("quality", TextFunctions.qualityScoreStaged(col(textCol), col("__toks")))
-      .withColumn("lang_pred", TextFunctions.langIdStaged(col(textCol), col("__toks")))
-      .withColumn("fingerprint", TextFunctions.fingerprintStaged(col("__toks")))
+      .withColumn("__toks", once(TextFunctions.tokens(col(textCol))))
+      .withColumn("n_tokens", once(TextFunctions.tokenCount(col(textCol))))
+      .withColumn("quality", once(TextFunctions.qualityScoreStaged(col(textCol), col("__toks"))))
+      .withColumn("lang_pred", once(TextFunctions.langIdStaged(col(textCol), col("__toks"))))
+      .withColumn("fingerprint", once(TextFunctions.fingerprintStaged(col("__toks"))))
       // one kernel evaluation behind the barrier — three consumers below
       .withColumn("__rep", graft.functions.Barrier.evalOnce(
         graft.functions.SketchExpressions.ngramRepStats(col("__toks"), 3)))
