@@ -349,6 +349,36 @@ object SparkEntry {
         orderBy = Seq(OrderBy("p_partkey")),
         select = Seq("p_partkey", "p_brand", "p_size")))),
 
+    // §2.B BoolNullableFilter — the TRI-STATE contract gated directly:
+    // a derived nullable boolean (view events → NULL) probed through the
+    // real BoolF algebra all five ways. equals:Some(v) is null-dropping
+    // (SQL three-valued =), equals:None is IS NULL, not:Some(v) keeps
+    // only the opposite NON-NULL value, not:None is IS NOT NULL — the
+    // oracle mirrors each with the equivalent CASE/count.
+    "q_bool_tristate" -> ((s, dir) => {
+      val flag = when(col("event_type") === "view",
+        lit(null).cast("boolean")).otherwise(col("value") > 100.0)
+      val ev = Tables.events(s, dir).select(flag.as("flag"))
+      def n(f: BoolF) = sum(when(f(col("flag")), 1L).otherwise(0L))
+      ev.agg(
+        n(BoolF(equals = Some(Some(true)))).as("eq_true"),
+        n(BoolF(equals = Some(Some(false)))).as("eq_false"),
+        n(BoolF(equals = Some(None))).as("eq_null"),
+        n(BoolF(not = Some(Some(true)))).as("not_true"),
+        n(BoolF(not = Some(None))).as("not_null"))
+    }),
+
+    // §2.B Enum filter — the status-enum algebra (JobStatus/`o_orderstatus`
+    // as the enum domain) through the real EnumF: in + not compose as AND,
+    // mirrored by the oracle's IN / <> predicates.
+    "q_enum_filter" -> ((s, dir) =>
+      TpchModels.orders(s, dir).findMany(QueryArgs(
+        where = Some(And(Seq(
+          F.enum_("o_orderstatus", EnumF(in = Some(Seq("F", "P")), not = Some("F"))),
+          F.cmp("o_orderkey", CmpF(lte = Some(500L)))))),
+        orderBy = Seq(OrderBy("o_orderkey")),
+        select = Seq("o_orderkey", "o_orderstatus")))),
+
     // §2.B DateTimeFilter range + numeric range, AND/OR connectors.
     "q_range_connectors" -> ((s, dir) =>
       TpchModels.orders(s, dir).findMany(QueryArgs(
@@ -3199,6 +3229,27 @@ object SparkEntry {
       WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
         AND p_size NOT IN (1,2,3)
       ORDER BY p_partkey""",
+
+    "q_enum_filter" -> """
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderstatus IN ('F', 'P') AND o_orderstatus <> 'F'
+        AND o_orderkey <= 500
+      ORDER BY o_orderkey""",
+
+    // tri-state boolean algebra replayed with three-valued SQL: = drops
+    // NULLs, NOT(x = true) is true only for false, IS [NOT] NULL exact
+    "q_bool_tristate" -> """
+      WITH f AS (
+        SELECT CASE WHEN event_type = 'view' THEN NULL
+                    ELSE value > 100.0 END AS flag
+        FROM events)
+      SELECT
+        CAST(count(CASE WHEN flag = true THEN 1 END) AS BIGINT) AS eq_true,
+        CAST(count(CASE WHEN flag = false THEN 1 END) AS BIGINT) AS eq_false,
+        CAST(count(CASE WHEN flag IS NULL THEN 1 END) AS BIGINT) AS eq_null,
+        CAST(count(CASE WHEN NOT (flag = true) THEN 1 END) AS BIGINT) AS not_true,
+        CAST(count(CASE WHEN flag IS NOT NULL THEN 1 END) AS BIGINT) AS not_null
+      FROM f""",
 
     "q_range_connectors" -> """
       SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority FROM orders
