@@ -80,9 +80,21 @@ final class MisraGriesBuffer(val k: Int) {
   private[functions] val counts =
     new java.util.HashMap[UTF8String, Long](k * 2)
 
+  /** Live counter count — exposed so specs can pin the ≤k bound DURING
+    * the add loop, not just after merge-time shrinking. */
+  def size: Int = counts.size
+  def contains(token: UTF8String): Boolean = counts.containsKey(token)
+
   def add(token: UTF8String): Unit = {
-    val cur = counts.get(token)
-    if (cur != null) counts.put(token, cur + 1L)
+    // getOrDefault, NOT get-and-null-check: the map's scala.Long values
+    // unbox a missing key's null to 0L, so `cur != null` was a
+    // constant-true primitive comparison — every distinct token got a
+    // counter and the ≤k bound only held after merge-time shrinking
+    // (i.e. per-task memory was UNBOUNDED, the exact OOM this sketch
+    // exists to prevent). Live counters are always ≥ 1, so cur > 0 ⇔
+    // the token is present.
+    val cur = counts.getOrDefault(token, 0L)
+    if (cur > 0L) counts.put(token, cur + 1L)
     else if (counts.size < k) counts.put(token, 1L)
     else decrementAll(1L)
   }
@@ -102,8 +114,7 @@ final class MisraGriesBuffer(val k: Int) {
     val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cur = counts.get(e.getKey)
-      counts.put(e.getKey, (if (cur == null) 0L else cur) + e.getValue)
+      counts.put(e.getKey, counts.getOrDefault(e.getKey, 0L) + e.getValue)
     }
     if (counts.size > k) {
       // subtract the (k+1)-th largest count from everything; ≤ k survive

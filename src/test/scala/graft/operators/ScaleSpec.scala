@@ -237,5 +237,21 @@ class ScaleSpec extends AnyFunSuite with SparkTestBase {
     assert(cands.size <= 256, s"buffer leaked: ${cands.size} candidates")
     // each heavy is 2% of the stream ≫ N/257
     assert(Set("heavy_a", "heavy_b", "heavy_c").subsetOf(cands.toSet))
+
+    // the bound must hold DURING the per-task add loop, not only after
+    // the merge-time shrink: a raw buffer fed a singleton flood may
+    // never exceed k live counters at any point (this is what keeps a
+    // 100 TB-vocabulary task from OOMing; the final-size assertion above
+    // passed even when add() leaked and only the merge trimmed)
+    val buf = new graft.functions.MisraGriesBuffer(16)
+    (0 until 10000).foreach { i =>
+      buf.add(org.apache.spark.unsafe.types.UTF8String.fromString(s"s$i"))
+      assert(buf.size <= 16, s"add leaked at $i: ${buf.size}")
+    }
+    // heavies still surface through a flood in the same buffer
+    (0 until 200).foreach { _ =>
+      buf.add(org.apache.spark.unsafe.types.UTF8String.fromString("H"))
+    }
+    assert(buf.contains(org.apache.spark.unsafe.types.UTF8String.fromString("H")))
   }
 }
