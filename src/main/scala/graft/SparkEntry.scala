@@ -349,6 +349,25 @@ object SparkEntry {
         orderBy = Seq(OrderBy("p_partkey")),
         select = Seq("p_partkey", "p_brand", "p_size")))),
 
+    // §2.C nulls first/last — Prisma's `nulls: first|last` through the
+    // real OrderBy compilation, made OBSERVABLE via LIMIT: the driver
+    // hash-compare sorts rows before hashing, so ordering is only
+    // testable through which rows the order SELECTS. nulls-first top-10
+    // must be null rows; nulls-last top-10 the highest non-null prices.
+    "q_order_nulls" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") <= 200L)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price"))
+      def top(tag: String, nf: Boolean) = base
+        .orderBy(OrderBy("price", desc = true, nullsFirst = Some(nf)).column,
+          OrderBy("o_orderkey").column)
+        .limit(10).withColumn("probe", lit(tag))
+      top("first", nf = true).unionByName(top("last", nf = false))
+        .select(col("probe"), col("o_orderkey"), col("price"))
+        .orderBy(col("probe"), col("o_orderkey"))
+    }),
+
     // §2.B BoolNullableFilter — the TRI-STATE contract gated directly:
     // a derived nullable boolean (view events → NULL) probed through the
     // real BoolF algebra all five ways. equals:Some(v) is null-dropping
@@ -3229,6 +3248,21 @@ object SparkEntry {
       WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
         AND p_size NOT IN (1,2,3)
       ORDER BY p_partkey""",
+
+    "q_order_nulls" -> """
+      WITH base AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey <= 200)
+      SELECT probe, o_orderkey, price FROM (
+        SELECT 'first' AS probe, o_orderkey, price FROM base
+        ORDER BY price DESC NULLS FIRST, o_orderkey LIMIT 10)
+      UNION ALL
+      SELECT probe, o_orderkey, price FROM (
+        SELECT 'last' AS probe, o_orderkey, price FROM base
+        ORDER BY price DESC NULLS LAST, o_orderkey LIMIT 10)
+      ORDER BY probe, o_orderkey""",
 
     "q_enum_filter" -> """
       SELECT o_orderkey, o_orderstatus FROM orders
