@@ -104,9 +104,16 @@ object MediaKernels {
     val height = getLE32(bytes, 22)
     val bpp = getLE16(bytes, 28)
     val compression = getLE32(bytes, 30)
-    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return BmpFail
+    // Adversarial-header safety (the all(-1) contract says NEVER throw):
+    // a negative pixelOff, or a width large enough that `width * 3`
+    // overflows int, would pass a naive int bound check and then index
+    // out of bounds inside a codegen'd expression. All offset arithmetic
+    // runs in longs; width/height are additionally bounded by the byte
+    // length itself (a real w×h 24bpp image needs ≥ 3wh payload bytes).
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0 ||
+      pixelOff < 54 || width.toLong * height * 3L > bytes.length) return BmpFail
     val stride = ((width * 3 + 3) / 4) * 4
-    if (pixelOff + stride.toLong * height > bytes.length) return BmpFail
+    if (pixelOff.toLong + stride.toLong * height > bytes.length) return BmpFail
     var sumB = 0L; var sumG = 0L; var sumR = 0L
     var row = 0
     while (row < height) {
@@ -190,20 +197,25 @@ object MediaKernels {
       bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
       bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
       return WavFail
-    var o = 12
+    // Chunk walk in LONG arithmetic: RIFF sizes are u32, so a size near
+    // Int.MaxValue overflows `o + 8 + size` negative in ints, passes the
+    // bound check, and the next iteration indexes out of bounds — the
+    // all(-1) contract says NEVER throw on malformed bytes.
+    var o = 12L
     var channels = -1; var rate = -1; var bits = -1; var byteRate = -1; var blockAlign = -1
-    var dataOff = -1; var dataLen = -1
+    var dataOff = -1L; var dataLen = -1L
     while (o + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
-      val size = getLE32(bytes, o + 4)
-      if (size < 0 || o + 8 + size > bytes.length) return WavFail
-      if (bytes(o) == 'f' && bytes(o + 1) == 'm' && bytes(o + 2) == 't' && bytes(o + 3) == ' ') {
-        if (size < 16 || getLE16(bytes, o + 8) != 1) return WavFail // PCM only
-        channels = getLE16(bytes, o + 10)
-        rate = getLE32(bytes, o + 12)
-        byteRate = getLE32(bytes, o + 16)
-        blockAlign = getLE16(bytes, o + 20)
-        bits = getLE16(bytes, o + 22)
-      } else if (bytes(o) == 'd' && bytes(o + 1) == 'a' && bytes(o + 2) == 't' && bytes(o + 3) == 'a') {
+      val oi = o.toInt
+      val size = getLE32(bytes, oi + 4).toLong & 0xffffffffL // u32 per RIFF
+      if (o + 8 + size > bytes.length) return WavFail
+      if (bytes(oi) == 'f' && bytes(oi + 1) == 'm' && bytes(oi + 2) == 't' && bytes(oi + 3) == ' ') {
+        if (size < 16 || getLE16(bytes, oi + 8) != 1) return WavFail // PCM only
+        channels = getLE16(bytes, oi + 10)
+        rate = getLE32(bytes, oi + 12)
+        byteRate = getLE32(bytes, oi + 16)
+        blockAlign = getLE16(bytes, oi + 20)
+        bits = getLE16(bytes, oi + 22)
+      } else if (bytes(oi) == 'd' && bytes(oi + 1) == 'a' && bytes(oi + 2) == 't' && bytes(oi + 3) == 'a') {
         dataOff = o + 8; dataLen = size
       }
       o += 8 + size + (size & 1) // RIFF chunks pad to even
@@ -212,14 +224,14 @@ object MediaKernels {
       return WavFail
     var sumAbs = 0L
     var p = dataOff
-    val end = dataOff + dataLen
+    val end = dataOff + dataLen // both bounded ≤ bytes.length by the walk
     while (p + 1 < end) {
-      val v = (getLE16(bytes, p) << 16) >> 16 // sign-extend int16
+      val v = (getLE16(bytes, p.toInt) << 16) >> 16 // sign-extend int16
       sumAbs += math.abs(v)
       p += 2
     }
     new GenericArrayData(Array(channels.toLong, rate.toLong, bits.toLong,
-      byteRate.toLong, blockAlign.toLong, dataLen.toLong,
-      dataLen.toLong * 1000L / byteRate, sumAbs))
+      byteRate.toLong, blockAlign.toLong, dataLen,
+      dataLen * 1000L / byteRate, sumAbs))
   }
 }

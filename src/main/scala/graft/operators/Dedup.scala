@@ -246,15 +246,18 @@ object Dedup {
       .select(col(idCol).as("__id"), array_distinct(shingles(col(textCol), k)).as("__sh"))
       .withColumn("__sig",
         graft.functions.SketchExpressions.md5MinhashSignature(col("__sh"), numHashes))
-    // Band keys are the oracle's 32-hex md5 strings, but the JOIN runs on
-    // their xxhash64 — a 64-bit shuffle/sort key instead of a 32-char
-    // string. This cannot change the output: a false 64-bit collision
-    // only adds a candidate pair that the exact-Jaccard verify drops,
-    // exactly like any other non-matching band collision.
+    // Band keys stay the oracle's full 32-hex md5 strings. A tempting
+    // shrink — joining on xxhash64 of the string — is NOT output-safe
+    // for an exact-equality gate: a 64-bit collision between two
+    // DIFFERENT band keys can add a candidate pair whose true Jaccard
+    // passes the threshold (an LSH false negative the oracle never
+    // pairs), and the verify keeps it — a hash-mismatch the oracle
+    // cannot reproduce. ~2⁻⁶⁴ and worth ~5%; not worth a gate that is
+    // only almost-always right.
     val banded = withSig.select(col("__id"),
       posexplode(array((0 until b).map(j =>
-        xxhash64(md5(concat_ws(":", (0 until rows).map(r0 =>
-          element_at(col("__sig"), j * rows + r0 + 1).cast("string")): _*)))): _*)))
+        md5(concat_ws(":", (0 until rows).map(r0 =>
+          element_at(col("__sig"), j * rows + r0 + 1).cast("string")): _*))): _*)))
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bh")
 
     val left = banded.select(col("__band"), col("__bh"), col("__id").as("id_a"))

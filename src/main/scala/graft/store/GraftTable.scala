@@ -174,13 +174,37 @@ final class GraftTable(
     // still holding THIS pre-evolve handle now fail fast with P2022
     // instead of silently nulling evolved columns in rewritten slices.
     // The expectedBase guard makes two racing evolve() calls an explicit
-    // P2034 conflict rather than a lost schema.
+    // P2034 conflict rather than a lost schema. This handle must ITSELF
+    // be current: evolving from a stale handle would commit a fingerprint
+    // derived from a stale lineage, silently superseding (and orphaning)
+    // a newer schema's columns.
+    val m = catalog.manifest()
+    assertSchemaCurrent(m)
     catalog.commit(
-      Map(Catalog.SchemaTable -> catalog.manifest().get(Catalog.SchemaTable)),
+      Map(Catalog.SchemaTable -> m.get(Catalog.SchemaTable)),
       Map(Catalog.SchemaTable ->
         Map(Catalog.encodeValue(name) -> Some(t.schemaFingerprint))))
     t
   }
+
+  /** Throw the P2022 stale-schema error if the catalog has a persisted
+    * fingerprint for this table that differs from this handle's — the
+    * shared guard for EVERY path that rewrites slices through the
+    * handle's declared projection: transactional writes
+    * ([[Txn.workingDirs]]), [[compact]] (which rewrites whole slices
+    * outside any Txn), and [[evolve]] itself (a stale handle must not
+    * supersede a newer schema with a fingerprint derived from its stale
+    * lineage). */
+  private[store] def assertSchemaCurrent(
+      m: Map[String, Map[String, String]]): Unit =
+    m.get(Catalog.SchemaTable)
+      .flatMap(_.get(Catalog.encodeValue(name)))
+      .filter(_ != schemaFingerprint)
+      .foreach { _ =>
+        throw new StaleSchemaException(
+          s"$name: schema evolved since this handle was created — " +
+            "use the handle returned by evolve()")
+      }
 
   /** Stable fingerprint of the declared schema (name:type:nullability per
     * field, order-sensitive) — the value [[evolve]] persists and write
@@ -252,7 +276,16 @@ final class GraftTable(
     * file-level skipping then prunes on any of them. */
   def compact(maxFiles: Int = 4, targetBytes: Long = 128L << 20,
               zorderBy: Seq[String] = Nil): Int = {
-    val base = catalog.manifest().get(name)
+    // Stale-schema guard + pin: compact rewrites WHOLE slices through
+    // this handle's declared projection outside any Txn — a pre-evolve
+    // handle would silently null evolved columns in every compacted
+    // slice. Checked here AND pinned into expectedBase below, so an
+    // evolve() landing during the (possibly long) rewrite job turns into
+    // a P2034 conflict instead of committing the stale projection.
+    val m0 = catalog.manifest()
+    assertSchemaCurrent(m0)
+    val schemaBase = m0.get(Catalog.SchemaTable)
+    val base = m0.get(name)
     var staged = Map.empty[String, Option[String]]
     catalog.currentDirs(name).foreach { case (pk, dir) =>
       val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
@@ -274,7 +307,8 @@ final class GraftTable(
       }
     }
     if (staged.nonEmpty)
-      catalog.commit(Map(name -> base), Map(name -> staged))
+      catalog.commit(Map(name -> base, Catalog.SchemaTable -> schemaBase),
+        Map(name -> staged))
     staged.size
   }
 
@@ -798,15 +832,16 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       // handle was created (reserved __schema__ manifest entry), rewriting
       // slices through the old projection would null evolved-column values
       // for every bystander row in the touched slices — fail fast instead.
-      catalog.manifest().get(Catalog.SchemaTable)
-        .flatMap(_.get(Catalog.encodeValue(t.name)))
-        .filter(_ != t.schemaFingerprint)
-        .foreach { _ =>
-          throw new StaleSchemaException(
-            s"${t.name}: schema evolved since this handle was created — " +
-              "write through the handle returned by evolve()")
-        }
-      base += (t.name -> catalog.manifest().get(t.name))
+      // The __schema__ entry is ALSO pinned into the commit's expectedBase
+      // (same snapshot as the guard): an evolve() landing between this
+      // check and the commit — the staging job can run for minutes — then
+      // surfaces as a P2034 conflict instead of publishing stale slices
+      // (the cross-entry OCC pattern stageWatermark uses for __stream__).
+      val m = catalog.manifest()
+      t.assertSchemaCurrent(m)
+      if (!base.contains(Catalog.SchemaTable))
+        base += (Catalog.SchemaTable -> m.get(Catalog.SchemaTable))
+      base += (t.name -> m.get(t.name))
       val dirs = catalog.currentDirs(t.name)
       working += (t.name -> dirs)
       dirs

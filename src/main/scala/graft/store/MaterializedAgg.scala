@@ -53,6 +53,17 @@ object MaterializedAgg {
     * both sides and silently diverge from recompute forever. */
   def applyDelta(state: DataFrame, changes: DataFrame,
                  keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    // Legacy-state migration: states materialized before the cnt_<col>
+    // columns existed (keys…, n, sum_…) still fold — a missing count is
+    // reconstructed as `n` when the sum is non-null (the old code's
+    // implicit assumption: every row contributed) and `0` when the sum
+    // is NULL, which preserves the legacy state's observable behavior
+    // while new groups get exact counts.
+    val state1 = sumCols.foldLeft(state) { (df, c) =>
+      if (df.columns.contains(s"cnt_$c")) df
+      else df.withColumn(s"cnt_$c",
+        when(col(s"sum_$c").isNull, lit(0L)).otherwise(col("n")))
+    }
     val w = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val delta = changes.groupBy(keys.map(col): _*)
@@ -61,7 +72,7 @@ object MaterializedAgg {
           sumCols.map(c =>
             sum(when(col(c).isNotNull, w).otherwise(lit(0L))).as(s"__dc_$c")): _*)
     val zero = lit(0).cast(sumType)
-    val s = state.as("s")
+    val s = state1.as("s")
     val d = delta.as("d")
     val cond = keys.map(k => col(s"s.$k") <=> col(s"d.$k")).reduce(_ && _)
     val merged = s.join(d, cond, "full_outer")

@@ -424,6 +424,18 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     // corrupt payloads degrade to all(-1), never throw
     assert(MediaKernels.bmpParse("nope".getBytes).getLong(0) == -1L)
     assert(MediaKernels.bmpParse(bytes.take(20)).getLong(0) == -1L)
+    // ADVERSARIAL headers: negative pixel offset, int-overflowing width,
+    // and a huge height must all fail cleanly (long-arithmetic bounds),
+    // never index out of bounds inside a codegen'd expression
+    def withLE32(b: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      c(off) = (v & 0xff).toByte; c(off + 1) = ((v >> 8) & 0xff).toByte
+      c(off + 2) = ((v >> 16) & 0xff).toByte; c(off + 3) = ((v >> 24) & 0xff).toByte
+      c
+    }
+    assert(MediaKernels.bmpParse(withLE32(bytes, 10, 0x80000000)).getLong(0) == -1L)
+    assert(MediaKernels.bmpParse(withLE32(bytes, 18, 0x7FFFFFFF)).getLong(0) == -1L)
+    assert(MediaKernels.bmpParse(withLE32(bytes, 22, 0x40000000)).getLong(0) == -1L)
     // expression level, inside a plan
     val out = spark.range(1, 4).select(
       MediaExpressions.bmpParse(MediaExpressions.bmpSynth(
@@ -444,6 +456,12 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
       yield math.abs((i * 31 + c * 17 + 11) % 4001 - 2000)).sum
     assert(p.getLong(7) == expAbs)
     assert(MediaKernels.wavParse(bytes.take(30)).getLong(0) == -1L)
+    // adversarial chunk size near u32 max: int arithmetic would overflow
+    // the bound check negative and walk out of the array — must fail -1
+    val evil = bytes.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte // fmt size = 0x7fffffff
+    assert(MediaKernels.wavParse(evil).getLong(0) == -1L)
   }
 
   test("multimodal: BmpPixelDecoder does a REAL byte-level decode behind MediaDecoder") {

@@ -107,6 +107,23 @@ class MaterializedAggSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(state) == rows(recomputed))
   }
 
+  test("legacy state without cnt columns still folds (migration path)") {
+    val (cat, t) = fresh()
+    t.createMany((1L to 20L).map(i => (i, if (i % 4 == 0) "x" else "y", i * 2.0))
+      .toDF("id", "status", "amount"))
+    // simulate a state materialized before cnt_<col> existed
+    val legacy = MaterializedAgg.compute(t.snapshot(), Seq("status"), Seq("amount"))
+      .drop("cnt_amount")
+    val pin = cat.currentCommitId()
+    t.deleteMany(RawCol(col("id") > 15L))
+    t.createMany(Seq((30L, "x", 3.0)).toDF("id", "status", "amount"))
+    val state = MaterializedAgg.applyDelta(legacy,
+      ChangeFeed.changesBetween(t, pin, cat.currentCommitId()),
+      Seq("status"), Seq("amount"))
+    val recomputed = MaterializedAgg.compute(t.snapshot(), Seq("status"), Seq("amount"))
+    assert(normalized(state) == normalized(recomputed))
+  }
+
   test("folding two commit ranges sequentially equals one combined fold") {
     val (cat, t) = fresh()
     t.createMany((1L to 10L).map(i => (i, "a", i * 2.0)).toDF("id", "status", "amount"))

@@ -84,6 +84,36 @@ class SchemaEvolveSpec extends AnyFunSuite with SparkTestBase {
     assert(t.snapshot().count() == 2)
   }
 
+  test("compact() from a stale handle fails P2022 instead of nulling evolved columns") {
+    val (_, t) = fresh()
+    t.createMany(Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val t2 = t.evolve(add = Seq(StructField("tier", StringType, nullable = true)))
+    t2.updateMany(RawCol(col("id") === 1L), Map("tier" -> lit("gold")))
+    // compact rewrites whole slices through the handle's projection,
+    // outside any Txn — the stale handle must be refused
+    intercept[StaleSchemaException] { t.compact(maxFiles = 0) }
+    assert(t2.snapshot().filter($"id" === 1L).select($"tier").as[String].head() == "gold")
+    // the evolved handle compacts fine and the data survives
+    t2.compact(maxFiles = 0)
+    assert(t2.snapshot().filter($"id" === 1L).select($"tier").as[String].head() == "gold")
+  }
+
+  test("evolve() from a stale handle fails P2022 instead of superseding the newer schema") {
+    val (_, t) = fresh()
+    t.createMany(Seq((1L, "a")).toDF("id", "name"))
+    val t2 = t.evolve(add = Seq(StructField("tier", StringType, nullable = true)))
+    // the stale pre-evolve handle must not commit a fingerprint derived
+    // from its stale lineage (it would orphan `tier` and legitimize
+    // writers that null it)
+    intercept[StaleSchemaException] {
+      t.evolve(add = Seq(StructField("score", LongType, nullable = true)))
+    }
+    // the current handle evolves fine
+    val t3 = t2.evolve(add = Seq(StructField("score", LongType, nullable = true)))
+    t3.updateMany(RawCol(col("id") === 1L), Map("score" -> lit(5L)))
+    assert(t3.snapshot().filter($"id" === 1L).select($"score").as[Long].head() == 5L)
+  }
+
   test("second evolve supersedes the first fingerprint; mid handles go stale") {
     val (_, t) = fresh()
     t.createMany(Seq((1L, "a")).toDF("id", "name"))
