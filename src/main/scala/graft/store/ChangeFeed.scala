@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Change data feed: the row-level difference between two committed
@@ -58,14 +58,35 @@ object ChangeFeed {
     val oldDirs = dirsAt(t, fromId)
     val newDirs = dirsAt(t, toId)
     val keys = changedSliceKeys(t, fromId, toId).toSeq.sorted
-    def side(dirs: Map[String, String], tag: String) =
-      others.foldLeft(
-        t.readDirs(keys.flatMap(dirs.get))
-          .withColumn(s"__${tag}_present", lit(true))) {
+    // markers are "__present_<tag>", NOT "__<tag>_present": the per-side
+    // renames produce "__<tag>_<col>", so a column literally named
+    // "present" would collide with the old marker spelling (GraftTable
+    // additionally rejects "__"-prefixed schema columns, so the rename
+    // targets themselves can never collide)
+    def side(dirs: Map[String, String], tag: String, withNullKeys: Boolean) = {
+      val base = t.readDirs(keys.flatMap(dirs.get))
+      val keyed =
+        if (withNullKeys) base
+        else base.filter(pk.map(col(_).isNotNull).reduce(_ && _))
+      others.foldLeft(keyed.withColumn(s"__present_$tag", lit(true))) {
         (d, c) => d.withColumnRenamed(c, s"__${tag}_$c")
       }
+    }
 
-    val j = side(oldDirs, "o").join(side(newDirs, "n"), pk, "full_outer")
+    // NULL-keyed rows (a nullable unique key admits many of them) have no
+    // pairing identity — a key join would either strand byte-identical
+    // rows into spurious delete+insert (null-unsafe) or cross-pair every
+    // old null row with every new one (null-safe). They diff as a
+    // MULTISET on the full row instead: GROUP BY treats NULLs as equal,
+    // so byte-equal rows cancel (no event, honoring the contract) and
+    // only the count surplus emits deletes/inserts. Update pairing is
+    // inherently undefined without identity.
+    def nullKeyed(dirs: Map[String, String]) =
+      t.readDirs(keys.flatMap(dirs.get))
+        .filter(pk.map(col(_).isNull).reduce(_ || _))
+
+    val j = side(oldDirs, "o", withNullKeys = false)
+      .join(side(newDirs, "n", withNullKeys = false), pk, "full_outer")
 
     def img(tag: String) = struct(cols.map { c =>
       if (pk.contains(c)) col(c) else col(s"__${tag}_$c").as(c)
@@ -73,18 +94,67 @@ object ChangeFeed {
     def ev(tag: String, t0: String) =
       struct(img(tag).as("row"), lit(t0).as("ct"))
 
+    // Per-column change test. <=> rejects MapType (no defined ordering),
+    // so map-bearing columns compare through a canonical JSON rendering
+    // with the TOP-LEVEL map's keys sorted; maps nested deeper compare in
+    // stored entry order — a reordered-but-equal nested map can emit a
+    // spurious update pair (conservative direction: an extra event,
+    // never a missed change).
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+    def canon(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case _: org.apache.spark.sql.types.MapType =>
+        // sort entries by KEY ONLY (map keys are always orderable; a
+        // default struct sort would also compare values, which may
+        // themselves be maps — unorderable)
+        to_json(map_from_entries(array_sort(map_entries(c), (l, r) =>
+          when(l("key") < r("key"), lit(-1))
+            .when(l("key") > r("key"), lit(1)).otherwise(lit(0)))))
+      case _ => to_json(struct(c))
+    }
     val valueChanged = others
-      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .map { c =>
+        val dt = t.schema(c).dataType
+        if (containsMap(dt))
+          !(canon(col(s"__o_$c"), dt) <=> canon(col(s"__n_$c"), dt))
+        else !(col(s"__o_$c") <=> col(s"__n_$c"))
+      }
       .reduceOption(_ || _).getOrElse(lit(false))
 
-    val evs = when(col("__n_present").isNull, array(ev("o", "delete")))
-      .when(col("__o_present").isNull, array(ev("n", "insert")))
+    val evs = when(col("__present_n").isNull, array(ev("o", "delete")))
+      .when(col("__present_o").isNull, array(ev("n", "insert")))
       .when(valueChanged,
         array(ev("o", "update_preimage"), ev("n", "update_postimage")))
       .otherwise(lit(null)) // byte-equal row in a rewritten slice: no event
 
-    j.select(explode(evs).as("e"))
+    val keyedEvents = j.select(explode(evs).as("e"))
       .select((cols.map(c => col(s"e.row.$c")) :+
         col("e.ct").as("_change_type")): _*)
+
+    // map-bearing columns cannot be GROUP BY keys — group on their
+    // canonical rendering and carry a representative image via first()
+    // (constant within a group for every non-map column; any
+    // canonically-equal representative for map columns)
+    val unioned = nullKeyed(newDirs).withColumn("__w", lit(1L))
+      .unionByName(nullKeyed(oldDirs).withColumn("__w", lit(-1L)))
+    val groupKeys = cols.zipWithIndex.map { case (c, i) =>
+      val dt = t.schema(c).dataType
+      (if (containsMap(dt)) canon(col(c), dt) else col(c)).as(s"__k$i")
+    }
+    val nullDelta = unioned.groupBy(groupKeys: _*)
+      .agg(sum(col("__w")).as("__d"), cols.map(c => first(col(c)).as(c)): _*)
+      .filter(col("__d") =!= 0L)
+    val nullEvents = nullDelta.select(
+        (explode(array_repeat(
+          when(col("__d") > 0, lit("insert")).otherwise(lit("delete")),
+          abs(col("__d")).cast("int"))).as("_change_type") +:
+          cols.map(col)): _*)
+      .select((cols.map(col) :+ col("_change_type")): _*)
+
+    keyedEvents.unionByName(nullEvents)
   }
 }

@@ -88,6 +88,14 @@ final class GraftTable(
       s"$name: maxLengths applies to string columns only ($c is ${schema(c).dataType})")
   }
 
+  // "__" prefixes are reserved for engine-internal staging columns
+  // (__pk in slice staging, __o_/__n_/__present_ in the change feed,
+  // __rn/__keep in create dedup…): a user column with the prefix could
+  // silently collide with one of them deep inside a write plan — refuse
+  // at declaration, where the error is legible.
+  schema.fieldNames.foreach(c => require(!c.startsWith("__"),
+    s"$name: column $c — the __ prefix is reserved for engine columns"))
+
   /** The inverse view, registered on the CHILD: (parent, childCol,
     * parentCol) triples validated on child-side writes — inserting or
     * updating a child row whose FK value has no parent row raises P2003,
@@ -1179,20 +1187,68 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     * run each [[NestedWrite]] against the slice that was actually inserted
     * — with the batch's extra payload columns intact — all staged in THIS
     * transaction. Returns the parent insert count. */
+  /** ConnectOrCreate's "connect the existing row" half IS
+    * skipDuplicates dedup against the relation/link tables — without a
+    * unique key there, every call would silently re-insert existing
+    * rows (connect degrades to unconditional create). Fail fast. */
+  private def requireConnectKeys(nested: Seq[NestedWrite]): Unit =
+    nested.foreach {
+      case ConnectOrCreate(rel, _, link, _) =>
+        require(rel.uniqueKeys.nonEmpty,
+          s"${rel.name}: connectOrCreate relation table needs a unique key")
+        require(link.uniqueKeys.nonEmpty,
+          s"${link.name}: connectOrCreate link table needs a unique key")
+      case _ => ()
+    }
+
   def createNested(t: GraftTable, rows: DataFrame, nested: Seq[NestedWrite],
                    skipDuplicates: Boolean = false): Long = {
-    val (s, inserted) = t.stagedCreateReturning(stateOf(t), rows, skipDuplicates,
+    import org.apache.spark.sql.functions.{col => fcol}
+    requireConnectKeys(nested)
+    // Pre-resolve the batch BEFORE both the insert and the nested
+    // derivation, so children derive from the row that was ACTUALLY
+    // inserted:
+    //  - NULL-keyed parents have no pairing identity (the semi-join
+    //    below can never match them) — their nested writes would be
+    //    silently skipped, so they are rejected up front;
+    //  - under skipDuplicates, in-batch duplicate keys dedupe HERE,
+    //    deterministically (smallest canonical rendering wins), and the
+    //    SAME frame feeds stagedCreateReturning — previously the staged
+    //    create and the dropDuplicates below each picked an arbitrary
+    //    survivor, so children could derive from a payload that was
+    //    never written. Without skipDuplicates, in-batch duplicates must
+    //    still ERROR in the staged create, so the batch passes through.
+    val key = if (nested.nonEmpty) {
+      require(t.uniqueKeys.nonEmpty,
+        s"${t.name}: nested writes need a unique key to identify inserted parents")
+      t.uniqueKeys.head
+    } else Nil
+    val resolved = if (nested.isEmpty) rows else {
+      // ONE bounded action for the whole key (limit-1 probe), not one
+      // per key column — this is the single action the nested path adds
+      // to the insert budget (ActionBudgetSpec pins it)
+      if (rows.filter(key.map(fcol(_).isNull).reduce(_ || _)).limit(1).count() > 0)
+        throw new NullConstraintException(
+          s"${t.name}: createNested parent key ${key.mkString(",")} must be " +
+            "non-null (null-keyed parents cannot be paired with their nested writes)")
+      if (!skipDuplicates) rows
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key.map(fcol): _*)
+          .orderBy(org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.struct(rows.columns.map(fcol): _*)))
+        rows.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(fcol("__rn") === 1).drop("__rn")
+      }
+    }
+    val (s, inserted) = t.stagedCreateReturning(stateOf(t), resolved, skipDuplicates,
       currentEmpty = isFresh(t))
     checkParentRefs(t, inserted)
     stage(t, s)
     if (nested.nonEmpty) {
-      require(t.uniqueKeys.nonEmpty,
-        s"${t.name}: nested writes need a unique key to identify inserted parents")
-      val key = t.uniqueKeys.head
       // re-attach payload columns: batch rows whose key actually landed
-      val insertedFull = rows.dropDuplicates(key)
-        .join(inserted.select(key.map(org.apache.spark.sql.functions.col): _*),
-          key, "left_semi")
+      val insertedFull = resolved
+        .join(inserted.select(key.map(fcol): _*), key, "left_semi")
       nested.foreach {
         case NestedCreate(child, f, skipDup) =>
           createMany(child, f(insertedFull), skipDup)
@@ -1211,6 +1267,7 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     * matched slice, staged in this transaction. Returns the matched count. */
   def updateNested(t: GraftTable, where: Where, set: Map[String, Column],
                    nested: Seq[NestedWrite]): Long = {
+    requireConnectKeys(nested)
     val cur = stateOf(t)
     val (s, updated) = t.stagedUpdateReturning(cur, where, set)
     checkUpdatedRefs(t, set, updated)

@@ -196,7 +196,10 @@ object SliceStats {
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
     case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
-    case (x: String, y: String)   => x.compareTo(y)
+    // UTF-8 byte order — same collation note as [[utf8Cmp]]: merging
+    // per-file ranges in UTF-16 order can shrink a string range and
+    // wrongly prune
+    case (x: String, y: String)   => utf8Cmp(x, y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case _ => 0
   }
@@ -322,7 +325,13 @@ object SliceStats {
       }
       val cols = leaves.collect {
         case (n, cs) if !isFileKey(n) => n -> cs }.toMap
-      val frows = """"frows":\s*\{([^{}]*)\}""".r.findFirstMatchIn(s)
+      // anchored on the ", \"fcols\"" that render always emits right
+      // after it — a COLUMN literally named "frows" renders a stats leaf
+      // '"frows": {...}' inside the cols wrapper (earlier in the text),
+      // and an unanchored findFirst would read that leaf as the per-file
+      // row map: phantom files, real data files silently dropped from
+      // pruned reads
+      val frows = """"frows":\s*\{([^{}]*)\},\s*"fcols"""".r.findFirstMatchIn(s)
         .map(_.group(1)).map { body =>
           """"((?:[^"\\]|\\.)+)":\s*(\d+)""".r.findAllMatchIn(body)
             .map(m => unescape(m.group(1)) -> m.group(2).toLong).toMap
@@ -375,13 +384,22 @@ object SliceStats {
   /** Can any row of a slice with `stats` match conjunct `e`?
     * Conservative: anything unrecognized answers true (no skipping). */
   def mayMatch(e: Expression, stats: Stats): Boolean = e match {
-    // literal-first forms normalize to attr-first with the op mirrored
-    case EqualTo(l: Literal, a)            => mayMatch(EqualTo(a, l), stats)
-    case LessThan(l: Literal, a)           => mayMatch(GreaterThan(a, l), stats)
-    case LessThanOrEqual(l: Literal, a)    => mayMatch(GreaterThanOrEqual(a, l), stats)
-    case GreaterThan(l: Literal, a)        => mayMatch(LessThan(a, l), stats)
-    case GreaterThanOrEqual(l: Literal, a) => mayMatch(LessThanOrEqual(a, l), stats)
-    case EqualTo(a, l)            => cmpPrune(a, l, eqP = true)(stats)
+    // literal-first forms normalize to attr-first with the op mirrored.
+    // The !Literal guards matter: a literal-vs-literal conjunct (the
+    // analyzer does NOT constant-fold `1 = 1`; only the optimizer does)
+    // would otherwise rebuild itself forever → StackOverflowError. Such
+    // conjuncts fall to the conservative `case _ => true`.
+    case EqualTo(l: Literal, a) if !a.isInstanceOf[Literal] =>
+      mayMatch(EqualTo(a, l), stats)
+    case LessThan(l: Literal, a) if !a.isInstanceOf[Literal] =>
+      mayMatch(GreaterThan(a, l), stats)
+    case LessThanOrEqual(l: Literal, a) if !a.isInstanceOf[Literal] =>
+      mayMatch(GreaterThanOrEqual(a, l), stats)
+    case GreaterThan(l: Literal, a) if !a.isInstanceOf[Literal] =>
+      mayMatch(LessThan(a, l), stats)
+    case GreaterThanOrEqual(l: Literal, a) if !a.isInstanceOf[Literal] =>
+      mayMatch(LessThanOrEqual(a, l), stats)
+    case EqualTo(a, l)            => cmpPrune(a, l)(stats)
     case LessThan(a, l)           => ltPrune(a, l, orEq = false, stats)
     case LessThanOrEqual(a, l)    => ltPrune(a, l, orEq = true, stats)
     case GreaterThan(a, l)        => gtPrune(a, l, orEq = false, stats)
@@ -390,7 +408,7 @@ object SliceStats {
                                      (v.isInstanceOf[Cast] && v.foldable)) =>
       attrName(a) match {
         case Some(_) =>
-          vs.exists(v => cmpPrune(a, v, eqP = true)(stats))
+          vs.exists(v => cmpPrune(a, v)(stats))
         case None => true
       }
     case IsNull(a) => attrName(a).flatMap(stats.cols.get) match {
@@ -448,18 +466,38 @@ object SliceStats {
     case _ => None
   }
 
+  /** Unsigned UTF-8 byte order — the collation parquet footers order
+    * binary min/max by AND Spark's UTF8String comparison uses. Java's
+    * String.compareTo is UTF-16 code-unit order, which DISAGREES beyond
+    * the BMP (a supplementary character's surrogate pair sorts below
+    * U+E000..U+FFFF in UTF-16 but above in UTF-8 bytes) — comparing
+    * stats in the wrong collation wrongly PRUNES slices whose rows
+    * match, i.e. silently drops result rows. */
+  private def utf8Cmp(x: String, y: String): Int = {
+    val a = x.getBytes(StandardCharsets.UTF_8)
+    val b = y.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Ordered compare across the stats domain; None = not comparable. */
   private def ordCmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long)     => Some(java.lang.Long.compare(x, y))
     case (x: Long, y: Double)   => Some(java.lang.Double.compare(x.toDouble, y))
     case (x: Double, y: Long)   => Some(java.lang.Double.compare(x, y.toDouble))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }
 
-  private def cmpPrune(a: Expression, l: Expression, eqP: Boolean)
+  private def cmpPrune(a: Expression, l: Expression)
                       (stats: Stats): Boolean =
     (for {
       name <- attrName(a)

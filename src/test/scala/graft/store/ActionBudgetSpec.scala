@@ -83,10 +83,12 @@ class ActionBudgetSpec extends AnyFunSuite with SparkTestBase {
           links = b => b.select(col("id").as("parent_id"),
             concat(lit("tag-"), col("segment")).as("tag_id")))))
     }
-    // 4 inserted tables x (checkpoint-with-observed-stats + slice write).
-    // An action creeping into the insert path fails HERE, not a bench
-    // round later.
-    assert(execs <= 8, s"insert path regressed: $execs root executions (budget 8)")
+    // 4 inserted tables x (checkpoint-with-observed-stats + slice write)
+    // + ONE bounded limit-1 probe rejecting null-keyed nested parents
+    // (whose children would otherwise be silently skipped — the round-10
+    // review fix). An action creeping into the insert path fails HERE,
+    // not a bench round later.
+    assert(execs <= 9, s"insert path regressed: $execs root executions (budget 9)")
     assert(parentT.snapshot().count() == 3)
     assert(eventT.snapshot().count() == 3)
     assert(tagT.snapshot().count() == 2)

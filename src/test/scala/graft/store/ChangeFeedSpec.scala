@@ -99,6 +99,48 @@ class ChangeFeedSpec extends AnyFunSuite with SparkTestBase {
       (1L, 2L, "sealed", "update_postimage")))
   }
 
+  test("null-keyed rows diff as a multiset: byte-equal emit nothing, changes emit delete+insert") {
+    // nullable unique key — the store admits many NULL-keyed rows, which
+    // have no pairing identity: a null-unsafe key join stranded
+    // byte-identical rows into spurious delete+insert on every slice
+    // rewrite
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "leads", StructType(Seq(
+      StructField("email", StringType, nullable = true),
+      StructField("v", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("email")))
+    t.createMany(Seq((None: Option[String], "a"), (None, "b"), (Some("k1"), "c"))
+      .toDF("email", "v"))
+    val pin = cat.currentCommitId()
+    t.updateMany(RawCol(col("v") === "b"), Map("v" -> lit("B")))
+    val feed = ChangeFeed.changesBetween(t, pin, cat.currentCommitId())
+      .select($"email", $"v", $"_change_type")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getString(2))).toSet
+    // (null, "a") is byte-equal in the rewritten slice → NO event;
+    // (k1, "c") untouched → no event; (null, b→B) has no identity →
+    // multiset delete+insert (update pairing is undefined without a key)
+    assert(feed == Set((None, "b", "delete"), (None, "B", "insert")))
+  }
+
+  test("map-typed columns diff through canonical rendering (no EqualNullSafe crash)") {
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "docs", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("attrs", MapType(StringType, StringType), nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    t.createMany(Seq(
+      (1L, Map("a" -> "1", "b" -> "2")),
+      (2L, Map("x" -> "9"))).toDF("id", "attrs"))
+    val pin = cat.currentCommitId()
+    t.updateMany(RawCol(col("id") === 2L),
+      Map("attrs" -> map(lit("x"), lit("8"))))
+    val feed = ChangeFeed.changesBetween(t, pin, cat.currentCommitId())
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    // id 1's map is unchanged in the rewritten slice → nothing; id 2
+    // emits the update pair (pre-fix: AnalysisException — <=> rejects maps)
+    assert(feed == Set((2L, "update_preimage"), (2L, "update_postimage")))
+  }
+
   test("feed across several commits composes (from table creation)") {
     val cat = freshCatalog()
     val t = table(cat)

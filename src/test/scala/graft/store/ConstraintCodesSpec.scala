@@ -30,6 +30,18 @@ class ConstraintCodesSpec extends AnyFunSuite with SparkTestBase {
   private def eventRows(rows: (Long, Long, String)*): DataFrame =
     rows.toSeq.toDF("id", "companyId", "note")
 
+  test("__-prefixed column names are rejected at declaration (reserved for engine staging)") {
+    // a user column named like an engine staging column (__pk, __o_<c>,
+    // __present_o …) would collide deep inside a write or change-feed
+    // plan; the declaration-time error is the legible one
+    val e = intercept[IllegalArgumentException] {
+      new GraftTable(spark, freshCatalog(), "t", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("__pk", StringType, nullable = true))))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("P2000: insert over a declared max length fails, at-cap passes") {
     val t = new GraftTable(spark, freshCatalog(), "company", companySchema,
       uniqueKeys = Seq(Seq("id")), maxLengths = Map("name" -> 10))

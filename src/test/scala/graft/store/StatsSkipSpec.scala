@@ -137,6 +137,30 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     assert(t.prunedDirs(col("big") > lit(BigDecimal("99999.99")))._1.isEmpty)
   }
 
+  test("literal-only conjuncts stay conservative (no recursion); supplementary chars never wrongly prune") {
+    val t = seeded()
+    // WHERE 1=1 AND id >= 100: the ANALYZER does not constant-fold, so
+    // mayMatch sees EqualTo(Literal, Literal) — the literal-first mirror
+    // case must not rebuild itself forever (StackOverflowError pre-fix)
+    val r = t.snapshotWhere(lit(1) === lit(1) && col("id") >= 100L)
+    assert(r.count() == 75)
+
+    // footer min/max are ordered by unsigned UTF-8 bytes (= Spark's
+    // UTF8String order); comparing them with Java's UTF-16 compareTo
+    // wrongly pruned slices whose strings straddle the surrogate range
+    val emoji = new String(Character.toChars(0x1F600)) // F0 9F 98 80
+    val cat2 = freshCatalog()
+    val t2 = new GraftTable(spark, cat2, "s", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true))))
+    t2.createMany(Seq((1L, "�"), (2L, emoji)).toDF("id", "s"))
+    // both rows match in byte order (emoji > U+FFFD); UTF-16 order says
+    // the slice max (emoji) is BELOW the literal → pre-fix the whole
+    // slice was pruned and the result silently lost both rows
+    assert(t2.snapshotWhere(col("s") >= "�").count() == 2)
+    assert(t2.snapshotWhere(col("s") <= emoji).count() == 2)
+  }
+
   test("mutations refresh stats; compaction preserves them") {
     val t = seeded()
     t.updateMany(graft.query.RawCol(col("bucket") === "b0"),

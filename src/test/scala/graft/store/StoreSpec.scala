@@ -308,6 +308,72 @@ class StoreSpec extends AnyFunSuite with SparkTestBase {
     assert(child.snapshot().select("cid").as[String].collect().toSeq == Seq("c-u2"))
   }
 
+  test("createNested: null-keyed parents are rejected P2011, not silently child-less") {
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "lead", StructType(Seq(
+      StructField("extId", StringType, nullable = true),
+      StructField("payload", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("extId")))
+    val child = new GraftTable(spark, cat, "note", StructType(Seq(
+      StructField("nid", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("nid")))
+    // a null business key has no pairing identity: the semi-join back to
+    // payload rows can never match it, so its children would silently be
+    // skipped — the store refuses instead
+    val e = intercept[NullConstraintException] {
+      t.createNested(
+        Seq((None: Option[String], Some("p1")), (Some("k"), Some("p2")))
+          .toDF("extId", "payload"),
+        Seq(NestedCreate(child,
+          b => b.select(concat(lit("n-"), col("extId")).as("nid")))))
+    }
+    assert(e.getMessage.contains("P2011"))
+    assert(t.snapshot().count() == 0 && child.snapshot().count() == 0)
+  }
+
+  test("createNested under skipDuplicates: children derive from the row that was inserted") {
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "lead", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tag", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("id")))
+    val child = new GraftTable(spark, cat, "note", StructType(Seq(
+      StructField("nid", StringType, nullable = false),
+      StructField("tag", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("nid")))
+    // two in-batch duplicates of id=1 with DIFFERENT payloads: whichever
+    // survives, the committed parent row and the derived child must agree
+    t.createNested(
+      Seq((1L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("id", "tag"),
+      Seq(NestedCreate(child, b => b.select(
+        concat(lit("n-"), col("id")).as("nid"), col("tag")))),
+      skipDuplicates = true)
+    val parentTags = t.snapshot().select($"id", $"tag").as[(Long, String)]
+      .collect().toMap
+    val childTags = child.snapshot()
+      .select(regexp_replace($"nid", "n-", "").cast("long"), $"tag")
+      .as[(Long, String)].collect().toMap
+    assert(parentTags == childTags)
+    assert(parentTags.keySet == Set(1L, 2L))
+  }
+
+  test("connectOrCreate requires unique keys on relation and link tables") {
+    val cat = freshCatalog()
+    val t = urlTable(cat)
+    val keyless = new GraftTable(spark, cat, "rel", StructType(Seq(
+      StructField("tag", StringType, nullable = false))))
+    val link = new GraftTable(spark, cat, "lnk", StructType(Seq(
+      StructField("a", StringType, nullable = false))),
+      uniqueKeys = Seq(Seq("a")))
+    // without a unique key, skipDuplicates dedups nothing and the
+    // "connect existing" half silently becomes unconditional create
+    intercept[IllegalArgumentException] {
+      t.createNested(urlRows(("u1", "https://a", None)),
+        Seq(ConnectOrCreate(keyless, b => b.select(lit("x").as("tag")),
+          link, b => b.select(lit("x").as("a")))))
+    }
+  }
+
   test("updateNested: nested child rows derive from the post-update matched slice") {
     val cat = freshCatalog()
     val t = urlTable(cat)
