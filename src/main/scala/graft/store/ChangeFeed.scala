@@ -63,10 +63,14 @@ object ChangeFeed {
     // "present" would collide with the old marker spelling (GraftTable
     // additionally rejects "__"-prefixed schema columns, so the rename
     // targets themselves can never collide)
-    def side(dirs: Map[String, String], tag: String, withNullKeys: Boolean) = {
+    // Null-keyed handling only exists when the schema can even PRODUCE a
+    // null key — for the (common) non-nullable key, the filters and the
+    // whole multiset subtree below are statically elided.
+    val pkNullable = pk.exists(k => t.schema(k).nullable)
+    def side(dirs: Map[String, String], tag: String) = {
       val base = t.readDirs(keys.flatMap(dirs.get))
       val keyed =
-        if (withNullKeys) base
+        if (!pkNullable) base
         else base.filter(pk.map(col(_).isNotNull).reduce(_ && _))
       others.foldLeft(keyed.withColumn(s"__present_$tag", lit(true))) {
         (d, c) => d.withColumnRenamed(c, s"__${tag}_$c")
@@ -85,8 +89,7 @@ object ChangeFeed {
       t.readDirs(keys.flatMap(dirs.get))
         .filter(pk.map(col(_).isNull).reduce(_ || _))
 
-    val j = side(oldDirs, "o", withNullKeys = false)
-      .join(side(newDirs, "n", withNullKeys = false), pk, "full_outer")
+    val j = side(oldDirs, "o").join(side(newDirs, "n"), pk, "full_outer")
 
     def img(tag: String) = struct(cols.map { c =>
       if (pk.contains(c)) col(c) else col(s"__${tag}_$c").as(c)
@@ -134,6 +137,8 @@ object ChangeFeed {
     val keyedEvents = j.select(explode(evs).as("e"))
       .select((cols.map(c => col(s"e.row.$c")) :+
         col("e.ct").as("_change_type")): _*)
+
+    if (!pkNullable) return keyedEvents
 
     // map-bearing columns cannot be GROUP BY keys — group on their
     // canonical rendering and carry a representative image via first()
