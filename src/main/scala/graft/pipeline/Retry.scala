@@ -26,14 +26,21 @@ object Retry {
   }
 
   /** Generic bounded retry with exponential backoff for external-I/O legs
-    * (the browser/LLM/CRM boundary in a production deployment). */
+    * (the browser/LLM/CRM boundary in a production deployment). Only
+    * NonFatal failures are ever retried: retrying an InterruptedException
+    * would swallow cooperative cancellation and sleep through the whole
+    * backoff schedule with the interrupt flag lost, and retrying
+    * OutOfMemoryError/fatal VM errors masks a dying JVM. */
   def withBackoff[A](times: Int, baseMs: Long = 100,
                      retryable: Throwable => Boolean = _ => true)(body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
       catch {
-        case e: Throwable if retryable(e) && attempt < times =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt() // re-assert; never retried
+          throw e
+        case scala.util.control.NonFatal(e) if retryable(e) && attempt < times =>
           attempt += 1
           Thread.sleep(baseMs * (1L << (attempt - 1)))
       }

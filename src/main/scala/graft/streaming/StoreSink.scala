@@ -36,21 +36,31 @@ object StoreSink {
   private def exactlyOnce(t: GraftTable, streamId: String)
                          (write: (Txn, DataFrame) => Unit): (DataFrame, Long) => Unit =
     (df: DataFrame, batchId: Long) => {
-      // ONE manifest read serves both the replay check and the OCC
-      // baseline: a zombie instance of the same query committing this
-      // batch after our check then fails OUR commit (P2034) instead of
-      // being silently absorbed — the check alone would be TOCTOU-racy
-      // over the multi-minute window a batch write can span
-      val streams = t.catalog.manifest().get(Catalog.StreamTable)
-      val last = streams
-        .flatMap(_.get(Catalog.streamKey(t.name, streamId))).map(_.toLong)
-      // replay detection: batch ids are monotone per checkpoint, so any
-      // id at-or-below the committed watermark was already published
-      if (!last.exists(_ >= batchId)) {
-        val txn = new Txn(t.catalog)
-        write(txn, df)
-        txn.recordStreamBatch(t, streamId, batchId, streams)
-        txn.commit()
+      // The whole batch body retries on OCC conflict: two streams (or a
+      // stream and a batch writer) sharing one store WILL collide on the
+      // manifest swap, and an unretried P2034 propagates out of
+      // foreachBatch and kills the entire streaming query. Each attempt
+      // re-reads the manifest fresh, so the replay check, the OCC
+      // baseline, AND the data snapshot all move forward together —
+      // retrying only the commit would publish a batch computed against
+      // a stale snapshot.
+      graft.pipeline.Retry.onConflict() {
+        // ONE manifest read serves both the replay check and the OCC
+        // baseline: a zombie instance of the same query committing this
+        // batch after our check then fails OUR commit (P2034) instead of
+        // being silently absorbed — the check alone would be TOCTOU-racy
+        // over the multi-minute window a batch write can span
+        val streams = t.catalog.manifest().get(Catalog.StreamTable)
+        val last = streams
+          .flatMap(_.get(Catalog.streamKey(t.name, streamId))).map(_.toLong)
+        // replay detection: batch ids are monotone per checkpoint, so any
+        // id at-or-below the committed watermark was already published
+        if (!last.exists(_ >= batchId)) {
+          val txn = new Txn(t.catalog)
+          write(txn, df)
+          txn.recordStreamBatch(t, streamId, batchId, streams)
+          txn.commit()
+        }
       }
     }
 

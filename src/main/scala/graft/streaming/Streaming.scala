@@ -88,13 +88,20 @@ object Streaming {
     * was already seen — state is the fingerprint set, bounded by the
     * watermark (older-than-watermark fingerprints are evicted, so an
     * endless stream doesn't accumulate state forever; duplicates arriving
-    * later than the watermark pass through — the standard trade). */
+    * later than the watermark pass through — the standard trade).
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: Spark only
+    * evicts plain-dropDuplicates state when the event-time column is part
+    * of the key, and `__fp` alone isn't — the fingerprint set would grow
+    * forever on an endless stream (per-task OOM) and the documented
+    * "late duplicate passes through" behavior would never happen. The
+    * WithinWatermark variant is the API built for exactly this shape. */
   def streamingDedup(docs: DataFrame, textCol: String,
                      tsCol: String, watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__fp")
+      .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
   /** Stream-stream self-join with watermarks: pair each "view"-class event
@@ -171,11 +178,20 @@ object Streaming {
   /** One sessionization record per (user, session). */
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, n_events: Int)
-  private final case class SessionState(startMs: Long, lastMs: Long, n: Int)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Int)
 
   /** Event-time sessionization with a gap timeout, via
-    * `mapGroupsWithState` — the reference has nothing like it; included as
-    * the canonical custom-state operator (SURVEY §2.F → Spark mapping). */
+    * `flatMapGroupsWithState` — the reference has nothing like it;
+    * included as the canonical custom-state operator (SURVEY §2.F →
+    * Spark mapping).
+    *
+    * BOUNDED-INPUT semantics: each group is processed once and the
+    * trailing session is closed and emitted — correct for batch Datasets
+    * and single-batch (AvailableNow) runs. On a MULTI-batch stream this
+    * shape re-emits a session that spans batches (Append mode cannot
+    * retract) and its NoTimeout state lives forever — use
+    * [[sessionizeStream]] there, which holds the open session in state
+    * and emits it exactly once via event-time timeout. */
   def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
                  gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -212,6 +228,54 @@ object Streaming {
           sessions.iterator
       }
   }
+
+  /** MULTI-batch streaming sessionization: the open trailing session is
+    * HELD in state (never emitted early) and surfaces exactly once when
+    * the event-time timeout proves the gap elapsed — the watermark-driven
+    * close [[sessionize]] cannot express. Requires `withWatermark` on the
+    * timestamp column upstream (EventTimeTimeout's contract). Late
+    * cross-batch events only EXTEND a session (lastMs is monotone via
+    * max), never regress an emitted bound. */
+  def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp)],
+                       gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastMs + gap: no event can extend it —
+            // the ONE emission of this session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur: Option[SessionState] = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  sessions += SessionOut(user, new java.sql.Timestamp(s.startMs),
+                    new java.sql.Timestamp(s.lastMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            sessions.iterator
+          }
+      }
+  }
 }
 
 /** Streaming stage-1: new `GooglePlaceUrlToScrape` rows land as parquet in
@@ -238,8 +302,14 @@ final class IncrementalLocator(
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // idempotent ingest: replays hit the unique keys and are swallowed
-        store.urls.createMany(batch, skipDuplicates = true)
+        // idempotent ingest: replays hit the unique keys and are
+        // swallowed. Retried on OCC conflict like every other store
+        // write in the pipeline (Stages wraps all four of its paths) —
+        // an unretried P2034 would propagate out of foreachBatch and
+        // kill the whole streaming query.
+        graft.pipeline.Retry.onConflict() {
+          store.urls.createMany(batch, skipDuplicates = true)
+        }
         // drain the pending slice this batch created
         Stages.runLocator(store, extractor)
         ()

@@ -12,20 +12,39 @@ import org.apache.spark.sql.SparkSession
   * null-on-timeout status semantics (`locator.ts:113-143`). */
 object Timeouts {
 
-  final class StageTimeoutException(msg: String) extends RuntimeException(msg)
+  /** Carries the underlying failure (if the timeout surfaced by killing a
+    * job mid-flight) as the cause — a genuine data error racing the
+    * deadline must stay debuggable, not be flattened into "timeout". */
+  final class StageTimeoutException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   def withTimeout[A](spark: SparkSession, timeoutMs: Long,
                      group: String = s"graft-timeout-${System.nanoTime()}")(body: => A): A = {
     val sc = spark.sparkContext
     @volatile var timedOut = false
+    // armed gate: interrupt() in finally only helps while the watchdog is
+    // still sleeping — one that already woke would cancel the job GROUP
+    // after this invocation finished, killing an unrelated later stage
+    // that reuses the group name. The watchdog re-checks the gate at the
+    // last moment instead.
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
     val watchdog = new Thread(() => {
       try {
         Thread.sleep(timeoutMs)
-        timedOut = true
-        sc.cancelJobGroup(group)
+        if (armed.get()) {
+          timedOut = true
+          sc.cancelJobGroup(group)
+        }
       } catch { case _: InterruptedException => () }
     }, s"$group-watchdog")
     watchdog.setDaemon(true)
+    // job-group assignment is a thread-local Spark property — save the
+    // caller's and RESTORE it (clearJobGroup would detach all later jobs
+    // from an enclosing group, silently breaking the outer watchdog /
+    // the caller's own cancelJobGroup; nested withTimeout needs this)
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(group, s"graft stage (timeout ${timeoutMs}ms)",
       interruptOnCancel = true)
     watchdog.start()
@@ -35,10 +54,14 @@ object Timeouts {
       out
     } catch {
       case e: Throwable if timedOut =>
-        throw new StageTimeoutException(s"stage exceeded ${timeoutMs}ms (${e.getClass.getSimpleName})")
+        throw new StageTimeoutException(
+          s"stage exceeded ${timeoutMs}ms (${e.getClass.getSimpleName})", e)
     } finally {
+      armed.set(false)
       watchdog.interrupt()
-      sc.clearJobGroup()
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
     }
   }
 }

@@ -122,6 +122,51 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("sessionizeStream: a session spanning micro-batches emits EXACTLY once, on timeout") {
+    // the bounded-input sessionize would emit the open trailing session
+    // every batch (Append cannot retract); the streaming variant holds it
+    // in state and closes it via event-time timeout
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val withWm = input.toDS()
+      .withColumnRenamed("_2", "ts").withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.Streaming.sessionizeStream(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // ts(60), not ts(0): the query starts with watermark 0, and an
+      // event AT the watermark is dropped as late before reaching the
+      // stateful operator
+      input.addData((7L, ts(60)))
+      q.processAllAvailable()
+      // still open — NOTHING emitted yet (the bounded-input sessionize
+      // would already have emitted it here, then AGAIN after the merge)
+      assert(spark.table("sess_stream").count() == 0)
+      input.addData((7L, ts(70))) // extends the same session across batches
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() == 0)
+      // an event far past the gap closes the spanning session — its ONE
+      // emission, carrying events from BOTH earlier batches
+      input.addData((7L, ts(160)))
+      q.processAllAvailable()
+      // watermark far past the last session's timeout flushes it too
+      input.addData((99L, ts(260)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .as[graft.streaming.Streaming.SessionOut].collect()
+      val u7 = rows.filter(_.user_id == 7L)
+        .map(s => (s.session_start.getTime / 60000,
+          s.session_end.getTime / 60000, s.n_events))
+      assert(u7.length == 2, s"sessions must emit exactly once: ${u7.toSeq}")
+      assert(u7.toSet == Set((60L, 70L, 2), (160L, 160L, 1)))
+    } finally q.stop()
+  }
+
   test("incremental locator: checkpointed stream ingests, processes, and replays idempotently") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
     val inbox = tmp.resolve("inbox"); val ckpt = tmp.resolve("ckpt")
