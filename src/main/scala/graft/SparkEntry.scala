@@ -4392,16 +4392,18 @@ object SparkEntry {
     "q_attribution" -> """
       WITH conv AS (
         SELECT event_id AS cid, user_id,
-               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS cs
+               epoch_us(CAST(ts AS TIMESTAMP)) AS cus
         FROM events WHERE event_type = 'purchase'),
       touch AS (
         SELECT event_id AS tid, user_id,
-               epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS tsec, ts AS tts
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tus, ts AS tts
         FROM events WHERE event_type IN ('view', 'click')),
       pairs AS (
+        -- microsecond band: a touch even 1 µs AFTER the conversion gets
+        -- no credit (second-truncation used to admit up to ~1 s after)
         SELECT c.cid, t.tid, t.tts
         FROM conv c JOIN touch t ON t.user_id = c.user_id
-         AND t.tsec >= c.cs - 3600 AND t.tsec <= c.cs),
+         AND t.tus >= c.cus - 3600000000 AND t.tus <= c.cus),
       credit AS (
         SELECT cid, tid,
                1000 // (count(*) OVER (PARTITION BY cid))
@@ -5218,9 +5220,9 @@ object SparkEntry {
             WHERE event_type = 'purchase') p
       JOIN events e ON e.user_id = p.user_id
         AND e.event_id <> p.event_id
-        AND epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000000
-              BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000 - 3600
-                  AND epoch_us(CAST(p.ts AS TIMESTAMP)) // 1000000 + 3600
+        AND epoch_us(CAST(e.ts AS TIMESTAMP))
+              BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 3600000000
+                  AND epoch_us(CAST(p.ts AS TIMESTAMP)) + 3600000000
       GROUP BY p.event_id
       ORDER BY p.event_id""",
 

@@ -41,7 +41,18 @@ case class TopKAgg(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      buf.add(row.getDouble(0), row.getLong(1))
+      // FIELD null checks, not just the struct: getDouble/getLong on a
+      // null field unbox to 0.0/0L, fabricating a (0.0, id) or (score, 0)
+      // candidate — a null score (null embedding → null dot product) or
+      // null id must contribute NOTHING, matching the window formulation
+      // (desc ordering sorts nulls last, NaN-free rows win). NaN scores
+      // are equally excluded: they are not comparable candidates, and the
+      // heap's total ordering would otherwise keep them while sortedDesc
+      // ranked them last — neither is a defensible "top" element.
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val score = row.getDouble(0)
+        if (!java.lang.Double.isNaN(score)) buf.add(score, row.getLong(1))
+      }
     }
     buf
   }
@@ -69,11 +80,18 @@ case class TopKAgg(
 /** k-bounded min-heap on (score asc, id desc): the root is the element to
   * evict; survivors are the k best by (score desc, id asc). */
 final class TopKBuffer(val k: Int) {
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2)).reverse
+  // explicit comparator, NOT Ordering.by(t => (t._1, -t._2)): negating the
+  // id overflows for Long.MinValue (-MinValue == MinValue), silently
+  // inverting tie-break eviction for that id
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else java.lang.Long.compare(b._2, a._2) // id desc
+    }
+  }.reverse
   // scala PriorityQueue dequeues the MAX by ordering; with `reverse` on
-  // (score, -id) the dequeued element is the smallest score (largest id on
-  // ties) — exactly the one to evict.
+  // (score asc, id desc) the dequeued element is the smallest score
+  // (largest id on ties) — exactly the one to evict.
   private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord)
 
   def add(score: Double, id: Long): Unit = {

@@ -57,14 +57,31 @@ object AsOf {
       within: Option[(Column, Column) => Column] = None,
       strict: Boolean = false): DataFrame = {
 
+    // SQL-join semantics for the output shape: a payload name colliding
+    // with a probe column would silently emit duplicate column names
+    // (ambiguous downstream, invalid parquet schema) — pandas merge_asof
+    // suffixes; here the caller must alias first.
+    payload.filter(probes.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"asofJoin: payload column $c collides with a probe column — alias it")
+    }
+
     // Sort order at equal time decides <= vs <: under <= the quote must be
     // visible to the probe, so quotes sort first; under < probes sort first.
     val (quoteSide, probeSide) = if (strict) (1, 0) else (0, 1)
 
+    // NULL keys never match (SQL/pandas/DuckDB as-of semantics): the
+    // partition window would otherwise group null-keyed quotes WITH
+    // null-keyed probes and enrich them with each other's payloads. A
+    // null-TIMED quote is equally unmatchable (it would sort first and be
+    // carried into every probe of its key). Null-keyed/timed PROBES stay —
+    // they emit with null payload like any unmatched probe.
+    val qClean = quotes.filter(col(quoteKey).isNotNull && col(quoteTime).isNotNull)
+
     // Quote time travels inside the struct so `within` can see it.
     val qStruct = struct(
       (col(quoteTime).as("__qt") +: payload.map(col)): _*)
-    val qSel = quotes.select(
+    val qSel = qClean.select(
       col(quoteKey).as("__k"), col(quoteTime).as("__t"),
       (tieBreak.map(col).getOrElse(lit(0L))).as("__tb"),
       lit(quoteSide).as("__side"), qStruct.as("__q"))
@@ -127,6 +144,13 @@ object AsOf {
       bucketSeconds: Long,
       tieBreak: Option[String] = None): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // same contracts as asofJoin: no payload/probe name collisions, and
+    // null-keyed/null-timed quotes are unmatchable
+    payload.filter(probes.columns.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"bucketedAsofJoin: payload column $c collides with a probe column — alias it")
+    }
+    val qClean = quotes.filter(col(quoteKey).isNotNull && col(quoteTime).isNotNull)
 
     def bucketOf(c: Column): Column =
       floor(c.cast("timestamp").cast("double") / lit(bucketSeconds.toDouble))
@@ -139,7 +163,7 @@ object AsOf {
       .distinct()
 
     // Last quote of each (key, quote-bucket): ONE row per key×bucket.
-    val qTagged = quotes.select(
+    val qTagged = qClean.select(
       col(quoteKey).as("__k"), col(quoteTime).as("__t"),
       bucketOf(col(quoteTime)).as("__b"),
       tieBreak.map(col).getOrElse(lit(0L)).as("__tb"),

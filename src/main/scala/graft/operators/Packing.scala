@@ -47,7 +47,17 @@ object Packing {
     require(maxTokens > 0, "maxTokens must be positive")
     require(overlap >= 0 && overlap < maxTokens, "0 <= overlap < maxTokens")
     val step = maxTokens - overlap
-    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+    // Word-chunking contract: splits on SINGLE SPACES — the input is
+    // expected whitespace-normalized text (the curation pipeline's
+    // canonical form), and chunk_text reconstruction must be the exact
+    // inverse of the split, which a \s+ class split cannot be (it would
+    // collapse newlines/tabs out of the reconstructed chunks). Multi-
+    // whitespace input shifts boundaries, it never loses characters.
+    // NULL-text documents emit NO chunk rows: unguarded, size(null)
+    // propagates through greatest/least (which skip nulls) into one
+    // fabricated chunk claiming a full maxTokens of null text.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
       .withColumn("__n", size(col("__w")).cast("long"))
       // ceil((n - overlap) / step) in integers, min 1
       .withColumn("__nc",
@@ -88,6 +98,10 @@ object Packing {
     * formulation. Token counts are assumed NON-NEGATIVE (NULL counts as
     * zero); a negative value makes shard ids non-monotone, exactly as
     * the SQL window formulation would. */
+  /** NOTE: `tokensCol`/`sortCols` must be NAME-based (`col("tokens")`),
+    * not frame-resolved (`df("tokens")`): the two-pass prefix sum rebuilds
+    * the plan from an RDD with fresh expression ids, so a pre-resolved
+    * AttributeReference from the input frame no longer binds. */
   def assignShardsByTokenBudget(df: DataFrame, sortCols: Seq[Column],
                                 tokensCol: Column, budget: Long,
                                 numPartitions: Int = -1): DataFrame = {

@@ -25,9 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Band join on epoch-seconds times.
+  /** Band join with the band declared in seconds but COMPARED at
+    * microsecond precision — timestamps in the wild carry sub-second
+    * components, and truncating both sides to whole seconds (an earlier
+    * revision did) admits rows up to ~1 s OUTSIDE the declared band;
+    * with `after = 0` (the attribution shape) that silently credited
+    * touchpoints that happened after the conversion.
     *
-    * @param leftTime/rightTime columns castable to timestamp/long seconds
+    * @param leftTime/rightTime columns castable to timestamp
     * @param before  band extent backwards from left.t, in seconds (>= 0)
     * @param after   band extent forwards from left.t, in seconds (>= 0)
     * @return left columns + right columns of matching pairs (inner join)
@@ -39,32 +44,33 @@ object RangeJoin {
       before: Long, after: Long): DataFrame = {
     require(before >= 0 && after >= 0 && before + after > 0,
       s"band [$before, $after] must be non-negative and non-empty")
-    val w = before + after
+    val w = (before + after) * 1000000L // bucket width in micros
+    val beforeUs = before * 1000000L
+    val afterUs = after * 1000000L
 
-    def secs(c: Column): Column = c.cast("timestamp").cast("long")
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
-    val lSec = secs(left(leftTime))
+    val lUs = micros(left(leftTime))
     // floor-div of possibly-negative epochs: Spark's `div` truncates toward
-    // zero, so use floor() on double-free integer arithmetic via pmod-style
-    // shift: floor((t - before)/w) .. floor((t + after)/w). Epochs here are
-    // positive; keep the floor() form anyway so pre-1970 data stays correct.
+    // zero, so use floor(); epochs here are positive, but pre-1970 data
+    // stays correct this way.
     def fdiv(c: Column): Column = floor(c.cast("double") / lit(w.toDouble)).cast("long")
-    val loBucket = fdiv(lSec - lit(before))
-    val hiBucket = fdiv(lSec + lit(after))
+    val loBucket = fdiv(lUs - lit(beforeUs))
+    val hiBucket = fdiv(lUs + lit(afterUs))
 
     val lExploded = left
       .withColumn("__bucket", explode(array_distinct(array(loBucket, hiBucket))))
-    val rBucketed = right.withColumn("__bucket", fdiv(secs(right(rightTime))))
+    val rBucketed = right.withColumn("__bucket", fdiv(micros(right(rightTime))))
 
-    val rSec = secs(rBucketed(rightTime))
-    val lSec2 = secs(lExploded(leftTime))
+    val rUs = micros(rBucketed(rightTime))
+    val lUs2 = micros(lExploded(leftTime))
     // A right row owns exactly one bucket and the left's ≤2 candidates are
     // distinct, so each qualifying (left, right) pair joins exactly once —
     // no post-join dedup needed.
     lExploded.join(rBucketed,
         lExploded(leftKey) === rBucketed(rightKey) &&
         lExploded("__bucket") === rBucketed("__bucket") &&
-        rSec >= lSec2 - lit(before) && rSec <= lSec2 + lit(after))
+        rUs >= lUs2 - lit(beforeUs) && rUs <= lUs2 + lit(afterUs))
       .drop(lExploded("__bucket")).drop(rBucketed("__bucket"))
   }
 }
