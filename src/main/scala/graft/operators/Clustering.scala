@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means over embedding columns — the clustering
@@ -50,7 +49,14 @@ object Clustering {
     val eMilli = transform(col(embCol).cast("array<double>"),
       x => greatest(lit(-2000L),
         least(lit(2000L), round(x * 1000, 0).cast("long"))) + 2000L)
-    val pts = points.select(col(idCol).as("id"), eMilli.as("__e"))
+    // null/NaN coordinates are EXCLUDED, not quantized: least/greatest
+    // skip nulls (a null element would silently clamp to the +2.0 bound)
+    // and NaN casts to 0 — either way the point lands in a wrong cluster
+    // and pollutes center means with fabricated coordinates. Dropping a
+    // malformed embedding is a documented, observable choice.
+    val clean = points.filter(col(embCol).isNotNull &&
+      !exists(col(embCol).cast("array<double>"), x => x.isNull || isnan(x)))
+    val pts = clean.select(col(idCol).as("id"), eMilli.as("__e"))
 
     // Seeds: the k rows with the smallest (md5(id), id) draw, cid 1..k in
     // that order — portable, and independent of physical row order.

@@ -45,9 +45,15 @@ object Graph {
     */
   def pageRankFixedPoint(edges: DataFrame, nodes: DataFrame,
                          iters: Int = 5): DataFrame = {
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // Non-positive/null weights are excluded up front (the same contract
+    // Sampling.weightedPrioritySample enforces): a source whose out-weight
+    // sums to 0 would divide by zero in the contribution step — null per-
+    // edge contributions silently dropped by sum() (the node's whole rank
+    // mass vanishes), or a runtime error under ANSI mode.
+    val posEdges = edges.filter(col("w").isNotNull && col("w") > 0L)
+    val outw = posEdges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // (src, dst, w, ow) — built once, reused every round
-    val e = edges.join(outw, "src")
+    val e = posEdges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     var i = 0

@@ -27,19 +27,6 @@ import org.apache.spark.sql.functions._
   */
 object Importance {
 
-  /** DSIR importance weights over word bigrams (plain single-space split —
-    * the engine-portable tokenization the oracle mirrors with
-    * `string_split(text, ' ')` + `lead()`).
-    *
-    * @param docs     corpus
-    * @param isTarget predicate marking the TARGET slice (e.g. a curated
-    *                 domain, `lang === "en"`); the background LM is the
-    *                 whole corpus
-    * @param buckets  hash-bucket count for the gram vocabulary
-    * @return (idCol, n_grams, dsir) — mean per-gram log-likelihood ratio
-    *         with add-one smoothing, rounded to 6 decimals; documents with
-    *         fewer than 2 tokens carry no bigram and are excluded
-    */
   /** CCNet-style perplexity quality filter (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
     * per-document cross-entropy under a unigram LM trained on a REFERENCE
@@ -91,6 +78,19 @@ object Importance {
         round(-sum(term) / count(lit(1)), 6).as("ce"))
   }
 
+  /** DSIR importance weights over word bigrams (plain single-space split —
+    * the engine-portable tokenization the oracle mirrors with
+    * `string_split(text, ' ')` + `lead()`).
+    *
+    * @param docs     corpus
+    * @param isTarget predicate marking the TARGET slice (e.g. a curated
+    *                 domain, `lang === "en"`); the background LM is the
+    *                 whole corpus
+    * @param buckets  hash-bucket count for the gram vocabulary
+    * @return (idCol, n_grams, dsir) — mean per-gram log-likelihood ratio
+    *         with add-one smoothing, rounded to 6 decimals; documents with
+    *         fewer than 2 tokens carry no bigram and are excluded
+    */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")

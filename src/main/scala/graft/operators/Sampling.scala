@@ -37,8 +37,18 @@ object Sampling {
   def keepPredicate(key: Column, rate: Double): Column =
     drawBelow(key, lit(thresholdFor(rate)))
 
+  /** The shared uniform draw digest. Null keys canonicalize to a fixed
+    * sentinel BEFORE hashing: md5(null) is null, which silently DROPPED
+    * null-key rows from hashSample/keepPredicate (filter(null) = drop,
+    * even at rate 1.0) while hashSplitAssign's when-chain routed the same
+    * rows to the fallback split — the "same row draws the same way
+    * everywhere" contract diverged exactly on nulls. With the sentinel,
+    * null-key rows draw deterministically like any other value. */
+  private[operators] def drawDigest(key: Column): Column =
+    md5(coalesce(key.cast("string"), lit("\u0000graft-null-key")))
+
   private[operators] def drawBelow(key: Column, threshold: Column): Column =
-    substring(md5(key), 1, 8) < threshold
+    substring(drawDigest(key), 1, 8) < threshold
 
   /** Keep ~`rate` of rows, decided by md5 of `key` — deterministic,
     * partition-independent, engine-reproducible. */
@@ -61,7 +71,7 @@ object Sampling {
     */
   def weightedPrioritySample(df: DataFrame, key: Column, weight: Column,
                              k: Int, tieBreak: Column): DataFrame = {
-    val u = (conv(substring(md5(key), 1, 8), 16, 10).cast("double") + 0.5) /
+    val u = (conv(substring(drawDigest(key), 1, 8), 16, 10).cast("double") + 0.5) /
       lit(4294967296.0)
     val priority = log(u) / weight.cast("double")
     // E-S is only defined for w > 0: a negative w flips ln(u)/w positive
@@ -100,6 +110,9 @@ object Sampling {
   def capPerGroup(df: DataFrame, group: Column, n: Int,
                   order: Seq[Column]): DataFrame = {
     require(n > 0, "quota must be positive")
+    require(order.nonEmpty,
+      "capPerGroup needs a (total) order — an empty orderBy fails at plan " +
+        "time and a non-total one keeps a partitioning-dependent subset")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(order: _*)
     df.withColumn("__rk", row_number().over(w))
@@ -119,7 +132,7 @@ object Sampling {
                       lastName: String): Column = {
     require(cuts.nonEmpty && cuts.map(_._2) == cuts.map(_._2).sorted,
       "cuts must be ascending cumulative bounds")
-    val draw = substring(md5(key), 1, 8)
+    val draw = substring(drawDigest(key), 1, 8)
     cuts.foldRight(lit(lastName): Column) { case ((name, ub), els) =>
       when(draw < lit(thresholdFor(ub)), lit(name)).otherwise(els)
     }
