@@ -56,7 +56,14 @@ object MediaKernels {
     * formulas above. */
   def bmpSynth(id: Long, width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, "bmpSynth: dims must be positive")
-    val stride = ((width * 3 + 3) / 4) * 4
+    // size arithmetic in Long: large-but-positive dims would overflow the
+    // Int products to a negative/wrapped size and surface as a
+    // NegativeArraySizeException (or a silently corrupt container)
+    // instead of a legible error
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    require(54L + strideL * height <= Int.MaxValue,
+      s"bmpSynth: ${width}x$height exceeds the 2 GiB single-payload bound")
+    val stride = strideL.toInt
     val fileSize = 54 + stride * height
     val b = new Array[Byte](fileSize)
     b(0) = 'B'; b(1) = 'M'
@@ -112,8 +119,11 @@ object MediaKernels {
     // length itself (a real w×h 24bpp image needs ≥ 3wh payload bytes).
     if (width <= 0 || height <= 0 || bpp != 24 || compression != 0 ||
       pixelOff < 54 || width.toLong * height * 3L > bytes.length) return BmpFail
-    val stride = ((width * 3 + 3) / 4) * 4
-    if (pixelOff.toLong + stride.toLong * height > bytes.length) return BmpFail
+    // stride in Long: width*3 is bounded by bytes.length (checked above)
+    // but width*3+3 can still wrap at the Int.MaxValue edge
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    if (pixelOff.toLong + strideL * height > bytes.length) return BmpFail
+    val stride = strideL.toInt
     var sumB = 0L; var sumG = 0L; var sumR = 0L
     var row = 0
     while (row < height) {
@@ -145,7 +155,12 @@ object MediaKernels {
   def wavSynth(id: Long, channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
     require(channels > 0 && sampleRate > 0 && frames >= 0, "wavSynth: bad params")
     val junkLen = 6 + (id % 4).toInt * 2 // even → no RIFF pad byte ambiguity
-    val dataBytes = frames * channels * 2
+    // size arithmetic in Long (same overflow contract as bmpSynth): a
+    // large-but-positive frames*channels wraps the Int product negative
+    val dataBytesL = frames.toLong * channels * 2
+    require(12L + (8 + 16) + (8 + junkLen) + (8 + dataBytesL) <= Int.MaxValue,
+      s"wavSynth: $frames frames x $channels ch exceeds the 2 GiB single-payload bound")
+    val dataBytes = dataBytesL.toInt
     val total = 12 + (8 + 16) + (8 + junkLen) + (8 + dataBytes)
     val b = new Array[Byte](total)
     b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'

@@ -42,10 +42,18 @@ object Sampling {
     * null-key rows from hashSample/keepPredicate (filter(null) = drop,
     * even at rate 1.0) while hashSplitAssign's when-chain routed the same
     * rows to the fallback split — the "same row draws the same way
-    * everywhere" contract diverged exactly on nulls. With the sentinel,
-    * null-key rows draw deterministically like any other value. */
+    * everywhere" contract diverged exactly on nulls. Coalescing a
+    * POST-hash constant (not a pre-hash sentinel string) keeps the null
+    * draw domain disjoint from every genuine key: no key's string cast
+    * can deterministically reproduce this digest -- only a genuine md5
+    * (prefix-)collision can, which is exactly as improbable as two
+    * distinct non-null keys colliding, the risk the md5 draw already
+    * accepts. (A pre-hash sentinel made any key literally EQUAL to the
+    * sentinel string collide with nulls with probability 1.) The constant
+    * is an arbitrary hex string -- the golden-ratio bit pattern -- not
+    * the md5 of anything. */
   private[operators] def drawDigest(key: Column): Column =
-    md5(coalesce(key.cast("string"), lit("\u0000graft-null-key")))
+    coalesce(md5(key.cast("string")), lit("9e3779b97f4a7c15f39cc0605cedc834"))
 
   private[operators] def drawBelow(key: Column, threshold: Column): Column =
     substring(drawDigest(key), 1, 8) < threshold

@@ -141,9 +141,13 @@ object ChangeFeed {
     if (!pkNullable) return keyedEvents
 
     // map-bearing columns cannot be GROUP BY keys — group on their
-    // canonical rendering and carry a representative image via first()
-    // (constant within a group for every non-map column; any
-    // canonically-equal representative for map columns)
+    // canonical rendering and carry a representative image. Non-map
+    // columns are constant within a group, so first() is deterministic
+    // for them; a map-bearing column's STORED entry order can differ
+    // across canonically-equal rows, so first() would let the emitted
+    // row image (and any hash over it) flap across runs/plans — those
+    // take min_by over the raw JSON rendering instead: a deterministic
+    // function of the group's value multiset, plan-independent.
     val unioned = nullKeyed(newDirs).withColumn("__w", lit(1L))
       .unionByName(nullKeyed(oldDirs).withColumn("__w", lit(-1L)))
     val groupKeys = cols.zipWithIndex.map { case (c, i) =>
@@ -151,7 +155,11 @@ object ChangeFeed {
       (if (containsMap(dt)) canon(col(c), dt) else col(c)).as(s"__k$i")
     }
     val nullDelta = unioned.groupBy(groupKeys: _*)
-      .agg(sum(col("__w")).as("__d"), cols.map(c => first(col(c)).as(c)): _*)
+      .agg(sum(col("__w")).as("__d"), cols.map { c =>
+        if (containsMap(t.schema(c).dataType))
+          min_by(col(c), to_json(struct(col(c)))).as(c)
+        else first(col(c)).as(c)
+      }: _*)
       .filter(col("__d") =!= 0L)
     val nullEvents = nullDelta.select(
         (explode(array_repeat(

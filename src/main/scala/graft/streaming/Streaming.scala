@@ -229,51 +229,63 @@ object Streaming {
       }
   }
 
-  /** MULTI-batch streaming sessionization: the open trailing session is
-    * HELD in state (never emitted early) and surfaces exactly once when
-    * the event-time timeout proves the gap elapsed — the watermark-driven
-    * close [[sessionize]] cannot express. Requires `withWatermark` on the
-    * timestamp column upstream (EventTimeTimeout's contract). Late
-    * cross-batch events only EXTEND a session (lastMs is monotone via
-    * max), never regress an emitted bound. */
+  /** Per-user set of not-yet-final sessions, ordered by startMs. */
+  final case class SessionsState(held: Seq[SessionState])
+
+  /** MULTI-batch streaming sessionization: EVERY session — the open
+    * trailing one AND sessions closed by an intra-batch gap — is HELD in
+    * state until the event-time watermark proves no admissible late event
+    * can still extend or bridge it (`lastMs + gap < watermark`), then
+    * surfaces exactly once. Holding intra-batch-closed sessions matters:
+    * a late-but-within-watermark cross-batch event may land INSIDE an
+    * earlier session's span, or bridge two held sessions into one —
+    * emitting at the first gap sighting would make that event extend the
+    * wrong session (Append mode cannot retract). Each invocation
+    * re-merges the held intervals with the batch's events (sort by start;
+    * merge while `next.start - cur.last <= gap`), so bridging composes
+    * naturally. Requires `withWatermark` on the timestamp column upstream
+    * (EventTimeTimeout's contract — which also filters rows older than
+    * the watermark before they reach this operator, bounding how late a
+    * merge can arrive). State per user is the pending-session list,
+    * watermark-bounded like any session-window store. */
   def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp)],
                        gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastMs + gap: no event can extend it —
-            // the ONE emission of this session
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.lastMs), s.n))
-          } else {
-            val times = rows.map(_._2.getTime).toSeq.sorted
-            val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var cur: Option[SessionState] = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) =>
-                  sessions += SessionOut(user, new java.sql.Timestamp(s.startMs),
-                    new java.sql.Timestamp(s.lastMs), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            sessions.iterator
+         state: GroupState[SessionsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.held).getOrElse(Seq.empty)
+          // merge held intervals with the batch's events (each a
+          // single-point session): one sorted sweep handles extension,
+          // containment, AND bridging two held sessions
+          val points = rows.map(r => SessionState(r._2.getTime, r._2.getTime, 1))
+          val merged = (prior ++ points).sortBy(s => (s.startMs, s.lastMs))
+            .foldLeft(List.empty[SessionState]) {
+              case (cur :: done, s) if s.startMs - cur.lastMs <= gapMs =>
+                SessionState(cur.startMs, math.max(cur.lastMs, s.lastMs),
+                  cur.n + s.n) :: done
+              case (acc, s) => s :: acc
+            }.reverse
+          // a session is final only once the watermark passes its expiry:
+          // any future event has ts >= wm (older rows were filtered), so
+          // `lastMs + gap < wm` means nothing can extend or bridge it —
+          // its ONE emission (this also services hasTimedOut batches,
+          // where `rows` is empty and `merged` == the held list)
+          val (ripe, held) = merged.partition(_.lastMs + gapMs < wm)
+          if (held.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(held))
+            // earliest pending expiry, clamped above the watermark (the
+            // setTimeoutTimestamp contract); fires when wm passes it
+            state.setTimeoutTimestamp(
+              math.max(held.map(_.lastMs + gapMs).min, wm + 1))
           }
+          ripe.iterator.map(s => SessionOut(user,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n))
       }
   }
 }

@@ -25,15 +25,20 @@ object Timeouts {
     // armed gate: interrupt() in finally only helps while the watchdog is
     // still sleeping — one that already woke would cancel the job GROUP
     // after this invocation finished, killing an unrelated later stage
-    // that reuses the group name. The watchdog re-checks the gate at the
-    // last moment instead.
+    // that reuses the group name. Check-then-cancel and the finally's
+    // disarm are mutually exclusive under ONE lock: either the disarm ran
+    // first (cancel is skipped) or the cancel completes BEFORE the finally
+    // can proceed — a stale cancel can never land after this invocation
+    // returned, even with an explicitly reused group name.
     val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
     val watchdog = new Thread(() => {
       try {
         Thread.sleep(timeoutMs)
-        if (armed.get()) {
-          timedOut = true
-          sc.cancelJobGroup(group)
+        armed.synchronized {
+          if (armed.get()) {
+            timedOut = true
+            sc.cancelJobGroup(group)
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"$group-watchdog")
@@ -57,7 +62,11 @@ object Timeouts {
         throw new StageTimeoutException(
           s"stage exceeded ${timeoutMs}ms (${e.getClass.getSimpleName})", e)
     } finally {
-      armed.set(false)
+      // synchronized disarm: blocks while an in-flight check-then-cancel
+      // holds the lock, so the job-group restore below (and everything
+      // after this call) runs strictly after any cancel this watchdog
+      // will ever issue
+      armed.synchronized { armed.set(false) }
       watchdog.interrupt()
       sc.setLocalProperty("spark.jobGroup.id", prevGroup)
       sc.setLocalProperty("spark.job.description", prevDesc)

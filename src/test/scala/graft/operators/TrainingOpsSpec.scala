@@ -464,6 +464,22 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(MediaKernels.wavParse(evil).getLong(0) == -1L)
   }
 
+  test("multimodal: synth size overflow fails legibly, not NegativeArraySizeException") {
+    import graft.multimodal.MediaKernels
+    // large-but-positive params whose Int byte-size products wrap
+    // negative: both builders must raise a legible bound error instead
+    // of allocating a wrapped/corrupt container
+    val eb = intercept[IllegalArgumentException](
+      MediaKernels.bmpSynth(1L, 50000, 50000))
+    assert(eb.getMessage.contains("2 GiB"))
+    val ew = intercept[IllegalArgumentException](
+      MediaKernels.wavSynth(1L, 64, 8000, Int.MaxValue / 16))
+    assert(ew.getMessage.contains("2 GiB"))
+    // in-bound params still size correctly (Long math, no wrap):
+    // 12 RIFF + (8+16) fmt + (8+8) junk (id=1 → junkLen 8) + (8+0) data
+    assert(MediaKernels.wavSynth(1L, 1, 8000, 0).length == 12 + 24 + 16 + 8)
+  }
+
   test("multimodal: BmpPixelDecoder does a REAL byte-level decode behind MediaDecoder") {
     import graft.multimodal.MediaKernels
     val dec = new Multimodal.BmpPixelDecoder

@@ -167,6 +167,78 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream: a late within-watermark event lands in the RIGHT held session") {
+    // The hold-until-watermark contract: a session closed by an
+    // intra-batch gap is NOT emitted at the gap sighting — a later
+    // batch's late-but-admissible event may belong inside it (here) or
+    // bridge two held sessions (next test). Emitting early would absorb
+    // the late event into the wrong session.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-late").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // 2-hour watermark delay: after the {10min, 100min} batch the
+    // watermark stays at 0, so the 20min event in the next batch is
+    // admissible (not filtered as late)
+    val withWm = input.toDS()
+      .withColumnRenamed("_2", "ts").withWatermark("ts", "2 hours")
+      .as[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.Streaming.sessionizeStream(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((5L, ts(10)), (5L, ts(100)))
+      q.processAllAvailable()
+      // intra-batch gap closed [10,10] — but it must be HELD, not emitted
+      assert(spark.table("sess_late").count() == 0)
+      // late cross-batch event inside the first session's reach
+      input.addData((5L, ts(20)))
+      q.processAllAvailable()
+      // push the watermark past both sessions' expiries (400-120=280min)
+      input.addData((99L, ts(400)))
+      q.processAllAvailable()
+      val u5 = spark.table("sess_late")
+        .as[graft.streaming.Streaming.SessionOut].collect()
+        .filter(_.user_id == 5L)
+        .map(s => (s.session_start.getTime / 60000,
+          s.session_end.getTime / 60000, s.n_events))
+      assert(u5.toSet == Set((10L, 20L, 2), (100L, 100L, 1)),
+        s"late event must extend the FIRST session: ${u5.toSeq}")
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: a late event BRIDGES two held sessions into one") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-bridge").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val withWm = input.toDS()
+      .withColumnRenamed("_2", "ts").withWatermark("ts", "2 hours")
+      .as[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.Streaming.sessionizeStream(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData((6L, ts(10)), (6L, ts(70))) // 60min gap: two sessions held
+      q.processAllAvailable()
+      input.addData((6L, ts(40))) // within 30min of BOTH: merges them
+      q.processAllAvailable()
+      input.addData((99L, ts(400))) // watermark past every expiry
+      q.processAllAvailable()
+      val u6 = spark.table("sess_bridge")
+        .as[graft.streaming.Streaming.SessionOut].collect()
+        .filter(_.user_id == 6L)
+        .map(s => (s.session_start.getTime / 60000,
+          s.session_end.getTime / 60000, s.n_events))
+      assert(u6.toSeq == Seq((10L, 70L, 3)),
+        s"bridged sessions must emit as ONE: ${u6.toSeq}")
+    } finally q.stop()
+  }
+
   test("incremental locator: checkpointed stream ingests, processes, and replays idempotently") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
     val inbox = tmp.resolve("inbox"); val ckpt = tmp.resolve("ckpt")
