@@ -985,6 +985,164 @@ object SparkEntry {
         .orderBy(col("custkey"))
     }),
 
+    // §2.A #18 — MERGE INTO through $executeRaw (the full DML triangle:
+    // effect.ts:398-428 accepts arbitrary SQL; upsert exists underneath,
+    // effect.ts:495-541): one statement carrying a conditional DELETE
+    // (first-clause-wins over the UPDATE), an UPDATE reading BOTH sides
+    // of the target⋈source join, and a NOT MATCHED INSERT — all routed
+    // onto the staged store surface and published in one atomic commit.
+    // The oracle recomputes the final state declaratively: matched =
+    // custkey 201..400 (delete where source bal < 0, else bal-sum +
+    // segment flip), unmatched source = 401..600 inserted as NEW.
+    "q_exec_raw_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      Tables.registerViews(s, dir)
+      val cat = new graft.store.Catalog(tempDir("graft-execraw-merge"))
+      val acct = new graft.store.GraftTable(s, cat, "acct", StructType(Seq(
+        StructField("custkey", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("segment", StringType, nullable = true),
+        StructField("bal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("custkey")))
+      val tabs = Map("acct" -> acct)
+      graft.store.ExecuteRaw.execute(s, tabs,
+        """INSERT INTO acct
+           SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 400""")
+      graft.store.ExecuteRaw.execute(s, tabs,
+        """MERGE INTO acct t
+           USING (SELECT c_custkey AS custkey, c_name AS name,
+                         c_acctbal AS bal
+                  FROM customer WHERE c_custkey BETWEEN 201 AND 600) s
+           ON t.custkey = s.custkey
+           WHEN MATCHED AND s.bal < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal, segment = 'MERGED'
+           WHEN NOT MATCHED THEN INSERT (custkey, name, segment, bal)
+             VALUES (s.custkey, s.name, 'NEW', s.bal)""")
+      acct.snapshot()
+        .select(col("custkey"), col("name"), col("segment"), col("bal"))
+        .orderBy(col("custkey"))
+    }),
+
+    // §2.A #19 — RACING interactive $transactions, oracle-gated. Two
+    // shapes: (1) a DETERMINISTIC interleave — txn A stages its update,
+    // then a full txn B commits underneath, and A's commit MUST raise
+    // P2034 (required, counted), after which the Retry wrapper reruns
+    // A's closure against the post-B snapshot (the Prisma P2034
+    // retry-loop contract, prismaNamespace.ts:885-892); (2) two REAL
+    // threads on a start barrier running commutative adds, each retrying
+    // its commit-race losses. The final balances equal a serial
+    // execution regardless of interleaving — that equality is what the
+    // DuckDB oracle hashes.
+    "q_txn_race" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-txn-race"))
+      val acct = new graft.store.GraftTable(s, cat, "acct", StructType(Seq(
+        StructField("custkey", LongType, nullable = false),
+        StructField("bal", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("custkey")))
+      acct.createMany(Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("custkey"), col("c_custkey").as("bal")))
+      var conflicts = 0
+      var interleaved = false
+      graft.pipeline.Retry.onConflict() {
+        val a = new graft.store.Txn(cat)
+        a.updateMany(acct, graft.query.RawCol(lit(true)),
+          Map("bal" -> (col("bal") + 7)))
+        if (!interleaved) {
+          interleaved = true
+          graft.store.Txn.run(cat)(b =>
+            b.updateMany(acct,
+              graft.query.RawCol(pmod(col("custkey"), lit(2)) === 0),
+              Map("bal" -> (col("bal") + 11))))
+        }
+        try a.commit()
+        catch { case e: graft.store.ConcurrentModificationException =>
+          conflicts += 1; throw e }
+      }
+      require(conflicts == 1,
+        s"q_txn_race: the interleaved writer must force exactly one P2034, saw $conflicts")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def racer(add: Long): Thread = {
+        val th = new Thread(() => {
+          try {
+            barrier.await()
+            graft.pipeline.Retry.onConflict(times = 10, baseMs = 20) {
+              graft.store.Txn.run(cat)(t =>
+                t.updateMany(acct, graft.query.RawCol(lit(true)),
+                  Map("bal" -> (col("bal") + add))))
+            }
+          } catch { case e: Throwable => errs.add(e) }
+        }, s"graft-racer-$add")
+        th.start(); th
+      }
+      val ths = Seq(racer(1000L), racer(10000L))
+      ths.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      acct.snapshot().select(col("custkey"), col("bal")).orderBy(col("custkey"))
+    }),
+
+    // Store compaction racing a live writer: a writer thread lands
+    // sequential disjoint createMany commits while a compactor thread
+    // continuously bin-packs (forced rewrites via maxFiles=0); every
+    // commit-race loser retries on P2034 (GraftTable.compact pins the
+    // table AND the schema fingerprint into its OCC base, so a writer
+    // moving the table mid-rewrite fails the COMPACTION, never the
+    // writer's data). Gate = the final snapshot equals the plain union of
+    // all batches — no slice lost to a stale compaction publish, none
+    // duplicated by a retried one — plus a bounded file count proving
+    // compaction really ran against the final state.
+    "q_compact_concurrent" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-compact-conc"))
+      val t = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("v", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val writer = new Thread(() => {
+        try (0 until 6).foreach { i =>
+          graft.pipeline.Retry.onConflict(times = 10, baseMs = 20) {
+            t.createMany(docs.filter(pmod(col("doc_id"), lit(6)) === i))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+        finally done.set(true)
+      }, "graft-compact-writer")
+      val compactor = new Thread(() => {
+        try {
+          while (!done.get()) {
+            compactions.addAndGet(
+              graft.pipeline.Retry.onConflict(times = 10, baseMs = 20) {
+                t.compact(maxFiles = 0)
+              })
+            Thread.sleep(200)
+          }
+          // final pass over the fully-written table
+          compactions.addAndGet(
+            graft.pipeline.Retry.onConflict(times = 10, baseMs = 20) {
+              t.compact(maxFiles = 0)
+            })
+        } catch { case e: Throwable => errs.add(e) }
+      }, "graft-compactor")
+      writer.start(); compactor.start()
+      writer.join(); compactor.join()
+      if (!errs.isEmpty) throw errs.peek()
+      require(compactions.get() >= 1,
+        "q_compact_concurrent: compaction must have rewritten at least one slice")
+      val files = cat.currentDirs("docs").values.flatMap(d =>
+        Option(new java.io.File(d).listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))).size
+      require(files <= 4,
+        s"q_compact_concurrent: final slice still fragmented ($files files)")
+      t.snapshot().select(col("doc_id"), col("v")).orderBy(col("doc_id"))
+    }),
+
     // §2.E scalar functions: regexp extraction, trim, coalesce defaulting,
     // string assembly (the extractGooglePlaces.ts:272-276 shapes).
     "q_scalar_funcs" -> ((s, dir) =>
@@ -2088,6 +2246,54 @@ object SparkEntry {
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(col("doc_id"), lit(-1L).as("v")), 0L)
 
+      t.snapshot().select(col("doc_id"), col("v")).orderBy(col("doc_id"))
+    }),
+
+    // CRASH-RESTART exactly-once, across a REAL query restart: the
+    // corpus lands as four files; a maxFilesPerTrigger=1 stream ingests
+    // through StoreSink and the query is KILLED right after batch 1's
+    // data+watermark commit lands in the store but BEFORE the streaming
+    // checkpoint records the batch — the exact crash window at-least-once
+    // foreachBatch cannot survive. A second query starts from the SAME
+    // checkpoint: the offset log replays batch 1 (absorbed by the
+    // committed txn watermark — a broken guard would P2002 on duplicate
+    // ids), then batches 2..n process once. No duplicate, no lost batch
+    // — the durable-workflow resume the reference gets from its runner
+    // state machine (runner/locator.ts:15-36). Oracle = the batch union.
+    "q_stream_restart" -> ((s, dir) => {
+      val tmp = tempDir("graft-qrestart")
+      val inbox = tmp + "/inbox"
+      val cat = new graft.store.Catalog(tmp + "/cat")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      val t = new graft.store.GraftTable(s, cat, "restart_docs", schema,
+        uniqueKeys = Seq(Seq("doc_id")))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+      (0 until 4).foreach(i => docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(inbox))
+      val sink = graft.streaming.StoreSink.exactlyOnceAppend(t, "restart")
+      val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val crashing: (DataFrame, Long) => Unit = (df, id) => {
+        sink(df, id) // store publishes data + batch watermark atomically
+        if (id == 1 && crashArmed.get())
+          throw new RuntimeException("graft: injected crash after commit")
+      }
+      def run() = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inbox)
+        .writeStream.foreachBatch(crashing)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt").start()
+      val q1 = run()
+      scala.util.Try(q1.awaitTermination(180000))
+      require(q1.exception.isDefined,
+        "q_stream_restart: the injected crash must kill the first query")
+      crashArmed.set(false)
+      val q2 = run()
+      q2.awaitTermination(180000)
       t.snapshot().select(col("doc_id"), col("v")).orderBy(col("doc_id"))
     }),
 
@@ -3650,6 +3856,47 @@ object SparkEntry {
       WHERE NOT coalesce(bal < 500, FALSE)
       ORDER BY custkey""",
 
+    // the MERGE replayed declaratively: matched keys (201..400) delete
+    // on negative source bal, else sum balances + flip segment; source
+    // keys past the seed (401..600) insert as NEW
+    "q_exec_raw_merge" -> """
+      WITH seed AS (
+        SELECT c_custkey AS custkey, c_name AS name,
+               c_mktsegment AS segment, c_acctbal AS bal
+        FROM customer WHERE c_custkey <= 400
+      ), src AS (
+        SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS bal
+        FROM customer WHERE c_custkey BETWEEN 201 AND 600
+      )
+      SELECT t.custkey, t.name,
+             CASE WHEN m.custkey IS NOT NULL THEN 'MERGED'
+                  ELSE t.segment END AS segment,
+             CASE WHEN m.custkey IS NOT NULL THEN t.bal + m.bal
+                  ELSE t.bal END AS bal
+      FROM seed t LEFT JOIN src m ON t.custkey = m.custkey
+      WHERE NOT coalesce(m.bal < 0, FALSE)
+      UNION ALL
+      SELECT custkey, name, 'NEW' AS segment, bal
+      FROM src WHERE custkey > 400
+      ORDER BY custkey""",
+
+    // serial-equivalent final state of the racing transactions: seed
+    // custkey, +7 (retried txn), +11 on evens (interleaved txn), +1000
+    // and +10000 (the two racing threads' commutative adds)
+    "q_txn_race" -> """
+      SELECT c_custkey AS custkey,
+             CAST(c_custkey + 7
+                  + CASE WHEN c_custkey % 2 = 0 THEN 11 ELSE 0 END
+                  + 11000 AS BIGINT) AS bal
+      FROM customer WHERE c_custkey <= 300
+      ORDER BY custkey""",
+
+    // concurrent write+compaction must preserve exactly the union of the
+    // writer's batches
+    "q_compact_concurrent" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS v
+      FROM documents ORDER BY doc_id""",
+
     "q_token_budget" -> """
       SELECT doc_id,
              CAST(CASE WHEN len(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
@@ -4862,6 +5109,13 @@ object SparkEntry {
       SELECT doc_id,
              CASE WHEN doc_id % 10 = 0 THEN -1
                   ELSE length(text) END AS v
+      FROM documents ORDER BY doc_id""",
+
+    // crash-restart resume: exactly the corpus, each row once — a
+    // replayed batch would P2002 in the query itself, a lost batch
+    // leaves a doc_id%4 residue class missing
+    "q_stream_restart" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS v
       FROM documents ORDER BY doc_id""",
 
     // the BMP builder+parser replayed symbolically: every header field

@@ -129,11 +129,228 @@ object ExecuteRaw {
         val t = resolve(tables, table, sql)
         txn.deleteMany(t, RawCol(whereOf(condition, sql)))
 
+      case m: MergeIntoTable =>
+        executeMerge(txn, spark, tables, m, sql)
+
       case other =>
         throw new IllegalArgumentException(
           s"executeRaw: not a mutation statement (${other.getClass.getSimpleName}) " +
             s"— use the \\$$queryRaw read surface for queries: $sql")
     }
+
+  /** `MERGE INTO` routed onto the staged statement surface — the last DML
+    * side of the `\$executeRaw` triangle (`effect.ts:398-428` accepts
+    * arbitrary SQL; `upsert` already exists underneath,
+    * `effect.ts:495-541`). Spark's parser yields [[MergeIntoTable]]; each
+    * action decomposes onto an existing staged statement so ALL
+    * referential machinery (FK checks, RESTRICT, cascades, P2000/P2011
+    * value validation) applies unchanged:
+    *
+    *   - `WHEN MATCHED [AND c] THEN UPDATE SET …` → full updated rows
+    *     computed on the target⋈source join, staged via [[Txn.upsert]];
+    *   - `WHEN MATCHED [AND c] THEN DELETE` → matched target keys,
+    *     staged via [[Txn.deleteWhereKeysIn]];
+    *   - `WHEN NOT MATCHED [AND c] THEN INSERT …` → source anti-join
+    *     target, staged via [[Txn.createMany]];
+    *   - `WHEN NOT MATCHED BY SOURCE …` → target anti-join source,
+    *     update/delete as above.
+    *
+    * Matched actions apply FIRST-CLAUSE-WINS per row (the SQL contract):
+    * each action's eligible set excludes rows claimed by earlier clauses.
+    * All eligible sets derive from STATEMENT-START state, so a row
+    * updated by clause 1 is not re-examined by clause 2. The standard
+    * cardinality rule is enforced: a target row matched by MORE than one
+    * source row cannot be updated/deleted deterministically — refused
+    * up front (Postgres: "MERGE command cannot affect row a second
+    * time", SQLSTATE 21000). Returns total affected rows.
+    *
+    * The ON clause must be a conjunction of column equalities between
+    * target and source (the key-pairing the staged surface routes on);
+    * general ON predicates and `WITH SCHEMA EVOLUTION` are refused
+    * loudly rather than half-applied.
+    */
+  private def executeMerge(txn: Txn, spark: SparkSession,
+                           tables: Map[String, GraftTable],
+                           m: MergeIntoTable, sql: String): Long = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    require(!m.withSchemaEvolution,
+      s"executeRaw: MERGE WITH SCHEMA EVOLUTION is not supported: $sql")
+    val t = resolve(tables, m.targetTable, sql)
+
+    def aliasOf(plan: LogicalPlan, fallback: String): String = plan match {
+      case SubqueryAlias(id, _) => id.name
+      case _ => fallback
+    }
+    val ta = aliasOf(m.targetTable, t.name)
+    // source: a registered store table reads through THIS transaction's
+    // staged state (same-store MERGE composes with earlier statements);
+    // anything else (temp view, VALUES, subquery) resolves through
+    // Spark's analyzer like the INSERT source query does
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, child) => unwrap(child)
+      case other => other
+    }
+    val (src0, sa) = unwrap(m.sourceTable) match {
+      case u: UnresolvedRelation
+          if tables.keys.exists(_.equalsIgnoreCase(u.multipartIdentifier.last)) =>
+        val st = resolve(tables, u, sql)
+        (txn.read(st), aliasOf(m.sourceTable, st.name))
+      case _ =>
+        (PlanBridge.ofRows(spark, m.sourceTable),
+          aliasOf(m.sourceTable, "__merge_src"))
+    }
+    require(!ta.equalsIgnoreCase(sa),
+      s"executeRaw: MERGE target and source aliases collide ($ta): $sql")
+
+    // ON decomposition: conjunction of target-col = source-col equalities
+    def sideOf(a: UnresolvedAttribute): (String, String) = a.nameParts match {
+      case Seq(q, c) if q.equalsIgnoreCase(ta) => ("t", fieldOf(t, c, sql))
+      case Seq(q, c) if q.equalsIgnoreCase(sa) => ("s", c)
+      case Seq(c) if t.schema.fieldNames.exists(_.equalsIgnoreCase(c)) &&
+        src0.columns.exists(_.equalsIgnoreCase(c)) =>
+        throw new IllegalArgumentException(
+          s"executeRaw: MERGE ON column $c is ambiguous — qualify it " +
+            s"with $ta or $sa: $sql")
+      case Seq(c) if t.schema.fieldNames.exists(_.equalsIgnoreCase(c)) =>
+        ("t", fieldOf(t, c, sql))
+      case Seq(c) => ("s", c)
+      case other => throw new IllegalArgumentException(
+        s"executeRaw: MERGE ON attribute ${other.mkString(".")} is not " +
+          s"resolvable against $ta/$sa: $sql")
+    }
+    def keyPairs(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[(String, String)] = e match {
+      case And(l, r) => keyPairs(l) ++ keyPairs(r)
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        (sideOf(l), sideOf(r)) match {
+          case (("t", tc), ("s", sc)) => Seq((tc, sc))
+          case (("s", sc), ("t", tc)) => Seq((tc, sc))
+          case _ => throw new IllegalArgumentException(
+            s"executeRaw: MERGE ON equality must pair one target and one " +
+              s"source column: $sql")
+        }
+      case other => throw new IllegalArgumentException(
+        s"executeRaw: MERGE ON supports conjunctions of column equalities " +
+          s"only, got ${other.getClass.getSimpleName}: $sql")
+    }
+    val keys = keyPairs(m.mergeCondition)
+    require(keys.nonEmpty, s"executeRaw: MERGE ON pairs no columns: $sql")
+    val tKeys = keys.map(_._1)
+
+    val tgt = txn.read(t).alias(ta)
+    val src = src0.alias(sa)
+    val joinCond = keys.map { case (tc, sc) =>
+      col(s"$ta.$tc") === col(s"$sa.$sc")
+    }.reduce(_ && _)
+
+    def condCol(c: Option[org.apache.spark.sql.catalyst.expressions.Expression]): Column =
+      c.map(ColumnBridge.column).getOrElse(lit(true))
+    def setOf(assignments: Seq[Assignment]): Map[String, Column] = {
+      val pairs = assignments.map { a =>
+        val name = a.key match {
+          case u: UnresolvedAttribute => fieldOf(t, u.nameParts.last, sql)
+          case other => throw new IllegalArgumentException(
+            s"executeRaw: unsupported MERGE SET target $other in: $sql")
+        }
+        name -> ColumnBridge.column(a.value)
+      }
+      val dups = pairs.map(_._1.toLowerCase).groupBy(identity)
+        .collect { case (n, hits) if hits.size > 1 => n }
+      require(dups.isEmpty,
+        s"executeRaw: multiple MERGE assignments to the same column " +
+          s"(${dups.mkString(", ")}) in: $sql")
+      pairs.toMap
+    }
+    // `UPDATE SET * / INSERT *`: every target column from the same-named
+    // source column
+    def starSet: Map[String, Column] =
+      t.schema.fieldNames.map(f => f -> col(s"$sa.$f")).toMap
+    def project(rows: DataFrame, set: Map[String, Column],
+                defaults: String => Column): DataFrame =
+      rows.select(t.schema.fields.toIndexedSeq.map { f =>
+        set.getOrElse(f.name, defaults(f.name)).cast(f.dataType).as(f.name)
+      }: _*)
+
+    var affected = 0L
+    if (m.matchedActions.nonEmpty) {
+      val joined = tgt.join(src, joinCond, "inner")
+      // cardinality rule — one bounded limit(1) probe on the matched set
+      val dup = joined.groupBy(tKeys.map(k => col(s"$ta.$k")): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
+      require(dup == 0,
+        s"executeRaw: MERGE cardinality violation — a target row matches " +
+          s"more than one source row: $sql")
+      var prior: Column = lit(false)
+      m.matchedActions.foreach { action =>
+        val cond = action match {
+          case UpdateAction(c, _, _)   => condCol(c)
+          case DeleteAction(c)         => condCol(c)
+          case UpdateStarAction(c)     => condCol(c)
+          case other => throw new IllegalArgumentException(
+            s"executeRaw: unsupported MATCHED action $other: $sql")
+        }
+        val eligible = joined.filter(cond && !prior)
+        prior = prior || coalesce(cond, lit(false))
+        action match {
+          case UpdateAction(_, assignments, fromStar) =>
+            affected += txn.upsert(t, tKeys,
+              project(eligible, if (fromStar) starSet else setOf(assignments),
+                f => col(s"$ta.$f")))
+          case UpdateStarAction(_) =>
+            affected += txn.upsert(t, tKeys,
+              project(eligible, starSet, f => col(s"$ta.$f")))
+          case DeleteAction(_) =>
+            affected += txn.deleteWhereKeysIn(t, tKeys,
+              eligible.select(tKeys.map(k => col(s"$ta.$k").as(k)): _*))
+        }
+      }
+    }
+    if (m.notMatchedActions.nonEmpty) {
+      val srcOnly = src.join(tgt, joinCond, "left_anti")
+      var prior: Column = lit(false)
+      m.notMatchedActions.foreach { action =>
+        val cond = action match {
+          case InsertAction(c, _)  => condCol(c)
+          case InsertStarAction(c) => condCol(c)
+          case other => throw new IllegalArgumentException(
+            s"executeRaw: unsupported NOT MATCHED action $other: $sql")
+        }
+        val eligible = srcOnly.filter(cond && !prior)
+        prior = prior || coalesce(cond, lit(false))
+        val set = action match {
+          case InsertAction(_, assignments) => setOf(assignments)
+          case _ => starSet
+        }
+        affected += txn.createMany(t,
+          project(eligible, set, f => lit(null)), skipDuplicates = false)
+      }
+    }
+    if (m.notMatchedBySourceActions.nonEmpty) {
+      val tgtOnly = tgt.join(src, joinCond, "left_anti")
+      var prior: Column = lit(false)
+      m.notMatchedBySourceActions.foreach { action =>
+        val cond = action match {
+          case UpdateAction(c, _, _) => condCol(c)
+          case DeleteAction(c)       => condCol(c)
+          case other => throw new IllegalArgumentException(
+            s"executeRaw: unsupported NOT MATCHED BY SOURCE action $other: $sql")
+        }
+        val eligible = tgtOnly.filter(cond && !prior)
+        prior = prior || coalesce(cond, lit(false))
+        action match {
+          case UpdateAction(_, assignments, fromStar) =>
+            affected += txn.upsert(t, tKeys,
+              project(eligible, if (fromStar) starSet else setOf(assignments),
+                f => col(s"$ta.$f")))
+          case DeleteAction(_) =>
+            affected += txn.deleteWhereKeysIn(t, tKeys,
+              eligible.select(tKeys.map(k => col(s"$ta.$k").as(k)): _*))
+        }
+      }
+    }
+    affected
+  }
 
   /** DELETE parses a missing WHERE as a TrueLiteral in some Spark
     * versions and as None via the statement builder in others — either

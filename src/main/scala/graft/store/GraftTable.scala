@@ -1147,13 +1147,19 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     * self-referential or cyclic cascade is never clobbered by the
     * statement's own stage. A throw anywhere aborts the transaction;
     * nothing staged ever publishes. */
-  def deleteWhereIn(t: GraftTable, keyCol: String, keys: DataFrame): Long = {
+  def deleteWhereIn(t: GraftTable, keyCol: String, keys: DataFrame): Long =
+    deleteWhereKeysIn(t, Seq(keyCol), keys)
+
+  /** Composite-key variant of [[deleteWhereIn]] (the MERGE DELETE route
+    * needs it when the ON clause equates several columns). Same statement
+    * order contract: RESTRICT first, stage, cascades last. */
+  def deleteWhereKeysIn(t: GraftTable, keyCols: Seq[String], keys: DataFrame): Long = {
     val cur = stateOf(t)
-    val marker = keys.select(col(keyCol)).distinct()
-    val doomed = cur.join(marker, Seq(keyCol), "left_semi")
+    val marker = keys.select(keyCols.map(col): _*).distinct()
+    val doomed = cur.join(marker, keyCols, "left_semi")
     checkRestricts(t, doomed)
     val stats = doomed.groupBy(t.partKeyCol.as("__pk")).count().collect()
-    val s = Staged(cur.join(marker, Seq(keyCol), "left_anti"),
+    val s = Staged(cur.join(marker, keyCols, "left_anti"),
       stats.map(_.getString(0)).toSet, stats.map(_.getLong(1)).sum)
     stage(t, s)
     cascadeDeletes(t, doomed)

@@ -192,4 +192,90 @@ class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
         "INSERT INTO nope VALUES (1, 'a', 1.0)")
     }
   }
+
+  test("MERGE: update + delete + insert clauses, first-clause-wins, over a temp view") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    ExecuteRaw.execute(spark, tabs,
+      "INSERT INTO acct VALUES (1, 'a', 10.0), (2, 'b', 20.0), (3, 'c', 30.0)")
+    Seq((1L, "A", -100.0), (2L, "B", 5.0), (9L, "I", 99.0))
+      .toDF("id", "name", "bal").createOrReplaceTempView("merge_src")
+    val n = ExecuteRaw.execute(spark, tabs,
+      """MERGE INTO acct t USING merge_src s ON t.id = s.id
+         WHEN MATCHED AND s.bal < 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal, name = s.name
+         WHEN NOT MATCHED THEN INSERT (id, name, bal) VALUES (s.id, s.name, s.bal)""")
+    // id 1 deleted (first clause claims it BEFORE the update clause),
+    // id 2 updated, id 3 untouched, id 9 inserted
+    assert(n == 3)
+    val out = t.snapshot().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((2L, "B", 25.0), (3L, "c", 30.0), (9L, "I", 99.0)))
+  }
+
+  test("MERGE: source can be a registered store table, read through the txn") {
+    val cat = freshCatalog()
+    val t = acctTable(cat)
+    val delta = new GraftTable(spark, cat, "delta", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("bal", DoubleType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    val tabs = Map("acct" -> t, "delta" -> delta)
+    ExecuteRaw.executeMany(spark, tabs, Seq(
+      "INSERT INTO acct VALUES (1, 'a', 10.0)",
+      "INSERT INTO delta VALUES (1, 'a2', 1.0), (2, 'new', 2.0)"))
+    ExecuteRaw.execute(spark, tabs,
+      """MERGE INTO acct USING delta ON acct.id = delta.id
+         WHEN MATCHED THEN UPDATE SET name = delta.name
+         WHEN NOT MATCHED THEN INSERT (id, name, bal)
+           VALUES (delta.id, delta.name, delta.bal)""")
+    val out = t.snapshot().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a2", 10.0), (2L, "new", 2.0)))
+  }
+
+  test("MERGE: NOT MATCHED BY SOURCE, UPDATE SET *, and atomicity in a batch") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    ExecuteRaw.execute(spark, tabs,
+      "INSERT INTO acct VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    Seq((1L, "A*", 111.0)).toDF("id", "name", "bal")
+      .createOrReplaceTempView("merge_star")
+    ExecuteRaw.execute(spark, tabs,
+      """MERGE INTO acct t USING merge_star s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = 0.0""")
+    val out1 = t.snapshot().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out1 == Seq((1L, "A*", 111.0), (2L, "b", 0.0)))
+    // a failing later statement rolls back the whole batch, MERGE included
+    val failed = scala.util.Try(ExecuteRaw.executeMany(spark, tabs, Seq(
+      """MERGE INTO acct t USING merge_star s ON t.id = s.id
+         WHEN MATCHED THEN DELETE""",
+      "INSERT INTO acct VALUES (2, 'dup', 0.0)")))
+    assert(failed.isFailure, "duplicate-key batch must abort")
+    assert(t.snapshot().orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L), "MERGE delete must not leak")
+  }
+
+  test("MERGE: cardinality violation and non-equality ON are refused") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    ExecuteRaw.execute(spark, tabs, "INSERT INTO acct VALUES (1, 'a', 10.0)")
+    // two source rows match target id 1 → 21000-style cardinality error
+    Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("id", "name", "bal")
+      .createOrReplaceTempView("merge_dup")
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, tabs,
+        """MERGE INTO acct t USING merge_dup s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET bal = s.bal""")
+    }
+    assert(e.getMessage.contains("cardinality"))
+    intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, tabs,
+        """MERGE INTO acct t USING merge_dup s ON t.id < s.id
+           WHEN MATCHED THEN UPDATE SET bal = s.bal""")
+    }
+  }
 }
