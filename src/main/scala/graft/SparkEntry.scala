@@ -2194,6 +2194,36 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // PERCEPTUAL image dedup — the multimodal counterpart of SimHash
+    // text dedup, composed from the real byte kernels: every document
+    // becomes a 24bpp BMP plus a near-duplicate twin (+1 on one pixel's
+    // blue channel, bmpPerturb), each payload decodes through the
+    // codegen'd 64-bit dHash (9×8 luminance grid over the ACTUAL pixel
+    // rows, gradient-sign bits), and pairs come from the SAME 4×16-bit
+    // Hamming band join SimHash uses (exact recall ≤3 bits, never
+    // all-pairs — the 100 TB shape). The oracle replays the WHOLE
+    // pipeline symbolically: pixel formulas → integer luminance → grid
+    // binning → exact mean comparisons → per-pair differing-bit count,
+    // so any slip in decode, binning, or banding hash-mismatches.
+    "q_media_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        (lit(16) + pmod(col("doc_id"), lit(16))).cast("int").as("w"),
+        (lit(12) + pmod(col("doc_id"), lit(12))).cast("int").as("h"))
+      val base = d.select(col("id").as("img"),
+        M.bmpSynth(col("id"), col("w"), col("h")).as("payload"))
+      val twin = d.select((col("id") + 1000000L).as("img"),
+        M.bmpPerturb(M.bmpSynth(col("id"), col("w"), col("h"))).as("payload"))
+      val hashed = par(s, base.unionByName(twin))
+        .select(col("img"), M.bmpDhash(col("payload")).as("p"))
+        .filter(element_at(col("p"), 1) === 1L)
+        .select(col("img"), element_at(col("p"), 2).as("h64"))
+      Dedup.hamming64Pairs(hashed, "h64", "img",
+        maxHamming = 2, maxBucket = 1 << 20)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy(col("id_a"))
+    }),
+
     // Exactly-once streaming sink, driver-gated end-to-end: a REAL file-
     // source stream (Trigger.AvailableNow) appends the corpus through
     // StoreSink into a COW table; the committed batch is then DELIBERATELY
@@ -5193,6 +5223,48 @@ object SparkEntry {
                CAST(256 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE)))
                AS INTEGER) AS target_height
       FROM base ORDER BY media_id""",
+
+    // the dHash pipeline replayed symbolically end to end: the twin
+    // bumps one pixel's blue channel (+1 mod 256 at image (0, h-1), the
+    // first STORED pixel of a bottom-up BMP), both variants' luminance
+    // grids bin via the same integer floors, bits compare cell means
+    // exactly (HUGEINT cross-products here == the kernel's
+    // quotient/remainder method — both exact), and the pair's hamming is
+    // the differing-bit count. Every planted twin must surface with
+    // hamming ≤ 1 (one cell moved → at most the one comparison it
+    // participates in flips).
+    "q_media_dedup" -> """
+      WITH d AS (
+        SELECT doc_id AS id, 16 + doc_id % 16 AS w, 12 + doc_id % 12 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      ), lum AS (
+        SELECT id, (x * 9) // w AS gx, (y * 8) // h AS gy,
+               299 * ((x*5 + y*17 + id*3) % 239)
+             + 587 * ((x*11 + y*3 + id*5) % 251)
+             + 114 * ((x*7 + y*13 + id) % 256) AS lb,
+               299 * ((x*5 + y*17 + id*3) % 239)
+             + 587 * ((x*11 + y*3 + id*5) % 251)
+             + 114 * ((x*7 + y*13 + id
+                       + CASE WHEN x = 0 AND y = h - 1 THEN 1 ELSE 0 END) % 256) AS lt
+        FROM px
+      ), cells AS (
+        SELECT id, gy, gx, sum(lb) AS sb, sum(lt) AS st, count(*) AS c
+        FROM lum GROUP BY id, gy, gx
+      ), bits AS (
+        SELECT a.id,
+               CASE WHEN a.sb * b.c < b.sb * a.c THEN 1 ELSE 0 END AS bb,
+               CASE WHEN a.st * b.c < b.st * a.c THEN 1 ELSE 0 END AS bt
+        FROM cells a JOIN cells b
+          ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8
+      )
+      SELECT id AS id_a, id + 1000000 AS id_b,
+             CAST(sum(CASE WHEN bb <> bt THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM bits GROUP BY id ORDER BY id_a""",
 
     "q_dedup_minhash" -> """
       SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents

@@ -82,11 +82,47 @@ object MediaExpressions {
       copy(child = newChild)
   }
 
+  /** BMP bytes → [ok, dhash64]: 64-bit perceptual difference hash over
+    * the decoded pixel grid ([[MediaKernels.bmpDhash]]); ok=0 when the
+    * payload is not a valid 24bpp BMP. */
+  case class BmpDhash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bmp_dhash"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.bmpDhash(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.bmpDhash($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** BMP bytes → BMP bytes with the first stored pixel's blue channel
+    * bumped +1 mod 256 ([[MediaKernels.bmpPerturb]]) — the near-dup twin
+    * generator; non-BMP payloads pass through unchanged. */
+  case class BmpPerturb(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "bmp_perturb"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.bmpPerturb(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.bmpPerturb($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def bmpSynth(id: Column, width: Column, height: Column): Column =
     column(BmpSynth(expression(id), expression(width), expression(height)))
   def bmpParse(payload: Column): Column = column(BmpParse(expression(payload)))
+  def bmpDhash(payload: Column): Column = column(BmpDhash(expression(payload)))
+  def bmpPerturb(payload: Column): Column = column(BmpPerturb(expression(payload)))
   def wavSynth(id: Column, channels: Column, sampleRate: Column, frames: Column): Column =
     column(WavSynth(expression(id), expression(channels),
       expression(sampleRate), expression(frames)))

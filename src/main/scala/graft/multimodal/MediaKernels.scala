@@ -141,6 +141,100 @@ object MediaKernels {
       declared.toLong, bytes.length.toLong, sumB, sumG, sumR))
   }
 
+  private val DhashFail = new GenericArrayData(Array(0L, 0L))
+
+  /** 64-bit perceptual dHash over a decoded 24bpp BMP — the image
+    * near-dup sketch (aHash/dHash family; same role SimHash plays for
+    * text). The pixel walk bins luminance into a 9-column × 8-row grid
+    * (gx = x·9/w, gy = y·8/h — the integer binning the oracle replays),
+    * and bit gy·8+gx is 1 iff cell (gx,gy)'s MEAN luminance is strictly
+    * below its right neighbour's. Luminance is the integer ITU-R 601
+    * weighting 299·R + 587·G + 114·B (unnormalized — only comparisons
+    * matter). Gradient-sign bits survive small pixel noise, brightness
+    * shifts, and re-encodes, which is exactly what makes dHash a
+    * NEAR-dup key where md5 is an exact one.
+    *
+    * Mean comparison is EXACT integer arithmetic: a/b < c/d decided via
+    * quotient-then-remainder (qa < qc, or qa = qc and ra·d < rc·b) — the
+    * remainder cross-products are bounded by cell-count squares (≤
+    * (wh/72)²), so nothing overflows Long even for gigapixel inputs,
+    * where naive sum·count cross-multiplication would. A cell left empty
+    * by degenerate dims (w < 9 or h < 8 cannot fill every bin)
+    * contributes bit 0. Returns [ok, hash]: ok = 1 with the 64-bit hash
+    * for a valid 24bpp BMP, [0, 0] otherwise (same never-throw contract
+    * as [[bmpParse]]). */
+  def bmpDhash(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return DhashFail
+    val pixelOff = getLE32(bytes, 10)
+    val width = getLE32(bytes, 18)
+    val height = getLE32(bytes, 22)
+    val bpp = getLE16(bytes, 28)
+    val compression = getLE32(bytes, 30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0 ||
+      pixelOff < 54 || width.toLong * height * 3L > bytes.length) return DhashFail
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    if (pixelOff.toLong + strideL * height > bytes.length) return DhashFail
+    val stride = strideL.toInt
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var fileRow = 0
+    while (fileRow < height) {
+      val y = height - 1 - fileRow // bottom-up storage → image row
+      val gy = (y.toLong * 8 / height).toInt
+      val base = pixelOff + fileRow * stride
+      var x = 0
+      while (x < width) {
+        val b = bytes(base + x * 3) & 0xff
+        val g = bytes(base + x * 3 + 1) & 0xff
+        val r = bytes(base + x * 3 + 2) & 0xff
+        val cell = gy * 9 + (x.toLong * 9 / width).toInt
+        sums(cell) += 299L * r + 587L * g + 114L * b
+        cnts(cell) += 1
+        x += 1
+      }
+      fileRow += 1
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = gy * 9 + gx
+        val c = a + 1
+        // exact a.mean < c.mean without overflow: quotient first, then
+        // remainder cross-products (both < cnt, so products fit Long)
+        val lt =
+          if (cnts(a) == 0 || cnts(c) == 0) false
+          else {
+            val qa = sums(a) / cnts(a); val ra = sums(a) % cnts(a)
+            val qc = sums(c) / cnts(c); val rc = sums(c) % cnts(c)
+            qa < qc || (qa == qc && ra * cnts(c) < rc * cnts(a))
+          }
+        if (lt) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    new GenericArrayData(Array(1L, hash))
+  }
+
+  /** Minimal ±1 pixel perturbation: bump the FIRST stored pixel's blue
+    * channel by +1 mod 256 (image row height-1, column 0 — BMPs store
+    * bottom-up). The near-duplicate twin generator for the image-dedup
+    * gate: the change moves exactly one grid cell's luminance sum, so
+    * the dHash flips AT MOST one bit (the one comparison that cell
+    * participates in per row). Non-BMP payloads pass through unchanged. */
+  def bmpPerturb(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null || bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M')
+      return bytes
+    val pixelOff = getLE32(bytes, 10)
+    if (pixelOff < 54 || pixelOff >= bytes.length) return bytes
+    val out = bytes.clone()
+    out(pixelOff) = (((out(pixelOff) & 0xff) + 1) % 256).toByte
+    out
+  }
+
   // ---------------- WAV (RIFF/WAVE, PCM int16) ----------------
 
   /** Deterministic PCM sample for frame i, channel c of clip `id` —

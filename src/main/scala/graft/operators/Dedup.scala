@@ -658,6 +658,26 @@ object Dedup {
                    persistSketch: Boolean = false): DataFrame = {
     val withSig0 = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
     val withSig = if (persistSketch) withSig0.cache() else withSig0
+    hammingPairsFromSigs(withSig, maxHamming, maxBucket)
+  }
+
+  /** Near-dup pairs over ANY precomputed 64-bit signature column —
+    * SimHash for text ([[simhashPairs]]), perceptual dHash for images
+    * ([[graft.multimodal.MediaExpressions.bmpDhash]]), or any other
+    * Hamming-space sketch. Banding is the 4×16-bit chunk split: by
+    * pigeonhole, any pair within Hamming distance ≤ 3 shares at least
+    * one identical chunk, so recall is EXACT for maxHamming ≤ 3 (modulo
+    * the bucket-width guard); candidates then verify exactly via
+    * bit_count of the XOR. Never all-pairs: cost is bucket-bounded, the
+    * 100 TB shape shared with the MinHash band join. */
+  def hamming64Pairs(sigs: DataFrame, hashCol: String, idCol: String,
+                     maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingPairsFromSigs(
+      sigs.select(col(idCol).as("__id"), col(hashCol).cast("long").as("__sim")),
+      maxHamming, maxBucket)
+
+  private def hammingPairsFromSigs(withSig: DataFrame, maxHamming: Int,
+                                   maxBucket: Int): DataFrame = {
     val chunked0 = withSig.select(col("__id"), col("__sim"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("__sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

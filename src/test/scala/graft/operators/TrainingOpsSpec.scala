@@ -464,6 +464,46 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(MediaKernels.wavParse(evil).getLong(0) == -1L)
   }
 
+  test("multimodal: dHash is noise-tolerant, id-discriminating, and Hamming-band paired") {
+    import graft.multimodal.{MediaExpressions, MediaKernels}
+    def dhash(b: Array[Byte]): (Long, Long) = {
+      val a = MediaKernels.bmpDhash(b); (a.getLong(0), a.getLong(1))
+    }
+    val img = MediaKernels.bmpSynth(42L, 20, 16)
+    val (ok, h) = dhash(img)
+    assert(ok == 1L)
+    // identity: same bytes, same hash
+    assert(dhash(MediaKernels.bmpSynth(42L, 20, 16)) == ((1L, h)))
+    // ±1-pixel noise flips AT MOST one bit (the perturbed cell sits in
+    // exactly one adjacent-mean comparison)
+    val (okP, hP) = dhash(MediaKernels.bmpPerturb(img))
+    assert(okP == 1L && java.lang.Long.bitCount(h ^ hP) <= 1)
+    // a different image is far (deterministic fixture, > band threshold)
+    val (_, hOther) = dhash(MediaKernels.bmpSynth(707L, 20, 16))
+    assert(java.lang.Long.bitCount(h ^ hOther) > 3,
+      s"unrelated images must not collide: ${java.lang.Long.bitCount(h ^ hOther)}")
+    // degenerate dims leave grid cells empty: bit 0, never a crash
+    assert(dhash(MediaKernels.bmpSynth(1L, 4, 3))._1 == 1L)
+    // corrupt payloads: ok=0, perturb passes bytes through unchanged
+    assert(dhash("junk".getBytes)._1 == 0L)
+    assert(MediaKernels.bmpPerturb("junk".getBytes).toSeq == "junk".getBytes.toSeq)
+
+    // operator composition: planted twins surface through the SAME
+    // Hamming band join SimHash uses; unrelated images do not pair
+    val imgs = spark.range(0, 40).select($"id".as("img"),
+      MediaExpressions.bmpSynth($"id", lit(20).cast("int"), lit(16).cast("int")).as("p"))
+      .unionByName(spark.range(0, 40).select(($"id" + 1000L).as("img"),
+        MediaExpressions.bmpPerturb(MediaExpressions.bmpSynth(
+          $"id", lit(20).cast("int"), lit(16).cast("int"))).as("p")))
+    val hashed = imgs.select($"img",
+      element_at(MediaExpressions.bmpDhash($"p"), 2).as("h64"))
+    val pairs = Dedup.hamming64Pairs(hashed, "h64", "img",
+      maxHamming = 1, maxBucket = 1 << 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 40L).foreach(i =>
+      assert(pairs.contains((i, i + 1000L)), s"twin pair $i missing"))
+  }
+
   test("multimodal: synth size overflow fails legibly, not NegativeArraySizeException") {
     import graft.multimodal.MediaKernels
     // large-but-positive params whose Int byte-size products wrap
