@@ -2401,6 +2401,31 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // CUSTOM-STATE sessionization (flatMapGroupsWithState +
+    // EventTimeTimeout), driver-gated: unlike q_stream_session (the
+    // native session_window operator), this drives the engine's own
+    // hold-until-watermark session state machine — sessions surface only
+    // once the watermark proves no admissible late event can extend or
+    // bridge them; the rest stay HELD in state and are withheld from the
+    // output by design (the append-mode finality contract). The oracle
+    // is batch gaps-and-islands at ms precision restricted to exactly
+    // the watermark-finalized sessions (end + gap < max(ts) − 1h delay).
+    "q_stream_session_state" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.Streaming.readEventStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[(Long, java.sql.Timestamp)]
+      val sessions = graft.streaming.Streaming
+        .sessionizeStream(ev, gapMinutes = 30).toDF()
+      runStreamToParquet(s, sessions, "append", "graft-qsss")
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ms"))
+    }),
+
     // Stream-STATIC broadcast enrichment join, driver-gated: the event
     // stream joined per-microbatch against the static customer dimension
     // (stateless — no watermark, the dimension broadcast to every task;
@@ -5134,6 +5159,41 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start""",
+
+    // the custom-state session machine replayed in batch: ms-floored
+    // event times (Timestamp.getTime truncation), merge while
+    // diff <= 30 min, and ONLY watermark-finalized sessions
+    // (end + gap < max(ts)_ms - 1h — Spark's ms watermark arithmetic)
+    "q_stream_session_state" -> """
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS t
+        FROM events
+      ), o AS (
+        SELECT user_id, t,
+               lag(t) OVER (PARTITION BY user_id ORDER BY t) AS prev
+        FROM e
+      ), f AS (
+        SELECT user_id, t,
+               CASE WHEN prev IS NULL OR t - prev > 1800000 THEN 1
+                    ELSE 0 END AS nw
+        FROM o
+      ), g AS (
+        SELECT user_id, t,
+               sum(nw) OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM f
+      ), sess AS (
+        SELECT user_id, min(t) AS start_ms, max(t) AS end_ms,
+               count(*) AS n
+        FROM g GROUP BY user_id, sid
+      ), wm AS (
+        SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 1000) - 3600000 AS w
+        FROM events
+      )
+      SELECT user_id, CAST(start_ms AS BIGINT) AS start_ms,
+             CAST(end_ms AS BIGINT) AS end_ms, CAST(n AS INT) AS n_events
+      FROM sess, wm WHERE end_ms + 1800000 < w
+      ORDER BY user_id, start_ms""",
 
     "q_stream_store" -> """
       SELECT doc_id,
