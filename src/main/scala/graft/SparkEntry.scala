@@ -1108,7 +1108,7 @@ object SparkEntry {
       val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
       val writer = new Thread(() => {
         try (0 until 6).foreach { i =>
-          graft.pipeline.Retry.onConflict(times = 10, baseMs = 20) {
+          graft.pipeline.Retry.onConflict(times = 20, baseMs = 20) {
             t.createMany(docs.filter(pmod(col("doc_id"), lit(6)) === i))
           }
         } catch { case e: Throwable => errs.add(e) }
@@ -1117,13 +1117,16 @@ object SparkEntry {
       val compactor = new Thread(() => {
         try {
           while (!done.get()) {
-            compactions.addAndGet(
-              graft.pipeline.Retry.onConflict(times = 10, baseMs = 20) {
-                t.compact(maxFiles = 0)
-              })
+            // background compaction YIELDS to writers: a lost OCC race is
+            // "try again next tick", not an error — retrying inside the
+            // writer's commit window would livelock both sides at larger
+            // SFs where every commit spans seconds
+            try compactions.addAndGet(t.compact(maxFiles = 0))
+            catch { case _: graft.store.ConcurrentModificationException => () }
             Thread.sleep(200)
           }
-          // final pass over the fully-written table
+          // final pass over the fully-written table: no concurrent
+          // writers remain, so this one is entitled to win
           compactions.addAndGet(
             graft.pipeline.Retry.onConflict(times = 10, baseMs = 20) {
               t.compact(maxFiles = 0)
@@ -2224,6 +2227,38 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // PERCEPTUAL audio dedup — the WAV member of the sketch family
+    // (SimHash:text :: dHash:image :: energy-contour fingerprint:audio):
+    // every document becomes a PCM-16 RIFF/WAVE clip plus a near-dup twin
+    // (+1 on frame 0/channel 0's int16 sample, wavPerturb), each payload
+    // decodes through the codegen'd 64-bit fingerprint (65 equal-share
+    // time bins over the ACTUAL PCM frames, gradient-sign bits over exact
+    // bin means), and pairs come from the SAME 4×16-bit Hamming band join
+    // the image/text sketches use (exact recall ≤3 bits, never
+    // all-pairs). The oracle replays the WHOLE pipeline symbolically:
+    // sample formula → |amplitude| → 65-bin assignment → exact mean
+    // comparisons → per-pair differing-bit count, so any slip in the
+    // chunk walk, PCM decode, binning, or banding hash-mismatches.
+    "q_media_audio_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
+        (lit(130) + pmod(col("doc_id"), lit(70))).cast("int").as("fr"))
+      val base = d.select(col("id").as("clip"),
+        M.wavSynth(col("id"), col("ch"), lit(8000), col("fr")).as("payload"))
+      val twin = d.select((col("id") + 1000000L).as("clip"),
+        M.wavPerturb(M.wavSynth(col("id"), col("ch"), lit(8000), col("fr")))
+          .as("payload"))
+      val hashed = par(s, base.unionByName(twin))
+        .select(col("clip"), M.wavEfp(col("payload")).as("p"))
+        .filter(element_at(col("p"), 1) === 1L)
+        .select(col("clip"), element_at(col("p"), 2).as("h64"))
+      Dedup.hamming64Pairs(hashed, "h64", "clip",
+        maxHamming = 2, maxBucket = 1 << 20)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy(col("id_a"))
+    }),
+
     // Exactly-once streaming sink, driver-gated end-to-end: a REAL file-
     // source stream (Trigger.AvailableNow) appends the corpus through
     // StoreSink into a COW table; the committed batch is then DELIBERATELY
@@ -2773,6 +2808,24 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Product-quantization ANN (Jégou et al. 2011) — the memory lever
+    // past int8: m=4 codebooks of k=8 centroids trained by integer
+    // Lloyd's over the corpus subspaces, corpus encoded to 4 codes/row
+    // (zero-shuffle scan against the literal codebook), queries answered
+    // by ADC lookup tables through the bounded-heap TopK aggregate. The
+    // oracle replays the ENTIRE pipeline symbolically (seeding by md5
+    // draw, per-round assignment/update CTEs, lost-centroid carry-over,
+    // LUT scoring, ascending-distance rank), so any slip anywhere in
+    // train/encode/search hash-mismatches.
+    "q_ann_pq" -> ((s, dir) => {
+      val corpus = par(s, Tables.embeddings(s, dir))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.operators.Pq.pqTopK(corpus, queries, "embedding", "vec_id", "qid",
+        m = 4, k = 8, iters = 2, topk = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hard-negative mining (DPR-style): top-5 corpus items per query
     // inside the cosine band (0.1, 0.9] — informative negatives below
     // the near-dup band; self (cosine 1.0) falls out of the band. The
@@ -2988,6 +3041,114 @@ object SparkEntry {
         .orderBy(col("status"))
     }),
 
+    // Incremental JOIN view maintenance — the delta-join companion of
+    // q_ivm: ord ⋈ cust stays materialized across a mutation storm that
+    // hits every hard case of the signed decomposition ΔA⋈B_new +
+    // A_old⋈ΔB — a join-KEY-moving update on A (preimage must leave its
+    // old partner's rows), a value-only update on B (every referencing
+    // joined row must re-image), deletes on both sides (including
+    // partners of moved rows), and inserts on both. The oracle recomputes
+    // the FINAL join from scratch in DuckDB, so any slip in the algebra
+    // (double-removal, stranded preimage, missed cross term) mismatches.
+    "q_ivm_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-ivmj-q"))
+      val ords = new graft.store.GraftTable(s, cat, "ord", StructType(Seq(
+        StructField("okey", LongType, nullable = false),
+        StructField("ckey", LongType, nullable = false),
+        StructField("total", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("okey")))
+      val custs = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("ckey", LongType, nullable = false),
+        StructField("seg", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("ckey")))
+      def ord(lo: Long, hi: Long) = Tables.orders(s, dir)
+        .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+        .select(col("o_orderkey").as("okey"),
+          col("o_custkey").as("ckey"), col("o_totalprice").as("total"))
+      def cust(lo: Long, hi: Long) = Tables.customer(s, dir)
+        .filter(col("c_custkey") >= lo && col("c_custkey") <= hi)
+        .select(col("c_custkey").as("ckey"), col("c_mktsegment").as("seg"))
+      ords.createMany(ord(0, 2000))
+      custs.createMany(cust(0, 1200))
+      val state0 = graft.store.MaterializedJoin.compute(
+        ords.snapshot(), custs.snapshot(), Seq("ckey"))
+      val pin = cat.currentCommitId()
+      ords.updateMany(graft.query.RawCol(col("okey") <= 300L),
+        Map("ckey" -> lit(7L)))                                 // key-moving update on A
+      ords.deleteMany(graft.query.RawCol(col("okey") > 1800L))  // delete on A
+      ords.createMany(ord(2001, 2100))                          // insert on A
+      custs.updateMany(graft.query.RawCol(col("ckey") <= 100L),
+        Map("seg" -> lit("MOVED")))                             // value update on B
+      custs.deleteMany(graft.query.RawCol(col("ckey") > 1100L)) // delete on B
+      custs.createMany(cust(1201, 1300))                        // insert on B
+      val now = cat.currentCommitId()
+      val maintained = graft.store.MaterializedJoin.applyDelta(state0,
+        graft.store.ChangeFeed.changesBetween(ords, pin, now),
+        ords.snapshotAt(pin),
+        graft.store.ChangeFeed.changesBetween(custs, pin, now),
+        custs.snapshot(), Seq("ckey"))
+      // unique PKs on both sides ⇒ every multiplicity is exactly 1; fold
+      // __m into the projection so a miscounted group fails the gate
+      maintained
+        .select(col("okey"), col("ckey"), col("total"), col("seg"), col("__m"))
+        .orderBy(col("okey"))
+    }),
+
+    // Snapshot GC (VACUUM) — the retention contract driven end-to-end
+    // and PHYSICALLY verified: a mutation storm leaves superseded slice
+    // versions on disk (COW never rewrites in place), vacuum(0) must
+    // delete every non-current version directory and keepHistory=1 must
+    // reclaim the archived manifests, after which time travel to the
+    // pinned commit throws the documented error while the CURRENT
+    // snapshot stays byte-intact. The on-disk walk happens inside the
+    // query and folds into a gated boolean column, so a vacuum that
+    // leaks directories, deletes a current one, or leaves stale history
+    // readable hash-mismatches against the oracle.
+    "q_vacuum" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val root = tempDir("graft-vac-q")
+      val cat = new graft.store.Catalog(root)
+      val t = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("v", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      t.createMany(Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("long").as("v")))
+      val pin = cat.currentCommitId()
+      t.updateMany(graft.query.RawCol(pmod(col("doc_id"), lit(10)) === 0L),
+        Map("v" -> lit(-1L)))
+      t.deleteMany(graft.query.RawCol(pmod(col("doc_id"), lit(7)) === 3L))
+      t.compact()
+
+      def versionDirs(): Set[String] = {
+        val tdir = java.nio.file.Paths.get(root, "docs")
+        if (!java.nio.file.Files.exists(tdir)) Set.empty
+        else {
+          val out = scala.collection.mutable.Set[String]()
+          java.nio.file.Files.list(tdir).forEach { pk =>
+            if (java.nio.file.Files.isDirectory(pk))
+              java.nio.file.Files.list(pk).forEach { v =>
+                if (java.nio.file.Files.isDirectory(v)) out += v.toString
+              }
+          }
+          out.toSet
+        }
+      }
+      val current = cat.currentDirs("docs").values.toSet
+      val before = versionDirs()
+      cat.vacuum(retainMs = 0, keepHistory = 1)
+      val after = versionDirs()
+      val oldUnreadable =
+        try { t.snapshotAt(pin).count(); false }
+        catch { case _: graft.store.RecordNotFoundException => true }
+      val gcOk = (before -- current).nonEmpty && // storm really left garbage
+        after == current &&                      // …all reclaimed, none current lost
+        oldUnreadable
+      t.snapshot().select(col("doc_id"), col("v"), lit(gcOk).as("gc_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Change data feed (Delta/Iceberg table_changes over the COW store):
     // insert/delete/update-image rows between a pinned commit and head.
     // The manifest diff prunes unmoved slices before any file is read;
@@ -3195,6 +3356,85 @@ object SparkEntry {
   /** DuckDB replay of [[operators.Clustering.kmeans]]: one CTE pair
     * (assign aN, update cN) per Lloyd round, all-integer arithmetic so
     * every round is bit-identical to the Spark side. */
+  /** DuckDB replay of [[operators.Pq.pqTopK]]: subspace k-means per
+    * round (same integer/md5 contract as [[kmeansOracle]], with the sub
+    * column threaded through and lost centroids carried over), final
+    * encoding, per-query ADC lookup tables, ascending-distance rank. */
+  private def pqOracle(m: Int, k: Int, iters: Int, topk: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH pts AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x ->
+                 greatest(-2000, least(2000,
+                   CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) + 2000) AS e
+        FROM embeddings
+      ), dims AS (SELECT len(e) // $m AS ds FROM pts LIMIT 1),
+      sp AS (
+        SELECT id, sub, list_slice(e, sub * ds + 1, (sub + 1) * ds) AS se
+        FROM pts CROSS JOIN dims
+        CROSS JOIN (SELECT unnest(range(0, $m)) AS sub)
+      ), seed AS (
+        SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid
+        FROM (SELECT id FROM pts ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)
+      ), c0 AS (
+        SELECT sp.sub, CAST(s.cid AS INTEGER) AS cid,
+               list_transform(sp.se, v -> v * 1000) AS c
+        FROM sp JOIN seed s ON sp.id = s.id
+      )""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+      a$i AS (
+        SELECT id, sub, se, cid FROM (
+          SELECT sp.id, sp.sub, sp.se, c.cid,
+                 row_number() OVER (PARTITION BY sp.id, sp.sub ORDER BY
+                   list_sum(list_transform(range(1, len(sp.se) + 1),
+                     i -> (sp.se[i] * 1000 - c.c[i]) * (sp.se[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM sp JOIN c${i - 1} c ON sp.sub = c.sub) WHERE rn = 1
+      ), u$i AS (
+        SELECT sub, cid, list(v ORDER BY pos) AS c FROM (
+          SELECT sub, cid, pos, CAST((sum(v) * 1000) // count(*) AS BIGINT) AS v
+          FROM (SELECT sub, cid, unnest(se) AS v, generate_subscripts(se, 1) AS pos
+                FROM a$i)
+          GROUP BY sub, cid, pos)
+        GROUP BY sub, cid
+      ), c$i AS (
+        SELECT o.sub, o.cid, coalesce(u.c, o.c) AS c
+        FROM c${i - 1} o LEFT JOIN u$i u ON o.sub = u.sub AND o.cid = u.cid
+      )""")
+    }
+    sb.append(s""",
+      codes AS (
+        SELECT id, sub, cid FROM (
+          SELECT sp.id, sp.sub, c.cid,
+                 row_number() OVER (PARTITION BY sp.id, sp.sub ORDER BY
+                   list_sum(list_transform(range(1, len(sp.se) + 1),
+                     i -> (sp.se[i] * 1000 - c.c[i]) * (sp.se[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM sp JOIN c$iters c ON sp.sub = c.sub) WHERE rn = 1
+      ), q AS (
+        SELECT id AS qid, e AS qe FROM pts WHERE id < 10
+      ), lut AS (
+        SELECT q.qid, c.sub, c.cid,
+               list_sum(list_transform(range(1, len(c.c) + 1), i ->
+                 (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i])
+               * (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i]))) AS dist
+        FROM q CROSS JOIN dims CROSS JOIN c$iters c
+      ), scored AS (
+        SELECT l.qid, a.id, sum(l.dist) AS dist
+        FROM codes a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+        GROUP BY l.qid, a.id
+      ), ranked AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        FROM scored
+      )
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $topk ORDER BY qid, rank""")
+    sb.toString
+  }
+
   private def kmeansOracle(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""
@@ -5326,6 +5566,34 @@ object SparkEntry {
              CAST(sum(CASE WHEN bb <> bt THEN 1 ELSE 0 END) AS BIGINT) AS hamming
       FROM bits GROUP BY id ORDER BY id_a""",
 
+    "q_media_audio_dedup" -> """
+      WITH d AS (
+        SELECT doc_id AS id, 1 + doc_id % 2 AS ch, 130 + doc_id % 70 AS fr
+        FROM documents
+      ), fx AS (
+        SELECT id, ch, fr, unnest(range(0, fr)) AS i FROM d
+      ), fc AS (
+        SELECT id, fr, i, unnest(range(0, ch)) AS c FROM fx
+      ), samp AS (
+        SELECT id, (i * 65) // fr AS k,
+               abs((i*31 + c*17 + id) % 4001 - 2000) AS ab,
+               abs((i*31 + c*17 + id) % 4001 - 2000
+                   + CASE WHEN i = 0 AND c = 0 THEN 1 ELSE 0 END) AS at
+        FROM fc
+      ), bins AS (
+        SELECT id, k, sum(ab) AS eb, sum(at) AS et, count(*) AS n
+        FROM samp GROUP BY id, k
+      ), bits AS (
+        SELECT a.id,
+               CASE WHEN a.eb * b.n < b.eb * a.n THEN 1 ELSE 0 END AS bb,
+               CASE WHEN a.et * b.n < b.et * a.n THEN 1 ELSE 0 END AS bt
+        FROM bins a JOIN bins b ON a.id = b.id AND b.k = a.k + 1
+        WHERE a.k < 64
+      )
+      SELECT id AS id_a, id + 1000000 AS id_b,
+             CAST(sum(CASE WHEN bb <> bt THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM bits GROUP BY id ORDER BY id_a""",
+
     "q_dedup_minhash" -> """
       SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
       ORDER BY id_a""",
@@ -5345,6 +5613,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracle(5),
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
+    "q_ann_pq" -> pqOracle(m = 4, k = 8, iters = 2, topk = 5),
 
     "q_label_prop" -> labelPropOracle(4),
 
@@ -5684,6 +5953,31 @@ object SparkEntry {
       SELECT status, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
       FROM finals GROUP BY status ORDER BY status""",
+
+    "q_ivm_join" -> """
+      WITH fo AS (
+        SELECT o_orderkey AS okey,
+               CASE WHEN o_orderkey <= 300 THEN 7 ELSE o_custkey END AS ckey,
+               o_totalprice AS total
+        FROM orders
+        WHERE o_orderkey <= 1800 OR (o_orderkey BETWEEN 2001 AND 2100)
+      ), fc AS (
+        SELECT c_custkey AS ckey,
+               CASE WHEN c_custkey <= 100 THEN 'MOVED' ELSE c_mktsegment END AS seg
+        FROM customer
+        WHERE c_custkey <= 1100 OR (c_custkey BETWEEN 1201 AND 1300)
+      )
+      SELECT fo.okey, fo.ckey, fo.total, fc.seg, CAST(1 AS BIGINT) AS __m
+      FROM fo JOIN fc ON fo.ckey = fc.ckey ORDER BY fo.okey""",
+
+    "q_vacuum" -> """
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 10 = 0 THEN -1
+                       ELSE length(text) END AS BIGINT) AS v,
+             TRUE AS gc_ok
+      FROM documents
+      WHERE doc_id % 7 <> 3
+      ORDER BY doc_id""",
 
     // CDF replay: the same three mutations expressed as set algebra over
     // the raw table. A SET matching the old value emits nothing, hence

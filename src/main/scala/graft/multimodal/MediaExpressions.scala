@@ -116,6 +116,40 @@ object MediaExpressions {
       copy(child = newChild)
   }
 
+  /** WAV bytes → [ok, efp64]: 64-bit energy-contour fingerprint over the
+    * decoded PCM frames ([[MediaKernels.wavEfp]]); ok=0 when the payload
+    * is not PCM-16 RIFF/WAVE. */
+  case class WavEfp(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "wav_efp"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.wavEfp(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.wavEfp($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** WAV bytes → WAV bytes with frame 0 / channel 0's int16 sample bumped
+    * +1 mod 2¹⁶ ([[MediaKernels.wavPerturb]]) — the audio near-dup twin
+    * generator; non-PCM16-WAV payloads pass through unchanged. */
+  case class WavPerturb(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "wav_perturb"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.wavPerturb(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.wavPerturb($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def bmpSynth(id: Column, width: Column, height: Column): Column =
@@ -127,4 +161,6 @@ object MediaExpressions {
     column(WavSynth(expression(id), expression(channels),
       expression(sampleRate), expression(frames)))
   def wavParse(payload: Column): Column = column(WavParse(expression(payload)))
+  def wavEfp(payload: Column): Column = column(WavEfp(expression(payload)))
+  def wavPerturb(payload: Column): Column = column(WavPerturb(expression(payload)))
 }

@@ -343,4 +343,109 @@ object MediaKernels {
       byteRate.toLong, blockAlign.toLong, dataLen,
       dataLen * 1000L / byteRate, sumAbs))
   }
+
+  /** Shared PCM-16 locator for the fingerprint/perturb kernels: walks the
+    * RIFF chunk list (same long-arithmetic bounds as [[wavParse]]) and
+    * returns [channels, dataOff, dataLen], or null for anything that is
+    * not PCM-16 RIFF/WAVE. [[wavParse]] keeps its own walk because it
+    * also surfaces rate/byteRate/blockAlign and the all(-1) contract. */
+  private def wavPcm16(bytes: Array[Byte]): Array[Long] = {
+    if (bytes == null || bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return null
+    var o = 12L
+    var channels = -1; var bits = -1
+    var dataOff = -1L; var dataLen = -1L
+    while (o + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
+      val oi = o.toInt
+      val size = getLE32(bytes, oi + 4).toLong & 0xffffffffL // u32 per RIFF
+      if (o + 8 + size > bytes.length) return null
+      if (bytes(oi) == 'f' && bytes(oi + 1) == 'm' && bytes(oi + 2) == 't' && bytes(oi + 3) == ' ') {
+        if (size < 16 || getLE16(bytes, oi + 8) != 1) return null // PCM only
+        channels = getLE16(bytes, oi + 10)
+        bits = getLE16(bytes, oi + 22)
+      } else if (bytes(oi) == 'd' && bytes(oi + 1) == 'a' && bytes(oi + 2) == 't' && bytes(oi + 3) == 'a') {
+        dataOff = o + 8; dataLen = size
+      }
+      o += 8 + size + (size & 1) // RIFF chunks pad to even
+    }
+    if (channels <= 0 || bits != 16 || dataOff < 0) null
+    else Array(channels.toLong, dataOff, dataLen)
+  }
+
+  /** 64-bit energy-contour fingerprint over decoded PCM — the audio
+    * member of the perceptual-sketch family ([[bmpDhash]] is the image
+    * one, SimHash the text one). The frame walk bins the per-frame
+    * channel-summed absolute amplitude into 65 equal-share time bins
+    * (bin = i·65/F, integer — the binning the oracle replays), and bit k
+    * (k = 0..63) is 1 iff bin k's MEAN energy is strictly below bin
+    * k+1's. Gradient-sign bits over the energy envelope survive small
+    * sample noise, constant gain shifts, and container rewrites — the
+    * same robustness argument as dHash's luminance gradients, in time
+    * rather than space.
+    *
+    * Mean comparison is EXACT integer arithmetic via quotient-then-
+    * remainder (identical scheme to [[bmpDhash]]): remainder cross-
+    * products are bounded by bin-sample-count squares (≤ (F·ch/65)²,
+    * and F·ch ≤ 2³⁰ under the 2 GiB payload bound), so nothing
+    * overflows Long where naive sum·count cross-multiplication would.
+    * Bins left empty by clips shorter than 65 frames contribute bit 0.
+    * Returns [ok, hash]: [1, h64] for PCM-16 RIFF/WAVE, [0, 0]
+    * otherwise (never throws on malformed bytes). */
+  def wavEfp(bytes: Array[Byte]): ArrayData = {
+    val hdr = wavPcm16(bytes)
+    if (hdr == null) return DhashFail
+    val channels = hdr(0).toInt
+    val dataOff = hdr(1)
+    val frameBytes = channels * 2L
+    val frames = hdr(2) / frameBytes
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0L
+    while (i < frames) {
+      val k = (i * 65 / frames).toInt
+      val base = dataOff + i * frameBytes
+      var c = 0
+      while (c < channels) {
+        val v = (getLE16(bytes, (base + c * 2).toInt) << 16) >> 16 // sign-extend
+        sums(k) += math.abs(v)
+        cnts(k) += 1
+        c += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      val lt =
+        if (cnts(k) == 0 || cnts(k + 1) == 0) false
+        else {
+          val qa = sums(k) / cnts(k); val ra = sums(k) % cnts(k)
+          val qc = sums(k + 1) / cnts(k + 1); val rc = sums(k + 1) % cnts(k + 1)
+          qa < qc || (qa == qc && ra * cnts(k + 1) < rc * cnts(k))
+        }
+      if (lt) hash |= 1L << k
+      k += 1
+    }
+    new GenericArrayData(Array(1L, hash))
+  }
+
+  /** Minimal ±1 sample perturbation: bump frame 0, channel 0's int16
+    * sample by +1 (mod 2¹⁶, LE in place) — the audio near-dup twin
+    * generator mirroring [[bmpPerturb]]. |s+1| − |s| = ±1 for every
+    * int16 including the wrap cases (32767→−32768 and −32768→−32767
+    * both move the absolute amplitude by exactly 1), so exactly one
+    * time bin's energy sum moves by 1 and the [[wavEfp]] fingerprint
+    * flips AT MOST one bit (bit 0, the only comparison bin 0 joins).
+    * Non-PCM16-WAV payloads pass through unchanged. */
+  def wavPerturb(bytes: Array[Byte]): Array[Byte] = {
+    val hdr = wavPcm16(bytes)
+    if (hdr == null || hdr(2) < 2) return bytes
+    val out = bytes.clone()
+    val off = hdr(1).toInt
+    val bumped = (getLE16(out, off) + 1) & 0xffff
+    putLE16(out, off, bumped)
+    out
+  }
 }

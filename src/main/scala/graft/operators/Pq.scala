@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) ANN — Jégou et al. 2011, "Product
+  * quantization for nearest neighbor search": split each D-dim embedding
+  * into `m` subvectors, train an independent `k`-centroid codebook per
+  * subspace (Lloyd's, jointly over all subspaces in one pass per round),
+  * encode every corpus vector as `m` small codes, and answer queries by
+  * asymmetric distance computation (ADC): per query, precompute the
+  * m×k table of query-subvector→centroid distances once, then score a
+  * corpus row with `m` table lookups instead of D multiplies.
+  *
+  * This is the memory lever past int8 ([[Similarity.quantizeInt8]]):
+  * 64-dim float32 → 4 codes ≈ 64× smaller scan, which at 100 TB of
+  * embeddings is the difference between an in-page-cache code scan and
+  * any full-vector representation. IVF composes in front
+  * ([[Similarity.ivfTopK]] coarse-quantizes; PQ compresses what's left —
+  * the classic IVFADC layout).
+  *
+  * Scale shape: the codebook is the ONLY driver-side state (k·D longs —
+  * metadata-sized; it ships to executors as a plan literal, so encoding
+  * and assignment are pure scan-side expressions with ZERO shuffle).
+  * Each training round is one corpus scan + one (sub, cid, pos)-bounded
+  * aggregate (m·k·D/m groups). ADC search broadcasts the per-query
+  * lookup tables (|Q|·m·k longs) over one pass of the code table and
+  * ranks through the bounded-heap [[graft.functions.TopK]] partial
+  * aggregate — at most `topk` candidates per query leave each partition,
+  * so the shuffle is |Q|·topk rows regardless of corpus size.
+  *
+  * Determinism (hash-gated against an independent engine's replay, same
+  * contract as [[Clustering.kmeans]]): coordinates quantize to integer
+  * MILLI units on ingest, centroids live in integer MICRO units
+  * (`(Σmilli · 1000) div n`), distances are exact integer squared
+  * Euclidean in micro space (the +2000 translation that keeps milli
+  * units non-negative is distance-invariant), assignment ties break on
+  * smallest centroid id, seeding orders by the portable md5 draw, and a
+  * centroid that loses every member KEEPS its previous coordinates (so
+  * codebook indexing never develops holes). Zero floating-point ops
+  * before the final heap ranking, whose integer scores are < 2⁵³ and
+  * therefore exact in its double slot. */
+object Pq {
+
+  /** Trained codebook: `centers(sub*k + cid-1)` = micro-unit centroid of
+    * codeword `cid` (1-based) in subspace `sub` (0-based). */
+  final case class Codebook(m: Int, k: Int, ds: Int,
+                            centers: IndexedSeq[Seq[Long]])
+
+  private def eMilli(embCol: String): Column =
+    transform(col(embCol).cast("array<double>"),
+      x => greatest(lit(-2000L),
+        least(lit(2000L), round(x * 1000, 0).cast("long"))) + 2000L)
+
+  /** Same malformed-embedding policy as [[Clustering.kmeans]]: null/NaN
+    * coordinates exclude the row rather than clamp to fabricated values. */
+  private def clean(points: DataFrame, embCol: String): DataFrame =
+    points.filter(col(embCol).isNotNull &&
+      !exists(col(embCol).cast("array<double>"), x => x.isNull || isnan(x)))
+
+  /** Exact integer squared L2 between a milli-unit subvector column and a
+    * micro-unit centroid column. */
+  private def sqDist(se: Column, cent: Column): Column =
+    aggregate(zip_with(se, cent, (a, b) => { val t = a * lit(1000L) - b; t * t }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Scan-side code assignment against the literal codebook: for each
+    * subspace, fold over the k centroids keeping (bestDist, bestCid) —
+    * strict `<` with ascending cid gives the smallest-id tie-break. */
+  private def codesExpr(cb: Codebook, eCol: Column): Column = {
+    val cbLit = typedlit(cb.centers.map(_.toSeq))
+    transform(sequence(lit(0), lit(cb.m - 1)), j => {
+      val se = slice(eCol, j * cb.ds + 1, lit(cb.ds))
+      aggregate(sequence(lit(1), lit(cb.k)),
+        struct(lit(Long.MaxValue).as("d"), lit(0).as("c")),
+        (acc, cid) => {
+          val dist = sqDist(se, element_at(cbLit, j * cb.k + cid))
+          when(dist < acc.getField("d"),
+            struct(dist.as("d"), cid.cast("int").as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    })
+  }
+
+  /** Train m codebooks of k centroids each over `points`' embedding
+    * column. `iters` Lloyd rounds; D must divide evenly by m. */
+  def train(points: DataFrame, embCol: String, idCol: String,
+            m: Int, k: Int, iters: Int): Codebook = {
+    val pts = clean(points, embCol)
+      .select(col(idCol).as("id"), eMilli(embCol).as("__e"))
+    val head = pts.select(size(col("__e"))).head(1)
+    require(head.nonEmpty, "Pq.train: no valid embeddings")
+    val d = head(0).getInt(0)
+    require(m > 0 && d % m == 0, s"Pq.train: dim $d must divide by m=$m")
+    val ds = d / m
+
+    // Seeds: the k rows with the smallest (md5(id), id) draw seed EVERY
+    // subspace (their j-th subvector seeds codebook j), cid 1..k in draw
+    // order — portable and independent of physical row order.
+    val seedRows = pts.withColumn("__m", md5(col("id").cast("string")))
+      .orderBy(col("__m"), col("id")).limit(k)
+      .select(col("__e")).collect()
+    require(seedRows.length == k, s"Pq.train: need ≥ $k points, have ${seedRows.length}")
+    var centers: IndexedSeq[Seq[Long]] =
+      (0 until m).flatMap(j => seedRows.toIndexedSeq.map(r =>
+        r.getSeq[Long](0).slice(j * ds, (j + 1) * ds).map(_ * 1000L)))
+
+    (1 to iters).foreach { _ =>
+      val cb = Codebook(m, k, ds, centers)
+      val assigned = pts.select(col("__e"),
+        codesExpr(cb, col("__e")).as("__codes"))
+      val upd = assigned
+        .select(col("__e"), posexplode(col("__codes")).as(Seq("sub", "cid")))
+        .select(col("sub"), col("cid"),
+          slice(col("__e"), col("sub") * ds + 1, lit(ds)).as("__se"))
+        .select(col("sub"), col("cid"), posexplode(col("__se")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", expr("(s * 1000) div n"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("sub"), col("cid"),
+          transform(col("pv"), x => x.getField("v")).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2))).toMap
+      // a centroid with no members keeps its coordinates — indexing
+      // (sub*k + cid-1) must never develop holes
+      centers = IndexedSeq.tabulate(m * k)(idx =>
+        upd.getOrElse((idx / k, idx % k + 1), centers(idx)))
+    }
+    Codebook(m, k, ds, centers)
+  }
+
+  /** Encode corpus rows as m codes (1-based centroid ids) — one scan,
+    * zero shuffle. */
+  def encode(points: DataFrame, embCol: String, idCol: String,
+             cb: Codebook): DataFrame =
+    clean(points, embCol).select(col(idCol).as("id"),
+      codesExpr(cb, eMilli(embCol)).as("codes"))
+
+  /** Train + encode + ADC top-k in one call: (qid, id, rank) with rank
+    * 1..topk by ascending PQ distance, ties on smallest id. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+             idCol: String, qidCol: String, m: Int, k: Int,
+             iters: Int, topk: Int): DataFrame = {
+    val cb = train(corpus, embCol, idCol, m, k, iters)
+    val codes = encode(corpus, embCol, idCol, cb)
+    val cbLit = typedlit(cb.centers.map(_.toSeq))
+    // per-query ADC lookup table: position j*k + cid-1 holds the exact
+    // integer distance from the query's j-th subvector to centroid cid
+    val lut = clean(queries, embCol)
+      .select(col(qidCol).as("qid"), eMilli(embCol).as("__qe"))
+      .select(col("qid"), flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(sequence(lit(1), lit(k)), cid =>
+          sqDist(slice(col("__qe"), j * cb.ds + 1, lit(cb.ds)),
+            element_at(cbLit, j * k + cid))))).as("__lut"))
+    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, j) => acc + element_at(col("__lut"),
+        j * k + element_at(col("codes"), j + 1)))
+    // negate into the (score desc, id asc) heap: integer distances are
+    // < 2^53, so the double slot is exact and ascending-distance order
+    // is preserved bit-for-bit
+    codes.crossJoin(broadcast(lut))
+      .withColumn("__score", -dist.cast("double"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(col("__score"), col("id"), topk).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("id"), col("t.rank").cast("long").as("rank"))
+  }
+}
