@@ -2826,6 +2826,23 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVFADC (Jégou et al. 2011 §V): IVF coarse cells gate which PQ
+    // codes a query even scores — the full memory-AND-compute lever for
+    // 100 TB ANN (non-probed cells never scanned with cell-partitioned
+    // storage). The coarse quantizer is a PQ codebook with m=1, so the
+    // oracle replays the SAME symbolic chain twice (prefix g), then
+    // probes nProbe cells per query and gates the ADC join on cell
+    // membership. Any slip in either codebook, the probe ranking, or
+    // the gated scan hash-mismatches.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val corpus = par(s, Tables.embeddings(s, dir))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.operators.Pq.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+        "qid", nCells = 4, nProbe = 2, m = 4, k = 8, iters = 2, topk = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hard-negative mining (DPR-style): top-5 corpus items per query
     // inside the cosine band (0.1, 0.9] — informative negatives below
     // the near-dup band; self (cosine 1.0) falls out of the band. The
@@ -3360,60 +3377,76 @@ object SparkEntry {
     * round (same integer/md5 contract as [[kmeansOracle]], with the sub
     * column threaded through and lost centroids carried over), final
     * encoding, per-query ADC lookup tables, ascending-distance rank. */
-  private def pqOracle(m: Int, k: Int, iters: Int, topk: Int): String = {
+  /** One PQ train+encode CTE chain (prefix `p` keeps two chains — e.g.
+    * the IVF coarse quantizer, which IS a PQ with m=1 — from colliding
+    * in the same WITH). Emits `${p}sp`/`${p}c0..c$iters`/`${p}codes`
+    * over the shared `pts`; the caller appends search CTEs. */
+  private def pqChainSql(p: String, m: Int, k: Int, iters: Int): String = {
     val sb = new StringBuilder
-    sb.append(s"""
-      WITH pts AS (
-        SELECT vec_id AS id,
-               list_transform(embedding, x ->
-                 greatest(-2000, least(2000,
-                   CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) + 2000) AS e
-        FROM embeddings
-      ), dims AS (SELECT len(e) // $m AS ds FROM pts LIMIT 1),
-      sp AS (
+    sb.append(s""",
+      ${p}dims AS (SELECT len(e) // $m AS ds FROM pts LIMIT 1),
+      ${p}sp AS (
         SELECT id, sub, list_slice(e, sub * ds + 1, (sub + 1) * ds) AS se
-        FROM pts CROSS JOIN dims
+        FROM pts CROSS JOIN ${p}dims
         CROSS JOIN (SELECT unnest(range(0, $m)) AS sub)
-      ), seed AS (
+      ), ${p}seed AS (
         SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid
         FROM (SELECT id FROM pts ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)
-      ), c0 AS (
+      ), ${p}c0 AS (
         SELECT sp.sub, CAST(s.cid AS INTEGER) AS cid,
                list_transform(sp.se, v -> v * 1000) AS c
-        FROM sp JOIN seed s ON sp.id = s.id
+        FROM ${p}sp sp JOIN ${p}seed s ON sp.id = s.id
       )""")
     for (i <- 1 to iters) {
       sb.append(s""",
-      a$i AS (
+      ${p}a$i AS (
         SELECT id, sub, se, cid FROM (
           SELECT sp.id, sp.sub, sp.se, c.cid,
                  row_number() OVER (PARTITION BY sp.id, sp.sub ORDER BY
                    list_sum(list_transform(range(1, len(sp.se) + 1),
                      i -> (sp.se[i] * 1000 - c.c[i]) * (sp.se[i] * 1000 - c.c[i]))),
                    c.cid) AS rn
-          FROM sp JOIN c${i - 1} c ON sp.sub = c.sub) WHERE rn = 1
-      ), u$i AS (
+          FROM ${p}sp sp JOIN ${p}c${i - 1} c ON sp.sub = c.sub) WHERE rn = 1
+      ), ${p}u$i AS (
         SELECT sub, cid, list(v ORDER BY pos) AS c FROM (
           SELECT sub, cid, pos, CAST((sum(v) * 1000) // count(*) AS BIGINT) AS v
           FROM (SELECT sub, cid, unnest(se) AS v, generate_subscripts(se, 1) AS pos
-                FROM a$i)
+                FROM ${p}a$i)
           GROUP BY sub, cid, pos)
         GROUP BY sub, cid
-      ), c$i AS (
+      ), ${p}c$i AS (
         SELECT o.sub, o.cid, coalesce(u.c, o.c) AS c
-        FROM c${i - 1} o LEFT JOIN u$i u ON o.sub = u.sub AND o.cid = u.cid
+        FROM ${p}c${i - 1} o LEFT JOIN ${p}u$i u ON o.sub = u.sub AND o.cid = u.cid
       )""")
     }
     sb.append(s""",
-      codes AS (
+      ${p}codes AS (
         SELECT id, sub, cid FROM (
           SELECT sp.id, sp.sub, c.cid,
                  row_number() OVER (PARTITION BY sp.id, sp.sub ORDER BY
                    list_sum(list_transform(range(1, len(sp.se) + 1),
                      i -> (sp.se[i] * 1000 - c.c[i]) * (sp.se[i] * 1000 - c.c[i]))),
                    c.cid) AS rn
-          FROM sp JOIN c$iters c ON sp.sub = c.sub) WHERE rn = 1
-      ), q AS (
+          FROM ${p}sp sp JOIN ${p}c$iters c ON sp.sub = c.sub) WHERE rn = 1
+      )""")
+    sb.toString
+  }
+
+  private val pqPtsSql = """
+      WITH pts AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x ->
+                 greatest(-2000, least(2000,
+                   CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) + 2000) AS e
+        FROM embeddings
+      )"""
+
+  private def pqOracle(m: Int, k: Int, iters: Int, topk: Int): String = {
+    val sb = new StringBuilder
+    sb.append(pqPtsSql)
+    sb.append(pqChainSql("", m, k, iters))
+    sb.append(s""",
+      q AS (
         SELECT id AS qid, e AS qe FROM pts WHERE id < 10
       ), lut AS (
         SELECT q.qid, c.sub, c.cid,
@@ -3424,6 +3457,49 @@ object SparkEntry {
       ), scored AS (
         SELECT l.qid, a.id, sum(l.dist) AS dist
         FROM codes a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+        GROUP BY l.qid, a.id
+      ), ranked AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        FROM scored
+      )
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $topk ORDER BY qid, rank""")
+    sb.toString
+  }
+
+  /** IVFADC replay: the coarse quantizer is the same chain with m=1
+    * (prefix `g`), probing keeps each query's nProbe nearest cells, and
+    * `scored` gates the PQ code join on cell membership. */
+  private def ivfPqOracle(nCells: Int, nProbe: Int, m: Int, k: Int,
+                          iters: Int, topk: Int): String = {
+    val sb = new StringBuilder
+    sb.append(pqPtsSql)
+    sb.append(pqChainSql("g", 1, nCells, iters))
+    sb.append(pqChainSql("", m, k, iters))
+    sb.append(s""",
+      q AS (
+        SELECT id AS qid, e AS qe FROM pts WHERE id < 10
+      ), probe AS (
+        SELECT qid, cid AS cell FROM (
+          SELECT q.qid, c.cid,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(c.c) + 1),
+                     i -> (q.qe[i] * 1000 - c.c[i]) * (q.qe[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM q CROSS JOIN gc$iters c) WHERE rn <= $nProbe
+      ), lut AS (
+        SELECT q.qid, c.sub, c.cid,
+               list_sum(list_transform(range(1, len(c.c) + 1), i ->
+                 (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i])
+               * (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i]))) AS dist
+        FROM q CROSS JOIN dims CROSS JOIN c$iters c
+      ), scored AS (
+        SELECT l.qid, a.id, sum(l.dist) AS dist
+        FROM codes a
+        JOIN gcodes g ON a.id = g.id
+        JOIN probe p ON g.cid = p.cell
+        JOIN lut l ON l.qid = p.qid AND a.sub = l.sub AND a.cid = l.cid
         GROUP BY l.qid, a.id
       ), ranked AS (
         SELECT qid, id,
@@ -5614,6 +5690,8 @@ object SparkEntry {
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
     "q_ann_pq" -> pqOracle(m = 4, k = 8, iters = 2, topk = 5),
+    "q_ann_ivfpq" -> ivfPqOracle(nCells = 4, nProbe = 2, m = 4, k = 8,
+      iters = 2, topk = 5),
 
     "q_label_prop" -> labelPropOracle(4),
 

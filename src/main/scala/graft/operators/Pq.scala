@@ -58,29 +58,18 @@ object Pq {
     points.filter(col(embCol).isNotNull &&
       !exists(col(embCol).cast("array<double>"), x => x.isNull || isnan(x)))
 
-  /** Exact integer squared L2 between a milli-unit subvector column and a
-    * micro-unit centroid column. */
-  private def sqDist(se: Column, cent: Column): Column =
-    aggregate(zip_with(se, cent, (a, b) => { val t = a * lit(1000L) - b; t * t }),
-      lit(0L), (acc, x) => acc + x)
+  /** Codebook flattened for the codegen kernels: index
+    * `(sub·k + cid−1)·ds + pos`. */
+  private def flat(cb: Codebook): Array[Long] = cb.centers.flatten.toArray
 
-  /** Scan-side code assignment against the literal codebook: for each
-    * subspace, fold over the k centroids keeping (bestDist, bestCid) —
-    * strict `<` with ascending cid gives the smallest-id tie-break. */
-  private def codesExpr(cb: Codebook, eCol: Column): Column = {
-    val cbLit = typedlit(cb.centers.map(_.toSeq))
-    transform(sequence(lit(0), lit(cb.m - 1)), j => {
-      val se = slice(eCol, j * cb.ds + 1, lit(cb.ds))
-      aggregate(sequence(lit(1), lit(cb.k)),
-        struct(lit(Long.MaxValue).as("d"), lit(0).as("c")),
-        (acc, cid) => {
-          val dist = sqDist(se, element_at(cbLit, j * cb.k + cid))
-          when(dist < acc.getField("d"),
-            struct(dist.as("d"), cid.cast("int").as("c"))).otherwise(acc)
-        },
-        acc => acc.getField("c"))
-    })
-  }
+  /** Scan-side code assignment against the codebook — one codegen'd
+    * kernel call per row ([[graft.functions.PqKernels.pqEncode]]:
+    * exact integer distances, smallest-cid tie-break). The declarative
+    * nested-fold form of this (aggregate over k of zip_with over ds)
+    * runs interpreted at ~3 ms/row — a constant that sinks a 100 TB
+    * encode pass; the kernel keeps the scan inside whole-stage codegen. */
+  private def codesExpr(cb: Codebook, eCol: Column): Column =
+    graft.functions.PqExpressions.pqEncode(eCol, flat(cb), cb.m, cb.k, cb.ds)
 
   /** Train m codebooks of k centroids each over `points`' embedding
     * column. `iters` Lloyd rounds; D must divide evenly by m. */
@@ -145,22 +134,84 @@ object Pq {
              iters: Int, topk: Int): DataFrame = {
     val cb = train(corpus, embCol, idCol, m, k, iters)
     val codes = encode(corpus, embCol, idCol, cb)
-    val cbLit = typedlit(cb.centers.map(_.toSeq))
     // per-query ADC lookup table: position j*k + cid-1 holds the exact
     // integer distance from the query's j-th subvector to centroid cid
     val lut = clean(queries, embCol)
       .select(col(qidCol).as("qid"), eMilli(embCol).as("__qe"))
-      .select(col("qid"), flatten(transform(sequence(lit(0), lit(m - 1)), j =>
-        transform(sequence(lit(1), lit(k)), cid =>
-          sqDist(slice(col("__qe"), j * cb.ds + 1, lit(cb.ds)),
-            element_at(cbLit, j * k + cid))))).as("__lut"))
-    val dist = aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-      (acc, j) => acc + element_at(col("__lut"),
-        j * k + element_at(col("codes"), j + 1)))
+      .select(col("qid"), graft.functions.PqExpressions
+        .pqLut(col("__qe"), flat(cb), m, k, cb.ds).as("__lut"))
+    val dist = graft.functions.PqExpressions.pqAdc(col("codes"), col("__lut"), k)
     // negate into the (score desc, id asc) heap: integer distances are
     // < 2^53, so the double slot is exact and ascending-distance order
     // is preserved bit-for-bit
     codes.crossJoin(broadcast(lut))
+      .withColumn("__score", -dist.cast("double"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(col("__score"), col("id"), topk).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("id"), col("t.rank").cast("long").as("rank"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §V): IVF coarse quantization in front of
+    * the PQ code scan. The coarse quantizer IS a PQ codebook with m=1
+    * (one full-dimension subspace, nCells codewords) — same integer
+    * Lloyd's, same md5 seeding, same lost-centroid carry-over — so both
+    * stages share [[train]]/[[encode]] and the oracle replays one CTE
+    * chain twice. Every corpus row is binned into its nearest coarse
+    * cell at encode time; a query probes its `nProbe` nearest cells and
+    * ADC-scores ONLY the codes in those cells.
+    *
+    * Scale shape on top of [[pqTopK]]: the per-query work drops from
+    * |corpus| LUT folds to |corpus|·nProbe/nCells — with cell-partitioned
+    * (or cell-bucketed) code storage the non-probed cells are never even
+    * scanned (slice-stat pruning on the `cell` column). The probe table
+    * is |Q|·nProbe rows joined broadcast against the code scan, so the
+    * only shuffle is still the |Q|·topk bounded-heap rank.
+    *
+    * This is the flat-codebook IVF-PQ layout (one global PQ codebook;
+    * cells only gate the scan). Residual encoding (PQ over x − coarse(x),
+    * tighter at high dim) is a unit change in the same integer algebra —
+    * residuals in micro units are exact Longs — but doubles the symbolic
+    * oracle; the flat layout is what the gate proves. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
+                idCol: String, qidCol: String, nCells: Int, nProbe: Int,
+                m: Int, k: Int, iters: Int, topk: Int): DataFrame = {
+    val coarse = train(corpus, embCol, idCol, m = 1, k = nCells, iters = iters)
+    val cb = train(corpus, embCol, idCol, m, k, iters)
+    // Both codebooks are plan literals, so cell assignment and PQ codes
+    // come out of ONE scan — never a corpus self-join to pair them.
+    val codes = clean(corpus, embCol)
+      .select(col(idCol).as("id"), eMilli(embCol).as("__e"))
+      .select(col("id"),
+        element_at(codesExpr(coarse, col("__e")), 1).as("cell"),
+        codesExpr(cb, col("__e")).as("codes"))
+
+    // Probe ranking: per query, integer distance to every coarse
+    // centroid (the m=1 LUT kernel gives exactly that table — index
+    // cid−1), keep the nProbe closest (ties on smallest cell id). The
+    // window partitions by qid — never a global sort.
+    val qe = clean(queries, embCol)
+      .select(col(qidCol).as("qid"), eMilli(embCol).as("__qe"))
+    val probes = qe
+      .select(col("qid"), col("__qe"),
+        posexplode(graft.functions.PqExpressions
+          .pqLut(col("__qe"), flat(coarse), 1, nCells, coarse.ds))
+          .as(Seq("__p", "__d")))
+      .withColumn("cell", (col("__p") + 1).cast("int"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("__d"), col("cell"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("__qe"), col("cell"))
+
+    // Per-(query, probed cell) ADC lookup table; joining it broadcast on
+    // `cell` both restricts the scan to probed cells and delivers the
+    // LUT in the same pass — no second join.
+    val lut = probes.select(col("qid"), col("cell"),
+      graft.functions.PqExpressions
+        .pqLut(col("__qe"), flat(cb), m, k, cb.ds).as("__lut"))
+    val dist = graft.functions.PqExpressions.pqAdc(col("codes"), col("__lut"), k)
+    codes.join(broadcast(lut), Seq("cell"))
       .withColumn("__score", -dist.cast("double"))
       .groupBy(col("qid"))
       .agg(graft.functions.TopK.topK(col("__score"), col("id"), topk).as("top"))

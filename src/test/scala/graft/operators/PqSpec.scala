@@ -60,6 +60,50 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"encode plan shuffles:\n$plan")
   }
 
+  test("IVFADC: results come only from probed cells and agree with a cell-restricted exact PQ scan") {
+    val corpus = clustered()
+    val queries = corpus.filter($"vec_id" % 20 === 0 && $"vec_id" < 120)
+      .select($"vec_id".as("qid"), $"embedding")
+    val (nCells, nProbe, m, k, iters, topk) = (6, 2, 4, 8, 2, 5)
+    val ivf = Pq.ivfPqTopK(corpus, queries, "embedding", "vec_id", "qid",
+      nCells, nProbe, m, k, iters, topk)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect().toSet
+
+    // independent reconstruction of the candidate gate: coarse = PQ m=1
+    val coarse = Pq.train(corpus, "embedding", "vec_id", 1, nCells, iters)
+    val cellOf = Pq.encode(corpus, "embedding", "vec_id", coarse)
+      .select($"id", element_at($"codes", 1).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    // every returned id must live in one of its query's probed cells —
+    // derived by brute force from the coarse codebook (integer algebra
+    // mirrored exactly; Long math like the kernel)
+    val qemb = queries.select($"qid", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def milli(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.max(-2000L, math.min(2000L, math.round(x.toDouble * 1000))) + 2000L)
+    def probed(q: Seq[Float]): Set[Int] = {
+      val e = milli(q)
+      (1 to nCells).map { cid =>
+        val c = coarse.centers(cid - 1)
+        val d = e.zip(c).map { case (a, b) => val t = a * 1000L - b; t * t }.sum
+        (d, cid)
+      }.sortBy(identity).take(nProbe).map(_._2).toSet
+    }
+    assert(ivf.forall { case (qid, id, _) => probed(qemb(qid))(cellOf(id)) },
+      "IVFADC returned an id outside its query's probed cells")
+    // and within the gated candidate set the ranking equals full PQ ADC
+    // restricted to those cells: run pqTopK with a huge topk and filter
+    val full = Pq.pqTopK(corpus, queries, "embedding", "vec_id", "qid",
+      m, k, iters, topk = 400)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect()
+    val expected = full.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val cells = probed(qemb(qid))
+      rows.sortBy(_._3).filter(r => cells(cellOf(r._2))).take(topk)
+        .zipWithIndex.map { case (r, i) => (qid, r._2, (i + 1).toLong) }
+    }.toSet
+    assert(ivf == expected, "IVFADC ranking diverges from cell-restricted exact ADC")
+  }
+
   test("degenerate corpus: centroids that lose every member carry over") {
     // 10 identical vectors, k=4: every assignment ties to cid 1, so
     // centroids 2..4 never see a member and must keep their seed
