@@ -1107,8 +1107,15 @@ object SparkEntry {
       val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
       val writer = new Thread(() => {
+        // Retry budget sized for the adversarial cadence, not the happy
+        // path: at sf1 a createMany stages for ~1 s while the compactor
+        // publishes every ~1.5 s, so EACH attempt loses the OCC race with
+        // p ≈ 0.5-0.8 — per-attempt loss is the gate's design, and the
+        // writer's guarantee is probabilistic (p_fail^50 ≈ 0). The old
+        // times=20 with UNCAPPED backoff slept for minutes after ~12
+        // losses (the sf1 "hang"); capped-backoff retries are cheap.
         try (0 until 6).foreach { i =>
-          graft.pipeline.Retry.onConflict(times = 20, baseMs = 20) {
+          graft.pipeline.Retry.onConflict(times = 50, baseMs = 20) {
             t.createMany(docs.filter(pmod(col("doc_id"), lit(6)) === i))
           }
         } catch { case e: Throwable => errs.add(e) }
@@ -1120,10 +1127,12 @@ object SparkEntry {
             // background compaction YIELDS to writers: a lost OCC race is
             // "try again next tick", not an error — retrying inside the
             // writer's commit window would livelock both sides at larger
-            // SFs where every commit spans seconds
+            // SFs where every commit spans seconds. The 500 ms tick keeps
+            // the publish period comfortably above the writer's staging
+            // window at every SF this gate runs at.
             try compactions.addAndGet(t.compact(maxFiles = 0))
             catch { case _: graft.store.ConcurrentModificationException => () }
-            Thread.sleep(200)
+            Thread.sleep(500)
           }
           // final pass over the fully-written table: no concurrent
           // writers remain, so this one is entitled to win

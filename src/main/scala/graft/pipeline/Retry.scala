@@ -10,8 +10,20 @@ import graft.store.ConcurrentModificationException
   * the new state) resolves. */
 object Retry {
 
-  /** Exponential backoff on OCC conflicts; rethrows after `times`. */
-  def onConflict[A](times: Int = 3, baseMs: Long = 50)(body: => A): A = {
+  /** Exponential backoff on OCC conflicts; rethrows after `times`.
+    *
+    * The backoff is CAPPED at `capMs`: uncapped doubling with a
+    * double-digit retry budget schedules multi-minute (at times=20,
+    * multi-HOUR) sleeps — against a steady competing committer that is
+    * indistinguishable from a hang, and it parks the loser long past the
+    * point where the conflict it is waiting out has resolved. An OCC
+    * conflict window is one commit long; once the backoff exceeds a few
+    * commit durations, more sleep buys nothing but latency (this
+    * livelocked the concurrent-compaction gate at sf1, where commits
+    * take ~1 s: the writer lost a few races, then slept for minutes
+    * while the compactor kept publishing). */
+  def onConflict[A](times: Int = 3, baseMs: Long = 50,
+                    capMs: Long = 250)(body: => A): A = {
     var attempt = 0
     while (true) {
       try return body
@@ -19,7 +31,7 @@ object Retry {
         case e: ConcurrentModificationException =>
           attempt += 1
           if (attempt > times) throw e
-          Thread.sleep(baseMs * (1L << (attempt - 1)))
+          Thread.sleep(math.min(baseMs << math.min(attempt - 1, 20), capMs))
       }
     }
     throw new IllegalStateException("unreachable")
