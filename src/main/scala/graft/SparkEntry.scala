@@ -2268,6 +2268,71 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // GVID raw-frame video container: build a deterministic multi-frame
+    // 24bpp clip per document, parse the bytes back (header fields from
+    // the little-endian layout, channel sums from walking every stored
+    // frame), surface integer duration. Oracle mirrors the header
+    // arithmetic and sums the per-frame pixel formulas symbolically —
+    // the video sibling of q_media_bmp/q_media_wav.
+    "q_media_vid" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (lit(6) + pmod(col("doc_id"), lit(8))).cast("int").as("w"),
+          (lit(5) + pmod(col("doc_id"), lit(6))).cast("int").as("h"),
+          (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("fr"),
+          ((lit(12) + pmod(col("doc_id"), lit(25))) * 1000).cast("int").as("fps"))
+      d.withColumn("p", M.vidParse(M.vidSynth(
+          col("id"), col("w"), col("h"), col("fr"), col("fps"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("frames"),
+          element_at(col("p"), 4).as("fps_milli"),
+          element_at(col("p"), 5).as("data_bytes"),
+          element_at(col("p"), 6).as("duration_ms"),
+          element_at(col("p"), 7).as("sum_b"),
+          element_at(col("p"), 8).as("sum_g"),
+          element_at(col("p"), 9).as("sum_r"))
+        .orderBy(col("id"))
+    }),
+
+    // PERCEPTUAL video dedup — completes the sketch family across every
+    // modality (SimHash:text :: dHash:image :: energy contour:audio ::
+    // majority-vote dHash:video): every document becomes a multi-frame
+    // GVID clip plus a near-dup twin (+1 on frame 0's first pixel's blue
+    // channel, vidPerturb), each payload decodes through the codegen'd
+    // 64-bit signature (per-frame 9×8-grid gradient-sign dHash, then a
+    // strict majority vote per bit across frames — robust to frame-local
+    // noise the way dHash is to pixel noise), and pairs come from the
+    // SAME 4×16-bit Hamming band join every other sketch uses (exact
+    // recall ≤3 bits, never all-pairs — the 100 TB shape). The oracle
+    // replays the WHOLE pipeline symbolically: per-frame pixel formulas →
+    // integer luminance → grid binning → exact mean comparisons →
+    // per-frame bits → majority vote → per-pair differing-bit count, so
+    // any slip in the frame walk, binning, voting, or banding
+    // hash-mismatches.
+    "q_media_video_dedup" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        (lit(6) + pmod(col("doc_id"), lit(8))).cast("int").as("w"),
+        (lit(5) + pmod(col("doc_id"), lit(6))).cast("int").as("h"),
+        (lit(1) + pmod(col("doc_id"), lit(5))).cast("int").as("fr"))
+      def synth = M.vidSynth(col("id"), col("w"), col("h"), col("fr"),
+        lit(24000).cast("int"))
+      val base = d.select(col("id").as("vid"), synth.as("payload"))
+      val twin = d.select((col("id") + 1000000L).as("vid"),
+        M.vidPerturb(synth).as("payload"))
+      val hashed = par(s, base.unionByName(twin))
+        .select(col("vid"), M.vidDhash(col("payload")).as("p"))
+        .filter(element_at(col("p"), 1) === 1L)
+        .select(col("vid"), element_at(col("p"), 2).as("h64"))
+      Dedup.hamming64Pairs(hashed, "h64", "vid",
+        maxHamming = 2, maxBucket = 1 << 20)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy(col("id_a"))
+    }),
+
     // Exactly-once streaming sink, driver-gated end-to-end: a REAL file-
     // source stream (Trigger.AvailableNow) appends the corpus through
     // StoreSink into a COW table; the committed batch is then DELIBERATELY
@@ -5678,6 +5743,76 @@ object SparkEntry {
       SELECT id AS id_a, id + 1000000 AS id_b,
              CAST(sum(CASE WHEN bb <> bt THEN 1 ELSE 0 END) AS BIGINT) AS hamming
       FROM bits GROUP BY id ORDER BY id_a""",
+
+    // GVID parse: header echoes are pure arithmetic; the channel sums
+    // replay the per-frame pixel formulas (seed id + 7919·f) over every
+    // (f, x, y) symbolically.
+    "q_media_vid" -> """
+      WITH d AS (
+        SELECT doc_id AS id, 6 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+               1 + doc_id % 5 AS fr, (12 + doc_id % 25) * 1000 AS fps
+        FROM documents
+      ), df AS (
+        SELECT id, w, h, fr, fps, unnest(range(0, fr)) AS f FROM d
+      ), dx AS (
+        SELECT id, w, h, fr, fps, f, unnest(range(0, w)) AS x FROM df
+      ), px AS (
+        SELECT id, w, h, fr, fps, f, x, unnest(range(0, h)) AS y FROM dx
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(fr AS BIGINT) AS frames, CAST(fps AS BIGINT) AS fps_milli,
+             CAST(w * h * 3 * fr AS BIGINT) AS data_bytes,
+             CAST(fr * 1000000 // fps AS BIGINT) AS duration_ms,
+             CAST(sum((x*7 + y*13 + id + 7919*f) % 256) AS BIGINT) AS sum_b,
+             CAST(sum((x*11 + y*3 + (id + 7919*f)*5) % 251) AS BIGINT) AS sum_g,
+             CAST(sum((x*5 + y*17 + (id + 7919*f)*3) % 239) AS BIGINT) AS sum_r
+      FROM px GROUP BY id, w, h, fr, fps ORDER BY id""",
+
+    // Video perceptual dedup: replay the per-frame dHash (lum → 9×8 grid
+    // cells → gradient-sign bits, exactly as q_media_dedup but with the
+    // frame dimension and top-down rows), then the strict majority vote
+    // per bit position across frames, for both the base clip and the
+    // twin whose frame 0 pixel (0,0) blue channel is +1 (mod 256).
+    "q_media_video_dedup" -> """
+      WITH d AS (
+        SELECT doc_id AS id, 6 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+               1 + doc_id % 5 AS fr
+        FROM documents
+      ), df AS (
+        SELECT id, w, h, fr, unnest(range(0, fr)) AS f FROM d
+      ), dx AS (
+        SELECT id, w, h, fr, f, unnest(range(0, w)) AS x FROM df
+      ), px AS (
+        SELECT id, w, h, fr, f, x, unnest(range(0, h)) AS y FROM dx
+      ), lum AS (
+        SELECT id, fr, f, (x * 9) // w AS gx, (y * 8) // h AS gy,
+               299 * ((x*5 + y*17 + (id + 7919*f)*3) % 239)
+             + 587 * ((x*11 + y*3 + (id + 7919*f)*5) % 251)
+             + 114 * ((x*7 + y*13 + id + 7919*f) % 256) AS lb,
+               299 * ((x*5 + y*17 + (id + 7919*f)*3) % 239)
+             + 587 * ((x*11 + y*3 + (id + 7919*f)*5) % 251)
+             + 114 * ((x*7 + y*13 + id + 7919*f
+                       + CASE WHEN f = 0 AND x = 0 AND y = 0 THEN 1 ELSE 0 END) % 256) AS lt
+        FROM px
+      ), cells AS (
+        SELECT id, fr, f, gy, gx, sum(lb) AS sb, sum(lt) AS st, count(*) AS c
+        FROM lum GROUP BY id, fr, f, gy, gx
+      ), bits AS (
+        SELECT a.id, a.fr, a.f, a.gy, a.gx,
+               CASE WHEN a.sb * b.c < b.sb * a.c THEN 1 ELSE 0 END AS bb,
+               CASE WHEN a.st * b.c < b.st * a.c THEN 1 ELSE 0 END AS bt
+        FROM cells a JOIN cells b
+          ON a.id = b.id AND a.f = b.f AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < 8
+      ), maj AS (
+        SELECT id, gy, gx,
+               CASE WHEN 2 * sum(bb) > fr THEN 1 ELSE 0 END AS mb,
+               CASE WHEN 2 * sum(bt) > fr THEN 1 ELSE 0 END AS mt
+        FROM bits GROUP BY id, fr, gy, gx
+      )
+      SELECT id AS id_a, id + 1000000 AS id_b,
+             CAST(sum(CASE WHEN mb <> mt THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      FROM maj GROUP BY id ORDER BY id_a""",
 
     "q_dedup_minhash" -> """
       SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents

@@ -150,6 +150,81 @@ object MediaExpressions {
       copy(child = newChild)
   }
 
+  /** (id, width, height, frames, fpsMilli) → complete GVID raw-frame
+    * video bytes. */
+  case class VidSynth(id: Expression, w: Expression, h: Expression,
+                      fr: Expression, fps: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+    override def children: Seq[Expression] = Seq(id, w, h, fr, fps)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "vid_synth"
+
+    override def nullSafeEval(i: Any, wv: Any, hv: Any, fv: Any, pv: Any): Any =
+      MediaKernels.vidSynth(i.asInstanceOf[Long], wv.asInstanceOf[Int],
+        hv.asInstanceOf[Int], fv.asInstanceOf[Int], pv.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, wv, hv, fv, pv) =>
+        s"graft.multimodal.MediaKernels.vidSynth($i, $wv, $hv, $fv, $pv)")
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(id = newChildren(0), w = newChildren(1), h = newChildren(2),
+        fr = newChildren(3), fps = newChildren(4))
+  }
+
+  /** GVID bytes → [width, height, frames, fps_milli, data_bytes,
+    * duration_ms, sum_b, sum_g, sum_r]; all(-1) when not a well-formed
+    * GVID. */
+  case class VidParse(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "vid_parse"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.vidParse(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.vidParse($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** GVID bytes → [ok, sig64]: majority-vote-over-frames perceptual
+    * dHash signature ([[MediaKernels.vidDhash]]); ok=0 when the payload
+    * is not a well-formed GVID. */
+  case class VidDhash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "vid_dhash"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.vidDhash(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.vidDhash($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** GVID bytes → GVID bytes with frame 0's first pixel's blue channel
+    * bumped +1 mod 256 ([[MediaKernels.vidPerturb]]) — the video
+    * near-dup twin generator; non-GVID payloads pass through
+    * unchanged. */
+  case class VidPerturb(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "vid_perturb"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.vidPerturb(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.vidPerturb($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def bmpSynth(id: Column, width: Column, height: Column): Column =
@@ -163,4 +238,11 @@ object MediaExpressions {
   def wavParse(payload: Column): Column = column(WavParse(expression(payload)))
   def wavEfp(payload: Column): Column = column(WavEfp(expression(payload)))
   def wavPerturb(payload: Column): Column = column(WavPerturb(expression(payload)))
+  def vidSynth(id: Column, width: Column, height: Column,
+               frames: Column, fpsMilli: Column): Column =
+    column(VidSynth(expression(id), expression(width), expression(height),
+      expression(frames), expression(fpsMilli)))
+  def vidParse(payload: Column): Column = column(VidParse(expression(payload)))
+  def vidDhash(payload: Column): Column = column(VidDhash(expression(payload)))
+  def vidPerturb(payload: Column): Column = column(VidPerturb(expression(payload)))
 }

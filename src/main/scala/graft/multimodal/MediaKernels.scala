@@ -431,6 +431,207 @@ object MediaKernels {
     new GenericArrayData(Array(1L, hash))
   }
 
+  // ---------------- GVID (raw 24bpp frame sequence) ----------------
+  //
+  // A minimal uncompressed video container (magic 'GVID'), defined here
+  // the way raw-YUV/uncompressed-AVI pipelines treat video before a codec
+  // enters the picture: a fixed header plus frameCount dense 24bpp BGR
+  // frames stored top-down with NO row padding (frames don't inherit
+  // BMP's 4-byte stride). Compressed codecs (H.264/VP9/AV1) stay behind
+  // the pluggable [[Multimodal.MediaDecoder]] boundary, exactly as
+  // JPEG/MP3 do for the image/audio kernels.
+  //
+  // Header (28 bytes, little-endian):
+  //   0  'G','V','I','D'
+  //   4  version      (= 1)
+  //   8  width
+  //   12 height
+  //   16 frame_count
+  //   20 fps_milli    (frames per second × 1000)
+  //   24 data_bytes   (= width·height·3·frame_count)
+  // Frame f's pixel (x, y) channels are the SAME deterministic formulas
+  // as the BMP kernels with a per-frame seed id + 7919·f (7919 = the
+  // 1000th prime; any constant coprime-ish odd works — the oracle
+  // replays it symbolically).
+
+  @inline private def vidSeed(id: Long, f: Int): Long = id + 7919L * f
+
+  /** Build a complete GVID file. Size arithmetic in Long (same overflow
+    * contract as [[bmpSynth]]/[[wavSynth]]). */
+  def vidSynth(id: Long, width: Int, height: Int, frames: Int, fpsMilli: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && frames >= 0 && fpsMilli > 0,
+      "vidSynth: bad params")
+    val frameBytesL = width.toLong * height * 3
+    require(28L + frameBytesL * frames <= Int.MaxValue,
+      s"vidSynth: ${width}x$height x$frames exceeds the 2 GiB single-payload bound")
+    val dataBytes = (frameBytesL * frames).toInt
+    val b = new Array[Byte](28 + dataBytes)
+    b(0) = 'G'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'
+    putLE32(b, 4, 1)
+    putLE32(b, 8, width)
+    putLE32(b, 12, height)
+    putLE32(b, 16, frames)
+    putLE32(b, 20, fpsMilli)
+    putLE32(b, 24, dataBytes)
+    var f = 0
+    while (f < frames) {
+      val sid = vidSeed(id, f)
+      val fbase = 28 + f * frameBytesL.toInt
+      var y = 0
+      while (y < height) {
+        val base = fbase + y * width * 3
+        var x = 0
+        while (x < width) {
+          b(base + x * 3) = pxB(sid, x, y).toByte
+          b(base + x * 3 + 1) = pxG(sid, x, y).toByte
+          b(base + x * 3 + 2) = pxR(sid, x, y).toByte
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    b
+  }
+
+  private val VidFail = new GenericArrayData(Array.fill(9)(-1L))
+
+  /** Shared header validation for the GVID kernels: returns
+    * [width, height, frames, fpsMilli, dataBytes] or null. All bound
+    * checks run STAGED in Long so adversarial u32 header fields (huge
+    * dims whose products wrap, negative-as-unsigned sizes) fail the
+    * check instead of overflowing into an out-of-bounds walk — the
+    * never-throw contract of the other media kernels. */
+  private def vidHeader(bytes: Array[Byte]): Array[Long] = {
+    if (bytes == null || bytes.length < 28 ||
+      bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != 'D' ||
+      getLE32(bytes, 4) != 1) return null
+    val w = getLE32(bytes, 8)
+    val h = getLE32(bytes, 12)
+    val fr = getLE32(bytes, 16)
+    val fps = getLE32(bytes, 20)
+    val declared = getLE32(bytes, 24).toLong & 0xffffffffL // u32
+    if (w <= 0 || h <= 0 || fr < 0 || fps <= 0) return null
+    // staged products: after `w.toLong * h > len` passes, w·h ≤ len ≤
+    // 2³¹ so ·3 and then ·fr stay far under Long overflow
+    if (fr > 0 && (w.toLong * h > bytes.length ||
+      w.toLong * h * 3 > bytes.length)) return null
+    val dataL = if (fr == 0) 0L else w.toLong * h * 3 * fr
+    if (declared != dataL || 28L + dataL > bytes.length) return null
+    Array(w.toLong, h.toLong, fr.toLong, fps.toLong, dataL)
+  }
+
+  /** Parse a GVID from its actual bytes: header fields from the
+    * little-endian layout, per-channel pixel sums from walking every
+    * stored frame. Returns [width, height, frames, fps_milli,
+    * data_bytes, duration_ms, sum_b, sum_g, sum_r]; all(-1) for
+    * anything that is not a well-formed GVID (wrong magic/version,
+    * dims/size mismatch, truncation). duration_ms =
+    * frames · 1 000 000 / fps_milli (integer). */
+  def vidParse(bytes: Array[Byte]): ArrayData = {
+    val hdr = vidHeader(bytes)
+    if (hdr == null) return VidFail
+    val w = hdr(0).toInt; val h = hdr(1).toInt; val fr = hdr(2).toInt
+    var sumB = 0L; var sumG = 0L; var sumR = 0L
+    var p = 28
+    val end = 28 + hdr(4).toInt
+    while (p < end) {
+      sumB += bytes(p) & 0xff
+      sumG += bytes(p + 1) & 0xff
+      sumR += bytes(p + 2) & 0xff
+      p += 3
+    }
+    new GenericArrayData(Array(w.toLong, h.toLong, fr.toLong, hdr(3),
+      hdr(4), fr.toLong * 1000000L / hdr(3), sumB, sumG, sumR))
+  }
+
+  /** 64-bit perceptual video signature — the video member of the sketch
+    * family (SimHash:text :: dHash:image :: energy contour:audio). Each
+    * frame gets the SAME 9×8-grid gradient-sign dHash as [[bmpDhash]]
+    * (frames are stored top-down, so no bottom-up flip), and signature
+    * bit k is the strict MAJORITY vote of bit k across frames
+    * (2·count > frames; ties → 0). Majority voting is what makes the
+    * signature video-shaped: a re-encode that perturbs single frames, a
+    * dropped/duplicated frame, or frame-local noise moves individual
+    * frame hashes but not the vote — while dHash-per-frame alone would
+    * treat every frame jitter as a new video. Mean comparisons use the
+    * exact quotient-then-remainder integer scheme of [[bmpDhash]].
+    * Returns [ok, hash]: [1, h64] for a well-formed GVID (a zero-frame
+    * video votes all bits 0), [0, 0] otherwise; never throws. */
+  def vidDhash(bytes: Array[Byte]): ArrayData = {
+    val hdr = vidHeader(bytes)
+    if (hdr == null) return DhashFail
+    val w = hdr(0).toInt; val h = hdr(1).toInt; val fr = hdr(2).toInt
+    val frameBytes = w * h * 3
+    val bitCnt = new Array[Int](64)
+    val sums = new Array[Long](72)
+    val cnts = new Array[Long](72)
+    var f = 0
+    while (f < fr) {
+      java.util.Arrays.fill(sums, 0L)
+      java.util.Arrays.fill(cnts, 0L)
+      val fbase = 28 + f * frameBytes
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * 8 / h).toInt
+        val base = fbase + y * w * 3
+        var x = 0
+        while (x < w) {
+          val bb = bytes(base + x * 3) & 0xff
+          val g = bytes(base + x * 3 + 1) & 0xff
+          val r = bytes(base + x * 3 + 2) & 0xff
+          val cell = gy * 9 + (x.toLong * 9 / w).toInt
+          sums(cell) += 299L * r + 587L * g + 114L * bb
+          cnts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val a = gy * 9 + gx
+          val c = a + 1
+          val lt =
+            if (cnts(a) == 0 || cnts(c) == 0) false
+            else {
+              val qa = sums(a) / cnts(a); val ra = sums(a) % cnts(a)
+              val qc = sums(c) / cnts(c); val rc = sums(c) % cnts(c)
+              qa < qc || (qa == qc && ra * cnts(c) < rc * cnts(a))
+            }
+          if (lt) bitCnt(gy * 8 + gx) += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      f += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (2 * bitCnt(k) > fr) hash |= 1L << k
+      k += 1
+    }
+    new GenericArrayData(Array(1L, hash))
+  }
+
+  /** Minimal one-frame perturbation: bump frame 0's first pixel's blue
+    * channel by +1 mod 256 — the video near-dup twin generator mirroring
+    * [[bmpPerturb]]/[[wavPerturb]]. The change moves exactly one cell's
+    * luminance in exactly one frame, so that frame's dHash flips AT MOST
+    * one bit (bit 0 — cell (0,0)'s only comparison), so the majority
+    * vote's bit-0 count moves by at most 1 and the signature flips AT
+    * MOST one bit. Non-GVID or zero-frame payloads pass through
+    * unchanged. */
+  def vidPerturb(bytes: Array[Byte]): Array[Byte] = {
+    val hdr = vidHeader(bytes)
+    if (hdr == null || hdr(2) == 0) return bytes
+    val out = bytes.clone()
+    out(28) = (((out(28) & 0xff) + 1) % 256).toByte
+    out
+  }
+
   /** Minimal ±1 sample perturbation: bump frame 0, channel 0's int16
     * sample by +1 (mod 2¹⁶, LE in place) — the audio near-dup twin
     * generator mirroring [[bmpPerturb]]. |s+1| − |s| = ±1 for every

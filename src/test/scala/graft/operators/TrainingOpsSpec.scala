@@ -549,6 +549,101 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(pairs.contains((i, i + 1000L)), s"twin pair $i missing"))
   }
 
+  test("multimodal: GVID round-trips through real bytes; corrupt/adversarial -> all(-1)") {
+    import graft.multimodal.{MediaExpressions, MediaKernels}
+    val bytes = MediaKernels.vidSynth(7L, 5, 3, 4, 24000)
+    assert(bytes(0) == 'G' && bytes(3) == 'D')
+    assert(bytes.length == 28 + 5 * 3 * 3 * 4)
+    val p = MediaKernels.vidParse(bytes)
+    assert(p.getLong(0) == 5 && p.getLong(1) == 3 && p.getLong(2) == 4)
+    assert(p.getLong(3) == 24000 && p.getLong(4) == 5 * 3 * 3 * 4)
+    // duration: 4 frames at 24 fps = 166 ms (integer)
+    assert(p.getLong(5) == 4L * 1000000 / 24000)
+    // sum_b = Σ over f<4, x<5, y<3 of (7x + 13y + 7 + 7919f) % 256
+    val expB = (for (f <- 0 until 4; x <- 0 until 5; y <- 0 until 3)
+      yield ((x * 7L + y * 13 + 7 + 7919L * f) % 256)).sum
+    assert(p.getLong(6) == expB)
+    // corrupt payloads degrade to all(-1), never throw
+    assert(MediaKernels.vidParse("nope".getBytes).getLong(0) == -1L)
+    assert(MediaKernels.vidParse(bytes.take(20)).getLong(0) == -1L)
+    def withLE32(b: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      c(off) = (v & 0xff).toByte; c(off + 1) = ((v >> 8) & 0xff).toByte
+      c(off + 2) = ((v >> 16) & 0xff).toByte; c(off + 3) = ((v >> 24) & 0xff).toByte
+      c
+    }
+    // ADVERSARIAL headers: int-overflowing dims, a frame count whose
+    // data product wraps, a declared size that disagrees with the dims —
+    // all must fail cleanly via the staged Long bounds, never walk OOB
+    assert(MediaKernels.vidParse(withLE32(bytes, 8, 0x7FFFFFFF)).getLong(0) == -1L)
+    assert(MediaKernels.vidParse(withLE32(bytes, 12, 0x40000000)).getLong(0) == -1L)
+    assert(MediaKernels.vidParse(withLE32(bytes, 16, 0x7FFFFFFF)).getLong(0) == -1L)
+    assert(MediaKernels.vidParse(withLE32(bytes, 24, 999)).getLong(0) == -1L)
+    assert(MediaKernels.vidParse(withLE32(bytes, 4, 2)).getLong(0) == -1L) // version
+    // zero-frame clip is VALID: data_bytes 0, duration 0
+    val empty = MediaKernels.vidParse(MediaKernels.vidSynth(1L, 4, 3, 0, 12000))
+    assert(empty.getLong(2) == 0 && empty.getLong(4) == 0 && empty.getLong(5) == 0)
+    // expression level, inside a plan
+    val out = spark.range(1, 4).select(
+      MediaExpressions.vidParse(MediaExpressions.vidSynth(
+        $"id", lit(4).cast("int"), lit(2).cast("int"),
+        lit(3).cast("int"), lit(12000).cast("int"))).as("p"))
+      .select(element_at($"p", 3)).as[Long].collect()
+    assert(out.toSeq == Seq(3L, 3L, 3L))
+  }
+
+  test("multimodal: video majority-vote dHash is frame-noise-tolerant and band paired") {
+    import graft.multimodal.{MediaExpressions, MediaKernels}
+    def sig(b: Array[Byte]): (Long, Long) = {
+      val a = MediaKernels.vidDhash(b); (a.getLong(0), a.getLong(1))
+    }
+    val clip = MediaKernels.vidSynth(42L, 20, 16, 5, 24000)
+    val (ok, h) = sig(clip)
+    assert(ok == 1L)
+    // identity: same bytes, same signature
+    assert(sig(MediaKernels.vidSynth(42L, 20, 16, 5, 24000)) == ((1L, h)))
+    // one-frame ±1-pixel noise flips AT MOST one signature bit: the
+    // perturbed cell joins exactly one comparison in exactly one frame,
+    // so only bit 0's majority count can move, by at most 1
+    val perturbed = MediaKernels.vidPerturb(clip)
+    assert(!perturbed.sameElements(clip), "perturb must change the payload")
+    val (okP, hP) = sig(perturbed)
+    assert(okP == 1L && java.lang.Long.bitCount(h ^ hP) <= 1)
+    // a single-frame GVID must agree bit-for-bit with bmpDhash on the
+    // same pixel formulas: majority over one frame IS that frame's hash
+    val one = MediaKernels.vidDhash(MediaKernels.vidSynth(9L, 20, 16, 1, 24000))
+    val bmp = MediaKernels.bmpDhash(MediaKernels.bmpSynth(9L, 20, 16))
+    assert(one.getLong(1) == bmp.getLong(1),
+      "1-frame video signature must equal the frame's image dHash")
+    // a different clip is far (deterministic fixture, > band threshold)
+    val (_, hOther) = sig(MediaKernels.vidSynth(707L, 20, 16, 5, 24000))
+    assert(java.lang.Long.bitCount(h ^ hOther) > 3,
+      s"unrelated clips must not collide: ${java.lang.Long.bitCount(h ^ hOther)}")
+    // degenerate dims leave grid cells empty; zero frames vote all-zero
+    assert(sig(MediaKernels.vidSynth(1L, 4, 3, 2, 12000))._1 == 1L)
+    assert(sig(MediaKernels.vidSynth(1L, 4, 3, 0, 12000)) == ((1L, 0L)))
+    // corrupt payloads: ok=0, perturb passes bytes through unchanged
+    assert(sig("junk".getBytes)._1 == 0L)
+    assert(MediaKernels.vidPerturb("junk".getBytes).toSeq == "junk".getBytes.toSeq)
+
+    // operator composition: planted twins surface through the SAME
+    // Hamming band join every other sketch uses
+    val clips = spark.range(0, 40).select($"id".as("vid"),
+      MediaExpressions.vidSynth($"id", lit(20).cast("int"), lit(16).cast("int"),
+        lit(5).cast("int"), lit(24000).cast("int")).as("p"))
+      .unionByName(spark.range(0, 40).select(($"id" + 1000L).as("vid"),
+        MediaExpressions.vidPerturb(MediaExpressions.vidSynth($"id",
+          lit(20).cast("int"), lit(16).cast("int"),
+          lit(5).cast("int"), lit(24000).cast("int"))).as("p")))
+    val hashed = clips.select($"vid",
+      element_at(MediaExpressions.vidDhash($"p"), 2).as("h64"))
+    val pairs = Dedup.hamming64Pairs(hashed, "h64", "vid",
+      maxHamming = 1, maxBucket = 1 << 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0L until 40L).foreach(i =>
+      assert(pairs.contains((i, i + 1000L)), s"twin pair $i missing"))
+  }
+
   test("multimodal: synth size overflow fails legibly, not NegativeArraySizeException") {
     import graft.multimodal.MediaKernels
     // large-but-positive params whose Int byte-size products wrap
@@ -560,6 +655,9 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val ew = intercept[IllegalArgumentException](
       MediaKernels.wavSynth(1L, 64, 8000, Int.MaxValue / 16))
     assert(ew.getMessage.contains("2 GiB"))
+    val ev = intercept[IllegalArgumentException](
+      MediaKernels.vidSynth(1L, 10000, 10000, 100, 24000))
+    assert(ev.getMessage.contains("2 GiB"))
     // in-bound params still size correctly (Long math, no wrap):
     // 12 RIFF + (8+16) fmt + (8+8) junk (id=1 → junkLen 8) + (8+0) data
     assert(MediaKernels.wavSynth(1L, 1, 8000, 0).length == 12 + 24 + 16 + 8)
