@@ -3061,6 +3061,32 @@ object SparkEntry {
         terms = Seq("vector", "stream", "window"))
         .orderBy(col("doc_id"))),
 
+    // Retrieval-quality metrics over a deterministic per-customer order
+    // ranking (total price desc, orderkey tiebreak; relevant = status
+    // 'F'): MRR, binary NDCG@10, precision/recall@10 per query. One
+    // query-partitioned window + one groupBy on the same key + a k-row
+    // broadcast IDCG lookup — the evaluation side of the BM25/ANN
+    // rankers, scale-shaped the same way. operators/Evaluation.scala.
+    "q_rank_metrics" -> ((s, dir) =>
+      graft.operators.Evaluation.rankMetrics(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+          (col("o_orderstatus") === "F").as("rel"), col("o_totalprice")),
+        queryCol = "o_custkey", itemCol = "o_orderkey", relCol = "rel",
+        order = Seq(col("o_totalprice").desc), k = 10)
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy(col("custkey"))),
+
+    // Cohen's kappa between two deterministic labelers (chars >= 200 vs
+    // spaces >= 39 — pure integer string arithmetic both engines compute
+    // identically): one distributive 4-cell confusion aggregate, then
+    // chance-corrected agreement. The label-quality audit a curation
+    // pipeline runs before trusting a filter. operators/Evaluation.scala.
+    "q_label_agreement" -> ((s, dir) =>
+      graft.operators.Evaluation.cohenKappa(Tables.documents(s, dir),
+        col("n_chars") >= 200,
+        (length(col("text")) -
+          length(replace(col("text"), lit(" "), lit("")))) >= 39)),
+
     // Deterministic weighted sampling (Efraimidis–Spirakis priorities on
     // the shared md5 draw): longer documents proportionally likelier, yet
     // the sample is fixed across engines/partitionings. Plan: scan +
@@ -6139,6 +6165,60 @@ object SparkEntry {
              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id""",
+
+    // Replays the whole metric pipeline: row_number ranking with the same
+    // total order, conditional DCG sums, prefix-sum IDCG lookup over
+    // range(1,11), and the zero-relevant conventions.
+    "q_rank_metrics" -> """
+      WITH ranked AS (
+        SELECT o_custkey, o_orderkey, (o_orderstatus = 'F') AS rel,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS pos
+        FROM orders
+      ), per AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+               CAST(sum(CASE WHEN rel AND pos <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS rel_k,
+               sum(CASE WHEN rel AND pos <= 10 THEN 1.0 / log2(pos + 1.0) ELSE 0 END) AS dcg,
+               min(CASE WHEN rel THEN pos END) AS first_rel
+        FROM ranked GROUP BY o_custkey
+      ), idcg AS (
+        SELECT i AS m, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS v
+        FROM range(1, 11) t(i)
+      )
+      SELECT per.o_custkey AS custkey, n_rel,
+             round(coalesce(1.0 / first_rel, 0), 6) AS mrr,
+             round(CASE WHEN n_rel > 0 THEN dcg / idcg.v ELSE 0 END, 6) AS ndcg_at_k,
+             round(rel_k / 10.0, 6) AS precision_at_k,
+             round(CASE WHEN n_rel > 0 THEN rel_k * 1.0 / n_rel ELSE 0 END, 6) AS recall_at_k
+      FROM per LEFT JOIN idcg ON least(n_rel, 10) = idcg.m
+      ORDER BY custkey""",
+
+    // Confusion cells as exact integers; po/pe/kappa from the UNROUNDED
+    // cell arithmetic, rounded only on output (matching the Spark side).
+    "q_label_agreement" -> """
+      WITH l AS (
+        SELECT (n_chars >= 200) AS a,
+               (len(text) - len(replace(text, ' ', '')) >= 39) AS b
+        FROM documents
+      ), c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS both_pos,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS b_only,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS both_neg
+        FROM l
+      ), k AS (
+        SELECT n, both_pos, a_only, b_only, both_neg,
+               (both_pos + both_neg) * 1.0 / n AS po,
+               ((both_pos + a_only) * 1.0 * (both_pos + b_only)
+                + (b_only + both_neg) * 1.0 * (a_only + both_neg)) / (n * 1.0 * n) AS pe
+        FROM c
+      )
+      SELECT n, both_pos, a_only, b_only, both_neg,
+             round(po, 6) AS po, round(pe, 6) AS pe,
+             round(CASE WHEN pe = 1.0 THEN 0.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+      FROM k""",
 
     "q_stats_skip" -> """
       SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS acctbal

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics for retrieval rankings and label quality — the
+  * measurement side of a curation pipeline. Ranking a corpus (BM25 in
+  * [[Relevance]], ANN in [[Similarity]]/[[Pq]]) or labeling it (the
+  * classifier in [[QualityClassifier]], rule filters in [[QualityRules]])
+  * is only half the loop; deciding whether the ranker/labeler is any good
+  * closes it, and at 100 TB that judgment must itself be a distributed
+  * query, not a notebook afterthought.
+  *
+  * Engine-portability: positions come from a deterministic total order
+  * (caller-supplied score columns + the item id as final tiebreak), all
+  * counts are exact integers, and only the final metric values touch
+  * floating point, rounded to 6 dp — the same contract as
+  * [[Relevance.bm25]] and the perplexity scorer, so a SQL oracle replays
+  * every metric bit-for-bit.
+  */
+object Evaluation {
+
+  /** Per-query ranking metrics over one (query, item, relevance) frame:
+    * MRR, NDCG@k (binary gains), precision@k, recall@k.
+    *
+    * `order` defines the ranking (best first); the item id is appended as
+    * the final tiebreak so positions are total and reproducible. Queries
+    * with zero relevant items score 0 on every metric (never null/NaN —
+    * a curation report must aggregate them, not skip them).
+    *
+    * Plan shape: one window partitioned BY QUERY (never a global sort —
+    * rank positions shuffle once on the query key and each partition
+    * sorts locally), one groupBy on the same key (the exchange is
+    * reused), then a k-row broadcast join for the IDCG lookup: the ideal
+    * DCG for m relevant items is a prefix sum of 1/log2(i+1), and
+    * computing it via a tiny broadcast table keeps the per-query
+    * aggregation a plain conditional sum instead of a second window.
+    */
+  def rankMetrics(df: DataFrame, queryCol: String, itemCol: String,
+                  relCol: String, order: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(order :+ col(itemCol).asc: _*)
+    val ranked = df
+      .withColumn("__pos", row_number().over(w))
+      .select(col(queryCol), col(itemCol),
+        col(relCol).cast("boolean").as("__rel"), col("__pos"))
+
+    // discount(pos) = 1/log2(pos+1); binary gains make DCG a conditional
+    // sum of discounts over the top k
+    def discount(pos: Column): Column =
+      lit(1.0) / log2(pos.cast("double") + lit(1.0))
+
+    val perQuery = ranked.groupBy(col(queryCol))
+      .agg(
+        sum(when(col("__rel"), lit(1L)).otherwise(lit(0L))).as("__n_rel"),
+        sum(when(col("__rel") && col("__pos") <= k, lit(1L)).otherwise(lit(0L)))
+          .as("__rel_at_k"),
+        sum(when(col("__rel") && col("__pos") <= k, discount(col("__pos")))
+          .otherwise(lit(0.0))).as("__dcg"),
+        min(when(col("__rel"), col("__pos"))).as("__first_rel"))
+
+    // IDCG@k for m relevant items = Σ_{i=1..min(m,k)} 1/log2(i+1): a
+    // k-row broadcast lookup of the prefix sums, built driver-side (k is
+    // a query parameter, not data — no reason to run a window for it)
+    import spark.implicits._
+    val idcg = (1 to k).scanLeft(0.0) { (acc, i) =>
+      acc + 1.0 / (math.log(i + 1.0) / math.log(2.0))
+    }.tail.zipWithIndex.map { case (v, i) => (i + 1L, v) }
+      .toDF("__m", "__idcg")
+    perQuery
+      .join(broadcast(idcg), least(col("__n_rel"), lit(k.toLong)) === col("__m"),
+        "left")
+      .select(
+        col(queryCol),
+        col("__n_rel").as("n_rel"),
+        round(coalesce(lit(1.0) / col("__first_rel").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        round(when(col("__n_rel") > 0, col("__dcg") / col("__idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg_at_k"),
+        round(col("__rel_at_k").cast("double") / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        round(when(col("__n_rel") > 0,
+            col("__rel_at_k").cast("double") / col("__n_rel").cast("double"))
+          .otherwise(lit(0.0)), 6).as("recall_at_k"))
+  }
+
+  /** Cohen's kappa between two binary labelers over one frame — the
+    * chance-corrected agreement a labeling pipeline reports before
+    * trusting either labeler ("92% raw agreement" means nothing when one
+    * class dominates; kappa is what survives the base rate).
+    *
+    * One distributive aggregate (four conditional counts in a single
+    * pass, no shuffle beyond the final 1-row reduce), then pure
+    * arithmetic: po = (a+d)/n, pe = the chance agreement from the
+    * marginals, kappa = (po-pe)/(1-pe). Degenerate case pe = 1 (both
+    * labelers constant and identical) reports kappa 0 by convention
+    * rather than 0/0. Output row: n, the four cells, po, pe, kappa
+    * (rounded 6 dp).
+    */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val a = labelA.cast("boolean")
+    val b = labelB.cast("boolean")
+    val counts = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("both_pos"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("a_only"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("b_only"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("both_neg"))
+    val n = col("n").cast("double")
+    val po = (col("both_pos") + col("both_neg")).cast("double") / n
+    // marginals cast to double BEFORE multiplying: the products are
+    // O(n²), which overflows Long around n ≈ 3e9 — trillion-row label
+    // audits are exactly this operator's use case
+    def m(x: Column, y: Column): Column = (x + y).cast("double")
+    val pe = (m(col("both_pos"), col("a_only")) * m(col("both_pos"), col("b_only")) +
+      m(col("b_only"), col("both_neg")) * m(col("a_only"), col("both_neg"))) / (n * n)
+    counts.select(
+      col("n"), col("both_pos"), col("a_only"), col("b_only"), col("both_neg"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round(when(pe === 1.0, lit(0.0)).otherwise((po - pe) / (lit(1.0) - pe)), 6)
+        .as("kappa"))
+  }
+}

@@ -250,4 +250,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // no cartesian anywhere in the 5-round loop
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("rank metrics: query-partitioned window, reused exchange, broadcast IDCG") {
+    val p = planOf("q_rank_metrics")
+    // ranking positions come from a window partitioned by the query key —
+    // never a global single-reducer sort
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("o_custkey")),
+      "expected query-partitioned window(s):\n" + p)
+    // the per-query aggregation rides the window's hash partitioning:
+    // exactly ONE shuffle of the orders table (AQE's dump repeats the
+    // initial plan below the final one — scope the count to the final)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = finalPlan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("o_custkey"))
+    assert(exchanges == 1,
+      s"expected one o_custkey exchange (window + groupBy share it), got $exchanges:\n" + p)
+    // the k-row IDCG lookup broadcasts
+    assert(p.contains("BroadcastHashJoin"), "IDCG lookup should broadcast:\n" + p)
+  }
 }
