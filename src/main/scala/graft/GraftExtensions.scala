@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "dot_product",
       exprs => SketchExpressions.DotProduct(exprs(0), exprs(1)))
     inject(e, "char_stats", exprs => SketchExpressions.CharStats(exprs.head))
+    // optimizer tier: naive interval joins rewrite to the bucketed
+    // equi-join shape (plans/RangeJoinRewrite.scala); inert until
+    // spark.graft.range_join.bucket_width is set
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

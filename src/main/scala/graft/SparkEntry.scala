@@ -3053,6 +3053,34 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Optimizer-tier interval-join rescue: the join below is written
+    // NAIVELY — a pure point-in-interval condition with no equi key, the
+    // shape raw SQL produces and Spark plans as BroadcastNestedLoopJoin.
+    // plans/RangeJoinRewrite (injected into this session's optimizer)
+    // rewrites it to bucket-explode + equi-join + exact residual; the
+    // PlanSpec assertion proves no nested-loop survives. Purchases
+    // against 2-hour signup promo windows, counted per purchase.
+    "q_range_rewrite" -> ((s, dir) => {
+      graft.plans.RangeJoinRewrite.install(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf,
+        (7200L * 1000000L).toString) // bucket = the window span, in micros
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t"))
+      val windows = ev
+        .filter(col("event_type") === "signup" &&
+          pmod(col("event_id"), lit(50)) === 0)
+        .select(col("event_id").as("w_id"),
+          unix_micros(col("ts").cast("timestamp")).as("lo"),
+          (unix_micros(col("ts").cast("timestamp")) + lit(7200L * 1000000L))
+            .as("hi"))
+      purchases.join(windows, col("t") >= col("lo") && col("t") <= col("hi"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_windows"), max(col("w_id")).as("max_window"))
+        .orderBy(col("event_id"))
+    }),
+
     // BM25 keyword relevance: one stats pass (N, avgdl, per-term df in a
     // single Aggregate) broadcast back over one scoring scan — no corpus
     // shuffle. operators/Relevance.scala.
@@ -6165,6 +6193,25 @@ object SparkEntry {
              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id""",
+
+    // DuckDB runs the naive interval join directly (its IEJoin plans it
+    // fine at oracle scale) — the gate proves the REWRITTEN plan returns
+    // the identical result.
+    "q_range_rewrite" -> """
+      WITH p AS (
+        SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        FROM events WHERE event_type = 'purchase'
+      ), w AS (
+        SELECT event_id AS w_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS hi
+        FROM events WHERE event_type = 'signup' AND event_id % 50 = 0
+      )
+      SELECT p.event_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             max(w_id) AS max_window
+      FROM p JOIN w ON p.t >= w.lo AND p.t <= w.hi
+      GROUP BY p.event_id ORDER BY p.event_id""",
 
     // Replays the whole metric pipeline: row_number ranking with the same
     // total order, conditional DCG sums, prefix-sum IDCG lookup over

@@ -251,6 +251,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("naive interval join is rescued by the optimizer rule: no nested loop") {
+    val p = planOf("q_range_rewrite")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "naive BETWEEN join still plans as a nested loop:\n" + p)
+    assert(p.contains("__graft_bucket"),
+      "bucket equi-join from RangeJoinRewrite missing:\n" + p)
+  }
+
   test("rank metrics: query-partitioned window, reused exchange, broadcast IDCG") {
     val p = planOf("q_rank_metrics")
     // ranking positions come from a window partitioned by the query key —
