@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // equi-join shape (plans/RangeJoinRewrite.scala); inert until
     // spark.graft.range_join.bucket_width is set
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // physical tier: the multimodal decode boundary plans as a custom
+    // operator over Tungsten rows (plans/MediaFeaturesPlan.scala)
+    e.injectPlannerStrategy(_ =>
+      graft.plans.MediaFeaturesPlan.MediaFeaturesStrategy)
   }
 }

@@ -2268,6 +2268,32 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // The multimodal decode boundary as the custom WHOLE-OPERATOR plan
+    // (plans/MediaFeaturesPlan: logical node + strategy + physical exec
+    // over Tungsten rows): BmpPixelDecoder decodes real BMP payloads to
+    // [mean_r, mean_g, mean_b] float32 features; every 13th payload is
+    // NULL and must yield null features. The oracle replays the pixel
+    // sums symbolically and reproduces the FLOAT32 arithmetic chain
+    // (long→float casts, float multiply/divide) — DuckDB FLOAT ops are
+    // IEEE float32 like the JVM's, so the gate is bit-exact, no rounding.
+    "q_media_features" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir).select(col("doc_id").as("media_id"),
+        (lit(8) + pmod(col("doc_id"), lit(16))).cast("int").as("w"),
+        (lit(6) + pmod(col("doc_id"), lit(10))).cast("int").as("h"))
+      val media = d.select(col("media_id"),
+        when(pmod(col("media_id"), lit(13)) === 0, lit(null).cast("binary"))
+          .otherwise(M.bmpSynth(col("media_id"), col("w"), col("h")))
+          .as("payload"))
+      graft.multimodal.Multimodal
+        .withFeatures(media, new graft.multimodal.Multimodal.BmpPixelDecoder)
+        .select(col("media_id"),
+          element_at(col("features"), 1).as("f_r"),
+          element_at(col("features"), 2).as("f_g"),
+          element_at(col("features"), 3).as("f_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // GVID raw-frame video container: build a deterministic multi-frame
     // 24bpp clip per document, parse the bytes back (header fields from
     // the little-endian layout, channel sums from walking every stored
@@ -5797,6 +5823,34 @@ object SparkEntry {
       SELECT id AS id_a, id + 1000000 AS id_b,
              CAST(sum(CASE WHEN bb <> bt THEN 1 ELSE 0 END) AS BIGINT) AS hamming
       FROM bits GROUP BY id ORDER BY id_a""",
+
+    // Pixel sums replayed symbolically, then the decoder's float32 chain
+    // reproduced exactly: sums and w·h are < 2^24 so the long→float
+    // casts are exact and the single rounding step is the IEEE float
+    // division both engines share — bit-exact, no round().
+    "q_media_features" -> """
+      WITH d AS (
+        SELECT doc_id AS media_id, 8 + doc_id % 16 AS w, 6 + doc_id % 10 AS h
+        FROM documents
+      ), dx AS (
+        SELECT media_id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      ), sums AS (
+        SELECT media_id, w, h,
+               sum((x*5 + y*17 + media_id*3) % 239) AS sr,
+               sum((x*11 + y*3 + media_id*5) % 251) AS sg,
+               sum((x*7 + y*13 + media_id) % 256) AS sb
+        FROM px GROUP BY media_id, w, h
+      )
+      SELECT media_id,
+             CASE WHEN media_id % 13 = 0 THEN CAST(NULL AS FLOAT)
+                  ELSE CAST(CAST(sr AS FLOAT) / (CAST(255 AS FLOAT) * CAST(w*h AS FLOAT)) AS FLOAT) END AS f_r,
+             CASE WHEN media_id % 13 = 0 THEN CAST(NULL AS FLOAT)
+                  ELSE CAST(CAST(sg AS FLOAT) / (CAST(255 AS FLOAT) * CAST(w*h AS FLOAT)) AS FLOAT) END AS f_g,
+             CASE WHEN media_id % 13 = 0 THEN CAST(NULL AS FLOAT)
+                  ELSE CAST(CAST(sb AS FLOAT) / (CAST(255 AS FLOAT) * CAST(w*h AS FLOAT)) AS FLOAT) END AS f_b
+      FROM sums ORDER BY media_id""",
 
     // GVID parse: header echoes are pure arithmetic; the channel sums
     // replay the per-frame pixel formulas (seed id + 7919·f) over every

@@ -75,12 +75,34 @@ object Multimodal {
     }
   }
 
-  /** Attach decoded features: one `mapPartitions` pass, preserving
-    * partitioning; output schema = input + `features array<float>`. */
+  /** Attach decoded features: output schema = input + `features
+    * array<float>`. Runs as the custom whole-operator plan
+    * ([[graft.plans.MediaFeaturesPlan]] — logical node + strategy +
+    * physical exec over Tungsten rows, partitioning/ordering preserved
+    * through the plan); [[withFeaturesEncoderPath]] keeps the original
+    * tier-(d) `mapPartitions` formulation as the spec's parity
+    * reference. */
   def withFeatures(media: DataFrame, decoder: MediaDecoder,
                    payloadCol: String = "payload",
                    out: String = "features"): DataFrame = {
+    import graft.plans.MediaFeaturesPlan._
     val spark = media.sparkSession
+    MediaFeaturesStrategy.install(spark)
+    val child = org.apache.spark.sql.graftbridge.PlanBridge.analyzed(media)
+    val attr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference(out, ArrayType(FloatType), nullable = true)()
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+      MediaFeatures(decoder, media.schema.fieldIndex(payloadCol), attr, child))
+  }
+
+  /** The pre-physical-operator formulation (Dataset.mapPartitions over
+    * external Rows) — kept ONLY as the bit-parity reference the spec
+    * holds [[withFeatures]] against; the encoder round-trip boxes every
+    * field and hides partitioning from Catalyst. */
+  private[graft] def withFeaturesEncoderPath(
+      media: DataFrame, decoder: MediaDecoder,
+      payloadCol: String = "payload",
+      out: String = "features"): DataFrame = {
     val schema = media.schema.add(out, ArrayType(FloatType), nullable = true)
     val payloadIdx = media.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
