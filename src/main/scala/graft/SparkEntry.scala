@@ -3141,6 +3141,44 @@ object SparkEntry {
         (length(col("text")) -
           length(replace(col("text"), lit(" "), lit("")))) >= 39)),
 
+    // ROC AUC of document length as a predictor of lang='en': histogram
+    // Mann-Whitney with midrank tie correction — groupBy(score) collapses
+    // the corpus, the two-pass prefix sum (Ranking.withGlobalPrefixSum,
+    // never a single-reducer window) accumulates negatives-below, and the
+    // 2·P·N·AUC numerator folds as an exact Long. The threshold-free
+    // companion to q_quality_classifier's fixed cutoffs.
+    // operators/Evaluation.scala.
+    "q_auc" -> ((s, dir) =>
+      graft.operators.Evaluation.aucRoc(Tables.documents(s, dir),
+        score = col("n_chars"), label = col("lang") === "en")),
+
+    // Reliability diagram + per-decile Brier for an integer-basis-point
+    // forecast (n_chars % 101 cents vs a deterministic outcome): all sums
+    // are exact Long folds (cents and squared-error units), one division
+    // per output cell — partition-fold order cannot move a bit.
+    // operators/Evaluation.scala.
+    "q_calibration" -> ((s, dir) =>
+      graft.operators.Evaluation.calibration(Tables.documents(s, dir),
+        pCents = col("n_chars") % 101, label = col("doc_id") % 4 === 0)
+        .orderBy(col("bin"))),
+
+    // Declarative data-quality audit: six constraints (completeness,
+    // exact uniqueness, predicate compliance, mean floor) compiled into
+    // ONE Aggregate pass over documents; two checks are deliberately
+    // failing so the pass/fail path is part of the gate.
+    // operators/DataQuality.scala.
+    "q_dq_audit" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      audit(Tables.documents(s, dir), Seq(
+        Completeness("text", 1.0),
+        Uniqueness("doc_id", 1.0),
+        Uniqueness("lang", 0.5),
+        Compliance("english_share", col("lang") === "en", 0.9),
+        Compliance("min_len_100", col("n_chars") >= 100, 0.75),
+        MeanAtLeast("n_chars", 100.0)))
+        .orderBy(col("check"), col("column"))
+    }),
+
     // Deterministic weighted sampling (Efraimidis–Spirakis priorities on
     // the shared md5 draw): longer documents proportionally likelier, yet
     // the sample is fixed across engines/partitionings. Plan: scan +
@@ -6320,6 +6358,76 @@ object SparkEntry {
              round(po, 6) AS po, round(pe, 6) AS pe,
              round(CASE WHEN pe = 1.0 THEN 0.0 ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
       FROM k""",
+
+    // Histogram Mann-Whitney: exact integer numerator 2*P*N*AUC =
+    // sum_s p_s*(2*cnb_s + n_s), one double division at the end.
+    "q_auc" -> """
+      WITH h AS (
+        SELECT n_chars AS s,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS ng
+        FROM documents GROUP BY n_chars
+      ), w AS (
+        SELECT p, ng,
+               coalesce(sum(ng) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+        FROM h
+      ), t AS (
+        SELECT CAST(sum(p + ng) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(ng) AS BIGINT) AS n_neg,
+               CAST(sum(p * (2 * cnb + ng)) AS BIGINT) AS num
+        FROM w
+      ), a AS (
+        SELECT n, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN num / (2.0 * n_pos * n_neg) ELSE 0.5 END AS auc_raw
+        FROM t
+      )
+      SELECT n, n_pos, n_neg, round(auc_raw, 6) AS auc,
+             round(2.0 * auc_raw - 1.0, 6) AS gini
+      FROM a""",
+
+    // Integer basis points: every sum is exact; the oracle replays the
+    // same cents/squared-error folds and divides once per cell.
+    "q_calibration" -> """
+      WITH b AS (
+        SELECT least((n_chars % 101) // 10, 9) AS bin,
+               n_chars % 101 AS c,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS y
+        FROM documents
+      )
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             round(sum(c) / (100.0 * count(*)), 6) AS mean_pred,
+             round(sum(y) * 1.0 / count(*), 6) AS frac_pos,
+             round(sum((c - 100 * y) * (c - 100 * y)) / (10000.0 * count(*)), 6) AS brier
+      FROM b GROUP BY bin ORDER BY bin""",
+
+    // One metrics CTE = the one-Aggregate-pass contract; each check is a
+    // ratio of exact counts (or one avg), rounded 6dp, passed = value >=
+    // threshold on the ROUNDED value exactly as the Spark side computes.
+    "q_dq_audit" -> """
+      WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(text) AS BIGINT) AS c_text,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS u_doc,
+               CAST(count(DISTINCT lang) AS BIGINT) AS u_lang,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_cnt,
+               CAST(sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS len_cnt,
+               avg(n_chars) AS mean_chars
+        FROM documents
+      ), r AS (
+        SELECT 'completeness' AS "check", 'text' AS "column",
+               round(c_text * 1.0 / n, 6) AS value, CAST(1.0 AS DOUBLE) AS threshold FROM m
+        UNION ALL SELECT 'uniqueness', 'doc_id', round(u_doc * 1.0 / n, 6), CAST(1.0 AS DOUBLE) FROM m
+        UNION ALL SELECT 'uniqueness', 'lang', round(u_lang * 1.0 / n, 6), CAST(0.5 AS DOUBLE) FROM m
+        UNION ALL SELECT 'compliance', 'english_share', round(en_cnt * 1.0 / n, 6), CAST(0.9 AS DOUBLE) FROM m
+        UNION ALL SELECT 'compliance', 'min_len_100', round(len_cnt * 1.0 / n, 6), CAST(0.75 AS DOUBLE) FROM m
+        UNION ALL SELECT 'mean_at_least', 'n_chars', round(mean_chars, 6), CAST(100.0 AS DOUBLE) FROM m
+      )
+      SELECT "check", "column", value, threshold, (value >= threshold) AS passed
+      FROM r ORDER BY "check", "column"""",
 
     "q_stats_skip" -> """
       SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS acctbal

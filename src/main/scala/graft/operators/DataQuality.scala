@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the constraint checks a pipeline runs
+  * against every ingested batch before letting it anywhere near training
+  * (the reference encodes the same idea as per-field Zod/Prisma schema
+  * validation on ingest, `src/db/schema.prisma` + the workflow input
+  * guards; here the table-level generalization is a first-class query).
+  *
+  * Every check compiles into aggregate expressions over ONE Aggregate on
+  * the audited frame — a single scan regardless of how many checks run,
+  * with map-side partial aggregation for everything except exact
+  * distinct counts. Exact [[DataQuality.Uniqueness]] adds one
+  * count(DISTINCT) per checked column, which Spark plans via Expand (one
+  * duplicated stream per distinct agg) — correct but k× the shuffle at k
+  * exact-uniqueness checks, so at 100 TB the `approx = true` variant
+  * (HyperLogLog++, still one pass, no Expand) is the production setting
+  * and the exact form is the oracle-gated one.
+  *
+  * The audit result is one row per check: `check`, `column`,
+  * `value` (the measured metric, rounded 6 dp), `threshold`, and
+  * `passed` (= rounded value ≥ threshold). Metrics are ratios of exact
+  * Long counts (or a single avg) so a SQL oracle replays them
+  * bit-for-bit; an empty frame reports value 0 and fails every check
+  * rather than emitting nulls — an audit over nothing must not pass.
+  */
+object DataQuality {
+
+  /** One declarative constraint; `threshold` is the minimum passing value. */
+  sealed trait Check {
+    def name: String
+    def column: String
+    def threshold: Double
+  }
+
+  /** Fraction of non-null values in `column` (count(col)/count(*)). */
+  final case class Completeness(column: String, threshold: Double)
+      extends Check { val name = "completeness" }
+
+  /** Distinct-to-total ratio of `column`; `approx` swaps the exact
+    * count(DISTINCT) for approx_count_distinct (HLL++) — the scale
+    * setting, not oracle-exact. */
+  final case class Uniqueness(column: String, threshold: Double,
+                              approx: Boolean = false)
+      extends Check { val name = if (approx) "uniqueness_approx" else "uniqueness" }
+
+  /** Fraction of rows satisfying `predicate` (nulls count as failing —
+    * a compliance rule that cannot evaluate did not pass). */
+  final case class Compliance(label: String, predicate: Column,
+                              threshold: Double) extends Check {
+    val name = "compliance"
+    val column: String = label
+  }
+
+  /** Mean of `column` must be at least `threshold`. */
+  final case class MeanAtLeast(column: String, threshold: Double)
+      extends Check { val name = "mean_at_least" }
+
+  /** Run all `checks` in one Aggregate pass; one result row per check,
+    * ordered as given (the output carries `check`/`column` keys, so
+    * callers gate on content, not order). */
+  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      val e = c match {
+        case Completeness(col0, _)       => count(col(col0)).cast("long")
+        case Uniqueness(col0, _, false)  => count_distinct(col(col0)).cast("long")
+        case Uniqueness(col0, _, true)   => approx_count_distinct(col(col0)).cast("long")
+        case Compliance(_, p, _)         => sum(when(p, 1L).otherwise(0L))
+        case MeanAtLeast(col0, _)        => avg(col(col0)).cast("double")
+      }
+      e.as(s"__m$i")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val n = col("__n").cast("double")
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      val raw = c match {
+        case _: MeanAtLeast => coalesce(col(s"__m$i").cast("double"), lit(0.0))
+        case _ =>
+          when(col("__n") > 0L,
+            coalesce(col(s"__m$i").cast("double"), lit(0.0)) / n)
+            .otherwise(lit(0.0))
+      }
+      val v = round(raw, 6)
+      struct(lit(c.name).as("check"), lit(c.column).as("column"),
+        v.as("value"), lit(c.threshold).as("threshold"),
+        (v >= c.threshold).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+}

@@ -87,6 +87,89 @@ object Evaluation {
           .otherwise(lit(0.0)), 6).as("recall_at_k"))
   }
 
+  /** ROC AUC of a score against a binary label, tie-corrected
+    * (Mann–Whitney with midranks), computed from the distinct-score
+    * histogram so the only ordered pass runs over score VALUES, not rows:
+    * one map-side-combinable groupBy(score) collapses the corpus to its
+    * score histogram, [[Ranking.withGlobalPrefixSum]] accumulates the
+    * negatives seen below each score (two-pass ranking, so even a
+    * surprisingly wide score domain never funnels through one reducer),
+    * and the final reduce folds the exact integer numerator. The caller
+    * quantizes the score (any monotone bucketing preserves AUC up to tie
+    * granularity), so the histogram is bounded by score cardinality and
+    * every stage stays embarrassingly parallel at any corpus size.
+    *
+    * Arithmetic is exact until the last division: with p_s/n_s the
+    * positive/negative counts at score s and cnb_s the negatives at
+    * strictly lower scores, 2·P·N·AUC = Σ_s p_s·(2·cnb_s + n_s) — a Long
+    * fold that is exact while P·N < 2^62 (beyond that the final division
+    * is the only lossy step anyway). Degenerate inputs (no positives or
+    * no negatives) report AUC 0.5: no ranking is measurable, and a
+    * curation report must aggregate the row, not drop it. Output: one row
+    * (n, n_pos, n_neg, auc, gini), metrics rounded 6 dp.
+    */
+  def aucRoc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val hist = df.groupBy(score.as("__s"))
+      .agg(
+        sum(when(label.cast("boolean"), 1L).otherwise(0L)).as("__p"),
+        sum(when(label.cast("boolean"), 0L).otherwise(1L)).as("__n"))
+    // exclusive prefix of negatives below each score = inclusive global
+    // prefix sum (two-pass, no single-reducer window) minus own count
+    val contrib = Ranking
+      .withGlobalPrefixSum(hist, "__cum_n", col("__n"), Seq(col("__s")))
+      .withColumn("__cnb", col("__cum_n") - col("__n"))
+      .agg(
+        coalesce(sum(col("__p") + col("__n")), lit(0L)).as("n"),
+        coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("__p") * (lit(2L) * col("__cnb") + col("__n"))),
+          lit(0L)).as("__num"))
+    val measurable = col("n_pos") > 0L && col("n_neg") > 0L
+    val auc = when(measurable,
+      col("__num").cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+      .otherwise(lit(0.5))
+    contrib.select(col("n"), col("n_pos"), col("n_neg"),
+      round(auc, 6).as("auc"),
+      round(lit(2.0) * auc - lit(1.0), 6).as("gini"))
+  }
+
+  /** Reliability diagram + per-bin Brier score for a calibrated
+    * probability expressed in INTEGER basis points of 0.01 (0..100) —
+    * the integer-unit trick the whole evaluation module uses: 0.01 is
+    * not dyadic, so summing doubles would make the result depend on
+    * partition fold order, while Σ cents and Σ (cents − 100·y)² are exact
+    * Long folds with one division each at the end. One groupBy on the
+    * decile bin (map-side combinable), no window, no second pass.
+    *
+    * Per bin: n, mean predicted probability (Σcents / 100n), empirical
+    * positive rate, and the bin's Brier contribution
+    * Σ(cents − 100·y)² / (10⁴·n) — mean squared error between the
+    * forecast and the outcome, the standard decomposition target.
+    * Metrics rounded 6 dp; bins with cents = 100 land in the top decile
+    * (`least(c/10, 9)`), matching the usual right-closed final bin.
+    */
+  def calibration(df: DataFrame, pCents: Column, label: Column): DataFrame = {
+    val c = pCents.cast("long")
+    val y = when(label.cast("boolean"), 1L).otherwise(0L)
+    df.select(least(c / 10L, lit(9L)).cast("long").as("bin"),
+        c.as("__c"), y.as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__c")).as("__sum_c"),
+        sum(col("__y")).as("n_pos"),
+        sum((col("__c") - lit(100L) * col("__y")) *
+            (col("__c") - lit(100L) * col("__y"))).as("__sq"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sum_c").cast("double") /
+          (lit(100.0) * col("n").cast("double")), 6).as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        round(col("__sq").cast("double") /
+          (lit(10000.0) * col("n").cast("double")), 6).as("brier"))
+  }
+
   /** Cohen's kappa between two binary labelers over one frame — the
     * chance-corrected agreement a labeling pipeline reports before
     * trusting either labeler ("92% raw agreement" means nothing when one

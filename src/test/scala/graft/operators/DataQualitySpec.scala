@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataQualitySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import DataQuality._
+
+  private val frame = Seq(
+    (1L, Some("alpha"), 10L),
+    (2L, Some("beta"), 20L),
+    (2L, Some("gamma"), 30L),
+    (4L, None, 40L),
+    (5L, Some("alpha"), -5L))
+    .toDF("id", "name", "score")
+
+  test("audit: hand-computed metrics and pass/fail per check") {
+    val out = audit(frame, Seq(
+      Completeness("name", 0.8),         // 4/5 = 0.8 -> passes (>=)
+      Uniqueness("id", 1.0),             // 4/5 = 0.8 -> fails (dup id 2)
+      Uniqueness("name", 0.5),           // 3 distinct non-null / 5 = 0.6
+      Compliance("positive_score", $"score" > 0, 0.9), // 4/5 -> fails
+      MeanAtLeast("score", 19.0)))       // mean = 95/5 = 19 -> passes
+      .select("check", "column", "value", "passed")
+      .as[(String, String, Double, Boolean)].collect()
+
+    assert(out.length == 5, "one row per check, in declaration order")
+    assert(out(0) == (("completeness", "name", 0.8, true)))
+    assert(out(1) == (("uniqueness", "id", 0.8, false)))
+    assert(out(2) == (("uniqueness", "name", 0.6, true)))
+    assert(out(3) == (("compliance", "positive_score", 0.8, false)))
+    assert(out(4) == (("mean_at_least", "score", 19.0, true)))
+  }
+
+  test("audit: null predicate input counts as non-compliant") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("v")
+    val r = audit(df, Seq(Compliance("v_big", $"v" > 0, 1.0)))
+      .select("value", "passed").as[(Double, Boolean)].head()
+    // 2 of 3 rows satisfy; the null row cannot prove compliance
+    assert(r == ((0.666667, false)))
+  }
+
+  test("audit: empty frame reports 0 and fails, never nulls") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val out = audit(empty, Seq(
+      Completeness("name", 0.5),
+      Uniqueness("id", 0.1),
+      Compliance("id_pos", $"id" > 0, 0.0),
+      MeanAtLeast("id", 0.0)))
+      .select("value", "passed").as[(Double, Boolean)].collect()
+    assert(out.forall(_._1 == 0.0))
+    // threshold 0.0 checks still "pass" at value 0 (>=); nothing is null
+    assert(out.map(_._2).toSeq == Seq(false, false, true, true))
+  }
+
+  test("audit: approx uniqueness tracks the exact ratio") {
+    val df = (1L to 1000L).map(i => i % 250).toDF("k")
+    val Seq(exact, approxV) = audit(df, Seq(
+      Uniqueness("k", 0.2),
+      Uniqueness("k", 0.2, approx = true)))
+      .select("value").as[Double].collect().toSeq
+    assert(exact == 0.25)
+    assert(math.abs(approxV - exact) / exact < 0.1,
+      s"HLL estimate $approxV should be within 10% of $exact")
+  }
+
+  test("audit: single Aggregate pass (one row source, no join)") {
+    val plan = audit(frame, Seq(
+      Completeness("name", 0.5),
+      Compliance("pos", $"score" > 0, 0.5),
+      MeanAtLeast("score", 0.0)))
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, "all checks must compile into one Aggregate")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size == 1)
+  }
+}

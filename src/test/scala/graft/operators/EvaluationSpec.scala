@@ -68,4 +68,71 @@ class EvaluationSpec extends AnyFunSuite with SparkTestBase {
       .select("po", "pe", "kappa").as[(Double, Double, Double)].head()
     assert(r == ((1.0, 1.0, 0.0)))
   }
+
+  test("aucRoc: hand-computed tie-corrected AUC") {
+    // pairs: pos@2 beats neg@1 (1), ties neg@2 (0.5); pos@3 beats both
+    // negs (2) -> AUC = 3.5/4 = 0.875
+    val df = Seq((1L, false), (2L, true), (2L, false), (3L, true))
+      .toDF("s", "y")
+    val r = Evaluation.aucRoc(df, $"s", $"y")
+      .select("n", "n_pos", "n_neg", "auc", "gini")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r == ((4L, 2L, 2L, 0.875, 0.75)))
+  }
+
+  test("aucRoc: perfect / inverted / degenerate rankings") {
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    assert(Evaluation.aucRoc(perfect, $"s", $"y")
+      .select("auc").as[Double].head() == 1.0)
+    val inverted = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("s", "y")
+    assert(Evaluation.aucRoc(inverted, $"s", $"y")
+      .select("auc").as[Double].head() == 0.0)
+    // no negatives: AUC is unmeasurable -> 0.5 by convention, never NaN
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val d = Evaluation.aucRoc(onlyPos, $"s", $"y")
+      .select("auc", "gini").as[(Double, Double)].head()
+    assert(d == ((0.5, 0.0)))
+    // empty frame: zero counts and the 0.5 convention, no nulls
+    val empty = Seq.empty[(Long, Boolean)].toDF("s", "y")
+    val e = Evaluation.aucRoc(empty, $"s", $"y")
+      .select("n", "n_pos", "n_neg", "auc")
+      .as[(Long, Long, Long, Double)].head()
+    assert(e == ((0L, 0L, 0L, 0.5)))
+  }
+
+  test("aucRoc is invariant under monotone score transforms") {
+    val df = Seq((10L, false), (20L, true), (30L, false), (40L, true),
+      (50L, true)).toDF("s", "y")
+    val base = Evaluation.aucRoc(df, $"s", $"y").select("auc").as[Double].head()
+    val scaled = Evaluation.aucRoc(df, $"s" * 7L + 3L, $"y")
+      .select("auc").as[Double].head()
+    assert(base == scaled)
+  }
+
+  test("aucRoc plans without a single-reducer window") {
+    val df = Seq((1L, false), (2L, true)).toDF("s", "y")
+    val phys = Evaluation.aucRoc(df, $"s", $"y")
+      .queryExecution.executedPlan
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty,
+      "negatives-below must come from the two-pass prefix sum, not a window")
+  }
+
+  test("calibration: hand-computed bins, cents=100 lands in the top decile") {
+    val df = Seq((5L, false), (15L, true), (15L, false), (100L, true))
+      .toDF("c", "y")
+    val out = Evaluation.calibration(df, $"c", $"y").orderBy($"bin")
+      .select("bin", "n", "n_pos", "mean_pred", "frac_pos", "brier")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(out(0) == ((0L, 1L, 0L, 0.05, 0.0, 0.0025)))
+    // bin 1: preds 0.15/0.15, outcomes 1/0 ->
+    // brier = ((15-100)^2 + 15^2) / 20000 = 0.3725
+    assert(out(1) == ((1L, 2L, 1L, 0.15, 0.5, 0.3725)))
+    // cents=100 must not open an 11th bin
+    assert(out(2) == ((9L, 1L, 1L, 1.0, 1.0, 0.0)))
+    assert(out.length == 3)
+  }
 }
