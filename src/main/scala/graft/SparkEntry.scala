@@ -3487,6 +3487,30 @@ object SparkEntry {
         .select(col("id"), col("segment"), col("acctbal"))
         .orderBy(col("id"))
     }),
+
+    // Planning-time skipping with NO explicit pruning call: the snapshot
+    // is a HadoopFsRelation over GraftFileIndex, so the plain .filter
+    // here is pushed down by Catalyst, prunes slices/files at the index,
+    // and reaches the vectorized parquet scan as PushedFilters — the
+    // Delta/Iceberg integration shape. Same data and predicate as
+    // q_stats_skip, different routing. store/GraftFileIndex.scala.
+    "q_pushdown_skip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(
+        tempDir("graft-pushdown-q"))
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("segment", StringType, nullable = false),
+        StructField("acctbal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")), partitionCols = Seq("segment"))
+      t.createMany(Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("acctbal")))
+      t.snapshotRelation()
+        .filter(col("id") <= 120L && col("acctbal") > 0.0)
+        .select(col("id"), col("segment"), col("acctbal"))
+        .orderBy(col("id"))
+    }),
   )
 
   private val textStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
@@ -6430,6 +6454,12 @@ object SparkEntry {
       FROM r ORDER BY "check", "column"""",
 
     "q_stats_skip" -> """
+      SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS acctbal
+      FROM customer
+      WHERE c_custkey <= 120 AND c_acctbal > 0.0
+      ORDER BY id""",
+
+    "q_pushdown_skip" -> """
       SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS acctbal
       FROM customer
       WHERE c_custkey <= 120 AND c_acctbal > 0.0

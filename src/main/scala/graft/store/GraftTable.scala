@@ -353,6 +353,36 @@ final class GraftTable(
   def snapshotWhere(pred: Column): DataFrame =
     readDirs(prunedPaths(pred)._1).filter(pred)
 
+  /** The snapshot as a pruning scan RELATION ([[GraftFileIndex]]): a
+    * `HadoopFsRelation` whose file listing happens at planning time under
+    * whatever filters Catalyst pushes down — so a plain `.filter` (or a
+    * SQL WHERE over a registered view, or a join's pushed predicate)
+    * skips slices/files with NO explicit [[snapshotWhere]] call, and the
+    * scan is Spark's own vectorized parquet reader with `PushedFilters`
+    * row-group pruning on top. Pinned to the current commit at call time,
+    * exactly like [[snapshot]]. */
+  def snapshotRelation(): DataFrame = snapshotRelationWithIndex()._1
+
+  /** Time-travel twin of [[snapshotRelation]] ([[snapshotAt]] semantics). */
+  def snapshotRelationAt(commitId: Long): DataFrame =
+    relationFor(catalog.dirsAt(name, commitId).values.toSeq.sorted)._1
+
+  /** [[snapshotRelation]] plus its index — the index exposes the last
+    * planning decision (kept/total files) for specs and skip-ratio
+    * reporting. */
+  private[graft] def snapshotRelationWithIndex(): (DataFrame, GraftFileIndex) =
+    relationFor(catalog.currentDirs(name).values.toSeq.sorted)
+
+  private def relationFor(dirs: Seq[String]): (DataFrame, GraftFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val idx = new GraftFileIndex(spark, name, dirs, schema)
+    val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    (org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+      LogicalRelation(rel)), idx)
+  }
+
   /** The predicate's AND-conjuncts, resolved against the table schema
     * (driver-side analysis only, no job): typed catalyst comparisons with
     * coerced literals — exactly what the stats domain can evaluate. */
