@@ -3152,6 +3152,18 @@ object SparkEntry {
       graft.operators.Evaluation.aucRoc(Tables.documents(s, dir),
         score = col("n_chars"), label = col("lang") === "en")),
 
+    // Sliced AUC per source: same exact-integer histogram, running
+    // negatives from a window PARTITIONED by source over the per-group
+    // histogram (one shuffle on the group key, reused by the following
+    // aggregate) — the per-slice ranker health report.
+    // operators/Evaluation.scala.
+    "q_auc_by" -> ((s, dir) =>
+      graft.operators.Evaluation.aucRocBy(Tables.documents(s, dir),
+        group = col("source"), score = col("n_chars"),
+        label = col("lang") === "en")
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))),
+
     // Reliability diagram + per-decile Brier for an integer-basis-point
     // forecast (n_chars % 101 cents vs a deterministic outcome): all sums
     // are exact Long folds (cents and squared-error units), one division
@@ -6411,6 +6423,33 @@ object SparkEntry {
       SELECT n, n_pos, n_neg, round(auc_raw, 6) AS auc,
              round(2.0 * auc_raw - 1.0, 6) AS gini
       FROM a""",
+
+    "q_auc_by" -> """
+      WITH h AS (
+        SELECT source AS grp, n_chars AS s,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS ng
+        FROM documents GROUP BY 1, 2
+      ), w AS (
+        SELECT grp, p, ng,
+               coalesce(sum(ng) OVER (PARTITION BY grp ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+        FROM h
+      ), t AS (
+        SELECT grp, CAST(sum(p + ng) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(ng) AS BIGINT) AS n_neg,
+               CAST(sum(p * (2 * cnb + ng)) AS BIGINT) AS num
+        FROM w GROUP BY grp
+      ), a AS (
+        SELECT grp, n, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN num / (2.0 * n_pos * n_neg) ELSE 0.5 END AS auc_raw
+        FROM t
+      )
+      SELECT grp AS source, n, n_pos, n_neg, round(auc_raw, 6) AS auc,
+             round(2.0 * auc_raw - 1.0, 6) AS gini
+      FROM a ORDER BY source""",
 
     // Integer basis points: every sum is exact; the oracle replays the
     // same cents/squared-error folds and divides once per cell.

@@ -134,6 +134,43 @@ object Evaluation {
       round(lit(2.0) * auc - lit(1.0), 6).as("gini"))
   }
 
+  /** Per-group [[aucRoc]] — the sliced evaluation report (AUC per
+    * language / source / time bucket) a curation pipeline runs to catch
+    * a ranker that is good on average and broken on one slice. Same
+    * exact-integer histogram construction, but the running negative
+    * count comes from a window PARTITIONED by the group key over the
+    * per-group score histogram: partitioned windows shuffle once on the
+    * group key and sort locally, and the per-group aggregate that
+    * follows reuses that exchange — two shuffles total, both bounded by
+    * (groups × distinct scores), not rows. Groups with no positives or
+    * no negatives report 0.5, same convention as [[aucRoc]].
+    */
+  def aucRocBy(df: DataFrame, group: Column, score: Column,
+               label: Column): DataFrame = {
+    val hist = df.groupBy(group.as("grp"), score.as("__s"))
+      .agg(
+        sum(when(label.cast("boolean"), 1L).otherwise(0L)).as("__p"),
+        sum(when(label.cast("boolean"), 0L).otherwise(1L)).as("__n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perGroup = hist
+      .withColumn("__cnb", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("__p") + col("__n")).as("n"),
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("__cnb") + col("__n"))).as("__num"))
+    val measurable = col("n_pos") > 0L && col("n_neg") > 0L
+    val auc = when(measurable,
+      col("__num").cast("double") /
+        (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+      .otherwise(lit(0.5))
+    perGroup.select(col("grp"), col("n"), col("n_pos"), col("n_neg"),
+      round(auc, 6).as("auc"),
+      round(lit(2.0) * auc - lit(1.0), 6).as("gini"))
+  }
+
   /** Reliability diagram + per-bin Brier score for a calibrated
     * probability expressed in INTEGER basis points of 0.01 (0..100) —
     * the integer-unit trick the whole evaluation module uses: 0.01 is

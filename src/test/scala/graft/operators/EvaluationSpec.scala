@@ -111,6 +111,31 @@ class EvaluationSpec extends AnyFunSuite with SparkTestBase {
     assert(base == scaled)
   }
 
+  test("aucRocBy: per-group AUC with a degenerate group") {
+    // group "a" = the 0.875 hand-computed example; group "b" all-positive
+    val df = Seq(("a", 1L, false), ("a", 2L, true), ("a", 2L, false),
+      ("a", 3L, true), ("b", 9L, true), ("b", 7L, true))
+      .toDF("g", "s", "y")
+    val out = Evaluation.aucRocBy(df, $"g", $"s", $"y").orderBy($"grp")
+      .select("grp", "n", "n_pos", "n_neg", "auc", "gini")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(out(0) == (("a", 4L, 2L, 2L, 0.875, 0.75)))
+    assert(out(1) == (("b", 2L, 2L, 0L, 0.5, 0.0)))
+  }
+
+  test("aucRocBy agrees with aucRoc run per group") {
+    val df = Seq(("x", 10L, false), ("x", 20L, true), ("x", 30L, false),
+      ("x", 40L, true), ("y", 1L, true), ("y", 2L, false), ("y", 2L, true))
+      .toDF("g", "s", "y")
+    val grouped = Evaluation.aucRocBy(df, $"g", $"s", $"y")
+      .select("grp", "auc").as[(String, Double)].collect().toMap
+    Seq("x", "y").foreach { g =>
+      val solo = Evaluation.aucRoc(df.filter($"g" === g), $"s", $"y")
+        .select("auc").as[Double].head()
+      assert(grouped(g) == solo, s"group $g diverges from the global op")
+    }
+  }
+
   test("aucRoc plans without a single-reducer window") {
     val df = Seq((1L, false), (2L, true)).toDF("s", "y")
     val phys = Evaluation.aucRoc(df, $"s", $"y")
