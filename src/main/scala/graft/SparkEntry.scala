@@ -3174,6 +3174,43 @@ object SparkEntry {
         pCents = col("n_chars") % 101, label = col("doc_id") % 4 === 0)
         .orderBy(col("bin"))),
 
+    // Streaming quality firewall: DataQuality.monitor audits each
+    // micro-batch of a REAL file stream (AvailableNow + checkpoint)
+    // inside foreachBatch and sinks the per-batch audit rows; the
+    // single-file fixture lands in one batch, so batch 0's audit equals
+    // the batch oracle over the whole table — and the gate refuses
+    // partial output if the batch split ever changes.
+    // operators/DataQuality.scala.
+    "q_stream_dq" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val tmp = tempDir("graft-qdq")
+      val stream = graft.streaming.Streaming.readEventStream(s, dir)
+      val checks = Seq(
+        Completeness("user_id", 1.0),
+        Uniqueness("event_id", 1.0),
+        Uniqueness("user_id", 0.5),
+        Compliance("value_nonneg", col("value") >= 0.0, 1.0),
+        Compliance("purchase_share", col("event_type") === "purchase", 0.25))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = monitor(stream, checks, tmp + "/ckpt") { (rows, bid) =>
+          rows.write.mode("overwrite").parquet(s"$tmp/out/b$bid"); ()
+        }
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_dq: stream exceeded its 180s budget")
+        }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val batches = Option(new java.io.File(tmp + "/out").listFiles())
+        .getOrElse(Array.empty).count(_.isDirectory)
+      require(batches == 1,
+        s"q_stream_dq: fixture must audit as ONE batch, saw $batches")
+      s.read.parquet(tmp + "/out/b0")
+        .orderBy(col("check"), col("column"))
+    }),
+
     // Declarative data-quality audit: six constraints (completeness,
     // exact uniqueness, predicate compliance, mean floor) compiled into
     // ONE Aggregate pass over documents; two checks are deliberately
@@ -6466,6 +6503,29 @@ object SparkEntry {
              round(sum(y) * 1.0 / count(*), 6) AS frac_pos,
              round(sum((c - 100 * y) * (c - 100 * y)) / (10000.0 * count(*)), 6) AS brier
       FROM b GROUP BY bin ORDER BY bin""",
+
+    // The single-batch fixture makes batch 0's audit the whole table's.
+    "q_stream_dq" -> """
+      WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(user_id) AS BIGINT) AS c_uid,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS u_eid,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS u_uid,
+               CAST(sum(CASE WHEN value >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pur
+        FROM events
+      ), r AS (
+        SELECT CAST(0 AS BIGINT) AS batch_id, 'completeness' AS "check",
+               'user_id' AS "column", round(c_uid * 1.0 / n, 6) AS value,
+               CAST(1.0 AS DOUBLE) AS threshold FROM m
+        UNION ALL SELECT 0, 'uniqueness', 'event_id', round(u_eid * 1.0 / n, 6), CAST(1.0 AS DOUBLE) FROM m
+        UNION ALL SELECT 0, 'uniqueness', 'user_id', round(u_uid * 1.0 / n, 6), CAST(0.5 AS DOUBLE) FROM m
+        UNION ALL SELECT 0, 'compliance', 'value_nonneg', round(nn * 1.0 / n, 6), CAST(1.0 AS DOUBLE) FROM m
+        UNION ALL SELECT 0, 'compliance', 'purchase_share', round(pur * 1.0 / n, 6), CAST(0.25 AS DOUBLE) FROM m
+      )
+      SELECT batch_id, "check", "column", value, threshold,
+             (value >= threshold) AS passed
+      FROM r ORDER BY "check", "column"""",
 
     // One metrics CTE = the one-Aggregate-pass contract; each check is a
     // ratio of exact counts (or one avg), rounded 6dp, passed = value >=

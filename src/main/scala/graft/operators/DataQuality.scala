@@ -90,4 +90,31 @@ object DataQuality {
     }
     one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
+
+  /** Quality firewall on a STREAM: audits every micro-batch with
+    * [[audit]] and hands the per-batch result rows (leading `batch_id`
+    * column) to `sink` — the monitor an ingest pipeline runs beside the
+    * data path (append to a store audit table, alert on `passed =
+    * false`) instead of discovering a silent producer change at training
+    * time. `foreachBatch` + the checkpoint give the usual exactly-once
+    * contract: a replayed batch re-presents the SAME batch_id, so an
+    * idempotent sink (keyed on batch_id, like
+    * [[graft.streaming]]'s StoreSink) audits each batch exactly once.
+    * The audit itself is the same one-Aggregate pass per batch — cost
+    * proportional to the batch, not the stream's history. */
+  def monitor(stream: DataFrame, checks: Seq[Check], checkpointDir: String,
+              trigger: org.apache.spark.sql.streaming.Trigger =
+                org.apache.spark.sql.streaming.Trigger.AvailableNow())
+             (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        sink(audit(b, checks)
+          .select(lit(bid).as("batch_id"), col("check"), col("column"),
+            col("value"), col("threshold"), col("passed")), bid)
+        ()
+      }
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

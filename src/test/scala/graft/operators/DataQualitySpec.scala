@@ -66,6 +66,34 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
       s"HLL estimate $approxV should be within 10% of $exact")
   }
 
+  test("monitor: audits each micro-batch independently with its batch id") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dqmon").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[String])]
+    val seen = scala.collection.mutable.Map.empty[Long, Map[String, Double]]
+    val q = DataQuality.monitor(
+      input.toDF().toDF("id", "name"),
+      Seq(Completeness("name", 0.8), Uniqueness("id", 1.0)),
+      ckpt, org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) {
+      (rows, bid) =>
+        seen.synchronized {
+          seen(bid) = rows.select("check", "value")
+            .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        }
+        ()
+    }
+    try {
+      input.addData((1L, Some("a")), (2L, None), (2L, Some("b")), (4L, Some("c")))
+      q.processAllAvailable()
+      input.addData((5L, Some("d")), (6L, Some("e")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch 0: 3/4 names present, 3/4 distinct ids; batch 1: clean
+    assert(seen(0L) == Map("completeness" -> 0.75, "uniqueness" -> 0.75))
+    assert(seen(1L) == Map("completeness" -> 1.0, "uniqueness" -> 1.0))
+  }
+
   test("audit: single Aggregate pass (one row source, no join)") {
     val plan = audit(frame, Seq(
       Completeness("name", 0.5),
