@@ -3216,6 +3216,16 @@ object SparkEntry {
     // ONE Aggregate pass over documents; two checks are deliberately
     // failing so the pass/fail path is part of the gate.
     // operators/DataQuality.scala.
+    // Constraint suggestion (the profile half of the DQ loop): one
+    // Aggregate pass over documents emits the checks the corpus
+    // currently satisfies — completeness, key-likeness, numeric bounds —
+    // as review-ready rows whose thresholds the same data passes by
+    // construction. operators/DataQuality.scala.
+    "q_dq_suggest" -> ((s, dir) =>
+      graft.operators.DataQuality.suggest(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("column"), col("check"))),
+
     "q_dq_audit" -> ((s, dir) => {
       import graft.operators.DataQuality._
       audit(Tables.documents(s, dir), Seq(
@@ -6526,6 +6536,44 @@ object SparkEntry {
       SELECT batch_id, "check", "column", value, threshold,
              (value >= threshold) AS passed
       FROM r ORDER BY "check", "column"""",
+
+    // Suggestions are conditional rows: uniqueness only when the column
+    // is key-like on this corpus, bounds only for numerics.
+    "q_dq_suggest" -> """
+      WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(doc_id) AS BIGINT) AS c_doc,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS u_doc,
+               CAST(count(text) AS BIGINT) AS c_text,
+               CAST(count(DISTINCT text) AS BIGINT) AS u_text,
+               CAST(count(lang) AS BIGINT) AS c_lang,
+               CAST(count(DISTINCT lang) AS BIGINT) AS u_lang,
+               CAST(count(source) AS BIGINT) AS c_src,
+               CAST(count(DISTINCT source) AS BIGINT) AS u_src,
+               CAST(count(n_chars) AS BIGINT) AS c_nc,
+               CAST(count(DISTINCT n_chars) AS BIGINT) AS u_nc,
+               CAST(min(doc_id) AS DOUBLE) AS mn_doc, CAST(max(doc_id) AS DOUBLE) AS mx_doc,
+               CAST(min(n_chars) AS DOUBLE) AS mn_nc, CAST(max(n_chars) AS DOUBLE) AS mx_nc
+        FROM documents
+      ), r AS (
+        SELECT 'doc_id' AS "column", 'completeness' AS "check",
+               CASE WHEN c_doc = n THEN CAST(1.0 AS DOUBLE) ELSE floor((c_doc * 1.0 / n) * 100.0) / 100 END AS threshold FROM m WHERE n > 0
+        UNION ALL SELECT 'doc_id', 'uniqueness', CAST(1.0 AS DOUBLE) FROM m WHERE n > 0 AND u_doc = n
+        UNION ALL SELECT 'doc_id', 'min_at_least', mn_doc FROM m WHERE mn_doc IS NOT NULL
+        UNION ALL SELECT 'doc_id', 'max_at_most', mx_doc FROM m WHERE mx_doc IS NOT NULL
+        UNION ALL SELECT 'text', 'completeness', CASE WHEN c_text = n THEN CAST(1.0 AS DOUBLE) ELSE floor((c_text * 1.0 / n) * 100.0) / 100 END FROM m WHERE n > 0
+        UNION ALL SELECT 'text', 'uniqueness', CAST(1.0 AS DOUBLE) FROM m WHERE n > 0 AND u_text = n
+        UNION ALL SELECT 'lang', 'completeness', CASE WHEN c_lang = n THEN CAST(1.0 AS DOUBLE) ELSE floor((c_lang * 1.0 / n) * 100.0) / 100 END FROM m WHERE n > 0
+        UNION ALL SELECT 'lang', 'uniqueness', CAST(1.0 AS DOUBLE) FROM m WHERE n > 0 AND u_lang = n
+        UNION ALL SELECT 'source', 'completeness', CASE WHEN c_src = n THEN CAST(1.0 AS DOUBLE) ELSE floor((c_src * 1.0 / n) * 100.0) / 100 END FROM m WHERE n > 0
+        UNION ALL SELECT 'source', 'uniqueness', CAST(1.0 AS DOUBLE) FROM m WHERE n > 0 AND u_src = n
+        UNION ALL SELECT 'n_chars', 'completeness', CASE WHEN c_nc = n THEN CAST(1.0 AS DOUBLE) ELSE floor((c_nc * 1.0 / n) * 100.0) / 100 END FROM m WHERE n > 0
+        UNION ALL SELECT 'n_chars', 'uniqueness', CAST(1.0 AS DOUBLE) FROM m WHERE n > 0 AND u_nc = n
+        UNION ALL SELECT 'n_chars', 'min_at_least', mn_nc FROM m WHERE mn_nc IS NOT NULL
+        UNION ALL SELECT 'n_chars', 'max_at_most', mx_nc FROM m WHERE mx_nc IS NOT NULL
+      )
+      SELECT "column", "check", threshold
+      FROM r ORDER BY "column", "check"""",
 
     // One metrics CTE = the one-Aggregate-pass contract; each check is a
     // ratio of exact counts (or one avg), rounded 6dp, passed = value >=

@@ -91,6 +91,57 @@ object DataQuality {
     one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** Constraint SUGGESTION — the other half of the audit loop: profile
+    * `cols` in one Aggregate pass and emit the checks the data currently
+    * satisfies, as (column, check, threshold) rows a pipeline can review
+    * and feed back into [[audit]]/[[monitor]] (Deequ's suggestion idea).
+    * Suggested thresholds never exceed what the profiled data already
+    * meets, so auditing the same frame against its own suggestions
+    * passes by construction:
+    *   - completeness: threshold 1.0 when fully populated, else the
+    *     observed ratio floored to 2 dp (floor(100·obs)/100 — headroom
+    *     for drift, and both engines floor the same double);
+    *   - uniqueness 1.0: only when the column IS currently key-like;
+    *   - min_at_least / max_at_most: observed bounds for numeric
+    *     columns (cast to double once, at output).
+    * Same scale shape as [[audit]]: one pass, count(DISTINCT) per
+    * column via Expand — run it on a sample at 100 TB; suggestions are
+    * advisory, the audit that enforces them is the exact pass. */
+  def suggest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "suggest needs at least one column")
+    import org.apache.spark.sql.types.NumericType
+    val numeric = cols.filter(c =>
+      df.schema(c).dataType.isInstanceOf[NumericType]).toSet
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(col(c)).as(s"__c$i"), count_distinct(col(c)).as(s"__u$i")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"__mn$i"),
+            max(col(c)).cast("double").as(s"__mx$i"))
+        else Nil)
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val n = col("__n").cast("double")
+    val rows = cols.zipWithIndex.flatMap { case (c, i) =>
+      val obs = col(s"__c$i").cast("double") / n
+      val completeness = struct(lit(c).as("column"),
+        lit("completeness").as("check"),
+        when(col(s"__c$i") === col("__n"), lit(1.0))
+          .otherwise(floor(obs * 100.0) / 100.0).as("threshold"),
+        (col("__n") > 0L).as("keep"))
+      val uniqueness = struct(lit(c).as("column"),
+        lit("uniqueness").as("check"), lit(1.0).as("threshold"),
+        (col("__n") > 0L && col(s"__u$i") === col("__n")).as("keep"))
+      val bounds = if (!numeric(c)) Nil else Seq(
+        struct(lit(c).as("column"), lit("min_at_least").as("check"),
+          col(s"__mn$i").as("threshold"), col(s"__mn$i").isNotNull.as("keep")),
+        struct(lit(c).as("column"), lit("max_at_most").as("check"),
+          col(s"__mx$i").as("threshold"), col(s"__mx$i").isNotNull.as("keep")))
+      completeness +: uniqueness +: bounds
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+      .filter(col("keep")).drop("keep")
+  }
+
   /** Quality firewall on a STREAM: audits every micro-batch with
     * [[audit]] and hands the per-batch result rows (leading `batch_id`
     * column) to `sink` — the monitor an ingest pipeline runs beside the

@@ -66,6 +66,42 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
       s"HLL estimate $approxV should be within 10% of $exact")
   }
 
+  test("suggest: emits only the checks the data currently satisfies") {
+    val out = suggest(frame, Seq("id", "name", "score"))
+      .orderBy($"column", $"check")
+      .select("column", "check", "threshold")
+      .as[(String, String, Double)].collect().toSeq
+    assert(out == Seq(
+      // id: complete, NOT key-like (dup 2), bounded
+      ("id", "completeness", 1.0),
+      ("id", "max_at_most", 5.0),
+      ("id", "min_at_least", 1.0),
+      // name: one null -> floored observed ratio, not key-like
+      ("name", "completeness", 0.8),
+      // score: complete, all-distinct -> key-like, bounded
+      ("score", "completeness", 1.0),
+      ("score", "max_at_most", 40.0),
+      ("score", "min_at_least", -5.0),
+      ("score", "uniqueness", 1.0)))
+  }
+
+  test("suggest: auditing a frame against its own suggestions passes") {
+    val sug = suggest(frame, Seq("id", "name", "score"))
+      .collect().map { r =>
+        (r.getString(0), r.getString(1), r.getDouble(2)) match {
+          case (c, "completeness", t) => Completeness(c, t)
+          case (c, "uniqueness", t)   => Uniqueness(c, t)
+          case (c, "min_at_least", t) =>
+            Compliance(s"${c}_min", frame(c) >= t, 1.0)
+          case (c, "max_at_most", t) =>
+            Compliance(s"${c}_max", frame(c) <= t, 1.0)
+        }
+      }.toSeq
+    val results = audit(frame, sug).select("passed").as[Boolean].collect()
+    assert(results.nonEmpty && results.forall(identity),
+      "self-suggested constraints must self-audit green")
+  }
+
   test("monitor: audits each micro-batch independently with its batch id") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-dqmon").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
