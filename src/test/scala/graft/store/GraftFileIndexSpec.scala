@@ -93,6 +93,18 @@ class GraftFileIndexSpec extends AnyFunSuite with SparkTestBase {
       s"2-column projection must not read score:\n$plan")
   }
 
+  test("SQL WHERE over a registered view prunes through the same index") {
+    val t = seeded()
+    val (df, idx) = t.snapshotRelationWithIndex()
+    df.createOrReplaceTempView("graft_fi_events")
+    val got = spark.sql(
+      "SELECT id FROM graft_fi_events WHERE id >= 300 ORDER BY id")
+      .as[Long].collect()
+    assert(got.length == 25 && got.head == 300L)
+    assert(idx.lastKeptFiles < idx.lastTotalFiles,
+      "a SQL WHERE must reach the FileIndex exactly like a DataFrame filter")
+  }
+
   test("the relation pins its snapshot across later commits") {
     val t = seeded()
     val pinned = t.snapshotRelation()
