@@ -1265,6 +1265,17 @@ object SparkEntry {
           Tables.events(s, dir), "event_type", "user_id", rsd = 0.02)
         .orderBy(col("event_type"))),
 
+    // Sketch-audited point frequencies — the count–min complement of
+    // q_approx_distinct: the gate output is the EXACT per-type count
+    // (oracle-checkable), but the query first builds the count–min grid
+    // (a fixed 4×2048 mergeable long array — what a 100 TB continuous
+    // profile ships instead of a vocabulary-keyed shuffle) and REQUIREs
+    // every audited value to respect the sketch's one-sided guarantee
+    // exact ≤ estimate ≤ exact + (e/width)·N. functions/CountMin.scala.
+    "q_freq_audit" -> ((s, dir) =>
+      operators.Profile.frequencyAudit(Tables.events(s, dir), "event_type")
+        .orderBy(col("value"))),
+
     // SCD Type-2 history build from the append-only event log: one row
     // per event_type TRANSITION per user with half-open validity
     // intervals, 1-based versions, and a current flag — the
@@ -1634,6 +1645,30 @@ object SparkEntry {
           operators.Sampling.hashSplitAssign(col("text"),
             Seq(("train", 0.8), ("val", 0.9)), "test").as("split"))
         .orderBy(col("doc_id"))),
+
+    // Leakage-safe split: the draw keys on the near-dup CLUSTER
+    // representative, so an entire cluster lands on one side of every
+    // train/val/test boundary — the eval-contamination mode a content
+    // hash alone cannot stop (near-dups hash differently). Clusters come
+    // from the production MinHash-LSH + min-label path over the planted
+    // tripled quarter (pairs filtered to the id shifts, as in
+    // q_dup_clusters, so the oracle replays the cluster structure
+    // symbolically); unclustered docs degrade to their own-id draw
+    // through the LEFT join. operators/Sampling.scala.
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val quarter = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val c1 = quarter.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val c2 = quarter.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      val all = par(s, docs.unionByName(c1).unionByName(c2))
+      val diff = col("id_b") - col("id_a")
+      val pairs = Dedup.minhashLshPairs(all, "text", "doc_id", threshold = 0.7)
+        .filter(diff === 10000L || diff === 20000L)
+      operators.Sampling.leakageSafeSplit(all, "doc_id",
+          Dedup.dupClusters(pairs), Seq(("train", 0.8), ("val", 0.9)), "test")
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
 
     // DSIR importance weights (data selection via importance resampling):
     // per-document mean log-likelihood ratio of hashed word-bigram buckets
@@ -3114,6 +3149,35 @@ object SparkEntry {
       Relevance.bm25(Tables.documents(s, dir), "doc_id", "text", "n_chars",
         terms = Seq("vector", "stream", "window"))
         .orderBy(col("doc_id"))),
+
+    // Reciprocal-Rank Fusion of two bounded top-50 rankings (keyword tf
+    // and a length prior) into one hybrid order — the calibration-free
+    // way a retrieval stack merges sparse and dense candidates. Both
+    // producers are TakeOrderedAndProject(50) heads (bounded per-
+    // partition heaps, no global sort); the fusion window runs over ≤100
+    // rows by construction. Only integer ranks are emitted, so the
+    // IEEE 1/(60+r) ordering is engine-portable. operators/Relevance.scala.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def headRanks(scored: DataFrame,
+                    order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+        // limit(50) plans as TakeOrderedAndProject under the total order;
+        // the row_number window then runs over the 50-row result only
+        val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+        scored.orderBy(order: _*).limit(50)
+          .withColumn("r", row_number().over(w))
+          .select(col("doc_id"), col("r"))
+      }
+      val kw = headRanks(
+        docs.select(col("doc_id"),
+            Relevance.termCount(col("text"), "vector").as("tf"))
+          .filter(col("tf") > 0),
+        Seq(col("tf").desc, col("doc_id").asc))
+      val len = headRanks(docs.select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      Relevance.rrf(Seq((kw, "kw"), (len, "len")), "doc_id", "r")
+        .orderBy(col("fused_rank"))
+    }),
 
     // Retrieval-quality metrics over a deterministic per-customer order
     // ranking (total price desc, orderkey tiebreak; relevant = status
@@ -4617,6 +4681,12 @@ object SparkEntry {
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
       FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // the count-min audit's RESULT is the exact group count; the sketch
+    // bound check happens Spark-side (a require) before this plan runs
+    "q_freq_audit" -> """
+      SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type ORDER BY value""",
+
     "q_scd2" -> """
       WITH ordered AS (
         SELECT user_id, event_type, ts, event_id,
@@ -5279,6 +5349,29 @@ object SparkEntry {
                   WHEN substr(md5(text), 1, 8) < 'e6666666' THEN 'val'
                   ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""",
+
+    // cluster structure replayed symbolically (the planted id shifts, as
+    // in q_dup_clusters), then the same md5 threshold CASE keyed on the
+    // representative's string rendering
+    "q_leakage_split" -> """
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+      all_docs AS (
+        SELECT doc_id FROM documents
+        UNION ALL SELECT doc_id + 10000 FROM d
+        UNION ALL SELECT doc_id + 20000 FROM d),
+      cl AS (
+        SELECT doc_id,
+               CASE WHEN doc_id >= 20000 THEN doc_id - 20000
+                    WHEN doc_id >= 10000 THEN doc_id - 10000
+                    ELSE doc_id END AS cluster
+        FROM all_docs)
+      SELECT doc_id, cluster,
+             CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+                       < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+                       < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM cl ORDER BY doc_id""",
 
     // Attribution: same second-truncated band, same integer credit split
     // with the remainder on the (tts DESC, tid DESC) leader.
@@ -6368,6 +6461,34 @@ object SparkEntry {
              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id""",
+
+    // both top-50 heads replayed with the same total orders; the RRF
+    // contribution 1/(60+r) in explicit DOUBLE arithmetic (sums have at
+    // most two addends — IEEE-order-free), only integer ranks emitted
+    "q_rrf_fusion" -> """
+      WITH kwr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS r
+        FROM (SELECT doc_id,
+                CAST((length(text) - length(replace(text, 'vector', '')))
+                     / 6 AS INT) AS tf
+              FROM documents) t
+        WHERE tf > 0),
+      lnr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents),
+      u AS (
+        SELECT doc_id, r, 'kw' AS sys FROM kwr WHERE r <= 50
+        UNION ALL SELECT doc_id, r, 'len' AS sys FROM lnr WHERE r <= 50),
+      f AS (
+        SELECT doc_id,
+               sum(1.0 / (60.0 + CAST(r AS DOUBLE))) AS c,
+               CAST(max(CASE WHEN sys = 'kw' THEN r END) AS BIGINT) AS rank_kw,
+               CAST(max(CASE WHEN sys = 'len' THEN r END) AS BIGINT) AS rank_len
+        FROM u GROUP BY doc_id)
+      SELECT doc_id, rank_kw, rank_len,
+             CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INT)
+               AS fused_rank
+      FROM f ORDER BY fused_rank""",
 
     // DuckDB runs the naive interval join directly (its IEJoin plans it
     // fine at oracle scale) — the gate proves the REWRITTEN plan returns

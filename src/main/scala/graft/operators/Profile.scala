@@ -54,6 +54,45 @@ object Profile {
       .agg(countDistinct(col(valCol)).as("n_distinct"))
   }
 
+  /** Sketch-audited point frequencies — the [[cardinalityAudit]] pattern
+    * for the count–min sketch: returns the EXACT per-value counts of
+    * `valCol`, after asserting that the count–min estimate respects both
+    * sides of its guarantee for every audited value:
+    *
+    *   exact ≤ estimate ≤ exact + (e/width)·N
+    *
+    * (one-sided overestimate from collisions; the additive slack is the
+    * standard ε·N bound with ε = e/width). At 100 TB the continuous
+    * profile keeps ONLY the sketch — a fixed 64 KB mergeable grid per
+    * partial buffer, no vocabulary-keyed shuffle — and this audit is the
+    * sampled exactness check run against a bounded set of audit values
+    * (event types, sources, shards; one exact-count row each).
+    */
+  def frequencyAudit(df: DataFrame, valCol: String,
+                     depth: Int = 4, width: Int = 2048): DataFrame = {
+    import graft.functions.CountMin
+    val grid = df.agg(CountMin.sketch(col(valCol), depth, width).as("s"))
+      .collect()(0).getSeq[Long](0).toArray // fixed depth×width longs
+    val n = grid.slice(0, width).sum // row 0 counts every non-null once
+    val slack = math.ceil(math.E / width * n).toLong
+    val exact = df.groupBy(col(valCol).as("value"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.collect().foreach { r => // bounded: one row per audit value
+      val v = r.get(0)
+      if (v != null) {
+        val est = CountMin.estimate(grid, depth, width, v.toString)
+        val ex = r.getLong(1)
+        require(est >= ex && est <= ex + slack,
+          s"count-min out of bounds for '$v': estimate $est vs exact $ex " +
+            s"(+ slack $slack over n=$n)")
+      }
+    }
+    // recomputed as its own plan — the returned frame stays a
+    // distributed exact aggregate, same choice as cardinalityAudit
+    df.groupBy(col(valCol).as("value"))
+      .agg(count(lit(1)).as("n_exact"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

@@ -72,4 +72,50 @@ object Relevance {
       .filter(col("n_terms") > 0)
       .select(col(idCol), col("n_terms"), round(score, 6).as("bm25"))
   }
+
+  /** Reciprocal-Rank Fusion (Cormack et al., SIGIR'09) of several
+    * bounded rank lists into one hybrid ranking — the standard way a
+    * retrieval stack combines keyword (BM25) and dense (embedding-cosine)
+    * candidates without score calibration: each system contributes
+    * `1/(kRrf + rank)` for the documents it ranked, documents missing
+    * from a list contribute nothing, and the fused order is by summed
+    * contribution (ties broken by id ascending).
+    *
+    * Inputs are `(idCol, rankCol)` frames, each REQUIRED to be a bounded
+    * top-N list (the contract of every ranking producer in this library —
+    * [[Similarity.bruteForceTopKAgg]] ships ≤ k rows per query,
+    * [[bm25]] feeds a TakeOrdered head). Fusion is therefore over at most
+    * `systems × N` rows: the union + aggregate is trivially small at any
+    * corpus scale, and the global `row_number` window over it is bounded
+    * by construction — the 100 TB cost lives in the upstream rank
+    * producers, which keep their own bounded-heap shapes.
+    *
+    * Output: (id, one `rank_i` per input system — null where that system
+    * did not rank the doc — and `fused_rank`), all integers: the fused
+    * ORDER uses the IEEE-double contribution sum (identical correctly-
+    * rounded divisions in any engine), but only ranks are emitted, so
+    * the result is hash-comparable across engines.
+    */
+  def rrf(rankings: Seq[(DataFrame, String)], idCol: String, rankCol: String,
+          kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    require(kRrf >= 0, "kRrf must be non-negative")
+    val tagged = rankings.map { case (df, name) =>
+      df.select(col(idCol), col(rankCol).cast("long").as("__r"),
+        lit(name).as("__sys"))
+    }.reduce(_.unionByName(_))
+    val perSystem = rankings.map { case (_, name) =>
+      max(when(col("__sys") === name, col("__r"))).as(s"rank_$name")
+    }
+    val contribution =
+      sum(lit(1.0) / (lit(kRrf.toDouble) + col("__r").cast("double")))
+    val fused = tagged.groupBy(col(idCol))
+      .agg(contribution.as("__rrf"), perSystem: _*)
+    // global rank over the fused candidates: bounded input (systems × N
+    // rows) by the top-N contract above, so the single-partition window
+    // is a deliberate, size-safe choice — not a scale hazard.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rrf").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w)).drop("__rrf")
+  }
 }

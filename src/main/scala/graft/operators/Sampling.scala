@@ -145,4 +145,38 @@ object Sampling {
       when(draw < lit(thresholdFor(ub)), lit(name)).otherwise(els)
     }
   }
+
+  /** LEAKAGE-SAFE train/val/test split: the draw is keyed on the
+    * document's near-duplicate CLUSTER representative, not the document
+    * itself, so an entire near-dup cluster lands on ONE side of every
+    * boundary — the eval-contamination failure mode a content-hash split
+    * alone cannot prevent (near-duplicates hash differently; one lands in
+    * train, its 99%-identical twin in test, and the benchmark is
+    * compromised). This is the composition [[hashSplitAssign]]'s
+    * contract points at: cluster first ([[Dedup.dupClusters]] over
+    * MinHash-LSH pairs), then split on the representative.
+    *
+    * `clusters` is the (id, cluster) frame dupClusters emits — covering
+    * only documents that appear in some near-dup pair. Documents without
+    * a cluster are their own singleton (coalesce to own id), so the join
+    * is a LEFT join and the operator degrades to a plain deterministic
+    * split on a duplicate-free corpus.
+    *
+    * Plan shape: one hash join on id (the clusters side is the near-dup
+    * subset — typically a small fraction of the corpus and broadcastable
+    * when dup density is low) + the codegen'd CASE. No extra shuffle
+    * beyond the join.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       cuts: Seq[(String, Double)],
+                       lastName: String): DataFrame = {
+    val cl = clusters.select(col("id").as("__cl_id"),
+      col("cluster").as("__cluster"))
+    df.join(cl, col(idCol) === col("__cl_id"), "left")
+      .withColumn("cluster",
+        coalesce(col("__cluster"), col(idCol)).cast("long"))
+      .withColumn("split",
+        hashSplitAssign(col("cluster").cast("string"), cuts, lastName))
+      .drop("__cl_id", "__cluster")
+  }
 }

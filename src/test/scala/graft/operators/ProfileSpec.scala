@@ -81,4 +81,17 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(r => (r._2, r._3)) == Seq((4L, 0L), (0L, 4L)))
     assert(rows.map(_._4).sum > 0.25, "conventional 'shifted' band")
   }
+
+  test("frequencyAudit returns exact counts and passes the sketch bound") {
+    val df = (Seq.fill(40)("hot") ++ (1 to 25).map(i => s"cold-$i") ++
+      Seq(null.asInstanceOf[String])).toDF("v")
+    val got = Profile.frequencyAudit(df, "v")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got(Some("hot")) == 40L)
+    assert(got(Some("cold-7")) == 1L)
+    // NULL group rides the exact output (SQL GROUP BY semantics) but is
+    // skipped by the sketch audit — md5-free, like every other profile op
+    assert(got(None) == 1L)
+    assert(got.size == 27)
+  }
 }

@@ -62,4 +62,34 @@ class RelevanceSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"no corpus shuffle allowed:\n$plan")
   }
+
+  test("rrf fuses by summed reciprocal rank, hand-computed") {
+    // system A ranks 1,2,3; system B ranks 3,2,4. k=60.
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rk")
+    val b = Seq((3L, 1), (2L, 2), (4L, 3)).toDF("id", "rk")
+    val got = Relevance.rrf(Seq((a, "a"), (b, "b")), "id", "rk")
+      .orderBy($"fused_rank")
+      .select($"id", $"rank_a", $"rank_b", $"fused_rank")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3))).toSeq
+    // contributions: id2 = 1/62+1/62, id3 = 1/63+1/61, id1 = 1/61, id4 = 1/63
+    val byId = Map(1L -> (1.0 / 61), 2L -> (2.0 / 62),
+      3L -> (1.0 / 63 + 1.0 / 61), 4L -> (1.0 / 63))
+    val expect = byId.toSeq.sortBy { case (id, c) => (-c, id) }.map(_._1)
+    assert(got.map(_._1) == expect)
+    assert(got.map(_._4) == Seq(1, 2, 3, 4))
+    // per-system rank columns: null (-1 here) where the system skipped it
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((1L, -1L)) && m(4L) == ((-1L, 3L)) && m(2L) == ((2L, 2L)))
+  }
+
+  test("rrf ties break by id ascending; single system is rank-identity") {
+    // both docs ranked identically by the one system → equal contributions
+    val a = Seq((9L, 1), (4L, 1)).toDF("id", "rk")
+    val got = Relevance.rrf(Seq((a, "a")), "id", "rk")
+      .orderBy($"fused_rank").select($"id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 9L))
+    intercept[IllegalArgumentException] { Relevance.rrf(Seq.empty, "id", "rk") }
+  }
 }
