@@ -3634,6 +3634,42 @@ object SparkEntry {
         .select(col("id"), col("segment"), col("acctbal"))
         .orderBy(col("id"))
     }),
+
+    // Per-file BLOOM skipping — the point-lookup complement of
+    // q_pushdown_skip/q_stats_skip: customers land in 8 files round-robin
+    // by key, so every file's phone range spans the whole domain and
+    // min/max can prove nothing; the parquet-native blooms the write
+    // built (lifted into the sidecar) reject the files that provably
+    // lack the probed phone at PLANNING time. The gate REQUIREs files
+    // were actually skipped, then returns the looked-up row — at 100 TB
+    // this is "open the one file that can match", not "scan every file
+    // whose range overlaps" (i.e. all of them). store/SliceStats.scala.
+    "q_bloom_skip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-bloomskip-q"))
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("acctbal", DoubleType, nullable = true))),
+        bloomCols = Seq("name"), bloomNdv = 4096L)
+      t.createMany(Tables.customer(s, dir).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+        .repartition(8, pmod(col("c_custkey"), lit(8))))
+      // bounded 1-row probe: the gate keys on customer 42's name so the
+      // literal tracks the scale factor instead of being hardcoded
+      val probe = t.snapshot().filter(col("id") === 42L)
+        .select(col("name")).collect()(0).getString(0)
+      val (df, idx) = t.snapshotRelationWithIndex()
+      val out = df.filter(col("name") === probe)
+        .select(col("id"), col("name"), col("acctbal"))
+        .orderBy(col("id"))
+      out.count() // plan + list once so the skip counters are real
+      require(idx.lastTotalFiles >= 2 && idx.lastKeptFiles < idx.lastTotalFiles,
+        s"q_bloom_skip: bloom must prune files " +
+          s"(kept ${idx.lastKeptFiles} of ${idx.lastTotalFiles})")
+      out
+    }),
   )
 
   private val textStopwords = Seq("the", "a", "and", "of", "to", "in", "is")
@@ -6731,6 +6767,15 @@ object SparkEntry {
       SELECT c_custkey AS id, c_mktsegment AS segment, c_acctbal AS acctbal
       FROM customer
       WHERE c_custkey <= 120 AND c_acctbal > 0.0
+      ORDER BY id""",
+
+    // the file-skip REQUIRE runs Spark-side; the result is simply every
+    // customer sharing customer 42's name (their unique name in
+    // practice — the oracle does not assume it)
+    "q_bloom_skip" -> """
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+      FROM customer
+      WHERE c_name = (SELECT c_name FROM customer WHERE c_custkey = 42)
       ORDER BY id""",
 
     "q_bucket_join" -> """

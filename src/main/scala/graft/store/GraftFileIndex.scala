@@ -85,8 +85,12 @@ class GraftFileIndex(spark: SparkSession, tableName: String,
           else if (st.files.isEmpty) files.toSeq // legacy sidecar: whole slice
           else files.toSeq.filter { f =>
             st.files.get(f.getPath.getName) match {
-              case Some(fst) => fst.rows > 0 && cs.forall(c =>
-                SliceStats.mayMatch(c, SliceStats.Stats(fst.rows, fst.cols)))
+              case Some(fst) => fst.rows > 0 &&
+                cs.forall(c => SliceStats.mayMatch(c,
+                  SliceStats.Stats(fst.rows, fst.cols))) &&
+                // point-lookup layer: per-file bloom rejection on
+                // equality/IN conjuncts (ranges overlap, membership not)
+                cs.forall(c => SliceStats.bloomMayMatch(c, fst))
               case None => true // file unknown to the sidecar: never skip
             }
           }

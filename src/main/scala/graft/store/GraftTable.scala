@@ -72,7 +72,22 @@ final class GraftTable(
       * its declared cap raises the P2000 equivalent. Parquet stores
       * strings untyped, so enforcement is engine-side, riding the same
       * validation pass as the NULL/unique checks. */
-    val maxLengths: Map[String, Int] = Map.empty) {
+    val maxLengths: Map[String, Int] = Map.empty,
+    /** Columns to cover with parquet BLOOM FILTERS at write time — the
+      * point-lookup complement of min/max stats: a high-cardinality
+      * UNSORTED column (an external key, a phone, a URL) has overlapping
+      * per-file ranges that min/max and z-order can never prune, but a
+      * per-file membership sketch rejects files that provably lack the
+      * looked-up value. The write pays one parquet-native bloom per file
+      * (built inline by the writer — no extra scan); [[SliceStats]] lifts
+      * the filter bytes into the sidecar so [[GraftFileIndex]] can test
+      * equality/IN conjuncts at PLANNING time, before any task launches —
+      * at 100 TB a point lookup touches the one file that can match
+      * instead of every file whose range overlaps. */
+    val bloomCols: Seq[String] = Nil,
+    /** Expected distinct values per file for [[bloomCols]] — sizes the
+      * bloom bitset (parquet's optimalNumOfBits at 1% FPP). */
+    val bloomNdv: Long = 100000L) {
 
   /** ON DELETE RESTRICT relations: (child table, child FK column, parent
     * key column) triples whose live child rows block deletion of referenced
@@ -87,6 +102,20 @@ final class GraftTable(
     require(schema(c).dataType == StringType,
       s"$name: maxLengths applies to string columns only ($c is ${schema(c).dataType})")
   }
+
+  require(bloomNdv > 0, s"$name: bloomNdv must be positive")
+  bloomCols.foreach { c =>
+    require(schema.fieldNames.contains(c), s"$name: no column $c for bloomCols")
+  }
+
+  /** DataFrameWriter options enabling parquet-native bloom filters on
+    * [[bloomCols]] — applied by every slice write (staging and
+    * compaction), so the sidecar collection that follows each write can
+    * lift the filters without a second scan. */
+  private[store] def bloomWriteOptions: Map[String, String] =
+    bloomCols.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> bloomNdv.toString)).toMap
 
   // "__" prefixes are reserved for engine-internal staging columns
   // (__pk in slice staging, __o_/__n_/__present_ in the change feed,
@@ -309,7 +338,7 @@ final class GraftTable(
             .repartitionByRange(nOut, col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
-        out.write.mode("overwrite").parquet(outDir)
+        out.write.mode("overwrite").options(bloomWriteOptions).parquet(outDir)
         SliceStats.writeSidecar(spark, outDir)
         staged += (pk -> Some(v))
       }
@@ -428,7 +457,8 @@ final class GraftTable(
             val kept = st.files.toSeq.sortBy(_._1).collect {
               case (f, fs) if fs.rows > 0 && cs.forall(c =>
                 SliceStats.mayMatch(c,
-                  SliceStats.Stats(fs.rows, fs.cols))) => s"$dir/$f"
+                  SliceStats.Stats(fs.rows, fs.cols))) &&
+                cs.forall(c => SliceStats.bloomMayMatch(c, fs)) => s"$dir/$f"
             }
             keptFiles += kept.size
             kept
@@ -906,7 +936,7 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       val pre = t.sliceFilter(pk).getOrElse(lit(true))
       withPk.filter(pre).filter(col("__pk") === lit(pk)).drop("__pk")
         .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").options(t.bloomWriteOptions).parquet(dir)
       // pin footer-derived column stats beside the slice (O(files) driver
       // IO, no job) — snapshotWhere's data skipping reads these
       SliceStats.writeSidecar(t.spark, dir)

@@ -51,7 +51,16 @@ object SliceStats {
     * IS [NOT] NULL via the counts when those are complete. */
   final case class ColStats(min: Option[Any], max: Option[Any],
                             nulls: Option[Long])
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
+  /** Per-file parquet bloom filters of one column: the physical-type tag
+    * the hash must encode against (`i32`/`i64`/`f32`/`f64`/`bin`) and one
+    * split-block bitset per row group. Only trusted when EVERY row group
+    * of the file carries a filter — a bloom-less row group could hold the
+    * probed value, so a partial set must not reject the file. */
+  final case class ColBlooms(ptype: String, bitsets: Seq[Array[Byte]])
+
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+                             blooms: Map[String, ColBlooms] = Map.empty)
 
   /** Slice totals + the per-file breakdown. File granularity is what makes
     * z-order compaction pay: the slice-level range of a clustered column
@@ -79,16 +88,36 @@ object SliceStats {
       c -> ColStats(Option(mn), Option(mx), Some(n))
     }
 
+  /** Physical-type tag the bloom hash must encode against; None = no
+    * bloom support for this column (boolean/INT96/FLBA/decimal — decimal
+    * literals only survive to the read side as scaled doubles, which
+    * cannot reproduce the unscaled plain encoding the writer hashed). */
+  private def bloomTag(tpe: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (decimalScale(tpe).isDefined) None
+    else tpe.getPrimitiveTypeName match {
+      case INT32  => Some("i32")
+      case INT64  => Some("i64")
+      case FLOAT  => Some("f32")
+      case DOUBLE => Some("f64")
+      case BINARY => Some("bin")
+      case _      => None
+    }
+  }
+
   private def collectFile(f: java.io.File, conf: Configuration): FileStats = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
     val reader = ParquetFileReader.open(in)
     var rows = 0L
     var acc: Acc = Map.empty
+    // col -> Some(tag, one bitset per row group) | None once poisoned
+    var blooms = Map.empty[String, Option[(String, Vector[Array[Byte]])]]
     try {
       reader.getFooter.getBlocks.asScala.foreach { block =>
         rows += block.getRowCount
         var blockAcc: Acc = Map.empty
+        val bloomReader = reader.getBloomFilterDataReader(block)
         block.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
           if (!name.contains('.')) { // nested columns: not prunable here
@@ -102,13 +131,34 @@ object SliceStats {
               else decode(s, decimalScale(cc.getPrimitiveType))
                      .map { case (mn, mx) => (mn, mx, s.getNumNulls) }
             blockAcc += (name -> entry)
+            // lift the writer-built bloom (no data read — the filter
+            // bytes sit after the row groups, sized by bloomNdv). Any
+            // block lacking one poisons the column for the whole file.
+            val lifted = bloomTag(cc.getPrimitiveType).flatMap { tag =>
+              try Option(bloomReader.readBloomFilter(cc)).map { bf =>
+                val bos = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
+                bf.writeTo(bos)
+                (tag, bos.toByteArray)
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+            blooms += (name -> ((blooms.get(name), lifted) match {
+              case (Some(None), _) | (_, None) => None
+              case (Some(Some((t, bs))), Some((t2, b)))
+                  if t == t2 => Some((t, bs :+ b))
+              case (Some(Some(_)), Some(_)) => None // type flip: poison
+              case (None, Some((t, b))) =>
+                // first sighting only counts if this is the first block —
+                // a column absent from earlier blocks cannot be vouched for
+                if (rows == block.getRowCount) Some((t, Vector(b))) else None
+            }))
           }
         }
         acc = if (acc.isEmpty && rows == block.getRowCount) blockAcc
               else mergeAcc(acc, blockAcc)
       }
     } finally reader.close()
-    FileStats(rows, finish(acc))
+    val fb = blooms.collect { case (c, Some((t, bs))) => c -> ColBlooms(t, bs) }
+    FileStats(rows, finish(acc), fb)
   }
 
   /** Read every data file's footer under `dir`; per-file stats plus the
@@ -260,10 +310,21 @@ object SliceStats {
     val fcols = st.files.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
       renderColsObj(fs.cols, c => s"$f|$c")
     }
+    // bloom bitsets as "ptype:b64,b64" (one b64 per row group) — base64
+    // uses no JSON metacharacters, so the section stays a brace-free leaf
+    val b64 = java.util.Base64.getEncoder
+    val fblooms = st.files.toSeq.sortBy(_._1).flatMap { case (f, fs) =>
+      fs.blooms.toSeq.sortBy(_._1).map { case (c, cb) =>
+        val body = cb.ptype + ":" +
+          cb.bitsets.map(b64.encodeToString).mkString(",")
+        s""""${esc(s"$f|$c")}": "$body""""
+      }
+    }
     s"""{"v": $FormatVersion, "rows": ${st.rows}, """ +
       s""""cols": ${cols.mkString("{", ", ", "}")}, """ +
       s""""frows": ${frows.mkString("{", ", ", "}")}, """ +
-      s""""fcols": ${fcols.mkString("{", ", ", "}")}}"""
+      s""""fcols": ${fcols.mkString("{", ", ", "}")}, """ +
+      s""""fblooms": ${fblooms.mkString("{", ", ", "}")}}"""
   }
 
   /** Collect footer stats for `dir` and pin the sidecar. Called right
@@ -274,10 +335,12 @@ object SliceStats {
         .getBytes(StandardCharsets.UTF_8))
 
   /** Sidecar format version. v2: decimal min/max are SCALED doubles (v1
-    * leaked raw unscaled integers that wrongly pruned). Readers refuse
-    * any other version — an old sidecar degrades to "never skip" until
-    * the next write/compaction rebuilds it, never to a wrong skip. */
-  val FormatVersion = 2
+    * leaked raw unscaled integers that wrongly pruned). v3 adds the
+    * per-file "fblooms" section (parquet split-block bloom bitsets for
+    * the table's bloomCols). Readers refuse any other version — an old
+    * sidecar degrades to "never skip" until the next write/compaction
+    * rebuilds it, never to a wrong skip. */
+  val FormatVersion = 3
 
   /** Parse sidecar text; None on anything corrupt or on a sidecar
     * written by a different format version (stats are a pruning aid —
@@ -296,7 +359,7 @@ object SliceStats {
       // bodies contain braces so they can never match and swallow a column
       val colRe = """"((?:[^"\\]|\\.)+)":\s*\{([^{}]*)\}""".r
       val fRe = """"(min|max|nulls)":\s*("(?:[^"\\]|\\.)*"|\d+)""".r
-      val wrappers = Set("cols", "fcols", "frows")
+      val wrappers = Set("cols", "fcols", "frows", "fblooms")
       val leaves = colRe.findAllMatchIn(s).flatMap { m =>
         val name = unescape(m.group(1))
         if (wrappers.contains(name)) None
@@ -343,8 +406,34 @@ object SliceStats {
       }.groupBy(_._1).map { case (f, xs) =>
         f -> xs.map(x => x._2 -> x._3).toMap
       }
+      // bloom section: anchored at the END of the sidecar (render always
+      // emits it last) so a column literally named "fblooms" — which
+      // renders a leaf earlier in the text — can never be mistaken for it
+      val b64 = java.util.Base64.getDecoder
+      val validTags = Set("i32", "i64", "f32", "f64", "bin")
+      val fblooms = """"fblooms":\s*\{([^{}]*)\}\s*\}\s*$""".r
+        .findFirstMatchIn(s).map(_.group(1)).map { body =>
+          """"((?:[^"\\]|\\.)+)":\s*"([^"]*)"""".r.findAllMatchIn(body)
+            .flatMap { m =>
+              val key = unescape(m.group(1))
+              val i = key.indexOf('|')
+              val colon = m.group(2).indexOf(':')
+              if (i <= 0 || colon <= 0) None
+              else {
+                val tag = m.group(2).substring(0, colon)
+                val parts = m.group(2).substring(colon + 1).split(",", -1)
+                if (!validTags.contains(tag) || parts.exists(_.isEmpty)) None
+                else try Some((key.substring(0, i), key.substring(i + 1),
+                  ColBlooms(tag, parts.toIndexedSeq.map(b64.decode))))
+                catch { case _: IllegalArgumentException => None }
+              }
+            }.toSeq.groupBy(_._1).map { case (f, xs) =>
+              f -> xs.map(x => x._2 -> x._3).toMap
+            }
+        }.getOrElse(Map.empty[String, Map[String, ColBlooms]])
       val files = frows.map { case (f, r) =>
-        f -> FileStats(r, fcols.getOrElse(f, Map.empty))
+        f -> FileStats(r, fcols.getOrElse(f, Map.empty),
+          fblooms.getOrElse(f, Map.empty))
       }
       rows.map(Stats(_, cols, files))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -538,4 +627,59 @@ object SliceStats {
       case ColStats(None, None, Some(n)) if n == stats.rows => false
       case _ => true
     }).getOrElse(true)
+
+  // ------------------------------------------------------------- blooms
+
+  /** Can any row of a file with blooms `fs` match conjunct `e`?
+    * Point-lookup complement of [[mayMatch]]: only equality and IN
+    * conjuncts consult the per-file bloom filters; everything else (and
+    * every column without a trusted bloom) answers true. A bloom "no" is
+    * definitive — the writer inserted every value of the file — so false
+    * skips the file; a bloom "maybe" keeps it and the re-applied
+    * predicate does the exact work. */
+  def bloomMayMatch(e: Expression, fs: FileStats): Boolean = e match {
+    case EqualTo(l: Literal, a) if !a.isInstanceOf[Literal] =>
+      bloomMayMatch(EqualTo(a, l), fs)
+    case EqualTo(a, l) => bloomContains(a, l, fs)
+    case In(a, vs) if vs.forall(v => v.isInstanceOf[Literal] ||
+                                     (v.isInstanceOf[Cast] && v.foldable)) =>
+      attrName(a) match {
+        case Some(_) => vs.exists(v => bloomContains(a, v, fs))
+        case None    => true
+      }
+    case _ => true
+  }
+
+  private def bloomContains(a: Expression, l: Expression,
+                            fs: FileStats): Boolean =
+    (for {
+      name <- attrName(a)
+      cb   <- fs.blooms.get(name)
+      v    <- litValue(l)
+    } yield {
+      import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+      val filters = cb.bitsets.map(new BlockSplitBloomFilter(_))
+      bloomHash(filters.head, cb.ptype, v) match {
+        // present iff ANY row group's filter may contain it
+        case Some(h) => filters.exists(_.findHash(h))
+        case None    => true // unhashable pairing: no bloom verdict
+      }
+    }).getOrElse(true)
+
+  /** XXH64 of the value's parquet PLAIN encoding under the column's
+    * physical type — the exact bytes the writer hashed. Pairings that
+    * cannot reproduce those bytes exactly (range overflow, non-integral
+    * double against an int column, float that does not round-trip)
+    * return None → no pruning, min/max still applies. */
+  private def bloomHash(f: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+                        ptype: String, v: Any): Option[Long] = (ptype, v) match {
+    case ("i32", l: Long) if l >= Int.MinValue && l <= Int.MaxValue =>
+      Some(f.hash(l.toInt))
+    case ("i64", l: Long)   => Some(f.hash(l))
+    case ("bin", s: String) =>
+      Some(f.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+    case ("f64", d: Double) => Some(f.hash(d))
+    case ("f32", d: Double) if d.toFloat.toDouble == d => Some(f.hash(d.toFloat))
+    case _ => None
+  }
 }
