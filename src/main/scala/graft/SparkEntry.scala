@@ -3531,6 +3531,39 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // RESTORE TO COMMIT — q_time_travel's write-side twin (Delta RESTORE
+    // semantics): after a bad update+delete, one manifest swap rolls the
+    // CURRENT pointers back to the good commit; no data is rewritten, the
+    // bad commits stay time-travelable (REQUIREd mid-gate), and the
+    // restore is an ordinary OCC commit. The oracle is the original load
+    // — hash equality proves the rollback is exact. GraftTable.restoreTo.
+    "q_restore" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-restore-q"))
+      val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("acctbal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      t.createMany(Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal")))
+      val good = cat.currentCommitId()
+      t.updateMany(graft.query.RawCol(col("id") <= 100L),
+        Map("acctbal" -> lit(0.0)))
+      t.deleteMany(graft.query.RawCol(col("id") > 1000L))
+      val bad = cat.currentCommitId()
+      t.restoreTo(good)
+      require(cat.currentCommitId() == bad + 1,
+        "q_restore: restore must be a NEW commit, not a history rewrite")
+      require(t.snapshotAt(bad)
+          .filter(col("id") <= 100L && col("acctbal") =!= 0.0).count() == 0,
+        "q_restore: the bad commit must stay time-travelable across restore")
+      t.snapshot()
+        .select(col("id"), col("name"), col("acctbal"))
+        .orderBy(col("id"))
+    }),
+
     // Z-order clustering end-to-end: orders loaded into the store, slice
     // rewritten Morton-ordered on (o_custkey, o_totalprice), then a
     // snapshotWhere range on BOTH clustered columns reads only the files
@@ -6783,6 +6816,11 @@ object SparkEntry {
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // the restore rolled back to the original load exactly
+    "q_restore" -> """
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+      FROM customer ORDER BY id""",
 
     // the pinned commit predates both mutations → the original load
     "q_time_travel" -> """

@@ -292,6 +292,43 @@ final class GraftTable(
   def snapshotAt(commitId: Long): DataFrame =
     readDirs(catalog.dirsAt(name, commitId).values.toSeq)
 
+  /** RESTORE to an earlier commit (the Delta `RESTORE TABLE … VERSION AS
+    * OF` shape): publish a NEW commit whose slice pointers for this table
+    * equal those at `commitId` — a pure manifest operation, no data is
+    * rewritten or copied, so restoring a 100 TB table costs one manifest
+    * swap. History stays append-only: the bad commits remain time-
+    * travelable ([[snapshotAt]] across the restore still sees them), and
+    * the restore itself is an ordinary OCC commit (a racing writer turns
+    * it into the usual P2034 retry). `commitId` 0 restores to the empty
+    * table (before any commit). Restore never resurrects reclaimed data:
+    * if [[Catalog.vacuum]] already dropped a restored-to slice version,
+    * this throws P2025 instead of publishing dangling pointers. A no-op
+    * restore (pointers already equal) publishes nothing. */
+  def restoreTo(commitId: Long): Unit = {
+    val m0 = catalog.manifest()
+    assertSchemaCurrent(m0)
+    val schemaBase = m0.get(Catalog.SchemaTable)
+    val base = m0.get(name)
+    val target: Map[String, String] =
+      if (commitId == 0L) Map.empty
+      else catalog.manifestAt(commitId).getOrElse(name, Map.empty)
+    target.foreach { case (pk, v) =>
+      val dir = catalog.versionDir(name, pk, v)
+      if (!new java.io.File(dir).isDirectory)
+        throw new RecordNotFoundException(
+          s"$name: slice $pk version $v of commit $commitId was vacuumed — " +
+            "cannot restore past the retention window")
+    }
+    val cur = base.getOrElse(Map.empty[String, String])
+    if (cur != target) {
+      val updates: Map[String, Option[String]] =
+        (cur.keySet ++ target.keySet).iterator
+          .map(pk => pk -> target.get(pk)).toMap
+      catalog.commit(Map(name -> base, Catalog.SchemaTable -> schemaBase),
+        Map(name -> updates))
+    }
+  }
+
   /** Bin-pack small slice files. Every commit writes a slice with the
     * mutation's write parallelism, so a frequently-flipped slice (the
     * status-partitioned poll queue) accumulates file sets commit after
