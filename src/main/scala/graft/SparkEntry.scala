@@ -3510,6 +3510,48 @@ object SparkEntry {
         .orderBy(col("id"), col("_change_type"))
     }),
 
+    // Exactly-once CDF TAIL — the consumer side of q_cdf: a mirror table
+    // is maintained purely by draining the source's change feed through
+    // the durable manifest cursor (CdfTail.drainOnce + the set-based
+    // Txn.applyChanges MERGE). Drains interleave with q_cdf's mutation
+    // rounds; mid-gate REQUIREs pin the exactly-once contract (a replay
+    // drain is a no-op, the cursor advanced atomically with the mirror
+    // writes). Output = the mirror; the oracle replays the NET mutations
+    // over customer — hash equality proves the tail applied every change
+    // exactly once. store/CdfTail.scala, GraftTable.stagedApplyChanges.
+    "q_cdf_tail" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-cdftail-q"))
+      def tbl(n: String) = new graft.store.GraftTable(s, cat, n, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("acctbal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      val src = tbl("cust")
+      val mir = tbl("mirror")
+      def cust(lo: Long, hi: Long) = Tables.customer(s, dir)
+        .filter(col("c_custkey") >= lo && col("c_custkey") <= hi)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      def drain(): Unit = graft.store.CdfTail.drainAll(src, "mirror") {
+        (txn, ch, _, _) => txn.applyChanges(mir, ch); ()
+      }
+      src.createMany(cust(0, 200))
+      drain() // round 1: the initial load arrives as inserts
+      src.updateMany(graft.query.RawCol(col("id") <= 100L),
+        Map("acctbal" -> lit(0.0)))
+      src.deleteMany(graft.query.RawCol(col("id") > 150L))
+      drain() // round 2: update pre/postimages + deletes
+      src.createMany(cust(201, 210))
+      drain() // round 3: late inserts
+      require(graft.store.CdfTail
+          .drainOnce(src, "mirror")((_, _, _, _) => ()).isEmpty,
+        "q_cdf_tail: a caught-up tail must drain nothing (exactly-once)")
+      mir.snapshot()
+        .select(col("id"), col("name"), col("acctbal"))
+        .orderBy(col("id"))
+    }),
+
     "q_time_travel" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(
@@ -6892,6 +6934,17 @@ object SparkEntry {
         SELECT c_custkey, c_name, c_acctbal, 'insert' FROM customer
         WHERE c_custkey > 200 AND c_custkey <= 210)
       ORDER BY id, _change_type""",
+
+    // the mirror after draining all three rounds = the source's final
+    // state: zeroed balances for id <= 100, ids > 150 deleted (except
+    // the late 201..210 inserts)
+    "q_cdf_tail" -> """
+      SELECT c_custkey AS id, c_name AS name,
+             CASE WHEN c_custkey <= 100 THEN CAST(0.0 AS DOUBLE)
+                  ELSE c_acctbal END AS acctbal
+      FROM customer
+      WHERE c_custkey <= 150 OR (c_custkey > 200 AND c_custkey <= 210)
+      ORDER BY id""",
 
     "q_zorder_skip" -> """
       SELECT o_orderkey AS okey, o_custkey AS cust, o_totalprice AS total

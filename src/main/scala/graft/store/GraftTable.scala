@@ -910,6 +910,40 @@ final class GraftTable(
     val touched = inParts ++ pkStats(replaced)._1
     Staged(kept.unionByName(incoming), touched, n)
   }
+
+  /** MERGE-apply of one [[ChangeFeed]] batch onto this table — the Delta
+    * `table_changes() → MERGE` replication idiom, set-based end to end:
+    * inserts and update postimages upsert by the primary key, deletes
+    * remove theirs, `update_preimage` rows are information-only (their
+    * postimage twin carries the new values for the same key — pk pairing
+    * guarantees the key itself never changed). One anti-join + union
+    * next-state plan; no key list ever reaches the driver, so a 100 TB
+    * mirror pays for the delta, not the table. */
+  private[store] def stagedApplyChanges(current: DataFrame,
+                                        changes: DataFrame): Staged = {
+    val pk: Seq[String] = uniqueKeys.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"$name: applyChanges needs a unique key to pair row versions"))
+    val dataCols = schema.fieldNames.toSeq
+    val ups = materializeIncoming(
+        changes.filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(dataCols.map(col): _*))
+      .dropDuplicates(pk)
+    validateUpdated(ups, schema.fieldNames.toSet)
+    val delImages = changes.filter(col("_change_type") === "delete")
+      .select(dataCols.map(col): _*)
+    val affected = ups.select(pk.map(col): _*)
+      .unionByName(delImages.select(pk.map(col): _*)).distinct()
+    val kept = current.join(affected, pk, "left_anti")
+    // touched: the slices upserts LAND in plus the slices this table
+    // currently holds any affected key in (the source's partition values
+    // in the delete images may not be this mirror's layout)
+    val replaced = current.join(affected, pk, "left_semi")
+    val (inParts, nUp) = pkStats(ups)
+    val touched = inParts ++ pkStats(replaced)._1
+    val nDel = delImages.count()
+    Staged(kept.unionByName(ups), touched, nUp + nDel)
+  }
 }
 
 /** Multi-statement transaction: stage any number of table mutations, then
@@ -1282,6 +1316,18 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   def upsert(t: GraftTable, keyCols: Seq[String], rows: DataFrame): Long = {
     checkParentRefs(t, rows)
     val s = t.stagedUpsert(stateOf(t), keyCols, rows)
+    stage(t, s); s.n
+  }
+
+  /** MERGE-apply one [[ChangeFeed]] batch onto `t` (CDC replication):
+    * upsert the insert/postimage rows, delete the delete keys, all in
+    * THIS transaction — pair with [[CdfTail.drainOnce]]'s cursor advance
+    * for exactly-once incremental mirroring. Returns applied changes. */
+  def applyChanges(t: GraftTable, changes: DataFrame): Long = {
+    checkParentRefs(t,
+      changes.filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(t.schema.fieldNames.toIndexedSeq.map(col): _*))
+    val s = t.stagedApplyChanges(stateOf(t), changes)
     stage(t, s); s.n
   }
 
