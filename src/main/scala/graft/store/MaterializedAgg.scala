@@ -92,4 +92,48 @@ object MaterializedAgg {
         sumCols.map(c => col(s"cnt_$c")): _*)
       .filter(col("n") > 0)
   }
+
+  /** DURABLE exactly-once refresh: fold one change batch into a view
+    * TABLE inside the consumer's transaction — the [[CdfTail]]
+    * composition that keeps a materialized aggregate correct across
+    * process restarts (`CdfTail.drainOnce(src, id)((txn, ch, _, _) =>
+    * refreshInto(txn, view, ch, keys, sums))`: the view writes and the
+    * feed cursor publish in ONE manifest swap, so a crash can never
+    * double-fold a batch).
+    *
+    * Only groups PRESENT IN THE BATCH are touched: the staged view state
+    * is semi-joined to the batch's group set, the [[applyDelta]] algebra
+    * merges that bounded slice, survivors upsert and emptied groups
+    * delete through [[Txn.applyChanges]]'s set-based MERGE. A refresh
+    * therefore costs the delta's group set, never |view| — the property
+    * that makes per-batch view maintenance viable on a 100 TB source.
+    *
+    * View schema contract: `keys…` (the unique key, NON-NULLABLE — the
+    * MERGE pairs rows with null-unsafe key equality, so a NULL group
+    * needs a COALESCEd surrogate upstream), `n` long, per sum column
+    * `sum_<c> decimal(28,2)` nullable and `cnt_<c>` long. Returns the
+    * number of view rows written or deleted. */
+  def refreshInto(txn: Txn, view: GraftTable, changes: DataFrame,
+                  keys: Seq[String], sumCols: Seq[String]): Long = {
+    require(view.uniqueKeys.headOption.contains(keys),
+      s"${view.name}: view unique key must be the group key $keys")
+    keys.foreach(k => require(!view.schema(k).nullable,
+      s"${view.name}: group key $k must be non-nullable in the view " +
+        "(NULL groups need a COALESCEd surrogate upstream)"))
+    val groups = changes.select(keys.map(col): _*).distinct()
+      .toDF(keys.map(k => s"__g_$k"): _*)
+    val cur = txn.read(view)
+    val touchCond = keys.map(k => col(k) <=> col(s"__g_$k")).reduce(_ && _)
+    val touched = cur.join(groups, touchCond, "left_semi")
+    val live = applyDelta(touched, changes, keys, sumCols)
+    val lk = live.select(keys.map(col): _*).toDF(keys.map(k => s"__g_$k"): _*)
+    val dead = touched.join(lk, touchCond, "left_anti")
+    val asChanges = live
+      .select(view.schema.fieldNames.toIndexedSeq.map(col): _*)
+      .withColumn("_change_type", lit("update_postimage"))
+      .unionByName(dead
+        .select(view.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .withColumn("_change_type", lit("delete")))
+    txn.applyChanges(view, asChanges)
+  }
 }
