@@ -112,9 +112,14 @@ object CountMin {
     java.lang.Math.floorMod(h, width)
   }
 
-  /** Aggregate column: the row-major depth×width count grid. */
+  /** Aggregate column: the row-major depth×width count grid. The child
+    * casts to string HERE (the aggregate's update hashes UTF8String
+    * bytes, so an uncast non-string column would ClassCastException at
+    * runtime): any type sketches under its string rendering — the same
+    * rendering [[estimate]]'s `value.toString` queries with. */
   def sketch(value: Column, depth: Int = 4, width: Int = 2048): Column =
-    column(CountMinAgg(expression(value), depth, width).toAggregateExpression())
+    column(CountMinAgg(expression(value.cast("string")), depth, width)
+      .toAggregateExpression())
 
   /** Point-frequency estimate from a materialized sketch: min over the
     * depth rows — the classic query. Driver-side (the sketch is a small

@@ -67,9 +67,18 @@ object Profile {
     * partial buffer, no vocabulary-keyed shuffle — and this audit is the
     * sampled exactness check run against a bounded set of audit values
     * (event types, sources, shards; one exact-count row each).
+    *
+    * The audited value set is BOUNDED BY CONSTRUCTION, not by hope: pass
+    * `auditValues` to name the values to check, or rely on the
+    * `maxAuditValues` cap — a column with more distinct values than the
+    * cap REFUSES (the sketch's 100 TB use case is exactly the
+    * high-cardinality column where collecting the full distinct set is
+    * a driver OOM; auditing "all of them" there was never meaningful).
     */
   def frequencyAudit(df: DataFrame, valCol: String,
-                     depth: Int = 4, width: Int = 2048): DataFrame = {
+                     depth: Int = 4, width: Int = 2048,
+                     auditValues: Seq[String] = Nil,
+                     maxAuditValues: Int = 4096): DataFrame = {
     import graft.functions.CountMin
     val grid = df.agg(CountMin.sketch(col(valCol), depth, width).as("s"))
       .collect()(0).getSeq[Long](0).toArray // fixed depth×width longs
@@ -77,7 +86,19 @@ object Profile {
     val slack = math.ceil(math.E / width * n).toLong
     val exact = df.groupBy(col(valCol).as("value"))
       .agg(count(lit(1)).as("n_exact"))
-    exact.collect().foreach { r => // bounded: one row per audit value
+    val auditRows =
+      if (auditValues.nonEmpty)
+        exact.filter(col("value").cast("string").isin(auditValues: _*))
+          .collect() // bounded: |auditValues| rows at most
+      else {
+        // limit(cap+1) bounds the collect even when the require fires
+        val head = exact.limit(maxAuditValues + 1).collect()
+        require(head.length <= maxAuditValues,
+          s"frequencyAudit: $valCol has more than $maxAuditValues distinct " +
+            "values — pass auditValues to bound the audit")
+        head
+      }
+    auditRows.foreach { r => // bounded: one row per audit value
       val v = r.get(0)
       if (v != null) {
         val est = CountMin.estimate(grid, depth, width, v.toString)

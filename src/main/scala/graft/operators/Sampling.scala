@@ -172,9 +172,16 @@ object Sampling {
                        lastName: String): DataFrame = {
     val cl = clusters.select(col("id").as("__cl_id"),
       col("cluster").as("__cluster"))
+    // The representative keeps the id column's OWN type (dupClusters'
+    // cluster label is a min over ids, so the two coalesce arms agree).
+    // No cast to long here: for a string-id corpus that cast yielded
+    // NULL for every unclustered document, and the null-coalescing draw
+    // then dealt the ENTIRE duplicate-free remainder one shared digest —
+    // one split swallowed it all. The draw casts to string instead,
+    // which is the identity rendering for the long-id case and keeps
+    // string ids distinct.
     df.join(cl, col(idCol) === col("__cl_id"), "left")
-      .withColumn("cluster",
-        coalesce(col("__cluster"), col(idCol)).cast("long"))
+      .withColumn("cluster", coalesce(col("__cluster"), col(idCol)))
       .withColumn("split",
         hashSplitAssign(col("cluster").cast("string"), cuts, lastName))
       .drop("__cl_id", "__cluster")

@@ -266,6 +266,21 @@ object ExecuteRaw {
     // source column
     def starSet: Map[String, Column] =
       t.schema.fieldNames.map(f => f -> col(s"$sa.$f")).toMap
+    // SQL MERGE updates the matched row IN PLACE — but the staged apply
+    // pairs rows by ON key, so a SET that rewrites an ON-key column would
+    // insert the projected row as a NEW key and leave the matched row
+    // untouched (silent duplication). Refuse explicit key assignments
+    // loudly; for `SET *` drop the key columns from the assignment set
+    // instead (under a same-named ON pair the star assignment was the
+    // identity anyway, and in-place semantics keep the target's key).
+    def requireNoKeyAssign(set: Map[String, Column], branch: String): Unit = {
+      val hit = set.keys.filter(n => tKeys.exists(_.equalsIgnoreCase(n)))
+      require(hit.isEmpty,
+        s"executeRaw: MERGE $branch UPDATE may not assign ON-key " +
+          s"column(s) ${hit.mkString(", ")} — the update is keyed on them: $sql")
+    }
+    def starSetForUpdate: Map[String, Column] =
+      starSet.filterNot { case (n, _) => tKeys.exists(_.equalsIgnoreCase(n)) }
     def project(rows: DataFrame, set: Map[String, Column],
                 defaults: String => Column): DataFrame =
       rows.select(t.schema.fields.toIndexedSeq.map { f =>
@@ -294,12 +309,14 @@ object ExecuteRaw {
         prior = prior || coalesce(cond, lit(false))
         action match {
           case UpdateAction(_, assignments, fromStar) =>
+            val set = if (fromStar) starSetForUpdate
+                      else { requireNoKeyAssign(setOf(assignments),
+                               "WHEN MATCHED"); setOf(assignments) }
             affected += txn.upsert(t, tKeys,
-              project(eligible, if (fromStar) starSet else setOf(assignments),
-                f => col(s"$ta.$f")))
+              project(eligible, set, f => col(s"$ta.$f")))
           case UpdateStarAction(_) =>
             affected += txn.upsert(t, tKeys,
-              project(eligible, starSet, f => col(s"$ta.$f")))
+              project(eligible, starSetForUpdate, f => col(s"$ta.$f")))
           case DeleteAction(_) =>
             affected += txn.deleteWhereKeysIn(t, tKeys,
               eligible.select(tKeys.map(k => col(s"$ta.$k").as(k)): _*))
@@ -328,6 +345,16 @@ object ExecuteRaw {
     }
     if (m.notMatchedBySourceActions.nonEmpty) {
       val tgtOnly = tgt.join(src, joinCond, "left_anti")
+      // cardinality rule, target-only side: the apply path pairs rows BY
+      // ON KEY (stagedUpsert dropDuplicates / deleteWhereKeysIn), so two
+      // target-only rows sharing ON-key values would silently collapse
+      // into one update (row loss) or co-delete under one row's
+      // condition. Same bounded limit(1) probe as the matched branch.
+      val dupT = tgtOnly.groupBy(tKeys.map(k => col(s"$ta.$k")): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
+      require(dupT == 0,
+        s"executeRaw: MERGE cardinality violation — ON-key values " +
+          s"identify more than one target-only row: $sql")
       var prior: Column = lit(false)
       m.notMatchedBySourceActions.foreach { action =>
         val cond = action match {
@@ -340,9 +367,11 @@ object ExecuteRaw {
         prior = prior || coalesce(cond, lit(false))
         action match {
           case UpdateAction(_, assignments, fromStar) =>
+            val set = if (fromStar) starSetForUpdate
+                      else { requireNoKeyAssign(setOf(assignments),
+                               "WHEN NOT MATCHED BY SOURCE"); setOf(assignments) }
             affected += txn.upsert(t, tKeys,
-              project(eligible, if (fromStar) starSet else setOf(assignments),
-                f => col(s"$ta.$f")))
+              project(eligible, set, f => col(s"$ta.$f")))
           case DeleteAction(_) =>
             affected += txn.deleteWhereKeysIn(t, tKeys,
               eligible.select(tKeys.map(k => col(s"$ta.$k").as(k)): _*))

@@ -59,4 +59,16 @@ class CountMinSpec extends AnyFunSuite with SparkTestBase {
         s"key-$k above the eN bound: $est > $exact + $slack")
     }
   }
+
+  test("non-string columns sketch under their string rendering") {
+    // count_min over a LONG column used to ClassCastException at update
+    // time; the child now casts to string, so a long sketches exactly as
+    // its rendering — the same rendering estimate() queries with.
+    val g = (Seq.fill(7)(42L) ++ Seq.fill(2)(7L)).toDF("v")
+      .agg(CountMin.sketch(col("v"), depth, width))
+      .collect()(0).getSeq[Long](0).toArray
+    assert(CountMin.estimate(g, depth, width, "42") >= 7L)
+    assert(CountMin.estimate(g, depth, width, "7") >= 2L)
+    assert(g.slice(0, width).sum == 9L)
+  }
 }

@@ -94,4 +94,19 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(got(None) == 1L)
     assert(got.size == 27)
   }
+
+  test("frequencyAudit refuses unbounded cardinality unless values are named") {
+    val df = (1 to 50).map(i => s"v-$i").toDF("v")
+    // above the cap with no explicit audit set: refuse loudly (a 100 TB
+    // high-cardinality column would otherwise collect to the driver)
+    val e = intercept[IllegalArgumentException] {
+      Profile.frequencyAudit(df, "v", maxAuditValues = 10)
+    }
+    assert(e.getMessage.contains("auditValues"))
+    // explicit audit values bound the collect and still verify the bound
+    val got = Profile.frequencyAudit(df, "v", maxAuditValues = 10,
+        auditValues = Seq("v-1", "v-2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 50 && got("v-1") == 1L, "returned frame stays full")
+  }
 }

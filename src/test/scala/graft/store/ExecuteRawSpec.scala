@@ -278,4 +278,53 @@ class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
            WHEN MATCHED THEN UPDATE SET bal = s.bal""")
     }
   }
+
+  test("MERGE: duplicate ON-keys among TARGET-ONLY rows are refused") {
+    // ON pairs a non-unique target column: two target-only rows share
+    // name 'dup', and the staged apply (keyed on the ON columns) would
+    // silently collapse them into one update — the guard must refuse.
+    val cat = freshCatalog()
+    val t = new GraftTable(spark, cat, "acct", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("bal", DoubleType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    val tabs = Map("acct" -> t)
+    ExecuteRaw.execute(spark, tabs,
+      "INSERT INTO acct VALUES (1, 'dup', 10.0), (2, 'dup', 20.0), (3, 'solo', 30.0)")
+    Seq(("solo", 1.0)).toDF("name", "bal").createOrReplaceTempView("merge_tgtdup")
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, tabs,
+        """MERGE INTO acct t USING merge_tgtdup s ON t.name = s.name
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET bal = 0.0""")
+    }
+    assert(e.getMessage.contains("target-only"))
+    assert(t.snapshot().filter(col("bal") === 0.0).count() == 0,
+      "refused MERGE must stage nothing")
+  }
+
+  test("MERGE: assigning an ON-key column in UPDATE is refused; SET * keeps the key") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    ExecuteRaw.execute(spark, tabs, "INSERT INTO acct VALUES (1, 'a', 10.0)")
+    Seq((1L, "A", 1.0)).toDF("id", "name", "bal")
+      .createOrReplaceTempView("merge_keyset")
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, tabs,
+        """MERGE INTO acct t USING merge_keyset s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET id = s.id + 100, bal = s.bal""")
+    }
+    assert(e.getMessage.contains("ON-key"))
+    assert(t.snapshot().collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "key-changing update must not duplicate the row")
+    // SET * stays allowed — the key columns are dropped from the star
+    // assignment (identity under a same-named ON pair), so the matched
+    // row updates IN PLACE
+    ExecuteRaw.execute(spark, tabs,
+      """MERGE INTO acct t USING merge_keyset s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *""")
+    val out = t.snapshot().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "A", 1.0)))
+  }
 }
