@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: rewrite a naive interval (point-in-range) join into
   * the bucketed equi-join shape, automatically.
@@ -119,11 +119,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     pair.map { case (t, lo, hi, tSideIsLeft) =>
       val (tSide, iSide) = if (tSideIsLeft) (left, right) else (right, left)
-      // ⌊x/W⌋ via double floor-division (exact for |x| < 2^53 — epoch
-      // micros through year ~2255; same arithmetic RangeJoin.bandJoin
-      // uses, so the two paths bucket identically)
-      def fdiv(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble)))
+      // ⌊x/W⌋ in EXACT integer arithmetic. A double floor-division is
+      // only exact for |x| < 2^53, and this rule sees arbitrary LongType
+      // expressions (hash values, surrogate ids) — past that boundary
+      // the point's bucket and the interval's bucket range can disagree
+      // and a qualifying pair is silently LOST (the residual filter
+      // cannot resurrect a pair that never collided). Spark's `div`
+      // truncates toward zero, so correct the negative-with-remainder
+      // case down by one (Math.floorDiv). W > 0 is enforced at the
+      // config gate, so neither div nor the remainder can overflow.
+      // (RangeJoin.bandJoin keeps its double form: its domain is epoch
+      // MICROS, provably < 2^53 through year ~2255.)
+      def fdiv(e: Expression): Expression = {
+        val q = IntegralDivide(e, Literal(w))
+        val r = Remainder(e, Literal(w))
+        If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
+      }
       val tBucket = Alias(fdiv(t), "__graft_bucket_t")()
       val tProj = Project(tSide.output :+ tBucket, tSide)
       val iBucket = AttributeReference("__graft_bucket_i", LongType, nullable = false)()

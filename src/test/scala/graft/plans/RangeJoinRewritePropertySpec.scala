@@ -21,11 +21,22 @@ class RangeJoinRewritePropertySpec extends AnyFunSuite with SparkTestBase {
     Gen.chooseNum(-5L, 5L).map(_ * 97L),
     Gen.oneOf(0L, -1L, 1L, 96L, 97L, 98L, -97L, -96L, -98L))
 
+  // translation bases that push the whole trial to the extremes where a
+  // double floor-division goes inexact: both sides of ±2^53 (the exact
+  // defect the integer floor-div fix closes — a lost pair there was
+  // silent), ±2^62, and within a few thousand of the Long endpoints
+  private val genBase: Gen[Long] = Gen.oneOf(
+    0L, 0L, 0L, // keep the original small-domain coverage dominant
+    (1L << 53) - 400L, -(1L << 53) - 400L,
+    1L << 62, -(1L << 62),
+    Long.MaxValue - 4000L, Long.MinValue + 4000L)
+
   private case class Trial(points: List[Long], ivals: List[(Long, Long)],
                            nullPoints: Int, nullLos: Int,
                            width: Long, strictLo: Boolean, strictHi: Boolean)
 
   private val genTrial: Gen[Trial] = for {
+    base <- genBase
     points <- Gen.listOfN(40, genVal)
     los <- Gen.listOfN(25, genVal)
     spans <- Gen.listOfN(25, Gen.chooseNum(-50L, 300L)) // negative = inverted
@@ -34,7 +45,8 @@ class RangeJoinRewritePropertySpec extends AnyFunSuite with SparkTestBase {
     width <- Gen.oneOf(1L, 7L, 97L, 1000L, 100000L)
     strictLo <- Gen.oneOf(true, false)
     strictHi <- Gen.oneOf(true, false)
-  } yield Trial(points, los.zip(spans).map { case (lo, s) => (lo, lo + s) },
+  } yield Trial(points.map(_ + base),
+    los.zip(spans).map { case (lo, s) => (base + lo, base + lo + s) },
     nullPoints, nullLos, width, strictLo, strictHi)
 
   test("rewritten interval join equals driver-side reference on random shapes") {
