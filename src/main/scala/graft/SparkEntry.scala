@@ -3606,6 +3606,63 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // RESTORE × change-feed composition (Delta's table_changes across
+    // RESTORE): a tail whose cursor predates a restoreTo must observe the
+    // rollback as INVERSE deltas exactly once — re-inserts of the
+    // bad-deleted rows, postimages reverting the bad updates — and a
+    // caught-up tail must then drain nothing. The mirror is maintained
+    // ONLY through the tail; hash-equality of the mirror against the
+    // original load proves the inverse deltas were complete and exact.
+    // ChangeFeed diffs manifest snapshots, so the restore commit needs no
+    // special-casing — the pk-diff of (bad state → restored state) IS the
+    // inverse feed. GraftTable.restoreTo + store/CdfTail.drainOnce.
+    "q_restore_cdf" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-restorecdf-q"))
+      def tbl(n: String) = new graft.store.GraftTable(s, cat, n, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("acctbal", DoubleType, nullable = true))),
+        uniqueKeys = Seq(Seq("id")))
+      val src = tbl("cust")
+      val mir = tbl("mirror")
+      def drain(): Unit = graft.store.CdfTail.drainAll(src, "mirror") {
+        (txn, ch, _, _) => txn.applyChanges(mir, ch); ()
+      }
+      // id range 1..140 exists at every SF (sf0.001 customer has 150)
+      src.createMany(Tables.customer(s, dir).filter(col("c_custkey") <= 140)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal")))
+      drain()
+      val good = cat.currentCommitId()
+      src.updateMany(graft.query.RawCol(col("id") <= 100L),
+        Map("acctbal" -> lit(0.0)))
+      src.deleteMany(graft.query.RawCol(col("id") > 120L))
+      drain() // the bad commits reach the mirror BEFORE the rollback
+      src.restoreTo(good)
+      var types = Map.empty[String, Long]
+      val w = graft.store.CdfTail.drainOnce(src, "mirror") { (txn, ch, _, _) =>
+        types = ch.groupBy(col("_change_type")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        txn.applyChanges(mir, ch); ()
+      }
+      require(w.nonEmpty, "q_restore_cdf: the restore window must drain")
+      require(types.getOrElse("insert", 0L) == 20L,
+        s"q_restore_cdf: the 20 bad-deleted rows must return as inserts, got $types")
+      require(types.getOrElse("delete", 0L) == 0L,
+        s"q_restore_cdf: a pure rollback re-adds, it never deletes, got $types")
+      require(types.getOrElse("update_postimage", 0L) ==
+          types.getOrElse("update_preimage", 0L) &&
+          types.getOrElse("update_postimage", 0L) >= 1L,
+        s"q_restore_cdf: reverted balances must arrive as paired images, got $types")
+      require(graft.store.CdfTail
+          .drainOnce(src, "mirror")((_, _, _, _) => ()).isEmpty,
+        "q_restore_cdf: a tail caught up past the restore must drain nothing")
+      mir.snapshot()
+        .select(col("id"), col("name"), col("acctbal"))
+        .orderBy(col("id"))
+    }),
+
     // Z-order clustering end-to-end: orders loaded into the store, slice
     // rewritten Morton-ordered on (o_custkey, o_totalprice), then a
     // snapshotWhere range on BOTH clustered columns reads only the files
@@ -6863,6 +6920,13 @@ object SparkEntry {
     "q_restore" -> """
       SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
       FROM customer ORDER BY id""",
+
+    // the tail-maintained mirror, after draining the rollback's inverse
+    // deltas, equals the original load — the mid-gate REQUIREs pin the
+    // delta SHAPE (20 re-inserts, paired update images, zero deletes)
+    "q_restore_cdf" -> """
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+      FROM customer WHERE c_custkey <= 140 ORDER BY id""",
 
     // the pinned commit predates both mutations → the original load
     "q_time_travel" -> """

@@ -109,6 +109,32 @@ class CdfTailSpec extends AnyFunSuite with SparkTestBase {
       "the LAST postimage must win across drained windows")
   }
 
+  test("a tail spanning a restoreTo sees the rollback as inverse deltas, once") {
+    val (src, mir) = pair()
+    src.createMany((1L to 30L).map(i => (i, i)).toDF("id", "v"))
+    assert(CdfTail.drainOnce(src, "r")(mirrorBody(mir)).isDefined)
+    val good = src.catalog.currentCommitId()
+    src.updateMany(graft.query.RawCol(col("id") <= 10L), Map("v" -> lit(-1L)))
+    src.deleteMany(graft.query.RawCol(col("id") > 25L))
+    assert(CdfTail.drainOnce(src, "r")(mirrorBody(mir)).isDefined)
+    assert(rows(mir) == rows(src), "bad state reaches the mirror first")
+    src.restoreTo(good)
+    // the rollback window: 5 re-inserts (26..30), 10 reverted update
+    // pairs (1..10), zero deletes — and it must drain exactly once
+    var types = Map.empty[String, Long]
+    assert(CdfTail.drainOnce(src, "r") { (txn, ch, _, _) =>
+      types = ch.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      txn.applyChanges(mir, ch); ()
+    }.isDefined, "the restore commit is a drainable window")
+    assert(types == Map("insert" -> 5L,
+      "update_preimage" -> 10L, "update_postimage" -> 10L), types.toString)
+    assert(rows(mir) == (1L to 30L).map(i => (i, i)),
+      "the mirror must land back on the pre-mutation state")
+    assert(CdfTail.drainOnce(src, "r")(mirrorBody(mir)).isEmpty,
+      "caught up past the restore: nothing to drain")
+  }
+
   test("applyChanges is set-based: one plan, no driver key lists") {
     val (src, mir) = pair()
     src.createMany((1L to 10L).map(i => (i, i)).toDF("id", "v"))
