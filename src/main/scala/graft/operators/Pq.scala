@@ -178,24 +178,41 @@ object Pq {
                 m: Int, k: Int, iters: Int, topk: Int): DataFrame = {
     val coarse = train(corpus, embCol, idCol, m = 1, k = nCells, iters = iters)
     val cb = train(corpus, embCol, idCol, m, k, iters)
-    // Both codebooks are plan literals, so cell assignment and PQ codes
-    // come out of ONE scan — never a corpus self-join to pair them.
-    val codes = clean(corpus, embCol)
+    searchCodes(encodeIvf(corpus, embCol, idCol, coarse, cb),
+      queries, embCol, qidCol, coarse, cb, nProbe, topk)
+  }
+
+  /** One-scan IVF+PQ encoding against ALREADY-TRAINED codebooks:
+    * (id, cell, codes). Both codebooks are plan literals, so cell
+    * assignment and PQ codes come out of ONE scan — never a corpus
+    * self-join to pair them, and ZERO shuffle. This is the re-encode
+    * path a persistent index ([[graft.store.AnnIndex]]) runs over a
+    * change-feed delta: the codebooks stay fixed, only the moved rows
+    * are scanned. */
+  def encodeIvf(points: DataFrame, embCol: String, idCol: String,
+                coarse: Codebook, cb: Codebook): DataFrame = {
+    require(coarse.m == 1,
+      s"coarse quantizer must be one full-dimension subspace, got m=${coarse.m}")
+    clean(points, embCol)
       .select(col(idCol).as("id"), eMilli(embCol).as("__e"))
       .select(col("id"),
         element_at(codesExpr(coarse, col("__e")), 1).as("cell"),
         codesExpr(cb, col("__e")).as("codes"))
+  }
 
-    // Probe ranking: per query, integer distance to every coarse
-    // centroid (the m=1 LUT kernel gives exactly that table — index
-    // cid−1), keep the nProbe closest (ties on smallest cell id). The
-    // window partitions by qid — never a global sort.
-    val qe = clean(queries, embCol)
+  /** Probe ranking: per query, integer distance to every coarse
+    * centroid (the m=1 LUT kernel gives exactly that table — index
+    * cid−1), keep the `nProbe` closest (ties on smallest cell id) —
+    * (qid, __qe, cell). The window partitions by qid — never a global
+    * sort. */
+  private[graft] def probeFrame(queries: DataFrame, embCol: String,
+                                qidCol: String, coarse: Codebook,
+                                nProbe: Int): DataFrame =
+    clean(queries, embCol)
       .select(col(qidCol).as("qid"), eMilli(embCol).as("__qe"))
-    val probes = qe
       .select(col("qid"), col("__qe"),
         posexplode(graft.functions.PqExpressions
-          .pqLut(col("__qe"), flat(coarse), 1, nCells, coarse.ds))
+          .pqLut(col("__qe"), flat(coarse), 1, coarse.k, coarse.ds))
           .as(Seq("__p", "__d")))
       .withColumn("cell", (col("__p") + 1).cast("int"))
       .withColumn("__rn", row_number().over(
@@ -204,13 +221,21 @@ object Pq {
       .filter(col("__rn") <= nProbe)
       .select(col("qid"), col("__qe"), col("cell"))
 
+  /** ADC top-k over an ALREADY-ENCODED (id, cell, codes) frame — the
+    * probe-time half of IVFADC, shared by the train-inline [[ivfPqTopK]]
+    * and the persisted-index path (which feeds a cell-pruned scan of its
+    * codes table here and never retrains). */
+  def searchCodes(codes: DataFrame, queries: DataFrame, embCol: String,
+                  qidCol: String, coarse: Codebook, cb: Codebook,
+                  nProbe: Int, topk: Int): DataFrame = {
+    val probes = probeFrame(queries, embCol, qidCol, coarse, nProbe)
     // Per-(query, probed cell) ADC lookup table; joining it broadcast on
     // `cell` both restricts the scan to probed cells and delivers the
     // LUT in the same pass — no second join.
     val lut = probes.select(col("qid"), col("cell"),
       graft.functions.PqExpressions
-        .pqLut(col("__qe"), flat(cb), m, k, cb.ds).as("__lut"))
-    val dist = graft.functions.PqExpressions.pqAdc(col("codes"), col("__lut"), k)
+        .pqLut(col("__qe"), flat(cb), cb.m, cb.k, cb.ds).as("__lut"))
+    val dist = graft.functions.PqExpressions.pqAdc(col("codes"), col("__lut"), cb.k)
     codes.join(broadcast(lut), Seq("cell"))
       .withColumn("__score", -dist.cast("double"))
       .groupBy(col("qid"))
