@@ -2189,6 +2189,33 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // REAL COMPRESSED-codec parse, pure JDK: build an 8-bit RGB PNG per
+    // document (zlib-deflated scanlines cycling ALL FIVE RFC 2083
+    // filters, an ancillary tEXt chunk to force a genuine chunk walk,
+    // the stream split across multiple IDAT chunks, CRC32 on every
+    // chunk), then parse the bytes back — inflate, un-filter, sum the
+    // channels. The pixels are the exact bmpSynth formulas, so the
+    // oracle replays the sums symbolically like q_media_bmp; any slip in
+    // deflate framing, chunk reassembly, or filter reconstruction breaks
+    // the sums. multimodal/MediaKernels.pngSynth/pngParse.
+    "q_media_png" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(16)) + 3).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(11)) + 5).cast("int").as("h"))
+      d.withColumn("p", M.pngParse(M.pngSynth(col("id"), col("w"), col("h"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("bit_depth"),
+          element_at(col("p"), 4).as("color_type"),
+          element_at(col("p"), 5).as("sum_r"),
+          element_at(col("p"), 6).as("sum_g"),
+          element_at(col("p"), 7).as("sum_b"))
+        .orderBy(col("id"))
+    }),
+
     // REAL RIFF/WAVE parse: build a PCM-16 file per document with an
     // id-derived junk LIST chunk BETWEEN fmt and data (a parser that
     // assumes fixed offsets instead of walking chunks fails), then parse
@@ -2975,6 +3002,42 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.operators.Pq.ivfPqTopK(corpus, queries, "embedding", "vec_id",
         "qid", nCells = 4, nProbe = 2, m = 4, k = 8, iters = 2, topk = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // PERSISTENT ANN index (store/AnnIndex): codebooks trained ONCE on
+    // the build-time snapshot and committed to the catalog with the
+    // encoded codes + CDF cursor; later inserts reach the index through
+    // a change-feed refresh that re-encodes ONLY the delta with the
+    // PERSISTED codebooks; the probe answers from a REOPENED handle (no
+    // training path exists on it) over the cell-partitioned codes table.
+    // Mid-gate REQUIREs pin the zero-retrain property (model slices
+    // byte-identical across refresh) and exactly-once drains; the oracle
+    // trains on the snapshot subset but scores codes for ALL rows — a
+    // Spark side that retrained on the final corpus hash-mismatches.
+    "q_ann_persist" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-annpersist-q"))
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val src = new graft.store.GraftTable(s, cat, "vecs", StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true))),
+        uniqueKeys = Seq(Seq("vec_id")))
+      src.createMany(emb.filter(pmod(col("vec_id"), lit(4)) =!= 0))
+      val idx = graft.store.AnnIndex.build(src, "e1", "embedding", "vec_id",
+        nCells = 4, m = 4, k = 8, iters = 2)
+      src.createMany(emb.filter(pmod(col("vec_id"), lit(4)) === 0))
+      val modelBefore = cat.manifest()(idx.model.name)
+      require(idx.refresh().nonEmpty,
+        "q_ann_persist: the post-build insert window must drain")
+      require(cat.manifest()(idx.model.name) == modelBefore,
+        "q_ann_persist: refresh must not retrain — model slices stay put")
+      require(idx.refresh().isEmpty,
+        "q_ann_persist: caught up — a second refresh drains nothing")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.store.AnnIndex.open(src, "e1", "embedding", "vec_id")
+        .search(queries, "qid", nProbe = 2, topk = 5)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -3887,8 +3950,13 @@ object SparkEntry {
   /** One PQ train+encode CTE chain (prefix `p` keeps two chains — e.g.
     * the IVF coarse quantizer, which IS a PQ with m=1 — from colliding
     * in the same WITH). Emits `${p}sp`/`${p}c0..c$iters`/`${p}codes`
-    * over the shared `pts`; the caller appends search CTEs. */
-  private def pqChainSql(p: String, m: Int, k: Int, iters: Int): String = {
+    * over the shared `pts`; the caller appends search CTEs.
+    * `trainPts` names the CTE the SEEDS and Lloyd rounds read — the
+    * persisted-index oracle trains on the build-time snapshot (`pts0`)
+    * while `${p}codes` still encodes ALL of `pts`, exactly the
+    * train-once/encode-everything split AnnIndex persists. */
+  private def pqChainSql(p: String, m: Int, k: Int, iters: Int,
+                         trainPts: String = "pts"): String = {
     val sb = new StringBuilder
     sb.append(s""",
       ${p}dims AS (SELECT len(e) // $m AS ds FROM pts LIMIT 1),
@@ -3896,13 +3964,22 @@ object SparkEntry {
         SELECT id, sub, list_slice(e, sub * ds + 1, (sub + 1) * ds) AS se
         FROM pts CROSS JOIN ${p}dims
         CROSS JOIN (SELECT unnest(range(0, $m)) AS sub)
-      ), ${p}seed AS (
+      )""")
+    val tsp = if (trainPts == "pts") s"${p}sp" else s"${p}tsp"
+    if (trainPts != "pts") sb.append(s""",
+      ${p}tsp AS (
+        SELECT id, sub, list_slice(e, sub * ds + 1, (sub + 1) * ds) AS se
+        FROM $trainPts CROSS JOIN ${p}dims
+        CROSS JOIN (SELECT unnest(range(0, $m)) AS sub)
+      )""")
+    sb.append(s""",
+      ${p}seed AS (
         SELECT id, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid
-        FROM (SELECT id FROM pts ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)
+        FROM (SELECT id FROM $trainPts ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)
       ), ${p}c0 AS (
         SELECT sp.sub, CAST(s.cid AS INTEGER) AS cid,
                list_transform(sp.se, v -> v * 1000) AS c
-        FROM ${p}sp sp JOIN ${p}seed s ON sp.id = s.id
+        FROM $tsp sp JOIN ${p}seed s ON sp.id = s.id
       )""")
     for (i <- 1 to iters) {
       sb.append(s""",
@@ -3913,7 +3990,7 @@ object SparkEntry {
                    list_sum(list_transform(range(1, len(sp.se) + 1),
                      i -> (sp.se[i] * 1000 - c.c[i]) * (sp.se[i] * 1000 - c.c[i]))),
                    c.cid) AS rn
-          FROM ${p}sp sp JOIN ${p}c${i - 1} c ON sp.sub = c.sub) WHERE rn = 1
+          FROM $tsp sp JOIN ${p}c${i - 1} c ON sp.sub = c.sub) WHERE rn = 1
       ), ${p}u$i AS (
         SELECT sub, cid, list(v ORDER BY pos) AS c FROM (
           SELECT sub, cid, pos, CAST((sum(v) * 1000) // count(*) AS BIGINT) AS v
@@ -3984,6 +4061,54 @@ object SparkEntry {
     sb.append(pqPtsSql)
     sb.append(pqChainSql("g", 1, nCells, iters))
     sb.append(pqChainSql("", m, k, iters))
+    sb.append(s""",
+      q AS (
+        SELECT id AS qid, e AS qe FROM pts WHERE id < 10
+      ), probe AS (
+        SELECT qid, cid AS cell FROM (
+          SELECT q.qid, c.cid,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(c.c) + 1),
+                     i -> (q.qe[i] * 1000 - c.c[i]) * (q.qe[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM q CROSS JOIN gc$iters c) WHERE rn <= $nProbe
+      ), lut AS (
+        SELECT q.qid, c.sub, c.cid,
+               list_sum(list_transform(range(1, len(c.c) + 1), i ->
+                 (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i])
+               * (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i]))) AS dist
+        FROM q CROSS JOIN dims CROSS JOIN c$iters c
+      ), scored AS (
+        SELECT l.qid, a.id, sum(l.dist) AS dist
+        FROM codes a
+        JOIN gcodes g ON a.id = g.id
+        JOIN probe p ON g.cid = p.cell
+        JOIN lut l ON l.qid = p.qid AND a.sub = l.sub AND a.cid = l.cid
+        GROUP BY l.qid, a.id
+      ), ranked AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        FROM scored
+      )
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $topk ORDER BY qid, rank""")
+    sb.toString
+  }
+
+  /** Persistent-index replay ([[graft.store.AnnIndex]]): BOTH codebooks
+    * train on the build-time snapshot `pts0` (ids with id % 4 <> 0) but
+    * every row of `pts` — including the post-build inserts the
+    * change-feed refresh encoded — carries codes, and the probe scores
+    * the full code table. Any retraining on the Spark side (codebooks
+    * drifting toward the final corpus) hash-mismatches here. */
+  private def annPersistOracle(nCells: Int, nProbe: Int, m: Int, k: Int,
+                               iters: Int, topk: Int): String = {
+    val sb = new StringBuilder
+    sb.append(pqPtsSql)
+    sb.append(""",
+      pts0 AS (SELECT id, e FROM pts WHERE id % 4 <> 0)""")
+    sb.append(pqChainSql("g", 1, nCells, iters, trainPts = "pts0"))
+    sb.append(pqChainSql("", m, k, iters, trainPts = "pts0"))
     sb.append(s""",
       q AS (
         SELECT id AS qid, e AS qe FROM pts WHERE id < 10
@@ -6063,6 +6188,27 @@ object SparkEntry {
     // the BMP builder+parser replayed symbolically: every header field
     // from the format's published arithmetic, every channel sum from the
     // pixel formulas summed over the (x, y) grid
+    // the COMPRESSED codec replayed in the decoded domain: the oracle
+    // sums the pixel formulas directly — deflate framing, chunk CRCs,
+    // multi-IDAT reassembly, and all five filter reconstructions must
+    // round-trip EXACTLY for the Spark side to reach these sums
+    "q_media_png" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 16 + 3 AS w, doc_id % 11 + 5 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(8 AS BIGINT) AS bit_depth,
+             CAST(2 AS BIGINT) AS color_type,
+             CAST(sum((x*5 + y*17 + id*3) % 239) AS BIGINT) AS sum_r,
+             CAST(sum((x*11 + y*3 + id*5) % 251) AS BIGINT) AS sum_g,
+             CAST(sum((x*7 + y*13 + id) % 256) AS BIGINT) AS sum_b
+      FROM px GROUP BY id, w, h ORDER BY id""",
+
     "q_media_bmp" -> """
       WITH d AS (
         SELECT doc_id AS id, doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h
@@ -6324,6 +6470,8 @@ object SparkEntry {
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
     "q_ann_pq" -> pqOracle(m = 4, k = 8, iters = 2, topk = 5),
+    "q_ann_persist" -> annPersistOracle(nCells = 4, nProbe = 2, m = 4,
+      k = 8, iters = 2, topk = 5),
     "q_ann_ivfpq" -> ivfPqOracle(nCells = 4, nProbe = 2, m = 4, k = 8,
       iters = 2, topk = 5),
 

@@ -225,12 +225,51 @@ object MediaExpressions {
       copy(child = newChild)
   }
 
+  /** (id, width, height) → complete 8-bit truecolor PNG file bytes
+    * (zlib-deflated, multi-IDAT, all five scanline filters). */
+  case class PngSynth(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "png_synth"
+
+    override def nullSafeEval(id: Any, w: Any, h: Any): Any =
+      MediaKernels.pngSynth(id.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, w, h) =>
+        s"graft.multimodal.MediaKernels.pngSynth($i, $w, $h)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** PNG bytes → [width, height, bit_depth, color_type, sum_r, sum_g,
+    * sum_b]; all(-1) when not a well-formed 8-bit RGB PNG. */
+  case class PngParse(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "png_parse"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.pngParse(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.pngParse($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def bmpSynth(id: Column, width: Column, height: Column): Column =
     column(BmpSynth(expression(id), expression(width), expression(height)))
   def bmpParse(payload: Column): Column = column(BmpParse(expression(payload)))
   def bmpDhash(payload: Column): Column = column(BmpDhash(expression(payload)))
+  def pngSynth(id: Column, width: Column, height: Column): Column =
+    column(PngSynth(expression(id), expression(width), expression(height)))
+  def pngParse(payload: Column): Column = column(PngParse(expression(payload)))
   def bmpPerturb(payload: Column): Column = column(BmpPerturb(expression(payload)))
   def wavSynth(id: Column, channels: Column, sampleRate: Column, frames: Column): Column =
     column(WavSynth(expression(id), expression(channels),

@@ -58,6 +58,26 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for a COMPRESSED codec, in pure JDK: the full PNG read
+    * path — CRC-verified chunk walk, zlib inflate
+    * (`java.util.zip.Inflater`), five-filter scanline reconstruction
+    * ([[MediaKernels.pngParse]]) — behind the same boundary. Emits
+    * [mean_r, mean_g, mean_b] in [0, 1]: a PNG and a BMP of the same
+    * pixels decode to IDENTICAL features, which is the cross-codec
+    * parity the spec asserts. */
+  final class PngPixelDecoder extends MediaDecoder {
+    val dim = 3
+    def decode(payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return null
+      val p = MediaKernels.pngParse(payload)
+      if (p.getLong(0) < 0) return null
+      val n = (p.getLong(0) * p.getLong(1)).toFloat // width * height
+      Array(p.getLong(4) / (255.0f * n),            // sum_r
+        p.getLong(5) / (255.0f * n),                // sum_g
+        p.getLong(6) / (255.0f * n))                // sum_b
+    }
+  }
+
   /** Stable fake decoder for formats whose codecs live outside this
     * container (JPEG/MP3/H.264): features are a seeded hash cascade of
     * the bytes — deterministic, mixes with payload content, right shape.

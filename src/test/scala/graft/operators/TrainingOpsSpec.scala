@@ -444,6 +444,44 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(4L, 4L, 4L))
   }
 
+  test("multimodal: PNG round-trips through deflate + all five filters; corrupt fails closed") {
+    import graft.multimodal.{MediaExpressions, MediaKernels, Multimodal}
+    // height 7 ≥ 5 → every filter type (row % 5) appears at least once
+    val png = MediaKernels.pngSynth(7L, 5, 7)
+    val bmp = MediaKernels.bmpSynth(7L, 5, 7)
+    val pp = MediaKernels.pngParse(png)
+    val bp = MediaKernels.bmpParse(bmp)
+    assert(pp.getLong(0) == 5 && pp.getLong(1) == 7)
+    assert(pp.getLong(2) == 8 && pp.getLong(3) == 2)
+    // CROSS-CODEC parity: same pixel formulas → identical channel sums
+    // (bmpParse returns [.., sum_b, sum_g, sum_r]; pngParse [.., r, g, b])
+    assert(pp.getLong(4) == bp.getLong(7), "sum_r must match the BMP twin")
+    assert(pp.getLong(5) == bp.getLong(6), "sum_g must match the BMP twin")
+    assert(pp.getLong(6) == bp.getLong(5), "sum_b must match the BMP twin")
+    // and the two MediaDecoder impls agree feature-for-feature
+    val fPng = new Multimodal.PngPixelDecoder().decode(png).toSeq
+    val fBmp = new Multimodal.BmpPixelDecoder().decode(bmp).toSeq
+    assert(fPng == fBmp)
+    // multi-IDAT really happened (stream split at 64-byte chunks)
+    val idatCount = png.sliding(4).count(_.sameElements("IDAT".getBytes))
+    assert(idatCount >= 2, s"expected split IDATs, got $idatCount")
+    // corrupt payloads fail closed, never throw: garbage, truncation,
+    // a flipped CRC byte, and a flipped DEFLATE byte
+    assert(MediaKernels.pngParse("nope".getBytes).getLong(0) == -1L)
+    assert(MediaKernels.pngParse(png.take(30)).getLong(0) == -1L)
+    val badCrc = png.clone(); badCrc(badCrc.length - 1) = 0x55
+    assert(MediaKernels.pngParse(badCrc).getLong(0) == -1L)
+    assert(MediaKernels.pngParse(null).getLong(0) == -1L)
+    // 1x1 edge (single pixel, filter None only) round-trips too
+    assert(MediaKernels.pngParse(MediaKernels.pngSynth(3L, 1, 1)).getLong(0) == 1L)
+    // expression level, inside a plan
+    val out = spark.range(1, 4).select(
+      MediaExpressions.pngParse(MediaExpressions.pngSynth(
+        $"id", lit(4).cast("int"), lit(6).cast("int"))).as("p"))
+      .select(element_at($"p", 1)).as[Long].collect()
+    assert(out.toSeq == Seq(4L, 4L, 4L))
+  }
+
   test("multimodal: WAV chunk walk parses around junk chunks; PCM decode is exact") {
     import graft.multimodal.MediaKernels
     val bytes = MediaKernels.wavSynth(11L, 2, 8000, 50)
