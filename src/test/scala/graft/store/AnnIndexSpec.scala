@@ -83,6 +83,31 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(codeRows(idx.codes) == expect)
   }
 
+  test("a refresh spanning a restoreTo converges the index to the restored corpus") {
+    val src = srcTable()
+    load(src, 1L to 30L)
+    val idx = AnnIndex.build(src, "t", "embedding", "vec_id",
+      nCells = 2, m = 2, k = 4, iters = 2)
+    val (coarse, cb) = idx.codebooks()
+    val good = src.catalog.currentCommitId()
+    // bad batch: inserts + an embedding rewrite + deletes, then rollback
+    load(src, 31L to 40L)
+    src.updateMany(graft.query.RawCol(col("vec_id") === 5L),
+      Map("embedding" -> typedLit(vec(77L))))
+    src.deleteMany(graft.query.RawCol(col("vec_id") > 25L && col("vec_id") <= 30L))
+    assert(idx.refresh().nonEmpty, "the bad window drains into the index")
+    src.restoreTo(good)
+    assert(idx.refresh().nonEmpty, "the rollback window drains as inverse deltas")
+    assert(idx.refresh().isEmpty)
+    // the index equals a fresh encode of the restored corpus under the
+    // same persisted codebooks — restore left no orphan or stale codes
+    val expect = Pq.encodeIvf(src.snapshot(), "embedding", "vec_id", coarse, cb)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList: Seq[Int])).toSet
+    assert(codeRows(idx.codes) == expect)
+    assert(expect.size == 30)
+  }
+
   test("search reads only the probed cells' slices") {
     val src = srcTable()
     load(src, 1L to 40L)
