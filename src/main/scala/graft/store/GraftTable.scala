@@ -376,7 +376,7 @@ final class GraftTable(
             .sortWithinPartitions("__z")
             .drop("__z")
         out.write.mode("overwrite").options(bloomWriteOptions).parquet(outDir)
-        SliceStats.writeSidecar(spark, outDir)
+        SliceStats.writeSidecar(spark, outDir, bloomCols.toSet)
         staged += (pk -> Some(v))
       }
     }
@@ -1010,7 +1010,7 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
         .write.mode("overwrite").options(t.bloomWriteOptions).parquet(dir)
       // pin footer-derived column stats beside the slice (O(files) driver
       // IO, no job) — snapshotWhere's data skipping reads these
-      SliceStats.writeSidecar(t.spark, dir)
+      SliceStats.writeSidecar(t.spark, dir, t.bloomCols.toSet)
       dirs += (pk -> dir)
       parts += (pk -> Some(v))
     }

@@ -105,7 +105,59 @@ object SliceStats {
     }
   }
 
-  private def collectFile(f: java.io.File, conf: Configuration): FileStats = {
+  /** A chunk the writer left FULLY DICTIONARY-ENCODED carries no bloom
+    * filter — parquet-mr drops it by design, the dictionary already
+    * being an exact membership list. (Observed concretely: a corpus
+    * whose values repeat ~10× dictionary-encodes and loses every bloom;
+    * the same column with unique values falls back to plain and keeps
+    * them.) Scan-time readers exploit the dictionary; our PLANNING-time
+    * index cannot, so point lookups on such files lost all pruning.
+    * Synthesize the bitset FROM the dictionary entries instead: bounded
+    * driver work (dictionary entries only — capped by parquet's dict
+    * page size), same split-block format and XXH64 the writer uses, and
+    * exactly as precise as a writer bloom at the same 1% FPP because the
+    * inputs are the chunk's true value set. Only columns the table
+    * DECLARED for blooms pay (`wantBloom`). */
+  private def dictBloom(reader: ParquetFileReader,
+                        block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                        cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                        tag: String): Option[(String, Array[Byte])] = {
+    val es = cc.getEncodingStats
+    if (es == null || es.hasNonDictionaryEncodedPages || !es.hasDictionaryPages)
+      return None
+    try {
+      val desc = reader.getFileMetaData.getSchema
+        .getColumnDescription(cc.getPath.toArray)
+      // widen to the public interface: the concrete reader class is
+      // package-private in parquet-mr
+      val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+        reader.getDictionaryReader(block)
+      val page = store.readDictionaryPage(desc)
+      if (page == null) return None
+      val dict = page.getEncoding.initDictionary(desc, page)
+      val n = dict.getMaxId + 1
+      import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+      val bf = new BlockSplitBloomFilter(
+        BlockSplitBloomFilter.optimalNumOfBits(n.toLong, 0.01) / 8)
+      var i = 0
+      while (i < n) {
+        bf.insertHash(tag match {
+          case "bin" => bf.hash(dict.decodeToBinary(i))
+          case "i32" => bf.hash(dict.decodeToInt(i))
+          case "i64" => bf.hash(dict.decodeToLong(i))
+          case "f32" => bf.hash(dict.decodeToFloat(i))
+          case _     => bf.hash(dict.decodeToDouble(i))
+        })
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
+      bf.writeTo(bos)
+      Some((tag, bos.toByteArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def collectFile(f: java.io.File, conf: Configuration,
+                          wantBloom: Set[String] = Set.empty): FileStats = {
     val in = HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
     val reader = ParquetFileReader.open(in)
@@ -135,11 +187,17 @@ object SliceStats {
             // bytes sit after the row groups, sized by bloomNdv). Any
             // block lacking one poisons the column for the whole file.
             val lifted = bloomTag(cc.getPrimitiveType).flatMap { tag =>
-              try Option(bloomReader.readBloomFilter(cc)).map { bf =>
-                val bos = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
-                bf.writeTo(bos)
-                (tag, bos.toByteArray)
-              } catch { case scala.util.control.NonFatal(_) => None }
+              val written =
+                try Option(bloomReader.readBloomFilter(cc)).map { bf =>
+                  val bos = new java.io.ByteArrayOutputStream(bf.getBitsetSize)
+                  bf.writeTo(bos)
+                  (tag, bos.toByteArray)
+                } catch { case scala.util.control.NonFatal(_) => None }
+              // no writer bloom + fully-dict chunk + declared column →
+              // synthesize from the dictionary (see dictBloom)
+              written.orElse(
+                if (wantBloom.contains(name)) dictBloom(reader, block, cc, tag)
+                else None)
             }
             blooms += (name -> ((blooms.get(name), lifted) match {
               case (Some(None), _) | (_, None) => None
@@ -163,10 +221,11 @@ object SliceStats {
 
   /** Read every data file's footer under `dir`; per-file stats plus the
     * slice-level merge. Driver-side, no Spark job. */
-  def collect(dir: String, conf: Configuration): Stats = {
+  def collect(dir: String, conf: Configuration,
+              wantBloom: Set[String] = Set.empty): Stats = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
-    val perFile = files.map(f => f.getName -> collectFile(f, conf)).toMap
+    val perFile = files.map(f => f.getName -> collectFile(f, conf, wantBloom)).toMap
     val rows = perFile.valuesIterator.map(_.rows).sum
     // slice-level merge: a column must carry usable stats in EVERY
     // non-empty file (a zero-row part file has no chunks at all — it must
@@ -328,10 +387,14 @@ object SliceStats {
   }
 
   /** Collect footer stats for `dir` and pin the sidecar. Called right
-    * after a slice's parquet write, before the manifest commit. */
-  def writeSidecar(spark: SparkSession, dir: String): Unit =
+    * after a slice's parquet write, before the manifest commit.
+    * `wantBloom` names the table's declared bloom columns — the ones
+    * that get a dictionary-synthesized bitset when the writer dropped
+    * the bloom for a fully-dict chunk. */
+  def writeSidecar(spark: SparkSession, dir: String,
+                   wantBloom: Set[String] = Set.empty): Unit =
     Files.write(Paths.get(dir, SidecarName),
-      render(collect(dir, spark.sessionState.newHadoopConf()))
+      render(collect(dir, spark.sessionState.newHadoopConf(), wantBloom))
         .getBytes(StandardCharsets.UTF_8))
 
   /** Sidecar format version. v2: decimal min/max are SCALED doubles (v1

@@ -66,6 +66,38 @@ class BloomSkipSpec extends AnyFunSuite with SparkTestBase {
       s"bloom must prune: kept ${idx.lastKeptFiles} of ${idx.lastTotalFiles}")
   }
 
+  test("fully-dictionary-encoded chunks get a synthesized bloom and still prune") {
+    // values repeating ~10x stay DICTIONARY-encoded, and parquet-mr then
+    // drops the writer bloom (the dictionary is exact) — scan-time
+    // readers cope, but planning-time pruning lost everything until the
+    // sidecar learned to synthesize the bitset from the dictionary
+    // entries. This is the common 100 TB shape (moderately-repeated
+    // keys), caught live at the sf1 probe.
+    val t = new GraftTable(spark,
+      new Catalog(java.nio.file.Files.createTempDirectory("graft-bloomd").toString),
+      "docs", StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("key", StringType, nullable = false))),
+      bloomCols = Seq("key"), bloomNdv = 1024L)
+    // 600 rows, 60 distinct keys (10 copies each, copies co-located by
+    // the grouping key) → every chunk dictionary-encodes
+    val rows = (0L until 600L).map(i => (i, key(i % 60)))
+    t.createMany(rows.toDF("id", "key").repartition(6, pmod($"id" % 60, lit(6))))
+    val dirs = t.catalog.currentDirs("docs").values.toSeq
+    val st = SliceStats.readSidecar(dirs.head).get
+    assert(st.files.values.filter(_.rows > 0).forall(_.blooms.contains("key")),
+      "dict-encoded files must carry a synthesized bloom")
+    val (df, idx) = t.snapshotRelationWithIndex()
+    val got = df.filter($"key" === key(42L)).select("id").as[Long].collect()
+    assert(got.sorted.toSeq == Seq(42L, 102L, 162L, 222L, 282L, 342L,
+      402L, 462L, 522L, 582L))
+    assert(idx.lastTotalFiles >= 2 && idx.lastKeptFiles < idx.lastTotalFiles,
+      s"synthesized bloom must prune: kept ${idx.lastKeptFiles} of ${idx.lastTotalFiles}")
+    // an absent key still rejects (the synthesized bitset is a real bloom)
+    df.filter($"key" === key(9999L)).count()
+    assert(idx.lastKeptFiles <= 1)
+  }
+
   test("i64 point lookup prunes through the long bloom") {
     val t = seeded()
     val (df, idx) = t.snapshotRelationWithIndex()
