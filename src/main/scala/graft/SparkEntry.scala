@@ -1024,6 +1024,27 @@ object SparkEntry {
         .orderBy(col("custkey"))
     }),
 
+    // $executeRaw DDL: CREATE TABLE AS SELECT materializes a real store
+    // table from an arbitrary analyzed query (reference $executeRaw is
+    // arbitrary SQL, class.ts:118-153), and the created table is a FULL
+    // citizen — the follow-up UPDATE rides the same raw-SQL surface and
+    // the read-back is an ordinary snapshot. ExecuteRaw.executeCreate.
+    "q_exec_raw_ctas" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      val cat = new graft.store.Catalog(tempDir("graft-ctas-q"))
+      val t = graft.store.ExecuteRaw.executeCreate(s, cat,
+        """CREATE TABLE seg AS
+           SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+           FROM customer GROUP BY c_mktsegment""",
+        uniqueKeys = Seq(Seq("segment")))
+      graft.store.ExecuteRaw.execute(s, Map("seg" -> t),
+        "UPDATE seg SET bal = 0.0 WHERE segment < 'F'")
+      t.snapshot()
+        .select(col("segment"), col("n"), col("bal"))
+        .orderBy(col("segment"))
+    }),
+
     // §2.A #19 — RACING interactive $transactions, oracle-gated. Two
     // shapes: (1) a DETERMINISTIC interleave — txn A stages its update,
     // then a full txn B commits underneath, and A's commit MUST raise
@@ -3842,11 +3863,17 @@ object SparkEntry {
     "q_bloom_skip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-bloomskip-q"))
+      // ndv must be SIZED TO THE DATA: a bloom built for 4096 distinct
+      // values saturates at 10× that load (every bit set → FPP ≈ 1 →
+      // zero pruning — observed at the sf1 probe, 37k names/file into a
+      // 4096-ndv bitset). Sizing from the corpus is exactly the capacity
+      // planning a production bloomCols declaration encodes.
+      val bloomNdv = math.max(4096L, Tables.customer(s, dir).count() / 4L)
       val t = new graft.store.GraftTable(s, cat, "cust", StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("name", StringType, nullable = false),
         StructField("acctbal", DoubleType, nullable = true))),
-        bloomCols = Seq("name"), bloomNdv = 4096L)
+        bloomCols = Seq("name"), bloomNdv = bloomNdv)
       t.createMany(Tables.customer(s, dir).select(
           col("c_custkey").as("id"), col("c_name").as("name"),
           col("c_acctbal").as("acctbal"))
@@ -4862,6 +4889,16 @@ object SparkEntry {
     // the MERGE replayed declaratively: matched keys (201..400) delete
     // on negative source bal, else sum balances + flip segment; source
     // keys past the seed (401..600) insert as NEW
+    // the CTAS result with the raw-SQL UPDATE folded in declaratively
+    "q_exec_raw_ctas" -> """
+      WITH seg AS (
+        SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM customer GROUP BY c_mktsegment)
+      SELECT segment, n,
+             CASE WHEN segment < 'F' THEN 0.0 ELSE bal END AS bal
+      FROM seg ORDER BY segment""",
+
     "q_exec_raw_merge" -> """
       WITH seed AS (
         SELECT c_custkey AS custkey, c_name AS name,

@@ -46,6 +46,46 @@ object ExecuteRaw {
                   sqls: Seq[String]): Seq[Long] =
     Txn.run(sharedCatalog(tables))(txn => sqls.map(executeIn(txn, spark, tables, _)))
 
+  /** `CREATE TABLE <name> AS SELECT …` — the reference's `\$executeRaw`
+    * accepts arbitrary SQL including DDL (`class.ts:118-153`); this is
+    * the store's CTAS. The SELECT resolves through Spark's analyzer
+    * (temp views, registered functions — the same contract as the
+    * INSERT source query), its result schema becomes the table schema,
+    * and the rows land in ONE auto-committed transaction. Returns the
+    * created table handle — unique keys and partition columns are
+    * STORAGE knowledge the SQL text does not carry, so they are
+    * parameters, not parsed. */
+  def executeCreate(spark: SparkSession, catalog: Catalog, sql: String,
+                    uniqueKeys: Seq[Seq[String]] = Nil,
+                    partitionCols: Seq[String] = Nil): GraftTable =
+    PlanBridge.parsePlan(spark, sql) match {
+      case ctas: CreateTableAsSelect =>
+        val name = ctas.name match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+              if u.nameParts.length == 1 => u.nameParts.head
+          case other => throw new IllegalArgumentException(
+            s"executeRaw: CREATE TABLE needs a single-part table name, " +
+              s"got $other: $sql")
+        }
+        require(ctas.partitioning.isEmpty,
+          s"executeRaw: declare storage partitioning via the " +
+            s"partitionCols parameter, not PARTITIONED BY: $sql")
+        require(!ctas.ignoreIfExists,
+          s"executeRaw: IF NOT EXISTS is unsupported — an existing " +
+            s"table's schema cannot be recovered from this statement: $sql")
+        require(!catalog.manifest().contains(name),
+          s"executeRaw: table $name already exists in this catalog: $sql")
+        val df = PlanBridge.ofRows(spark, ctas.query)
+        val t = new GraftTable(spark, catalog, name, df.schema,
+          uniqueKeys = uniqueKeys, partitionCols = partitionCols)
+        Txn.run(catalog)(txn => txn.createMany(t, df, skipDuplicates = false))
+        t
+
+      case other => throw new IllegalArgumentException(
+        s"executeRaw: not a CREATE TABLE AS SELECT " +
+          s"(${other.getClass.getSimpleName}): $sql")
+    }
+
   /** All registered tables must live in ONE catalog — a transaction
     * publishes one manifest; a table from another catalog would stage
     * into the wrong store and its write would silently vanish. */
@@ -131,6 +171,11 @@ object ExecuteRaw {
 
       case m: MergeIntoTable =>
         executeMerge(txn, spark, tables, m, sql)
+
+      case _: CreateTableAsSelect =>
+        throw new IllegalArgumentException(
+          s"executeRaw: CREATE TABLE AS SELECT goes through " +
+            s"ExecuteRaw.executeCreate — it returns the new table handle: $sql")
 
       case other =>
         throw new IllegalArgumentException(

@@ -279,6 +279,40 @@ class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CREATE TABLE AS SELECT creates a full-citizen store table") {
+    val cat = freshCatalog()
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("k", "tag", "v").createOrReplaceTempView("ctas_src")
+    val t = ExecuteRaw.executeCreate(spark, cat,
+      "CREATE TABLE agg AS SELECT tag, CAST(sum(v) AS DOUBLE) AS total " +
+        "FROM ctas_src GROUP BY tag",
+      uniqueKeys = Seq(Seq("tag")))
+    assert(t.name == "agg" && t.schema.fieldNames.toSeq == Seq("tag", "total"))
+    // full citizen: raw-SQL mutations, unique-key enforcement, snapshot
+    ExecuteRaw.execute(spark, Map("agg" -> t),
+      "UPDATE agg SET total = 0.0 WHERE tag = 'b'")
+    assert(t.snapshot().orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 40.0), ("b", 0.0)))
+    assert(scala.util.Try(ExecuteRaw.execute(spark, Map("agg" -> t),
+      "INSERT INTO agg VALUES ('a', 1.0)")).isFailure,
+      "the declared unique key must hold on the created table")
+    // duplicate name, IF NOT EXISTS, and the executeIn route all refuse
+    intercept[IllegalArgumentException] {
+      ExecuteRaw.executeCreate(spark, cat,
+        "CREATE TABLE agg AS SELECT 1 AS one")
+    }
+    intercept[IllegalArgumentException] {
+      ExecuteRaw.executeCreate(spark, cat,
+        "CREATE TABLE IF NOT EXISTS other AS SELECT 1 AS one")
+    }
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, Map("agg" -> t),
+        "CREATE TABLE other AS SELECT 1 AS one")
+    }
+    assert(e.getMessage.contains("executeCreate"))
+  }
+
   test("MERGE: duplicate ON-keys among TARGET-ONLY rows are refused") {
     // ON pairs a non-unique target column: two target-only rows share
     // name 'dup', and the staged apply (keyed on the ON columns) would
