@@ -75,8 +75,20 @@ object Pq {
     * column. `iters` Lloyd rounds; D must divide evenly by m. */
   def train(points: DataFrame, embCol: String, idCol: String,
             m: Int, k: Int, iters: Int): Codebook = {
+    // Each Lloyd round rescans the training input (seed collect + one
+    // aggregate per iteration); without a persist that is iters+2 source
+    // scans EACH re-running the milli-quantize projection. Cache the
+    // quantized frame for the duration of training — at scale the
+    // training input is a capped sample, exactly what belongs in memory.
     val pts = clean(points, embCol)
       .select(col(idCol).as("id"), eMilli(embCol).as("__e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainOn(pts, m, k, iters)
+    finally pts.unpersist(blocking = false)
+  }
+
+  private def trainOn(pts: DataFrame, m: Int, k: Int,
+                      iters: Int): Codebook = {
     val head = pts.select(size(col("__e"))).head(1)
     require(head.nonEmpty, "Pq.train: no valid embeddings")
     val d = head(0).getInt(0)
