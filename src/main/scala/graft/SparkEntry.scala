@@ -2120,6 +2120,41 @@ object SparkEntry {
       out
     }),
 
+    // PERSISTENT dedup index (store/DedupIndex, AnnIndex's text
+    // sibling): the corpus sketched ONCE into catalog tables
+    // (sketches + the (k, numHashes) config riding one commit with the
+    // change-feed cursor), copies arriving via ordinary store writes,
+    // the refresh re-sketching ONLY the delta through CdfTail, and a
+    // REOPENED handle (no sketch-the-corpus path exists on it) probing
+    // the new batch against the persisted sketches. Output = the planted
+    // copy-of-self pairs at jaccard exactly 1.0 — identical shingle sets
+    // collide in every band regardless of hash family, the same
+    // determinism q_dedup_incr's oracle rests on.
+    "q_dedup_persist" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-deduppersist-q"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id")
+      val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      src.createMany(batch)
+      require(idx.refresh().nonEmpty,
+        "q_dedup_persist: the insert window must drain")
+      require(idx.refresh().isEmpty,
+        "q_dedup_persist: caught up — a second refresh drains nothing")
+      require(idx.sketch.snapshot().count() == 2 * docs.count(),
+        "q_dedup_persist: the delta must be absorbed incrementally")
+      graft.store.DedupIndex.open(src, "d1", "text", "doc_id")
+        .dupsAgainst(batch)
+        .filter(col("dup_of") === col("new_id") - 10000L)
+        .select(col("new_id"), col("dup_of"), col("jaccard"))
+        .orderBy(col("new_id"))
+    }),
+
     // Bloom-accelerated decontamination: identical OUTPUT to
     // q_decontaminate (the exact verify join kills Bloom false
     // positives, so the same oracle applies) — only the data movement
@@ -6010,6 +6045,12 @@ object SparkEntry {
       ORDER BY cg.doc_id""",
 
     "q_dedup_incr" -> """
+      SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
+             CAST(1.0 AS DOUBLE) AS jaccard
+      FROM documents ORDER BY new_id""",
+
+    // same planted-copy determinism, through the PERSISTED sketch table
+    "q_dedup_persist" -> """
       SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
              CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents ORDER BY new_id""",
