@@ -2155,6 +2155,54 @@ object SparkEntry {
         .orderBy(col("new_id"))
     }),
 
+    // STREAMING ingest × persistent index: documents arrive through the
+    // exactly-once streaming sink, and the SAME foreachBatch keeps the
+    // dedup index current — StoreSink's watermark commit then
+    // DedupIndex.refresh's cursor commit, each exactly-once under its
+    // own manifest key, so a replayed batch is absorbed by the sink AND
+    // drains nothing into the index. The probe runs from a reopened
+    // handle against sketches that were maintained batch-by-batch, never
+    // built from a full-corpus pass. Same planted-copy determinism as
+    // q_dedup_persist.
+    "q_stream_index" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = tempDir("graft-streamidx-q")
+      val cat = new graft.store.Catalog(tmp + "/cat")
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id")
+      val docSchema = Tables.documents(s, dir).schema
+      val appendSink = graft.streaming.StoreSink.exactlyOnceAppend(src, "ingest")
+      val sinkAndRefresh: (DataFrame, Long) => Unit = (df, batchId) => {
+        appendSink(df, batchId)
+        idx.refresh()
+        ()
+      }
+      val q = s.readStream.schema(docSchema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id"), col("text"))
+        .writeStream.foreachBatch(sinkAndRefresh)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt").start()
+      q.awaitTermination(180000)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      require(idx.sketch.snapshot().count() == docs.count(),
+        "q_stream_index: every streamed doc must be sketched")
+      // replayed batch: sink absorbs it, the index drains nothing
+      val cur = idx.currentThrough()
+      sinkAndRefresh(docs, 0L)
+      require(idx.currentThrough() == cur,
+        "q_stream_index: a replayed batch must not advance the index")
+      val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      graft.store.DedupIndex.open(src, "d1", "text", "doc_id")
+        .dupsAgainst(batch)
+        .filter(col("dup_of") === col("new_id") - 10000L)
+        .select(col("new_id"), col("dup_of"), col("jaccard"))
+        .orderBy(col("new_id"))
+    }),
+
     // Bloom-accelerated decontamination: identical OUTPUT to
     // q_decontaminate (the exact verify join kills Bloom false
     // positives, so the same oracle applies) — only the data movement
@@ -3094,6 +3142,26 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.store.AnnIndex.open(src, "e1", "embedding", "vec_id")
         .search(queries, "qid", nProbe = 2, topk = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Two-stage retrieval (the production ANN pattern): IVFADC produces
+    // a 20-candidate shortlist per query through the compressed-code
+    // scan, then the EXACT integer distance over the full vectors
+    // re-ranks the shortlist — quantization error leaves the final
+    // order. |Q|·20 rows of re-rank work, never a corpus re-scan. The
+    // oracle replays both stages: the full codebook chain + ADC
+    // shortlist cut, then the exact-distance window over the joined
+    // candidates. operators/Pq.rerankExact.
+    "q_ann_rerank" -> ((s, dir) => {
+      val corpus = par(s, Tables.embeddings(s, dir))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val shortlist = graft.operators.Pq.ivfPqTopK(corpus, queries,
+        "embedding", "vec_id", "qid", nCells = 4, nProbe = 2, m = 4,
+        k = 8, iters = 2, topk = 20)
+      graft.operators.Pq.rerankExact(shortlist, corpus, queries,
+          "embedding", "vec_id", "qid", topk = 5)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -4202,6 +4270,57 @@ object SparkEntry {
       )
       SELECT qid, id, CAST(rank AS BIGINT) AS rank
       FROM ranked WHERE rank <= $topk ORDER BY qid, rank""")
+    sb.toString
+  }
+
+  /** Two-stage replay: [[ivfPqOracle]]'s chain cut at `shortlist`, then
+    * the exact milli-space distance re-ranks the joined candidates. */
+  private def ivfPqRerankOracle(nCells: Int, nProbe: Int, m: Int, k: Int,
+                                iters: Int, shortlist: Int,
+                                topk: Int): String = {
+    val sb = new StringBuilder
+    sb.append(pqPtsSql)
+    sb.append(pqChainSql("g", 1, nCells, iters))
+    sb.append(pqChainSql("", m, k, iters))
+    sb.append(s""",
+      q AS (
+        SELECT id AS qid, e AS qe FROM pts WHERE id < 10
+      ), probe AS (
+        SELECT qid, cid AS cell FROM (
+          SELECT q.qid, c.cid,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(c.c) + 1),
+                     i -> (q.qe[i] * 1000 - c.c[i]) * (q.qe[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM q CROSS JOIN gc$iters c) WHERE rn <= $nProbe
+      ), lut AS (
+        SELECT q.qid, c.sub, c.cid,
+               list_sum(list_transform(range(1, len(c.c) + 1), i ->
+                 (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i])
+               * (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i]))) AS dist
+        FROM q CROSS JOIN dims CROSS JOIN c$iters c
+      ), scored AS (
+        SELECT l.qid, a.id, sum(l.dist) AS dist
+        FROM codes a
+        JOIN gcodes g ON a.id = g.id
+        JOIN probe p ON g.cid = p.cell
+        JOIN lut l ON l.qid = p.qid AND a.sub = l.sub AND a.cid = l.cid
+        GROUP BY l.qid, a.id
+      ), ranked AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        FROM scored
+      ), shortlist AS (
+        SELECT qid, id FROM ranked WHERE rank <= $shortlist
+      ), rr AS (
+        SELECT s.qid, s.id,
+               row_number() OVER (PARTITION BY s.qid ORDER BY
+                 list_sum(list_transform(range(1, len(c.e) + 1),
+                   i -> (c.e[i] - q.qe[i]) * (c.e[i] - q.qe[i]))), s.id) AS rank
+        FROM shortlist s JOIN pts c ON s.id = c.id JOIN q ON s.qid = q.qid
+      )
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank
+      FROM rr WHERE rank <= $topk ORDER BY qid, rank""")
     sb.toString
   }
 
@@ -6055,6 +6174,13 @@ object SparkEntry {
              CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents ORDER BY new_id""",
 
+    // and through the STREAM-maintained sketch table (the mid-gate
+    // REQUIREs pin the exactly-once sink/refresh composition)
+    "q_stream_index" -> """
+      SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
+             CAST(1.0 AS DOUBLE) AS jaccard
+      FROM documents ORDER BY new_id""",
+
     // bloom pre-filter + exact verify == the exact operator's output
     "q_decontaminate_bloom" -> """
       WITH toks AS (
@@ -6550,6 +6676,8 @@ object SparkEntry {
     "q_ann_pq" -> pqOracle(m = 4, k = 8, iters = 2, topk = 5),
     "q_ann_persist" -> annPersistOracle(nCells = 4, nProbe = 2, m = 4,
       k = 8, iters = 2, topk = 5),
+    "q_ann_rerank" -> ivfPqRerankOracle(nCells = 4, nProbe = 2, m = 4,
+      k = 8, iters = 2, shortlist = 20, topk = 5),
     "q_ann_ivfpq" -> ivfPqOracle(nCells = 4, nProbe = 2, m = 4, k = 8,
       iters = 2, topk = 5),
 

@@ -233,6 +233,38 @@ object Pq {
       .filter(col("__rn") <= nProbe)
       .select(col("qid"), col("__qe"), col("cell"))
 
+  /** EXACT re-rank of an ANN shortlist — stage two of the production
+    * retrieval pattern (ADC shortlist → true-distance re-rank): join the
+    * (qid, id) candidates back to the full vectors and rank by the exact
+    * integer squared distance in milli space (ties on smallest id). ADC
+    * distance is an approximation of this metric through the codebook;
+    * the re-rank removes the quantization error from the final order.
+    * Work is |Q|·shortlist rows — two hash joins and a qid-partitioned
+    * window, never a corpus scan (the corpus side is key-looked-up by
+    * the shortlist ids). */
+  def rerankExact(candidates: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, embCol: String, idCol: String,
+                  qidCol: String, topk: Int): DataFrame = {
+    val c = clean(corpus, embCol)
+      .select(col(idCol).as("id"), eMilli(embCol).as("__ce"))
+    val q = clean(queries, embCol)
+      .select(col(qidCol).as("qid"), eMilli(embCol).as("__qe"))
+    // exact integer squared distance: coords are milli units in
+    // [0, 4000], so Σ diff² ≤ 16e6 · dim — nowhere near Long range
+    val d = aggregate(
+      zip_with(col("__ce"), col("__qe"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    candidates.select(col("qid"), col("id"))
+      .join(c, Seq("id"))
+      .join(q, Seq("qid"))
+      .withColumn("__d", d)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("__d"), col("id"))))
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("id"), col("rank").cast("long").as("rank"))
+  }
+
   /** ADC top-k over an ALREADY-ENCODED (id, cell, codes) frame — the
     * probe-time half of IVFADC, shared by the train-inline [[ivfPqTopK]]
     * and the persisted-index path (which feeds a cell-pruned scan of its

@@ -123,6 +123,10 @@ final class Catalog(val root: String) {
   /** The manifest as of commit `id` (a value from [[currentCommitId]]).
     * Throws if that commit was never made on this catalog. */
   def manifestAt(id: Long): Map[String, Map[String, String]] = {
+    // commit 0 is the EMPTY pre-history manifest (no archived file ever
+    // exists for it) — the same convention ChangeFeed and restoreTo
+    // already honor, so `snapshotAt(0)` is the empty table, not an error
+    if (id == 0) return Map.empty
     val p = historyDir.resolve(s"$id.json")
     if (!Files.exists(p))
       throw new RecordNotFoundException(s"no commit $id in ${historyDir}")

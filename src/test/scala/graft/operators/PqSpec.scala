@@ -116,4 +116,34 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
       .select("codes").as[Seq[Int]].collect()
     assert(codes.forall(_.forall(_ == 1)))
   }
+
+  test("rerankExact restores the true-distance order an ADC shortlist scrambles") {
+    val corpus = clustered()
+    val queries = corpus.filter($"vec_id" % 20 === 0 && $"vec_id" < 120)
+      .select($"vec_id".as("qid"), $"embedding")
+    // a generous ADC shortlist (all the tight-cluster ties), re-ranked
+    val shortlist = Pq.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+      "qid", nCells = 4, nProbe = 4, m = 4, k = 8, iters = 2, topk = 25)
+    val got = Pq.rerankExact(shortlist, corpus, queries,
+        "embedding", "vec_id", "qid", topk = 3)
+      .select("qid", "id", "rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // driver reference: exact milli-space distance over the SAME
+    // shortlist, same (distance, id) tie-break
+    def milli(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.max(-2000L, math.min(2000L,
+        math.round(x.toDouble * 1000))) + 2000L)
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    val cand = shortlist.select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    got.foreach { case (qid, ids) =>
+      val qe = milli(vecs(qid))
+      val expect = cand(qid)
+        .map(id => (id, milli(vecs(id)).zip(qe)
+          .map { case (a, b) => (a - b) * (a - b) }.sum))
+        .sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+      assert(ids == expect, s"qid $qid: $ids != $expect")
+      assert(ids.head == qid, "self is always the exact rank-1 hit")
+    }
+  }
 }
