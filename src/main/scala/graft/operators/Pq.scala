@@ -52,11 +52,18 @@ object Pq {
       x => greatest(lit(-2000L),
         least(lit(2000L), round(x * 1000, 0).cast("long"))) + 2000L)
 
+  /** Well-formed-embedding predicate — the [[clean]] condition as a
+    * public Column, so index maintenance can route rows that FAIL it
+    * (an update_postimage turning an embedding null/NaN must DELETE the
+    * stale codes, not silently leave them searchable). */
+  def isWellFormed(embCol: String): Column =
+    col(embCol).isNotNull &&
+      !exists(col(embCol).cast("array<double>"), x => x.isNull || isnan(x))
+
   /** Same malformed-embedding policy as [[Clustering.kmeans]]: null/NaN
     * coordinates exclude the row rather than clamp to fabricated values. */
   private def clean(points: DataFrame, embCol: String): DataFrame =
-    points.filter(col(embCol).isNotNull &&
-      !exists(col(embCol).cast("array<double>"), x => x.isNull || isnan(x)))
+    points.filter(isWellFormed(embCol))
 
   /** Codebook flattened for the codegen kernels: index
     * `(sub·k + cid−1)·ds + pos`. */

@@ -64,12 +64,18 @@ final class AnnIndex private (
   def refresh(): Option[(Long, Long)] = {
     val (coarse, cb) = codebooks()
     CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
-      val upserts = Pq.encodeIvf(
-        ch.filter(col("_change_type").isin("insert", "update_postimage")),
-        embCol, idCol, coarse, cb)
+      val arriving = ch.filter(
+        col("_change_type").isin("insert", "update_postimage"))
+      txn.upsert(codes, Seq("id"),
+        Pq.encodeIvf(arriving, embCol, idCol, coarse, cb))
+      // rows LEAVING the index: deletes, and postimages whose embedding
+      // went malformed — the encode drops those (null/NaN policy), so
+      // without an explicit delete the OLD codes would silently stay
+      // searchable for a vector that no longer exists
       val dels = ch.filter(col("_change_type") === "delete")
         .select(col(idCol).as("id"))
-      txn.upsert(codes, Seq("id"), upserts)
+        .unionByName(arriving.filter(!Pq.isWellFormed(embCol))
+          .select(col(idCol).as("id")))
       txn.deleteWhereKeysIn(codes, Seq("id"), dels)
       ()
     }

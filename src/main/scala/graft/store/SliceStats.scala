@@ -136,6 +136,7 @@ object SliceStats {
       if (page == null) return None
       val dict = page.getEncoding.initDictionary(desc, page)
       val n = dict.getMaxId + 1
+      if (n <= 0) return None // empty dictionary: nothing to vouch for
       import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
       val bf = new BlockSplitBloomFilter(
         BlockSplitBloomFilter.optimalNumOfBits(n.toLong, 0.01) / 8)

@@ -83,6 +83,26 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(codeRows(idx.codes) == expect)
   }
 
+  test("a postimage that goes malformed DELETES its codes — no stale searchable vector") {
+    val src = srcTable()
+    load(src, 1L to 20L)
+    val idx = AnnIndex.build(src, "t", "embedding", "vec_id",
+      nCells = 2, m = 2, k = 4, iters = 1)
+    assert(idx.codes.snapshot().filter(col("id") === 5L).count() == 1)
+    // the embedding of vec 5 is nulled: the encode's null/NaN policy
+    // drops the row, so the refresh must explicitly remove the old codes
+    src.updateMany(graft.query.RawCol(col("vec_id") === 5L),
+      Map("embedding" -> lit(null).cast("array<float>")))
+    assert(idx.refresh().nonEmpty)
+    assert(idx.codes.snapshot().filter(col("id") === 5L).count() == 0,
+      "stale codes for a malformed vector must not stay searchable")
+    // and a later repair re-enters the index
+    src.updateMany(graft.query.RawCol(col("vec_id") === 5L),
+      Map("embedding" -> typedLit(vec(5L))))
+    assert(idx.refresh().nonEmpty)
+    assert(idx.codes.snapshot().filter(col("id") === 5L).count() == 1)
+  }
+
   test("a refresh spanning a restoreTo converges the index to the restored corpus") {
     val src = srcTable()
     load(src, 1L to 30L)

@@ -25,10 +25,13 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
       uniqueKeys = Seq(Seq("doc_id")))
   }
 
+  private def triple(r: org.apache.spark.sql.Row): (Long, Seq[Long], Seq[Long]) =
+    (r.getLong(0),
+      Option(r.getSeq[Long](1)).map(s => s.toList: Seq[Long]).orNull,
+      Option(r.getSeq[Long](2)).map(s => s.toList: Seq[Long]).orNull)
+
   private def sketchRows(t: GraftTable): Set[(Long, Seq[Long], Seq[Long])] =
-    t.snapshot().collect().map(r => (r.getLong(0),
-      r.getSeq[Long](1).toList: Seq[Long],
-      r.getSeq[Long](2).toList: Seq[Long])).toSet
+    t.snapshot().collect().map(triple).toSet
 
   test("build persists sketches + config; refresh re-sketches only the delta") {
     val src = srcTable()
@@ -37,14 +40,17 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(idx.config() == ((3, 32, 16)))
     // the persisted sketches equal the inline operator's output exactly
     def expect() = Dedup.minhashIndex(src.snapshot(), "text", "doc_id", 3, 32)
-      .collect().map(r => (r.getLong(0),
-        r.getSeq[Long](1).toList: Seq[Long],
-        r.getSeq[Long](2).toList: Seq[Long])).toSet
+      .collect().map(triple).toSet
     assert(sketchRows(idx.sketch) == expect())
 
     src.createMany((51L to 60L).map(i => (i, text(i))).toDF("doc_id", "text"))
     src.updateMany(graft.query.RawCol(col("doc_id") === 7L),
       Map("text" -> lit(text(999L))))
+    // a doc whose text goes NULL keeps a row but loses its sketch
+    // identity (null sh/sig never band-collides) — the postimage
+    // REPLACES the old sketch, so no stale identity survives
+    src.updateMany(graft.query.RawCol(col("doc_id") === 9L),
+      Map("text" -> lit(null).cast("string")))
     src.deleteMany(graft.query.RawCol(col("doc_id") > 45L && col("doc_id") <= 50L))
     assert(idx.refresh().nonEmpty)
     assert(idx.refresh().isEmpty, "caught up")
