@@ -2139,14 +2139,19 @@ object SparkEntry {
         StructField("text", StringType, nullable = true))),
         uniqueKeys = Seq(Seq("doc_id")))
       src.createMany(docs)
-      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id")
-      val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id",
+        nBuckets = 4)
+      // the incremental batch is a QUARTER of the corpus — batch-sized
+      // work is the operator's whole point, and the full-corpus pass
+      // already happened once at build
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       src.createMany(batch)
       require(idx.refresh().nonEmpty,
         "q_dedup_persist: the insert window must drain")
       require(idx.refresh().isEmpty,
         "q_dedup_persist: caught up — a second refresh drains nothing")
-      require(idx.sketch.snapshot().count() == 2 * docs.count(),
+      require(idx.sketch.snapshot().count() == docs.count() + batch.count(),
         "q_dedup_persist: the delta must be absorbed incrementally")
       graft.store.DedupIndex.open(src, "d1", "text", "doc_id")
         .dupsAgainst(batch)
@@ -2172,7 +2177,8 @@ object SparkEntry {
         StructField("doc_id", LongType, nullable = false),
         StructField("text", StringType, nullable = true))),
         uniqueKeys = Seq(Seq("doc_id")))
-      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id")
+      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id",
+        nBuckets = 4)
       val docSchema = Tables.documents(s, dir).schema
       val appendSink = graft.streaming.StoreSink.exactlyOnceAppend(src, "ingest")
       val sinkAndRefresh: (DataFrame, Long) => Unit = (df, batchId) => {
@@ -2195,7 +2201,8 @@ object SparkEntry {
       sinkAndRefresh(docs, 0L)
       require(idx.currentThrough() == cur,
         "q_stream_index: a replayed batch must not advance the index")
-      val batch = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       graft.store.DedupIndex.open(src, "d1", "text", "doc_id")
         .dupsAgainst(batch)
         .filter(col("dup_of") === col("new_id") - 10000L)
@@ -6172,14 +6179,14 @@ object SparkEntry {
     "q_dedup_persist" -> """
       SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
              CAST(1.0 AS DOUBLE) AS jaccard
-      FROM documents ORDER BY new_id""",
+      FROM documents WHERE doc_id % 4 = 0 ORDER BY new_id""",
 
     // and through the STREAM-maintained sketch table (the mid-gate
     // REQUIREs pin the exactly-once sink/refresh composition)
     "q_stream_index" -> """
       SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
              CAST(1.0 AS DOUBLE) AS jaccard
-      FROM documents ORDER BY new_id""",
+      FROM documents WHERE doc_id % 4 = 0 ORDER BY new_id""",
 
     // bloom pre-filter + exact verify == the exact operator's output
     "q_decontaminate_bloom" -> """
