@@ -97,6 +97,17 @@ final class AnnIndex private (
       else codes.snapshotWhere(col("cell").isin(probed.map(Int.box): _*))
     Pq.searchCodes(scan, queries, embCol, qidCol, coarse, cb, nProbe, topk)
   }
+
+  /** Two-stage retrieval from the persisted artifact: [[search]]'s ADC
+    * shortlist (quantized order), then [[Pq.rerankExact]] joins the
+    * shortlist ids back to the SOURCE's full vectors for the exact
+    * final order — |Q|·shortlist re-rank rows, the corpus itself still
+    * only touched through its cell-pruned code slices plus the
+    * shortlist-id key lookup. */
+  def searchRerank(queries: DataFrame, qidCol: String, nProbe: Int,
+                   shortlist: Int, topk: Int): DataFrame =
+    Pq.rerankExact(search(queries, qidCol, nProbe, shortlist),
+      src.snapshot(), queries, embCol, idCol, qidCol, topk)
 }
 
 object AnnIndex {

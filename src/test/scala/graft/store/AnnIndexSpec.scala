@@ -83,6 +83,33 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(codeRows(idx.codes) == expect)
   }
 
+  test("searchRerank: exact final order from the persisted shortlist") {
+    val src = srcTable()
+    load(src, 1L to 40L)
+    val idx = AnnIndex.build(src, "t", "embedding", "vec_id",
+      nCells = 2, m = 2, k = 4, iters = 2)
+    val q = Seq((11L, vec(11L))).toDF("qid", "embedding")
+    val got = idx.searchRerank(q, "qid", nProbe = 2, shortlist = 10, topk = 3)
+      .orderBy(col("rank")).select("id").as[Long].collect().toSeq
+    // the synthetic vectors repeat with period 20, so vec(11) == vec(1)
+    // == vec(31): the exact re-rank ties all three at distance 0 and the
+    // id tie-break picks the smallest — exactly the deterministic
+    // contract (an ADC-only rank could order the tied trio arbitrarily
+    // by code collision)
+    assert(got.head == 1L, s"smallest distance-0 twin wins, got ${got.head}")
+    // reference: exact milli distance over the same ADC shortlist
+    val cand = idx.search(q, "qid", nProbe = 2, topk = 10)
+      .select("id").as[Long].collect().toSeq
+    def milli(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.max(-2000L, math.min(2000L,
+        math.round(x.toDouble * 1000))) + 2000L)
+    val qe = milli(vec(11L))
+    val expect = cand.map(id => (id, milli(vec(id)).zip(qe)
+        .map { case (a, b) => (a - b) * (a - b) }.sum))
+      .sortBy { case (id, d) => (d, id) }.take(3).map(_._1)
+    assert(got == expect)
+  }
+
   test("a postimage that goes malformed DELETES its codes — no stale searchable vector") {
     val src = srcTable()
     load(src, 1L to 20L)
