@@ -2409,6 +2409,49 @@ object SparkEntry {
         .orderBy(col("id_a"))
     }),
 
+    // PERSISTED media signatures (store/MaterializedColumn — the general
+    // shape behind AnnIndex/DedupIndex): the dHash decode pass runs once
+    // per ROW LIFETIME — at build for the base images, at the CDF
+    // refresh for the twins — and the near-dup probe band-joins the
+    // MATERIALIZED hashes without touching a payload byte. Output is
+    // exactly q_media_dedup's (same twins, bands, filter), so the same
+    // symbolic dHash replay gates it; the REQUIREs pin the
+    // incremental-absorption and exactly-once properties.
+    "q_media_index" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-mediaidx-q"))
+      val d = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        (lit(16) + pmod(col("doc_id"), lit(16))).cast("int").as("w"),
+        (lit(12) + pmod(col("doc_id"), lit(12))).cast("int").as("h"))
+      val src = new graft.store.GraftTable(s, cat, "media", StructType(Seq(
+        StructField("img", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true))),
+        uniqueKeys = Seq(Seq("img")))
+      src.createMany(d.select(col("id").as("img"),
+        M.bmpSynth(col("id"), col("w"), col("h")).as("payload")))
+      val derived = Seq(
+        "ok" -> element_at(M.bmpDhash(col("payload")), 1),
+        "h64" -> element_at(M.bmpDhash(col("payload")), 2))
+      val sig = graft.store.MaterializedColumn.build(src, "dhash", "img", derived)
+      src.createMany(d.select((col("id") + 1000000L).as("img"),
+        M.bmpPerturb(M.bmpSynth(col("id"), col("w"), col("h"))).as("payload")))
+      require(sig.refresh().nonEmpty,
+        "q_media_index: the twin window must drain")
+      require(sig.refresh().isEmpty,
+        "q_media_index: caught up — a second refresh drains nothing")
+      require(sig.table.snapshot().count() == 2 * d.count(),
+        "q_media_index: twins must be absorbed incrementally")
+      val hashed = graft.store.MaterializedColumn
+        .open(src, "dhash", "img", derived).frame()
+        .filter(col("ok") === 1L)
+        .select(col("id").as("img"), col("h64"))
+      Dedup.hamming64Pairs(par(s, hashed), "h64", "img",
+        maxHamming = 2, maxBucket = 1 << 20)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .orderBy(col("id_a"))
+    }),
+
     // PERCEPTUAL audio dedup — the WAV member of the sketch family
     // (SimHash:text :: dHash:image :: energy-contour fingerprint:audio):
     // every document becomes a PCM-16 RIFF/WAVE clip plus a near-dup twin
@@ -4516,7 +4559,16 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // the persistent-signature gate produces EXACTLY q_media_dedup's
+    // output (same planted twins, same band parameters, same filter) —
+    // the only difference is that the probe reads materialized hashes
+    // instead of decoding payloads, which the mid-gate REQUIREs pin
+    m + ("q_media_index" -> m("q_media_dedup"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
     "q_bpe_encode" -> bpeOracle(k = 8, depth = 16, segment = true),
 
