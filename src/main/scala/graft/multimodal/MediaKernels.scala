@@ -703,7 +703,11 @@ object MediaKernels {
   def pngSynth(id: Long, width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, "pngSynth: dims must be positive")
     val rowBytes = 3L * width
-    require(height.toLong * (1L + rowBytes) <= (Int.MaxValue - 1024).toLong,
+    // the guard admits whatever the DEFLATE worst-case bound below still
+    // fits in one array — guard and buffer must agree, or a payload the
+    // guard admits can blow the "incompressible bound" require at runtime
+    val filtLen = height.toLong * (1L + rowBytes)
+    require(filtLen + filtLen / 16383L * 5L + 64L <= Int.MaxValue.toLong,
       s"pngSynth: ${width}x$height exceeds the single-payload bound")
     val rb = rowBytes.toInt
     // unfiltered pixels, top-down (filters reference UNFILTERED
@@ -747,7 +751,13 @@ object MediaKernels {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(filtered)
     deflater.finish()
-    val zbuf = new Array[Byte](filtered.length + 1024)
+    // standard deflate worst-case bound: stored blocks add ~5 bytes per
+    // 16383-byte block (+ slack for the zlib header/trailer). A fixed
+    // +1024 slack is NOT enough — stored-block overhead passes 1 KiB
+    // once the filtered stream exceeds ~3.3 MB of incompressible data,
+    // which the dimension guard above explicitly admits.
+    val zbuf = new Array[Byte](
+      filtered.length + filtered.length / 16383 * 5 + 64)
     var zlen = 0
     while (!deflater.finished()) {
       val n = deflater.deflate(zbuf, zlen, zbuf.length - zlen)

@@ -84,7 +84,14 @@ object Profile {
       .collect()(0).getSeq[Long](0).toArray // fixed depth×width longs
     val n = grid.slice(0, width).sum // row 0 counts every non-null once
     val slack = math.ceil(math.E / width * n).toLong
-    val exact = df.groupBy(col(valCol).as("value"))
+    // Audit under Spark's OWN cast-to-string rendering — the exact
+    // string the sketch hashed (CountMin.sketch casts its child). The
+    // JVM rendering diverges for typed columns (java.sql.Timestamp
+    // appends '.0', BigDecimal keeps scale), and hashing the JVM string
+    // would miss every real increment and abort the est>=ex bound
+    // spuriously. Grouping by the cast string is also the consistent
+    // count: raw values that render identically share sketch cells.
+    val exact = df.groupBy(col(valCol).cast("string").as("value"))
       .agg(count(lit(1)).as("n_exact"))
     val auditRows =
       if (auditValues.nonEmpty)
@@ -109,8 +116,11 @@ object Profile {
       }
     }
     // recomputed as its own plan — the returned frame stays a
-    // distributed exact aggregate, same choice as cardinalityAudit
-    df.groupBy(col(valCol).as("value"))
+    // distributed exact aggregate, same choice as cardinalityAudit.
+    // Keyed by the SAME cast-string rendering the audit verified, so
+    // result keys and sketch keys always agree (a raw-typed key would
+    // split values the sketch merged).
+    df.groupBy(col(valCol).cast("string").as("value"))
       .agg(count(lit(1)).as("n_exact"))
   }
 

@@ -324,8 +324,23 @@ object ExecuteRaw {
         s"executeRaw: MERGE $branch UPDATE may not assign ON-key " +
           s"column(s) ${hit.mkString(", ")} — the update is keyed on them: $sql")
     }
-    def starSetForUpdate: Map[String, Column] =
+    def starSetForUpdate: Map[String, Column] = {
+      // Dropping an ON-key from SET * is only the identity when the
+      // same-named source column IS that key's ON pair (ON t.k = s.k).
+      // Under a cross-named pairing (ON t.k = s.j) with a source column
+      // named k also present, SQL star semantics would assign s.k — a
+      // key rewrite. Keeping the target key there would diverge
+      // SILENTLY, while the explicit form is refused loudly; refuse the
+      // star form just as loudly.
+      keys.foreach { case (tc, sc) =>
+        val sameNamed = src0.columns.find(_.equalsIgnoreCase(tc))
+        require(sameNamed.forall(_.equalsIgnoreCase(sc)),
+          s"executeRaw: MERGE UPDATE SET * would assign ON-key column " +
+            s"$tc from source column ${sameNamed.getOrElse(tc)}, which is " +
+            s"not its ON pair ($sc) — list the assignments explicitly: $sql")
+      }
       starSet.filterNot { case (n, _) => tKeys.exists(_.equalsIgnoreCase(n)) }
+    }
     def project(rows: DataFrame, set: Map[String, Column],
                 defaults: String => Column): DataFrame =
       rows.select(t.schema.fields.toIndexedSeq.map { f =>

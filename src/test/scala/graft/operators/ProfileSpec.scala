@@ -95,6 +95,17 @@ class ProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 27)
   }
 
+  test("frequencyAudit audits under Spark's cast rendering, not the JVM's") {
+    // java.sql.Timestamp.toString appends '.0' where Spark's cast does
+    // not — auditing with the JVM rendering would miss every sketch
+    // increment and abort the est >= exact bound spuriously
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val df = Seq.fill(5)(ts).toDF("v")
+    val got = Profile.frequencyAudit(df, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2026-01-01 00:00:00" -> 5L))
+  }
+
   test("frequencyAudit refuses unbounded cardinality unless values are named") {
     val df = (1 to 50).map(i => s"v-$i").toDF("v")
     // above the cap with no explicit audit set: refuse loudly (a 100 TB

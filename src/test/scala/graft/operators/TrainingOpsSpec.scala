@@ -482,6 +482,16 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(4L, 4L, 4L))
   }
 
+  test("multimodal: pngSynth survives a multi-MB payload (deflate bound)") {
+    import graft.multimodal.MediaKernels
+    // ~4.2 MB of filtered scanlines — past the point where stored-block
+    // overhead (~5 bytes / 16383) exceeds a fixed 1 KiB slack, so the
+    // output buffer must be sized by the real deflate worst-case bound
+    val big = MediaKernels.pngSynth(13L, 1400, 1000)
+    val p = MediaKernels.pngParse(big)
+    assert(p.getLong(0) == 1400 && p.getLong(1) == 1000)
+  }
+
   test("multimodal: WAV chunk walk parses around junk chunks; PCM decode is exact") {
     import graft.multimodal.MediaKernels
     val bytes = MediaKernels.wavSynth(11L, 2, 8000, 50)

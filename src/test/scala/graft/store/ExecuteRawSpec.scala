@@ -361,4 +361,35 @@ class ExecuteRawSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(out == Seq((1L, "A", 1.0)))
   }
+
+  test("MERGE: SET * under a cross-named ON pair refuses when a same-named " +
+       "source key column exists, allows when it does not") {
+    val t = acctTable(freshCatalog())
+    val tabs = Map("acct" -> t)
+    ExecuteRaw.execute(spark, tabs, "INSERT INTO acct VALUES (1, 'a', 10.0)")
+    // ON t.id = s.j while the source ALSO carries a column named id:
+    // SQL star semantics would assign s.id (a key rewrite) — silently
+    // keeping the target key would diverge, so the star is refused as
+    // loudly as the explicit form
+    Seq((99L, 1L, "A", 1.0)).toDF("id", "j", "name", "bal")
+      .createOrReplaceTempView("merge_crosskey")
+    val e = intercept[IllegalArgumentException] {
+      ExecuteRaw.execute(spark, tabs,
+        """MERGE INTO acct t USING merge_crosskey s ON t.id = s.j
+           WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(e.getMessage.contains("ON pair"))
+    assert(t.snapshot().collect().map(_.getDouble(2)).toSeq == Seq(10.0),
+      "refused star merge must stage nothing")
+    // no same-named source column for the key: dropping it from the star
+    // is pure identity — allowed, matched row updates in place
+    Seq((1L, "B", 2.0)).toDF("j", "name", "bal")
+      .createOrReplaceTempView("merge_crosskey_ok")
+    ExecuteRaw.execute(spark, tabs,
+      """MERGE INTO acct t USING merge_crosskey_ok s ON t.id = s.j
+         WHEN MATCHED THEN UPDATE SET *""")
+    val out = t.snapshot().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "B", 2.0)))
+  }
 }
