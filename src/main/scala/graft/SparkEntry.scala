@@ -3416,6 +3416,88 @@ object SparkEntry {
         .orderBy(col("fused_rank"))
     }),
 
+    // PERSISTENT BM25 index (store/Bm25Index): the inverted posting
+    // table as a catalog artifact — keyword retrieval's last per-query
+    // corpus pass removed. Build tokenizes the corpus ONCE (postings
+    // bucket-partitioned by term hash + one corpus-scalar meta row,
+    // committed with the CDF cursor); the post-build delta exercises all
+    // three signed-fold paths (inserts, deletes, in-place text updates);
+    // refresh re-tokenizes only the delta and folds N/Σdl by signed
+    // sums; the mid-gate REQUIREs pin the fold against a from-scratch
+    // recompute; the final search runs from a REOPENED handle — zero
+    // corpus jobs, the postings scan pruned to the terms' buckets.
+    "q_bm25_persist" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-bm25persist-q"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.Bm25Index.build(src, "r1", "text", "doc_id",
+        nBuckets = 8)
+      // quarter-corpus inserts, a delete stripe, an update stripe — the
+      // <10000 guards keep the mutations off the inserted copies
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      src.deleteMany(graft.query.RawCol(
+        pmod(col("doc_id"), lit(7)) === 3 && col("doc_id") < 10000L))
+      src.updateMany(graft.query.RawCol(
+        pmod(col("doc_id"), lit(11)) === 5 && col("doc_id") < 10000L),
+        Map("text" -> concat(col("text"), lit(" vector"))))
+      require(idx.refresh().nonEmpty,
+        "q_bm25_persist: the delta window must drain")
+      require(idx.refresh().isEmpty,
+        "q_bm25_persist: caught up — a second refresh drains nothing")
+      // the signed fold and the delta-tokenized postings must equal a
+      // from-scratch recompute (gate-side audit scans, not query cost)
+      val snap = src.snapshot()
+      val expect = snap.agg(count(lit(1)),
+        coalesce(sum(size(filter(split(coalesce(col("text"), lit("")),
+          " "), t => t =!= lit(""))).cast("long")), lit(0L))).collect()(0)
+      val (n1, s1, _) = idx.stats()
+      require(n1 == expect.getLong(0) && s1 == expect.getLong(1),
+        "q_bm25_persist: signed scalar fold must equal from-scratch")
+      require(idx.post.snapshot().count() ==
+        graft.store.Bm25Index.postingsOf(snap, "text", "doc_id").count(),
+        "q_bm25_persist: refreshed postings must equal from-scratch")
+      graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
+        .search(Seq("vector", "stream", "window"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // RRF composed OVER the persistent BM25 index: the keyword leg of
+    // the fusion reads postings from the catalog (bucket-pruned, zero
+    // corpus jobs), the length prior scans as before — the hybrid
+    // retrieval stack with its sparse side persisted. Same bounded
+    // top-50 heads and integer-rank output as q_rrf_fusion.
+    "q_rrf_persist" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-rrfpersist-q"))
+      val docs = Tables.documents(s, dir)
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs.select(col("doc_id"), col("text")))
+      val idx = graft.store.Bm25Index.build(src, "r1", "text", "doc_id",
+        nBuckets = 8)
+      def headRanks(scored: DataFrame,
+                    order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+        scored.orderBy(order: _*).limit(50)
+          .withColumn("r", row_number().over(w))
+          .select(col("doc_id"), col("r"))
+      }
+      val kw = headRanks(idx.search(Seq("vector")),
+        Seq(col("bm25").desc, col("doc_id").asc))
+      val len = headRanks(docs.select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      Relevance.rrf(Seq((kw, "kw"), (len, "len")), "doc_id", "r")
+        .orderBy(col("fused_rank"))
+    }),
+
     // Retrieval-quality metrics over a deterministic per-customer order
     // ranking (total price desc, orderkey tiebreak; relevant = status
     // 'F'): MRR, binary NDCG@10, precision/recall@10 per query. One
@@ -7061,6 +7143,102 @@ object SparkEntry {
         SELECT doc_id, r, 'kw' AS sys FROM kwr WHERE r <= 50
         UNION ALL SELECT doc_id, r, 'len' AS sys FROM lnr WHERE r <= 50),
       f AS (
+        SELECT doc_id,
+               sum(1.0 / (60.0 + CAST(r AS DOUBLE))) AS c,
+               CAST(max(CASE WHEN sys = 'kw' THEN r END) AS BIGINT) AS rank_kw,
+               CAST(max(CASE WHEN sys = 'len' THEN r END) AS BIGINT) AS rank_len
+        FROM u GROUP BY doc_id)
+      SELECT doc_id, rank_kw, rank_len,
+             CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INT)
+               AS fused_rank
+      FROM f ORDER BY fused_rank""",
+
+    // the persistent-index twin replays build + delta + refresh as one
+    // modified-corpus CTE, then token-BM25 (split-on-space tf/df/dl —
+    // the index's tokenized semantics, vs q_bm25's substring tf) with
+    // the identical Okapi operand order
+    "q_bm25_persist" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 5 THEN text || ' vector'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 3
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text
+        FROM documents WHERE doc_id % 4 = 0
+      ), tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM base
+      ), t AS (
+        SELECT doc_id,
+               CAST(len(w) AS DOUBLE) AS dl,
+               CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf0,
+               CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf1,
+               CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+        FROM tok
+      ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM t)
+      SELECT doc_id,
+             (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms,
+             round(
+               ln(1.0 + ((s.n - s.df0) + 0.5) / (s.df0 + 0.5))
+                 * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl))))
+               + ln(1.0 + ((s.n - s.df1) + 0.5) / (s.df1 + 0.5))
+                 * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl))))
+               + ln(1.0 + ((s.n - s.df2) + 0.5) / (s.df2 + 0.5))
+                 * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl)))),
+               6) AS bm25
+      FROM t, s
+      WHERE (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
+      ORDER BY doc_id""",
+
+    // fusion over the persisted keyword leg: replay token-BM25 for
+    // 'vector' (single term — the chain is one product), head both
+    // rankings at 50, fuse with the same 1/(60+r) contributions
+    "q_rrf_persist" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), t AS (
+        SELECT doc_id,
+               CAST(len(w) AS DOUBLE) AS dl,
+               CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf0
+        FROM tok
+      ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+        FROM t)
+      , scored AS (
+        SELECT doc_id,
+               round(
+                 ln(1.0 + ((s.n - s.df0) + 0.5) / (s.df0 + 0.5))
+                   * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl)))),
+                 6) AS bm25
+        FROM t, s WHERE tf0 > 0
+      ), kwr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM scored
+      ), lnr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+        FROM documents
+      ), u AS (
+        SELECT doc_id, r, 'kw' AS sys FROM kwr WHERE r <= 50
+        UNION ALL SELECT doc_id, r, 'len' AS sys FROM lnr WHERE r <= 50
+      ), f AS (
         SELECT doc_id,
                sum(1.0 / (60.0 + CAST(r AS DOUBLE))) AS c,
                CAST(max(CASE WHEN sys = 'kw' THEN r END) AS BIGINT) AS rank_kw,

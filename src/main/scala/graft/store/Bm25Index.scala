@@ -1,0 +1,251 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PERSISTENT keyword-relevance (BM25) index: the inverted posting table
+  * as a store object — the third leg of the retrieval tier, beside
+  * [[AnnIndex]] (dense vectors) and [[DedupIndex]] (near-dup sketches).
+  *
+  * [[graft.operators.Relevance.bm25]] recomputes N / avgdl / per-term df
+  * with a full corpus aggregation inside EVERY query — fine for a gate,
+  * wrong at 100 TB, where keyword retrieval is half of every RRF fusion
+  * and the corpus statistics change only when the corpus does. This
+  * class persists the classic IR shape in the catalog:
+  *
+  *   - `__bm25_<name>_post` — the inverted postings (term, id, tf, dl),
+  *     unique on (term, id), PARTITIONED BY `bucket` (a stable hash of
+  *     the term into `nBuckets` slices): a query reads ONLY the slices
+  *     its terms hash into (planning-time pruning via the store's
+  *     partition layout), and a refresh rewrites only the buckets its
+  *     delta's terms touch — never the corpus;
+  *   - `__bm25_<name>_meta` — one row (n_docs, sum_dl, n_buckets): the
+  *     corpus scalars N and Σdl, maintained as SIGNED sums over the
+  *     change feed (the [[MaterializedAgg]] fold algebra — count and
+  *     sum both invert exactly), plus the bucket fan-out pinned so a
+  *     reopened handle routes terms exactly as the build did.
+  *
+  * Both tables commit atomically with the change-feed cursor pinned to
+  * the indexed source commit; [[refresh]] = [[CdfTail.drainOnce]]:
+  * arriving images re-tokenize ONLY the delta, leaving images drop the
+  * posting keys they no longer assert, and the scalar fold rides the
+  * same manifest swap — crash-safe, exactly-once, OCC-fenced.
+  *
+  * Tokenization is the corpus convention every text oracle in this
+  * library shares: split on single spaces, empties dropped — pure
+  * string arithmetic an independent engine reproduces exactly, so tf,
+  * df, dl, and therefore every score term are integer-derived and the
+  * whole object is engine-portable (the `q_bm25_persist` oracle replays
+  * build + refresh + search in SQL and hash-matches).
+  *
+  * [[search]] is the query side: route the query terms to their buckets
+  * (one LocalTableScan hash job), read only those buckets' slices, take
+  * per-term df from the pruned postings and N/avgdl from the meta row —
+  * ZERO corpus jobs. Scoring mirrors [[graft.operators.Relevance.bm25]]
+  * term-for-term (same Okapi formula, same operand order) with token tf
+  * in place of substring tf, and the per-document contributions fold in
+  * a FIXED reduce chain (one pivoted row per doc), never an
+  * order-nondeterministic float SUM.
+  */
+final class Bm25Index private (
+    val src: GraftTable, val name: String,
+    val textCol: String, val idCol: String,
+    val post: GraftTable, val meta: GraftTable) {
+
+  private def consumerId = s"bm25:$name"
+
+  /** (nDocs, sumDl, nBuckets) — one bounded meta row. */
+  def stats(): (Long, Long, Int) = {
+    val r = meta.snapshot().collect()
+    require(r.length == 1, s"${meta.name}: no persisted stats — build first")
+    (r(0).getAs[Long]("n_docs"), r(0).getAs[Long]("sum_dl"),
+      r(0).getAs[Int]("n_buckets"))
+  }
+
+  /** Source commit id the postings are current through. */
+  def currentThrough(): Long = CdfTail.cursor(src, consumerId)
+
+  /** Catch the postings up with the source's change feed — one drained
+    * window, or None when caught up. Only the delta is re-tokenized;
+    * the corpus scalars fold by SIGNED deltas (count and Σdl are both
+    * sums, so deletes subtract exactly what their preimages added). */
+  def refresh(): Option[(Long, Long)] = {
+    val (_, _, nBuckets) = stats()
+    CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
+      val arriving = ch.filter(
+        col("_change_type").isin("insert", "update_postimage"))
+      val leaving = ch.filter(
+        col("_change_type").isin("delete", "update_preimage"))
+      val newPosts = Bm25Index.postingsOf(arriving, textCol, idCol)
+      // posting keys LEAVING the index: every (term, id) the old image
+      // asserted that the new image does not re-assert — an update that
+      // drops a term must drop its posting, not leave it searchable
+      val dels = Bm25Index.postingsOf(leaving, textCol, idCol)
+        .select(col("term"), col("id"))
+        .join(newPosts.select(col("term"), col("id")),
+          Seq("term", "id"), "left_anti")
+      txn.upsert(post, Seq("term", "id"),
+        Bm25Index.bucketed(newPosts, nBuckets))
+      txn.deleteWhereKeysIn(post, Seq("term", "id"), dels)
+      // signed scalar fold: inserts +1/+dl, deletes -1/-dl, update
+      // images cancel on N and net their length change on Σdl
+      val sgn = when(
+        col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      val d = ch.agg(
+        coalesce(sum(when(col("_change_type") === "insert", 1L)
+          .when(col("_change_type") === "delete", -1L)
+          .otherwise(0L)), lit(0L)).as("dn"),
+        coalesce(sum(sgn *
+          size(Bm25Index.tokens(textCol)).cast("long")), lit(0L)).as("ds"))
+        .collect()(0) // bounded: one scalar row
+      val (n0, s0, _) = stats()
+      txn.upsert(meta, Seq("mid"), src.spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(0, n0 + d.getLong(0), s0 + d.getLong(1), nBuckets)),
+        Bm25Index.metaSchema))
+      ()
+    }
+  }
+
+  /** BM25 scores for `terms` from the PERSISTED artifact: one row per
+    * document matching at least one term — (idCol, n_terms, bm25). The
+    * postings scan is partition-pruned to the terms' buckets, df comes
+    * from the pruned read (≤ |terms| collected rows), N/avgdl from the
+    * meta row: zero corpus jobs, query cost ∝ the query terms' posting
+    * lists. Same Okapi constants and operand order as
+    * [[graft.operators.Relevance.bm25]]. */
+  def search(terms: Seq[String], k1: Double = 1.2,
+             b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "no terms")
+    val (nDocs, sumDl, nBuckets) = stats()
+    require(nDocs > 0, s"${post.name}: empty corpus")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    // term → bucket through Spark's OWN hash (one LocalTableScan job) —
+    // a driver-side reimplementation of xxhash64 could silently drift
+    val sp = src.spark
+    import sp.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = post.snapshotWhere(
+      col("bucket").isin(buckets.map(Int.box): _*) &&
+        col("term").isin(terms: _*))
+    val dfMap = pruned.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pivot each doc's matched terms into ONE row, so the score folds in
+    // a fixed reduce chain (order-deterministic IEEE arithmetic — a SUM
+    // over posting rows would be partition-order-dependent)
+    val aggs = max(col("dl")).as("__dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === t, col("tf"))).as(s"__tf_$i")
+      }
+    val perDoc = pruned.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      val tf = coalesce(col(s"__tf_$i"), lit(0)).cast("double")
+      val dfT = lit(dfMap.getOrElse(t, 0L).toDouble)
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val norm = tf * (lit(k1) + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("__dl").cast("double") / lit(avgdl)))
+      (idf * norm, tf > 0)
+    }
+    val score = perTerm.map(_._1).reduce(_ + _)
+    val nMatched = perTerm.map { case (_, hit) =>
+      when(hit, 1).otherwise(0) }.reduce(_ + _)
+    perDoc
+      .withColumn("n_terms", nMatched)
+      .filter(col("n_terms") > 0)
+      .select(col("id").as(idCol), col("n_terms"),
+        round(score, 6).as("bm25"))
+  }
+}
+
+object Bm25Index {
+
+  private[store] def metaSchema = StructType(Seq(
+    StructField("mid", IntegerType, nullable = false),
+    StructField("n_docs", LongType, nullable = false),
+    StructField("sum_dl", LongType, nullable = false),
+    StructField("n_buckets", IntegerType, nullable = false)))
+
+  /** Whitespace tokens of `textCol`, empties dropped — the split-on-
+    * space corpus convention shared with the n-gram/decontamination
+    * oracles; NULL text tokenizes to the empty list. */
+  private[store] def tokens(textCol: String): Column =
+    filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= lit(""))
+
+  /** Inverted postings of `docs`: (term, id, tf, dl), one row per
+    * distinct (term, doc) pair. dl is the doc's token count — stored ON
+    * the posting so scoring never joins back to the corpus. */
+  private[graft] def postingsOf(docs: DataFrame, textCol: String,
+                                idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(textCol).as("__w"))
+      .select(col("id"), size(col("__w")).as("dl"),
+        explode(col("__w")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .select(col("term"), col("id"), col("tf"), col("dl"))
+
+  /** Stable term→slice routing: xxhash64 of the term folded positive —
+    * the same term lands in the same bucket across builds and
+    * refreshes, which is what makes query-time pruning and delta-only
+    * refreshes line up. */
+  private[store] def bucketed(posts: DataFrame, nBuckets: Int): DataFrame =
+    posts.withColumn("bucket",
+      pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+
+  private def tables(src: GraftTable, name: String,
+                     idCol: String): (GraftTable, GraftTable) = {
+    val postSchema = StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("id", src.schema(idCol).dataType, nullable = false),
+      StructField("tf", IntegerType, nullable = false),
+      StructField("dl", IntegerType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false)))
+    (new GraftTable(src.spark, src.catalog, s"__bm25_${name}_post",
+      postSchema, uniqueKeys = Seq(Seq("term", "id")),
+      partitionCols = Seq("bucket")),
+      new GraftTable(src.spark, src.catalog, s"__bm25_${name}_meta",
+        metaSchema, uniqueKeys = Seq(Seq("mid"))))
+  }
+
+  /** Tokenize the source's CURRENT snapshot and commit postings +
+    * corpus scalars + the change-feed cursor in one transaction. */
+  def build(src: GraftTable, name: String, textCol: String, idCol: String,
+            nBuckets: Int = 16): Bm25Index = {
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be positive")
+    val c0 = src.catalog.currentCommitId()
+    val snap = src.snapshotAt(c0)
+    val (post, meta) = tables(src, name, idCol)
+    // corpus scalars from the SAME snapshot the postings tokenize — one
+    // cheap count+sum scan (zero-token docs count toward N but have no
+    // postings, so the scalars cannot be folded from the posting rows)
+    val sc = snap.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(tokens(textCol)).cast("long")), lit(0L)).as("s"))
+      .collect()(0)
+    val txn = new Txn(src.catalog)
+    txn.createMany(post,
+      bucketed(postingsOf(snap, textCol, idCol), nBuckets),
+      skipDuplicates = false)
+    txn.createMany(meta, src.spark.createDataFrame(
+      java.util.Arrays.asList(Row(0, sc.getLong(0), sc.getLong(1), nBuckets)),
+      metaSchema), skipDuplicates = false)
+    txn.recordStreamBatch(src, s"cdf:bm25:$name", c0,
+      src.catalog.manifest().get(Catalog.StreamTable))
+    txn.commit()
+    new Bm25Index(src, name, textCol, idCol, post, meta)
+  }
+
+  /** Re-open a previously built index — no tokenize-the-corpus path
+    * exists here by construction; the scalars and bucket fan-out come
+    * from the meta row. */
+  def open(src: GraftTable, name: String, textCol: String,
+           idCol: String): Bm25Index = {
+    val (post, meta) = tables(src, name, idCol)
+    new Bm25Index(src, name, textCol, idCol, post, meta)
+  }
+}

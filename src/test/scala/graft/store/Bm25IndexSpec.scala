@@ -1,0 +1,135 @@
+package graft.store
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistent BM25 inverted index: tokenize-once/search-forever,
+  * signed-delta scalar maintenance, bucket-pruned refreshes, and scores
+  * identical to a from-scratch recompute. */
+class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def text(i: Long): String =
+    s"doc $i talks about topic${i % 5} and filler word${i * 13 % 17}" +
+      (if (i % 3 == 0) " vector" else "") +
+      (if (i % 4 == 0) " vector vector" else "")
+
+  private def srcTable(): GraftTable = {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-bm25idx").toString)
+    new GraftTable(spark, cat, "docs", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("doc_id")))
+  }
+
+  private def postRows(t: GraftTable): Set[(String, Long, Int, Int)] =
+    t.snapshot().select($"term", $"id", $"tf", $"dl")
+      .as[(String, Long, Int, Int)].collect().toSet
+
+  private def freshPostings(src: GraftTable): Set[(String, Long, Int, Int)] =
+    Bm25Index.postingsOf(src.snapshot(), "text", "doc_id")
+      .as[(String, Long, Int, Int)].collect().toSet
+
+  test("build persists postings + scalars; refresh folds signed deltas") {
+    val src = srcTable()
+    src.createMany((1L to 40L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 8)
+    assert(postRows(idx.post) == freshPostings(src))
+    val (n0, s0, nb) = idx.stats()
+    assert(n0 == 40L && nb == 8)
+    assert(s0 == src.snapshot().agg(sum(size(split($"text", " "))))
+      .collect()(0).getLong(0), "sum_dl equals the corpus token count")
+
+    // inserts, a text update that drops AND adds terms, a null-text
+    // update (dl goes 0, postings vanish), and deletes
+    src.createMany((41L to 50L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    src.updateMany(graft.query.RawCol($"doc_id" === 7L),
+      Map("text" -> lit("completely new words here")))
+    src.updateMany(graft.query.RawCol($"doc_id" === 9L),
+      Map("text" -> lit(null).cast("string")))
+    src.deleteMany(graft.query.RawCol($"doc_id" > 35L && $"doc_id" <= 40L))
+    assert(idx.refresh().nonEmpty)
+    assert(idx.refresh().isEmpty, "caught up")
+    assert(postRows(idx.post) == freshPostings(src),
+      "CDF-refreshed postings must equal a from-scratch tokenize")
+    val (n1, s1, _) = idx.stats()
+    val expect = src.snapshot().agg(count(lit(1)),
+      coalesce(sum(size(filter(split(coalesce($"text", lit("")), " "),
+        t => t =!= lit(""))).cast("long")), lit(0L))).collect()(0)
+    assert(n1 == expect.getLong(0) && s1 == expect.getLong(1),
+      "signed scalar fold must equal the from-scratch scalars")
+  }
+
+  test("search from a reopened handle matches an inline token-BM25 recompute") {
+    val src = srcTable()
+    src.createMany((1L to 60L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 4)
+    val idx = Bm25Index.open(src, "b", "text", "doc_id")
+    val got = idx.search(Seq("vector", "filler"))
+      .select($"doc_id", $"n_terms", $"bm25")
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // inline recompute with the same tokenized tf/df/dl and formula
+    val toks = src.snapshot().select($"doc_id",
+      filter(split($"text", " "), t => t =!= lit("")).as("w"))
+    val rows = toks.select($"doc_id", size($"w").as("dl"),
+      size(filter($"w", t => t === "vector")).as("tf0"),
+      size(filter($"w", t => t === "filler")).as("tf1"))
+      .as[(Long, Int, Int, Int)].collect()
+    val n = rows.length.toDouble
+    val avgdl = rows.map(_._2.toLong).sum.toDouble / n
+    val df0 = rows.count(_._3 > 0).toDouble
+    val df1 = rows.count(_._4 > 0).toDouble
+    def score(tf: Double, df: Double, dl: Double): Double =
+      math.log(1.0 + ((n - df) + 0.5) / (df + 0.5)) *
+        ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / avgdl))))
+    rows.filter(r => r._3 > 0 || r._4 > 0).foreach { case (id, dl, t0, t1) =>
+      val (nT, s) = got(id)
+      assert(nT == (if (t0 > 0) 1 else 0) + (if (t1 > 0) 1 else 0))
+      val exp = BigDecimal(score(t0, df0, dl) + score(t1, df1, dl))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(s == exp, s"doc $id: got $s expected $exp")
+    }
+    assert(got.keySet == rows.filter(r => r._3 > 0 || r._4 > 0)
+      .map(_._1).toSet, "only matching docs are returned")
+  }
+
+  test("a refresh rewrites only the buckets its delta's terms hash into") {
+    val src = srcTable()
+    src.createMany((1L to 80L).map(i => (i, s"stable${i} unique${i}"))
+      .toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 8)
+    val before = src.catalog.manifest()(idx.post.name)
+    assert(before.size == 8, s"expected 8 bucket slices, got ${before.size}")
+    // a one-doc, one-term delta touches at most one bucket slice
+    src.createMany(Seq((1000L, "solo")).toDF("doc_id", "text"))
+    assert(idx.refresh().nonEmpty)
+    val after = src.catalog.manifest()(idx.post.name)
+    val moved = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(moved.size == 1,
+      s"a one-term delta must rewrite exactly one bucket slice, moved $moved")
+  }
+
+  test("search's bucket predicate prunes the postings scan to one slice") {
+    val src = srcTable()
+    src.createMany((1L to 80L).map(i => (i, s"stable${i} unique${i}"))
+      .toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 8)
+    // route the term through Spark's own hash, exactly as search does
+    val b = Seq("stable7").toDF("term")
+      .select(pmod(xxhash64($"term"), lit(8)).cast("int"))
+      .collect()(0).getInt(0)
+    val (kept, total) = idx.post.prunedDirs(
+      col("bucket") === b && col("term") === "stable7")
+    assert(total == 8, s"expected 8 bucket slices, got $total")
+    assert(kept.size == 1,
+      s"a single term's scan must keep exactly its bucket's slice, kept $kept")
+    // and the search result over the pruned read is still correct
+    val hit = idx.search(Seq("stable7")).select($"doc_id")
+      .as[Long].collect().toSeq
+    assert(hit == Seq(7L))
+  }
+}
