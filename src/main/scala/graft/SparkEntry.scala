@@ -3982,6 +3982,62 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // RESTORE × PERSISTENT INDEX: the composition q_restore_cdf proves
+    // for a plain mirror, driven through a real index consumer. The
+    // corpus is corrupted (bogus inserts + a delete stripe + text
+    // rewrites), the DedupIndex absorbs the bad window, then restoreTo
+    // rolls the source back and ONE refresh must absorb the rollback as
+    // inverse deltas — delta-priced un-indexing, never a rebuild. The
+    // mid-gate REQUIREs pin the refreshed sketch table row-for-row equal
+    // to a fresh build on the restored snapshot; the output is the
+    // planted-copy probe, so the hash gate rides sketches that lived
+    // through corrupt→restore→refresh. GraftTable.restoreTo +
+    // store/DedupIndex + store/CdfTail.
+    "q_restore_index" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-restoreidx-q"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id",
+        nBuckets = 4)
+      val good = cat.currentCommitId()
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+      src.deleteMany(graft.query.RawCol(
+        pmod(col("doc_id"), lit(7)) === 2 && col("doc_id") < 20000L))
+      src.updateMany(graft.query.RawCol(
+        pmod(col("doc_id"), lit(9)) === 4 && col("doc_id") < 20000L),
+        Map("text" -> lit("corrupted text payload")))
+      require(idx.refresh().nonEmpty,
+        "q_restore_index: the bad window must drain")
+      src.restoreTo(good)
+      require(idx.refresh().nonEmpty,
+        "q_restore_index: the restore window must drain")
+      require(idx.refresh().isEmpty,
+        "q_restore_index: caught up after the rollback")
+      // the rolled-back index equals a fresh build on the restored
+      // snapshot, row for row (gate-side audit scan, not query cost)
+      val persisted = idx.sketch.snapshot().select(
+        col("id"), col("sh"), col("sig"))
+      val fresh = graft.operators.Dedup.minhashIndex(
+        src.snapshot(), "text", "doc_id")
+      require(persisted.exceptAll(fresh).limit(1).count() == 0 &&
+          fresh.exceptAll(persisted).limit(1).count() == 0,
+        "q_restore_index: refreshed index must equal a fresh build " +
+          "on the restored snapshot")
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      graft.store.DedupIndex.open(src, "d1", "text", "doc_id")
+        .dupsAgainst(batch)
+        .filter(col("dup_of") === col("new_id") - 10000L)
+        .select(col("new_id"), col("dup_of"), col("jaccard"))
+        .orderBy(col("new_id"))
+    }),
+
     // Z-order clustering end-to-end: orders loaded into the store, slice
     // rewritten Morton-ordered on (o_custkey, o_totalprice), then a
     // snapshotWhere range on BOTH clustered columns reads only the files
@@ -7518,6 +7574,13 @@ object SparkEntry {
     "q_restore_cdf" -> """
       SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
       FROM customer WHERE c_custkey <= 140 ORDER BY id""",
+
+    // corrupt → restore → refresh lands the index exactly where a fresh
+    // build on the original corpus would: the probe sees planted copies
+    "q_restore_index" -> """
+      SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
+             CAST(1.0 AS DOUBLE) AS jaccard
+      FROM documents WHERE doc_id % 4 = 0 ORDER BY new_id""",
 
     // the pinned commit predates both mutations → the original load
     "q_time_travel" -> """

@@ -122,4 +122,82 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       "codes table must equal a from-scratch re-encode under the " +
         "persisted codebooks (malformed rows absent from both sides)")
   }
+
+  test("restoreTo flows through every index refresh as inverse deltas") {
+    // corrupt → restore → refresh must land each index exactly where a
+    // fresh derivation of the restored snapshot would — the rollback is
+    // delta-priced un-indexing, never a rebuild, and mutations AFTER the
+    // restore keep composing on the same cursor.
+    def mkDocs(): GraftTable = new GraftTable(spark, freshCat(), "docs",
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("doc_id")))
+    def text(i: Long): String = s"doc $i body ${i % 5} filler shared words"
+    def corruptRestoreMutate(src: GraftTable, refresh: () => Unit): Unit = {
+      val good = src.catalog.currentCommitId()
+      src.createMany(Seq((900L, text(900L)), (901L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+      src.updateMany(graft.query.RawCol(col("doc_id") <= 5L),
+        Map("text" -> lit("corrupted payload")))
+      src.deleteMany(graft.query.RawCol(col("doc_id") > 20L))
+      refresh() // the bad window reaches the index first
+      src.restoreTo(good)
+      refresh() // the rollback arrives as inverse deltas
+      // and life goes on after the restore, same cursor
+      src.createMany(Seq((950L, text(950L))).toDF("doc_id", "text"))
+      refresh()
+    }
+
+    // DedupIndex
+    val d = mkDocs()
+    d.createMany((1L to 25L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val di = DedupIndex.build(d, "r", "text", "doc_id", nBuckets = 4)
+    corruptRestoreMutate(d, () => while (di.refresh().nonEmpty) ())
+    assert(di.sketch.snapshot().select($"id", $"sh", $"sig").collect().toSet ==
+      Dedup.minhashIndex(d.snapshot(), "text", "doc_id", 3, 32)
+        .collect().toSet,
+      "dedup sketches must equal a fresh build on the restored+mutated state")
+
+    // Bm25Index
+    val b = mkDocs()
+    b.createMany((1L to 25L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val bi = Bm25Index.build(b, "r", "text", "doc_id", nBuckets = 4)
+    corruptRestoreMutate(b, () => while (bi.refresh().nonEmpty) ())
+    assert(bi.post.snapshot().select($"term", $"id", $"tf", $"dl")
+        .collect().toSet ==
+      Bm25Index.postingsOf(b.snapshot(), "text", "doc_id").collect().toSet,
+      "postings must equal a fresh tokenize of the restored+mutated state")
+    val expectScalars = b.snapshot().agg(count(lit(1)),
+      coalesce(sum(size(filter(split(coalesce($"text", lit("")), " "),
+        t => t =!= lit(""))).cast("long")), lit(0L))).collect()(0)
+    val (n, s, _) = bi.stats()
+    assert(n == expectScalars.getLong(0) && s == expectScalars.getLong(1),
+      "scalar fold must survive the restore round-trip")
+
+    // AnnIndex (frozen codebooks; re-encode of the restored state)
+    val v = new GraftTable(spark, freshCat(), "vecs", StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true))),
+      uniqueKeys = Seq(Seq("vec_id")))
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(j => ((i * 31 + j * 7) % 17).toFloat * 0.1f - 0.8f)
+    v.createMany((1L to 25L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val ai = AnnIndex.build(v, "r", "embedding", "vec_id",
+      nCells = 2, m = 2, k = 4, iters = 1)
+    val good = v.catalog.currentCommitId()
+    v.deleteMany(graft.query.RawCol(col("vec_id") > 15L))
+    v.updateMany(graft.query.RawCol(col("vec_id") <= 3L),
+      Map("embedding" -> lit(null).cast("array<float>")))
+    while (ai.refresh().nonEmpty) ()
+    v.restoreTo(good)
+    v.createMany(Seq((950L, vec(950L))).toDF("vec_id", "embedding"))
+    while (ai.refresh().nonEmpty) ()
+    val (coarse, cb) = ai.codebooks()
+    assert(ai.codes.snapshot().collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet ==
+      Pq.encodeIvf(v.snapshot(), "embedding", "vec_id", coarse, cb).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet,
+      "codes must equal a re-encode of the restored+mutated state")
+  }
 }
