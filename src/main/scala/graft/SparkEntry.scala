@@ -3195,6 +3195,80 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN STALENESS AUDIT — the sketch-audit pattern (q_approx_distinct,
+    // q_quantile_audit) applied to vector search. Recall half: the
+    // persisted index's ADC search and two-stage rerank run BESIDE exact
+    // top-k under the SAME integer-L2 metric (rerankExact over the full
+    // query×corpus candidate set), and mean recall@5 must clear its
+    // bracket — the sampled exactness check a 100 TB deployment runs on
+    // a query panel, never the corpus. Drift half: after a shifted
+    // cohort lands (refresh encodes it with the FROZEN codebooks —
+    // correct but increasingly stale), the PSI between the training
+    // snapshot's embedding distribution and the current corpus is the
+    // retrain-due signal, REQUIREd to fire past the conventional 0.25
+    // "shifted" band. Output = the per-bin PSI frame, the same
+    // engine-portable arithmetic as q_drift. store/AnnIndex +
+    // operators/Pq.rerankExact + operators/Profile.drift.
+    "q_ann_recall_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-annaudit-q"))
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val src = new graft.store.GraftTable(s, cat, "vecs", StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true))),
+        uniqueKeys = Seq(Seq("vec_id")))
+      src.createMany(emb)
+      val c0 = cat.currentCommitId()
+      val idx = graft.store.AnnIndex.build(src, "e1", "embedding", "vec_id",
+        nCells = 4, m = 8, k = 16, iters = 2)
+      // recall audit on the training snapshot, from a REOPENED handle
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val opened = graft.store.AnnIndex.open(src, "e1", "embedding", "vec_id")
+      val exact = graft.operators.Pq.rerankExact(
+        queries.select(col("qid"))
+          .crossJoin(src.snapshot().select(col("vec_id").as("id"))),
+        src.snapshot(), queries, "embedding", "vec_id", "qid", topk = 5)
+        .select(col("qid"), col("id")).localCheckpoint()
+      def recallOf(got: DataFrame): Double =
+        got.select(col("qid"), col("id"))
+          .join(exact, Seq("qid", "id"), "left_semi").count()
+          .toDouble / exact.count()
+      // shortlist sized FROM the corpus (a constant tuned at one SF
+      // saturates at the next): a fixed 1/20 fraction keeps the
+      // shortlist/candidate ratio — and therefore recall — stable as
+      // the corpus grows; re-rank work stays |Q|*shortlist
+      val shortlist = math.max(50L, src.snapshot().count() / 20L).toInt
+      val rAdc = recallOf(opened.search(queries, "qid", nProbe = 3, topk = 5))
+      val rRerank = recallOf(opened.searchRerank(queries, "qid",
+        nProbe = 3, shortlist = shortlist, topk = 5))
+      // brackets calibrated across sf0.01/0.1/1/30x (observed rerank
+      // 0.77/0.68/1.0/1.0, ADC 0.34/0.25/1.0/1.0) with ~0.1 margin —
+      // recall is deterministic per corpus, so a breach is a real
+      // regression, not noise
+      require(rRerank >= 0.55,
+        f"q_ann_recall_audit: two-stage recall@5 $rRerank%.3f under bracket")
+      require(rAdc >= 0.15,
+        f"q_ann_recall_audit: ADC recall@5 $rAdc%.3f under bracket")
+      require(rRerank >= rAdc - 1e-9,
+        "q_ann_recall_audit: exact re-rank must not lose recall vs ADC")
+      // drift half: a +0.5 shifted cohort arrives; the frozen-codebook
+      // refresh stays exact (IndexMaintenanceSpec owns that), but the
+      // training snapshot no longer represents the corpus — PSI fires
+      src.createMany(emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+        .select((col("vec_id") + 20000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+      require(idx.refresh().nonEmpty,
+        "q_ann_recall_audit: the drift window must drain")
+      val drift = operators.Profile.drift(
+        src.snapshotAt(c0).select(try_element_at(col("embedding"), lit(1)).as("e1")),
+        src.snapshot().select(try_element_at(col("embedding"), lit(1)).as("e1")),
+        "e1", binWidth = 0.1)
+      require(drift.agg(sum(col("psi"))).collect()(0).getDouble(0) > 0.25,
+        "q_ann_recall_audit: the retrain-due signal must fire past 0.25")
+      drift.orderBy(col("bin"))
+    }),
+
     // Two-stage retrieval (the production ANN pattern): IVFADC produces
     // a 20-candidate shortlist per query through the compressed-code
     // scan, then the EXACT integer distance over the full vectors
@@ -7208,6 +7282,39 @@ object SparkEntry {
              CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INT)
                AS fused_rank
       FROM f ORDER BY fused_rank""",
+
+    // drift half of the ANN staleness audit: PSI between the training
+    // snapshot (the raw embeddings load) and the corpus after the +0.5f
+    // shifted cohort — float addition is IEEE single in both engines,
+    // binning and the PSI arithmetic mirror q_drift term-for-term
+    "q_ann_recall_audit" -> """
+      WITH a AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.1) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_a
+        FROM embeddings WHERE embedding[1] IS NOT NULL GROUP BY 1
+      ), cur AS (
+        SELECT embedding[1] AS e1 FROM embeddings
+        UNION ALL
+        SELECT embedding[1] + CAST(0.5 AS FLOAT) AS e1
+        FROM embeddings WHERE vec_id % 3 = 0
+      ), b AS (
+        SELECT CAST(floor(CAST(e1 AS DOUBLE) / 0.1) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_b
+        FROM cur WHERE e1 IS NOT NULL GROUP BY 1
+      ), j AS (
+        SELECT coalesce(a.bin, b.bin) AS bin,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM a FULL OUTER JOIN b ON a.bin = b.bin
+      ), t AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+               CAST(count(*) AS BIGINT) AS k
+        FROM j
+      )
+      SELECT bin, n_a, n_b,
+             round(((n_a + 1.0) / (ta + k) - (n_b + 1.0) / (tb + k))
+                   * ln(((n_a + 1.0) / (ta + k)) / ((n_b + 1.0) / (tb + k))),
+                   6) AS psi
+      FROM j CROSS JOIN t ORDER BY bin""",
 
     // the persistent-index twin replays build + delta + refresh as one
     // modified-corpus CTE, then token-BM25 (split-on-space tf/df/dl —
