@@ -3188,6 +3188,22 @@ object SparkEntry {
         "q_ann_persist: refresh must not retrain — model slices stay put")
       require(idx.refresh().isEmpty,
         "q_ann_persist: caught up — a second refresh drains nothing")
+      // LIFECYCLE COMPOSITION: compact the cell-partitioned codes table
+      // (build + refresh left multi-file slices) and assert the probe's
+      // partition-scoped scan shape SURVIVES the rewrite — a compaction
+      // that lost the sidecar stats or the slice layout would silently
+      // fall back to scanning every cell. The final search then rides
+      // the compacted files, so the hash gate proves the rewrite kept
+      // the data byte-exact too.
+      require(idx.codes.compact(maxFiles = 0) >= 1,
+        "q_ann_persist: the codes table must have slices to compact")
+      val someCell = idx.codes.snapshot().select(col("cell"))
+        .limit(1).collect()(0).getInt(0)
+      val probe0 = idx.codes.snapshotWhere(col("cell") === someCell)
+      require(probe0.inputFiles.nonEmpty && probe0.inputFiles.forall(
+          _.contains(s"/${idx.codes.name}/cell=$someCell/")),
+        "q_ann_persist: a one-cell probe must plan only that cell's " +
+          "files after compaction")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding"))
       graft.store.AnnIndex.open(src, "e1", "embedding", "vec_id")

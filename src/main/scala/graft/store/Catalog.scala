@@ -234,6 +234,41 @@ final class Catalog(val root: String) {
     * RecordNotFoundException ("no commit <id>"). */
   def vacuum(retainMs: Long = 0, keepHistory: Int = Int.MaxValue): Unit = {
     val cur = manifest()
+    // CURSOR-AWARE RETENTION: a CDF consumer's next drain diffs
+    // manifestAt(cursor) against head, reading the cursor manifest's
+    // slice versions as preimages (ChangeFeed.changesBetween). Time-based
+    // retention cannot see cursors, so vacuum(0) on a catalog with a
+    // LAGGING index/mirror would strand exactly the versions the next
+    // refresh needs. Every `cdf:` watermark therefore pins (a) its
+    // archived manifest and (b) the slice versions that manifest
+    // references FOR ITS TABLE, regardless of retainMs. StoreSink batch
+    // watermarks are batch ids, not commit ids — excluded by the prefix.
+    val cursors: Seq[(String, Long)] =
+      cur.getOrElse(Catalog.StreamTable, Map.empty).toSeq.flatMap {
+        case (key, v) =>
+          val i = key.indexOf(':') // both halves url-encoded → first ':'
+          if (i < 0) None
+          else {
+            val table = java.net.URLDecoder.decode(
+              key.substring(0, i), StandardCharsets.UTF_8.name())
+            val sid = java.net.URLDecoder.decode(
+              key.substring(i + 1), StandardCharsets.UTF_8.name())
+            if (sid.startsWith("cdf:")) v.toLongOption.map(table -> _)
+            else None
+          }
+      }.filter(_._2 > 0)
+    val pinnedIds = cursors.map(_._2).toSet
+    // (table, partition key) → versions some cursor manifest still needs;
+    // a cursor whose manifest was already reclaimed by an earlier,
+    // pre-cursor-aware vacuum is skipped (nothing left to protect)
+    val pinned: Map[(String, String), Set[String]] = cursors
+      .flatMap { case (t, c) =>
+        scala.util.Try(manifestAt(c)).toOption.toSeq
+          .flatMap(_.getOrElse(t, Map.empty).toSeq.map {
+            case (pk, ver) => ((t, pk), ver)
+          })
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     if (keepHistory != Int.MaxValue && Files.exists(historyDir)) {
       // Only numeric manifests count — a stray non-numeric .json (crash
       // leftover, editor artifact) must not abort the whole vacuum.
@@ -241,6 +276,7 @@ final class Catalog(val root: String) {
         .collect { case s if s.matches("\\d+\\.json") => s.stripSuffix(".json").toLong }
         .sorted(Ordering[Long].reverse)
       ids.drop(math.max(keepHistory, 1))
+        .filterNot(pinnedIds.contains)
         .foreach(id => Files.deleteIfExists(historyDir.resolve(s"$id.json")))
     }
     val cutoff = System.currentTimeMillis() - retainMs
@@ -252,9 +288,11 @@ final class Catalog(val root: String) {
           listDir(tableDir)
             .filter(p => Files.isDirectory(p)).foreach { partDir =>
               val pk = partDir.getFileName.toString
+              val held = pinned.getOrElse((table, pk), Set.empty)
               listDir(partDir)
                 .filter(p => Files.isDirectory(p))
                 .filter(p => !keep.get(pk).contains(p.getFileName.toString))
+                .filter(p => !held.contains(p.getFileName.toString))
                 .filter(p => retainMs <= 0 ||
                   Files.getLastModifiedTime(p).toMillis < cutoff)
                 .foreach(deleteRecursively)

@@ -45,8 +45,13 @@ final class DedupIndex private (
   private def consumerId = s"dedup:$name"
 
   /** (k, numHashes, nBuckets) the corpus was sketched under — one
-    * bounded row. */
-  def config(): (Int, Int, Int) = {
+    * bounded row. PRIVATE to the store layer by design: the sketch
+    * family is an internal contract between the meta row and the probe
+    * paths ([[refresh]]/[[dupsAgainst]] read it themselves). Handing the
+    * params out would invite a caller to run
+    * `Dedup.minhashIncremental` AROUND the handle with its own k —
+    * which silently finds nothing the moment the families diverge. */
+  private[store] def config(): (Int, Int, Int) = {
     val r = meta.snapshot().collect()
     require(r.length == 1, s"${meta.name}: no persisted config — build first")
     (r(0).getAs[Int]("k"), r(0).getAs[Int]("num_hashes"),

@@ -72,6 +72,23 @@ class DedupIndexSpec extends AnyFunSuite with SparkTestBase {
       s"a one-doc delta must rewrite exactly one bucket slice, moved $moved")
   }
 
+  test("a reopened handle probes under a NON-DEFAULT persisted family") {
+    // the sketch-family params are private to the handle (config() is
+    // store-internal): the only probe path reads the meta row, so a
+    // build under k=4/numHashes=16 must be found by an open() that was
+    // never told those values — a handle probing defaults instead would
+    // band-join sketches of different widths and silently find nothing
+    val src = srcTable()
+    src.createMany((1L to 30L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    DedupIndex.build(src, "d", "text", "doc_id", k = 4, numHashes = 16)
+    val got = DedupIndex.open(src, "d", "text", "doc_id")
+      .dupsAgainst(Seq((100L, text(5L))).toDF("doc_id", "text"))
+      .filter($"dup_of" === 5L)
+      .select($"new_id", $"jaccard").as[(Long, Double)].collect().toMap
+    assert(got(100L) == 1.0,
+      "exact copy must pair at 1.0 under the persisted non-default family")
+  }
+
   test("a reopened handle probes with the persisted config and finds near-dups") {
     val src = srcTable()
     src.createMany((1L to 40L).map(i => (i, text(i))).toDF("doc_id", "text"))

@@ -123,6 +123,75 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
         "persisted codebooks (malformed rows absent from both sides)")
   }
 
+  test("vacuum never strands a lagging index cursor (slices or history)") {
+    val src = new GraftTable(spark, freshCat(), "docs", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("doc_id")))
+    def text(i: Long): String = s"doc $i body ${i % 5} filler shared words"
+    src.createMany((1L to 25L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val idx = DedupIndex.build(src, "v", "text", "doc_id", nBuckets = 4)
+    // mutate WITHOUT refreshing — the cursor now lags behind head, and
+    // its next drain needs the cursor manifest + its slice versions as
+    // the preimage baseline
+    src.updateMany(graft.query.RawCol(col("doc_id") <= 5L),
+      Map("text" -> lit(text(777L))))
+    src.deleteMany(graft.query.RawCol(col("doc_id") > 20L))
+    src.createMany(Seq((30L, text(30L))).toDF("doc_id", "text"))
+    // the most aggressive retention: without cursor-aware pinning this
+    // reclaims exactly the versions and the history manifest the lagging
+    // refresh is about to read
+    src.catalog.vacuum(retainMs = 0, keepHistory = 1)
+    while (idx.refresh().nonEmpty) ()
+    assert(idx.sketch.snapshot().select($"id", $"sh", $"sig")
+        .collect().toSet ==
+      Dedup.minhashIndex(src.snapshot(), "text", "doc_id", 3, 32)
+        .collect().toSet,
+      "a lagging cursor must survive vacuum(0) and land exactly")
+    // caught up: the cursor pins only head now, vacuum stays safe
+    src.catalog.vacuum(retainMs = 0, keepHistory = 1)
+    assert(idx.refresh().isEmpty)
+    assert(idx.sketch.snapshot().count() == src.snapshot().count())
+  }
+
+  test("compaction of a bucket-partitioned index table preserves pruning") {
+    val src = new GraftTable(spark, freshCat(), "docs", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("doc_id")))
+    def text(i: Long): String = s"word${i} doc $i shared filler body"
+    src.createMany((1L to 40L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "c", "text", "doc_id", nBuckets = 4)
+    // a few refreshes fragment the bucket slices (each upsert writes a
+    // fresh file set per touched slice)
+    (41L to 44L).foreach { i =>
+      src.createMany(Seq((i, text(i))).toDF("doc_id", "text"))
+      while (idx.refresh().nonEmpty) ()
+    }
+    val before = Bm25Index.postingsOf(src.snapshot(), "text", "doc_id")
+      .collect().toSet
+    assert(idx.post.compact(maxFiles = 0) == 4,
+      "every bucket slice must compact")
+    // partition-scoped pruning must survive the rewrite: a one-bucket
+    // predicate keeps exactly one slice dir, and the files the scan
+    // plans over all live under it
+    val b = Seq("word7").toDF("term")
+      .select(pmod(xxhash64($"term"), lit(4)).cast("int"))
+      .collect()(0).getInt(0)
+    val (kept, total) = idx.post.prunedDirs(col("bucket") === b)
+    assert(total == 4 && kept.size == 1,
+      s"post-compaction pruning must keep 1 of 4 slices, kept $kept")
+    val scan = idx.post.snapshotWhere(col("bucket") === b && $"term" === "word7")
+    assert(scan.inputFiles.nonEmpty &&
+      scan.inputFiles.forall(_.contains(s"/${idx.post.name}/bucket=$b/")),
+      "the pruned scan must plan only the probed bucket's files")
+    // and the data is untouched: postings and search agree with pre-compact
+    assert(idx.post.snapshot().select($"term", $"id", $"tf", $"dl")
+      .collect().toSet == before)
+    assert(idx.search(Seq("word7")).select($"doc_id").as[Long]
+      .collect().toSeq == Seq(7L))
+  }
+
   test("restoreTo flows through every index refresh as inverse deltas") {
     // corrupt → restore → refresh must land each index exactly where a
     // fresh derivation of the restored snapshot would — the rollback is
