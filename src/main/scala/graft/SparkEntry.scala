@@ -2327,6 +2327,33 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // REAL DICTIONARY-CODER parse, pure JVM: build a GIF89a per document
+    // (256-entry id-derived global palette, GCE + comment extension
+    // blocks forcing a genuine block walk, the index plane LZW-coded
+    // with variable-width 9→12-bit codes split into sub-blocks), then
+    // parse the bytes back — block walk, LZW decode, palette-mapped
+    // channel sums. GIF is palette-indexed, so the oracle replays the
+    // index formula + palette formulas symbolically; any slip in bit
+    // packing, width growth, or the KwKwK case corrupts the sums.
+    // multimodal/MediaKernels.gifSynth/gifParse.
+    "q_media_gif" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(19)) + 2).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(13)) + 3).cast("int").as("h"))
+      d.withColumn("p", M.gifParse(M.gifSynth(col("id"), col("w"), col("h"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("gct_size"),
+          element_at(col("p"), 4).as("min_code_size"),
+          element_at(col("p"), 5).as("sum_r"),
+          element_at(col("p"), 6).as("sum_g"),
+          element_at(col("p"), 7).as("sum_b"))
+        .orderBy(col("id"))
+    }),
+
     // REAL RIFF/WAVE parse: build a PCM-16 file per document with an
     // id-derived junk LIST chunk BETWEEN fmt and data (a parser that
     // assumes fixed offsets instead of walking chunks fails), then parse
@@ -6717,6 +6744,28 @@ object SparkEntry {
              CAST(sum((x*11 + y*3 + id*5) % 251) AS BIGINT) AS sum_g,
              CAST(sum((x*5 + y*17 + id*3) % 239) AS BIGINT) AS sum_r
       FROM px GROUP BY id, w, h ORDER BY id""",
+
+    // the GIF builder+decoder replayed symbolically: the LZW layer
+    // cancels out (decode is exact reconstruction), leaving the index
+    // formula routed through the palette formulas
+    "q_media_gif" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 19 + 2 AS w, doc_id % 13 + 3 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      ), ix AS (
+        SELECT id, w, h, (x*7 + y*13 + id) % 256 AS i FROM px
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(256 AS BIGINT) AS gct_size,
+             CAST(8 AS BIGINT) AS min_code_size,
+             CAST(sum((i*5 + id*3) % 239) AS BIGINT) AS sum_r,
+             CAST(sum((i*11 + id*5) % 251) AS BIGINT) AS sum_g,
+             CAST(sum((i*7 + id) % 256) AS BIGINT) AS sum_b
+      FROM ix GROUP BY id, w, h ORDER BY id""",
 
     // the RIFF/WAVE builder+parser replayed symbolically: chunk
     // arithmetic for the derived header fields, the PCM sample formula

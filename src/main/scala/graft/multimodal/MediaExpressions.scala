@@ -261,6 +261,42 @@ object MediaExpressions {
       copy(child = newChild)
   }
 
+  /** (id, width, height) → complete GIF89a file bytes (256-entry global
+    * palette, extension blocks, variable-width LZW image data). */
+  case class GifSynth(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "gif_synth"
+
+    override def nullSafeEval(id: Any, w: Any, h: Any): Any =
+      MediaKernels.gifSynth(id.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, w, h) =>
+        s"graft.multimodal.MediaKernels.gifSynth($i, $w, $h)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** GIF bytes → [width, height, gct_size, min_code_size, sum_r, sum_g,
+    * sum_b]; all(-1) when not a well-formed single-frame GIF. */
+  case class GifParse(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "gif_parse"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.gifParse(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.gifParse($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def bmpSynth(id: Column, width: Column, height: Column): Column =
@@ -270,6 +306,9 @@ object MediaExpressions {
   def pngSynth(id: Column, width: Column, height: Column): Column =
     column(PngSynth(expression(id), expression(width), expression(height)))
   def pngParse(payload: Column): Column = column(PngParse(expression(payload)))
+  def gifSynth(id: Column, width: Column, height: Column): Column =
+    column(GifSynth(expression(id), expression(width), expression(height)))
+  def gifParse(payload: Column): Column = column(GifParse(expression(payload)))
   def bmpPerturb(payload: Column): Column = column(BmpPerturb(expression(payload)))
   def wavSynth(id: Column, channels: Column, sampleRate: Column, frames: Column): Column =
     column(WavSynth(expression(id), expression(channels),

@@ -900,4 +900,292 @@ object MediaKernels {
     new GenericArrayData(Array(width.toLong, height.toLong, depth.toLong,
       ctype.toLong, sumR, sumG, sumB))
   }
+
+  // ============================================================= GIF
+  // A SECOND compressed codec in pure JVM code — GIF (CompuServe 87a/89a
+  // spec, public knowledge end to end) with a hand-rolled variable-width
+  // LZW coder: where PNG proved the boundary carries DEFLATE, this
+  // proves it carries a dictionary coder with growing code widths,
+  // mid-stream dictionary resets, and the palette-indexed pixel model.
+  // GIF is palette-indexed (≤256 colors), so the pixel model differs
+  // from BMP/PNG's truecolor formulas by construction: the INDEX plane
+  // reuses the pxB formula and the palette entries are their own
+  // id-derived formulas — both pure integer arithmetic the oracle
+  // replays symbolically.
+
+  @inline private def gifIdx(id: Long, x: Int, y: Int): Int =
+    ((x * 7L + y * 13L + id) % 256).toInt
+  @inline private def palR(id: Long, i: Int): Int = ((i * 5L + id * 3L) % 239).toInt
+  @inline private def palG(id: Long, i: Int): Int = ((i * 11L + id * 5L) % 251).toInt
+  @inline private def palB(id: Long, i: Int): Int = ((i * 7L + id) % 256).toInt
+
+  private def putLE16b(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >>> 8) & 0xff)
+  }
+
+  /** GIF-variant LZW encode of `idx` (byte symbols), minimum code size 8:
+    * 9→12-bit growing codes, LSB-first bit packing, CLEAR emitted first
+    * and again whenever the dictionary fills at 4096 (the spec's reset
+    * protocol), EOI last. Width grows when the NEXT free code would not
+    * fit — one step AFTER the decoder's (the decoder's adds lag the
+    * encoder's by exactly one emission, hence its rule is
+    * `nextCode == 1<<width` while ours is `== (1<<width)+1`). */
+  private def lzwEncode(idx: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val Clear = 256; val Eoi = 257
+    var acc = 0L; var nbits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = 258
+    def reset(): Unit = { dict = new java.util.HashMap(); nextCode = 258; width = 9 }
+    put(Clear)
+    var w = -1
+    var i = 0
+    while (i < idx.length) {
+      val k = idx(i) & 0xff
+      if (w < 0) w = k
+      else {
+        val key = Integer.valueOf((w << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          put(w)
+          if (nextCode == 4096) { put(Clear); reset() }
+          else {
+            dict.put(key, Integer.valueOf(nextCode)); nextCode += 1
+            if (nextCode == (1 << width) + 1 && width < 12) width += 1
+          }
+          w = k
+        }
+      }
+      i += 1
+    }
+    if (w >= 0) put(w)
+    put(Eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt) // flush the partial byte
+    out.toByteArray
+  }
+
+  /** Build a complete GIF89a: header, logical screen descriptor, a
+    * 256-entry global color table from the palette formulas, a Graphic
+    * Control Extension AND a Comment extension between screen and image
+    * (the extension-walk probes, like PNG's tEXt), one non-interlaced
+    * image descriptor, the LZW stream split into ≤255-byte sub-blocks,
+    * trailer. Index plane = the pxB formula, so decode sums are pure
+    * symbolic arithmetic over (x, y, id). */
+  def gifSynth(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "gifSynth: dims must be positive")
+    require(width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= (64L << 20),
+      s"gifSynth: ${width}x$height exceeds the single-payload bound")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("ISO-8859-1"))
+    putLE16b(out, width); putLE16b(out, height)
+    out.write(0xf7) // GCT present, color res 7, 2^(7+1)=256 entries
+    out.write(0); out.write(0) // bg index, aspect
+    var i = 0
+    while (i < 256) {
+      out.write(palR(id, i)); out.write(palG(id, i)); out.write(palB(id, i))
+      i += 1
+    }
+    // Graphic Control Extension (89a): fixed 4-byte block
+    out.write(0x21); out.write(0xf9); out.write(4)
+    out.write(0); putLE16b(out, (id % 100).toInt); out.write(0); out.write(0)
+    // Comment extension with an id-derived payload
+    val comment = s"id ${id % 1000}".getBytes("ISO-8859-1")
+    out.write(0x21); out.write(0xfe); out.write(comment.length)
+    out.write(comment, 0, comment.length); out.write(0)
+    // image descriptor: full-screen, no local table, non-interlaced
+    out.write(0x2c)
+    putLE16b(out, 0); putLE16b(out, 0)
+    putLE16b(out, width); putLE16b(out, height)
+    out.write(0)
+    out.write(8) // LZW minimum code size for 256-color data
+    val idx = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        idx(y * width + x) = gifIdx(id, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val z = lzwEncode(idx)
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      out.write(n); out.write(z, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  private val GifFail = new GenericArrayData(Array.fill(7)(-1L))
+
+  /** Parse a GIF from its actual bytes: 87a/89a header, logical screen
+    * descriptor, global color table, a REAL block walk (extensions
+    * skipped sub-block by sub-block), the first image's LZW stream
+    * reassembled and decoded with a full variable-width decoder (9→12
+    * bits, CLEAR resets, the code==next special case), palette-mapped
+    * channel sums. Returns [width, height, gct_size, min_code_size,
+    * sum_r, sum_g, sum_b]; all(-1) for anything malformed — truncation,
+    * bad codes, pixel overruns and underruns all fail closed, the same
+    * never-throw contract as bmpParse/pngParse. */
+  def gifParse(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 14) return GifFail
+    val hdr = new String(bytes, 0, 6, "ISO-8859-1")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return GifFail
+    val sw = getLE16(bytes, 6); val sh = getLE16(bytes, 8)
+    val packed = bytes(10) & 0xff
+    var off = 13
+    var gct: Array[Byte] = null
+    var gctSize = 0
+    if ((packed & 0x80) != 0) {
+      gctSize = 2 << (packed & 7)
+      if (off + 3 * gctSize > bytes.length) return GifFail
+      gct = java.util.Arrays.copyOfRange(bytes, off, off + 3 * gctSize)
+      off += 3 * gctSize
+    }
+    // block walk to the first image descriptor
+    var iw = -1; var ih = -1; var minCode = -1
+    var pal: Array[Byte] = null; var palSize = 0
+    val z = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (off >= bytes.length) return GifFail
+      (bytes(off) & 0xff) match {
+        case 0x3b => // trailer before any image: malformed for our model
+          if (iw < 0) return GifFail
+          done = true
+        case 0x21 => // extension: label + sub-blocks until terminator
+          off += 2
+          var n = if (off < bytes.length) bytes(off) & 0xff else return GifFail
+          while (n != 0) {
+            off += 1 + n
+            if (off >= bytes.length) return GifFail
+            n = bytes(off) & 0xff
+          }
+          off += 1
+        case 0x2c =>
+          if (iw >= 0) return GifFail // a second frame: out of contract
+          if (off + 10 > bytes.length) return GifFail
+          iw = getLE16(bytes, off + 5); ih = getLE16(bytes, off + 7)
+          val ip = bytes(off + 9) & 0xff
+          off += 10
+          if ((ip & 0x80) != 0) { // local color table wins over global
+            palSize = 2 << (ip & 7)
+            if (off + 3 * palSize > bytes.length) return GifFail
+            pal = java.util.Arrays.copyOfRange(bytes, off, off + 3 * palSize)
+            off += 3 * palSize
+          } else { pal = gct; palSize = gctSize }
+          if (off >= bytes.length) return GifFail
+          minCode = bytes(off) & 0xff
+          off += 1
+          var n = if (off < bytes.length) bytes(off) & 0xff else return GifFail
+          while (n != 0) {
+            if (off + 1 + n > bytes.length) return GifFail
+            z.write(bytes, off + 1, n)
+            off += 1 + n
+            if (off >= bytes.length) return GifFail
+            n = bytes(off) & 0xff
+          }
+          off += 1
+        case _ => return GifFail
+      }
+    }
+    if (iw <= 0 || ih <= 0 || pal == null || minCode < 2 || minCode > 8 ||
+      iw.toLong * ih > (64L << 20)) return GifFail
+    if (sw < iw || sh < ih) return GifFail
+
+    // variable-width LZW decode (LSB-first), output capped at iw*ih
+    val data = z.toByteArray
+    val nPix = iw * ih
+    val indices = new Array[Byte](nPix)
+    val Clear = 1 << minCode; val Eoi = Clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var nextCode = Eoi + 1
+    var width = minCode + 1
+    var acc = 0L; var nbits = 0; var pos = 0
+    var outPos = 0
+    var prev = -1
+    var firstChar = 0
+    var corrupt = false
+    var eoi = false
+    def read(): Int = {
+      while (nbits < width && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nbits
+        nbits += 8; pos += 1
+      }
+      if (nbits < width) -1
+      else {
+        val c = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; nbits -= width
+        c
+      }
+    }
+    while (!eoi && !corrupt) {
+      val c = read()
+      if (c < 0) corrupt = true
+      else if (c == Clear) {
+        nextCode = Eoi + 1; width = minCode + 1; prev = -1
+      } else if (c == Eoi) {
+        eoi = true
+      } else if (prev < 0) { // first code after a clear: a literal
+        if (c >= Clear || outPos >= nPix) corrupt = true
+        else {
+          indices(outPos) = c.toByte; outPos += 1
+          firstChar = c; prev = c
+        }
+      } else if (c > nextCode) corrupt = true
+      else {
+        // expand c (or the just-about-to-exist code) onto the stack
+        var sp = 0
+        var cur = c
+        if (c == nextCode) { stack(sp) = firstChar.toByte; sp += 1; cur = prev }
+        while (cur >= Clear + 2 && sp < stack.length) {
+          stack(sp) = suffix(cur); sp += 1; cur = prefix(cur)
+        }
+        if (cur >= Clear) { corrupt = true }
+        else {
+          stack(sp) = cur.toByte; sp += 1
+          firstChar = cur
+          if (outPos + sp > nPix) corrupt = true
+          else {
+            var j = sp - 1
+            while (j >= 0) { indices(outPos) = stack(j); outPos += 1; j -= 1 }
+            if (nextCode < 4096) {
+              prefix(nextCode) = prev; suffix(nextCode) = firstChar.toByte
+              nextCode += 1
+              if (nextCode == (1 << width) && width < 12) width += 1
+            }
+            prev = c
+          }
+        }
+      }
+    }
+    if (corrupt || !eoi || outPos != nPix) return GifFail
+
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var p = 0
+    while (p < nPix) {
+      val ix = indices(p) & 0xff
+      if (ix >= palSize) return GifFail
+      sumR += pal(3 * ix) & 0xff
+      sumG += pal(3 * ix + 1) & 0xff
+      sumB += pal(3 * ix + 2) & 0xff
+      p += 1
+    }
+    new GenericArrayData(Array(iw.toLong, ih.toLong, palSize.toLong,
+      minCode.toLong, sumR, sumG, sumB))
+  }
 }

@@ -78,6 +78,24 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for the palette-indexed compressed codec: the full GIF
+    * read path — block walk, variable-width LZW (9→12 bits, CLEAR
+    * resets, the code==next KwKwK case), palette-mapped channel sums
+    * ([[MediaKernels.gifParse]]) — behind the same boundary. Emits
+    * [mean_r, mean_g, mean_b] in [0, 1] like its BMP/PNG siblings. */
+  final class GifPixelDecoder extends MediaDecoder {
+    val dim = 3
+    def decode(payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return null
+      val p = MediaKernels.gifParse(payload)
+      if (p.getLong(0) < 0) return null
+      val n = (p.getLong(0) * p.getLong(1)).toFloat // width * height
+      Array(p.getLong(4) / (255.0f * n),            // sum_r
+        p.getLong(5) / (255.0f * n),                // sum_g
+        p.getLong(6) / (255.0f * n))                // sum_b
+    }
+  }
+
   /** Stable fake decoder for formats whose codecs live outside this
     * container (JPEG/MP3/H.264): features are a seeded hash cascade of
     * the bytes — deterministic, mixes with payload content, right shape.

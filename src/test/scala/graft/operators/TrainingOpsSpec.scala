@@ -482,6 +482,48 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(4L, 4L, 4L))
   }
 
+  test("multimodal: GIF round-trips through variable-width LZW; corrupt fails closed") {
+    import graft.multimodal.{MediaExpressions, MediaKernels, Multimodal}
+    val gif = MediaKernels.gifSynth(7L, 5, 6)
+    val p = MediaKernels.gifParse(gif)
+    assert(p.getLong(0) == 5 && p.getLong(1) == 6)
+    assert(p.getLong(2) == 256 && p.getLong(3) == 8)
+    // sums replay the symbolic model: palette[idx(x,y)] summed over pixels
+    def idx(x: Int, y: Int) = ((x * 7L + y * 13L + 7L) % 256).toInt
+    val px = for (y <- 0 until 6; x <- 0 until 5) yield idx(x, y)
+    assert(p.getLong(4) == px.map(i => (i * 5L + 7L * 3L) % 239).sum)
+    assert(p.getLong(5) == px.map(i => (i * 11L + 7L * 5L) % 251).sum)
+    assert(p.getLong(6) == px.map(i => (i * 7L + 7L) % 256).sum)
+    // a LARGE image forces code-width growth past 9/10/11 bits and a
+    // mid-stream dictionary behavior a tiny image never reaches
+    val big = MediaKernels.gifSynth(3L, 300, 200)
+    val bp = MediaKernels.gifParse(big)
+    assert(bp.getLong(0) == 300 && bp.getLong(1) == 200)
+    val bigPx = for (y <- 0 until 200; x <- 0 until 300)
+      yield ((x * 7L + y * 13L + 3L) % 256).toInt
+    assert(bp.getLong(4) == bigPx.map(i => (i * 5L + 3L * 3L) % 239).sum,
+      "width-growth path must reconstruct every index exactly")
+    // the GifPixelDecoder behind the MediaDecoder boundary agrees
+    val f = new Multimodal.GifPixelDecoder().decode(gif)
+    assert(math.abs(f(0) - p.getLong(4) / (255.0f * 30)) < 1e-6)
+    // corrupt payloads fail closed, never throw
+    assert(MediaKernels.gifParse("nope".getBytes).getLong(0) == -1L)
+    assert(MediaKernels.gifParse(gif.take(40)).getLong(0) == -1L)
+    assert(MediaKernels.gifParse(null).getLong(0) == -1L)
+    val badLzw = gif.clone(); badLzw(gif.length - 3) = 0x7f
+    assert(MediaKernels.gifParse(badLzw).getLong(0) == -1L ||
+      MediaKernels.gifParse(badLzw).getLong(4) != p.getLong(4),
+      "a flipped LZW byte must fail closed or change the sums")
+    // 1x1 edge (single literal + EOI) round-trips
+    assert(MediaKernels.gifParse(MediaKernels.gifSynth(3L, 1, 1)).getLong(0) == 1L)
+    // expression level, inside a plan
+    val out = spark.range(1, 4).select(
+      MediaExpressions.gifParse(MediaExpressions.gifSynth(
+        $"id", lit(4).cast("int"), lit(6).cast("int"))).as("p"))
+      .select(element_at($"p", 1)).as[Long].collect()
+    assert(out.toSeq == Seq(4L, 4L, 4L))
+  }
+
   test("multimodal: pngSynth survives a multi-MB payload (deflate bound)") {
     import graft.multimodal.MediaKernels
     // ~4.2 MB of filtered scanlines — past the point where stored-block
