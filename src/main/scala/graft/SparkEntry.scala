@@ -2354,6 +2354,35 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // REAL TRANSFORM-codec parse, pure JVM — baseline JPEG, the dominant
+    // crawl format: build a T.81 baseline file per document (DQT/DHT
+    // segments, spec example Huffman tables, SOF0, restart intervals,
+    // byte-stuffed entropy data), then parse the bytes back — marker
+    // walk, Huffman tables built FROM the file, zigzag, dequant,
+    // separable IDCT, RSTn resets. Exactness is number theory, not a
+    // stub: constant 8×8 blocks under DC quant step 8 reconstruct
+    // bit-exactly through the full real pipeline, so the oracle replays
+    // the block formulas symbolically; the AC/gradient path is
+    // spec-covered with error bounds. multimodal/MediaKernels.jpegSynth/
+    // jpegParse.
+    "q_media_jpeg" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(21)) + 4).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(15)) + 4).cast("int").as("h"))
+      d.withColumn("p", M.jpegParse(M.jpegSynth(col("id"), col("w"), col("h"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("n_components"),
+          element_at(col("p"), 4).as("restart_interval"),
+          element_at(col("p"), 5).as("sum_y"),
+          element_at(col("p"), 6).as("sum_cb"),
+          element_at(col("p"), 7).as("sum_cr"))
+        .orderBy(col("id"))
+    }),
+
     // REAL RIFF/WAVE parse: build a PCM-16 file per document with an
     // id-derived junk LIST chunk BETWEEN fmt and data (a parser that
     // assumes fixed offsets instead of walking chunks fails), then parse
@@ -6743,6 +6772,26 @@ object SparkEntry {
              CAST(sum((x*7 + y*13 + id) % 256) AS BIGINT) AS sum_b,
              CAST(sum((x*11 + y*3 + id*5) % 251) AS BIGINT) AS sum_g,
              CAST(sum((x*5 + y*17 + id*3) % 239) AS BIGINT) AS sum_r
+      FROM px GROUP BY id, w, h ORDER BY id""",
+
+    // the JPEG builder+decoder replayed symbolically: Huffman/zigzag/
+    // quant/IDCT cancel out under the constant-block DC-step-8 contract,
+    // leaving the per-block plane formulas summed over the pixel crop
+    "q_media_jpeg" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 21 + 4 AS w, doc_id % 15 + 4 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS n_components,
+             CAST(id % 3 + 1 AS BIGINT) AS restart_interval,
+             CAST(sum(((x//8)*5 + (y//8)*17 + id*3) % 256) AS BIGINT) AS sum_y,
+             CAST(sum(((x//8)*11 + (y//8)*3 + id*5) % 256) AS BIGINT) AS sum_cb,
+             CAST(sum(((x//8)*7 + (y//8)*13 + id) % 256) AS BIGINT) AS sum_cr
       FROM px GROUP BY id, w, h ORDER BY id""",
 
     // the GIF builder+decoder replayed symbolically: the LZW layer

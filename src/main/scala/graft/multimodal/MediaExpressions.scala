@@ -297,6 +297,44 @@ object MediaExpressions {
       copy(child = newChild)
   }
 
+  /** (id, width, height) → complete baseline JPEG file bytes (block-
+    * constant YCbCr planes — the exact-round-trip contract — with a
+    * restart interval, spec example Huffman tables via DHT). */
+  case class JpegSynth(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "jpeg_synth"
+
+    override def nullSafeEval(id: Any, w: Any, h: Any): Any =
+      MediaKernels.jpegSynth(id.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, w, h) =>
+        s"graft.multimodal.MediaKernels.jpegSynth($i, $w, $h)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** JPEG bytes → [width, height, n_components, restart_interval, sum_y,
+    * sum_cb, sum_cr]; all(-1) when not a well-formed baseline 4:4:4 or
+    * grayscale JPEG. */
+  case class JpegParse(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "jpeg_parse"
+
+    override def nullSafeEval(bytes: Any): Any =
+      MediaKernels.jpegParse(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.multimodal.MediaKernels.jpegParse($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def bmpSynth(id: Column, width: Column, height: Column): Column =
@@ -309,6 +347,9 @@ object MediaExpressions {
   def gifSynth(id: Column, width: Column, height: Column): Column =
     column(GifSynth(expression(id), expression(width), expression(height)))
   def gifParse(payload: Column): Column = column(GifParse(expression(payload)))
+  def jpegSynth(id: Column, width: Column, height: Column): Column =
+    column(JpegSynth(expression(id), expression(width), expression(height)))
+  def jpegParse(payload: Column): Column = column(JpegParse(expression(payload)))
   def bmpPerturb(payload: Column): Column = column(BmpPerturb(expression(payload)))
   def wavSynth(id: Column, channels: Column, sampleRate: Column, frames: Column): Column =
     column(WavSynth(expression(id), expression(channels),

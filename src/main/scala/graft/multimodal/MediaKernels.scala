@@ -1188,4 +1188,531 @@ object MediaKernels {
     new GenericArrayData(Array(iw.toLong, ih.toLong, palSize.toLong,
       minCode.toLong, sumR, sumG, sumB))
   }
+
+  // ============================================================ JPEG
+  // The dominant crawl format, in pure JVM code — baseline sequential
+  // JPEG (ITU T.81, public spec end to end): marker walk, DQT/DHT table
+  // parsing, canonical Huffman decode over the byte-stuffed entropy
+  // stream, zigzag + dequant, separable IDCT, restart intervals. The
+  // decoder is GENERAL for the 8-bit 4:4:4 (and grayscale) baseline
+  // subset and builds its Huffman tables from the FILE's DHT segments,
+  // never from shared constants — so it is not entangled with the
+  // encoder below.
+  //
+  // The encoder exists for the oracle gate and the round-trip spec. Gate
+  // exactness rides a number-theoretic choice, not a stub: with DC
+  // quantization step 8, a CONSTANT 8×8 block value v has DCT
+  // (8·(v−128), 0, …), quantizes to the exact integer v−128, and
+  // reconstructs to exactly v through any correct IDCT — so block-
+  // constant images round-trip EXACTLY through the full real pipeline
+  // (Huffman, zigzag, quant, IDCT), and the oracle replays the sums
+  // symbolically. The spec additionally drives the AC path with a full
+  // forward-DCT encode of a non-trivial image and bounds the error.
+
+  private val Zig: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // T.81 Annex K example Huffman tables (the spec's own published
+  // tables): (bits per code length 1..16, symbol values). The decoder
+  // NEVER reads these — it builds tables from the file's DHT bytes.
+  private val DcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).map(_.toByte).toArray
+  private val DcChrBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChrVals = (0 to 11).map(_.toByte).toArray
+  private val AcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+  private val AcChrBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChrVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  // quant tables: DC step 8 (the exact-constant-block contract above),
+  // AC step 16 — one for luma, one for chroma, emitted via DQT
+  private val QLum: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+  private val QChr: Array[Int] = QLum.clone()
+
+  // C(u)·cos((2x+1)uπ/16), shared by the forward and inverse transforms
+  // (computed once — a per-coefficient math.cos would dominate the codec)
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16) *
+      (if (u == 0) 1.0 / math.sqrt(2) else 1.0))
+
+  /** Huffman ENCODE side of one (bits, vals) table: symbol → (code, len)
+    * by the canonical T.81 assignment. */
+  private def huffEncTable(bits: Array[Int], vals: Array[Byte]): Array[Int] = {
+    // packed (len << 16 | code), indexed by symbol
+    val out = new Array[Int](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out(vals(k) & 0xff) = (len << 16) | code
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        val b = ((acc >>> (n - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0) // byte stuffing
+        n -= 8
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (T.81's fill convention). */
+    def align(): Unit = if (n > 0) put(0xff, 8 - n)
+  }
+
+  /** DC/AC coefficient magnitude category (number of magnitude bits). */
+  @inline private def cat(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode one quantized block (natural order) into the bit stream;
+    * returns the block's DC for the caller's predictor. */
+  private def encodeBlock(bw: BitWriter, q: Array[Int], pred: Int,
+                          dcTab: Array[Int], acTab: Array[Int]): Int = {
+    val diff = q(0) - pred
+    val s = cat(diff)
+    val dc = dcTab(s)
+    bw.put(dc & 0xffff, dc >>> 16)
+    if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var run = 0
+    var zi = 1
+    while (zi < 64) {
+      val v = q(Zig(zi))
+      if (v == 0) run += 1
+      else {
+        while (run >= 16) {
+          val zrl = acTab(0xf0); bw.put(zrl & 0xffff, zrl >>> 16); run -= 16
+        }
+        val sa = cat(v)
+        val code = acTab((run << 4) | sa)
+        bw.put(code & 0xffff, code >>> 16)
+        bw.put(if (v < 0) v + (1 << sa) - 1 else v, sa)
+        run = 0
+      }
+      zi += 1
+    }
+    if (run > 0) { val eob = acTab(0); bw.put(eob & 0xffff, eob >>> 16) }
+    q(0)
+  }
+
+  /** Forward 8×8 DCT (double, separable) + quantization — the general
+    * encode path the round-trip spec drives; [[jpegSynth]]'s constant
+    * blocks are the special case whose DC survives exactly. `px` is the
+    * 64-entry block in [0, 255] natural order. */
+  private def fdctQuant(px: Array[Int], qt: Array[Int]): Array[Int] = {
+    val f = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            sum += (px(y * 8 + x) - 128) * CosT(x)(u) * CosT(y)(v)
+            y += 1
+          }
+          x += 1
+        }
+        f(v * 8 + u) = 0.25 * sum
+        v += 1
+      }
+      u += 1
+    }
+    Array.tabulate(64)(i => math.round(f(i) / qt(i)).toInt)
+  }
+
+  /** Encode an arbitrary 3-plane 4:4:4 YCbCr image as a baseline JPEG —
+    * SOI, JFIF APP0, two DQTs, four DHTs (the spec's example tables),
+    * SOF0, DRI (restart interval in MCUs, 0 = none), SOS, entropy data
+    * with RSTn markers, EOI. Planes are w×h row-major in [0, 255]. */
+  def jpegEncode(y: Array[Int], cb: Array[Int], cr: Array[Int],
+                 w: Int, h: Int, restartInterval: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
+      y.length == w * h && cb.length == w * h && cr.length == w * h,
+      "jpegEncode: bad plane shape")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >>> 8)
+      out.write((body.length + 2) & 0xff); out.write(body, 0, body.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(id: Int, q: Array[Int]): Array[Byte] = {
+      val b = new Array[Byte](65); b(0) = id.toByte
+      var i = 0
+      while (i < 64) { b(1 + i) = q(Zig(i)).toByte; i += 1 } // zigzag order
+      b
+    }
+    seg(0xdb, dqt(0, QLum)); seg(0xdb, dqt(1, QChr))
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](17 + vals.length)
+      b(0) = ((cls << 4) | id).toByte
+      var i = 1
+      while (i <= 16) { b(i) = bits(i).toByte; i += 1 }
+      System.arraycopy(vals, 0, b, 17, vals.length)
+      b
+    }
+    seg(0xc4, dht(0, 0, DcLumBits, DcLumVals))
+    seg(0xc4, dht(1, 0, AcLumBits, AcLumVals))
+    seg(0xc4, dht(0, 1, DcChrBits, DcChrVals))
+    seg(0xc4, dht(1, 1, AcChrBits, AcChrVals))
+    // SOF0: 8-bit, h×w, 3 components, all 1×1 sampling (4:4:4)
+    seg(0xc0, Array[Byte](8,
+      (h >>> 8).toByte, (h & 0xff).toByte,
+      (w >>> 8).toByte, (w & 0xff).toByte, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    if (restartInterval > 0)
+      seg(0xdd, Array[Byte]((restartInterval >>> 8).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+
+    val dcLum = huffEncTable(DcLumBits, DcLumVals)
+    val acLum = huffEncTable(AcLumBits, AcLumVals)
+    val dcChr = huffEncTable(DcChrBits, DcChrVals)
+    val acChr = huffEncTable(AcChrBits, AcChrVals)
+    val bw = new BitWriter(out)
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    val preds = new Array[Int](3)
+    var mcu = 0; var rst = 0
+    def block(plane: Array[Int], x0: Int, y0: Int): Array[Int] = {
+      // edge blocks pad by replicating the last row/column (the standard
+      // encoder choice; a constant block stays constant under it)
+      Array.tabulate(64) { i =>
+        val x = math.min(x0 + i % 8, w - 1); val yy = math.min(y0 + i / 8, h - 1)
+        plane(yy * w + x)
+      }
+    }
+    var myy = 0
+    while (myy < by) {
+      var mx = 0
+      while (mx < bx) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.align()
+          marker(0xd0 + rst); rst = (rst + 1) % 8
+          preds(0) = 0; preds(1) = 0; preds(2) = 0
+        }
+        preds(0) = encodeBlock(bw, fdctQuant(block(y, mx * 8, myy * 8), QLum),
+          preds(0), dcLum, acLum)
+        preds(1) = encodeBlock(bw, fdctQuant(block(cb, mx * 8, myy * 8), QChr),
+          preds(1), dcChr, acChr)
+        preds(2) = encodeBlock(bw, fdctQuant(block(cr, mx * 8, myy * 8), QChr),
+          preds(2), dcChr, acChr)
+        mcu += 1
+        mx += 1
+      }
+      myy += 1
+    }
+    bw.align()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Build a baseline JPEG whose 8×8 blocks are CONSTANT in YCbCr —
+    * block (bx, by) of image `id` carries the id-derived formulas below —
+    * so the full real pipeline reconstructs every plane EXACTLY (the DC
+    * step-8 contract) and the oracle replays the sums symbolically. A
+    * restart interval derived from id exercises the RSTn path. */
+  def jpegSynth(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpegSynth: dims must be positive")
+    require(width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= (64L << 20),
+      s"jpegSynth: ${width}x$height exceeds the single-payload bound")
+    def plane(f: (Long, Int, Int) => Int): Array[Int] =
+      Array.tabulate(width * height)(i => f(id, (i % width) / 8, (i / width) / 8))
+    val y = plane((i, bx, by) => ((bx * 5L + by * 17L + i * 3L) % 256).toInt)
+    val cb = plane((i, bx, by) => ((bx * 11L + by * 3L + i * 5L) % 256).toInt)
+    val cr = plane((i, bx, by) => ((bx * 7L + by * 13L + i) % 256).toInt)
+    jpegEncode(y, cb, cr, width, height, restartInterval = (id % 3).toInt + 1)
+  }
+
+  private val JpegFail = new GenericArrayData(Array.fill(7)(-1L))
+
+  /** Canonical Huffman DECODE table built from a DHT segment's
+    * (bits, vals): arrays of (minCode, maxCode, valPtr) per length. */
+  private final class HuffDec(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l); k += bits(l)
+        maxCode(l) = if (bits(l) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int =
+      vals(valPtr(len) + (code - minCode(len))) & 0xff
+  }
+
+  /** Parse a baseline JPEG from its actual bytes: marker walk (APPn/COM
+    * skipped, DQT/DHT/DRI/SOF0/SOS honored), Huffman tables built FROM
+    * THE FILE, byte-stuffed entropy decode with restart handling, zigzag
+    * + dequant + separable IDCT per block, per-plane sums over the w×h
+    * crop. Supports the 8-bit baseline 4:4:4 (and 1-component grayscale)
+    * subset; everything else — progressive, subsampled, 12-bit, bad
+    * codes, truncation, pixel overruns — fails closed. Returns
+    * [width, height, n_components, restart_interval, sum_y, sum_cb,
+    * sum_cr] (grayscale: cb/cr sums 0). */
+  def jpegParse(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null || bytes.length < 4) return JpegFail
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return JpegFail
+    var off = 2
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var w = -1; var h = -1; var nc = -1
+    var ri = 0
+    // per component: quant table id, dc table id, ac table id
+    val compQ = new Array[Int](3); val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (off + 4 > bytes.length) return JpegFail
+      if ((bytes(off) & 0xff) != 0xff) return JpegFail
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xd9) return JpegFail // EOI before any scan
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (len < 2 || off + 2 + len > bytes.length) return JpegFail
+      val body = off + 4
+      val bodyLen = len - 2
+      m match {
+        case 0xdb => // DQT: one or more 8-bit tables
+          var p = body
+          while (p < body + bodyLen) {
+            val pq = (bytes(p) & 0xff) >>> 4
+            val tq = bytes(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > body + bodyLen) return JpegFail
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) { q(Zig(i)) = bytes(p + 1 + i) & 0xff; i += 1 }
+            qtabs(tq) = q
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = body
+          while (p < body + bodyLen) {
+            if (p + 17 > body + bodyLen) return JpegFail
+            val cls = (bytes(p) & 0xff) >>> 4
+            val id = bytes(p) & 0x0f
+            if (cls > 1 || id > 3) return JpegFail
+            val bits = new Array[Int](17)
+            var total = 0
+            var i = 1
+            while (i <= 16) {
+              bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
+            }
+            if (total > 256 || p + 17 + total > body + bodyLen) return JpegFail
+            val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
+            val t = new HuffDec(bits, vals)
+            if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+            p += 17 + total
+          }
+        case 0xc0 => // SOF0 baseline
+          if (bodyLen < 6) return JpegFail
+          if ((bytes(body) & 0xff) != 8) return JpegFail
+          h = ((bytes(body + 1) & 0xff) << 8) | (bytes(body + 2) & 0xff)
+          w = ((bytes(body + 3) & 0xff) << 8) | (bytes(body + 4) & 0xff)
+          nc = bytes(body + 5) & 0xff
+          if ((nc != 1 && nc != 3) || bodyLen < 6 + 3 * nc) return JpegFail
+          var c = 0
+          while (c < nc) {
+            val samp = bytes(body + 7 + 3 * c) & 0xff
+            if (samp != 0x11) return JpegFail // 4:4:4 / grayscale only
+            compQ(c) = bytes(body + 8 + 3 * c) & 0x0f
+            c += 1
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return JpegFail // non-baseline SOF: out of the supported subset
+        case 0xdd =>
+          if (bodyLen < 2) return JpegFail
+          ri = ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
+        case 0xda =>
+          if (w < 0) return JpegFail
+          val ns = bytes(body) & 0xff
+          if (ns != nc || bodyLen < 1 + 2 * ns + 3) return JpegFail
+          var c = 0
+          while (c < ns) {
+            compDc(c) = (bytes(body + 2 + 2 * c) & 0xff) >>> 4
+            compAc(c) = bytes(body + 2 + 2 * c) & 0x0f
+            c += 1
+          }
+          sosAt = body + bodyLen
+        case _ => () // APPn, COM, others: skipped
+      }
+      off += 2 + len
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return JpegFail
+    var c = 0
+    while (c < nc) {
+      if (qtabs(compQ(c)) == null || dcTabs(compDc(c)) == null ||
+        acTabs(compAc(c)) == null) return JpegFail
+      c += 1
+    }
+
+    // entropy decode from sosAt: MSB-first bits, 0xFF00 unstuffed, RSTn
+    var pos = sosAt
+    var acc = 0L; var nbits = 0
+    var truncated = false
+    def fill(): Unit =
+      while (nbits <= 56 && pos < bytes.length && !truncated) {
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          val nb = if (pos + 1 < bytes.length) bytes(pos + 1) & 0xff else -1
+          if (nb == 0) { acc = (acc << 8) | 0xff; nbits += 8; pos += 2 }
+          else return // a real marker: stop feeding bits
+        } else { acc = (acc << 8) | b; nbits += 8; pos += 1 }
+      }
+    def bit(): Int = {
+      if (nbits == 0) fill()
+      if (nbits == 0) { truncated = true; 0 }
+      else { nbits -= 1; ((acc >>> nbits) & 1L).toInt }
+    }
+    def bitsN(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def huff(t: HuffDec): Int = {
+      var code = bit(); var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        code = (code << 1) | bit(); l += 1
+      }
+      if (l > 16 || truncated) { truncated = true; 0 }
+      else t.value(l, code)
+    }
+    @inline def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    val sums = new Array[Long](3)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val preds = new Array[Int](3)
+    var mcu = 0
+    var myy = 0
+    while (myy < by && !truncated) {
+      var mx = 0
+      while (mx < bx && !truncated) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          // byte-align, expect RSTn, reset predictors
+          nbits -= nbits % 8
+          fill()
+          if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+            (bytes(pos + 1) & 0xff) >= 0xd0 && (bytes(pos + 1) & 0xff) <= 0xd7) {
+            pos += 2; acc = 0L; nbits = 0
+            preds(0) = 0; preds(1) = 0; preds(2) = 0
+          } else return JpegFail
+        }
+        var comp = 0
+        while (comp < nc && !truncated) {
+          java.util.Arrays.fill(coef, 0)
+          val s = huff(dcTabs(compDc(comp)))
+          if (s > 11) return JpegFail
+          preds(comp) += extend(bitsN(s), s)
+          coef(0) = preds(comp)
+          var zi = 1
+          while (zi < 64 && !truncated) {
+            val rs = huff(acTabs(compAc(comp)))
+            val r = rs >>> 4; val sa = rs & 0x0f
+            if (sa == 0) {
+              if (r == 15) zi += 16 // ZRL
+              else zi = 64          // EOB
+            } else {
+              zi += r
+              if (zi > 63) return JpegFail
+              coef(Zig(zi)) = extend(bitsN(sa), sa)
+              zi += 1
+            }
+          }
+          // dequant + separable IDCT + level shift, summed over the crop
+          val qt = qtabs(compQ(comp))
+          var i = 0
+          while (i < 64) { tmp(i) = coef(i).toDouble * qt(i); i += 1 }
+          var x = 0
+          while (x < 8) {
+            var yy = 0
+            while (yy < 8) {
+              val px0 = mx * 8 + x; val py0 = myy * 8 + yy
+              if (px0 < w && py0 < h) {
+                var sum = 0.0
+                var u = 0
+                while (u < 8) {
+                  var v = 0
+                  while (v < 8) {
+                    sum += CosT(x)(u) * CosT(yy)(v) * tmp(v * 8 + u)
+                    v += 1
+                  }
+                  u += 1
+                }
+                val pix = math.round(sum / 4.0 + 128.0)
+                sums(comp) += math.max(0L, math.min(255L, pix))
+              }
+              yy += 1
+            }
+            x += 1
+          }
+          comp += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      myy += 1
+    }
+    if (truncated) return JpegFail
+    new GenericArrayData(Array(w.toLong, h.toLong, nc.toLong, ri.toLong,
+      sums(0), sums(1), sums(2)))
+  }
 }

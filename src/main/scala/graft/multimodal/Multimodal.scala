@@ -96,8 +96,27 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder for the dominant crawl format: the full baseline JPEG
+    * read path — marker walk, DHT-built Huffman decode, zigzag, dequant,
+    * IDCT, restart intervals ([[MediaKernels.jpegParse]]) — behind the
+    * same boundary. Emits [mean_y, mean_cb, mean_cr] in [0, 1] (the
+    * codec layer stops at YCbCr; color transforms are a feature-layer
+    * concern). */
+  final class JpegPixelDecoder extends MediaDecoder {
+    val dim = 3
+    def decode(payload: Array[Byte]): Array[Float] = {
+      if (payload == null) return null
+      val p = MediaKernels.jpegParse(payload)
+      if (p.getLong(0) < 0) return null
+      val n = (p.getLong(0) * p.getLong(1)).toFloat // width * height
+      Array(p.getLong(4) / (255.0f * n),            // sum_y
+        p.getLong(5) / (255.0f * n),                // sum_cb
+        p.getLong(6) / (255.0f * n))                // sum_cr
+    }
+  }
+
   /** Stable fake decoder for formats whose codecs live outside this
-    * container (JPEG/MP3/H.264): features are a seeded hash cascade of
+    * container (MP3/H.264): features are a seeded hash cascade of
     * the bytes — deterministic, mixes with payload content, right shape.
     * A production build swaps its codec in behind [[MediaDecoder]];
     * [[BmpPixelDecoder]] shows the boundary carrying a real decode. */

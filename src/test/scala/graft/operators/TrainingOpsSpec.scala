@@ -524,6 +524,65 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.toSeq == Seq(4L, 4L, 4L))
   }
 
+  test("multimodal: baseline JPEG round-trips block-constant planes exactly; " +
+       "the AC path reconstructs a gradient within quantization error") {
+    import graft.multimodal.{MediaExpressions, MediaKernels, Multimodal}
+    // exact contract: constant 8x8 blocks + DC quant step 8 survive the
+    // full real pipeline (Huffman, zigzag, quant, IDCT) bit-exactly
+    val id = 11L; val w = 20; val h = 13 // non-multiple-of-8: edge padding
+    val jpg = MediaKernels.jpegSynth(id, w, h)
+    val p = MediaKernels.jpegParse(jpg)
+    assert(p.getLong(0) == w && p.getLong(1) == h)
+    assert(p.getLong(2) == 3 && p.getLong(3) == id % 3 + 1)
+    def planeSum(a: Long, b: Long, c: Long): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield ((x / 8) * a + (y / 8) * b + id * c) % 256).sum
+    assert(p.getLong(4) == planeSum(5, 17, 3), "sum_y exact")
+    assert(p.getLong(5) == planeSum(11, 3, 5), "sum_cb exact")
+    assert(p.getLong(6) == planeSum(7, 13, 1), "sum_cr exact")
+    // restart intervals really fire: 20x13 -> 3x2 = 6 MCUs, ri in 1..3
+    assert(jpg.sliding(2).count(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7) >= 1,
+      "RSTn markers must appear in the entropy stream")
+    // general AC path: a full forward-DCT encode of a smooth gradient
+    // decodes within quantization error (per-pixel mean |err| bounded)
+    val gw = 32; val gh = 24
+    def grad(k: Int) = Array.tabulate(gw * gh)(i =>
+      ((i % gw) * 2 + (i / gw) * 3 + k * 20) % 200 + 20)
+    val (gy, gcb, gcr) = (grad(0), grad(1), grad(2))
+    val gp = MediaKernels.jpegParse(
+      MediaKernels.jpegEncode(gy, gcb, gcr, gw, gh, restartInterval = 0))
+    assert(gp.getLong(0) == gw && gp.getLong(3) == 0)
+    Seq((gy, gp.getLong(4)), (gcb, gp.getLong(5)), (gcr, gp.getLong(6)))
+      .foreach { case (plane, got) =>
+        val want = plane.map(_.toLong).sum
+        assert(math.abs(got - want) <= 4L * gw * gh,
+          s"AC reconstruction drift: got $got want $want")
+      }
+    // the decoder boundary twin
+    val f = new Multimodal.JpegPixelDecoder().decode(jpg)
+    assert(math.abs(f(0) - p.getLong(4) / (255.0f * w * h)) < 1e-6)
+    // corrupt payloads fail closed, never throw: garbage, truncation,
+    // a progressive SOF, a flipped entropy byte
+    assert(MediaKernels.jpegParse("nope".getBytes).getLong(0) == -1L)
+    assert(MediaKernels.jpegParse(jpg.take(60)).getLong(0) == -1L)
+    assert(MediaKernels.jpegParse(null).getLong(0) == -1L)
+    val prog = jpg.clone()
+    // SOF0 marker byte 0xc0 -> 0xc2 (progressive): scan for FF C0
+    val sof = jpg.sliding(2).indexWhere(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc0)
+    prog(sof + 1) = 0xc2.toByte
+    assert(MediaKernels.jpegParse(prog).getLong(0) == -1L,
+      "progressive SOF is outside the supported subset -> fail closed")
+    // 1x1 edge and expression level inside a plan
+    assert(MediaKernels.jpegParse(MediaKernels.jpegSynth(3L, 1, 1)).getLong(0) == 1L)
+    val out = spark.range(1, 4).select(
+      MediaExpressions.jpegParse(MediaExpressions.jpegSynth(
+        $"id", lit(9).cast("int"), lit(10).cast("int"))).as("p"))
+      .select(element_at($"p", 1)).as[Long].collect()
+    assert(out.toSeq == Seq(9L, 9L, 9L))
+  }
+
   test("multimodal: pngSynth survives a multi-MB payload (deflate bound)") {
     import graft.multimodal.MediaKernels
     // ~4.2 MB of filtered scanlines — past the point where stored-block
