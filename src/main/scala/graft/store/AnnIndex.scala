@@ -66,17 +66,23 @@ final class AnnIndex private (
     CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
       val arriving = ch.filter(
         col("_change_type").isin("insert", "update_postimage"))
-      txn.upsert(codes, Seq("id"),
-        Pq.encodeIvf(arriving, embCol, idCol, coarse, cb))
+      val ups = Pq.encodeIvf(arriving, embCol, idCol, coarse, cb)
       // rows LEAVING the index: deletes, and postimages whose embedding
       // went malformed — the encode drops those (null/NaN policy), so
       // without an explicit delete the OLD codes would silently stay
-      // searchable for a vector that no longer exists
+      // searchable for a vector that no longer exists. One combined
+      // MERGE staging (upsert-then-delete would execute the next-state
+      // plan and rewrite the touched cell slices twice); delete images
+      // only contribute their key — cell/codes are placeholders.
       val dels = ch.filter(col("_change_type") === "delete")
         .select(col(idCol).as("id"))
         .unionByName(arriving.filter(!Pq.isWellFormed(embCol))
           .select(col(idCol).as("id")))
-      txn.deleteWhereKeysIn(codes, Seq("id"), dels)
+        .withColumn("cell", lit(0).cast("int"))
+        .withColumn("codes", lit(null).cast("array<int>"))
+      txn.applyChanges(codes,
+        ups.withColumn("_change_type", lit("insert"))
+          .unionByName(dels.withColumn("_change_type", lit("delete"))))
       ()
     }
   }

@@ -71,36 +71,45 @@ final class Bm25Index private (
     * the corpus scalars fold by SIGNED deltas (count and Σdl are both
     * sums, so deletes subtract exactly what their preimages added). */
   def refresh(): Option[(Long, Long)] = {
-    val (_, _, nBuckets) = stats()
+    val (n0, s0, nBuckets) = stats()
     CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
-      val arriving = ch.filter(
+      // the manifest-diff plan runs ONCE; the tokenize passes, the
+      // scalar fold, and the staging all read the materialized delta
+      val chk = ch.localCheckpoint()
+      val arriving = chk.filter(
         col("_change_type").isin("insert", "update_postimage"))
-      val leaving = ch.filter(
+      val leaving = chk.filter(
         col("_change_type").isin("delete", "update_preimage"))
-      val newPosts = Bm25Index.postingsOf(arriving, textCol, idCol)
-      // posting keys LEAVING the index: every (term, id) the old image
-      // asserted that the new image does not re-assert — an update that
-      // drops a term must drop its posting, not leave it searchable
-      val dels = Bm25Index.postingsOf(leaving, textCol, idCol)
-        .select(col("term"), col("id"))
-        .join(newPosts.select(col("term"), col("id")),
-          Seq("term", "id"), "left_anti")
-      txn.upsert(post, Seq("term", "id"),
-        Bm25Index.bucketed(newPosts, nBuckets))
-      txn.deleteWhereKeysIn(post, Seq("term", "id"), dels)
+      // ONE combined MERGE staging instead of upsert-then-delete: new
+      // images land as inserts, old images retire as delete keys, and a
+      // (term, id) present in both ends on its NEW posting (applyChanges
+      // keeps current rows off the affected keys, then unions the
+      // upserts). Two stagings would execute the join-heavy next-state
+      // plan — and rewrite every touched bucket slice — twice.
+      // both delta tokenizes checkpoint: the staging's affected-keys,
+      // kept-anti, count, and pkStats actions each re-execute their
+      // inputs otherwise (the upsert side is checkpointed inside
+      // applyChanges; the delete side is not)
+      val newPosts = Bm25Index.bucketed(
+        Bm25Index.postingsOf(arriving, textCol, idCol), nBuckets)
+      val oldPosts = Bm25Index.bucketed(
+        Bm25Index.postingsOf(leaving, textCol, idCol), nBuckets)
+        .localCheckpoint()
+      txn.applyChanges(post,
+        newPosts.withColumn("_change_type", lit("insert"))
+          .unionByName(oldPosts.withColumn("_change_type", lit("delete"))))
       // signed scalar fold: inserts +1/+dl, deletes -1/-dl, update
       // images cancel on N and net their length change on Σdl
       val sgn = when(
         col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
-      val d = ch.agg(
+      val d = chk.agg(
         coalesce(sum(when(col("_change_type") === "insert", 1L)
           .when(col("_change_type") === "delete", -1L)
           .otherwise(0L)), lit(0L)).as("dn"),
         coalesce(sum(sgn *
           size(Bm25Index.tokens(textCol)).cast("long")), lit(0L)).as("ds"))
         .collect()(0) // bounded: one scalar row
-      val (n0, s0, _) = stats()
       txn.upsert(meta, Seq("mid"), src.spark.createDataFrame(
         java.util.Arrays.asList(
           Row(0, n0 + d.getLong(0), s0 + d.getLong(1), nBuckets)),

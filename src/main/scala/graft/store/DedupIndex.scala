@@ -70,10 +70,18 @@ final class DedupIndex private (
       val upserts = DedupIndex.bucketed(Dedup.minhashIndex(
         ch.filter(col("_change_type").isin("insert", "update_postimage")),
         textCol, idCol, k, numHashes), nBuckets)
-      val dels = ch.filter(col("_change_type") === "delete")
-        .select(col(idCol).as("id"))
-      txn.upsert(sketch, Seq("id"), upserts)
-      txn.deleteWhereKeysIn(sketch, Seq("id"), dels)
+      // one combined MERGE staging (upsert-then-delete would execute the
+      // next-state plan and rewrite the touched bucket slices twice);
+      // delete images only contribute their key — sketch payloads are
+      // placeholders, never written
+      val dels = DedupIndex.bucketed(
+        ch.filter(col("_change_type") === "delete")
+          .select(col(idCol).as("id"))
+          .withColumn("sh", lit(null).cast("array<long>"))
+          .withColumn("sig", lit(null).cast("array<long>")), nBuckets)
+      txn.applyChanges(sketch,
+        upserts.withColumn("_change_type", lit("insert"))
+          .unionByName(dels.withColumn("_change_type", lit("delete"))))
       ()
     }
   }

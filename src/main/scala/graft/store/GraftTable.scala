@@ -996,24 +996,40 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   private def stage(t: GraftTable, s: Staged): Unit = {
     var dirs = workingDirs(t)
     var parts = staged.getOrElse(t.name, Map.empty[String, Option[String]])
-    val withPk = s.next.withColumn("__pk", t.partKeyCol)
-    s.touched.foreach { pk =>
-      val (v, dir) = catalog.newVersionDir(t.name, pk)
-      // typed pre-filter on the raw partition columns prunes the source
-      // scans to (roughly) this slice's files; the __pk residual is the
-      // exact slice membership test. The staged slice is immutable on disk
-      // the moment it is written, so later statements in the txn build on
-      // real files, not a recompute.
-      val pre = t.sliceFilter(pk).getOrElse(lit(true))
-      withPk.filter(pre).filter(col("__pk") === lit(pk)).drop("__pk")
-        .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
-        .write.mode("overwrite").options(t.bloomWriteOptions).parquet(dir)
-      // pin footer-derived column stats beside the slice (O(files) driver
-      // IO, no job) — snapshotWhere's data skipping reads these
-      SliceStats.writeSidecar(t.spark, dir, t.bloomCols.toSet)
-      dirs += (pk -> dir)
-      parts += (pk -> Some(v))
-    }
+    val raw = s.next.withColumn("__pk", t.partKeyCol)
+    // Each touched slice is written by its own action — without this,
+    // a MULTI-slice staging re-executes the staged PLAN once per slice
+    // (the join-heavy upsert/delete plans of an index refresh are the
+    // worst case: an 8-bucket postings upsert ran its anti-join 8×).
+    // Materialize once (spill-to-disk — the footprint is bounded by the
+    // touched slices' post-mutation data, i.e. exactly what the K writes
+    // are about to put on disk anyway), write the K filtered slices from
+    // the cached result, release. Single-slice stagings keep the lazy
+    // plan: the sliceFilter pre-filter prunes their source scans, and
+    // caching would only add a copy.
+    val multi = s.touched.size > 1
+    val withPk =
+      if (multi) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
+    try {
+      s.touched.foreach { pk =>
+        val (v, dir) = catalog.newVersionDir(t.name, pk)
+        // typed pre-filter on the raw partition columns prunes the source
+        // scans to (roughly) this slice's files; the __pk residual is the
+        // exact slice membership test. The staged slice is immutable on disk
+        // the moment it is written, so later statements in the txn build on
+        // real files, not a recompute.
+        val pre = if (multi) lit(true) else t.sliceFilter(pk).getOrElse(lit(true))
+        withPk.filter(pre).filter(col("__pk") === lit(pk)).drop("__pk")
+          .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .write.mode("overwrite").options(t.bloomWriteOptions).parquet(dir)
+        // pin footer-derived column stats beside the slice (O(files) driver
+        // IO, no job) — snapshotWhere's data skipping reads these
+        SliceStats.writeSidecar(t.spark, dir, t.bloomCols.toSet)
+        dirs += (pk -> dir)
+        parts += (pk -> Some(v))
+      }
+    } finally if (multi) { withPk.unpersist(blocking = false); () }
     working += (t.name -> dirs)
     staged += (t.name -> parts)
   }
