@@ -2354,16 +2354,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
-    // REAL TRANSFORM-codec parse, pure JVM — baseline JPEG, the dominant
-    // crawl format: build a T.81 baseline file per document (DQT/DHT
-    // segments, spec example Huffman tables, SOF0, restart intervals,
+    // REAL TRANSFORM-codec parse, pure JVM — baseline 4:2:0 JPEG, the
+    // dominant crawl format AND its dominant sampling: build a T.81
+    // baseline file per document (DQT/DHT segments, spec example Huffman
+    // tables, SOF0 with 2×2 luma sampling, restart intervals,
     // byte-stuffed entropy data), then parse the bytes back — marker
-    // walk, Huffman tables built FROM the file, zigzag, dequant,
-    // separable IDCT, RSTn resets. Exactness is number theory, not a
-    // stub: constant 8×8 blocks under DC quant step 8 reconstruct
-    // bit-exactly through the full real pipeline, so the oracle replays
-    // the block formulas symbolically; the AC/gradient path is
-    // spec-covered with error bounds. multimodal/MediaKernels.jpegSynth/
+    // walk, Huffman tables built FROM the file, multi-block MCUs,
+    // zigzag, dequant, separable IDCT, coverage-counted chroma
+    // upsampling, RSTn resets. Exactness is number theory, not a stub:
+    // luma constant per 8×8 block and chroma constant per 16×16
+    // macroblock survive the downsample AND the DC-step-8 quantization
+    // bit-exactly, so the oracle replays the block formulas
+    // symbolically; the AC/gradient path is spec-covered with error
+    // bounds in both samplings. multimodal/MediaKernels.jpegSynth/
     // jpegParse.
     "q_media_jpeg" -> ((s, dir) => {
       val M = graft.multimodal.MediaExpressions
@@ -6775,8 +6778,9 @@ object SparkEntry {
       FROM px GROUP BY id, w, h ORDER BY id""",
 
     // the JPEG builder+decoder replayed symbolically: Huffman/zigzag/
-    // quant/IDCT cancel out under the constant-block DC-step-8 contract,
-    // leaving the per-block plane formulas summed over the pixel crop
+    // quant/IDCT — and the 4:2:0 downsample/upsample — cancel out under
+    // the constant-block DC-step-8 contract (luma per 8×8, chroma per
+    // 16×16 macroblock), leaving the plane formulas summed over the crop
     "q_media_jpeg" -> """
       WITH d AS (
         SELECT doc_id AS id, doc_id % 21 + 4 AS w, doc_id % 15 + 4 AS h
@@ -6790,8 +6794,8 @@ object SparkEntry {
              CAST(3 AS BIGINT) AS n_components,
              CAST(id % 3 + 1 AS BIGINT) AS restart_interval,
              CAST(sum(((x//8)*5 + (y//8)*17 + id*3) % 256) AS BIGINT) AS sum_y,
-             CAST(sum(((x//8)*11 + (y//8)*3 + id*5) % 256) AS BIGINT) AS sum_cb,
-             CAST(sum(((x//8)*7 + (y//8)*13 + id) % 256) AS BIGINT) AS sum_cr
+             CAST(sum(((x//16)*11 + (y//16)*3 + id*5) % 256) AS BIGINT) AS sum_cb,
+             CAST(sum(((x//16)*7 + (y//16)*13 + id) % 256) AS BIGINT) AS sum_cr
       FROM px GROUP BY id, w, h ORDER BY id""",
 
     // the GIF builder+decoder replayed symbolically: the LZW layer

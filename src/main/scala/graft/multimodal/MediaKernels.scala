@@ -930,7 +930,7 @@ object MediaKernels {
     * fit — one step AFTER the decoder's (the decoder's adds lag the
     * encoder's by exactly one emission, hence its rule is
     * `nextCode == 1<<width` while ours is `== (1<<width)+1`). */
-  private def lzwEncode(idx: Array[Byte]): Array[Byte] = {
+  private[multimodal] def lzwEncode(idx: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val Clear = 256; val Eoi = 257
     var acc = 0L; var nbits = 0
@@ -1368,12 +1368,18 @@ object MediaKernels {
     Array.tabulate(64)(i => math.round(f(i) / qt(i)).toInt)
   }
 
-  /** Encode an arbitrary 3-plane 4:4:4 YCbCr image as a baseline JPEG —
-    * SOI, JFIF APP0, two DQTs, four DHTs (the spec's example tables),
-    * SOF0, DRI (restart interval in MCUs, 0 = none), SOS, entropy data
-    * with RSTn markers, EOI. Planes are w×h row-major in [0, 255]. */
+  /** Encode an arbitrary 3-plane YCbCr image as a baseline JPEG — SOI,
+    * JFIF APP0, two DQTs, four DHTs (the spec's example tables), SOF0,
+    * DRI (restart interval in MCUs, 0 = none), SOS, entropy data with
+    * RSTn markers, EOI. Planes are w×h row-major in [0, 255].
+    * `subsample420` emits the dominant real-world sampling: 2×2 luma
+    * blocks per 16×16 MCU with the chroma planes averaged 2×2 down
+    * (edge-replicated) — a chroma constant over each 16×16 macroblock
+    * survives the downsample exactly, which is what keeps the synth
+    * gate's constant-block contract intact under 4:2:0. */
   def jpegEncode(y: Array[Int], cb: Array[Int], cr: Array[Int],
-                 w: Int, h: Int, restartInterval: Int): Array[Byte] = {
+                 w: Int, h: Int, restartInterval: Int,
+                 subsample420: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
       y.length == w * h && cb.length == w * h && cr.length == w * h,
       "jpegEncode: bad plane shape")
@@ -1404,11 +1410,13 @@ object MediaKernels {
     seg(0xc4, dht(1, 0, AcLumBits, AcLumVals))
     seg(0xc4, dht(0, 1, DcChrBits, DcChrVals))
     seg(0xc4, dht(1, 1, AcChrBits, AcChrVals))
-    // SOF0: 8-bit, h×w, 3 components, all 1×1 sampling (4:4:4)
+    // SOF0: 8-bit, h×w, 3 components — luma 2×2 + chroma 1×1 under
+    // 4:2:0, all 1×1 under 4:4:4
+    val lumaSamp: Byte = if (subsample420) 0x22 else 0x11
     seg(0xc0, Array[Byte](8,
       (h >>> 8).toByte, (h & 0xff).toByte,
       (w >>> 8).toByte, (w & 0xff).toByte, 3,
-      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+      1, lumaSamp, 0, 2, 0x11, 1, 3, 0x11, 1))
     if (restartInterval > 0)
       seg(0xdd, Array[Byte]((restartInterval >>> 8).toByte,
         (restartInterval & 0xff).toByte))
@@ -1419,17 +1427,31 @@ object MediaKernels {
     val dcChr = huffEncTable(DcChrBits, DcChrVals)
     val acChr = huffEncTable(AcChrBits, AcChrVals)
     val bw = new BitWriter(out)
-    val bx = (w + 7) / 8; val by = (h + 7) / 8
     val preds = new Array[Int](3)
     var mcu = 0; var rst = 0
-    def block(plane: Array[Int], x0: Int, y0: Int): Array[Int] = {
+    def blockOf(plane: Array[Int], pw: Int, ph: Int,
+                x0: Int, y0: Int): Array[Int] = {
       // edge blocks pad by replicating the last row/column (the standard
       // encoder choice; a constant block stays constant under it)
       Array.tabulate(64) { i =>
-        val x = math.min(x0 + i % 8, w - 1); val yy = math.min(y0 + i / 8, h - 1)
-        plane(yy * w + x)
+        val x = math.min(x0 + i % 8, pw - 1); val yy = math.min(y0 + i / 8, ph - 1)
+        plane(yy * pw + x)
       }
     }
+    // chroma planes: full-res under 4:4:4; 2×2-averaged (edge-replicated,
+    // +2 rounding) under 4:2:0 — equal samples average to themselves
+    val (cw, chh) = if (subsample420) ((w + 1) / 2, (h + 1) / 2) else (w, h)
+    def down(plane: Array[Int]): Array[Int] =
+      if (!subsample420) plane
+      else Array.tabulate(cw * chh) { i =>
+        val x = (i % cw) * 2; val yy = (i / cw) * 2
+        val x1 = math.min(x + 1, w - 1); val y1 = math.min(yy + 1, h - 1)
+        (plane(yy * w + x) + plane(yy * w + x1) +
+          plane(y1 * w + x) + plane(y1 * w + x1) + 2) / 4
+      }
+    val cbP = down(cb); val crP = down(cr)
+    val mcuW = if (subsample420) 16 else 8
+    val bx = (w + mcuW - 1) / mcuW; val by = (h + mcuW - 1) / mcuW
     var myy = 0
     while (myy < by) {
       var mx = 0
@@ -1439,12 +1461,27 @@ object MediaKernels {
           marker(0xd0 + rst); rst = (rst + 1) % 8
           preds(0) = 0; preds(1) = 0; preds(2) = 0
         }
-        preds(0) = encodeBlock(bw, fdctQuant(block(y, mx * 8, myy * 8), QLum),
-          preds(0), dcLum, acLum)
-        preds(1) = encodeBlock(bw, fdctQuant(block(cb, mx * 8, myy * 8), QChr),
-          preds(1), dcChr, acChr)
-        preds(2) = encodeBlock(bw, fdctQuant(block(cr, mx * 8, myy * 8), QChr),
-          preds(2), dcChr, acChr)
+        if (subsample420) {
+          // 4 luma blocks raster-ordered within the 16×16 MCU
+          var bj = 0
+          while (bj < 2) {
+            var bi = 0
+            while (bi < 2) {
+              preds(0) = encodeBlock(bw, fdctQuant(
+                blockOf(y, w, h, mx * 16 + bi * 8, myy * 16 + bj * 8), QLum),
+                preds(0), dcLum, acLum)
+              bi += 1
+            }
+            bj += 1
+          }
+        } else {
+          preds(0) = encodeBlock(bw, fdctQuant(
+            blockOf(y, w, h, mx * 8, myy * 8), QLum), preds(0), dcLum, acLum)
+        }
+        preds(1) = encodeBlock(bw, fdctQuant(
+          blockOf(cbP, cw, chh, mx * 8, myy * 8), QChr), preds(1), dcChr, acChr)
+        preds(2) = encodeBlock(bw, fdctQuant(
+          blockOf(crP, cw, chh, mx * 8, myy * 8), QChr), preds(2), dcChr, acChr)
         mcu += 1
         mx += 1
       }
@@ -1455,22 +1492,25 @@ object MediaKernels {
     out.toByteArray
   }
 
-  /** Build a baseline JPEG whose 8×8 blocks are CONSTANT in YCbCr —
-    * block (bx, by) of image `id` carries the id-derived formulas below —
-    * so the full real pipeline reconstructs every plane EXACTLY (the DC
-    * step-8 contract) and the oracle replays the sums symbolically. A
-    * restart interval derived from id exercises the RSTn path. */
+  /** Build a baseline 4:2:0 JPEG whose blocks are CONSTANT in YCbCr —
+    * luma constant per 8×8 block, chroma constant per 16×16 MACROBLOCK
+    * (so the 2×2 chroma downsample is exact) — and the full real
+    * pipeline reconstructs every plane EXACTLY (the DC step-8 contract):
+    * the oracle replays the sums symbolically. A restart interval
+    * derived from id exercises the RSTn path under multi-block MCUs. */
   def jpegSynth(id: Long, width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, "jpegSynth: dims must be positive")
     require(width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= (64L << 20),
       s"jpegSynth: ${width}x$height exceeds the single-payload bound")
-    def plane(f: (Long, Int, Int) => Int): Array[Int] =
-      Array.tabulate(width * height)(i => f(id, (i % width) / 8, (i / width) / 8))
-    val y = plane((i, bx, by) => ((bx * 5L + by * 17L + i * 3L) % 256).toInt)
-    val cb = plane((i, bx, by) => ((bx * 11L + by * 3L + i * 5L) % 256).toInt)
-    val cr = plane((i, bx, by) => ((bx * 7L + by * 13L + i) % 256).toInt)
-    jpegEncode(y, cb, cr, width, height, restartInterval = (id % 3).toInt + 1)
+    def plane(grid: Int)(f: (Long, Int, Int) => Int): Array[Int] =
+      Array.tabulate(width * height)(i =>
+        f(id, (i % width) / grid, (i / width) / grid))
+    val y = plane(8)((i, bx, by) => ((bx * 5L + by * 17L + i * 3L) % 256).toInt)
+    val cb = plane(16)((i, mx, my) => ((mx * 11L + my * 3L + i * 5L) % 256).toInt)
+    val cr = plane(16)((i, mx, my) => ((mx * 7L + my * 13L + i) % 256).toInt)
+    jpegEncode(y, cb, cr, width, height,
+      restartInterval = (id % 3).toInt + 1, subsample420 = true)
   }
 
   private val JpegFail = new GenericArrayData(Array.fill(7)(-1L))
@@ -1514,9 +1554,10 @@ object MediaKernels {
     val acTabs = new Array[HuffDec](4)
     var w = -1; var h = -1; var nc = -1
     var ri = 0
-    // per component: quant table id, dc table id, ac table id
+    // per component: quant table id, dc/ac table ids, sampling factors
     val compQ = new Array[Int](3); val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
     var sosAt = -1
     while (sosAt < 0) {
       if (off + 4 > bytes.length) return JpegFail
@@ -1569,7 +1610,14 @@ object MediaKernels {
           var c = 0
           while (c < nc) {
             val samp = bytes(body + 7 + 3 * c) & 0xff
-            if (samp != 0x11) return JpegFail // 4:4:4 / grayscale only
+            compH(c) = samp >>> 4; compV(c) = samp & 0x0f
+            // supported sampling: luma 1..2 × 1..2 (covers 4:4:4, 4:2:2,
+            // 4:4:0, 4:2:0), chroma strictly 1×1; grayscale 1×1
+            val ok =
+              if (c == 0) compH(0) >= 1 && compH(0) <= 2 &&
+                compV(0) >= 1 && compV(0) <= 2 && (nc == 3 || samp == 0x11)
+              else samp == 0x11
+            if (!ok) return JpegFail
             compQ(c) = bytes(body + 8 + 3 * c) & 0x0f
             c += 1
           }
@@ -1636,7 +1684,12 @@ object MediaKernels {
     @inline def extend(v: Int, s: Int): Int =
       if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    // MCU geometry from the sampling factors: hMax/vMax are the luma
+    // factors (chroma is pinned 1×1 above), so one MCU spans
+    // 8·hMax × 8·vMax pixels and carries hc·vc blocks per component
+    val hMax = compH(0); val vMax = compV(0)
+    val bx = (w + 8 * hMax - 1) / (8 * hMax)
+    val by = (h + 8 * vMax - 1) / (8 * vMax)
     val sums = new Array[Long](3)
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
@@ -1658,51 +1711,69 @@ object MediaKernels {
         }
         var comp = 0
         while (comp < nc && !truncated) {
-          java.util.Arrays.fill(coef, 0)
-          val s = huff(dcTabs(compDc(comp)))
-          if (s > 11) return JpegFail
-          preds(comp) += extend(bitsN(s), s)
-          coef(0) = preds(comp)
-          var zi = 1
-          while (zi < 64 && !truncated) {
-            val rs = huff(acTabs(compAc(comp)))
-            val r = rs >>> 4; val sa = rs & 0x0f
-            if (sa == 0) {
-              if (r == 15) zi += 16 // ZRL
-              else zi = 64          // EOB
-            } else {
-              zi += r
-              if (zi > 63) return JpegFail
-              coef(Zig(zi)) = extend(bitsN(sa), sa)
-              zi += 1
-            }
-          }
-          // dequant + separable IDCT + level shift, summed over the crop
-          val qt = qtabs(compQ(comp))
-          var i = 0
-          while (i < 64) { tmp(i) = coef(i).toDouble * qt(i); i += 1 }
-          var x = 0
-          while (x < 8) {
-            var yy = 0
-            while (yy < 8) {
-              val px0 = mx * 8 + x; val py0 = myy * 8 + yy
-              if (px0 < w && py0 < h) {
-                var sum = 0.0
-                var u = 0
-                while (u < 8) {
-                  var v = 0
-                  while (v < 8) {
-                    sum += CosT(x)(u) * CosT(yy)(v) * tmp(v * 8 + u)
-                    v += 1
-                  }
-                  u += 1
+          val hc = compH(comp); val vc = compV(comp)
+          // a subsampled component's sample covers scaleX×scaleY pixels;
+          // its sum contribution is the sample value × covered CROP area
+          // (upsample-then-sum, without materializing the upsample)
+          val scaleX = hMax / hc; val scaleY = vMax / vc
+          var bj = 0
+          while (bj < vc && !truncated) {
+            var bi = 0
+            while (bi < hc && !truncated) {
+              java.util.Arrays.fill(coef, 0)
+              val s = huff(dcTabs(compDc(comp)))
+              if (s > 11) return JpegFail
+              preds(comp) += extend(bitsN(s), s)
+              coef(0) = preds(comp)
+              var zi = 1
+              while (zi < 64 && !truncated) {
+                val rs = huff(acTabs(compAc(comp)))
+                val r = rs >>> 4; val sa = rs & 0x0f
+                if (sa == 0) {
+                  if (r == 15) zi += 16 // ZRL
+                  else zi = 64          // EOB
+                } else {
+                  zi += r
+                  if (zi > 63) return JpegFail
+                  coef(Zig(zi)) = extend(bitsN(sa), sa)
+                  zi += 1
                 }
-                val pix = math.round(sum / 4.0 + 128.0)
-                sums(comp) += math.max(0L, math.min(255L, pix))
               }
-              yy += 1
+              // dequant + separable IDCT + level shift, summed over the
+              // crop with per-sample pixel coverage
+              val qt = qtabs(compQ(comp))
+              var i = 0
+              while (i < 64) { tmp(i) = coef(i).toDouble * qt(i); i += 1 }
+              var x = 0
+              while (x < 8) {
+                var yy = 0
+                while (yy < 8) {
+                  val sx = (mx * hc + bi) * 8 + x
+                  val sy = (myy * vc + bj) * 8 + yy
+                  val px0 = sx * scaleX; val py0 = sy * scaleY
+                  val cov = (math.min(px0 + scaleX, w) - px0).max(0).toLong *
+                    (math.min(py0 + scaleY, h) - py0).max(0).toLong
+                  if (cov > 0) {
+                    var sum = 0.0
+                    var u = 0
+                    while (u < 8) {
+                      var v = 0
+                      while (v < 8) {
+                        sum += CosT(x)(u) * CosT(yy)(v) * tmp(v * 8 + u)
+                        v += 1
+                      }
+                      u += 1
+                    }
+                    val pix = math.round(sum / 4.0 + 128.0)
+                    sums(comp) += math.max(0L, math.min(255L, pix)) * cov
+                  }
+                  yy += 1
+                }
+                x += 1
+              }
+              bi += 1
             }
-            x += 1
+            bj += 1
           }
           comp += 1
         }

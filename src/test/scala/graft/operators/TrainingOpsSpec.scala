@@ -529,18 +529,24 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     import graft.multimodal.{MediaExpressions, MediaKernels, Multimodal}
     // exact contract: constant 8x8 blocks + DC quant step 8 survive the
     // full real pipeline (Huffman, zigzag, quant, IDCT) bit-exactly
-    val id = 11L; val w = 20; val h = 13 // non-multiple-of-8: edge padding
+    val id = 11L; val w = 36; val h = 35 // non-multiple-of-8/16: edge MCUs
     val jpg = MediaKernels.jpegSynth(id, w, h)
     val p = MediaKernels.jpegParse(jpg)
     assert(p.getLong(0) == w && p.getLong(1) == h)
     assert(p.getLong(2) == 3 && p.getLong(3) == id % 3 + 1)
-    def planeSum(a: Long, b: Long, c: Long): Long =
+    def planeSum(g: Int, a: Long, b: Long, c: Long): Long =
       (for (y <- 0 until h; x <- 0 until w)
-        yield ((x / 8) * a + (y / 8) * b + id * c) % 256).sum
-    assert(p.getLong(4) == planeSum(5, 17, 3), "sum_y exact")
-    assert(p.getLong(5) == planeSum(11, 3, 5), "sum_cb exact")
-    assert(p.getLong(6) == planeSum(7, 13, 1), "sum_cr exact")
-    // restart intervals really fire: 20x13 -> 3x2 = 6 MCUs, ri in 1..3
+        yield ((x / g) * a + (y / g) * b + id * c) % 256).sum
+    assert(p.getLong(4) == planeSum(8, 5, 17, 3), "sum_y exact")
+    // chroma is constant per 16x16 MACROBLOCK: the 4:2:0 downsample and
+    // the coverage-counted upsample-sum are both exact on it
+    assert(p.getLong(5) == planeSum(16, 11, 3, 5), "sum_cb exact under 4:2:0")
+    assert(p.getLong(6) == planeSum(16, 7, 13, 1), "sum_cr exact under 4:2:0")
+    // the stream really declares 2x2 luma sampling
+    assert(jpg.sliding(2).exists(s2 =>
+      (s2(0) & 0xff) == 0x01 && (s2(1) & 0xff) == 0x22),
+      "SOF must declare 4:2:0")
+    // restart intervals really fire: 36x35 under 4:2:0 -> 3x3 = 9 MCUs
     assert(jpg.sliding(2).count(s =>
       (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7) >= 1,
       "RSTn markers must appear in the entropy stream")
@@ -550,15 +556,19 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     def grad(k: Int) = Array.tabulate(gw * gh)(i =>
       ((i % gw) * 2 + (i / gw) * 3 + k * 20) % 200 + 20)
     val (gy, gcb, gcr) = (grad(0), grad(1), grad(2))
-    val gp = MediaKernels.jpegParse(
-      MediaKernels.jpegEncode(gy, gcb, gcr, gw, gh, restartInterval = 0))
-    assert(gp.getLong(0) == gw && gp.getLong(3) == 0)
-    Seq((gy, gp.getLong(4)), (gcb, gp.getLong(5)), (gcr, gp.getLong(6)))
-      .foreach { case (plane, got) =>
+    for (sub <- Seq(false, true)) {
+      val gp = MediaKernels.jpegParse(MediaKernels.jpegEncode(
+        gy, gcb, gcr, gw, gh, restartInterval = 0, subsample420 = sub))
+      assert(gp.getLong(0) == gw && gp.getLong(3) == 0)
+      // chroma under 4:2:0 additionally pays the 2x2 averaging error
+      val tol = Seq(4L, if (sub) 8L else 4L, if (sub) 8L else 4L)
+      Seq(gy, gcb, gcr).zipWithIndex.foreach { case (plane, ci) =>
+        val got = gp.getLong(4 + ci)
         val want = plane.map(_.toLong).sum
-        assert(math.abs(got - want) <= 4L * gw * gh,
-          s"AC reconstruction drift: got $got want $want")
+        assert(math.abs(got - want) <= tol(ci) * gw * gh,
+          s"AC reconstruction drift (sub=$sub, c=$ci): got $got want $want")
       }
+    }
     // the decoder boundary twin
     val f = new Multimodal.JpegPixelDecoder().decode(jpg)
     assert(math.abs(f(0) - p.getLong(4) / (255.0f * w * h)) < 1e-6)
