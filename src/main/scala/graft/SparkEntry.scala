@@ -4169,13 +4169,15 @@ object SparkEntry {
       require(idx.refresh().isEmpty,
         "q_restore_index: caught up after the rollback")
       // the rolled-back index equals a fresh build on the restored
-      // snapshot, row for row (gate-side audit scan, not query cost)
+      // snapshot, row for row (gate-side audit scan, not query cost):
+      // equal cardinalities + one empty multiset difference imply the
+      // other direction is empty too — no need to pay the join twice
       val persisted = idx.sketch.snapshot().select(
         col("id"), col("sh"), col("sig"))
       val fresh = graft.operators.Dedup.minhashIndex(
         src.snapshot(), "text", "doc_id")
-      require(persisted.exceptAll(fresh).limit(1).count() == 0 &&
-          fresh.exceptAll(persisted).limit(1).count() == 0,
+      require(persisted.count() == fresh.count() &&
+          persisted.exceptAll(fresh).limit(1).count() == 0,
         "q_restore_index: refreshed index must equal a fresh build " +
           "on the restored snapshot")
       val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
