@@ -4189,6 +4189,61 @@ object SparkEntry {
         .orderBy(col("new_id"))
     }),
 
+    // CURSOR-AWARE VACUUM driven end-to-end: the corpus moves on
+    // (inserts + a delete stripe + text updates) while the index
+    // SLEEPS, then the most aggressive retention (retainMs=0,
+    // keepHistory=1) runs — without the cdf-watermark pinning this
+    // reclaims exactly the cursor's history manifest and the preimage
+    // slice versions the pending refresh is about to diff against. The
+    // refresh must then drain the backlog to exactness (REQUIREd equal
+    // to a fresh re-sketch), a post-catch-up vacuum reclaims what
+    // nothing references, and the probe hash-gates sketches that lived
+    // through lag → vacuum → refresh. Catalog.vacuum + store/DedupIndex.
+    "q_vacuum_index" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vacidx-q"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.DedupIndex.build(src, "d1", "text", "doc_id",
+        nBuckets = 4)
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      src.deleteMany(graft.query.RawCol(
+        pmod(col("doc_id"), lit(9)) === 2 && col("doc_id") < 10000L))
+      src.updateMany(graft.query.RawCol(
+        pmod(col("doc_id"), lit(13)) === 6 && col("doc_id") < 10000L),
+        Map("text" -> concat(col("text"), lit(" tail"))))
+      cat.vacuum(retainMs = 0, keepHistory = 1) // the cursor still lags
+      require(idx.refresh().nonEmpty,
+        "q_vacuum_index: the lagging window must survive the vacuum")
+      require(idx.refresh().isEmpty,
+        "q_vacuum_index: caught up — a second refresh drains nothing")
+      val persisted = idx.sketch.snapshot().select(
+        col("id"), col("sh"), col("sig"))
+      val fresh = graft.operators.Dedup.minhashIndex(
+        src.snapshot(), "text", "doc_id")
+      require(persisted.count() == fresh.count() &&
+          persisted.exceptAll(fresh).limit(1).count() == 0,
+        "q_vacuum_index: post-vacuum refresh must land exactly")
+      // caught up: the cursor pins only head, retention reclaims freely
+      cat.vacuum(retainMs = 0, keepHistory = 1)
+      require(idx.refresh().isEmpty,
+        "q_vacuum_index: a caught-up cursor survives the second vacuum")
+      // probe copies of the CURRENT snapshot: every surviving %4 doc
+      // (originals and round-one copies alike) pairs with itself at 1.0
+      val batch = src.snapshot().filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+      graft.store.DedupIndex.open(src, "d1", "text", "doc_id")
+        .dupsAgainst(batch)
+        .filter(col("dup_of") === col("new_id") - 20000L)
+        .select(col("new_id"), col("dup_of"), col("jaccard"))
+        .orderBy(col("new_id"))
+    }),
+
     // Z-order clustering end-to-end: orders loaded into the store, slice
     // rewritten Morton-ordered on (o_custkey, o_totalprice), then a
     // snapshotWhere range on BOTH clustered columns reads only the files
@@ -7808,6 +7863,19 @@ object SparkEntry {
       SELECT doc_id + 10000 AS new_id, doc_id AS dup_of,
              CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents WHERE doc_id % 4 = 0 ORDER BY new_id""",
+
+    // lag → vacuum → refresh: the final corpus = originals minus the
+    // %9 delete stripe (updates keep identity; the probe copies the
+    // CURRENT text) plus the round-one +10000 copies — every surviving
+    // %4 id self-pairs at exactly 1.0
+    "q_vacuum_index" -> """
+      SELECT new_id, dup_of, CAST(1.0 AS DOUBLE) AS jaccard FROM (
+        SELECT doc_id + 20000 AS new_id, doc_id AS dup_of
+        FROM documents WHERE doc_id % 4 = 0 AND doc_id % 9 <> 2
+        UNION ALL
+        SELECT doc_id + 30000 AS new_id, doc_id + 10000 AS dup_of
+        FROM documents WHERE doc_id % 4 = 0
+      ) ORDER BY new_id""",
 
     // the pinned commit predates both mutations → the original load
     "q_time_travel" -> """
