@@ -2210,6 +2210,55 @@ object SparkEntry {
         .orderBy(col("new_id"))
     }),
 
+    // STREAMING ingest × persistent BM25 index — the q_stream_index
+    // composition for the THIRD index type, and the common production
+    // shape for keyword search (a continuously ingested corpus). The
+    // index is built on the EMPTY table, so every posting and both
+    // corpus scalars arrive exclusively through per-batch change-feed
+    // refreshes riding behind StoreSink's exactly-once append; a
+    // deliberately REPLAYED batch is absorbed by the sink's watermark
+    // and must leave the postings cursor unmoved (the signed scalar
+    // fold would double N/Σdl otherwise). The final search runs from a
+    // reopened handle over postings that were maintained batch-by-batch
+    // — never a corpus tokenize — and must hash-match a from-scratch
+    // token-BM25 replay of the whole corpus.
+    "q_stream_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = tempDir("graft-streambm25-q")
+      val cat = new graft.store.Catalog(tmp + "/cat")
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      val idx = graft.store.Bm25Index.build(src, "r1", "text", "doc_id",
+        nBuckets = 4)
+      val docSchema = Tables.documents(s, dir).schema
+      val appendSink = graft.streaming.StoreSink.exactlyOnceAppend(src, "ingest")
+      val sinkAndRefresh: (DataFrame, Long) => Unit = (df, batchId) => {
+        appendSink(df, batchId)
+        idx.refresh()
+        ()
+      }
+      val q = s.readStream.schema(docSchema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id"), col("text"))
+        .writeStream.foreachBatch(sinkAndRefresh)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt").start()
+      q.awaitTermination(180000)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      require(idx.stats()._1 == docs.count(),
+        "q_stream_bm25: every streamed doc must be counted in N")
+      // replayed batch: the sink absorbs it, the postings drain nothing
+      val cur = idx.currentThrough()
+      sinkAndRefresh(docs, 0L)
+      require(idx.currentThrough() == cur,
+        "q_stream_bm25: a replayed batch must not advance the index")
+      graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
+        .search(Seq("vector", "stream", "window"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bloom-accelerated decontamination: identical OUTPUT to
     // q_decontaminate (the exact verify join kills Bloom false
     // positives, so the same oracle applies) — only the data movement
@@ -3344,6 +3393,84 @@ object SparkEntry {
       drift.orderBy(col("bin"))
     }),
 
+    // ANN REBUILD — the ACT half of the staleness loop q_ann_recall_audit
+    // detects. A drifted cohort (an integer-derived lattice far from the
+    // training cloud — exact in float AND double, so the oracle replays
+    // it without FP-parity risk) drains under the FROZEN codebooks;
+    // those codes can only reconstruct into the original cloud, so the
+    // imposters invade original queries' ADC top-5 and recall degrades.
+    // AnnIndex.rebuild retrains on the current snapshot, re-encodes all
+    // rows, and swaps model+codes+cursor in ONE transaction; the
+    // mid-gate REQUIREs pin recall recovery above the pre-drift bracket
+    // AND the cursor still draining post-rebuild deltas. The oracle
+    // replays train-on-(corpus∪drift) / encode-all (delta included) —
+    // a Spark side that skipped the retrain, retrained on the wrong
+    // snapshot, or lost the cursor hash-mismatches.
+    "q_ann_rebuild" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-annrebuild-q"))
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val src = new graft.store.GraftTable(s, cat, "vecs", StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true))),
+        uniqueKeys = Seq(Seq("vec_id")))
+      src.createMany(emb)
+      val idx = graft.store.AnnIndex.build(src, "e1", "embedding", "vec_id",
+        nCells = 4, m = 8, k = 16, iters = 2)
+      // drift cohort sized FROM the corpus: a third of it, at ids the
+      // probe corpora leave free; element j of lattice vector i is
+      // ((i·31 + j·7) mod 24)/16 + 1/2 — multiples of 1/16, exactly
+      // representable, [0.5, 1.94) vs the N(0, 0.1) training cloud
+      val nDrift = src.snapshot().count() / 3
+      val driftRows = s.range(0, nDrift).select(
+        (col("id") + 20000L).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(col("id") * 31 + j.cast("long") * 7L, lit(24L))
+            .cast("double") / lit(16.0) + lit(0.5)).cast("float"))
+          .as("embedding"))
+      src.createMany(driftRows)
+      require(idx.refresh().nonEmpty,
+        "q_ann_rebuild: the drift window must drain")
+      // recall panel: original queries vs the exact top-5 of the CURRENT
+      // corpus (drift rows are true negatives — far by exact distance)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val exact = graft.operators.Pq.rerankExact(
+        queries.select(col("qid"))
+          .crossJoin(src.snapshot().select(col("vec_id").as("id"))),
+        src.snapshot(), queries, "embedding", "vec_id", "qid", topk = 5)
+        .select(col("qid"), col("id")).localCheckpoint()
+      def recallOf(got: DataFrame): Double =
+        got.select(col("qid"), col("id"))
+          .join(exact, Seq("qid", "id"), "left_semi").count()
+          .toDouble / exact.count()
+      val rPre = recallOf(idx.search(queries, "qid", nProbe = 3, topk = 5))
+      idx.rebuild(nCells = 4, m = 8, k = 16, iters = 2)
+      val rPost = recallOf(idx.search(queries, "qid", nProbe = 3, topk = 5))
+      // calibrated across sf0.01/0.1/1/30x: rPre 0.34/0.25/1.0/1.0,
+      // rPost 0.38/0.29/1.0/1.0 — retraining strictly recovers recall
+      // here (recall is deterministic per corpus, so a breach is a real
+      // regression); 0.15 is q_ann_recall_audit's pre-drift ADC bracket
+      require(rPost >= rPre - 1e-9,
+        f"q_ann_rebuild: rebuild must not lose recall ($rPre%.3f -> $rPost%.3f)")
+      require(rPost >= 0.15,
+        f"q_ann_rebuild: post-rebuild ADC recall@5 $rPost%.3f under the " +
+          "pre-drift bracket")
+      // cursor preserved: a post-rebuild delta still drains, encoded
+      // under the REBUILT codebooks (the oracle scores it that way)
+      src.createMany(emb.filter(pmod(col("vec_id"), lit(5)) === 1)
+        .select((col("vec_id") + 40000L).as("vec_id"), col("embedding")))
+      require(idx.refresh().nonEmpty,
+        "q_ann_rebuild: the cursor must keep draining after the swap")
+      require(idx.refresh().isEmpty,
+        "q_ann_rebuild: caught up — a second refresh drains nothing")
+      val q10 = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.store.AnnIndex.open(src, "e1", "embedding", "vec_id")
+        .search(q10, "qid", nProbe = 3, topk = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Two-stage retrieval (the production ANN pattern): IVFADC produces
     // a 20-candidate shortlist per query through the compressed-code
     // scan, then the EXACT integer distance over the full vectors
@@ -3611,9 +3738,53 @@ object SparkEntry {
       require(idx.post.snapshot().count() ==
         graft.store.Bm25Index.postingsOf(snap, "text", "doc_id").count(),
         "q_bm25_persist: refreshed postings must equal from-scratch")
+      // LIFECYCLE COMPOSITION (the q_ann_persist codes pattern applied
+      // to the inverted index): compact the bucket-partitioned postings
+      // (build + refresh left multi-file slices) and assert the
+      // term-routed scan SHAPE survives the rewrite — a compaction that
+      // lost the slice layout would silently fall back to scanning every
+      // bucket on every query. The final search rides the compacted
+      // files, so the hash gate proves the rewrite kept the rows too.
+      require(idx.post.compact(maxFiles = 0) >= 1,
+        "q_bm25_persist: the postings table must have slices to compact")
+      val b0 = s.range(1).select(
+        pmod(xxhash64(lit("vector")), lit(8)).cast("int"))
+        .collect()(0).getInt(0)
+      val probe0 = idx.post.snapshotWhere(col("bucket") === b0)
+      require(probe0.inputFiles.nonEmpty && probe0.inputFiles.forall(
+          _.contains(s"/${idx.post.name}/bucket=$b0/")),
+        "q_bm25_persist: a one-term probe must plan only its bucket's " +
+          "files after compaction")
       graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
         .search(Seq("vector", "stream", "window"))
         .orderBy(col("doc_id"))
+    }),
+
+    // TOP-K keyword retrieval from the persisted index: at 100 TB a hot
+    // term's posting list is corpus-scale, so search(topk) bounds the
+    // RESULT inside the plan — TakeOrderedAndProject keeps per-partition
+    // k-row heaps and merges k rows across the exchange, never a full
+    // sort or an unbounded return the caller re-cuts. The query also
+    // REPEATS a term: search dedupes at entry, so the duplicate must not
+    // double its Okapi contribution or inflate n_terms (the oracle
+    // scores the distinct term set). Deterministic cut: rounded score
+    // desc, then doc_id.
+    "q_bm25_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-bm25topk-q"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      graft.store.Bm25Index.build(src, "r1", "text", "doc_id", nBuckets = 8)
+      val res = graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
+        .search(Seq("vector", "stream", "vector"), topk = 25)
+      require(res.queryExecution.executedPlan.toString
+          .contains("TakeOrderedAndProject"),
+        "q_bm25_topk: the bounded cut must plan as TakeOrderedAndProject")
+      res.orderBy(col("bm25").desc, col("doc_id"))
     }),
 
     // RRF composed OVER the persistent BM25 index: the keyword leg of
@@ -4631,6 +4802,74 @@ object SparkEntry {
     sb.append(pqPtsSql)
     sb.append(""",
       pts0 AS (SELECT id, e FROM pts WHERE id % 4 <> 0)""")
+    sb.append(pqChainSql("g", 1, nCells, iters, trainPts = "pts0"))
+    sb.append(pqChainSql("", m, k, iters, trainPts = "pts0"))
+    sb.append(s""",
+      q AS (
+        SELECT id AS qid, e AS qe FROM pts WHERE id < 10
+      ), probe AS (
+        SELECT qid, cid AS cell FROM (
+          SELECT q.qid, c.cid,
+                 row_number() OVER (PARTITION BY q.qid ORDER BY
+                   list_sum(list_transform(range(1, len(c.c) + 1),
+                     i -> (q.qe[i] * 1000 - c.c[i]) * (q.qe[i] * 1000 - c.c[i]))),
+                   c.cid) AS rn
+          FROM q CROSS JOIN gc$iters c) WHERE rn <= $nProbe
+      ), lut AS (
+        SELECT q.qid, c.sub, c.cid,
+               list_sum(list_transform(range(1, len(c.c) + 1), i ->
+                 (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i])
+               * (list_slice(q.qe, c.sub * ds + 1, (c.sub + 1) * ds)[i] * 1000 - c.c[i]))) AS dist
+        FROM q CROSS JOIN dims CROSS JOIN c$iters c
+      ), scored AS (
+        SELECT l.qid, a.id, sum(l.dist) AS dist
+        FROM codes a
+        JOIN gcodes g ON a.id = g.id
+        JOIN probe p ON g.cid = p.cell
+        JOIN lut l ON l.qid = p.qid AND a.sub = l.sub AND a.cid = l.cid
+        GROUP BY l.qid, a.id
+      ), ranked AS (
+        SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+        FROM scored
+      )
+      SELECT qid, id, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $topk ORDER BY qid, rank""")
+    sb.toString
+  }
+
+  /** Rebuild replay ([[graft.store.AnnIndex.rebuild]]): the final corpus
+    * is original ∪ drift-lattice ∪ post-rebuild delta; BOTH codebooks
+    * train on the REBUILD snapshot (original ∪ drift — ids < 40000),
+    * every row carries codes (the delta encoded by refresh under the
+    * rebuilt codebooks), and the probe scores the full code table. A
+    * Spark side that kept the frozen build-time codebooks, retrained on
+    * the wrong snapshot, or dropped the delta hash-mismatches. The
+    * lattice is exact in float and double, so its replay carries no
+    * FP-parity risk. */
+  private def annRebuildOracle(nCells: Int, nProbe: Int, m: Int, k: Int,
+                               iters: Int, topk: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+      WITH raw AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT 20000 + i AS vec_id,
+               list_transform(range(0, 64), j ->
+                 CAST(CAST((i * 31 + j * 7) % 24 AS DOUBLE) / 16.0 + 0.5
+                      AS FLOAT)) AS embedding
+        FROM (SELECT unnest(range(0,
+          (SELECT count(*) // 3 FROM embeddings))) AS i)
+        UNION ALL
+        SELECT vec_id + 40000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 5 = 1
+      ), pts AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x ->
+                 greatest(-2000, least(2000,
+                   CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))) + 2000) AS e
+        FROM raw
+      ), pts0 AS (SELECT id, e FROM pts WHERE id < 40000)""")
     sb.append(pqChainSql("g", 1, nCells, iters, trainPts = "pts0"))
     sb.append(pqChainSql("", m, k, iters, trainPts = "pts0"))
     sb.append(s""",
@@ -6584,6 +6823,47 @@ object SparkEntry {
              CAST(1.0 AS DOUBLE) AS jaccard
       FROM documents WHERE doc_id % 4 = 0 ORDER BY new_id""",
 
+    // batch-by-batch postings maintenance must land on the SAME scores a
+    // from-scratch token-BM25 over the final corpus computes — the
+    // replay is q_bm25_persist's chain over the unmodified documents
+    "q_stream_bm25" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), t AS (
+        SELECT doc_id,
+               CAST(len(w) AS DOUBLE) AS dl,
+               CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf0,
+               CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf1,
+               CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+        FROM tok
+      ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+               CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM t)
+      SELECT doc_id,
+             (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms,
+             round(
+               ln(1.0 + ((s.n - s.df0) + 0.5) / (s.df0 + 0.5))
+                 * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl))))
+               + ln(1.0 + ((s.n - s.df1) + 0.5) / (s.df1 + 0.5))
+                 * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl))))
+               + ln(1.0 + ((s.n - s.df2) + 0.5) / (s.df2 + 0.5))
+                 * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl)))),
+               6) AS bm25
+      FROM t, s
+      WHERE (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+             + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
+      ORDER BY doc_id""",
+
     // bloom pre-filter + exact verify == the exact operator's output
     "q_decontaminate_bloom" -> """
       WITH toks AS (
@@ -7120,6 +7400,9 @@ object SparkEntry {
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
     "q_ann_pq" -> pqOracle(m = 4, k = 8, iters = 2, topk = 5),
+    "q_ann_rebuild" -> annRebuildOracle(nCells = 4, nProbe = 3, m = 8,
+      k = 16, iters = 2, topk = 5),
+
     "q_ann_persist" -> annPersistOracle(nCells = 4, nProbe = 2, m = 4,
       k = 8, iters = 2, topk = 5),
     "q_ann_rerank" -> ivfPqRerankOracle(nCells = 4, nProbe = 2, m = 4,
@@ -7540,6 +7823,48 @@ object SparkEntry {
              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id""",
+
+    // top-k over the persisted index: token-BM25 for the DISTINCT term
+    // set (the Spark side receives 'vector' twice — dedup is part of the
+    // contract under test), then the rank cut the TakeOrdered heap
+    // computes: rounded score desc, doc_id tiebreak, first 25
+    "q_bm25_topk" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), t AS (
+        SELECT doc_id,
+               CAST(len(w) AS DOUBLE) AS dl,
+               CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf0,
+               CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf1
+        FROM tok
+      ), s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS avgdl,
+               CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+               CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+        FROM t
+      ), scored AS (
+        SELECT doc_id,
+               (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS n_terms,
+               round(
+                 ln(1.0 + ((s.n - s.df0) + 0.5) / (s.df0 + 0.5))
+                   * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl))))
+                 + ln(1.0 + ((s.n - s.df1) + 0.5) / (s.df1 + 0.5))
+                   * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + ((0.75 * dl) / s.avgdl)))),
+                 6) AS bm25
+        FROM t, s
+        WHERE tf0 > 0 OR tf1 > 0
+      ), ranked AS (
+        SELECT doc_id, n_terms, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        FROM scored
+      )
+      SELECT doc_id, n_terms, bm25 FROM ranked WHERE rn <= 25
+      ORDER BY bm25 DESC, doc_id""",
 
     // fusion over the persisted keyword leg: replay token-BM25 for
     // 'vector' (single term — the chain is one product), head both

@@ -1540,9 +1540,11 @@ object MediaKernels {
     * skipped, DQT/DHT/DRI/SOF0/SOS honored), Huffman tables built FROM
     * THE FILE, byte-stuffed entropy decode with restart handling, zigzag
     * + dequant + separable IDCT per block, per-plane sums over the w×h
-    * crop. Supports the 8-bit baseline 4:4:4 (and 1-component grayscale)
-    * subset; everything else — progressive, subsampled, 12-bit, bad
-    * codes, truncation, pixel overruns — fails closed. Returns
+    * crop. Supports the 8-bit baseline subset with luma sampling 1..2 ×
+    * 1..2 and chroma pinned 1×1 — i.e. 4:4:4, 4:2:2, 4:4:0, 4:2:0, and
+    * 1-component grayscale; everything else — progressive, 12-bit,
+    * chroma-subsampled-beyond-1×1, bad codes, truncation, pixel
+    * overruns — fails closed. Returns
     * [width, height, n_components, restart_interval, sum_y, sum_cb,
     * sum_cr] (grayscale: cb/cr sums 0). */
   def jpegParse(bytes: Array[Byte]): ArrayData = {

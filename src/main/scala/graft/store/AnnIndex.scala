@@ -42,7 +42,11 @@ import graft.operators.Pq.Codebook
   * Staleness semantics are the index's honest contract: between
   * refreshes a query sees the codes as of the last drained commit —
   * the same snapshot story every secondary index at this scale tells
-  * (Delta/Iceberg materialized views, vector-DB segment indexes).
+  * (Delta/Iceberg materialized views, vector-DB segment indexes). The
+  * deeper staleness — codebooks trained on a distribution the corpus
+  * has drifted away from — has its own loop: DETECT via the recall +
+  * PSI audit (`q_ann_recall_audit`), ACT via [[rebuild]] (retrain,
+  * re-encode, atomic swap, cursor preserved).
   */
 final class AnnIndex private (
     val src: GraftTable, val name: String,
@@ -58,9 +62,52 @@ final class AnnIndex private (
   /** Source commit id the codes are current through (the CDF cursor). */
   def currentThrough(): Long = CdfTail.cursor(src, consumerId)
 
+  /** ACT on the staleness signal ([[graft.operators.Profile.drift]] PSI
+    * past 0.25, or a recall audit under its bracket — the DETECT half
+    * `q_ann_recall_audit` runs): retrain BOTH codebooks on the source's
+    * CURRENT snapshot, re-encode every row, and swap model + codes in
+    * ONE transaction with the change-feed cursor re-pinned to the
+    * retrained snapshot's commit — the drain loop continues from
+    * exactly the rows the rebuild did not see. This is the deliberate
+    * full-corpus pass [[refresh]] refuses to be: refresh prices at the
+    * delta under FROZEN codebooks (correct but increasingly
+    * unrepresentative as the corpus drifts); rebuild pays the Lloyd
+    * rounds + encode-all once to restore representativeness.
+    *
+    * Atomicity/OCC: all three writes (model rows, code rows, cursor)
+    * ride one manifest swap — a probe sees either the old index or the
+    * new one, never a mix, and the OLD model/code slices stay readable
+    * via time travel until vacuum. A refresh racing this rebuild loses
+    * the commit race on the shared cursor key (P2034) and retries
+    * against the post-rebuild state, exactly like every other store
+    * writer (IndexMaintenanceSpec drives the interleaving).
+    *
+    * The cell layout follows the new coarse quantizer: every cell slice
+    * rewrites — the expected price of retraining, amortized over the
+    * probes that stop paying the staleness tax. */
+  def rebuild(nCells: Int, m: Int, k: Int, iters: Int): Unit = {
+    codebooks() // fail fast (and loudly) on a never-built index
+    val c0 = src.catalog.currentCommitId()
+    val snap = src.snapshotAt(c0)
+    val coarse = Pq.train(snap, embCol, idCol, m = 1, k = nCells, iters)
+    val cb = Pq.train(snap, embCol, idCol, m, k, iters)
+    val streams = src.catalog.manifest().get(Catalog.StreamTable)
+    val txn = new Txn(src.catalog)
+    val all = graft.query.RawCol(lit(true))
+    txn.deleteMany(model, all)
+    txn.createMany(model, AnnIndex.modelDf(src, coarse, cb),
+      skipDuplicates = false)
+    txn.deleteMany(codes, all)
+    txn.createMany(codes, Pq.encodeIvf(snap, embCol, idCol, coarse, cb),
+      skipDuplicates = false)
+    txn.recordStreamBatch(src, s"cdf:$consumerId", c0, streams)
+    txn.commit()
+  }
+
   /** Catch the codes table up with the source's change feed — one
     * drained window, or None when already caught up. No retraining:
-    * the persisted codebooks encode the delta. */
+    * the persisted codebooks encode the delta ([[rebuild]] is the
+    * deliberate retrain counterpart). */
   def refresh(): Option[(Long, Long)] = {
     val (coarse, cb) = codebooks()
     CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
@@ -142,6 +189,21 @@ object AnnIndex {
       // only their cells, refreshes rewrite only the cells that moved
       partitionCols = Seq("cell"))
 
+  /** The (coarse + pq) codebooks rendered as model-table rows — shared
+    * by [[build]] and [[AnnIndex.rebuild]] so both persist the identical
+    * layout [[loadModel]] reconstructs. */
+  private[store] def modelDf(src: GraftTable, coarse: Codebook,
+                             cb: Codebook): DataFrame = {
+    val rows = coarse.centers.zipWithIndex.map { case (c, i) =>
+      Row("coarse", 0, i + 1, c)
+    } ++ cb.centers.zipWithIndex.map { case (c, i) =>
+      Row("pq", i / cb.k, i % cb.k + 1, c)
+    }
+    src.spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), modelSchema)
+  }
+
   /** Train on the source's CURRENT snapshot, encode it, and commit
     * model + codes + the change-feed cursor in one transaction. */
   def build(src: GraftTable, name: String, embCol: String, idCol: String,
@@ -152,17 +214,9 @@ object AnnIndex {
     val cb = Pq.train(snap, embCol, idCol, m, k, iters)
     val model = modelTable(src, name)
     val codes = codesTable(src, name, idCol)
-    val rows = coarse.centers.zipWithIndex.map { case (c, i) =>
-      Row("coarse", 0, i + 1, c)
-    } ++ cb.centers.zipWithIndex.map { case (c, i) =>
-      Row("pq", i / cb.k, i % cb.k + 1, c)
-    }
-    val modelDf = src.spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), modelSchema)
     val streams = src.catalog.manifest().get(Catalog.StreamTable)
     val txn = new Txn(src.catalog)
-    txn.createMany(model, modelDf, skipDuplicates = false)
+    txn.createMany(model, modelDf(src, coarse, cb), skipDuplicates = false)
     txn.createMany(codes, Pq.encodeIvf(snap, embCol, idCol, coarse, cb),
       skipDuplicates = false)
     // cursor = the commit the build encoded, published WITH the

@@ -124,10 +124,31 @@ final class Bm25Index private (
     * from the pruned read (≤ |terms| collected rows), N/avgdl from the
     * meta row: zero corpus jobs, query cost ∝ the query terms' posting
     * lists. Same Okapi constants and operand order as
-    * [[graft.operators.Relevance.bm25]]. */
-  def search(terms: Seq[String], k1: Double = 1.2,
-             b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "no terms")
+    * [[graft.operators.Relevance.bm25]].
+    *
+    * `topk > 0` bounds the RESULT, not just the caller's view: the cut
+    * plans as TakeOrderedAndProject (per-partition heaps of k rows, one
+    * k-row merge on the driver side of the exchange) — at 100 TB a hot
+    * term's posting list is corpus-scale, and returning it unranked
+    * just moves the top-k problem to the caller with a full shuffle
+    * attached. Order: bm25 desc, then idCol asc — the tiebreak on the
+    * ROUNDED score keeps the cut deterministic and engine-portable.
+    * `topk = 0` (default) returns every matching document.
+    *
+    * `terms` dedupes at entry so scoring, n_terms, and bucket routing
+    * all see the same term set — a duplicated query term would
+    * otherwise pivot into two __tf_i columns and silently double its
+    * Okapi contribution (bucket routing already deduped via distinct).
+    *
+    * Rounding note: the 6-dec `round` is Spark HALF_UP while DuckDB's
+    * is half-even; scores landing exactly on a 1e-6 midpoint would
+    * diverge. Okapi scores are transcendental (a log times a rational),
+    * so observed values never hit representable midpoints — if a future
+    * gate manufactures one, compare via bround or widen the epsilon. */
+  def search(rawTerms: Seq[String], k1: Double = 1.2,
+             b: Double = 0.75, topk: Int = 0): DataFrame = {
+    require(rawTerms.nonEmpty, "no terms")
+    val terms = rawTerms.distinct
     val (nDocs, sumDl, nBuckets) = stats()
     require(nDocs > 0, s"${post.name}: empty corpus")
     val avgdl = sumDl.toDouble / nDocs.toDouble
@@ -165,11 +186,13 @@ final class Bm25Index private (
     val score = perTerm.map(_._1).reduce(_ + _)
     val nMatched = perTerm.map { case (_, hit) =>
       when(hit, 1).otherwise(0) }.reduce(_ + _)
-    perDoc
+    val scored = perDoc
       .withColumn("n_terms", nMatched)
       .filter(col("n_terms") > 0)
       .select(col("id").as(idCol), col("n_terms"),
         round(score, 6).as("bm25"))
+    if (topk <= 0) scored
+    else scored.orderBy(col("bm25").desc, col(idCol).asc).limit(topk)
   }
 }
 

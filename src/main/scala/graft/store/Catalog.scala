@@ -231,8 +231,17 @@ final class Catalog(val root: String) {
     * so the cap clamps to ≥ 1). History files are tiny JSON but unbounded
     * in a long-lived store; the default keeps all of them. `manifestAt`/
     * `snapshotAt` on a reclaimed commit id throws the documented
-    * RecordNotFoundException ("no commit <id>"). */
-  def vacuum(retainMs: Long = 0, keepHistory: Int = Int.MaxValue): Unit = {
+    * RecordNotFoundException ("no commit <id>").
+    *
+    * Returns the UNRECOVERABLE cursors: `cdf:` consumers whose archived
+    * manifest was already reclaimed (by an earlier, pre-cursor-aware
+    * vacuum) and therefore could not be pinned — their next drain will
+    * fail with RecordNotFoundException. Surfacing them HERE, at vacuum
+    * time, puts the diagnosis next to the cause instead of at the
+    * consumer's next refresh, arbitrarily far away; each entry is
+    * (table, cursor commit id). Empty = every consumer protected. */
+  def vacuum(retainMs: Long = 0,
+             keepHistory: Int = Int.MaxValue): Seq[(String, Long)] = {
     val cur = manifest()
     // CURSOR-AWARE RETENTION: a CDF consumer's next drain diffs
     // manifestAt(cursor) against head, reading the cursor manifest's
@@ -260,13 +269,16 @@ final class Catalog(val root: String) {
     val pinnedIds = cursors.map(_._2).toSet
     // (table, partition key) → versions some cursor manifest still needs;
     // a cursor whose manifest was already reclaimed by an earlier,
-    // pre-cursor-aware vacuum is skipped (nothing left to protect)
+    // pre-cursor-aware vacuum is skipped (nothing left to protect) but
+    // COLLECTED — the caller learns now that the consumer is stranded
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val pinned: Map[(String, String), Set[String]] = cursors
       .flatMap { case (t, c) =>
-        scala.util.Try(manifestAt(c)).toOption.toSeq
-          .flatMap(_.getOrElse(t, Map.empty).toSeq.map {
-            case (pk, ver) => ((t, pk), ver)
-          })
+        val m = scala.util.Try(manifestAt(c)).toOption
+        if (m.isEmpty) skipped += (t -> c)
+        m.toSeq.flatMap(_.getOrElse(t, Map.empty).toSeq.map {
+          case (pk, ver) => ((t, pk), ver)
+        })
       }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
     if (keepHistory != Int.MaxValue && Files.exists(historyDir)) {
@@ -299,6 +311,7 @@ final class Catalog(val root: String) {
             }
         }
     }
+    skipped.toSeq
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -132,4 +132,47 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       .as[Long].collect().toSeq
     assert(hit == Seq(7L))
   }
+
+  test("an index built on an empty corpus is fed entirely by refreshes") {
+    val src = srcTable()
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 4)
+    val (n0, s0, _) = idx.stats()
+    assert(n0 == 0L && s0 == 0L, "empty build persists zero scalars")
+    src.createMany((1L to 20L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    assert(idx.refresh().nonEmpty)
+    src.createMany((21L to 30L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    assert(idx.refresh().nonEmpty)
+    assert(postRows(idx.post) == freshPostings(src),
+      "batch-fed postings must equal a from-scratch tokenize")
+    assert(idx.stats()._1 == 30L)
+  }
+
+  test("a repeated query term scores once — search dedupes at entry") {
+    val src = srcTable()
+    src.createMany((1L to 60L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 8)
+    def rows(terms: Seq[String]) =
+      idx.search(terms).select($"doc_id", $"n_terms", $"bm25")
+        .as[(Long, Int, Double)].collect().toSet
+    assert(rows(Seq("vector", "filler", "vector")) ==
+      rows(Seq("vector", "filler")),
+      "duplicate terms must not double-count scores or n_terms")
+  }
+
+  test("topk plans a TakeOrdered heap and returns the ranked head") {
+    val src = srcTable()
+    src.createMany((1L to 60L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 8)
+    val bounded = idx.search(Seq("vector", "filler"), topk = 5)
+    assert(bounded.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "a bounded search must cut inside the plan, not sort the world")
+    val got = bounded.select($"doc_id", $"bm25")
+      .as[(Long, Double)].collect().toSeq
+    val all = idx.search(Seq("vector", "filler"))
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+    assert(got.sortBy { case (id, s) => (-s, id) } == all,
+      "topk must equal the head of the full deterministic order")
+  }
 }

@@ -123,6 +123,88 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
         "persisted codebooks (malformed rows absent from both sides)")
   }
 
+  test("AnnIndex.rebuild retrains on the current snapshot and the cursor keeps draining") {
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(j => ((i * 31 + j * 7) % 17).toFloat * 0.1f - 0.8f)
+    val src = new GraftTable(spark, freshCat(), "vecs", StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true))),
+      uniqueKeys = Seq(Seq("vec_id")))
+    src.createMany((1L to 25L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val idx = AnnIndex.build(src, "m", "embedding", "vec_id",
+      nCells = 2, m = 2, k = 4, iters = 1)
+    // a drifted cohort arrives and drains under the FROZEN codebooks
+    src.createMany((100L to 115L).map(i =>
+      (i, (0 until dim).map(j => ((i + j) % 5).toFloat / 16.0f + 0.5f)))
+      .toDF("vec_id", "embedding"))
+    assert(idx.refresh().nonEmpty)
+    val modelBefore = src.catalog.manifest()(idx.model.name)
+    idx.rebuild(nCells = 2, m = 2, k = 4, iters = 1)
+    assert(src.catalog.manifest()(idx.model.name) != modelBefore,
+      "rebuild must swap the model slices (refresh never does)")
+    // rebuild == retrain-from-scratch on the snapshot it saw
+    val co = Pq.train(src.snapshot(), "embedding", "vec_id",
+      m = 1, k = 2, iters = 1)
+    val cb = Pq.train(src.snapshot(), "embedding", "vec_id",
+      m = 2, k = 4, iters = 1)
+    def codeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet
+    assert(codeSet(idx.codes.snapshot()) ==
+      codeSet(Pq.encodeIvf(src.snapshot(), "embedding", "vec_id", co, cb)),
+      "rebuilt codes must equal encode-all under freshly trained codebooks")
+    assert(idx.refresh().isEmpty,
+      "rebuild re-pins the cursor at its snapshot — nothing left to drain")
+    // the loop continues: a post-rebuild delta drains with the NEW model
+    src.createMany(Seq((200L, vec(200L))).toDF("vec_id", "embedding"))
+    assert(idx.refresh().nonEmpty, "cursor must keep draining after rebuild")
+    assert(codeSet(idx.codes.snapshot()) ==
+      codeSet(Pq.encodeIvf(src.snapshot(), "embedding", "vec_id", co, cb)),
+      "post-rebuild deltas encode under the rebuilt codebooks")
+  }
+
+  test("a rebuild that lost the race to a refresh fails P2034 and lands on retry") {
+    def vec(i: Long): Seq[Float] =
+      (0 until dim).map(j => ((i * 13 + j * 5) % 11).toFloat * 0.1f - 0.5f)
+    val src = new GraftTable(spark, freshCat(), "vecs", StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true))),
+      uniqueKeys = Seq(Seq("vec_id")))
+    src.createMany((1L to 20L).map(i => (i, vec(i))).toDF("vec_id", "embedding"))
+    val idx = AnnIndex.build(src, "m", "embedding", "vec_id",
+      nCells = 2, m = 2, k = 4, iters = 1)
+    // replay rebuild's staging by hand, but let a refresh COMMIT inside
+    // the gap between the rebuild's base read and its commit — the
+    // shared cursor key makes the stale rebuild fail the swap (P2034)
+    val c0 = src.catalog.currentCommitId()
+    val snap = src.snapshotAt(c0)
+    val co = Pq.train(snap, "embedding", "vec_id", m = 1, k = 2, iters = 1)
+    val cb = Pq.train(snap, "embedding", "vec_id", m = 2, k = 4, iters = 1)
+    val staleBase = src.catalog.manifest().get(Catalog.StreamTable)
+    src.createMany(Seq((50L, vec(50L))).toDF("vec_id", "embedding"))
+    assert(idx.refresh().nonEmpty) // the refresh wins the race
+    val txn = new Txn(src.catalog)
+    txn.deleteMany(idx.codes, graft.query.RawCol(lit(true)))
+    txn.createMany(idx.codes,
+      Pq.encodeIvf(snap, "embedding", "vec_id", co, cb),
+      skipDuplicates = false)
+    txn.recordStreamBatch(src, "cdf:ann:m", c0, staleBase)
+    intercept[ConcurrentModificationException] { txn.commit() }
+    // nothing published by the failed swap; the retried rebuild lands
+    // against the post-refresh state, like every other OCC writer
+    graft.pipeline.Retry.onConflict() {
+      idx.rebuild(nCells = 2, m = 2, k = 4, iters = 1)
+    }
+    val co2 = Pq.train(src.snapshot(), "embedding", "vec_id",
+      m = 1, k = 2, iters = 1)
+    val cb2 = Pq.train(src.snapshot(), "embedding", "vec_id",
+      m = 2, k = 4, iters = 1)
+    assert(idx.codes.snapshot().collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet ==
+      Pq.encodeIvf(src.snapshot(), "embedding", "vec_id", co2, cb2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet,
+      "the retried rebuild must cover the refresh's rows too")
+  }
+
   test("vacuum never strands a lagging index cursor (slices or history)") {
     val src = new GraftTable(spark, freshCat(), "docs", StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -152,6 +234,28 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     src.catalog.vacuum(retainMs = 0, keepHistory = 1)
     assert(idx.refresh().isEmpty)
     assert(idx.sketch.snapshot().count() == src.snapshot().count())
+  }
+
+  test("vacuum surfaces a cursor whose archived manifest is already gone") {
+    val src = new GraftTable(spark, freshCat(), "docs", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("doc_id")))
+    def text(i: Long): String = s"doc $i body ${i % 3} shared filler"
+    src.createMany((1L to 10L).map(i => (i, text(i))).toDF("doc_id", "text"))
+    val idx = DedupIndex.build(src, "v", "text", "doc_id", nBuckets = 2)
+    src.createMany(Seq((20L, text(20L))).toDF("doc_id", "text"))
+    // a lagging but HEALTHY cursor: vacuum pins it, reports nothing
+    assert(src.catalog.vacuum(retainMs = 0, keepHistory = 1).isEmpty,
+      "a protectable cursor is pinned, not reported")
+    // simulate a legacy (pre-cursor-aware) vacuum that reclaimed the
+    // cursor's archived manifest out-of-band
+    val cur = idx.currentThrough()
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      src.catalog.root, "_history", s"$cur.json"))
+    val stranded = src.catalog.vacuum(retainMs = 0, keepHistory = 1)
+    assert(stranded.contains(("docs", cur)),
+      s"vacuum must surface the unrecoverable cursor, got $stranded")
   }
 
   test("compaction of a bucket-partitioned index table preserves pruning") {
