@@ -2435,6 +2435,35 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // PROGRESSIVE JPEG (SOF2) — the largest real-crawl share the
+    // baseline subset missed: per document, a multi-scan T.81 Annex G
+    // file (interleaved DC-first at Al=1, per-component spectral AC
+    // bands, DC + AC refinement scans, file-defined Huffman tables with
+    // real EOBn run codes, RSTn inside every scan), decoded by the
+    // multi-scan path — coefficients accumulate across scans, then one
+    // dequant/IDCT/coverage-sum pass. Exactness: constant blocks make
+    // every AC band pure EOB runs, and DC point-transform + refinement
+    // is (v>>1)<<1 | (v&1) == v, so the same number theory as
+    // q_media_jpeg holds and the oracle replays the plane formulas.
+    // multimodal/MediaKernels.jpegSynthProg/jpegParseProgressive.
+    "q_media_jpeg_prog" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(23)) + 4).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(17)) + 4).cast("int").as("h"))
+      d.withColumn("p", M.jpegParse(M.jpegSynthProg(col("id"), col("w"), col("h"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("n_components"),
+          element_at(col("p"), 4).as("restart_interval"),
+          element_at(col("p"), 5).as("sum_y"),
+          element_at(col("p"), 6).as("sum_cb"),
+          element_at(col("p"), 7).as("sum_cr"))
+        .orderBy(col("id"))
+    }),
+
     // REAL RIFF/WAVE parse: build a PCM-16 file per document with an
     // id-derived junk LIST chunk BETWEEN fmt and data (a parser that
     // assumes fixed offsets instead of walking chunks fails), then parse
@@ -7121,6 +7150,27 @@ object SparkEntry {
     "q_media_jpeg" -> """
       WITH d AS (
         SELECT doc_id AS id, doc_id % 21 + 4 AS w, doc_id % 15 + 4 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS n_components,
+             CAST(id % 3 + 1 AS BIGINT) AS restart_interval,
+             CAST(sum(((x//8)*5 + (y//8)*17 + id*3) % 256) AS BIGINT) AS sum_y,
+             CAST(sum(((x//16)*11 + (y//16)*3 + id*5) % 256) AS BIGINT) AS sum_cb,
+             CAST(sum(((x//16)*7 + (y//16)*13 + id) % 256) AS BIGINT) AS sum_cr
+      FROM px GROUP BY id, w, h ORDER BY id""",
+
+    // the PROGRESSIVE builder+decoder replayed symbolically: the whole
+    // multi-scan entropy layer (spectral bands, successive
+    // approximation, EOB runs, refinement bits) cancels out under the
+    // constant-block contract exactly as the baseline layer does
+    "q_media_jpeg_prog" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 23 + 4 AS w, doc_id % 17 + 4 AS h
         FROM documents
       ), dx AS (
         SELECT id, w, h, unnest(range(0, w)) AS x FROM d

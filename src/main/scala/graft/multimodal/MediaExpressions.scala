@@ -318,6 +318,28 @@ object MediaExpressions {
       copy(first = f, second = s, third = t)
   }
 
+  /** (id, width, height) → complete PROGRESSIVE (SOF2) JPEG file bytes:
+    * the same block-constant planes as [[JpegSynth]] through the
+    * multi-scan encoder (spectral selection + successive approximation,
+    * file-defined Huffman tables, restart intervals in every scan). */
+  case class JpegSynthProg(first: Expression, second: Expression,
+                           third: Expression) extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "jpeg_synth_prog"
+
+    override def nullSafeEval(id: Any, w: Any, h: Any): Any =
+      MediaKernels.jpegSynthProg(id.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, w, h) =>
+        s"graft.multimodal.MediaKernels.jpegSynthProg($i, $w, $h)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   /** JPEG bytes → [width, height, n_components, restart_interval, sum_y,
     * sum_cb, sum_cr]; all(-1) when not a well-formed baseline 4:4:4 or
     * grayscale JPEG. */
@@ -349,6 +371,8 @@ object MediaExpressions {
   def gifParse(payload: Column): Column = column(GifParse(expression(payload)))
   def jpegSynth(id: Column, width: Column, height: Column): Column =
     column(JpegSynth(expression(id), expression(width), expression(height)))
+  def jpegSynthProg(id: Column, width: Column, height: Column): Column =
+    column(JpegSynthProg(expression(id), expression(width), expression(height)))
   def jpegParse(payload: Column): Column = column(JpegParse(expression(payload)))
   def bmpPerturb(payload: Column): Column = column(BmpPerturb(expression(payload)))
   def wavSynth(id: Column, channels: Column, sampleRate: Column, frames: Column): Column =

@@ -1513,6 +1513,285 @@ object MediaKernels {
       restartInterval = (id % 3).toInt + 1, subsample420 = true)
   }
 
+  /** File-defined AC Huffman table for the progressive encoder: all 256
+    * symbols canonically coded (252 at 8 bits, 4 at 9 — Kraft slack
+    * keeps the all-ones code unassigned, T.81 C.2). Annex K's baseline
+    * AC tables have NO codes for the EOBn run symbols (r<<4, r=1..14)
+    * progressive scans emit, so the encoder ships its own table in DHT —
+    * which is also what makes the decoder's build-tables-from-the-file
+    * contract load-bearing here. */
+  private val FlatAcBits: Array[Int] = {
+    val b = new Array[Int](17); b(8) = 252; b(9) = 4; b
+  }
+  private val FlatAcVals: Array[Byte] = Array.tabulate(256)(_.toByte)
+
+  /** Encode the same 3-plane YCbCr image as a PROGRESSIVE (SOF2) JPEG —
+    * T.81 Annex G spectral selection + successive approximation, the
+    * scan script shaped like libjpeg's default: interleaved DC first at
+    * Al=1, per-component AC first scans at Al=1 (luma split 1–5 / 6–63,
+    * chroma 1–63), then one refinement scan per class (DC Ah=1, AC
+    * bands Ah=1→Al=0). Every scan honors the restart interval (in that
+    * scan's MCU unit — blocks, for the non-interleaved AC scans), with
+    * EOB runs and their buffered correction bits flushed at each RSTn.
+    * Quantized coefficients are the SAME [[fdctQuant]] blocks the
+    * baseline encoder writes, so a progressive and a baseline encode of
+    * one image decode to identical sums (ProgressiveJpegSpec pins it). */
+  def jpegEncodeProgressive(y: Array[Int], cb: Array[Int], cr: Array[Int],
+                            w: Int, h: Int, restartInterval: Int,
+                            subsample420: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff &&
+      y.length == w * h && cb.length == w * h && cr.length == w * h,
+      "jpegEncodeProgressive: bad plane shape")
+    require(w.toLong * h <= ProgPixelBound,
+      s"jpegEncodeProgressive: ${w}x$h exceeds the progressive bound")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >>> 8)
+      out.write((body.length + 2) & 0xff); out.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(id: Int, q: Array[Int]): Array[Byte] = {
+      val b = new Array[Byte](65); b(0) = id.toByte
+      var i = 0
+      while (i < 64) { b(1 + i) = q(Zig(i)).toByte; i += 1 }
+      b
+    }
+    seg(0xdb, dqt(0, QLum)); seg(0xdb, dqt(1, QChr))
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](17 + vals.length)
+      b(0) = ((cls << 4) | id).toByte
+      var i = 1
+      while (i <= 16) { b(i) = bits(i).toByte; i += 1 }
+      System.arraycopy(vals, 0, b, 17, vals.length)
+      b
+    }
+    seg(0xc4, dht(0, 0, DcLumBits, DcLumVals))
+    seg(0xc4, dht(0, 1, DcChrBits, DcChrVals))
+    seg(0xc4, dht(1, 0, FlatAcBits, FlatAcVals))
+    val lumaSamp: Byte = if (subsample420) 0x22 else 0x11
+    seg(0xc2, Array[Byte](8,
+      (h >>> 8).toByte, (h & 0xff).toByte,
+      (w >>> 8).toByte, (w & 0xff).toByte, 3,
+      1, lumaSamp, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val ri = restartInterval
+    if (ri > 0)
+      seg(0xdd, Array[Byte]((ri >>> 8).toByte, (ri & 0xff).toByte))
+
+    // quantize every block ONCE (identical geometry + padding to the
+    // baseline encoder), then write the scans from the buffered blocks
+    def blockOf(plane: Array[Int], pw: Int, ph: Int,
+                x0: Int, y0: Int): Array[Int] =
+      Array.tabulate(64) { i =>
+        val x = math.min(x0 + i % 8, pw - 1)
+        val yy = math.min(y0 + i / 8, ph - 1)
+        plane(yy * pw + x)
+      }
+    val (cw, chh) = if (subsample420) ((w + 1) / 2, (h + 1) / 2) else (w, h)
+    def down(plane: Array[Int]): Array[Int] =
+      if (!subsample420) plane
+      else Array.tabulate(cw * chh) { i =>
+        val x = (i % cw) * 2; val yy = (i / cw) * 2
+        val x1 = math.min(x + 1, w - 1); val y1 = math.min(yy + 1, h - 1)
+        (plane(yy * w + x) + plane(yy * w + x1) +
+          plane(y1 * w + x) + plane(y1 * w + x1) + 2) / 4
+      }
+    val cbP = down(cb); val crP = down(cr)
+    val hL = if (subsample420) 2 else 1
+    val bx = (w + 8 * hL - 1) / (8 * hL); val by = (h + 8 * hL - 1) / (8 * hL)
+    val bwPadL = bx * hL; val bhPadL = by * hL
+    val lumaQ = Array.tabulate(bwPadL * bhPadL)(i =>
+      fdctQuant(blockOf(y, w, h, (i % bwPadL) * 8, (i / bwPadL) * 8), QLum))
+    val cbQ = Array.tabulate(bx * by)(i =>
+      fdctQuant(blockOf(cbP, cw, chh, (i % bx) * 8, (i / bx) * 8), QChr))
+    val crQ = Array.tabulate(bx * by)(i =>
+      fdctQuant(blockOf(crP, cw, chh, (i % bx) * 8, (i / bx) * 8), QChr))
+    val dcLum = huffEncTable(DcLumBits, DcLumVals)
+    val dcChr = huffEncTable(DcChrBits, DcChrVals)
+    val flatAc = huffEncTable(FlatAcBits, FlatAcVals)
+
+    def sos(comps: Seq[(Int, Int, Int)], ss: Int, se: Int,
+            ah: Int, al: Int): Unit = {
+      val b = new Array[Byte](1 + 2 * comps.size + 3)
+      b(0) = comps.size.toByte
+      comps.zipWithIndex.foreach { case ((cid, td, ta), i) =>
+        b(1 + 2 * i) = cid.toByte; b(2 + 2 * i) = ((td << 4) | ta).toByte
+      }
+      b(1 + 2 * comps.size) = ss.toByte
+      b(2 + 2 * comps.size) = se.toByte
+      b(3 + 2 * comps.size) = ((ah << 4) | al).toByte
+      seg(0xda, b)
+    }
+
+    // ---- interleaved DC scans (first at Al, refine at Ah = Al+1)
+    def dcScan(al: Int, refine: Boolean): Unit = {
+      sos(Seq((1, 0, 0), (2, 1, 0), (3, 1, 0)), 0, 0,
+        if (refine) al + 1 else 0, al)
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](3)
+      var rst = 0; var mcu = 0
+      def putDc(v: Int, ci: Int, tab: Array[Int]): Unit =
+        if (refine) bw.put((v >> al) & 1, 1)
+        else {
+          val pv = v >> al // DC point transform is an ARITHMETIC shift
+          val diff = pv - preds(ci); preds(ci) = pv
+          val s = cat(diff)
+          val c = tab(s); bw.put(c & 0xffff, c >>> 16)
+          if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        }
+      var my = 0
+      while (my < by) {
+        var mx = 0
+        while (mx < bx) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            bw.align(); marker(0xd0 + rst); rst = (rst + 1) % 8
+            preds(0) = 0; preds(1) = 0; preds(2) = 0
+          }
+          var bj = 0
+          while (bj < hL) {
+            var bi = 0
+            while (bi < hL) {
+              putDc(lumaQ((my * hL + bj) * bwPadL + mx * hL + bi)(0), 0, dcLum)
+              bi += 1
+            }
+            bj += 1
+          }
+          putDc(cbQ(my * bx + mx)(0), 1, dcChr)
+          putDc(crQ(my * bx + mx)(0), 2, dcChr)
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+      bw.align()
+    }
+
+    // ---- non-interleaved AC scans over the component's REAL block
+    //      grid (never the MCU padding blocks — T.81 A.2.2)
+    def acScan(blocks: Array[Array[Int]], gridW: Int, gridH: Int,
+               padW: Int, cid: Int, ss: Int, se: Int,
+               refine: Boolean, al: Int): Unit = {
+      sos(Seq((cid, 0, 0)), ss, se, if (refine) al + 1 else 0, al)
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      val beBuf = new scala.collection.mutable.ArrayBuffer[Int]()
+      def flushEob(): Unit = if (eobrun > 0) {
+        var nb = 0; var t = eobrun
+        while ({ t >>= 1; t != 0 }) nb += 1
+        val c = flatAc(nb << 4); bw.put(c & 0xffff, c >>> 16)
+        if (nb > 0) bw.put(eobrun - (1 << nb), nb)
+        eobrun = 0
+        beBuf.foreach(bw.put(_, 1)); beBuf.clear()
+      }
+      var rst = 0; var n = 0
+      var gy = 0
+      while (gy < gridH) {
+        var gx = 0
+        while (gx < gridW) {
+          if (ri > 0 && n > 0 && n % ri == 0) {
+            flushEob(); bw.align()
+            marker(0xd0 + rst); rst = (rst + 1) % 8
+          }
+          val q = blocks(gy * padW + gx)
+          if (!refine) { // AC first: point-transformed magnitudes + EOBn
+            var r = 0; var k = ss
+            while (k <= se) {
+              val v = q(Zig(k))
+              val t = if (v < 0) -((-v) >> al) else v >> al
+              if (t == 0) r += 1
+              else {
+                flushEob()
+                while (r > 15) {
+                  val z = flatAc(0xf0); bw.put(z & 0xffff, z >>> 16); r -= 16
+                }
+                val s = cat(t)
+                val c = flatAc((r << 4) | s); bw.put(c & 0xffff, c >>> 16)
+                bw.put(if (t < 0) t + (1 << s) - 1 else t, s)
+                r = 0
+              }
+              k += 1
+            }
+            if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+          } else { // AC refine: correction bits woven through placement
+            var eobIdx = ss - 1 // last NEWLY-nonzero index (|v|>>al == 1)
+            var k = ss
+            while (k <= se) {
+              if ((math.abs(q(Zig(k))) >> al) == 1) eobIdx = k
+              k += 1
+            }
+            var r = 0
+            val brBuf = new scala.collection.mutable.ArrayBuffer[Int]()
+            k = ss
+            while (k <= se) {
+              val v = q(Zig(k)); val av = math.abs(v) >> al
+              if (av == 0) { r += 1; k += 1 }
+              else {
+                // ZRLs not foldable into the EOB run go out NOW, each
+                // carrying the correction bits buffered so far
+                while (r > 15 && k <= eobIdx) {
+                  flushEob()
+                  val z = flatAc(0xf0); bw.put(z & 0xffff, z >>> 16); r -= 16
+                  brBuf.foreach(bw.put(_, 1)); brBuf.clear()
+                }
+                if (av > 1) { brBuf += (av & 1); k += 1 } // history: buffer
+                else {
+                  flushEob()
+                  val c = flatAc((r << 4) | 1); bw.put(c & 0xffff, c >>> 16)
+                  bw.put(if (v < 0) 0 else 1, 1)
+                  r = 0
+                  brBuf.foreach(bw.put(_, 1)); brBuf.clear()
+                  k += 1
+                }
+              }
+            }
+            if (r > 0 || brBuf.nonEmpty) {
+              eobrun += 1; beBuf ++= brBuf
+              if (eobrun == 0x7fff || beBuf.size > 900) flushEob()
+            }
+          }
+          n += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      flushEob(); bw.align()
+    }
+
+    val cbwL = (w + 7) / 8; val cbhL = (h + 7) / 8
+    dcScan(al = 1, refine = false)
+    acScan(lumaQ, cbwL, cbhL, bwPadL, 1, 1, 5, refine = false, al = 1)
+    acScan(cbQ, bx, by, bx, 2, 1, 63, refine = false, al = 1)
+    acScan(crQ, bx, by, bx, 3, 1, 63, refine = false, al = 1)
+    acScan(lumaQ, cbwL, cbhL, bwPadL, 1, 6, 63, refine = false, al = 1)
+    dcScan(al = 0, refine = true)
+    acScan(lumaQ, cbwL, cbhL, bwPadL, 1, 1, 63, refine = true, al = 0)
+    acScan(cbQ, bx, by, bx, 2, 1, 63, refine = true, al = 0)
+    acScan(crQ, bx, by, bx, 3, 1, 63, refine = true, al = 0)
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** [[jpegSynth]]'s constant-block planes through the PROGRESSIVE
+    * encoder — DC lands exactly via point transform + refinement
+    * ((v>>1)<<1 | (v&1) == v in two's complement) and every AC band is
+    * pure EOB runs, so the multi-scan pipeline reconstructs the planes
+    * exactly and `q_media_jpeg_prog` shares the symbolic oracle. */
+  def jpegSynthProg(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "jpegSynthProg: dims must be positive")
+    require(width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= ProgPixelBound,
+      s"jpegSynthProg: ${width}x$height exceeds the progressive bound")
+    def plane(grid: Int)(f: (Long, Int, Int) => Int): Array[Int] =
+      Array.tabulate(width * height)(i =>
+        f(id, (i % width) / grid, (i / width) / grid))
+    val y = plane(8)((i, bx, by) => ((bx * 5L + by * 17L + i * 3L) % 256).toInt)
+    val cb = plane(16)((i, mx, my) => ((mx * 11L + my * 3L + i * 5L) % 256).toInt)
+    val cr = plane(16)((i, mx, my) => ((mx * 7L + my * 13L + i) % 256).toInt)
+    jpegEncodeProgressive(y, cb, cr, width, height,
+      restartInterval = (id % 3).toInt + 1, subsample420 = true)
+  }
+
   private val JpegFail = new GenericArrayData(Array.fill(7)(-1L))
 
   /** Canonical Huffman DECODE table built from a DHT segment's
@@ -1542,7 +1821,9 @@ object MediaKernels {
     * + dequant + separable IDCT per block, per-plane sums over the w×h
     * crop. Supports the 8-bit baseline subset with luma sampling 1..2 ×
     * 1..2 and chroma pinned 1×1 — i.e. 4:4:4, 4:2:2, 4:4:0, 4:2:0, and
-    * 1-component grayscale; everything else — progressive, 12-bit,
+    * 1-component grayscale; SOF2 progressive delegates to the
+    * multi-scan path ([[jpegParseProgressive]], same sampling subset);
+    * everything else — 12-bit, hierarchical/arithmetic SOFs,
     * chroma-subsampled-beyond-1×1, bad codes, truncation, pixel
     * overruns — fails closed. Returns
     * [width, height, n_components, restart_interval, sum_y, sum_cb,
@@ -1623,9 +1904,11 @@ object MediaKernels {
             compQ(c) = bytes(body + 8 + 3 * c) & 0x0f
             c += 1
           }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+        case 0xc2 => // SOF2 progressive: the multi-scan path
+          return jpegParseProgressive(bytes)
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return JpegFail // non-baseline SOF: out of the supported subset
+          return JpegFail // other non-baseline SOFs: unsupported subset
         case 0xdd =>
           if (bodyLen < 2) return JpegFail
           ri = ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
@@ -1787,5 +2070,483 @@ object MediaKernels {
     if (truncated) return JpegFail
     new GenericArrayData(Array(w.toLong, h.toLong, nc.toLong, ri.toLong,
       sums(0), sums(1), sums(2)))
+  }
+
+  // ------------------------------------------------------------------
+  // Progressive JPEG (SOF2, ITU T.81 Annex G): spectral selection +
+  // successive approximation over the SAME Huffman / zigzag / quant /
+  // IDCT machinery as the baseline path. Unlike baseline's one-pass
+  // streaming decode, progressive coefficients accumulate across scans,
+  // so the decoder buffers every block's 64 coefficients and runs the
+  // IDCT once after the last scan — the memory shape every real
+  // progressive decoder has, which is why [[ProgPixelBound]] is tighter
+  // than the baseline bound.
+  // ------------------------------------------------------------------
+
+  /** Progressive decode buffers ~4·w·h bytes of coefficients for luma
+    * alone; 16 Mpx keeps the transient under ~100 MB per payload. */
+  private val ProgPixelBound = 16L << 20
+
+  /** MSB-first bit reader over byte-stuffed entropy data — the baseline
+    * decoder's inline reader as a class, so each progressive scan gets a
+    * fresh bit state over the shared byte cursor. */
+  private final class JpegBits(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0L
+    private var nbits = 0
+    var truncated = false
+    private def fill(): Unit = {
+      var stop = false
+      while (nbits <= 56 && pos < bytes.length && !truncated && !stop) {
+        val b = bytes(pos) & 0xff
+        if (b == 0xff) {
+          val nb = if (pos + 1 < bytes.length) bytes(pos + 1) & 0xff else -1
+          if (nb == 0) { acc = (acc << 8) | 0xff; nbits += 8; pos += 2 }
+          else stop = true // a real marker: stop feeding bits
+        } else { acc = (acc << 8) | b; nbits += 8; pos += 1 }
+      }
+    }
+    def bit(): Int = {
+      if (nbits == 0) fill()
+      if (nbits == 0) { truncated = true; 0 }
+      else { nbits -= 1; ((acc >>> nbits) & 1L).toInt }
+    }
+    def bitsN(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def huff(t: HuffDec): Int = {
+      var code = bit(); var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        code = (code << 1) | bit(); l += 1
+      }
+      if (l > 16 || truncated) { truncated = true; 0 }
+      else t.value(l, code)
+    }
+    /** Byte-align, consume the expected RSTn, reset bit state. False on
+      * anything else (fail-closed like the baseline path). */
+    def expectRst(): Boolean = {
+      nbits -= nbits % 8
+      fill()
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+        (bytes(pos + 1) & 0xff) >= 0xd0 && (bytes(pos + 1) & 0xff) <= 0xd7) {
+        pos += 2; acc = 0L; nbits = 0
+        true
+      } else false
+    }
+    /** Drop buffered bits and advance the byte cursor to the next real
+      * marker (skipping stuffing and stray RSTn) — scan epilogue. */
+    def seekMarker(): Int = {
+      acc = 0L; nbits = 0
+      var p = pos
+      var done = false
+      while (!done && p + 1 < bytes.length) {
+        val b = bytes(p) & 0xff
+        val nb = bytes(p + 1) & 0xff
+        if (b == 0xff && nb != 0 && !(nb >= 0xd0 && nb <= 0xd7)) done = true
+        else p += 1
+      }
+      pos = p
+      p
+    }
+  }
+
+  /** Parse a PROGRESSIVE (SOF2) JPEG: marker walk with inter-scan table
+    * redefinition, all four scan kinds of T.81 G.2 — DC first (point
+    * transform), DC refinement (one raw bit), AC first (EOBn run codes,
+    * ZRL, spectral bands), AC refinement (correction bits woven through
+    * zero-run placement) — restart-interval resets in every scan kind,
+    * then one dequant + IDCT + coverage-sum pass over the accumulated
+    * coefficients. Sampling subset and return shape match [[jpegParse]];
+    * 12-bit, arithmetic coding, hierarchical, bad codes, truncation, and
+    * pixel overruns fail closed. */
+  private def jpegParseProgressive(bytes: Array[Byte]): ArrayData = {
+    var off = 2
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var w = -1; var h = -1; var nc = -1
+    var ri = 0
+    val compId = new Array[Int](3)
+    val compQ = new Array[Int](3)
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
+    // per-component coefficient planes (natural order within a block),
+    // over the PADDED MCU grid; non-interleaved scans address only the
+    // component's real cbw×cbh sub-grid
+    var coefs: Array[Array[Int]] = null
+    var bwPad: Array[Int] = null; var bhPad: Array[Int] = null
+    var cbw: Array[Int] = null; var cbh: Array[Int] = null
+    var bx = 0; var by = 0
+    var sawScan = false
+    var eoi = false
+    while (!eoi) {
+      if (off + 2 > bytes.length) return JpegFail
+      if ((bytes(off) & 0xff) != 0xff) return JpegFail
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xd9) { eoi = true }
+      else {
+        if (off + 4 > bytes.length) return JpegFail
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > bytes.length) return JpegFail
+        val body = off + 4
+        val bodyLen = len - 2
+        off += 2 + len
+        m match {
+          case 0xdb =>
+            var p = body
+            while (p < body + bodyLen) {
+              val pq = (bytes(p) & 0xff) >>> 4
+              val tq = bytes(p) & 0x0f
+              if (pq != 0 || tq > 3 || p + 65 > body + bodyLen) return JpegFail
+              val q = new Array[Int](64)
+              var i = 0
+              while (i < 64) { q(Zig(i)) = bytes(p + 1 + i) & 0xff; i += 1 }
+              qtabs(tq) = q
+              p += 65
+            }
+          case 0xc4 =>
+            var p = body
+            while (p < body + bodyLen) {
+              if (p + 17 > body + bodyLen) return JpegFail
+              val cls = (bytes(p) & 0xff) >>> 4
+              val id = bytes(p) & 0x0f
+              if (cls > 1 || id > 3) return JpegFail
+              val bits = new Array[Int](17)
+              var total = 0
+              var i = 1
+              while (i <= 16) {
+                bits(i) = bytes(p + i) & 0xff; total += bits(i); i += 1
+              }
+              if (total > 256 || p + 17 + total > body + bodyLen) return JpegFail
+              val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + total)
+              val t = new HuffDec(bits, vals)
+              if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+              p += 17 + total
+            }
+          case 0xc2 =>
+            if (coefs != null || bodyLen < 6) return JpegFail
+            if ((bytes(body) & 0xff) != 8) return JpegFail
+            h = ((bytes(body + 1) & 0xff) << 8) | (bytes(body + 2) & 0xff)
+            w = ((bytes(body + 3) & 0xff) << 8) | (bytes(body + 4) & 0xff)
+            nc = bytes(body + 5) & 0xff
+            if ((nc != 1 && nc != 3) || bodyLen < 6 + 3 * nc) return JpegFail
+            if (w <= 0 || h <= 0 || w.toLong * h > ProgPixelBound)
+              return JpegFail
+            var c = 0
+            while (c < nc) {
+              compId(c) = bytes(body + 6 + 3 * c) & 0xff
+              val samp = bytes(body + 7 + 3 * c) & 0xff
+              compH(c) = samp >>> 4; compV(c) = samp & 0x0f
+              val ok =
+                if (c == 0) compH(0) >= 1 && compH(0) <= 2 &&
+                  compV(0) >= 1 && compV(0) <= 2 && (nc == 3 || samp == 0x11)
+                else samp == 0x11
+              if (!ok) return JpegFail
+              compQ(c) = bytes(body + 8 + 3 * c) & 0x0f
+              c += 1
+            }
+            val hMax = compH(0); val vMax = compV(0)
+            bx = (w + 8 * hMax - 1) / (8 * hMax)
+            by = (h + 8 * vMax - 1) / (8 * vMax)
+            coefs = new Array[Array[Int]](nc)
+            bwPad = new Array[Int](nc); bhPad = new Array[Int](nc)
+            cbw = new Array[Int](nc); cbh = new Array[Int](nc)
+            c = 0
+            while (c < nc) {
+              bwPad(c) = bx * compH(c); bhPad(c) = by * compV(c)
+              val cw = (w * compH(c) + hMax - 1) / hMax
+              val ch = (h * compV(c) + vMax - 1) / vMax
+              cbw(c) = (cw + 7) / 8; cbh(c) = (ch + 7) / 8
+              coefs(c) = new Array[Int](bwPad(c) * bhPad(c) * 64)
+              c += 1
+            }
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return JpegFail // only pure SOF2 files take this path
+          case 0xdd =>
+            if (bodyLen < 2) return JpegFail
+            ri = ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
+          case 0xda =>
+            if (coefs == null) return JpegFail
+            val ns = bytes(body) & 0xff
+            if (ns < 1 || ns > nc || bodyLen < 1 + 2 * ns + 3) return JpegFail
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cs = bytes(body + 1 + 2 * i) & 0xff
+              var idx = -1
+              var c = 0
+              while (c < nc) { if (compId(c) == cs) idx = c; c += 1 }
+              if (idx < 0) return JpegFail
+              scanComp(i) = idx
+              scanDc(i) = (bytes(body + 2 + 2 * i) & 0xff) >>> 4
+              scanAc(i) = bytes(body + 2 + 2 * i) & 0x0f
+              i += 1
+            }
+            val ss = bytes(body + 1 + 2 * ns) & 0xff
+            val se = bytes(body + 2 + 2 * ns) & 0xff
+            val ahAl = bytes(body + 3 + 2 * ns) & 0xff
+            val ah = ahAl >>> 4; val al = ahAl & 0x0f
+            // progressive scan-header algebra (T.81 G.1.1.1.1): DC scans
+            // are Ss=Se=0 and the only ones that may interleave; AC
+            // scans are single-component bands; refinement steps one bit
+            if (ss > 63 || se > 63 || se < ss || al > 13) return JpegFail
+            if (ss == 0 && se != 0) return JpegFail
+            if (ss > 0 && ns != 1) return JpegFail
+            if (ah != 0 && ah != al + 1) return JpegFail
+            val next = decodeProgScan(bytes, body + bodyLen, ns, scanComp,
+              scanDc, scanAc, ss, se, ah, al, ri, bx, by, nc,
+              compH, compV, dcTabs, acTabs, coefs, bwPad, cbw, cbh)
+            if (next < 0) return JpegFail
+            off = next
+            sawScan = true
+          case _ => ()
+        }
+      }
+    }
+    if (coefs == null || !sawScan) return JpegFail
+    var c = 0
+    while (c < nc) {
+      if (qtabs(compQ(c)) == null) return JpegFail
+      c += 1
+    }
+    // one dequant + IDCT + coverage-sum pass over the accumulated
+    // coefficients — identical arithmetic to the baseline path, so a
+    // progressive and a baseline encode of the same quantized blocks
+    // produce identical sums (ProgressiveJpegSpec pins that)
+    val hMax = compH(0); val vMax = compV(0)
+    val sums = new Array[Long](3)
+    val tmp = new Array[Double](64)
+    c = 0
+    while (c < nc) {
+      val qt = qtabs(compQ(c))
+      val scaleX = hMax / compH(c); val scaleY = vMax / compV(c)
+      val plane = coefs(c)
+      var gby = 0
+      while (gby < bhPad(c)) {
+        var gbx = 0
+        while (gbx < bwPad(c)) {
+          val base = (gby * bwPad(c) + gbx) * 64
+          var i = 0
+          while (i < 64) { tmp(i) = plane(base + i).toDouble * qt(i); i += 1 }
+          var x = 0
+          while (x < 8) {
+            var yy = 0
+            while (yy < 8) {
+              val sx = gbx * 8 + x
+              val sy = gby * 8 + yy
+              val px0 = sx * scaleX; val py0 = sy * scaleY
+              val cov = (math.min(px0 + scaleX, w) - px0).max(0).toLong *
+                (math.min(py0 + scaleY, h) - py0).max(0).toLong
+              if (cov > 0) {
+                var sum = 0.0
+                var u = 0
+                while (u < 8) {
+                  var v = 0
+                  while (v < 8) {
+                    sum += CosT(x)(u) * CosT(yy)(v) * tmp(v * 8 + u)
+                    v += 1
+                  }
+                  u += 1
+                }
+                val pix = math.round(sum / 4.0 + 128.0)
+                sums(c) += math.max(0L, math.min(255L, pix)) * cov
+              }
+              yy += 1
+            }
+            x += 1
+          }
+          gbx += 1
+        }
+        gby += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(Array(w.toLong, h.toLong, nc.toLong, ri.toLong,
+      sums(0), sums(1), sums(2)))
+  }
+
+  /** Entropy-decode ONE progressive scan into the coefficient planes.
+    * Returns the byte offset of the next marker, or -1 on any malformed
+    * input (fail-closed). */
+  private def decodeProgScan(bytes: Array[Byte], entStart: Int, ns: Int,
+      scanComp: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int, bx: Int, by: Int,
+      nc: Int, compH: Array[Int], compV: Array[Int],
+      dcTabs: Array[HuffDec], acTabs: Array[HuffDec],
+      coefs: Array[Array[Int]], bwPad: Array[Int],
+      cbw: Array[Int], cbh: Array[Int]): Int = {
+    val br = new JpegBits(bytes, entStart)
+    @inline def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val preds = new Array[Int](ns)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    // ---- per-block decoders over coefs(comp)(blockBase + natural idx)
+    def dcFirst(si: Int, base: Int): Boolean = {
+      val t = dcTabs(scanDc(si))
+      if (t == null) return false
+      val s = br.huff(t)
+      if (s > 11 || br.truncated) return false
+      preds(si) += extend(br.bitsN(s), s)
+      coefs(scanComp(si))(base) = preds(si) << al
+      !br.truncated
+    }
+    def dcRefine(si: Int, base: Int): Boolean = {
+      if (br.bit() == 1) {
+        val plane = coefs(scanComp(si))
+        plane(base) = plane(base) | p1
+      }
+      !br.truncated
+    }
+    def acFirst(plane: Array[Int], base: Int, acTab: HuffDec): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      var ok = true
+      var done = false
+      while (k <= se && ok && !done) {
+        val rs = br.huff(acTab)
+        val r = rs >>> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1 + (if (r > 0) br.bitsN(r) else 0)
+            done = true
+          }
+        } else {
+          k += r
+          if (k > se) ok = false
+          else {
+            plane(base + Zig(k)) = extend(br.bitsN(s), s) << al
+            k += 1
+          }
+        }
+        if (br.truncated) ok = false
+      }
+      ok
+    }
+    def acRefine(plane: Array[Int], base: Int, acTab: HuffDec): Boolean = {
+      var k = ss
+      var ok = true
+      if (eobrun == 0) {
+        var done = false
+        while (k <= se && ok && !done) {
+          val rs = br.huff(acTab)
+          if (br.truncated) { ok = false }
+          else {
+            var r = rs >>> 4; val s = rs & 0x0f
+            var newval = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) + (if (r > 0) br.bitsN(r) else 0)
+                done = true
+              }
+              // r == 15: ZRL — skip 16 zero-history slots below
+            } else if (s != 1) ok = false
+            else newval = if (br.bit() == 1) p1 else m1
+            if (ok && !done) {
+              // advance past r zero-history coefficients, weaving the
+              // correction bit of every nonzero-history one on the way
+              var placed = false
+              while (k <= se && ok && !placed) {
+                val c0 = plane(base + Zig(k))
+                if (c0 != 0) {
+                  if (br.bit() == 1 && (c0 & p1) == 0)
+                    plane(base + Zig(k)) = c0 + (if (c0 >= 0) p1 else m1)
+                  k += 1
+                } else {
+                  r -= 1
+                  if (r < 0) placed = true else k += 1
+                }
+                if (br.truncated) ok = false
+              }
+              if (ok) {
+                if (newval != 0) {
+                  if (k > se) ok = false
+                  else plane(base + Zig(k)) = newval
+                }
+                k += 1
+              }
+            }
+          }
+        }
+      }
+      if (ok && eobrun > 0) {
+        // the EOB run still owes correction bits for every nonzero-
+        // history coefficient left in the band
+        while (k <= se && ok) {
+          val c0 = plane(base + Zig(k))
+          if (c0 != 0 && br.bit() == 1 && (c0 & p1) == 0)
+            plane(base + Zig(k)) = c0 + (if (c0 >= 0) p1 else m1)
+          if (br.truncated) ok = false
+          k += 1
+        }
+        if (ok) eobrun -= 1
+      }
+      ok && !br.truncated
+    }
+
+    // ---- MCU walk: interleaved (DC) over bx×by MCUs, or the single
+    //      component's REAL cbw×cbh block grid (non-interleaved scans
+    //      never code the MCU-alignment padding blocks — T.81 A.2.2)
+    val (mcusX, mcusY) =
+      if (ns > 1) (bx, by)
+      else (cbw(scanComp(0)), cbh(scanComp(0)))
+    var mcu = 0
+    var ok = true
+    var my = 0
+    while (my < mcusY && ok) {
+      var mx = 0
+      while (mx < mcusX && ok) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          if (!br.expectRst()) ok = false
+          else {
+            java.util.Arrays.fill(preds, 0)
+            eobrun = 0
+          }
+        }
+        if (ok) {
+          if (ns > 1) {
+            // interleaved DC MCU: hc×vc blocks per scan component
+            var si = 0
+            while (si < ns && ok) {
+              val c = scanComp(si)
+              val hc = compH(c); val vc = compV(c)
+              var bj = 0
+              while (bj < vc && ok) {
+                var bi = 0
+                while (bi < hc && ok) {
+                  val base =
+                    (((my * vc + bj) * bwPad(c)) + (mx * hc + bi)) * 64
+                  ok = if (ah == 0) dcFirst(si, base) else dcRefine(si, base)
+                  bi += 1
+                }
+                bj += 1
+              }
+              si += 1
+            }
+          } else {
+            val c = scanComp(0)
+            val base = (my * bwPad(c) + mx) * 64
+            ok =
+              if (ss == 0)
+                if (ah == 0) dcFirst(0, base) else dcRefine(0, base)
+              else {
+                val t = acTabs(scanAc(0))
+                if (t == null) false
+                else if (ah == 0) acFirst(coefs(c), base, t)
+                else acRefine(coefs(c), base, t)
+              }
+          }
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    if (!ok || br.truncated) -1 else br.seekMarker()
   }
 }

@@ -578,12 +578,14 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(MediaKernels.jpegParse(jpg.take(60)).getLong(0) == -1L)
     assert(MediaKernels.jpegParse(null).getLong(0) == -1L)
     val prog = jpg.clone()
-    // SOF0 marker byte 0xc0 -> 0xc2 (progressive): scan for FF C0
+    // SOF0 marker byte 0xc0 -> 0xc2: the file now claims progressive but
+    // carries a baseline scan header (Ss=0, Se=63), which violates the
+    // progressive scan algebra (a DC scan must have Se=0) -> fail closed
     val sof = jpg.sliding(2).indexWhere(s =>
       (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc0)
     prog(sof + 1) = 0xc2.toByte
     assert(MediaKernels.jpegParse(prog).getLong(0) == -1L,
-      "progressive SOF is outside the supported subset -> fail closed")
+      "a baseline scan inside a SOF2 file is malformed -> fail closed")
     // 1x1 edge and expression level inside a plan
     assert(MediaKernels.jpegParse(MediaKernels.jpegSynth(3L, 1, 1)).getLong(0) == 1L)
     val out = spark.range(1, 4).select(
