@@ -77,14 +77,18 @@ object Bench {
       t >= 0 && baseline.get(name).exists(b => t > b * 1.5)
     val firstPass = names.map { name =>
       var times = Seq(once(name), once(name))
-      // Sub-quarter-second queries: the plan costs less than one GC pause
+      // Sub-half-second queries: the plan costs less than one GC pause
       // or scheduler hiccup, so two samples routinely report 2× the true
-      // time (r9: q_count_filter 104 ms vs 48 ms best-known — flagged as
-      // the round's only 2× breach on a plan that was already a pushed
-      // predicate + partial count). Buy a burst of extra samples and
-      // report the min; total cost is bounded by the queries being fast.
-      while (times.forall(_ >= 0) && times.size < 6 &&
-             math.min(times.min, baseline.getOrElse(name, Double.MaxValue)) < 0.25)
+      // time (r9: q_count_filter 104 ms vs 48 ms best-known; r13: 14
+      // queries hovering at 1.7–1.96× best-known, every one a sub-0.3 s
+      // absolute). Buy a burst of extra samples — six under 0.25 s, four
+      // under 0.5 s — and report the min; total cost stays bounded by
+      // the queries being fast.
+      def burstTo(ts: Seq[Double]): Int = {
+        val floor = math.min(ts.min, baseline.getOrElse(name, Double.MaxValue))
+        if (floor < 0.25) 6 else if (floor < 0.5) 4 else 0
+      }
+      while (times.forall(_ >= 0) && times.size < burstTo(times))
         times :+= once(name)
       // the two runs disagreeing means one was hit by external load (this
       // box runs other work during benched rounds) — buy up to two more

@@ -2376,6 +2376,58 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ADAM7-INTERLACED PNG — the progressive-rendering layout a crawl
+    // corpus meets beside sequential PNGs: seven independently-FILTERED
+    // sub-images whose scanlines interleave positions across the frame.
+    // Interlace is observable through the total sums alone: filters
+    // reference within-pass neighbors, so a decoder that ignores the
+    // pass structure mis-unfilters nearly every byte. Same pixel
+    // formulas as q_media_png under a different dims mix.
+    // multimodal/MediaKernels.pngSynthI/pngParse.
+    "q_media_png_i" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(18)) + 3).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(14)) + 3).cast("int").as("h"))
+      d.withColumn("p", M.pngParse(M.pngSynthI(col("id"), col("w"), col("h"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("bit_depth"),
+          element_at(col("p"), 4).as("color_type"),
+          element_at(col("p"), 5).as("sum_r"),
+          element_at(col("p"), 6).as("sum_g"),
+          element_at(col("p"), 7).as("sum_b"))
+        .orderBy(col("id"))
+    }),
+
+    // INTERLACED GIF — the 4-pass row shuffle. Total channel sums are
+    // row-permutation-INVARIANT (an interlace-oblivious decoder would
+    // pass them by accident), so the gate also pins the row-PARITY red
+    // sums: pass-2/3/4 rows land on the wrong parity unless the decoder
+    // really walks the 0,8,16…/4,12…/2,6…/odd row map.
+    // multimodal/MediaKernels.gifSynthI/gifParse.
+    "q_media_gif_i" -> ((s, dir) => {
+      val M = graft.multimodal.MediaExpressions
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"),
+          (pmod(col("doc_id"), lit(17)) + 2).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(19)) + 2).cast("int").as("h"))
+      d.withColumn("p", M.gifParse(M.gifSynthI(col("id"), col("w"), col("h"))))
+        .select(col("id"),
+          element_at(col("p"), 1).as("width"),
+          element_at(col("p"), 2).as("height"),
+          element_at(col("p"), 3).as("gct_size"),
+          element_at(col("p"), 4).as("min_code_size"),
+          element_at(col("p"), 5).as("sum_r"),
+          element_at(col("p"), 6).as("sum_g"),
+          element_at(col("p"), 7).as("sum_b"),
+          element_at(col("p"), 8).as("sum_r_even"),
+          element_at(col("p"), 9).as("sum_r_odd"))
+        .orderBy(col("id"))
+    }),
+
     // REAL DICTIONARY-CODER parse, pure JVM: build a GIF89a per document
     // (256-entry id-derived global palette, GCE + comment extension
     // blocks forcing a genuine block walk, the index plane LZW-coded
@@ -3786,6 +3838,40 @@ object SparkEntry {
           "files after compaction")
       graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
         .search(Seq("vector", "stream", "window"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT-PHRASE retrieval from the POSITIONAL postings: the postings
+    // carry each term's token positions, so "value table" (consecutive
+    // tokens, in order) answers from a bucket-pruned scan — candidate
+    // docs pivot to one row of position arrays and the intersection
+    // p∈ps₀ ∧ p+1∈ps₁ runs inside codegen; no corpus re-tokenize, no
+    // explode. The oracle replays the phrase count directly on the
+    // token lists — a positions slip anywhere (build, signed-delta
+    // refresh, sort order) lands on the wrong occurrence counts.
+    "q_bm25_phrase" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-bm25phrase-q"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.Bm25Index.build(src, "r1", "text", "doc_id",
+        nBuckets = 8)
+      // a delta so the phrase positions also flow through the refresh
+      // path: appended text SHIFTS no existing positions (append-only
+      // edit), inserted copies land under fresh ids
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      src.updateMany(graft.query.RawCol(
+        pmod(col("doc_id"), lit(11)) === 5 && col("doc_id") < 10000L),
+        Map("text" -> concat(col("text"), lit(" value table"))))
+      require(idx.refresh().nonEmpty,
+        "q_bm25_phrase: the delta window must drain")
+      graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
+        .phraseSearch(Seq("value", "table"))
         .orderBy(col("doc_id"))
     }),
 
@@ -7125,6 +7211,51 @@ object SparkEntry {
              CAST(sum((x*7 + y*13 + id) % 256) AS BIGINT) AS sum_b
       FROM px GROUP BY id, w, h ORDER BY id""",
 
+    // Adam7 cancels out entirely under a correct decode: the pass
+    // structure only permutes WHERE bytes sit in the zlib stream, the
+    // reconstructed pixels are the same formulas
+    "q_media_png_i" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 18 + 3 AS w, doc_id % 14 + 3 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(8 AS BIGINT) AS bit_depth,
+             CAST(2 AS BIGINT) AS color_type,
+             CAST(sum((x*5 + y*17 + id*3) % 239) AS BIGINT) AS sum_r,
+             CAST(sum((x*11 + y*3 + id*5) % 251) AS BIGINT) AS sum_g,
+             CAST(sum((x*7 + y*13 + id) % 256) AS BIGINT) AS sum_b
+      FROM px GROUP BY id, w, h ORDER BY id""",
+
+    // the 4-pass row shuffle cancels out under a correct de-interlace;
+    // the parity split of the red sum is the spatial witness
+    "q_media_gif_i" -> """
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 17 + 2 AS w, doc_id % 19 + 2 AS h
+        FROM documents
+      ), dx AS (
+        SELECT id, w, h, unnest(range(0, w)) AS x FROM d
+      ), px AS (
+        SELECT id, w, h, x, unnest(range(0, h)) AS y FROM dx
+      ), ix AS (
+        SELECT id, w, h, y, (x*7 + y*13 + id) % 256 AS i FROM px
+      )
+      SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(256 AS BIGINT) AS gct_size,
+             CAST(8 AS BIGINT) AS min_code_size,
+             CAST(sum((i*5 + id*3) % 239) AS BIGINT) AS sum_r,
+             CAST(sum((i*11 + id*5) % 251) AS BIGINT) AS sum_g,
+             CAST(sum((i*7 + id) % 256) AS BIGINT) AS sum_b,
+             CAST(sum(CASE WHEN y % 2 = 0 THEN (i*5 + id*3) % 239
+                           ELSE 0 END) AS BIGINT) AS sum_r_even,
+             CAST(sum(CASE WHEN y % 2 = 1 THEN (i*5 + id*3) % 239
+                           ELSE 0 END) AS BIGINT) AS sum_r_odd
+      FROM ix GROUP BY id, w, h ORDER BY id""",
+
     "q_media_bmp" -> """
       WITH d AS (
         SELECT doc_id AS id, doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h
@@ -7873,6 +8004,30 @@ object SparkEntry {
              + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
              + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) > 0
       ORDER BY doc_id""",
+
+    // phrase counts replayed directly on the (mutated) corpus's token
+    // lists: occurrences of w[i]='value' ∧ w[i+1]='table'
+    "q_bm25_phrase" -> """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 5 THEN text || ' value table'
+                    ELSE text END AS text
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text
+        FROM documents WHERE doc_id % 4 = 0
+      ), tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM base
+      ), c AS (
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(w)),
+                 i -> w[i] = 'value' AND w[i + 1] = 'table')) AS INTEGER)
+                 AS n_phrase
+        FROM tok
+      )
+      SELECT doc_id, n_phrase FROM c WHERE n_phrase > 0 ORDER BY doc_id""",
 
     // top-k over the persisted index: token-BM25 for the DISTINCT term
     // set (the Spark side receives 'vector' twice — dedup is part of the

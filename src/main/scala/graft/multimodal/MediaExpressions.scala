@@ -281,8 +281,50 @@ object MediaExpressions {
       copy(first = f, second = s, third = t)
   }
 
+  /** (id, width, height) → complete INTERLACED GIF89a file bytes (the
+    * same pixel formulas as [[GifSynth]], rows in 4-pass order). */
+  case class GifSynthI(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "gif_synth_i"
+
+    override def nullSafeEval(id: Any, w: Any, h: Any): Any =
+      MediaKernels.gifSynthI(id.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, w, h) =>
+        s"graft.multimodal.MediaKernels.gifSynthI($i, $w, $h)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  /** (id, width, height) → complete Adam7-INTERLACED PNG file bytes
+    * (the same pixel formulas as [[PngSynth]], seven filtered passes). */
+  case class PngSynthI(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "png_synth_i"
+
+    override def nullSafeEval(id: Any, w: Any, h: Any): Any =
+      MediaKernels.pngSynthI(id.asInstanceOf[Long],
+        w.asInstanceOf[Int], h.asInstanceOf[Int])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, w, h) =>
+        s"graft.multimodal.MediaKernels.pngSynthI($i, $w, $h)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   /** GIF bytes → [width, height, gct_size, min_code_size, sum_r, sum_g,
-    * sum_b]; all(-1) when not a well-formed single-frame GIF. */
+    * sum_b, sum_r_even, sum_r_odd] (the parity pair makes 4-pass
+    * de-interlacing observable); all(-1) when not a well-formed
+    * single-frame GIF. */
   case class GifParse(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "gif_parse"
@@ -368,6 +410,10 @@ object MediaExpressions {
   def pngParse(payload: Column): Column = column(PngParse(expression(payload)))
   def gifSynth(id: Column, width: Column, height: Column): Column =
     column(GifSynth(expression(id), expression(width), expression(height)))
+  def gifSynthI(id: Column, width: Column, height: Column): Column =
+    column(GifSynthI(expression(id), expression(width), expression(height)))
+  def pngSynthI(id: Column, width: Column, height: Column): Column =
+    column(PngSynthI(expression(id), expression(width), expression(height)))
   def gifParse(payload: Column): Column = column(GifParse(expression(payload)))
   def jpegSynth(id: Column, width: Column, height: Column): Column =
     column(JpegSynth(expression(id), expression(width), expression(height)))

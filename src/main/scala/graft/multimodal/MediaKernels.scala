@@ -700,14 +700,35 @@ object MediaKernels {
     * channel sums and hash-mismatch the oracle. Pixels are the exact
     * [[bmpSynth]] formulas in TOP-DOWN row order (PNG's order; sums are
     * order-invariant, which is what the gate compares). */
-  def pngSynth(id: Long, width: Int, height: Int): Array[Byte] = {
+  def pngSynth(id: Long, width: Int, height: Int): Array[Byte] =
+    pngBuild(id, width, height, interlaced = false)
+
+  /** [[pngSynth]] with Adam7 interlacing: the IHDR interlace byte is 1
+    * and the zlib stream carries SEVEN independently-filtered
+    * sub-images (empty passes omitted, per RFC 2083 §8.2). Unlike GIF's
+    * row shuffle, Adam7 is observable through the TOTAL sums already:
+    * filters reference within-pass neighbors, so a decoder that ignores
+    * the pass structure mis-unfilters nearly every byte. */
+  def pngSynthI(id: Long, width: Int, height: Int): Array[Byte] =
+    pngBuild(id, width, height, interlaced = true)
+
+  /** Adam7 pass geometry: (x0, y0, dx, dy) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def pngBuild(id: Long, width: Int, height: Int,
+                       interlaced: Boolean): Array[Byte] = {
     require(width > 0 && height > 0, "pngSynth: dims must be positive")
     val rowBytes = 3L * width
     // the guard admits whatever the DEFLATE worst-case bound below still
     // fits in one array — guard and buffer must agree, or a payload the
-    // guard admits can blow the "incompressible bound" require at runtime
-    val filtLen = height.toLong * (1L + rowBytes)
-    require(filtLen + filtLen / 16383L * 5L + 64L <= Int.MaxValue.toLong,
+    // guard admits can blow the "incompressible bound" require at
+    // runtime. Adam7 adds at most one filter byte per pass scanline —
+    // ≤ 4·height + 14 extra bytes — covered by the same bound with a
+    // small widening.
+    val filtLenBound = height.toLong * (1L + rowBytes) + 4L * height + 64L
+    require(filtLenBound + filtLenBound / 16383L * 5L + 64L <= Int.MaxValue.toLong,
       s"pngSynth: ${width}x$height exceeds the single-payload bound")
     val rb = rowBytes.toInt
     // unfiltered pixels, top-down (filters reference UNFILTERED
@@ -725,29 +746,58 @@ object MediaKernels {
       }
       y += 1
     }
-    val filtered = new Array[Byte](height * (1 + rb))
-    y = 0
-    while (y < height) {
-      val ft = y % 5
-      filtered(y * (1 + rb)) = ft.toByte
-      var i = 0
-      while (i < rb) {
-        val cur = pix(y * rb + i) & 0xff
-        val left = if (i >= 3) pix(y * rb + i - 3) & 0xff else 0
-        val up = if (y > 0) pix((y - 1) * rb + i) & 0xff else 0
-        val ul = if (y > 0 && i >= 3) pix((y - 1) * rb + i - 3) & 0xff else 0
-        val f = ft match {
-          case 0 => cur
-          case 1 => cur - left
-          case 2 => cur - up
-          case 3 => cur - ((left + up) >> 1)
-          case _ => cur - paeth(left, up, ul)
+    // filter scanlines — the whole image as one pass when sequential,
+    // the seven Adam7 sub-images when interlaced. Filters reference the
+    // UNFILTERED bytes of the SAME pass (prev pixel in the pass row,
+    // same column of the pass's previous row); the filter type cycles
+    // y%5 over a global scanline counter so every pass mixes all five.
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlaced) Adam7 else Array((0, 0, 1, 1))
+    val fOut = new java.io.ByteArrayOutputStream()
+    var scan = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val cols = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val rows = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (cols > 0 && rows > 0) {
+        val prb = 3 * cols
+        // the pass's unfiltered bytes, materialized row by row
+        val passPix = new Array[Byte](rows * prb)
+        var r = 0
+        while (r < rows) {
+          var c = 0
+          while (c < cols) {
+            val sy = y0 + r * dy; val sx = x0 + c * dx
+            System.arraycopy(pix, sy * rb + sx * 3, passPix, r * prb + c * 3, 3)
+            c += 1
+          }
+          r += 1
         }
-        filtered(y * (1 + rb) + 1 + i) = (f & 0xff).toByte
-        i += 1
+        r = 0
+        while (r < rows) {
+          val ft = scan % 5
+          fOut.write(ft)
+          var i = 0
+          while (i < prb) {
+            val cur = passPix(r * prb + i) & 0xff
+            val left = if (i >= 3) passPix(r * prb + i - 3) & 0xff else 0
+            val up = if (r > 0) passPix((r - 1) * prb + i) & 0xff else 0
+            val ul = if (r > 0 && i >= 3) passPix((r - 1) * prb + i - 3) & 0xff else 0
+            val f = ft match {
+              case 0 => cur
+              case 1 => cur - left
+              case 2 => cur - up
+              case 3 => cur - ((left + up) >> 1)
+              case _ => cur - paeth(left, up, ul)
+            }
+            fOut.write(f & 0xff)
+            i += 1
+          }
+          scan += 1
+          r += 1
+        }
       }
-      y += 1
     }
+    val filtered = fOut.toByteArray
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(filtered)
     deflater.finish()
@@ -771,7 +821,8 @@ object MediaKernels {
     putBE32(ihdr, 0, width); putBE32(ihdr, 4, height)
     ihdr(8) = 8  // bit depth
     ihdr(9) = 2  // color type: truecolor RGB
-    // compression 0, filter 0, interlace 0 — already zeroed
+    // compression 0, filter 0 — already zeroed
+    ihdr(12) = if (interlaced) 1 else 0
     val text = (s"id ${id % 1000}").getBytes("ISO-8859-1")
     val idats = (0 until zlen by 64).map { off =>
       pngChunk("IDAT", java.util.Arrays.copyOfRange(zbuf, off,
@@ -790,10 +841,11 @@ object MediaKernels {
   /** Parse an 8-bit truecolor PNG from its actual bytes: signature, a
     * REAL chunk walk (CRC32-verified, ancillary chunks skipped, multiple
     * IDAT payloads reassembled in order), zlib inflate, per-row
-    * UN-filtering (all five RFC 2083 filter types), channel sums over
-    * the reconstructed pixels. Returns [width, height, bit_depth,
-    * color_type, sum_r, sum_g, sum_b]; all(-1) for anything that is not
-    * a well-formed non-interlaced 8-bit RGB PNG (the same never-throw
+    * UN-filtering (all five RFC 2083 filter types) — pass by pass with
+    * position scatter when the IHDR declares Adam7 interlacing — and
+    * channel sums over the reconstructed pixels. Returns [width, height,
+    * bit_depth, color_type, sum_r, sum_g, sum_b]; all(-1) for anything
+    * that is not a well-formed 8-bit RGB PNG (the same never-throw
     * contract as [[bmpParse]] — corrupt CRCs, truncated streams, and
     * zip-bomb ratios all fail closed). */
   def pngParse(bytes: Array[Byte]): ArrayData = {
@@ -805,6 +857,7 @@ object MediaKernels {
     }
     var off = PngSig.length
     var width = -1; var height = -1; var depth = -1; var ctype = -1
+    var interlace = 0
     var seenEnd = false
     var idat = Array.emptyByteArray
     var idatLen = 0
@@ -823,9 +876,10 @@ object MediaKernels {
           height = getBE32(bytes, off + 12)
           depth = bytes(off + 16) & 0xff
           ctype = bytes(off + 17) & 0xff
-          // compression / filter method / interlace must be 0
-          if (bytes(off + 18) != 0 || bytes(off + 19) != 0 ||
-            bytes(off + 20) != 0) return PngFail
+          // compression / filter method must be 0; interlace 0 or 1
+          if (bytes(off + 18) != 0 || bytes(off + 19) != 0) return PngFail
+          interlace = bytes(off + 20) & 0xff
+          if (interlace > 1) return PngFail
         case "IDAT" =>
           if (idat.length < idatLen + len) {
             val grown = new Array[Byte](math.max(idatLen + len, idat.length * 2 + 64))
@@ -840,7 +894,17 @@ object MediaKernels {
       off += 12 + len
     }
     if (width <= 0 || height <= 0 || depth != 8 || ctype != 2) return PngFail
-    val rawLenL = height.toLong * (1L + 3L * width)
+    // Adam7 passes present in this image (sequential = one full pass);
+    // the zlib payload is each pass's scanlines, filter byte per row
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 1) Adam7 else Array((0, 0, 1, 1))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      (x0, y0, dx, dy,
+        if (width > x0) (width - x0 + dx - 1) / dx else 0,
+        if (height > y0) (height - y0 + dy - 1) / dy else 0)
+    }.filter { case (_, _, _, _, c, r) => c > 0 && r > 0 }
+    val rawLenL = passDims.map { case (_, _, _, _, c, r) =>
+      r.toLong * (1L + 3L * c) }.sum
     // zlib's theoretical max ratio is ~1032:1 — anything claiming more
     // is a decompression bomb, refuse before allocating
     if (rawLenL > Int.MaxValue - 8 || rawLenL > idatLen.toLong * 1032L + 64)
@@ -865,29 +929,43 @@ object MediaKernels {
       case _: java.util.zip.DataFormatException => return PngFail
     } finally inflater.end()
 
+    // un-filter pass by pass (filters reference within-pass neighbors),
+    // scattering interlaced pass pixels to their image positions
     val rb = 3 * width
     val pix = new Array[Byte](height * rb)
-    var y = 0
-    while (y < height) {
-      val ft = raw(y * (1 + rb)) & 0xff
-      if (ft > 4) return PngFail
-      var j = 0
-      while (j < rb) {
-        val f = raw(y * (1 + rb) + 1 + j) & 0xff
-        val left = if (j >= 3) pix(y * rb + j - 3) & 0xff else 0
-        val up = if (y > 0) pix((y - 1) * rb + j) & 0xff else 0
-        val ul = if (y > 0 && j >= 3) pix((y - 1) * rb + j - 3) & 0xff else 0
-        val v = ft match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + ((left + up) >> 1)
-          case _ => f + paeth(left, up, ul)
+    var rawOff = 0
+    passDims.foreach { case (x0, y0, dx, dy, cols, rows) =>
+      val prb = 3 * cols
+      val passPix = new Array[Byte](rows * prb)
+      var r = 0
+      while (r < rows) {
+        val ft = raw(rawOff) & 0xff
+        if (ft > 4) return PngFail
+        var j = 0
+        while (j < prb) {
+          val f = raw(rawOff + 1 + j) & 0xff
+          val left = if (j >= 3) passPix(r * prb + j - 3) & 0xff else 0
+          val up = if (r > 0) passPix((r - 1) * prb + j) & 0xff else 0
+          val ul = if (r > 0 && j >= 3) passPix((r - 1) * prb + j - 3) & 0xff else 0
+          val v = ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + ((left + up) >> 1)
+            case _ => f + paeth(left, up, ul)
+          }
+          passPix(r * prb + j) = (v & 0xff).toByte
+          j += 1
         }
-        pix(y * rb + j) = (v & 0xff).toByte
-        j += 1
+        var c = 0
+        while (c < cols) {
+          val sy = y0 + r * dy; val sx = x0 + c * dx
+          System.arraycopy(passPix, r * prb + c * 3, pix, sy * rb + sx * 3, 3)
+          c += 1
+        }
+        rawOff += 1 + prb
+        r += 1
       }
-      y += 1
     }
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     var o = 0
@@ -978,7 +1056,36 @@ object MediaKernels {
     * image descriptor, the LZW stream split into ≤255-byte sub-blocks,
     * trailer. Index plane = the pxB formula, so decode sums are pure
     * symbolic arithmetic over (x, y, id). */
-  def gifSynth(id: Long, width: Int, height: Int): Array[Byte] = {
+  def gifSynth(id: Long, width: Int, height: Int): Array[Byte] =
+    gifBuild(id, width, height, interlaced = false)
+
+  /** [[gifSynth]] with the GIF87a/89a 4-pass ROW interlace: the image
+    * descriptor sets the interlace flag and the LZW stream carries the
+    * rows in pass order (0,8,16,… then 4,12,… then 2,6,… then odd rows).
+    * The pixel FORMULAS are identical — a decoder that de-interlaces
+    * correctly reconstructs the same image, which is what the parity
+    * sums in [[gifParse]]'s output make observable (total channel sums
+    * alone are row-permutation-invariant and would pass by accident). */
+  def gifSynthI(id: Long, width: Int, height: Int): Array[Byte] =
+    gifBuild(id, width, height, interlaced = true)
+
+  /** Row emission order of a 4-pass interlaced GIF of height `h`:
+    * streamRow → actual y. Identity permutation when h ≤ 1. */
+  private def gifRowOrder(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var k = 0
+    var pass = 0
+    val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+    while (pass < 4) {
+      var y = starts(pass)
+      while (y < h) { out(k) = y; k += 1; y += steps(pass) }
+      pass += 1
+    }
+    out
+  }
+
+  private def gifBuild(id: Long, width: Int, height: Int,
+                       interlaced: Boolean): Array[Byte] = {
     require(width > 0 && height > 0, "gifSynth: dims must be positive")
     require(width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= (64L << 20),
@@ -1000,21 +1107,25 @@ object MediaKernels {
     val comment = s"id ${id % 1000}".getBytes("ISO-8859-1")
     out.write(0x21); out.write(0xfe); out.write(comment.length)
     out.write(comment, 0, comment.length); out.write(0)
-    // image descriptor: full-screen, no local table, non-interlaced
+    // image descriptor: full-screen, no local table
     out.write(0x2c)
     putLE16b(out, 0); putLE16b(out, 0)
     putLE16b(out, width); putLE16b(out, height)
-    out.write(0)
+    out.write(if (interlaced) 0x40 else 0)
     out.write(8) // LZW minimum code size for 256-color data
+    val rowOf: Int => Int =
+      if (interlaced) { val m = gifRowOrder(height); (r: Int) => m(r) }
+      else (r: Int) => r
     val idx = new Array[Byte](width * height)
-    var y = 0
-    while (y < height) {
+    var r = 0
+    while (r < height) {
+      val y = rowOf(r)
       var x = 0
       while (x < width) {
-        idx(y * width + x) = gifIdx(id, x, y).toByte
+        idx(r * width + x) = gifIdx(id, x, y).toByte
         x += 1
       }
-      y += 1
+      r += 1
     }
     val z = lzwEncode(idx)
     var off = 0
@@ -1028,17 +1139,21 @@ object MediaKernels {
     out.toByteArray
   }
 
-  private val GifFail = new GenericArrayData(Array.fill(7)(-1L))
+  private val GifFail = new GenericArrayData(Array.fill(9)(-1L))
 
   /** Parse a GIF from its actual bytes: 87a/89a header, logical screen
     * descriptor, global color table, a REAL block walk (extensions
     * skipped sub-block by sub-block), the first image's LZW stream
     * reassembled and decoded with a full variable-width decoder (9→12
-    * bits, CLEAR resets, the code==next special case), palette-mapped
-    * channel sums. Returns [width, height, gct_size, min_code_size,
-    * sum_r, sum_g, sum_b]; all(-1) for anything malformed — truncation,
-    * bad codes, pixel overruns and underruns all fail closed, the same
-    * never-throw contract as bmpParse/pngParse. */
+    * bits, CLEAR resets, the code==next special case), 4-pass
+    * de-interlacing when the image descriptor asks for it, and
+    * palette-mapped channel sums. Returns [width, height, gct_size,
+    * min_code_size, sum_r, sum_g, sum_b, sum_r_even, sum_r_odd] — the
+    * row-parity red sums are the spatially-sensitive pair that makes
+    * de-interlacing observable (total sums alone are row-permutation-
+    * invariant). All(-1) for anything malformed — truncation, bad codes,
+    * pixel overruns and underruns all fail closed, the same never-throw
+    * contract as bmpParse/pngParse. */
   def gifParse(bytes: Array[Byte]): ArrayData = {
     if (bytes == null || bytes.length < 14) return GifFail
     val hdr = new String(bytes, 0, 6, "ISO-8859-1")
@@ -1056,6 +1171,7 @@ object MediaKernels {
     }
     // block walk to the first image descriptor
     var iw = -1; var ih = -1; var minCode = -1
+    var interlaced = false
     var pal: Array[Byte] = null; var palSize = 0
     val z = new java.io.ByteArrayOutputStream()
     var done = false
@@ -1079,6 +1195,7 @@ object MediaKernels {
           if (off + 10 > bytes.length) return GifFail
           iw = getLE16(bytes, off + 5); ih = getLE16(bytes, off + 7)
           val ip = bytes(off + 9) & 0xff
+          interlaced = (ip & 0x40) != 0
           off += 10
           if ((ip & 0x80) != 0) { // local color table wins over global
             palSize = 2 << (ip & 7)
@@ -1175,18 +1292,31 @@ object MediaKernels {
     }
     if (corrupt || !eoi || outPos != nPix) return GifFail
 
+    // de-interlace through the 4-pass row map (identity otherwise);
+    // total sums are row-permutation-invariant, so the row-PARITY red
+    // sums are what make interlace handling observable — an interlace-
+    // oblivious decoder assigns pass-2..4 rows wrong parities
+    val rowOf: Int => Int =
+      if (interlaced) { val m = gifRowOrder(ih); (r: Int) => m(r) }
+      else (r: Int) => r
     var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sumREven = 0L; var sumROdd = 0L
     var p = 0
+    var streamRow = 0
+    var y = rowOf(0)
     while (p < nPix) {
       val ix = indices(p) & 0xff
       if (ix >= palSize) return GifFail
-      sumR += pal(3 * ix) & 0xff
+      val r = pal(3 * ix) & 0xff
+      sumR += r
       sumG += pal(3 * ix + 1) & 0xff
       sumB += pal(3 * ix + 2) & 0xff
+      if ((y & 1) == 0) sumREven += r else sumROdd += r
       p += 1
+      if (p % iw == 0 && p < nPix) { streamRow += 1; y = rowOf(streamRow) }
     }
     new GenericArrayData(Array(iw.toLong, ih.toLong, palSize.toLong,
-      minCode.toLong, sumR, sumG, sumB))
+      minCode.toLong, sumR, sumG, sumB, sumREven, sumROdd))
   }
 
   // ============================================================ JPEG

@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * and the corpus statistics change only when the corpus does. This
   * class persists the classic IR shape in the catalog:
   *
-  *   - `__bm25_<name>_post` — the inverted postings (term, id, tf, dl),
+  *   - `__bm25_<name>_post` — the inverted postings (term, id, tf, dl,
+  *     ps — the term's token positions, for [[phraseSearch]]),
   *     unique on (term, id), PARTITIONED BY `bucket` (a stable hash of
   *     the term into `nBuckets` slices): a query reads ONLY the slices
   *     its terms hash into (planning-time pruning via the store's
@@ -194,6 +195,45 @@ final class Bm25Index private (
     if (topk <= 0) scored
     else scored.orderBy(col("bm25").desc, col(idCol).asc).limit(topk)
   }
+
+  /** EXACT-PHRASE search from the positional postings: one row per
+    * document containing the consecutive token sequence `phrase` —
+    * (idCol, n_phrase) with n_phrase the occurrence count. Same scan
+    * shape as [[search]]: terms route to their buckets, the postings
+    * read is partition-pruned, each candidate doc pivots to ONE row
+    * carrying the phrase slots' position arrays, and the intersection
+    * `p ∈ ps₀ ∧ p+1 ∈ ps₁ ∧ …` evaluates inside codegen — no corpus
+    * re-tokenize, no join back to the source, no position explode.
+    * Repeated words in the phrase ("the the") work naturally: both
+    * slots read the same posting's positions. `topk > 0` bounds the
+    * result exactly like [[search]] (occurrences desc, idCol asc). */
+  def phraseSearch(phrase: Seq[String], topk: Int = 0): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val (nDocs, _, nBuckets) = stats()
+    require(nDocs > 0, s"${post.name}: empty corpus")
+    val terms = phrase.distinct
+    val sp = src.spark
+    import sp.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = post.snapshotWhere(
+      col("bucket").isin(buckets.map(Int.box): _*) &&
+        col("term").isin(terms: _*))
+    val slots = phrase.indices
+    val aggs = slots.map(i =>
+      max(when(col("term") === phrase(i), col("ps"))).as(s"__ps_$i"))
+    val perDoc = pruned.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val allPresent = slots.map(i => col(s"__ps_$i").isNotNull).reduce(_ && _)
+    val nPhrase = size(filter(col("__ps_0"), p =>
+      slots.tail.map(i => array_contains(col(s"__ps_$i"), p + i))
+        .reduce(_ && _)))
+    val hits = perDoc.filter(allPresent)
+      .select(col("id").as(idCol), nPhrase.as("n_phrase"))
+      .filter(col("n_phrase") > 0)
+    if (topk <= 0) hits
+    else hits.orderBy(col("n_phrase").desc, col(idCol).asc).limit(topk)
+  }
 }
 
 object Bm25Index {
@@ -210,17 +250,24 @@ object Bm25Index {
   private[store] def tokens(textCol: String): Column =
     filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= lit(""))
 
-  /** Inverted postings of `docs`: (term, id, tf, dl), one row per
+  /** Inverted postings of `docs`: (term, id, tf, dl, ps), one row per
     * distinct (term, doc) pair. dl is the doc's token count — stored ON
-    * the posting so scoring never joins back to the corpus. */
+    * the posting so scoring never joins back to the corpus; ps is the
+    * term's sorted 0-based token positions, the payload phrase and
+    * proximity queries need (tf == size(ps) — tf kept denormalized so
+    * scoring never deserializes the array). Positions are the classic
+    * index-size tradeoff: the posting table grows from O(distinct
+    * terms) to O(tokens) values, bought once at build/refresh so query
+    * time never re-tokenizes the corpus. */
   private[graft] def postingsOf(docs: DataFrame, textCol: String,
                                 idCol: String): DataFrame =
     docs.select(col(idCol).as("id"), tokens(textCol).as("__w"))
       .select(col("id"), size(col("__w")).as("dl"),
-        explode(col("__w")).as("term"))
+        posexplode(col("__w")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .select(col("term"), col("id"), col("tf"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("term"), col("id"), col("tf"), col("dl"), col("ps"))
 
   /** Stable term→slice routing: xxhash64 of the term folded positive —
     * the same term lands in the same bucket across builds and
@@ -237,6 +284,8 @@ object Bm25Index {
       StructField("id", src.schema(idCol).dataType, nullable = false),
       StructField("tf", IntegerType, nullable = false),
       StructField("dl", IntegerType, nullable = false),
+      StructField("ps", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
       StructField("bucket", IntegerType, nullable = false)))
     (new GraftTable(src.spark, src.catalog, s"__bm25_${name}_post",
       postSchema, uniqueKeys = Seq(Seq("term", "id")),

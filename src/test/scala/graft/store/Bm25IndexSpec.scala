@@ -25,13 +25,13 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       uniqueKeys = Seq(Seq("doc_id")))
   }
 
-  private def postRows(t: GraftTable): Set[(String, Long, Int, Int)] =
-    t.snapshot().select($"term", $"id", $"tf", $"dl")
-      .as[(String, Long, Int, Int)].collect().toSet
+  private def postRows(t: GraftTable): Set[(String, Long, Int, Int, Seq[Int])] =
+    t.snapshot().select($"term", $"id", $"tf", $"dl", $"ps")
+      .as[(String, Long, Int, Int, Seq[Int])].collect().toSet
 
-  private def freshPostings(src: GraftTable): Set[(String, Long, Int, Int)] =
+  private def freshPostings(src: GraftTable): Set[(String, Long, Int, Int, Seq[Int])] =
     Bm25Index.postingsOf(src.snapshot(), "text", "doc_id")
-      .as[(String, Long, Int, Int)].collect().toSet
+      .as[(String, Long, Int, Int, Seq[Int])].collect().toSet
 
   test("build persists postings + scalars; refresh folds signed deltas") {
     val src = srcTable()
@@ -157,6 +157,39 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(Seq("vector", "filler", "vector")) ==
       rows(Seq("vector", "filler")),
       "duplicate terms must not double-count scores or n_terms")
+  }
+
+  test("phraseSearch counts consecutive occurrences from the positional postings") {
+    val src = srcTable()
+    // hand-authored docs with known phrase structure, incl. repeats and
+    // overlapping occurrences
+    src.createMany(Seq(
+      (1L, "big data big data pipeline"),       // "big data" x2
+      (2L, "data big"),                          // reversed: 0
+      (3L, "big data"),                          // x1
+      (4L, "big big big"),                       // "big big" x2 (overlap)
+      (5L, "the big data set and big data lake"),// x2
+      (6L, "nothing here"),
+      (7L, null)).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 4)
+    def phrase(ts: String*) =
+      idx.phraseSearch(ts).as[(Long, Int)].collect().toMap
+    assert(phrase("big", "data") == Map(1L -> 2, 3L -> 1, 5L -> 2))
+    assert(phrase("big", "big") == Map(4L -> 2),
+      "a repeated-word phrase counts overlapping occurrences")
+    assert(phrase("big", "data", "pipeline") == Map(1L -> 1))
+    assert(phrase("data", "nothing").isEmpty, "cross-doc terms never match")
+    // positions survive a signed-delta refresh (delete + re-add + update)
+    src.updateMany(graft.query.RawCol($"doc_id" === 2L),
+      Map("text" -> lit("now big data too")))
+    src.deleteMany(graft.query.RawCol($"doc_id" === 3L))
+    assert(idx.refresh().nonEmpty)
+    assert(phrase("big", "data") == Map(1L -> 2, 2L -> 1, 5L -> 2))
+    // bounded: topk cut plans as a TakeOrdered heap here too
+    val bounded = idx.phraseSearch(Seq("big", "data"), topk = 2)
+    assert(bounded.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(bounded.as[(Long, Int)].collect().toMap == Map(1L -> 2, 5L -> 2))
   }
 
   test("topk plans a TakeOrdered heap and returns the ranked head") {
