@@ -3859,7 +3859,7 @@ object SparkEntry {
         uniqueKeys = Seq(Seq("doc_id")))
       src.createMany(docs)
       val idx = graft.store.Bm25Index.build(src, "r1", "text", "doc_id",
-        nBuckets = 8)
+        nBuckets = 8, withPositions = true)
       // a delta so the phrase positions also flow through the refresh
       // path: appended text SHIFTS no existing positions (append-only
       // edit), inserted copies land under fresh ids

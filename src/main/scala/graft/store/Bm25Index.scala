@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * and the corpus statistics change only when the corpus does. This
   * class persists the classic IR shape in the catalog:
   *
-  *   - `__bm25_<name>_post` — the inverted postings (term, id, tf, dl,
-  *     ps — the term's token positions, for [[phraseSearch]]),
-  *     unique on (term, id), PARTITIONED BY `bucket` (a stable hash of
+  *   - `__bm25_<name>_post` — the inverted postings (term, id, tf, dl;
+  *     plus `ps`, the term's token positions, when built
+  *     `withPositions` for [[phraseSearch]] — Lucene's DOCS_AND_FREQS
+  *     vs _AND_POSITIONS choice), unique on (term, id), PARTITIONED BY
+  *     `bucket` (a stable hash of
   *     the term into `nBuckets` slices): a query reads ONLY the slices
   *     its terms hash into (planning-time pruning via the store's
   *     partition layout), and a refresh rewrites only the buckets its
@@ -52,7 +54,8 @@ import org.apache.spark.sql.types._
 final class Bm25Index private (
     val src: GraftTable, val name: String,
     val textCol: String, val idCol: String,
-    val post: GraftTable, val meta: GraftTable) {
+    val post: GraftTable, val meta: GraftTable,
+    val positional: Boolean) {
 
   private def consumerId = s"bm25:$name"
 
@@ -92,9 +95,9 @@ final class Bm25Index private (
       // inputs otherwise (the upsert side is checkpointed inside
       // applyChanges; the delete side is not)
       val newPosts = Bm25Index.bucketed(
-        Bm25Index.postingsOf(arriving, textCol, idCol), nBuckets)
+        Bm25Index.postingsOf(arriving, textCol, idCol, positional), nBuckets)
       val oldPosts = Bm25Index.bucketed(
-        Bm25Index.postingsOf(leaving, textCol, idCol), nBuckets)
+        Bm25Index.postingsOf(leaving, textCol, idCol, positional), nBuckets)
         .localCheckpoint()
       txn.applyChanges(post,
         newPosts.withColumn("_change_type", lit("insert"))
@@ -113,7 +116,8 @@ final class Bm25Index private (
         .collect()(0) // bounded: one scalar row
       txn.upsert(meta, Seq("mid"), src.spark.createDataFrame(
         java.util.Arrays.asList(
-          Row(0, n0 + d.getLong(0), s0 + d.getLong(1), nBuckets)),
+          Row(0, n0 + d.getLong(0), s0 + d.getLong(1), nBuckets,
+            if (positional) 1 else 0)),
         Bm25Index.metaSchema))
       ()
     }
@@ -206,8 +210,11 @@ final class Bm25Index private (
     * re-tokenize, no join back to the source, no position explode.
     * Repeated words in the phrase ("the the") work naturally: both
     * slots read the same posting's positions. `topk > 0` bounds the
-    * result exactly like [[search]] (occurrences desc, idCol asc). */
+    * result exactly like [[search]] (occurrences desc, idCol asc).
+    * Requires an index built `withPositions = true`. */
   def phraseSearch(phrase: Seq[String], topk: Int = 0): DataFrame = {
+    require(positional,
+      s"$name: phrase search needs positions — build(withPositions = true)")
     require(phrase.size >= 2, "a phrase needs at least two terms")
     val (nDocs, _, nBuckets) = stats()
     require(nDocs > 0, s"${post.name}: empty corpus")
@@ -242,7 +249,10 @@ object Bm25Index {
     StructField("mid", IntegerType, nullable = false),
     StructField("n_docs", LongType, nullable = false),
     StructField("sum_dl", LongType, nullable = false),
-    StructField("n_buckets", IntegerType, nullable = false)))
+    StructField("n_buckets", IntegerType, nullable = false),
+    // 1 when the postings carry token positions (phrase-capable) — a
+    // reopened handle derives the posting schema from this flag
+    StructField("pos", IntegerType, nullable = false)))
 
   /** Whitespace tokens of `textCol`, empties dropped — the split-on-
     * space corpus convention shared with the n-gram/decontamination
@@ -250,24 +260,33 @@ object Bm25Index {
   private[store] def tokens(textCol: String): Column =
     filter(split(coalesce(col(textCol), lit("")), " "), t => t =!= lit(""))
 
-  /** Inverted postings of `docs`: (term, id, tf, dl, ps), one row per
-    * distinct (term, doc) pair. dl is the doc's token count — stored ON
-    * the posting so scoring never joins back to the corpus; ps is the
-    * term's sorted 0-based token positions, the payload phrase and
-    * proximity queries need (tf == size(ps) — tf kept denormalized so
-    * scoring never deserializes the array). Positions are the classic
-    * index-size tradeoff: the posting table grows from O(distinct
-    * terms) to O(tokens) values, bought once at build/refresh so query
-    * time never re-tokenizes the corpus. */
+  /** Inverted postings of `docs`: (term, id, tf, dl), one row per
+    * distinct (term, doc) pair — plus the term's sorted 0-based token
+    * positions `ps` when `withPositions`. dl is the doc's token count —
+    * stored ON the posting so scoring never joins back to the corpus.
+    * Positions are the classic index-size tradeoff (Lucene's
+    * DOCS_AND_FREQS vs _AND_POSITIONS): the posting table grows from
+    * O(distinct terms) to O(tokens) values and build/refresh pay a
+    * heavier shuffle, bought ONLY when the index must answer phrase /
+    * proximity queries — a frequency-only index stays lean. */
   private[graft] def postingsOf(docs: DataFrame, textCol: String,
-                                idCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(textCol).as("__w"))
-      .select(col("id"), size(col("__w")).as("dl"),
-        posexplode(col("__w")).as(Seq("pos", "term")))
-      .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"),
-        sort_array(collect_list(col("pos"))).as("ps"))
-      .select(col("term"), col("id"), col("tf"), col("dl"), col("ps"))
+                                idCol: String,
+                                withPositions: Boolean = false): DataFrame =
+    if (withPositions)
+      docs.select(col(idCol).as("id"), tokens(textCol).as("__w"))
+        .select(col("id"), size(col("__w")).as("dl"),
+          posexplode(col("__w")).as(Seq("pos", "term")))
+        .groupBy(col("term"), col("id"), col("dl"))
+        .agg(count(lit(1)).cast("int").as("tf"),
+          sort_array(collect_list(col("pos"))).as("ps"))
+        .select(col("term"), col("id"), col("tf"), col("dl"), col("ps"))
+    else
+      docs.select(col(idCol).as("id"), tokens(textCol).as("__w"))
+        .select(col("id"), size(col("__w")).as("dl"),
+          explode(col("__w")).as("term"))
+        .groupBy(col("term"), col("id"), col("dl"))
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .select(col("term"), col("id"), col("tf"), col("dl"))
 
   /** Stable term→slice routing: xxhash64 of the term folded positive —
     * the same term lands in the same bucket across builds and
@@ -277,31 +296,41 @@ object Bm25Index {
     posts.withColumn("bucket",
       pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
 
-  private def tables(src: GraftTable, name: String,
-                     idCol: String): (GraftTable, GraftTable) = {
-    val postSchema = StructType(Seq(
+  private def postTable(src: GraftTable, name: String, idCol: String,
+                        withPositions: Boolean): GraftTable = {
+    val base = Seq(
       StructField("term", StringType, nullable = false),
       StructField("id", src.schema(idCol).dataType, nullable = false),
       StructField("tf", IntegerType, nullable = false),
-      StructField("dl", IntegerType, nullable = false),
-      StructField("ps", ArrayType(IntegerType, containsNull = false),
-        nullable = false),
-      StructField("bucket", IntegerType, nullable = false)))
-    (new GraftTable(src.spark, src.catalog, s"__bm25_${name}_post",
-      postSchema, uniqueKeys = Seq(Seq("term", "id")),
-      partitionCols = Seq("bucket")),
-      new GraftTable(src.spark, src.catalog, s"__bm25_${name}_meta",
-        metaSchema, uniqueKeys = Seq(Seq("mid"))))
+      StructField("dl", IntegerType, nullable = false))
+    val ps =
+      if (withPositions)
+        Seq(StructField("ps", ArrayType(IntegerType, containsNull = false),
+          nullable = false))
+      else Nil
+    new GraftTable(src.spark, src.catalog, s"__bm25_${name}_post",
+      StructType(base ++ ps :+
+        StructField("bucket", IntegerType, nullable = false)),
+      uniqueKeys = Seq(Seq("term", "id")), partitionCols = Seq("bucket"))
   }
 
+  private def metaTable(src: GraftTable, name: String): GraftTable =
+    new GraftTable(src.spark, src.catalog, s"__bm25_${name}_meta",
+      metaSchema, uniqueKeys = Seq(Seq("mid")))
+
   /** Tokenize the source's CURRENT snapshot and commit postings +
-    * corpus scalars + the change-feed cursor in one transaction. */
+    * corpus scalars + the change-feed cursor in one transaction.
+    * `withPositions` persists per-term token positions on the postings
+    * (heavier build/refresh, bigger table) — required by
+    * [[Bm25Index.phraseSearch]], skipped by default (frequency-only,
+    * the lean shape [[Bm25Index.search]] needs). */
   def build(src: GraftTable, name: String, textCol: String, idCol: String,
-            nBuckets: Int = 16): Bm25Index = {
+            nBuckets: Int = 16, withPositions: Boolean = false): Bm25Index = {
     require(nBuckets >= 1, s"nBuckets $nBuckets must be positive")
     val c0 = src.catalog.currentCommitId()
     val snap = src.snapshotAt(c0)
-    val (post, meta) = tables(src, name, idCol)
+    val post = postTable(src, name, idCol, withPositions)
+    val meta = metaTable(src, name)
     // corpus scalars from the SAME snapshot the postings tokenize — one
     // cheap count+sum scan (zero-token docs count toward N but have no
     // postings, so the scalars cannot be folded from the posting rows)
@@ -310,23 +339,29 @@ object Bm25Index {
       .collect()(0)
     val txn = new Txn(src.catalog)
     txn.createMany(post,
-      bucketed(postingsOf(snap, textCol, idCol), nBuckets),
+      bucketed(postingsOf(snap, textCol, idCol, withPositions), nBuckets),
       skipDuplicates = false)
     txn.createMany(meta, src.spark.createDataFrame(
-      java.util.Arrays.asList(Row(0, sc.getLong(0), sc.getLong(1), nBuckets)),
+      java.util.Arrays.asList(Row(0, sc.getLong(0), sc.getLong(1), nBuckets,
+        if (withPositions) 1 else 0)),
       metaSchema), skipDuplicates = false)
     txn.recordStreamBatch(src, s"cdf:bm25:$name", c0,
       src.catalog.manifest().get(Catalog.StreamTable))
     txn.commit()
-    new Bm25Index(src, name, textCol, idCol, post, meta)
+    new Bm25Index(src, name, textCol, idCol, post, meta, withPositions)
   }
 
   /** Re-open a previously built index — no tokenize-the-corpus path
-    * exists here by construction; the scalars and bucket fan-out come
-    * from the meta row. */
+    * exists here by construction; the scalars, bucket fan-out, and the
+    * positional flag (which fixes the posting schema) come from the
+    * meta row. */
   def open(src: GraftTable, name: String, textCol: String,
            idCol: String): Bm25Index = {
-    val (post, meta) = tables(src, name, idCol)
-    new Bm25Index(src, name, textCol, idCol, post, meta)
+    val meta = metaTable(src, name)
+    val r = meta.snapshot().collect()
+    require(r.length == 1, s"${meta.name}: no persisted stats — build first")
+    val positional = r(0).getAs[Int]("pos") == 1
+    new Bm25Index(src, name, textCol, idCol,
+      postTable(src, name, idCol, positional), meta, positional)
   }
 }

@@ -25,13 +25,13 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       uniqueKeys = Seq(Seq("doc_id")))
   }
 
-  private def postRows(t: GraftTable): Set[(String, Long, Int, Int, Seq[Int])] =
-    t.snapshot().select($"term", $"id", $"tf", $"dl", $"ps")
-      .as[(String, Long, Int, Int, Seq[Int])].collect().toSet
+  private def postRows(t: GraftTable): Set[(String, Long, Int, Int)] =
+    t.snapshot().select($"term", $"id", $"tf", $"dl")
+      .as[(String, Long, Int, Int)].collect().toSet
 
-  private def freshPostings(src: GraftTable): Set[(String, Long, Int, Int, Seq[Int])] =
+  private def freshPostings(src: GraftTable): Set[(String, Long, Int, Int)] =
     Bm25Index.postingsOf(src.snapshot(), "text", "doc_id")
-      .as[(String, Long, Int, Int, Seq[Int])].collect().toSet
+      .as[(String, Long, Int, Int)].collect().toSet
 
   test("build persists postings + scalars; refresh folds signed deltas") {
     val src = srcTable()
@@ -171,7 +171,8 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       (5L, "the big data set and big data lake"),// x2
       (6L, "nothing here"),
       (7L, null)).toDF("doc_id", "text"))
-    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 4)
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 4,
+      withPositions = true)
     def phrase(ts: String*) =
       idx.phraseSearch(ts).as[(Long, Int)].collect().toMap
     assert(phrase("big", "data") == Map(1L -> 2, 3L -> 1, 5L -> 2))
@@ -190,6 +191,22 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
     assert(bounded.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
     assert(bounded.as[(Long, Int)].collect().toMap == Map(1L -> 2, 5L -> 2))
+    // a reopened handle recovers the positional flag from the meta row
+    val reopened = Bm25Index.open(src, "b", "text", "doc_id")
+    assert(reopened.positional)
+    assert(reopened.phraseSearch(Seq("big", "data"))
+      .as[(Long, Int)].collect().toMap == Map(1L -> 2, 2L -> 1, 5L -> 2))
+  }
+
+  test("a frequency-only index refuses phrase search loudly") {
+    val src = srcTable()
+    src.createMany(Seq((1L, "big data")).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 2)
+    assert(!idx.positional && !Bm25Index.open(src, "b", "text", "doc_id").positional)
+    val e = intercept[IllegalArgumentException] {
+      idx.phraseSearch(Seq("big", "data"))
+    }
+    assert(e.getMessage.contains("withPositions"))
   }
 
   test("topk plans a TakeOrdered heap and returns the ranked head") {

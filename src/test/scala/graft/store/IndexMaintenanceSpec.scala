@@ -273,7 +273,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       while (idx.refresh().nonEmpty) ()
     }
     val before = Bm25Index.postingsOf(src.snapshot(), "text", "doc_id")
-      .as[(String, Long, Int, Int, Seq[Int])].collect().toSet
+      .as[(String, Long, Int, Int)].collect().toSet
     assert(idx.post.compact(maxFiles = 0) == 4,
       "every bucket slice must compact")
     // partition-scoped pruning must survive the rewrite: a one-bucket
@@ -290,8 +290,8 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       scan.inputFiles.forall(_.contains(s"/${idx.post.name}/bucket=$b/")),
       "the pruned scan must plan only the probed bucket's files")
     // and the data is untouched: postings and search agree with pre-compact
-    assert(idx.post.snapshot().select($"term", $"id", $"tf", $"dl", $"ps")
-      .as[(String, Long, Int, Int, Seq[Int])].collect().toSet == before)
+    assert(idx.post.snapshot().select($"term", $"id", $"tf", $"dl")
+      .as[(String, Long, Int, Int)].collect().toSet == before)
     assert(idx.search(Seq("word7")).select($"doc_id").as[Long]
       .collect().toSeq == Seq(7L))
   }
@@ -337,12 +337,11 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     b.createMany((1L to 25L).map(i => (i, text(i))).toDF("doc_id", "text"))
     val bi = Bm25Index.build(b, "r", "text", "doc_id", nBuckets = 4)
     corruptRestoreMutate(b, () => while (bi.refresh().nonEmpty) ())
-    assert(bi.post.snapshot().select($"term", $"id", $"tf", $"dl", $"ps")
-        .as[(String, Long, Int, Int, Seq[Int])].collect().toSet ==
+    assert(bi.post.snapshot().select($"term", $"id", $"tf", $"dl")
+        .as[(String, Long, Int, Int)].collect().toSet ==
       Bm25Index.postingsOf(b.snapshot(), "text", "doc_id")
-        .as[(String, Long, Int, Int, Seq[Int])].collect().toSet,
-      "postings (positions included) must equal a fresh tokenize of the " +
-        "restored+mutated state")
+        .as[(String, Long, Int, Int)].collect().toSet,
+      "postings must equal a fresh tokenize of the restored+mutated state")
     val expectScalars = b.snapshot().agg(count(lit(1)),
       coalesce(sum(size(filter(split(coalesce($"text", lit("")), " "),
         t => t =!= lit(""))).cast("long")), lit(0L))).collect()(0)
