@@ -198,6 +198,24 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Int)].collect().toMap == Map(1L -> 2, 2L -> 1, 5L -> 2))
   }
 
+  test("phraseSearch prunes the postings scan to its terms' buckets") {
+    val src = srcTable()
+    src.createMany((1L to 80L).map(i => (i, s"alpha$i beta$i"))
+      .toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 8,
+      withPositions = true)
+    val bs = Seq("alpha7", "beta7").toDF("term")
+      .select(pmod(xxhash64($"term"), lit(8)).cast("int"))
+      .distinct().as[Int].collect().toSeq
+    val (kept, total) = idx.post.prunedDirs(
+      col("bucket").isin(bs.map(Int.box): _*))
+    assert(total == 8 && kept.size == bs.size,
+      s"a two-term phrase scan must keep only its terms' buckets, kept $kept")
+    assert(idx.phraseSearch(Seq("alpha7", "beta7"))
+      .select($"doc_id", $"n_phrase").as[(Long, Int)].collect().toSeq ==
+      Seq((7L, 1)))
+  }
+
   test("a frequency-only index refuses phrase search loudly") {
     val src = srcTable()
     src.createMany(Seq((1L, "big data")).toDF("doc_id", "text"))
