@@ -1978,6 +1978,36 @@ object SparkEntry {
       operators.Bpe.segment(Tables.documents(s, dir), "text", numMerges = 8)
         .orderBy(col("word"))),
 
+    // HTML → training-text extraction (functions/HtmlKernels.scala) —
+    // the crawl pipeline's step zero, driven over a full adversarial
+    // page built FROM each document's text (script with a fake </p>
+    // inside a string, style with a bare '>', comments, uppercase tags,
+    // an attribute containing '>', inline <B>/<a> mid-paragraph, pure-
+    // link nav + footer, and every supported entity form). The correct
+    // extraction is closed-form in the token list — paragraphs of 8
+    // tokens, each suffixed with the decoded ' & <tag> M! end' — so the
+    // oracle replays it symbolically: any slip in tag walking, entity
+    // decoding, block segmentation, or the jusText-style density/word-
+    // floor boilerplate rule hash-mismatches. The whole extraction is
+    // one codegen'd scan-side column: at 100 TB this is a single linear
+    // pass over the payload bytes, embarrassingly parallel.
+    "q_html_extract" -> ((s, dir) => {
+      val H = graft.functions.HtmlExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          H.htmlSynth(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"),
+          H.htmlText(col("html")).as("text_out"),
+          H.htmlStats(col("html")).as("st"))
+        .select(col("doc_id"), col("text_out"),
+          element_at(col("st"), 1).as("n_blocks"),
+          element_at(col("st"), 2).as("n_kept"),
+          element_at(col("st"), 3).as("n_drop_link"),
+          element_at(col("st"), 4).as("n_drop_short"),
+          element_at(col("st"), 5).as("kept_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact substring dedup (operators/SubstringDedup.scala) over the
     // corpus plus PLANTED cross-doc substrings: every doc_id % 10 == 0
     // spawns a twin (+100000) carrying its first 60 tokens verbatim — a
@@ -5269,6 +5299,37 @@ object SparkEntry {
   private def oracleSqlBase: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
     "q_bpe_encode" -> bpeOracle(k = 8, depth = 16, segment = true),
+
+    // the synth page's closed-form extraction: paragraphs of 8 tokens,
+    // each suffixed with the decoded entity tail; title/nav/footer are
+    // the 3 boilerplate blocks (1 word-floor + 2 link-density drops)
+    "q_html_extract" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), par AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) || ' & <tag> M! end' AS ptxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id,
+               string_agg(ptxt, chr(10) ORDER BY grp) AS text_out,
+               count(*) AS npar,
+               sum(length(ptxt)) AS kept_chars
+        FROM par GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(a.text_out, '') AS text_out,
+             CAST(coalesce(a.npar, 0) + 3 AS BIGINT) AS n_blocks,
+             CAST(coalesce(a.npar, 0) AS BIGINT) AS n_kept,
+             CAST(2 AS BIGINT) AS n_drop_link,
+             CAST(1 AS BIGINT) AS n_drop_short,
+             CAST(coalesce(a.kept_chars, 0) AS BIGINT) AS kept_chars
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
 
     // stride scheduling replayed: per-source rank, virtual time
     // (2i-1)/(2w) as the identical IEEE division, global row_number

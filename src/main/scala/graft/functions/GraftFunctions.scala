@@ -18,5 +18,7 @@ object GraftFunctions {
       exprs => SketchExpressions.ShingleHashes(exprs.head, 3))
     FunctionRegistration.register(spark, "dot_product",
       exprs => SketchExpressions.DotProduct(exprs(0), exprs(1)))
+    FunctionRegistration.register(spark, "html_text",
+      exprs => HtmlExpressions.HtmlText(exprs.head))
   }
 }

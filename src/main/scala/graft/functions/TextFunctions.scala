@@ -150,6 +150,17 @@ object TextFunctions {
   def fingerprintStaged(toks: Column): Column =
     xxhash64(concat_ws(" ", toks))
 
+  /** HTML page → its main training text ([[HtmlKernels]]): markup
+    * stripped, script/style payloads dropped, entities decoded, blocks
+    * segmented, and jusText-style boilerplate (link-dense navigation,
+    * sub-3-word headlines) removed — the crawl pipeline's step zero as a
+    * codegen'd scan-side column. */
+  def htmlToText(c: Column): Column = HtmlExpressions.htmlText(c)
+
+  /** HTML page → [n_blocks, n_kept, n_drop_link, n_drop_short,
+    * kept_chars] — the extraction audit counters next to [[htmlToText]]. */
+  def htmlStats(c: Column): Column = HtmlExpressions.htmlStats(c)
+
   /** Oracle-portable canonical fingerprint: md5 hex of the same canonical
     * form [[fingerprint]] hashes. The xxhash64 variant is the production
     * fast path (8 bytes, codegen'd, no hex string); this one exists so the

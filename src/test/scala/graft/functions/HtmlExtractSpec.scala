@@ -1,0 +1,126 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTML extraction contract ([[HtmlKernels]]): the q_html_extract /
+  * q_warc_extract oracles replay the synth page symbolically, so every
+  * rule here (drop-with-contents, entity forms, block segmentation, the
+  * density/word-floor boilerplate gate, malformed-input recovery) is a
+  * hash dependency of those gates. */
+class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
+
+  private def text(html: String): String =
+    HtmlKernels.htmlText(UTF8String.fromString(html)).toString
+  private def blocks(html: String) = HtmlKernels.blocks(html)
+
+  test("script/style/noscript contents vanish, incl. fake close tags") {
+    val h = """<p>keep me here</p>
+      <script>var s = "</p><p>ghost block one two three</p>";</script>
+      <style>p > b { color: red }</style>
+      <noscript>enable js please now</noscript>
+      <p>also keep this</p>"""
+    assert(text(h) == "keep me here\nalso keep this")
+  }
+
+  test("comments and doctype drop; unterminated comment drops the rest") {
+    assert(text("<!DOCTYPE html><p>one two three</p><!-- x --><p>four five six</p>")
+      == "one two three\nfour five six")
+    assert(text("<p>one two three</p><!-- never closed <p>four five six</p>")
+      == "one two three")
+  }
+
+  test("entities: named, decimal, hex, nbsp; unknown stays literal") {
+    val h = "<p>a &amp; b &lt;c&gt; &#77;&#x21; &quot;q&quot; &apos;s&apos; x&nbsp;y &bogus; z</p>"
+    assert(text(h) == "a & b <c> M! \"q\" 's' x y &bogus; z")
+  }
+
+  test("decoded '<' is text, not a tag") {
+    assert(text("<p>compare &lt;b&gt;bold&lt;/b&gt; stays</p>")
+      == "compare <b>bold</b> stays")
+  }
+
+  test("inline tags vanish without splitting; block tags split") {
+    assert(text("<p>one <b>two</b> <i>three</i> four</p>")
+      == "one two three four")
+    assert(text("<div>one two three</div><div>four five six</div>")
+      == "one two three\nfour five six")
+    assert(text("one two three<br>four five six")
+      == "one two three\nfour five six")
+  }
+
+  test("case-insensitive tags; attributes may contain '>' in quotes") {
+    assert(text("""<P TITLE="a > b">one <B>two</B> three</P>""")
+      == "one two three")
+    assert(text("<SCRIPT>x = 1; one two three</SCRIPT><p>four five six</p>")
+      == "four five six")
+  }
+
+  test("literal '<' that is not a tag survives as text") {
+    assert(text("<p>3 < 5 and 7 < 9</p>") == "3 < 5 and 7 < 9")
+  }
+
+  test("boilerplate: link density over 0.5 drops, word floor drops") {
+    val b = blocks("<nav><a href='/'>home</a> <a href='/a'>about</a></nav>")
+    assert(b.length == 1 && b.head.linkDensity == 1.0)
+    assert(text("<nav><a href='/'>home</a> <a href='/a'>about</a> <a href='/c'>contact</a></nav>") == "")
+    // two words, no links → word floor
+    assert(text("<h1>short headline</h1>") == "")
+    // three words, one short link → kept
+    assert(text("<p>see <a href='/x'>x</a> here</p>") == "see x here")
+  }
+
+  test("density counts non-whitespace chars only, inside <a> nesting") {
+    val b = blocks("<p><a href='/'>linked words here</a> free</p>").head
+    // linked: "linkedwordshere" = 15 non-ws, total = 15 + 4
+    assert(b.linkNonWs == 15 && b.nonWs == 19)
+    assert(text("<p><a href='/'>linked words here</a> free</p>") == "")
+  }
+
+  test("whitespace (incl. NBSP, CRLF) normalizes to single spaces") {
+    assert(text("<p>one\r\n  two\t\tthree&nbsp;&nbsp;four</p>")
+      == "one two three four")
+  }
+
+  test("stats bundle counts blocks by outcome") {
+    val h = """<h1>two words</h1>
+      <nav><a href='/'>a</a><a href='/b'>b</a><a href='/c'>c</a></nav>
+      <p>kept one two</p><p>kept three four</p>"""
+    val st = HtmlKernels.htmlStats(UTF8String.fromString(h)).toLongArray
+    assert(st.toSeq == Seq(4L, 2L, 1L, 1L,
+      "kept one two".length.toLong + "kept three four".length))
+  }
+
+  test("synth page extracts to the closed-form oracle text") {
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val html = HtmlKernels.htmlSynth(7L, UTF8String.fromString(doc)).toString
+    val expected = "alpha beta gamma delta epsilon zeta eta theta & <tag> M! end\n" +
+      "iota kappa & <tag> M! end"
+    assert(text(html) == expected)
+    val st = HtmlKernels.htmlStats(UTF8String.fromString(html)).toLongArray
+    // blocks: title + nav + 2 paragraphs + footer
+    assert(st.toSeq == Seq(5L, 2L, 2L, 1L,
+      expected.length.toLong - 1)) // minus the joining '\n'
+  }
+
+  test("synth handles tiny and empty token lists") {
+    assert(text(HtmlKernels.htmlSynth(1L, UTF8String.fromString("solo")).toString)
+      == "solo & <tag> M! end")
+    assert(text(HtmlKernels.htmlSynth(1L, UTF8String.fromString("  ")).toString)
+      == "")
+  }
+
+  test("column path stays inside whole-stage codegen") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), HtmlExpressions.htmlText(
+        HtmlExpressions.htmlSynth(col("doc_id"), col("text"))).as("x"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(n)' prefix is the simple-string marker for a WholeStageCodegen
+    // span — the Project evaluating html_text(html_synth(..)) must carry it
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.orderBy(col("doc_id")).limit(1).collect()(0)
+      .getString(1).contains("& <tag> M! end"))
+  }
+}
