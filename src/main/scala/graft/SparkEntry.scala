@@ -1857,6 +1857,28 @@ object SparkEntry {
           operators.QualityClassifier.syntheticModel(s, 4096), dim = 4096)
         .orderBy(col("doc_id"))),
 
+    // TRAINING the quality head — the half q_quality_classifier assumed
+    // away (it scores an exported model; this one produces it). Logistic
+    // regression by full-batch gradient descent over the same hashed
+    // bag-of-words features, in the integer fixed-point discipline that
+    // makes q_kmeans/q_pagerank hash-exact: per-doc milli features by
+    // truncating division, exact DECIMAL gradient folds (order-
+    // independent under any shuffle), one float division + sigmoid per
+    // doc per round mirrored term-for-term, HALF_UP weight updates. The
+    // label is a seed heuristic (docs containing the token 'join') — the
+    // FineWeb-Edu recipe of bootstrapping a cheap signal into a scalable
+    // scorer. The oracle unrolls all 3 rounds as CTE pairs; the output
+    // is the trained weight table, the exact frame scoreWithModel loads.
+    "q_quality_train" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("y",
+        array_contains(
+          graft.functions.TextFunctions.tokens(col("text")), "join")
+          .cast("int"))
+      operators.QualityClassifier.train(par(s, docs), "text", "doc_id", "y",
+          dim = 256, iters = 3, lr = 500.0)
+        .orderBy(col("bucket"))
+    }),
+
     // Mixture weighting: per-source fractional epochs (the pretraining
     // "N epochs of source X" recipe), deterministic hash-draw for the
     // fractional copy, exploded with a 1-based epoch tag.
@@ -2006,6 +2028,118 @@ object SparkEntry {
           element_at(col("st"), 4).as("n_drop_short"),
           element_at(col("st"), 5).as("kept_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // WARC container walk (sources/WarcKernels.scala) — how a web corpus
+    // physically arrives: Common Crawl's .warc.gz layout (per-record gzip
+    // members, CRLF header blocks, Content-Length-framed payloads, the
+    // two-CRLF record separator). Each document becomes a 3-record
+    // archive (request / response / metadata) whose response body is the
+    // q_html_extract adversarial page, and the records explode back out
+    // with their types, target URIs, and the embedded HTTP status/MIME —
+    // so the gate proves gzip member decode, the strict record walk, and
+    // the HTTP split against a symbolic oracle. Fail-closed parsing
+    // (truncation, CRC damage, bad separators → ZERO records, never
+    // partial) is spec-pinned in WarcSpec. Scale shape: gzip is not
+    // splittable, so the FILE is the parallelism unit — exactly how CC
+    // ships (64k files/crawl); the walk itself is one linear pass.
+    "q_warc_records" -> ((s, dir) => {
+      val W = graft.sources.WarcExpressions
+      val H = graft.functions.HtmlExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(W.warcRecords(W.warcSynth(
+          col("doc_id"), H.htmlSynth(col("doc_id"), col("text"))))).as("r"))
+        .select(col("doc_id"),
+          col("r.pos").cast("long").as("pos"),
+          col("r.rec_type").as("rec_type"),
+          col("r.uri").as("uri"),
+          col("r.http_status").cast("long").as("http_status"),
+          col("r.mime").as("mime"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // The complete crawl front door in ONE scan-side plan: .warc.gz
+    // bytes → gzip member decode → WARC record walk → HTTP header/body
+    // split → HTML boilerplate-stripped main text (Warc.pages shape).
+    // The response body round-trips byte-exactly through gzip + WARC
+    // framing + HTTP Content-Length into the SAME closed-form extraction
+    // the q_html_extract oracle computes — a slip anywhere in the chain
+    // (a lost CRLF, an off-by-one payload bound, a charset mangle)
+    // hash-mismatches the text.
+    "q_warc_extract" -> ((s, dir) => {
+      val W = graft.sources.WarcExpressions
+      val H = graft.functions.HtmlExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), W.warcPage(W.warcSynth(col("doc_id"),
+          H.htmlSynth(col("doc_id"), col("text")))).as("p"))
+        .select(col("doc_id"), col("p.uri").as("uri"),
+          H.htmlText(col("p.body")).as("text_out"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization (functions/UrlKernels.scala) — the key a
+    // crawl pipeline dedups on (RefinedWeb drops a double-digit share of
+    // CC by URL alone). RFC 3986 §6.2 syntax subset, every rule planted
+    // in the synth spelling: scheme+host case, the scheme's default
+    // port, %7e→~ unreserved decode beside %2f→%2F reserved uppercasing,
+    // /a/../docs/./ dot-segment removal, fragment drop. The oracle emits
+    // the expected canonical string directly, so any rule firing wrong —
+    // or firing on the wrong component — mismatches.
+    "q_url_normalize" -> ((s, dir) => {
+      val U = graft.functions.UrlExpressions
+      val k = pmod(col("doc_id"), lit(97))
+      val raw = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://"))
+          .otherwise(lit("HTTPS://")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("WWW.Blog-"), k, lit(".Example.CO.UK")))
+          .otherwise(concat(lit("Site-"), k, lit(".Example.COM"))),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(":80"))
+          .otherwise(lit(":443")),
+        lit("/a/../docs/./%7epg/%2fx/"), col("doc_id"),
+        lit("?q=%41b&tag=c%20d"), lit("#sec-"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), U.urlNormalize(raw).as("url_norm"))
+        .select(col("doc_id"), col("url_norm"),
+          U.urlHost(col("url_norm")).as("host"),
+          U.registeredDomain(U.urlHost(col("url_norm"))).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL-level curation end to end: two raw spellings per page collapse
+    // to one canonical key (dedup), a registered-domain blocklist
+    // anti-joins away banned sites (broadcast — the blocklist is tiny,
+    // the corpus is not), and a path-depth heuristic drops crawler-trap
+    // shapes; survivors roll up per registrable domain. At 100 TB this
+    // is the cheapest curation pass there is: normalize + distinct on
+    // the key, one broadcast anti-join, zero corpus-side state.
+    "q_url_filter" -> ((s, dir) => {
+      val U = graft.functions.UrlExpressions
+      val k = pmod(col("doc_id"), lit(97))
+      val host = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("WWW.Site-"), k, lit(".Example-"), pmod(k, lit(10)),
+            lit(".CO.UK")))
+        .otherwise(concat(lit("Site-"), k, lit(".Example-"), pmod(k, lit(10)),
+          lit(".COM")))
+      val deep = when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("/d1/d2/d3/d4")).otherwise(lit(""))
+      val pathq = concat(deep, lit("/page/"), col("doc_id"), lit("?s=1"))
+      val varA = concat(lit("http://"), host, lit(":80"), pathq, lit("#a"))
+      val varB = concat(lit("HTTP://"), host, pathq)
+      val normed = Tables.documents(s, dir)
+        .select(explode(array(varA, varB)).as("raw"))
+        .select(U.urlNormalize(col("raw")).as("url")).distinct()
+      val withDom = normed.select(col("url"),
+        U.registeredDomain(U.urlHost(col("url"))).as("domain"))
+      // crawler-trap heuristic: '/'-count past the scheme's two
+      val depth = length(col("url")) -
+        length(regexp_replace(col("url"), "/", "")) - lit(2)
+      val block = s.createDataFrame(Seq(
+        Tuple1("example-0.com"), Tuple1("example-7.co.uk"))).toDF("domain")
+      withDom.filter(depth <= lit(3))
+        .join(broadcast(block), Seq("domain"), "left_anti")
+        .groupBy(col("domain")).agg(count(lit(1)).as("n_urls"))
+        .orderBy(col("domain"))
     }),
 
     // Exact substring dedup (operators/SubstringDedup.scala) over the
@@ -2287,6 +2421,59 @@ object SparkEntry {
       graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
         .search(Seq("vector", "stream", "window"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Streaming ingest maintaining the THIRD persistent index — the
+    // q_stream_index (dedup sketches) / q_stream_bm25 (postings) pattern
+    // completed for the ANN codes table. The codebooks train on a stable
+    // 3/4 prefix BEFORE the stream (a trained artifact must not depend
+    // on nondeterministic batch boundaries); the stream then lands the
+    // remaining quarter through the exactly-once StoreSink with a
+    // per-batch frozen-codebook refresh, so the final index equals the
+    // q_ann_persist build+refresh state regardless of how the source
+    // split into batches — which is why the SAME symbolic oracle replays
+    // it. A deliberately REPLAYED batch must advance neither the store
+    // nor the index cursor.
+    "q_stream_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = tempDir("graft-streamann-q")
+      val cat = new graft.store.Catalog(tmp + "/cat")
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val src = new graft.store.GraftTable(s, cat, "vecs", StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true))),
+        uniqueKeys = Seq(Seq("vec_id")))
+      src.createMany(emb.filter(pmod(col("vec_id"), lit(4)) =!= 0))
+      val idx = graft.store.AnnIndex.build(src, "e1", "embedding", "vec_id",
+        nCells = 4, m = 4, k = 8, iters = 2)
+      val embSchema = Tables.embeddings(s, dir).schema
+      val appendSink = graft.streaming.StoreSink.exactlyOnceAppend(src, "ingest")
+      val sinkAndRefresh: (DataFrame, Long) => Unit = (df, batchId) => {
+        appendSink(df.filter(pmod(col("vec_id"), lit(4)) === 0)
+          .select(col("vec_id"), col("embedding")), batchId)
+        idx.refresh()
+        ()
+      }
+      val q = s.readStream.schema(embSchema)
+        .parquet(s"$dir/embeddings.parque[t]")
+        .writeStream.foreachBatch(sinkAndRefresh)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt").start()
+      q.awaitTermination(180000)
+      require(src.snapshot().count() == emb.count(),
+        "q_stream_ann: every streamed vector must land in the store")
+      require(idx.codes.snapshot().select(col("id")).distinct().count()
+          == emb.count(),
+        "q_stream_ann: every vector must carry codes after the drain")
+      val cur = idx.currentThrough()
+      sinkAndRefresh(Tables.embeddings(s, dir), 0L) // replayed batch
+      require(idx.currentThrough() == cur,
+        "q_stream_ann: a replayed batch must not advance the index")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      graft.store.AnnIndex.open(src, "e1", "embedding", "vec_id")
+        .search(queries, "qid", nProbe = 2, topk = 5)
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // Bloom-accelerated decontamination: identical OUTPUT to
@@ -5102,6 +5289,62 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of [[operators.QualityClassifier.train]]: one
+    * (s, r, g, w) CTE quartet per gradient round — integer milli
+    * features by truncating division, HUGEINT dot/gradient folds,
+    * the identical float division + sigmoid + HALF_UP rounding. */
+  private def qualityTrainOracle(dim: Int, iters: Int, lr: Double): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), base AS (
+        SELECT doc_id,
+               CASE WHEN list_contains(w, 'join') THEN 1 ELSE 0 END AS y,
+               len(w) AS n, w
+        FROM tok WHERE len(w) > 0
+      ), tl AS (
+        SELECT doc_id, y, n, unnest(w) AS t FROM base
+      ), feats AS (
+        SELECT doc_id, y,
+               CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT)
+                 % $dim AS BIGINT) AS bucket,
+               (count(*) * 1000) // n AS feat
+        FROM tl GROUP BY doc_id, y, n, bucket
+      ), nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM feats),
+      w0 AS (
+        SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+        FROM range($dim) t(i)
+      )""")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+      s$i AS (
+        SELECT f.doc_id, f.y,
+               CAST(sum(CAST(w.w * f.feat AS HUGEINT)) AS DOUBLE)
+                 / 1000000.0 AS s
+        FROM feats f JOIN w${i - 1} w USING (bucket)
+        GROUP BY f.doc_id, f.y
+      ), r$i AS (
+        SELECT doc_id,
+               CAST(round((1.0 / (1.0 + exp(-s))) * 1000000.0, 0) AS BIGINT)
+                 - y * 1000000 AS resid
+        FROM s$i
+      ), g$i AS (
+        SELECT f.bucket, sum(CAST(r.resid * f.feat AS HUGEINT)) AS g
+        FROM feats f JOIN r$i r USING (doc_id) GROUP BY f.bucket
+      ), w$i AS (
+        SELECT w.bucket,
+               w.w - CAST(round(CAST(coalesce(g.g, 0) AS DOUBLE) * $lr
+                 / (1000000.0 * nn.n_docs), 0) AS BIGINT) AS w
+        FROM w${i - 1} w LEFT JOIN g$i g USING (bucket) CROSS JOIN nn
+      )""")
+    }
+    sb.append(s"""
+      SELECT bucket, w AS w_milli FROM w$iters ORDER BY bucket""")
+    sb.toString
+  }
+
   private def kmeansOracle(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""
@@ -5330,6 +5573,84 @@ object SparkEntry {
              CAST(coalesce(a.kept_chars, 0) AS BIGINT) AS kept_chars
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // the 3-record synth archive's listing: fixed (pos, type, status,
+    // mime) lattice crossed with the id-derived target uri
+    "q_warc_records" -> """
+      WITH r AS (
+        SELECT * FROM (VALUES
+          (0, 'request',  -1, CAST(NULL AS VARCHAR)),
+          (1, 'response', 200, 'text/html; charset=utf-8'),
+          (2, 'metadata', -1, CAST(NULL AS VARCHAR)))
+          AS t(pos, rec_type, status, mime)
+      )
+      SELECT d.doc_id,
+             CAST(r.pos AS BIGINT) AS pos,
+             r.rec_type,
+             'https://site-' || (d.doc_id % 97) || '.example/page/'
+               || d.doc_id AS uri,
+             CAST(r.status AS BIGINT) AS http_status,
+             r.mime
+      FROM documents d CROSS JOIN r
+      ORDER BY d.doc_id, pos""",
+
+    // the q_html_extract closed form again, now reached THROUGH the
+    // gzip + WARC + HTTP chain, plus the response record's target uri
+    "q_warc_extract" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), par AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) || ' & <tag> M! end' AS ptxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
+        FROM par GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             'https://site-' || (d.doc_id % 97) || '.example/page/'
+               || d.doc_id AS uri,
+             coalesce(a.text_out, '') AS text_out
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // every normalization rule's expected output, emitted directly
+    "q_url_normalize" -> """
+      WITH d AS (
+        SELECT doc_id, doc_id % 97 AS k,
+               CASE WHEN doc_id % 3 = 0
+                 THEN 'www.blog-' || (doc_id % 97) || '.example.co.uk'
+                 ELSE 'site-' || (doc_id % 97) || '.example.com' END AS host
+        FROM documents
+      )
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END
+               || host || '/docs/~pg/%2Fx/' || doc_id
+               || '?q=Ab&tag=c%20d' AS url_norm,
+             host,
+             CASE WHEN doc_id % 3 = 0 THEN 'example.co.uk'
+                  ELSE 'example.com' END AS domain
+      FROM d ORDER BY doc_id""",
+
+    // dedup-to-one-canonical-key per page, then the depth and blocklist
+    // drops, rolled up per registrable domain
+    "q_url_filter" -> """
+      WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                 THEN 'example-' || ((doc_id % 97) % 10) || '.co.uk'
+                 ELSE 'example-' || ((doc_id % 97) % 10) || '.com' END AS domain,
+               (doc_id % 7 = 0) AS deep
+        FROM documents
+      )
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_urls
+      FROM u
+      WHERE NOT deep AND domain NOT IN ('example-0.com', 'example-7.co.uk')
+      GROUP BY domain ORDER BY domain""",
 
     // stride scheduling replayed: per-source rank, virtual time
     // (2i-1)/(2w) as the identical IEEE division, global row_number
@@ -7641,11 +7962,17 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracle(5),
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
+    "q_quality_train" -> qualityTrainOracle(dim = 256, iters = 3, lr = 500.0),
     "q_ann_pq" -> pqOracle(m = 4, k = 8, iters = 2, topk = 5),
     "q_ann_rebuild" -> annRebuildOracle(nCells = 4, nProbe = 3, m = 8,
       k = 16, iters = 2, topk = 5),
 
     "q_ann_persist" -> annPersistOracle(nCells = 4, nProbe = 2, m = 4,
+      k = 8, iters = 2, topk = 5),
+    // train on the 3/4 prefix + encode everything == the q_ann_persist
+    // final state; frozen-codebook streaming refresh makes the result
+    // batch-boundary-independent, so the SAME oracle replays it
+    "q_stream_ann" -> annPersistOracle(nCells = 4, nProbe = 2, m = 4,
       k = 8, iters = 2, topk = 5),
     "q_ann_rerank" -> ivfPqRerankOracle(nCells = 4, nProbe = 2, m = 4,
       k = 8, iters = 2, shortlist = 20, topk = 5),

@@ -102,4 +102,87 @@ object QualityClassifier {
         .filter(col("n_tokens") > 0),
       idCol)
   }
+
+  /** TRAIN the quality head — the half [[scoreWithModel]] assumed away.
+    *
+    * Logistic regression by full-batch gradient descent over the same
+    * hashed bag-of-words features scoring uses, in the engine's integer
+    * fixed-point discipline (q_kmeans / q_pagerank): every quantity a
+    * shuffle can reorder is an EXACT integer (or DECIMAL) sum, and the
+    * only floats are one division and the sigmoid per document per round,
+    * each replayed term-for-term by the unrolled oracle. Per round:
+    *
+    *   feat(d,b)  = (count(d,b) · 1000) div n_d          — milli features
+    *   s_d        = Σ_b w_b · feat(d,b) / 1e6            — one fp divide
+    *   resid_d    = round(σ(s_d) · 1e6) − y_d · 1e6      — back to ints
+    *   g_b        = Σ_d resid_d · feat(d,b)              — exact DECIMAL
+    *   w_b       −= round(g_b · lr / (1e6 · N))          — HALF_UP
+    *
+    * Scale shape: the feature frame is built by ONE tokenize+explode scan
+    * and persisted; each round is a broadcast join against the dim-row
+    * weight table, one groupBy(doc) for residuals, one groupBy(bucket)
+    * for gradients. Only the dim-row gradient ever reaches the driver —
+    * the model is metadata-sized BY DESIGN (a 1M-bucket model collects
+    * ~16 MB/round, the same bounded-by-k contract as kmeans' centroid
+    * fold), the corpus never does. Gradient folds go through
+    * DECIMAL(38,0): at 1e11 documents a Long would overflow; a decimal
+    * sum stays exact and order-independent.
+    *
+    * `labelCol` is any 0/1 integer column (a seed heuristic, a curated
+    * sample's labels). Weights start at zero (σ(0) = 0.5 exactly), so
+    * round 1 is deterministic without an init draw. Returns the trained
+    * (bucket, w_milli) frame — the exact shape [[scoreWithModel]] loads.
+    */
+  def train(docs: DataFrame, textCol: String, idCol: String,
+            labelCol: String, dim: Int, iters: Int, lr: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val toks = docs.select(col(idCol).as("__id"),
+        col(labelCol).cast("long").as("__y"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val feats = toks
+      .select(col("__id"), col("__y"), size(col("__toks")).as("__n"),
+        explode(col("__toks")).as("__t"))
+      .select(col("__id"), col("__y"), col("__n"),
+        tokenBucket(col("__t"), dim).as("bucket"))
+      .groupBy(col("__id"), col("__y"), col("__n"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("__id"), col("__y"), col("bucket"),
+        expr("(__c * 1000) div __n").as("feat"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = feats.select(col("__id")).distinct().count()
+      require(nDocs > 0, "train: no documents with tokens")
+      val w = Array.fill[Long](dim)(0L)
+      for (_ <- 1 to iters) {
+        val wDf = spark.createDataFrame(
+          w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
+          .toDF("bucket", "w_milli")
+        val resid = feats.join(broadcast(wDf), Seq("bucket"))
+          .groupBy(col("__id"), col("__y"))
+          .agg(sum((col("w_milli") * col("feat")).cast("decimal(38,0)"))
+            .as("dot"))
+          .select(col("__id"),
+            (round(lit(1.0) / (lit(1.0) +
+                exp(-(col("dot").cast("double") / lit(1000000.0))))
+              * lit(1000000.0), 0).cast("long")
+              - col("__y") * lit(1000000L)).as("resid"))
+        val grad = feats.join(resid, Seq("__id"))
+          .groupBy(col("bucket"))
+          .agg(sum((col("resid") * col("feat")).cast("decimal(38,0)")).as("g"))
+          .collect() // bounded by dim — the model IS metadata-sized
+        grad.foreach { r =>
+          val b = r.getLong(0).toInt
+          val g = r.getDecimal(1).doubleValue()
+          val delta = java.math.BigDecimal.valueOf(g * lr / (1e6 * nDocs))
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+          w(b) -= delta
+        }
+      }
+      spark.createDataFrame(
+        w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
+        .toDF("bucket", "w_milli")
+    } finally feats.unpersist()
+  }
 }

@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions over [[WarcKernels]] — the WARC container walk as
+  * codegen'd scan-side columns (the [[graft.multimodal.MediaExpressions]]
+  * static-call pattern). */
+object WarcExpressions {
+
+  /** The record-listing struct: position in file, WARC-Type,
+    * WARC-Target-URI, and the embedded HTTP response's status + MIME
+    * (−1/null for non-response records). */
+  val RecordType: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("rec_type", StringType, nullable = false),
+    StructField("uri", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = false),
+    StructField("mime", StringType, nullable = true)))
+
+  /** (id, html) → 3-record `.warc.gz` file bytes (gate-side twin). */
+  case class WarcSynth(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "warc_synth"
+
+    override def nullSafeEval(id: Any, html: Any): Any =
+      WarcKernels.warcSynth(id.asInstanceOf[Long],
+        html.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, h) =>
+        s"graft.sources.WarcKernels.warcSynth($i, $h)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** `.warc.gz` bytes → array of record structs (empty on any structural
+    * violation — fail-closed, never partial). */
+  case class WarcRecords(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(RecordType, containsNull = false)
+    override def prettyName: String = "warc_records"
+
+    override def nullSafeEval(bytes: Any): Any =
+      WarcKernels.warcRecords(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.sources.WarcKernels.warcRecords($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `.warc.gz` bytes → the first response record's HTTP body as text
+    * (null when invalid or no response present — the kernel CAN return
+    * null for a non-null child, hence nullSafeCodeGen + nullable). */
+  case class WarcBody(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "warc_body"
+
+    override def nullSafeEval(bytes: Any): Any =
+      WarcKernels.warcBody(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = graft.sources.WarcKernels.warcBody($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `.warc.gz` bytes → struct<uri, body> of the first response record —
+    * one parse for both fields (null when invalid / no response). */
+  case class WarcPage(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("uri", StringType, nullable = true),
+      StructField("body", StringType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "warc_page"
+
+    override def nullSafeEval(bytes: Any): Any =
+      WarcKernels.warcPage(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, b => s"""
+        ${ev.value} = graft.sources.WarcKernels.warcPage($b);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def warcPage(bytes: Column): Column = column(WarcPage(expression(bytes)))
+
+  def warcSynth(id: Column, html: Column): Column =
+    column(WarcSynth(expression(id), expression(html)))
+  def warcRecords(bytes: Column): Column =
+    column(WarcRecords(expression(bytes)))
+  def warcBody(bytes: Column): Column = column(WarcBody(expression(bytes)))
+}

@@ -277,4 +277,25 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // the k-row IDCG lookup broadcasts
     assert(p.contains("BroadcastHashJoin"), "IDCG lookup should broadcast:\n" + p)
   }
+
+  test("url filter: blocklist anti-join broadcasts, extraction stays codegen'd") {
+    val p = planOf("q_url_filter")
+    // the tiny blocklist must broadcast into a LeftAnti hash join — a
+    // shuffled anti-join here would move the whole corpus for a 2-row list
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "blocklist should be a broadcast anti-join:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle for the blocklist:\n" + p)
+  }
+
+  test("crawl front door: warc+html extraction is one scan-side project, no shuffle") {
+    val df = SparkEntry.queries("q_warc_extract")(spark, sfDir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the only exchange is the output ORDER BY's range partitioning —
+    // decode/extract must stay embarrassingly parallel
+    val exchanges = finalPlan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      "extraction should not shuffle:\n" + finalPlan)
+  }
 }

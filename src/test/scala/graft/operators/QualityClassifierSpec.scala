@@ -66,4 +66,33 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles <= 1, s"expected one doc_id shuffle, got $shuffles:\n$p")
   }
+
+  test("training separates a planted signal and is run-deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("y", array_contains(
+        graft.functions.TextFunctions.tokens(col("text")), "join").cast("int"))
+    val w1 = QualityClassifier.train(docs, "text", "doc_id", "y",
+      dim = 256, iters = 3, lr = 500.0)
+    val w2 = QualityClassifier.train(docs, "text", "doc_id", "y",
+      dim = 256, iters = 3, lr = 500.0)
+    assert(w1.orderBy($"bucket").collect().toSeq
+      == w2.orderBy($"bucket").collect().toSeq, "training must be bit-stable")
+    // score the corpus with the trained weights through the SAME loading
+    // path a real model uses, and require class separation in-sample
+    val scored = QualityClassifier.scoreWithModel(docs, "text", "doc_id",
+        w1, dim = 256)
+      .join(docs.select($"doc_id", $"y"), "doc_id")
+    val means = scored.groupBy($"y").agg(avg($"edu_score").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(means(1) > means(0) + 0.04,
+      s"3 GD rounds must separate the planted label: $means")
+  }
+
+  test("training refuses an all-empty corpus loudly") {
+    val docs = Seq((1L, "  ", 0), (2L, "", 1)).toDF("id", "text", "y")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(docs, "text", "id", "y", 8, 1, 0.5)
+    }
+    assert(e.getMessage.contains("no documents"))
+  }
 }

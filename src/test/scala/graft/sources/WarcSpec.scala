@@ -1,0 +1,102 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC container contract ([[WarcKernels]]): record walk, HTTP split,
+  * multi-member gzip, and the fail-closed boundary — the q_warc_records /
+  * q_warc_extract oracles replay the synth symbolically, so every rule
+  * here is a hash dependency of those gates. */
+class WarcSpec extends AnyFunSuite with SparkTestBase {
+
+  private def synth(id: Long, html: String): Array[Byte] =
+    WarcKernels.warcSynth(id, UTF8String.fromString(html))
+
+  test("3 records walk out in order with their types and uris") {
+    val recs = WarcKernels.parse(synth(42L, "<p>one two three</p>"))
+    assert(recs.map(_.recType) == Seq("request", "response", "metadata"))
+    assert(recs.forall(_.uri == "https://site-42.example/page/42"))
+    assert(recs.map(_.pos) == Seq(0, 1, 2))
+  }
+
+  test("response record: HTTP status, mime, exact body round-trip") {
+    val html = "<p>alpha beta gamma</p>"
+    val recs = WarcKernels.parse(synth(7L, html))
+    val resp = recs.find(_.recType == "response").get
+    assert(resp.httpStatus == 200)
+    assert(resp.mime == "text/html; charset=utf-8")
+    assert(new String(resp.body, "UTF-8") == html)
+    assert(WarcKernels.warcBody(synth(7L, html)).toString == html)
+  }
+
+  test("request and metadata payloads are exact") {
+    val recs = WarcKernels.parse(synth(5L, "x"))
+    val req = recs.find(_.recType == "request").get
+    assert(new String(req.body, "UTF-8") ==
+      "GET /page/5 HTTP/1.1\r\nHost: site-5.example\r\nUser-Agent: graft\r\n\r\n")
+    assert(req.httpStatus == -1 && req.mime == null)
+    val meta = recs.find(_.recType == "metadata").get
+    assert(new String(meta.body, "UTF-8") == "fetchTimeMs: 5\r\n")
+  }
+
+  test("fail-closed: truncated gzip, corrupted CRC, garbage bytes") {
+    val good = synth(1L, "<p>a b c</p>")
+    assert(WarcKernels.parse(java.util.Arrays.copyOf(good, good.length - 5)) == null)
+    val flipped = good.clone(); flipped(good.length / 2) = (flipped(good.length / 2) ^ 0x55).toByte
+    assert(WarcKernels.parse(flipped) == null)
+    assert(WarcKernels.parse("not a warc at all".getBytes) == null)
+    assert(WarcKernels.warcBody("junk".getBytes) == null)
+    // the expression surface maps null → EMPTY array, never partial
+    assert(WarcKernels.warcRecords("junk".getBytes).numElements() == 0)
+  }
+
+  test("fail-closed: valid gzip but not WARC, short payload, bad separator") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    assert(WarcKernels.parse(gz("HTTP/1.1 200 OK\r\n\r\n")) == null)
+    // declared length runs past the stream
+    assert(WarcKernels.parse(gz(
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nhi")) == null)
+    // missing the two-CRLF record separator after the payload
+    assert(WarcKernels.parse(gz(
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nhixx")) == null)
+  }
+
+  test("a one-record file with exact separator parses") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val recs = WarcKernels.parse(gz(
+      "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"))
+    assert(recs.length == 1 && recs.head.recType == "metadata" &&
+      new String(recs.head.body, "UTF-8") == "hi")
+  }
+
+  test("Warc.records + Warc.pages read a real .warc.gz from disk") {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    Files.write(Paths.get(s"$dir/f0.warc.gz"),
+      synth(3L, "<p>hello crawl world</p><nav><a href='/'>x</a> <a href='/y'>y</a> <a href='/z'>z</a></nav>"))
+    Files.write(Paths.get(s"$dir/f1.warc.gz"), synth(4L, "<p>second page text</p>"))
+    Files.write(Paths.get(s"$dir/skip.txt"), "not warc".getBytes)
+
+    val recs = Warc.records(spark, dir)
+    assert(recs.count() == 6)
+    assert(recs.filter(col("rec_type") === "response")
+      .filter(col("http_status") === 200).count() == 2)
+
+    val pages = Warc.pages(spark, dir).orderBy(col("uri")).collect()
+    assert(pages.length == 2)
+    assert(pages(0).getAs[String]("uri") == "https://site-3.example/page/3")
+    assert(pages(0).getAs[String]("text") == "hello crawl world")
+    assert(pages(1).getAs[String]("text") == "second page text")
+  }
+}
