@@ -1857,6 +1857,53 @@ object SparkEntry {
           operators.QualityClassifier.syntheticModel(s, 4096), dim = 4096)
         .orderBy(col("doc_id"))),
 
+    // PERSISTENT secondary value index (store/ValueIndex.scala) —
+    // Prisma's @@index as a store object, the FOURTH index family
+    // (dedup sketches / ANN codes / BM25 postings / value postings) on
+    // the same lifecycle machinery. The store's layout-dependent paths
+    // (partition pruning, zone maps, blooms) degrade on a column the
+    // table is neither partitioned nor clustered by; the index answers
+    // `findMany(where: {source: ...})` from bucket-pruned posting
+    // slices with ZERO source-table jobs, then hydrates via a broadcast
+    // semi-join. The gate drives the full lifecycle: build on a 3/4
+    // prefix → post-build inserts AND value-MOVING updates (the update's
+    // preimage must leave the old value's bucket and its postimage land
+    // in the new one) → refresh-to-exactness → a reopened handle's
+    // single-value probe REQUIREd to read exactly one bucket partition
+    // → hydrated fetch hash-gated against the plain predicate oracle.
+    "q_value_index" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vidx-q"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val idx = graft.store.ValueIndex.build(src, "bysrc", "source",
+        "doc_id", nBuckets = 8)
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      src.updateMany(graft.query.RawCol(pmod(col("doc_id"), lit(31)) === 0),
+        Map("source" -> lit("src9")))
+      require(idx.refresh().nonEmpty,
+        "q_value_index: the post-build window must drain")
+      require(idx.refresh().isEmpty,
+        "q_value_index: caught up — a second refresh drains nothing")
+      val probe = graft.store.ValueIndex.open(src, "bysrc", "source",
+        "doc_id")
+      val one = probe.lookupIds(Seq("src3"))
+      val bucketDirs = one.inputFiles
+        .map(_.replaceAll(".*/bucket=([0-9]+)/.*", "$1")).distinct
+      require(one.inputFiles.nonEmpty && bucketDirs.length == 1,
+        s"q_value_index: a one-value probe must read exactly one bucket, " +
+          s"got ${bucketDirs.toSeq}")
+      probe.fetch(Seq("src3", "src9"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TRAINING the quality head — the half q_quality_classifier assumed
     // away (it scores an exported model; this one produces it). Logistic
     // regression by full-batch gradient descent over the same hashed
@@ -7963,6 +8010,18 @@ object SparkEntry {
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
     "q_quality_train" -> qualityTrainOracle(dim = 256, iters = 3, lr = 500.0),
+
+    // the source after the update lattice, filtered by the probed values
+    // — the indexed fetch must equal the plain predicate
+    "q_value_index" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN 'src9' ELSE source END AS source,
+               n_chars
+        FROM documents
+      )
+      SELECT doc_id, source, n_chars FROM d
+      WHERE source IN ('src3', 'src9') ORDER BY doc_id""",
     "q_ann_pq" -> pqOracle(m = 4, k = 8, iters = 2, topk = 5),
     "q_ann_rebuild" -> annRebuildOracle(nCells = 4, nProbe = 3, m = 8,
       k = 16, iters = 2, topk = 5),

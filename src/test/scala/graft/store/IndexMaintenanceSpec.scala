@@ -71,6 +71,50 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       "sketch table must equal a from-scratch re-sketch of the snapshot")
   }
 
+  test("ValueIndex: random mutation interleavings, refresh == re-projection") {
+    val rnd = new scala.util.Random(1042)
+    def v(i: Long): String =
+      if (rnd.nextInt(10) == 0) null else s"v${rnd.nextInt(6)}"
+    val src = new GraftTable(spark, freshCat(), "docs", StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("doc_id")))
+    src.createMany((1L to 25L).map(i => (i, v(i))).toDF("doc_id", "v"))
+    val idx = ValueIndex.build(src, "m", "v", "doc_id", nBuckets = 4)
+
+    def expect() = ValueIndex.bucketed(
+      ValueIndex.postingsOf(src.snapshot(), "v", "doc_id"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    def got() = idx.post.snapshot()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+    var nextId = 100L
+    (1 to 12).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val ids = (nextId until nextId + 1 + rnd.nextInt(3)).toSeq
+          nextId += ids.size
+          src.createMany(ids.map(i => (i, v(i))).toDF("doc_id", "v"))
+        case 1 => // value-moving updates (possibly to null = de-indexing)
+          val lo = 1L + rnd.nextInt(20)
+          val t = v(nextId + 7919L)
+          src.updateMany(graft.query.RawCol(
+            col("doc_id") >= lo && col("doc_id") < lo + 3),
+            Map("v" ->
+              (if (t == null) lit(null).cast("string") else lit(t))))
+        case 2 =>
+          val lo = 1L + rnd.nextInt(25)
+          src.deleteMany(graft.query.RawCol(
+            col("doc_id") >= lo && col("doc_id") < lo + 2))
+        case _ => ()
+      }
+      if (rnd.nextInt(2) == 0) { idx.refresh(); () }
+    }
+    while (idx.refresh().nonEmpty) ()
+    assert(got() == expect(),
+      "posting table must equal a from-scratch projection of the snapshot")
+  }
+
   test("AnnIndex: random mutation interleavings incl. malformed, refresh == re-encode") {
     val rnd = new scala.util.Random(7)
     def vec(i: Long): Seq[Float] =

@@ -1,0 +1,88 @@
+package graft.store
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Secondary value index ([[ValueIndex]]): lookup/fetch equality with the
+  * plain predicate, delta-priced refresh incl. value-moving updates and
+  * deletes, NULL exclusion, bucket isolation, and fail-fast opens. */
+class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def freshSrc(): GraftTable = {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-vidx-spec").toString)
+    new GraftTable(spark, cat, "t", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+  }
+
+  private def rows(r: (Long, String)*) =
+    r.toSeq.toDF("id", "v")
+
+  test("fetch equals the plain predicate after build") {
+    val src = freshSrc()
+    src.createMany(rows(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "c"))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    val got = idx.fetch(Seq("a", "c")).orderBy($"id").collect().toSeq
+    val want = src.snapshot().filter($"v".isin("a", "c"))
+      .orderBy($"id").collect().toSeq
+    assert(got == want && got.size == 3)
+  }
+
+  test("refresh prices the delta: inserts, value-moving updates, deletes") {
+    val src = freshSrc()
+    src.createMany(rows(1L -> "a", 2L -> "b", 3L -> "a"))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    src.createMany(rows(4L -> "a"))
+    src.updateMany(graft.query.RawCol($"id" === 1L), Map("v" -> lit("z")))
+    src.deleteMany(graft.query.RawCol($"id" === 3L))
+    assert(idx.refresh().nonEmpty)
+    assert(idx.refresh().isEmpty, "caught up")
+    // old value's posting left, new value's landed, delete's gone
+    assert(idx.lookupIds(Seq("a")).select($"id").as[Long].collect().toSet
+      == Set(4L))
+    assert(idx.lookupIds(Seq("z")).select($"id").as[Long].collect().toSet
+      == Set(1L))
+    // row-for-row equal to a fresh derivation of the current snapshot
+    val fresh = ValueIndex.bucketed(
+      ValueIndex.postingsOf(src.snapshot(), "v", "id"), 4)
+    assert(idx.post.snapshot().exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(idx.post.snapshot()).isEmpty)
+  }
+
+  test("NULL values are not indexed; equality probes never see them") {
+    val src = freshSrc()
+    src.createMany(Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "v"))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 2)
+    assert(idx.post.snapshot().count() == 1)
+    assert(idx.fetch(Seq("a")).count() == 1)
+  }
+
+  test("a one-value probe reads exactly one bucket partition") {
+    val src = freshSrc()
+    src.createMany(rows((1L to 40L).map(i => i -> s"v${i % 10}"): _*))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 8)
+    val files = idx.lookupIds(Seq("v3")).inputFiles
+    val buckets = files.map(_.replaceAll(".*/bucket=([0-9]+)/.*", "$1")).distinct
+    assert(files.nonEmpty && buckets.length == 1, buckets.toSeq)
+  }
+
+  test("open before build fails loudly; open routes like the build") {
+    val src = freshSrc()
+    assertThrows[IllegalArgumentException] {
+      ValueIndex.open(src, "nope", "v", "id")
+    }
+    src.createMany(rows(1L -> "a"))
+    ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    val re = ValueIndex.open(src, "v1", "v", "id")
+    assert(re.nBuckets() == 4)
+    assert(re.fetch(Seq("a")).count() == 1)
+  }
+}
