@@ -1904,6 +1904,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The secondary index reaching the PRISMA SURFACE without the caller
+    // naming it — exactly how @@index works: findMany(where: {source:
+    // {in: [...]}, n_chars: {gte: ...}}) routes its equality/IN conjunct
+    // through ValueIndex.fetch (bucket-pruned postings + broadcast
+    // semi-join hydration) while the FULL where tree still applies
+    // afterwards (the n_chars range filters the hydrated rows; routing
+    // is never a correctness dependency). The gate REQUIREs the plan
+    // actually read the index's posting files — a silent fallback to
+    // the scan would pass the hash and hide a dead optimizer path.
+    "q_find_many_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vidxq-q"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.ValueIndex.build(src, "bysrc", "source",
+        "doc_id", nBuckets = 8)
+      val model = new graft.query.Model(
+        df = () => src.snapshot(), primaryKey = "doc_id",
+        indexSources = Map("source" -> (vs => idx.fetch(vs))))
+      val out = model.findMany(graft.query.QueryArgs(
+        where = Some(graft.query.And(Seq(
+          graft.query.Field("source",
+            graft.query.StringF(in = Some(Seq("src1", "src4")))),
+          graft.query.Field("n_chars",
+            graft.query.CmpF(gte = Some(120L)))))),
+        orderBy = Seq(graft.query.OrderBy("doc_id"))))
+      require(out.inputFiles.exists(_.contains("__vidx_")),
+        "q_find_many_indexed: the read must route through the index")
+      out
+    }),
+
     // TRAINING the quality head — the half q_quality_classifier assumed
     // away (it scores an exported model; this one produces it). Logistic
     // regression by full-batch gradient descent over the same hashed
@@ -8010,6 +8047,12 @@ object SparkEntry {
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
     "q_quality_train" -> qualityTrainOracle(dim = 256, iters = 3, lr = 500.0),
+
+    // the indexed findMany must equal the plain two-conjunct predicate
+    "q_find_many_indexed" -> """
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE source IN ('src1', 'src4') AND n_chars >= 120
+      ORDER BY doc_id""",
 
     // the source after the update lattice, filtered by the probed values
     // — the indexed fetch must equal the plain predicate

@@ -101,11 +101,58 @@ final class Model(
       * the scan — the Prisma surface gets the store's Iceberg-style
       * pruning for free. Purely a sourcing optimization: the full where
       * tree is still applied by [[applyWhere]] afterwards. */
-    val pruneSource: Option[Column => DataFrame] = None) {
+    val pruneSource: Option[Column => DataFrame] = None,
+    /** Optional secondary-index sources by column — the
+      * [[graft.store.ValueIndex.fetch]] shape: values → hydrated rows.
+      * This is how Prisma's `@@index` reaches the query surface WITHOUT
+      * the caller naming an index: when a read's where tree carries a
+      * top-level AND-conjunct that is a PLAIN equality or IN on an
+      * indexed column (case-sensitive, no negation, no extra operators
+      * on the same leaf), the base frame comes from the index's
+      * bucket-pruned postings instead of a full scan. Strictly a
+      * sourcing optimization under the same contract as [[pruneSource]]:
+      * the FULL where tree is re-applied afterwards, so a routing miss
+      * is never a correctness bug — any leaf shape this matcher does
+      * not recognize simply falls back to the scan. */
+    val indexSources: Map[String, Seq[Any] => DataFrame] = Map.empty) {
 
-  /** The base frame for a read with `where`: the pruned source when one
-    * is wired and the where has a prunable scalar prefix, else `df()`. */
+  /** The probe values of a leaf that is EXACTLY equality or IN —
+    * anything richer (ranges, negation, insensitive mode, recursive
+    * not) disqualifies the leaf from index routing. */
+  private def probeValues(f: ScalarFilter): Option[Seq[Any]] = f match {
+    case StringF(Some(Some(v)), None, None, None, None, None, None, None,
+        None, None, false, None) => Some(Seq(v))
+    case StringF(None, Some(vs), None, None, None, None, None, None,
+        None, None, false, None) if vs.nonEmpty => Some(vs)
+    case CmpF(Some(Some(v)), None, None, None, None, None, None, None) =>
+      Some(Seq(v))
+    case CmpF(None, Some(vs), None, None, None, None, None, None)
+        if vs.nonEmpty => Some(vs)
+    case _ => None
+  }
+
+  /** First top-level AND-conjunct routable through a secondary index. */
+  private def indexProbe(w: Where): Option[(String, Seq[Any])] = {
+    def conjuncts(x: Where): Seq[Where] = x match {
+      case And(ps) => ps.flatMap(conjuncts)
+      case leaf    => Seq(leaf)
+    }
+    conjuncts(w).collectFirst(Function.unlift {
+      case Field(n, f) if indexSources.contains(n) =>
+        probeValues(f).map(vs => (n, vs))
+      case _ => None
+    })
+  }
+
+  /** The base frame for a read with `where`: the secondary index when a
+    * routable equality/IN conjunct hits one, else the pruned source
+    * when one is wired and the where has a prunable scalar prefix, else
+    * `df()`. */
   private def source(where: Option[Where]): DataFrame =
+    where.flatMap(indexProbe).map { case (n, vs) => indexSources(n)(vs) }
+      .getOrElse(pruneFallback(where))
+
+  private def pruneFallback(where: Option[Where]): DataFrame =
     (pruneSource, where) match {
       case (Some(f), Some(w)) =>
         // top-level AND-conjuncts with no relation predicate inside —

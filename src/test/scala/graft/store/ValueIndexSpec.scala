@@ -74,6 +74,42 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(files.nonEmpty && buckets.length == 1, buckets.toSeq)
   }
 
+  test("Model routes plain equality/IN through the index, falls back otherwise") {
+    import graft.query._
+    val src = freshSrc()
+    src.createMany(rows(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "A"))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    val model = new Model(df = () => src.snapshot(), primaryKey = "id",
+      indexSources = Map("v" -> (vs => idx.fetch(vs))))
+
+    def routed(w: Where): Boolean =
+      model.findMany(QueryArgs(where = Some(w)))
+        .inputFiles.exists(_.contains("__vidx_"))
+
+    assert(routed(Field("v", StringF(equals = Some(Some("a"))))))
+    assert(routed(Field("v", StringF(in = Some(Seq("a", "b"))))))
+    assert(routed(And(Seq(Field("v", StringF(equals = Some(Some("a")))),
+      Field("id", CmpF(gte = Some(2L)))))))
+    // insensitive / range / negation / OR shapes must NOT route
+    assert(!routed(Field("v",
+      StringF(equals = Some(Some("a")), insensitive = true))))
+    assert(!routed(Field("v", StringF(gte = Some("a")))))
+    assert(!routed(Field("v", StringF(equals = Some(Some("a")),
+      not = Some(StringF(equals = Some(Some("b"))))))))
+    assert(!routed(Or(Seq(Field("v", StringF(equals = Some(Some("a")))),
+      Field("id", CmpF(equals = Some(Some(2L))))))))
+
+    // the FULL where tree still applies on the routed path
+    val got = model.findMany(QueryArgs(
+      where = Some(And(Seq(Field("v", StringF(equals = Some(Some("a")))),
+        Field("id", CmpF(gte = Some(2L)))))),
+      orderBy = Seq(OrderBy("id")))).select($"id").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+    // case-sensitive: "A" is a different indexed value
+    assert(model.findMany(QueryArgs(where = Some(Field("v",
+      StringF(equals = Some(Some("A"))))))).count() == 1)
+  }
+
   test("open before build fails loudly; open routes like the build") {
     val src = freshSrc()
     assertThrows[IllegalArgumentException] {
