@@ -2507,6 +2507,73 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING CRAWL INGESTION — the crawl front door composed with the
+    // exactly-once streaming tier, end to end: the corpus lands on disk
+    // as eight multi-record .warc.gz archives (many gzip members per
+    // file — exactly how a crawler ships fetches), a real AvailableNow
+    // file stream picks them up a few files per trigger, every batch
+    // walks its archives (gzip → WARC → HTTP → HTML extraction, all
+    // scan-side) and appends the extracted pages through StoreSink's
+    // batch-id watermark. A deliberately REPLAYED batch must be a no-op
+    // — the crash-recovery contract a continuously-ingesting corpus
+    // depends on. The hash gate is the q_html_extract closed form
+    // reached through file landing + streaming + the store round-trip.
+    "q_stream_crawl" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = tempDir("graft-streamcrawl-q")
+      val W = graft.sources.WarcExpressions
+      val H = graft.functions.HtmlExpressions
+      val warcDir = tmp + "/warc"
+      new java.io.File(warcDir).mkdirs()
+      Tables.documents(s, dir).select(W.warcSynth(col("doc_id"),
+          H.htmlSynth(col("doc_id"), col("text"))).as("bytes"))
+        .repartition(8)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val out = new java.io.FileOutputStream(
+              s"$warcDir/crawl-$pid.warc.gz")
+            try it.foreach(r => out.write(r.getAs[Array[Byte]]("bytes")))
+            finally out.close()
+          }
+        }
+      val cat = new graft.store.Catalog(tmp + "/cat")
+      val store = new graft.store.GraftTable(s, cat, "pages", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      val appendSink = graft.streaming.StoreSink.exactlyOnceAppend(
+        store, "crawl")
+      def extract(files: DataFrame): DataFrame = files
+        .select(explode(W.warcPages(col("content"))).as("p"))
+        .select(
+          regexp_extract(col("p.uri"), "/page/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          H.htmlText(col("p.body")).as("text"))
+      val q = s.readStream.format("binaryFile")
+        .schema(StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType))))
+        .option("maxFilesPerTrigger", 3)
+        .load(warcDir)
+        .writeStream.foreachBatch { (df: DataFrame, bid: Long) =>
+          appendSink(extract(df), bid); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp + "/ckpt").start()
+      q.awaitTermination(180000)
+      val expected = Tables.documents(s, dir).count()
+      require(store.snapshot().count() == expected,
+        "q_stream_crawl: every page must land exactly once")
+      // replayed batch 0: the sink's watermark absorbs it
+      appendSink(extract(s.read.format("binaryFile").load(warcDir)), 0L)
+      require(store.snapshot().count() == expected,
+        "q_stream_crawl: a replayed batch must not duplicate pages")
+      store.snapshot().orderBy(col("doc_id"))
+    }),
+
     // Streaming ingest maintaining the THIRD persistent index — the
     // q_stream_index (dedup sketches) / q_stream_bm25 (postings) pattern
     // completed for the ANN codes table. The codebooks train on a stable
@@ -8047,6 +8114,26 @@ object SparkEntry {
 
     "q_kmeans" -> kmeansOracle(k = 10, iters = 2),
     "q_quality_train" -> qualityTrainOracle(dim = 256, iters = 3, lr = 500.0),
+
+    // the q_html_extract closed form reached through landing + streaming
+    "q_stream_crawl" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), par AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) || ' & <tag> M! end' AS ptxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
+        FROM par GROUP BY doc_id
+      )
+      SELECT d.doc_id, coalesce(a.text_out, '') AS text
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
 
     // the indexed findMany must equal the plain two-conjunct predicate
     "q_find_many_indexed" -> """

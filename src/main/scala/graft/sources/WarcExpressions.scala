@@ -99,7 +99,27 @@ object WarcExpressions {
       copy(child = newChild)
   }
 
+  /** `.warc.gz` bytes → array of (uri, body) for EVERY response record
+    * (empty on invalid files — fail-closed). */
+  case class WarcPages(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("uri", StringType, nullable = true),
+      StructField("body", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "warc_pages"
+
+    override def nullSafeEval(bytes: Any): Any =
+      WarcKernels.warcPages(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.sources.WarcKernels.warcPages($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def warcPage(bytes: Column): Column = column(WarcPage(expression(bytes)))
+  def warcPages(bytes: Column): Column = column(WarcPages(expression(bytes)))
 
   def warcSynth(id: Column, html: Column): Column =
     column(WarcSynth(expression(id), expression(html)))

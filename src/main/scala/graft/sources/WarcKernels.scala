@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -111,15 +111,63 @@ object WarcKernels {
 
   // ------------------------------------------------------------- parse
 
+  /** Manual multi-member gunzip. NOT `GZIPInputStream`: that class
+    * treats anything after a member that does not look like another
+    * gzip header as ignorable trailing garbage and STOPS SILENTLY — a
+    * single flipped byte in a mid-file member header would truncate a
+    * crawl archive to a valid-looking prefix, which is exactly the
+    * partial decode the fail-closed contract forbids. Here every byte
+    * of the file must belong to a well-formed member: header flags
+    * (FEXTRA/FNAME/FCOMMENT/FHCRC) walked, raw-deflate inflated, CRC32
+    * and ISIZE verified per member, and the next member must start
+    * immediately after the trailer. Any violation throws (the caller
+    * maps it to the fail vector). */
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream transparently concatenates members; any CRC/length
-    // mismatch or truncation throws, which the caller maps to fail-closed
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
     val out = new ByteArrayOutputStream(bytes.length * 3 + 64)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
+    var p = 0
+    def le32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    while (p < bytes.length) {
+      require(p + 10 <= bytes.length, "truncated gzip header")
+      require((bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b &&
+        bytes(p + 2) == 8, "bad gzip member header")
+      val flg = bytes(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        require(q + 2 <= bytes.length, "truncated FEXTRA")
+        q += 2 + ((bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME, zero-terminated
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      require(q < bytes.length, "truncated member")
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, q, bytes.length - q)
+        val buf = new Array[Byte](65536)
+        val crc = new java.util.zip.CRC32
+        var msize = 0L
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput())
+            throw new java.io.EOFException("truncated deflate stream")
+          crc.update(buf, 0, n); out.write(buf, 0, n); msize += n
+        }
+        val dataEnd = q + inf.getBytesRead.toInt
+        require(dataEnd + 8 <= bytes.length, "truncated gzip trailer")
+        require(le32(dataEnd) == crc.getValue, "gzip CRC mismatch")
+        require(le32(dataEnd + 4) == (msize & 0xffffffffL),
+          "gzip ISIZE mismatch")
+        p = dataEnd + 8
+      } finally inf.end()
+    }
     out.toByteArray
   }
 
@@ -226,6 +274,22 @@ object WarcKernels {
       case Some(r) => UTF8String.fromBytes(r.body)
       case None    => null
     }
+  }
+
+  /** File bytes → array<struct<uri, body>> of EVERY response record —
+    * the multi-page shape of a real crawl archive (thousands of fetches
+    * per `.warc.gz`, each its own gzip member). Empty array on invalid
+    * files (fail-closed, never partial). */
+  def warcPages(bytes: Array[Byte]): ArrayData = {
+    val recs = parse(bytes)
+    if (recs == null) return new GenericArrayData(Array.empty[Any])
+    new GenericArrayData(recs
+      .filter(r => r.recType == "response" && r.httpStatus >= 0)
+      .map { r =>
+        new GenericInternalRow(Array[Any](
+          if (r.uri == null) null else UTF8String.fromString(r.uri),
+          UTF8String.fromBytes(r.body))): InternalRow
+      }.toArray[Any])
   }
 
   /** File bytes → struct<uri, body> of the first response record in ONE

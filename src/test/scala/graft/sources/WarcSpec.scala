@@ -81,6 +81,19 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
       new String(recs.head.body, "UTF-8") == "hi")
   }
 
+  test("warcPages walks a concatenated multi-archive file (crawler shape)") {
+    val cat = synth(1L, "<p>a b c</p>") ++ synth(2L, "<p>d e f</p>") ++
+      synth(3L, "<p>g h i</p>")
+    val pages = WarcKernels.warcPages(cat)
+    assert(pages.numElements() == 3)
+    val r0 = pages.getStruct(0, 2)
+    assert(r0.getUTF8String(0).toString == "https://site-1.example/page/1")
+    assert(r0.getUTF8String(1).toString == "<p>a b c</p>")
+    // corrupting any byte of the concatenation fails the WHOLE file closed
+    val bad = cat.clone(); bad(cat.length / 3) = (bad(cat.length / 3) ^ 1).toByte
+    assert(WarcKernels.warcPages(bad).numElements() == 0)
+  }
+
   test("Warc.records + Warc.pages read a real .warc.gz from disk") {
     val dir = Files.createTempDirectory("graft-warc").toString
     Files.write(Paths.get(s"$dir/f0.warc.gz"),
