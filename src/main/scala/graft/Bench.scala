@@ -47,6 +47,54 @@ object Bench {
       }
     }
 
+    // ---- Load fence (r15): this box runs co-tenant work (r14 measured
+    // loadavg 5-9.7 with zero graft processes alive, flagging 8 sub-2 s
+    // queries above 2x best-known). Loadavg itself is useless mid-suite —
+    // our own 32 worker threads dominate it — so the fence measures
+    // AMBIENT cpu directly: (/proc/stat busy ticks − /proc/self/stat
+    // utime+stime) over each sample's window, in cores. Our own work
+    // (including GC and Spark daemon threads) is self time and subtracts
+    // out exactly; what remains is co-tenant cores. A sample taken above
+    // the fence is untrusted — the query re-queues to the end-of-suite
+    // sweep, which waits (bounded) for the box to go quiet. The ambient
+    // cores of the REPORTED sample are committed next to the time so a
+    // future breach is diagnosable from the artifact alone.
+    val loadFence = sys.env.getOrElse("SPARK_GRAFT_LOAD_FENCE", "3.0").toDouble
+    def readFile(p: String): String = {
+      val src = scala.io.Source.fromFile(p)
+      try src.mkString finally src.close()
+    }
+    // (system-wide busy ticks, this JVM's ticks) — USER_HZ (100) units
+    def cpuTicks(): (Long, Long) = scala.util.Try {
+      val f = readFile("/proc/stat").linesIterator.next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val busy = f.take(8).sum - f(3) - f(4) // minus idle + iowait
+      val after = readFile("/proc/self/stat")
+      val rest = after.substring(after.lastIndexOf(')') + 2).split(" ")
+      (busy, rest(11).toLong + rest(12).toLong) // utime + stime
+    }.getOrElse((-1L, -1L))
+    // ambient co-tenant cores burned between two tick readings
+    def ambientCores(t0: (Long, Long), t1: (Long, Long),
+                     dtSec: Double): Double =
+      if (t0._1 < 0 || t1._1 < 0 || dtSec <= 0) -1.0
+      else math.max(0.0,
+        ((t1._1 - t0._1) - (t1._2 - t0._2)) / 100.0 / dtSec)
+    // Bounded wait for quiet: sample ambient cores over 5 s windows.
+    def awaitQuiet(maxSec: Int): Double = {
+      var waited = 0
+      var amb = Double.MaxValue
+      while (amb > loadFence && waited < maxSec) {
+        val t0 = cpuTicks()
+        Thread.sleep(5000); waited += 5
+        amb = ambientCores(t0, cpuTicks(), 5.0)
+        if (amb < 0) return -1.0 // /proc unreadable: fence disabled
+        if (amb > loadFence)
+          System.err.println(
+            f"[bench] ambient $amb%.2f cores > fence $loadFence%.1f — waiting (${waited}s)")
+      }
+      amb
+    }
+
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -54,6 +102,8 @@ object Bench {
     // warm-up: entry-shaped small query + one cheap pass over each table
     SparkEntry.queries("q1_agg")(spark, sfDir).collect()
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
+    // suite-start quiet gate: don't begin timing into a co-tenant burst
+    awaitQuiet(maxSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "120").toInt)
 
     // Two timed executions per query, best-of-2 reported: the first run of a
     // fresh plan pays janino codegen + JIT compilation (measured ~3 s for the
@@ -62,7 +112,9 @@ object Bench {
     // from squatting on block-manager memory for the rest of the run —
     // per-query numbers must be isolated.
     var baselineExtras = 0
-    def once(name: String): Double = {
+    // Each sample is (seconds, ambient co-tenant cores over its window).
+    def once(name: String): (Double, Double) = {
+      val c0 = cpuTicks()
       val t0 = System.nanoTime()
       val ok = try { materialize(name); true }
       catch { case e: Throwable =>
@@ -71,10 +123,15 @@ object Bench {
       // next query but its cost is session bookkeeping, not this query's
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      if (ok) dt else -1.0
+      (if (ok) dt else -1.0, ambientCores(c0, cpuTicks(), dt))
     }
     def ranHot(name: String, t: Double): Boolean = // far above best-known
       t >= 0 && baseline.get(name).exists(b => t > b * 1.5)
+    def bestOf(ts: Seq[(Double, Double)]): (Double, Double) =
+      ts.filter(_._1 >= 0) match {
+        case ok if ok.nonEmpty => ok.minBy(_._1)
+        case _ => (-1.0, ts.map(_._2).max)
+      }
     val firstPass = names.map { name =>
       var times = Seq(once(name), once(name))
       // Sub-half-second queries: the plan costs less than one GC pause
@@ -84,27 +141,29 @@ object Bench {
       // absolute). Buy a burst of extra samples — six under 0.25 s, four
       // under 0.5 s — and report the min; total cost stays bounded by
       // the queries being fast.
-      def burstTo(ts: Seq[Double]): Int = {
-        val floor = math.min(ts.min, baseline.getOrElse(name, Double.MaxValue))
+      def burstTo(ts: Seq[(Double, Double)]): Int = {
+        val floor =
+          math.min(ts.map(_._1).min, baseline.getOrElse(name, Double.MaxValue))
         if (floor < 0.25) 6 else if (floor < 0.5) 4 else 0
       }
-      while (times.forall(_ >= 0) && times.size < burstTo(times))
+      while (times.forall(_._1 >= 0) && times.size < burstTo(times))
         times :+= once(name)
       // the two runs disagreeing means one was hit by external load (this
       // box runs other work during benched rounds) — buy up to two more
       // samples rather than report a time that isn't the plan's
-      def disagree(ts: Seq[Double]): Boolean = {
-        val best = ts.sorted.take(2)
+      def disagree(ts: Seq[(Double, Double)]): Boolean = {
+        val best = ts.map(_._1).sorted.take(2)
         best(1) / best(0) > 1.5 // the two best samples still disagree
       }
-      while (times.forall(_ >= 0) && times.size < 4 &&
+      while (times.forall(_._1 >= 0) && times.size < 4 &&
              (disagree(times) ||
                // bounded: a fully-loaded box can't stretch the whole run
-               (baselineExtras < 80 && ranHot(name, times.min)))) {
+               (baselineExtras < 80 && ranHot(name, times.map(_._1).min)))) {
         if (!disagree(times)) baselineExtras += 1
         times :+= once(name)
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_._1 < 0)) (-1.0, times.map(_._2).max)
+               else bestOf(times))
     }
     // End-of-suite retry: the in-place resampler can't beat SUSTAINED load —
     // all its samples land inside the same load burst. Queries still above
@@ -114,17 +173,30 @@ object Bench {
     var results = firstPass
     var sweep = 0
     // failed queries (-1.0) re-queue too: a load burst that OOMs/times out
-    // one sample is exactly what the end-of-suite attempt exists to escape
-    while (sweep < 2 && results.exists { case (n, t) => ranHot(n, t) || t < 0 }) {
+    // one sample is exactly what the end-of-suite attempt exists to escape.
+    // Load-tainted queries re-queue when their best sample ran above the
+    // fence AND sits measurably above best-known (>1.1x — load only ever
+    // slows a query, so a tainted sample at/below best-known is credible).
+    def tainted(n: String, t: Double, l: Double): Boolean =
+      l > loadFence && t >= 0 && baseline.get(n).forall(b => t > b * 1.1)
+    while (sweep < 2 && results.exists { case (n, (t, l)) =>
+             ranHot(n, t) || t < 0 || tainted(n, t, l) }) {
       sweep += 1
-      val hot = results.collect { case (n, t) if ranHot(n, t) || t < 0 => n }
+      val hot = results.collect { case (n, (t, l))
+        if ranHot(n, t) || t < 0 || tainted(n, t, l) => n }
       System.err.println(
-        s"[bench] end-of-suite retry pass $sweep: ${hot.size} hot queries")
+        s"[bench] end-of-suite retry pass $sweep: ${hot.size} hot/tainted queries")
+      // give the co-tenant burst time to pass before burning the retries
+      awaitQuiet(maxSec = 180)
       val retried = hot.map(n => n -> once(n)).toMap
-      results = results.map { case (n, t) =>
+      results = results.map { case (n, (t, l)) =>
         retried.get(n) match {
-          case Some(r) if r >= 0 && (t < 0 || r < t) => n -> r
-          case _ => n -> t
+          case Some((r, rl)) if r >= 0 && (t < 0 || r < t) => n -> (r, rl)
+          // keep the old (better) time but adopt the quieter provenance if
+          // the retry CONFIRMED the number from below the fence
+          case Some((r, rl)) if r >= 0 && rl <= loadFence && r <= t * 1.5 =>
+            n -> (t, math.min(l, rl))
+          case _ => n -> (t, l)
         }
       }
     }
@@ -133,7 +205,9 @@ object Bench {
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val timed = results.map { case (n, (t, _)) => n -> t }
+    val loads = results.map { case (n, (_, l)) => n -> l }
+    val total = timed.map(_._2).filter(_ >= 0).sum
     // "sf" is NUMERIC per the driver contract (sf0.1 -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
@@ -141,7 +215,8 @@ object Bench {
     // at 100+ queries it outgrew the driver's stdout tail-capture window and
     // truncated the metric line mid-JSON. Stdout stays one compact line —
     // total plus a handful of headline queries — well under 1 KB forever.
-    System.err.println(s"""[bench] per-query: ${dict(results)}""")
+    System.err.println(s"""[bench] per-query: ${dict(timed)}""")
+    System.err.println(s"""[bench] per-query ambient cores: ${dict(loads)}""")
     // The COMMITTED full artifact: the stderr dict is only as durable as the
     // driver's log tail (r6 lost 28 queries to mid-line truncation), so the
     // complete per-query timing table is also written to a repo file and
@@ -151,13 +226,13 @@ object Bench {
     scala.util.Try {
       val w = new java.io.PrintWriter(fullOut, "UTF-8")
       try w.println(
-        s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":$sfNum,"queries":${dict(results)}}""")
+        s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":$sfNum,"load_fence":$loadFence,"queries":${dict(timed)},"ambient_cores":${dict(loads)}}""")
       finally w.close()
     }.failed.foreach(e =>
       System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}"))
     val headline = Seq("q1_agg", "q_dedup_minhash", "q_ann_topk",
       "q_asof_join", "q_nested_create", "q_dup_clusters_dist")
-    val qs = dict(results.filter(r => headline.contains(r._1)))
+    val qs = dict(timed.filter(r => headline.contains(r._1)))
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
     spark.stop()
   }

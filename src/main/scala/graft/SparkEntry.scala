@@ -1941,6 +1941,107 @@ object SparkEntry {
       out
     }),
 
+    // COMPOSITE secondary index — Prisma's @@index([a, b]) as tuple-
+    // valued postings (store/ValueIndex.scala): the bucket hash covers
+    // the WHOLE tuple, so a full-tuple probe reads only its buckets
+    // while a leading-prefix probe CANNOT prune and must provably fall
+    // back to the scan (both plan-asserted here). Lifecycle mirrors
+    // q_value_index: build on a 3/4 prefix → post-build inserts and a
+    // component-moving update (the tuple leaves its old bucket, lands
+    // in the new) → refresh-to-exactness → Model routing: findMany with
+    // routable equality/IN on BOTH columns sources from the index (the
+    // probe set is the per-column cross product), the n_chars range
+    // still applies from the re-applied where tree.
+    "q_value_index_composite" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vidxc-q"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("lang", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val idx = graft.store.ValueIndex.build(src, "srclang",
+        Seq("source", "lang"), "doc_id", nBuckets = 8)
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      src.updateMany(graft.query.RawCol(pmod(col("doc_id"), lit(31)) === 0),
+        Map("lang" -> lit("xx")))
+      require(idx.refresh().nonEmpty,
+        "q_value_index_composite: the post-build window must drain")
+      val probe = graft.store.ValueIndex.open(src, "srclang",
+        Seq("source", "lang"), "doc_id")
+      val one = probe.lookupTupleIds(Seq(Seq("src1", "en")))
+      val bucketDirs = one.inputFiles
+        .map(_.replaceAll(".*/bucket=([0-9]+)/.*", "$1")).distinct
+      require(one.inputFiles.nonEmpty && bucketDirs.length == 1,
+        s"q_value_index_composite: a one-tuple probe must read exactly " +
+          s"one bucket, got ${bucketDirs.toSeq}")
+      val model = new graft.query.Model(
+        df = () => src.snapshot(), primaryKey = "doc_id",
+        compositeIndexSources = Map(Seq("source", "lang") ->
+          (ts => probe.fetchTuples(ts))))
+      // a PREFIX probe (source only) must fall back — no index files
+      val prefix = model.findMany(graft.query.QueryArgs(
+        where = Some(graft.query.Field("source",
+          graft.query.StringF(equals = Some(Some("src1")))))))
+      require(!prefix.inputFiles.exists(_.contains("__vidx_")),
+        "q_value_index_composite: a prefix probe must NOT route")
+      val out = model.findMany(graft.query.QueryArgs(
+        where = Some(graft.query.And(Seq(
+          graft.query.Field("source",
+            graft.query.StringF(equals = Some(Some("src1")))),
+          graft.query.Field("lang",
+            graft.query.StringF(in = Some(Seq("en", "de", "xx")))),
+          graft.query.Field("n_chars",
+            graft.query.CmpF(gte = Some(100L)))))),
+        orderBy = Seq(graft.query.OrderBy("doc_id"))))
+      require(out.inputFiles.exists(_.contains("__vidx_")),
+        "q_value_index_composite: the full-tuple read must route")
+      out
+    }),
+
+    // INDEX-ONLY count: a count whose entire where tree is one routable
+    // equality/IN leaf answers from the postings with ZERO source-table
+    // jobs — the source thunk is never even invoked (asserted with a
+    // tripwire df()), because each row's column holds exactly one value
+    // so the posting count IS the row count. This is Prisma's
+    // count(where: {indexed: ...}) at 100 TB: cost ∝ the probed values'
+    // posting rows, not the corpus.
+    "q_count_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vidxcnt-q"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.ValueIndex.build(src, "bysrc", "source",
+        "doc_id", nBuckets = 8)
+      var sourceTouched = false
+      val model = new graft.query.Model(
+        df = () => { sourceTouched = true; src.snapshot() },
+        primaryKey = "doc_id",
+        indexCountSources = Map("source" -> (vs => idx.countIds(vs))))
+      val n = model.count(Some(graft.query.Field("source",
+        graft.query.StringF(in = Some(Seq("src1", "src2"))))))
+      require(!sourceTouched,
+        "q_count_indexed: the index-only count must never invoke df()")
+      // a residual conjunct forces the hydrated path (and df())
+      val n2 = model.count(Some(graft.query.And(Seq(
+        graft.query.Field("source",
+          graft.query.StringF(equals = Some(Some("src1")))),
+        graft.query.Field("n_chars", graft.query.CmpF(gte = Some(100L)))))))
+      require(sourceTouched,
+        "q_count_indexed: a residual conjunct must hydrate through df()")
+      s.range(1).select(lit(n).as("n_indexed"), lit(n2).as("n_hydrated"))
+    }),
+
     // TRAINING the quality head — the half q_quality_classifier assumed
     // away (it scores an exported model; this one produces it). Logistic
     // regression by full-batch gradient descent over the same hashed
@@ -2156,6 +2257,49 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), W.warcPage(W.warcSynth(col("doc_id"),
           H.htmlSynth(col("doc_id"), col("text")))).as("p"))
+        .select(col("doc_id"), col("p.uri").as("uri"),
+          H.htmlText(col("p.body")).as("text_out"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HTTP chunked transfer-encoding through the same front door: real
+    // Common Crawl response records frequently arrive Transfer-Encoding:
+    // chunked, and a walker that takes the post-header bytes verbatim
+    // leaks chunk-size lines into the training text. The synth frames
+    // the SAME adversarial page into 46-byte chunks with the three traps
+    // a lazy dechunker falls into — a chunk extension (`;pin=1`),
+    // UPPERCASE hex size, and a trailer header after the 0-chunk — and
+    // the extraction must still equal the q_warc_extract closed form
+    // byte for byte (dechunking is transparent). The malformed-ladder
+    // fail-closed vector is spec-pinned in WarcSpec.
+    "q_warc_chunked" -> ((s, dir) => {
+      val W = graft.sources.WarcExpressions
+      val H = graft.functions.HtmlExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), W.warcPage(W.warcSynthChunked(col("doc_id"),
+          H.htmlSynth(col("doc_id"), col("text")))).as("p"))
+        .select(col("doc_id"), col("p.uri").as("uri"),
+          H.htmlText(col("p.body")).as("text_out"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Charset-aware body decode: a double-digit share of the real web is
+    // still Latin-1/cp1252, and an unconditional UTF-8 read mojibakes it
+    // SILENTLY (the bytes stay bytes; only the text is wrong — no oracle
+    // but a transcoding one can catch it). The synth encodes the page
+    // windows-1252 with planted 0xE9/0x93/0x94/0xEF bytes and exercises
+    // both declaration paths — even ids declare charset=ISO-8859-1 in
+    // the HTTP Content-Type (which must fold to cp1252, the WHATWG label
+    // rule: browsers never decode the latin-1 label family as actual
+    // Latin-1), odd ids carry only a <meta charset> for the HTML5
+    // prescan sniff. The no-label UTF-8-validate→cp1252 fallback is
+    // spec-pinned in WarcSpec.
+    "q_warc_charset" -> ((s, dir) => {
+      val W = graft.sources.WarcExpressions
+      val H = graft.functions.HtmlExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          W.warcPage(W.warcSynthCharset(col("doc_id"), col("text"))).as("p"))
         .select(col("doc_id"), col("p.uri").as("uri"),
           H.htmlText(col("p.body")).as("text_out"))
         .orderBy(col("doc_id"))
@@ -4243,6 +4387,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SLOPPY phrase / proximity retrieval ("value table part"~3) from
+    // the SAME positional postings — no index change, only query-time
+    // algebra: per candidate doc the greedy chain (min next position
+    // per slot) computes each start's displacement inside codegen
+    // (transform/filter/array_min/zip-free — HOFs only), matches are
+    // starts within the slop window, and prox is the integer proximity
+    // score Σ(slop − disp + 1), so an exact occurrence outweighs a
+    // stretched one. Greedy-chain semantics are deterministic and
+    // CTE-replayable — the oracle recomputes every start's minimal
+    // displacement with two min-join hops; Lucene's own sloppy scorer
+    // is iterator-order-dependent, which is exactly why this contract
+    // pins a portable alternative.
+    "q_bm25_slop" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-bm25slop-q"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      graft.store.Bm25Index.build(src, "r1", "text", "doc_id",
+        nBuckets = 8, withPositions = true)
+      graft.store.Bm25Index.open(src, "r1", "text", "doc_id")
+        .slopSearch(Seq("value", "table", "part"), slop = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // TOP-K keyword retrieval from the persisted index: at 100 TB a hot
     // term's posting list is corpus-scale, so search(topk) bounds the
     // RESULT inside the plan — TakeOrderedAndProject keeps per-partition
@@ -5757,6 +5929,56 @@ object SparkEntry {
       ), par AS (
         SELECT doc_id, (idx - 1) // 8 AS grp,
                string_agg(word, ' ' ORDER BY idx) || ' & <tag> M! end' AS ptxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
+        FROM par GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             'https://site-' || (d.doc_id % 97) || '.example/page/'
+               || d.doc_id AS uri,
+             coalesce(a.text_out, '') AS text_out
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // chunked framing is transparent: the dechunked extraction is the
+    // q_warc_extract closed form, byte for byte
+    "q_warc_chunked" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), par AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) || ' & <tag> M! end' AS ptxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
+        FROM par GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             'https://site-' || (d.doc_id % 97) || '.example/page/'
+               || d.doc_id AS uri,
+             coalesce(a.text_out, '') AS text_out
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // the cp1252 page's closed-form transcoding: paragraphs of 8 tokens,
+    // each suffixed with the decoded ' café “q” naïve' (the curly quotes
+    // are cp1252-only bytes — a UTF-8 or true-Latin-1 misread of 0x93
+    // cannot produce them); the 2-word title falls to the word floor
+    "q_warc_charset" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), par AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) || ' café “q” naïve' AS ptxt
         FROM words GROUP BY doc_id, (idx - 1) // 8
       ), agg AS (
         SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
@@ -8141,6 +8363,27 @@ object SparkEntry {
       WHERE source IN ('src1', 'src4') AND n_chars >= 120
       ORDER BY doc_id""",
 
+    // the composite-indexed findMany must equal the plain predicate over
+    // the post-update-lattice state
+    "q_value_index_composite" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 31 = 0 THEN 'xx' ELSE lang END AS lang,
+               n_chars
+        FROM documents
+      )
+      SELECT doc_id, source, lang, n_chars FROM d
+      WHERE source = 'src1' AND lang IN ('en', 'de', 'xx')
+        AND n_chars >= 100
+      ORDER BY doc_id""",
+
+    // the index-only count and the hydrated residual count, both plain
+    "q_count_indexed" -> """
+      SELECT (SELECT count(*) FROM documents
+              WHERE source IN ('src1', 'src2')) AS n_indexed,
+             (SELECT count(*) FROM documents
+              WHERE source = 'src1' AND n_chars >= 100) AS n_hydrated""",
+
     // the source after the update lattice, filtered by the probed values
     // — the indexed fetch must equal the plain predicate
     "q_value_index" -> """
@@ -8605,6 +8848,36 @@ object SparkEntry {
         FROM tok
       )
       SELECT doc_id, n_phrase FROM c WHERE n_phrase > 0 ORDER BY doc_id""",
+
+    // the greedy-chain sloppy phrase replayed with two min-join hops:
+    // for each 'value' start, the minimal next 'table' then the minimal
+    // next 'part'; matches are starts with disp ≤ 3, prox = Σ(3−disp+1)
+    "q_bm25_slop" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word,
+               generate_subscripts(w, 1) - 1 AS p
+        FROM tok
+      ), p0 AS (SELECT doc_id, p FROM words WHERE word = 'value'),
+         p1 AS (SELECT doc_id, p FROM words WHERE word = 'table'),
+         p2 AS (SELECT doc_id, p FROM words WHERE word = 'part'),
+      c1 AS (
+        SELECT s.doc_id, s.p AS q0, min(a.p) AS q1
+        FROM p0 s JOIN p1 a ON a.doc_id = s.doc_id AND a.p > s.p
+        GROUP BY s.doc_id, s.p
+      ), c2 AS (
+        SELECT c.doc_id, c.q0, min(b.p) AS q2
+        FROM c1 c JOIN p2 b ON b.doc_id = c.doc_id AND b.p > c.q1
+        GROUP BY c.doc_id, c.q0, c.q1
+      ), m AS (
+        SELECT doc_id, q2 - q0 - 2 AS disp FROM c2 WHERE q2 - q0 - 2 <= 3
+      )
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matches,
+             CAST(sum(3 - disp + 1) AS BIGINT) AS prox
+      FROM m GROUP BY doc_id ORDER BY doc_id""",
 
     // top-k over the persisted index: token-BM25 for the DISTINCT term
     // set (the Spark side receives 'vector' twice — dedup is part of the

@@ -146,7 +146,7 @@ object HtmlKernels {
           val nameStart = j
           while (j < n && (html.charAt(j).isLetter || html.charAt(j).isDigit))
             j += 1
-          val name = html.substring(nameStart, j).toLowerCase
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
           // scan to the tag's real '>' honoring quoted attribute values
           var quote = 0.toChar
           while (j < n && (quote != 0 || html.charAt(j) != '>')) {
@@ -164,7 +164,13 @@ object HtmlKernels {
               val cand = html.indexOf('<', k)
               if (cand < 0 || cand + name.length + 2 > n) k = n
               else if (html.charAt(cand + 1) == '/' &&
-                  html.regionMatches(true, cand + 2, name, 0, name.length))
+                  html.regionMatches(true, cand + 2, name, 0, name.length) &&
+                  // the name must END here — '</scripts>' is not the close
+                  // of <script>; only '>', whitespace, or '/' may follow
+                  (cand + 2 + name.length >= n || {
+                    val after = html.charAt(cand + 2 + name.length)
+                    after == '>' || after == '/' || isWs(after)
+                  }))
                 found = cand
               else k = cand + 1
             }

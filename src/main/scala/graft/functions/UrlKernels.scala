@@ -94,7 +94,7 @@ object UrlKernels {
   def normalizeUrl(raw: String): String = {
     val ss = raw.indexOf("://")
     if (ss <= 0) return raw
-    val scheme = raw.substring(0, ss).toLowerCase
+    val scheme = raw.substring(0, ss).toLowerCase(java.util.Locale.ROOT)
     var i = ss + 3
     // authority ends at the first '/', '?' or '#'
     var j = i
@@ -104,7 +104,7 @@ object UrlKernels {
     // userinfo (rare) is preserved as-is; host+port lowercase + default-port
     val at = authority.lastIndexOf('@')
     val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
-    var hostPort = authority.substring(at + 1).toLowerCase
+    var hostPort = authority.substring(at + 1).toLowerCase(java.util.Locale.ROOT)
     if ((scheme == "http" && hostPort.endsWith(":80")) ||
         (scheme == "https" && hostPort.endsWith(":443")))
       hostPort = hostPort.substring(0, hostPort.lastIndexOf(':'))
@@ -135,7 +135,7 @@ object UrlKernels {
     val authority = raw.substring(ss + 3, j)
     if (authority.isEmpty) return null
     val at = authority.lastIndexOf('@')
-    val hostPort = authority.substring(at + 1).toLowerCase
+    val hostPort = authority.substring(at + 1).toLowerCase(java.util.Locale.ROOT)
     val colon = hostPort.lastIndexOf(':')
     val host = if (colon >= 0 && hostPort.drop(colon + 1).forall(_.isDigit))
       hostPort.substring(0, colon) else hostPort

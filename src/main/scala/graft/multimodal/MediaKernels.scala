@@ -823,7 +823,7 @@ object MediaKernels {
     ihdr(9) = 2  // color type: truecolor RGB
     // compression 0, filter 0 — already zeroed
     ihdr(12) = if (interlaced) 1 else 0
-    val text = (s"id ${id % 1000}").getBytes("ISO-8859-1")
+    val text = ("id\u0000" + (id % 1000)).getBytes("ISO-8859-1")
     val idats = (0 until zlen by 64).map { off =>
       pngChunk("IDAT", java.util.Arrays.copyOfRange(zbuf, off,
         math.min(off + 64, zlen)))

@@ -62,13 +62,16 @@ final case class StringF(
     not: Option[StringF] = None) extends ScalarFilter {
 
   private def side(c: Column): Column = if (insensitive) lower(c) else c
-  private def vl(s: String): Column = if (insensitive) lit(s.toLowerCase) else lit(s)
+  private def vl(s: String): Column =
+    if (insensitive) lit(s.toLowerCase(java.util.Locale.ROOT)) else lit(s)
 
   def apply(c: Column): Column = {
     val conds = Seq(
       equals.map { case Some(v) => side(c) === vl(v); case None => c.isNull },
-      in.map(vs => side(c).isin(vs.map(v => if (insensitive) v.toLowerCase else v): _*)),
-      notIn.map(vs => !side(c).isin(vs.map(v => if (insensitive) v.toLowerCase else v): _*)),
+      in.map(vs => side(c).isin(vs.map(v =>
+        if (insensitive) v.toLowerCase(java.util.Locale.ROOT) else v): _*)),
+      notIn.map(vs => !side(c).isin(vs.map(v =>
+        if (insensitive) v.toLowerCase(java.util.Locale.ROOT) else v): _*)),
       lt.map(v => side(c) < vl(v)), lte.map(v => side(c) <= vl(v)),
       gt.map(v => side(c) > vl(v)), gte.map(v => side(c) >= vl(v)),
       contains.map(v => side(c).contains(vl(v))),
@@ -177,7 +180,8 @@ final case class JsonF(
   def applyVariant(c: Column, pv: Column): Column = {
     val v = try_variant_get(pv, jsonPath, "string")
     def side(x: Column): Column = if (insensitive) lower(x) else x
-    def vl(s: String): Column = if (insensitive) lit(s.toLowerCase) else lit(s)
+    def vl(s: String): Column =
+      if (insensitive) lit(s.toLowerCase(java.util.Locale.ROOT)) else lit(s)
     val arr = try_variant_get(pv, jsonPath, "array<string>")
     val num = try_variant_get(pv, jsonPath, "double")
     // JSON null at path: variant-typed extraction preserves the distinction

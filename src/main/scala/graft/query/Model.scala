@@ -114,7 +114,24 @@ final class Model(
       * the FULL where tree is re-applied afterwards, so a routing miss
       * is never a correctness bug — any leaf shape this matcher does
       * not recognize simply falls back to the scan. */
-    val indexSources: Map[String, Seq[Any] => DataFrame] = Map.empty) {
+    val indexSources: Map[String, Seq[Any] => DataFrame] = Map.empty,
+    /** Composite secondary-index sources by column TUPLE — Prisma's
+      * `@@index([a, b])` ([[graft.store.ValueIndex.fetchTuples]]): full
+      * value tuples → hydrated rows. Routing requires a routable
+      * equality/IN conjunct on EVERY column of the tuple (the index's
+      * bucket hash covers the whole tuple, so a leading-prefix probe
+      * cannot prune and provably falls back to the scan — same
+      * sourcing-only contract as [[indexSources]]: the full where tree
+      * re-applies afterwards). Probes are the cross product of the
+      * per-column value lists, routed only while it stays small. */
+    val compositeIndexSources:
+      Map[Seq[String], Seq[Seq[Any]] => DataFrame] = Map.empty,
+    /** Index-only COUNT sources by column
+      * ([[graft.store.ValueIndex.countIds]]): when an entire where tree
+      * is ONE routable equality/IN leaf on such a column, [[count]]
+      * answers from the index postings with zero source-table jobs —
+      * `df()` is never even invoked. */
+    val indexCountSources: Map[String, Seq[Any] => Long] = Map.empty) {
 
   /** The probe values of a leaf that is EXACTLY equality or IN —
     * anything richer (ranges, negation, insensitive mode, recursive
@@ -131,25 +148,61 @@ final class Model(
     case _ => None
   }
 
-  /** First top-level AND-conjunct routable through a secondary index. */
-  private def indexProbe(w: Where): Option[(String, Seq[Any])] = {
-    def conjuncts(x: Where): Seq[Where] = x match {
-      case And(ps) => ps.flatMap(conjuncts)
-      case leaf    => Seq(leaf)
+  private def conjuncts(x: Where): Seq[Where] = x match {
+    case And(ps) => ps.flatMap(conjuncts)
+    case leaf    => Seq(leaf)
+  }
+
+  /** Every routable (column → values) among the top-level AND-conjuncts
+    * (first routable leaf per column wins — a second leaf on the same
+    * column still applies through the re-applied where tree). */
+  private def routableLeaves(w: Where): Map[String, Seq[Any]] =
+    conjuncts(w).foldLeft(Map.empty[String, Seq[Any]]) {
+      case (acc, Field(n, f)) if !acc.contains(n) =>
+        probeValues(f).map(vs => acc + (n -> vs)).getOrElse(acc)
+      case (acc, _) => acc
     }
+
+  /** First top-level AND-conjunct routable through a single-column
+    * secondary index. */
+  private def indexProbe(w: Where): Option[(String, Seq[Any])] = {
+    val leaves = routableLeaves(w)
     conjuncts(w).collectFirst(Function.unlift {
-      case Field(n, f) if indexSources.contains(n) =>
-        probeValues(f).map(vs => (n, vs))
+      case Field(n, _) if indexSources.contains(n) && leaves.contains(n) =>
+        Some((n, leaves(n)))
       case _ => None
     })
   }
 
-  /** The base frame for a read with `where`: the secondary index when a
-    * routable equality/IN conjunct hits one, else the pruned source
-    * when one is wired and the where has a prunable scalar prefix, else
-    * `df()`. */
+  /** A composite index whose EVERY column has a routable conjunct →
+    * the full-tuple probe list (cross product, bounded: a probe set
+    * that explodes past 256 tuples costs more to enumerate than the
+    * scan it replaces, so it falls back). */
+  private def compositeProbe(w: Where): Option[(Seq[String], Seq[Seq[Any]])] = {
+    if (compositeIndexSources.isEmpty) return None
+    val leaves = routableLeaves(w)
+    compositeIndexSources.keys.toSeq.sortBy(-_.size)
+      .collectFirst(Function.unlift { cols =>
+        if (!cols.forall(leaves.contains)) None
+        else {
+          val tuples = cols.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
+            acc.flatMap(t => leaves(c).map(v => t :+ v))
+          }
+          if (tuples.isEmpty || tuples.size > 256) None else Some((cols, tuples))
+        }
+      })
+  }
+
+  /** The base frame for a read with `where`: a composite index when
+    * every column of one has a routable conjunct (most columns first),
+    * else a single-column index on the first routable conjunct, else
+    * the pruned source when one is wired and the where has a prunable
+    * scalar prefix, else `df()`. */
   private def source(where: Option[Where]): DataFrame =
-    where.flatMap(indexProbe).map { case (n, vs) => indexSources(n)(vs) }
+    where.flatMap(compositeProbe)
+      .map { case (cols, ts) => compositeIndexSources(cols)(ts) }
+      .orElse(where.flatMap(indexProbe)
+        .map { case (n, vs) => indexSources(n)(vs) })
       .getOrElse(pruneFallback(where))
 
   private def pruneFallback(where: Option[Where]): DataFrame =
@@ -447,9 +500,23 @@ final class Model(
     rows.head
   }
 
-  /** count (`effect.ts:544-550`). */
-  def count(where: Option[Where] = None): Long =
-    applyWhere(source(where), where).count()
+  /** count (`effect.ts:544-550`). INDEX-ONLY fast path: when the whole
+    * where tree is exactly ONE routable equality/IN leaf on a column
+    * with an [[indexCountSources]] entry, the count answers from the
+    * index postings — zero source-table jobs, `df()` never invoked
+    * (each row's column holds one value, so postings count = row
+    * count). Any residual conjunct forces the hydrated path: the
+    * postings can't evaluate it. */
+  def count(where: Option[Where] = None): Long = {
+    val indexOnly = where.flatMap { w =>
+      conjuncts(w) match {
+        case Seq(Field(n, f)) if indexCountSources.contains(n) =>
+          probeValues(f).map(vs => indexCountSources(n)(vs))
+        case _ => None
+      }
+    }
+    indexOnly.getOrElse(applyWhere(source(where), where).count())
+  }
 
   /** aggregate (`effect.ts:552-558`): _count/_min/_max (+_sum/_avg). */
   def aggregate(spec: AggSpec, where: Option[Where] = None): DataFrame =

@@ -37,14 +37,89 @@ object Warc {
   /** One row per successfully fetched HTML page: (file, uri, text) with
     * `text` the boilerplate-stripped main text — the complete crawl
     * front door (gzip member decode → WARC walk → HTTP split → HTML
-    * extraction) as one scan-side plan; the file is parsed ONCE
-    * ([[WarcKernels.warcPage]]). */
+    * extraction) as one scan-side plan. EVERY response record of the
+    * archive yields a row (a real Common Crawl `.warc.gz` carries
+    * thousands of fetches): the file is parsed once
+    * ([[WarcKernels.warcPages]]) and the per-page rows explode out of
+    * that single pass. */
   def pages(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc.gz").load(path)
       .select(col("path").as("file"),
-        WarcExpressions.warcPage(col("content")).as("p"))
-      .filter(col("p").isNotNull)
+        explode(WarcExpressions.warcPages(col("content"))).as("p"))
       .select(col("file"), col("p.uri").as("uri"),
         graft.functions.HtmlExpressions.htmlText(col("p.body")).as("text"))
+
+  /** The file listing the streaming walks iterate — binaryFile with ONLY
+    * `path` projected, so the scan never materializes file contents. */
+  private def fileList(spark: SparkSession, path: String) = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz").load(path)
+      .select(col("path")).as[String]
+  }
+
+  /** Opens `p` with a task-completion close hook, so an early-terminated
+    * consumer (limit, take) never leaks the stream. */
+  private def openStream(p: String): java.io.InputStream = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case _: Exception => }))
+    in
+  }
+
+  private def withFileContext[T](p: String, it: Iterator[T]): Iterator[T] =
+    new Iterator[T] {
+      private def ctx[A](body: => A): A =
+        try body
+        catch { case e: Exception =>
+          throw new IllegalStateException(
+            s"corrupt WARC archive $p: ${e.getMessage}", e) }
+      override def hasNext: Boolean = ctx(it.hasNext)
+      override def next(): T = ctx(it.next())
+    }
+
+  /** STREAMING record listing — [[records]]'s bounded-heap twin. The
+    * expression path materializes the whole decompressed archive per
+    * task (~4 GB for a 1 GB `.warc.gz`); this walk holds O(record
+    * header) — the WARC header block plus a ≤64 KB HTTP prefix —
+    * regardless of payload sizes ([[WarcStream]]), so Common
+    * Crawl-sized members run in default task memory. Same output
+    * schema as [[records]]. Fail-closed differs BY NECESSITY: an
+    * iterator cannot retract rows it already emitted, so a structural
+    * violation THROWS (job failure naming the file) instead of
+    * yielding zero records — at 100 TB a corrupt archive should stop
+    * the job, not silently shrink the corpus. */
+  def recordsStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    fileList(spark, path).mapPartitions { paths =>
+      paths.flatMap { p =>
+        withFileContext(p,
+          WarcStream.records(openStream(p), withBodies = false)
+            .map(r => (p, r.pos, r.recType, r.uri, r.httpStatus, r.mime)))
+      }
+    }.toDF("file", "pos", "rec_type", "uri", "http_status", "mime")
+  }
+
+  /** STREAMING page extraction — [[pages]]'s bounded-heap twin: one
+    * body held at a time (O(largest record), never O(archive)), decoded
+    * charset-aware and boilerplate-stripped exactly like [[pages]].
+    * Same throw-on-corruption contract as [[recordsStream]]. */
+  def pagesStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    fileList(spark, path).mapPartitions { paths =>
+      paths.flatMap { p =>
+        withFileContext(p,
+          WarcStream.records(openStream(p), withBodies = true)
+            .filter(r => r.recType == "response" && r.httpStatus >= 0)
+            .map { r =>
+              val text = graft.functions.HtmlKernels.htmlText(
+                WarcStream.pageText(r))
+              (p, r.uri, if (text == null) null else text.toString)
+            })
+      }
+    }.toDF("file", "uri", "text")
+  }
 }

@@ -39,6 +39,44 @@ object WarcExpressions {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** (id, html) → 2-record `.warc.gz` whose response body is
+    * Transfer-Encoding: chunked (gate-side twin of the dechunker). */
+  case class WarcSynthChunked(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "warc_synth_chunked"
+
+    override def nullSafeEval(id: Any, html: Any): Any =
+      WarcKernels.warcSynthChunked(id.asInstanceOf[Long],
+        html.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, h) =>
+        s"graft.sources.WarcKernels.warcSynthChunked($i, $h)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** (id, text) → 1-response `.warc.gz` with a windows-1252 page (gate-
+    * side twin of the charset-aware body decode). */
+  case class WarcSynthCharset(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "warc_synth_charset"
+
+    override def nullSafeEval(id: Any, text: Any): Any =
+      WarcKernels.warcSynthCharset(id.asInstanceOf[Long],
+        text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, t) =>
+        s"graft.sources.WarcKernels.warcSynthCharset($i, $t)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** `.warc.gz` bytes → array of record structs (empty on any structural
     * violation — fail-closed, never partial). */
   case class WarcRecords(child: Expression) extends UnaryExpression {
@@ -123,6 +161,10 @@ object WarcExpressions {
 
   def warcSynth(id: Column, html: Column): Column =
     column(WarcSynth(expression(id), expression(html)))
+  def warcSynthChunked(id: Column, html: Column): Column =
+    column(WarcSynthChunked(expression(id), expression(html)))
+  def warcSynthCharset(id: Column, text: Column): Column =
+    column(WarcSynthCharset(expression(id), expression(text)))
   def warcRecords(bytes: Column): Column =
     column(WarcRecords(expression(bytes)))
   def warcBody(bytes: Column): Column = column(WarcBody(expression(bytes)))

@@ -109,6 +109,108 @@ object WarcKernels {
     bos.toByteArray
   }
 
+  /** Chunk-frame `body` per RFC 9112 §7.1 in a deterministic adversarial
+    * spelling: 46-byte chunks so the hex size carries a letter ("2e"),
+    * the first chunk with an extension (`;pin=1`), the second with
+    * UPPERCASE hex ("2E"), and a trailer header after the 0-chunk — the
+    * three spots a lazy dechunker gets wrong. */
+  private def chunkFrame(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length + body.length / 16 + 64)
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(StandardCharsets.US_ASCII), 0,
+        s.length) // size lines are pure ASCII by construction
+    var p = 0
+    var i = 0
+    while (p < body.length) {
+      val sz = math.min(46, body.length - p)
+      val hex = java.lang.Integer.toHexString(sz)
+      val line =
+        if (i == 0) hex + ";pin=1"
+        else if (i == 1) hex.toUpperCase(java.util.Locale.ROOT)
+        else hex
+      ascii(line + Crlf)
+      out.write(body, p, sz)
+      ascii(Crlf)
+      p += sz; i += 1
+    }
+    ascii("0" + Crlf + s"X-Body-Len: ${body.length}" + Crlf + Crlf)
+    out.toByteArray
+  }
+
+  /** (id, html) → 2-record `.warc.gz` (request + response) whose
+    * response body arrives `Transfer-Encoding: chunked` — the framing
+    * real Common Crawl response records frequently carry. Dechunking is
+    * transparent, so the extracted text must equal the plain
+    * [[warcSynth]] path's byte for byte. */
+  def warcSynthChunked(id: Long, html: UTF8String): Array[Byte] = {
+    val host = s"site-${java.lang.Long.remainderUnsigned(id, 97)}.example"
+    val uri = s"https://$host/page/$id"
+    val req = (s"GET /page/$id HTTP/1.1" + Crlf + s"Host: $host" + Crlf +
+      "User-Agent: graft" + Crlf + Crlf).getBytes(StandardCharsets.UTF_8)
+    val body = if (html == null) Array.emptyByteArray else html.getBytes
+    val framed = chunkFrame(body)
+    val resp = {
+      val head = ("HTTP/1.1 200 OK" + Crlf +
+        "Content-Type: text/html; charset=utf-8" + Crlf +
+        "Transfer-Encoding: chunked" + Crlf + Crlf)
+        .getBytes(StandardCharsets.UTF_8)
+      val out = new Array[Byte](head.length + framed.length)
+      System.arraycopy(head, 0, out, 0, head.length)
+      System.arraycopy(framed, 0, out, head.length, framed.length)
+      out
+    }
+    val bos = new ByteArrayOutputStream(resp.length / 2 + 512)
+    bos.write(gzMember(record("request", id, uri,
+      "application/http; msgtype=request", req)))
+    bos.write(gzMember(record("response", id, uri,
+      "application/http; msgtype=response", resp)))
+    bos.toByteArray
+  }
+
+  /** (id, text) → 1-response `.warc.gz` whose HTML page is encoded
+    * windows-1252 with planted non-ASCII bytes (0xE9 'é', 0x93/0x94
+    * curly quotes — cp1252-only — and 0xEF 'ï'), exercising BOTH
+    * declaration paths: even ids declare `charset=ISO-8859-1` in the
+    * HTTP Content-Type (which must decode as cp1252, the WHATWG label
+    * folding); odd ids declare nothing in HTTP and carry
+    * `<meta charset="windows-1252">` for the prescan sniff. The page is
+    * closed-form: paragraphs of 8 tokens, each suffixed with
+    * ` café “q” naïve` — so the oracle replays the transcoding exactly
+    * and a silent mojibake (UTF-8 misread of the 0x93 byte) can never
+    * pass. */
+  def warcSynthCharset(id: Long, text: UTF8String): Array[Byte] = {
+    val host = s"site-${java.lang.Long.remainderUnsigned(id, 97)}.example"
+    val uri = s"https://$host/page/$id"
+    val toks: Array[String] =
+      if (text == null) Array.empty
+      else text.toString.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val even = java.lang.Long.remainderUnsigned(id, 2) == 0
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("<html><head>")
+    if (!even) sb.append("<meta charset=\"windows-1252\">")
+    sb.append("<title>D ").append(id).append("</title></head><body>\n")
+    toks.grouped(8).foreach { chunk =>
+      sb.append("<p>").append(chunk.mkString(" "))
+        .append(" café “q” naïve</p>\n")
+    }
+    sb.append("</body></html>\n")
+    val body = sb.toString.getBytes(Cp1252)
+    val contentType =
+      if (even) "text/html; charset=ISO-8859-1" else "text/html"
+    val resp = {
+      val head = ("HTTP/1.1 200 OK" + Crlf +
+        s"Content-Type: $contentType" + Crlf +
+        s"Content-Length: ${body.length}" + Crlf + Crlf)
+        .getBytes(StandardCharsets.UTF_8)
+      val out = new Array[Byte](head.length + body.length)
+      System.arraycopy(head, 0, out, 0, head.length)
+      System.arraycopy(body, 0, out, head.length, body.length)
+      out
+    }
+    gzMember(record("response", id, uri,
+      "application/http; msgtype=response", resp))
+  }
+
   // ------------------------------------------------------------- parse
 
   /** Manual multi-member gunzip. NOT `GZIPInputStream`: that class
@@ -171,7 +273,181 @@ object WarcKernels {
     out.toByteArray
   }
 
-  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int = {
+  /** RFC 9112 §7.1 chunked transfer decoding, fail-closed: hex size line
+    * (chunk extensions after ';' allowed and ignored, case-insensitive
+    * hex), exactly `size` data bytes, CRLF; the 0-size terminator may be
+    * followed by trailer header lines (each must carry a ':'), ended by
+    * an empty line; NOTHING may follow — trailing garbage, a short
+    * chunk, or a malformed size line returns null (the caller fails the
+    * whole file, mirroring the gunzip contract). */
+  private[sources] def dechunk(b: Array[Byte], from: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(16, b.length - from))
+    var p = from
+    def crlfAt(q: Int): Boolean =
+      q + 1 < b.length && b(q) == '\r' && b(q + 1) == '\n'
+    def lineEnd(q: Int): Int = { // index of the CR of the next CRLF
+      var i = q
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      if (i + 1 < b.length) i else -1
+    }
+    while (true) {
+      val le = lineEnd(p)
+      if (le < 0) return null
+      // size field: hex digits up to ';' (extension) or line end
+      var q = p
+      var size = 0L
+      var digits = 0
+      var ok = true
+      while (ok && q < le && b(q) != ';') {
+        val d = Character.digit(b(q).toChar, 16)
+        if (d < 0) ok = false
+        else { size = size * 16 + d; digits += 1; q += 1 }
+        if (digits > 15) ok = false // 2^60 bytes: structurally absurd
+      }
+      if (!ok || digits == 0) return null
+      p = le + 2
+      if (size == 0L) {
+        // trailer section: header lines until the empty line
+        var done = false
+        while (!done) {
+          if (crlfAt(p)) { p += 2; done = true }
+          else {
+            val te = lineEnd(p)
+            if (te < 0) return null
+            // a trailer line must look like a header (fail-closed)
+            var hasColon = false
+            var i = p
+            while (i < te && !hasColon) { if (b(i) == ':') hasColon = true; i += 1 }
+            if (!hasColon) return null
+            p = te + 2
+          }
+        }
+        if (p != b.length) return null // trailing garbage after terminator
+        return out.toByteArray
+      }
+      if (size > (b.length - p).toLong) return null
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      if (!crlfAt(p)) return null
+      p += 2
+    }
+    null // unreachable
+  }
+
+  // --------------------------------------------------- charset handling
+
+  /** The `charset=` parameter of a Content-Type value (null when
+    * absent). Quoted and bare forms, case-insensitive key. */
+  private[sources] def charsetOf(contentType: String): String = {
+    if (contentType == null) return null
+    val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+    val at = lower.indexOf("charset")
+    if (at < 0) return null
+    var i = at + 7
+    while (i < lower.length && (lower.charAt(i) == ' ' ||
+      lower.charAt(i) == '\t')) i += 1
+    if (i >= lower.length || lower.charAt(i) != '=') return null
+    i += 1
+    while (i < lower.length && (lower.charAt(i) == ' ' ||
+      lower.charAt(i) == '\t' || lower.charAt(i) == '"' ||
+      lower.charAt(i) == '\'')) i += 1
+    val start = i
+    while (i < lower.length && lower.charAt(i) != ';' &&
+      lower.charAt(i) != ' ' && lower.charAt(i) != '"' &&
+      lower.charAt(i) != '\'' && lower.charAt(i) != '\t') i += 1
+    if (i == start) null else lower.substring(start, i)
+  }
+
+  /** HTML5-prescan-style `<meta charset>` sniff over the first 1024
+    * body bytes (ASCII-compatible byte walk): handles both
+    * `<meta charset="x">` and the `http-equiv` + `content="...;
+    * charset=x"` form — because both reduce to finding `charset` `=`
+    * `label` inside the prefix, which is exactly what the WHATWG
+    * prescan's normative examples require. */
+  private[sources] def sniffMetaCharset(body: Array[Byte]): String = {
+    val lim = math.min(body.length, 1024)
+    val sb = new java.lang.StringBuilder(lim)
+    var i = 0
+    while (i < lim) {
+      val c = (body(i) & 0xff).toChar
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    val head = sb.toString
+    var from = 0
+    while (true) {
+      val m = head.indexOf("<meta", from)
+      if (m < 0) return null
+      val gt = head.indexOf('>', m)
+      val end = if (gt < 0) head.length else gt
+      val cs = charsetOf(head.substring(m, end))
+      if (cs != null) return cs
+      from = m + 5
+    }
+    null // unreachable
+  }
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** Strict UTF-8 validity scan (RFC 3629: no overlongs, no surrogates,
+    * ≤ U+10FFFF) — the cheap gate that keeps valid UTF-8 on the
+    * zero-copy fast path while mislabeled legacy bytes fall to cp1252. */
+  private[sources] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation byte or overlong lead
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= n || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80) return false
+        val cp = ((c & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+        if (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)) return false
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= n || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        val cp = ((c & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        if (cp < 0x10000 || cp > 0x10ffff) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+
+  /** A response record's body as TEXT, charset-aware: the HTTP
+    * Content-Type's `charset=` wins; absent that, the `<meta charset>`
+    * prescan over the first 1024 bytes; absent both, valid UTF-8
+    * decodes as UTF-8 (zero-copy) and anything else falls back to
+    * windows-1252 — the WHATWG behavior (browsers treat the latin-1 /
+    * ascii label family AS cp1252, so 0x93 is a curly quote, never a
+    * C1 control). Unrecognized labels fall to the sniff-free
+    * validate-then-fallback path rather than failing the record: a
+    * page with an exotic label is degraded data, not structural
+    * corruption. */
+  private[sources] def bodyText(body: Array[Byte], mime: String): UTF8String = {
+    val declared = charsetOf(mime) match {
+      case null => sniffMetaCharset(body)
+      case cs   => cs
+    }
+    declared match {
+      case "utf-8" | "utf8" =>
+        UTF8String.fromBytes(body)
+      case "iso-8859-1" | "latin1" | "latin-1" | "iso8859-1" | "l1" |
+           "us-ascii" | "ascii" | "windows-1252" | "cp1252" | "x-cp1252" =>
+        UTF8String.fromString(new String(body, Cp1252))
+      case _ => // none, or a label this table doesn't know
+        if (isValidUtf8(body)) UTF8String.fromBytes(body)
+        else UTF8String.fromString(new String(body, Cp1252))
+    }
+  }
+
+  private[sources] def crlfCrlfAt(b: Array[Byte], from: Int): Int = {
     var i = from
     while (i + 3 < b.length) {
       if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' &&
@@ -179,6 +455,51 @@ object WarcKernels {
       i += 1
     }
     -1
+  }
+  private def indexOfCrlfCrlf(b: Array[Byte], from: Int): Int =
+    crlfCrlfAt(b, from)
+
+  /** HTTP response split of a `response` record's payload: (status,
+    * mime, body) with the body dechunked when the embedded response
+    * says `Transfer-Encoding: chunked`. Non-response records and
+    * payloads that don't start with an HTTP status line pass through
+    * as (-1, null, payload). THROWS on a malformed chunk ladder —
+    * [[parse]] maps that to the file-level fail vector; the streaming
+    * walk ([[WarcStream]]) lets it fail the task loudly. */
+  private[sources] def httpSplit(recType: String,
+      payload: Array[Byte]): (Int, String, Array[Byte]) = {
+    if (recType != "response") return (-1, null, payload)
+    val he = crlfCrlfAt(payload, 0)
+    if (he < 0) return (-1, null, payload)
+    val hh = new String(payload, 0, he, StandardCharsets.UTF_8)
+    val hl = hh.split("\r\n", -1)
+    if (!hl(0).startsWith("HTTP/1.") || hl(0).length < 12)
+      return (-1, null, payload)
+    val status = try hl(0).substring(9, 12).trim.toInt
+                 catch { case _: NumberFormatException => -1 }
+    var mime: String = null
+    var chunked = false
+    hl.iterator.drop(1).foreach { l =>
+      val c = l.indexOf(':')
+      if (c > 0) {
+        val hk = l.substring(0, c).trim
+        if (hk.equalsIgnoreCase("content-type"))
+          mime = l.substring(c + 1).trim
+        else if (hk.equalsIgnoreCase("transfer-encoding") &&
+            l.substring(c + 1).trim
+              .toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+          chunked = true
+      }
+    }
+    val body =
+      if (chunked) {
+        // real Common Crawl response records frequently carry chunked
+        // bodies; a malformed ladder must never leak framing bytes in
+        val de = dechunk(payload, he + 4)
+        require(de != null, "malformed chunk ladder")
+        de
+      } else java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
+    (status, mime, body)
   }
 
   /** Strict record walk over the decompressed stream. Returns null (the
@@ -200,7 +521,7 @@ object WarcKernels {
       lines.iterator.drop(1).foreach { l =>
         val c = l.indexOf(':')
         if (c > 0) {
-          val k = l.substring(0, c).trim.toLowerCase
+          val k = l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
           val v = l.substring(c + 1).trim
           k match {
             case "warc-type"       => recType = v
@@ -220,26 +541,11 @@ object WarcKernels {
       val sepAt = payloadStart + len.toInt
       if (plain(sepAt) != '\r' || plain(sepAt + 1) != '\n' ||
         plain(sepAt + 2) != '\r' || plain(sepAt + 3) != '\n') return null
-      var status = -1; var mime: String = null; var body = payload
-      if (recType == "response") {
-        val he = indexOfCrlfCrlf(payload, 0)
-        if (he >= 0) {
-          val hh = new String(payload, 0, he, StandardCharsets.UTF_8)
-          val hl = hh.split("\r\n", -1)
-          if (hl(0).startsWith("HTTP/1.") && hl(0).length >= 12) {
-            status = try hl(0).substring(9, 12).trim.toInt
-                     catch { case _: NumberFormatException => -1 }
-            hl.iterator.drop(1).foreach { l =>
-              val c = l.indexOf(':')
-              if (c > 0 && l.substring(0, c).trim.equalsIgnoreCase(
-                  "content-type"))
-                mime = l.substring(c + 1).trim
-            }
-            body = java.util.Arrays.copyOfRange(payload, he + 4,
-              payload.length)
-          }
-        }
-      }
+      // HTTP split (incl. chunked decode): a malformed chunk ladder
+      // fails the WHOLE file, same contract as a bad gzip member
+      val (status, mime, body) =
+        try httpSplit(recType, payload)
+        catch { case _: IllegalArgumentException => return null }
       out += Rec(pos, recType, uri, status, mime, body)
       pos += 1
       i = sepAt + 4
@@ -271,7 +577,7 @@ object WarcKernels {
     val recs = parse(bytes)
     if (recs == null) return null
     recs.find(r => r.recType == "response" && r.httpStatus >= 0) match {
-      case Some(r) => UTF8String.fromBytes(r.body)
+      case Some(r) => bodyText(r.body, r.mime)
       case None    => null
     }
   }
@@ -288,7 +594,7 @@ object WarcKernels {
       .map { r =>
         new GenericInternalRow(Array[Any](
           if (r.uri == null) null else UTF8String.fromString(r.uri),
-          UTF8String.fromBytes(r.body))): InternalRow
+          bodyText(r.body, r.mime))): InternalRow
       }.toArray[Any])
   }
 
@@ -302,7 +608,7 @@ object WarcKernels {
     recs.find(r => r.recType == "response" && r.httpStatus >= 0) match {
       case Some(r) => new GenericInternalRow(Array[Any](
         if (r.uri == null) null else UTF8String.fromString(r.uri),
-        UTF8String.fromBytes(r.body)))
+        bodyText(r.body, r.mime)))
       case None => null
     }
   }

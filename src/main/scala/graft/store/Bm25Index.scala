@@ -241,6 +241,77 @@ final class Bm25Index private (
     if (topk <= 0) hits
     else hits.orderBy(col("n_phrase").desc, col(idCol).asc).limit(topk)
   }
+
+  /** SLOPPY-PHRASE search (Lucene's `"a b c"~slop` ask) from the same
+    * positional postings: one row per document containing the phrase's
+    * terms IN ORDER within a bounded window — (idCol, n_matches, prox).
+    *
+    * Deterministic contract (CTE-replayable, so the oracle can recompute
+    * it exactly — Lucene's own sloppy scorer is iterator-order-dependent
+    * and no independent engine reproduces it):
+    *
+    *   - for each start position p₀ of term 0, the GREEDY chain takes
+    *     pᵢ = min{q ∈ positions(termᵢ) : q > pᵢ₋₁};
+    *   - the start matches iff the chain completes with displacement
+    *     `disp = p_{n-1} − p₀ − (n−1) ≤ slop` (disp 0 = exact phrase).
+    *     Greedy is exact for this semantics: the minimal next position
+    *     can only leave MORE room for later terms, so it minimizes the
+    *     final displacement per start;
+    *   - `n_matches` counts matching starts; `prox` is the integer
+    *     proximity score Σ (slop − disp + 1) — an exact occurrence is
+    *     worth slop+1, a maximally-stretched one is worth 1.
+    *
+    * Same scan shape as [[phraseSearch]]: bucket-pruned postings read,
+    * one pivoted row per candidate doc, and the whole chain evaluates
+    * inside codegen via higher-order array functions (filter/array_min/
+    * zip_with/aggregate) — no corpus re-tokenize, no explode, no UDF.
+    * `slop = 0` degenerates to exact-phrase counting. `topk > 0` bounds
+    * the result (prox desc, idCol asc) as TakeOrderedAndProject. */
+  def slopSearch(phrase: Seq[String], slop: Int,
+                 topk: Int = 0): DataFrame = {
+    require(positional,
+      s"$name: sloppy phrase needs positions — build(withPositions = true)")
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    require(slop >= 0, s"slop $slop must be non-negative")
+    val (nDocs, _, nBuckets) = stats()
+    require(nDocs > 0, s"${post.name}: empty corpus")
+    val terms = phrase.distinct
+    val sp = src.spark
+    import sp.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = post.snapshotWhere(
+      col("bucket").isin(buckets.map(Int.box): _*) &&
+        col("term").isin(terms: _*))
+    val slots = phrase.indices
+    val aggs = slots.map(i =>
+      max(when(col("term") === phrase(i), col("ps"))).as(s"__ps_$i"))
+    val perDoc = pruned.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val allPresent = slots.map(i => col(s"__ps_$i").isNotNull).reduce(_ && _)
+    // greedy chain, unrolled over the (query-side constant) phrase: the
+    // min position of slot i strictly after the slot i-1 position; an
+    // empty filter → array_min null → nulls propagate to the end
+    def chain(p: Column, i: Int): Column =
+      if (i == slots.size) p
+      else chain(array_min(filter(col(s"__ps_$i"), q => q > p)), i + 1)
+    val span = lit(phrase.size - 1)
+    // per-start weight: slop − disp + 1 when the chain lands in-window
+    val weights = transform(col("__ps_0"), p => {
+      val last = chain(p, 1)
+      val disp = last - p - span
+      when(last.isNotNull && disp <= slop, lit(slop) - disp + 1)
+    })
+    val nMatches = size(filter(weights, w => w.isNotNull))
+    val prox = aggregate(weights, lit(0L),
+      (acc, w) => acc + coalesce(w.cast("long"), lit(0L)))
+    val hits = perDoc.filter(allPresent)
+      .select(col("id").as(idCol), nMatches.as("n_matches"),
+        prox.as("prox"))
+      .filter(col("n_matches") > 0)
+    if (topk <= 0) hits
+    else hits.orderBy(col("prox").desc, col(idCol).asc).limit(topk)
+  }
 }
 
 object Bm25Index {

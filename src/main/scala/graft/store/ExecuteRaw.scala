@@ -158,7 +158,7 @@ object ExecuteRaw {
         // Postgres raises "multiple assignments to the same column"; a
         // silent last-wins .toMap would diverge from the INSERT path's
         // duplicate-column strictness on the same surface.
-        val dups = setSeq.map(_._1.toLowerCase).groupBy(identity)
+        val dups = setSeq.map(_._1.toLowerCase(java.util.Locale.ROOT)).groupBy(identity)
           .collect { case (n, hits) if hits.size > 1 => n }
         require(dups.isEmpty,
           s"executeRaw: multiple assignments to the same column " +
@@ -300,7 +300,7 @@ object ExecuteRaw {
         }
         name -> ColumnBridge.column(a.value)
       }
-      val dups = pairs.map(_._1.toLowerCase).groupBy(identity)
+      val dups = pairs.map(_._1.toLowerCase(java.util.Locale.ROOT)).groupBy(identity)
         .collect { case (n, hits) if hits.size > 1 => n }
       require(dups.isEmpty,
         s"executeRaw: multiple MERGE assignments to the same column " +

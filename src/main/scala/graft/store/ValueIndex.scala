@@ -1,14 +1,14 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** PERSISTENT secondary value index — the engine's answer to Prisma's
-  * `@@index([col])` (the reference schema declares these on its hot
-  * lookup columns) and the fourth leg of the persistent-index tier,
-  * beside [[DedupIndex]] (near-dup sketches), [[AnnIndex]] (dense
-  * vectors), and [[Bm25Index]] (keyword postings).
+  * `@@index([col])` / `@@index([a, b])` (the reference schema declares
+  * these on its hot lookup columns) and the fourth leg of the
+  * persistent-index tier, beside [[DedupIndex]] (near-dup sketches),
+  * [[AnnIndex]] (dense vectors), and [[Bm25Index]] (keyword postings).
   *
   * The store already answers selective point predicates three ways —
   * partition pruning, zone-map sidecars, parquet blooms
@@ -19,11 +19,16 @@ import org.apache.spark.sql.types._
   * Prisma's un-indexed-column story, and the fix is the same: a
   * secondary index.
   *
-  *   - `__vidx_<name>_post` — (value, id), unique on (value, id),
-  *     PARTITIONED BY `bucket` (stable xxhash64 of the value folded
-  *     into `nBuckets`): a lookup reads ONLY the slices its probe
-  *     values hash into, and a refresh rewrites only the buckets its
-  *     delta's values touch;
+  *   - `__vidx_<name>_post` — (value…, id), unique on (value…, id),
+  *     PARTITIONED BY `bucket` (stable xxhash64 of the FULL value tuple
+  *     folded into `nBuckets`): a lookup reads ONLY the slices its
+  *     probe tuples hash into, and a refresh rewrites only the buckets
+  *     its delta's values touch. Single-column indexes keep the column
+  *     name `value`; composite indexes store `v0..v{k-1}`. Because the
+  *     bucket hash covers the WHOLE tuple, a composite index answers
+  *     full-tuple probes only — a leading-prefix probe cannot prune
+  *     buckets and must fall back to the scan (callers: see
+  *     [[graft.query.Model]]'s routing, which does exactly that).
   *   - `__vidx_<name>_meta` — one row (n_buckets) pinning the fan-out
   *     so a reopened handle routes probes exactly as the build did.
   *
@@ -36,25 +41,44 @@ import org.apache.spark.sql.types._
   * proven on the other three index families (RESTORE reaches the index
   * as inverse deltas; cursor-aware vacuum pins its preimages).
   *
-  * NULL values are NOT indexed ([[postingsOf]] drops them): SQL
-  * equality never selects NULL, and `IS NULL` probes keep their
-  * zone-map path (null counts are in every sidecar).
+  * NULL values are NOT indexed ([[postingsOf]] drops tuples with any
+  * NULL component): SQL equality never selects NULL, and `IS NULL`
+  * probes keep their zone-map path (null counts are in every sidecar).
   *
-  * [[lookupIds]] is the query side: probe values route to buckets
+  * [[lookupIds]] is the query side: probe tuples route to buckets
   * through Spark's own xxhash64 (one LocalTableScan job), the postings
   * scan is partition-pruned to those buckets, and the result is the
-  * matching id set — ZERO source-table jobs. [[fetch]] hydrates: the
-  * id set semi-joins the source snapshot (broadcast — a selective
-  * lookup's ids are small by definition; pair the source with an
-  * id-clustered layout ([[GraftTable.compact]] `zorderBy`) so the
-  * semi-join itself prunes slices via the sidecar stats).
+  * matching id set — ZERO source-table jobs. Its contract is
+  * explicitly AS-OF THE LAST REFRESH (postings truth). [[fetch]] and
+  * [[countIds]] promise source-snapshot truth instead, so they carry a
+  * freshness guard: when the source has committed slice changes past
+  * the cursor ([[isFresh]] — the same manifest-diff rule
+  * [[CdfTail.drainOnce]] skips on), they FALL BACK to the pruned scan
+  * rather than silently missing rows added since the refresh. The
+  * guard is one driver-side manifest diff — no jobs.
+  *
+  * [[fetch]] hydrates: the id set semi-joins the source snapshot
+  * (broadcast — a selective lookup's ids are small by definition; pair
+  * the source with an id-clustered layout ([[GraftTable.compact]]
+  * `zorderBy`) so the semi-join itself prunes slices via the sidecar
+  * stats). [[countIds]] is the index-only read: a routable equality
+  * count answers from postings with zero source-table jobs (each
+  * source row holds ONE value tuple, so its posting matches at most
+  * one probe tuple — no de-duplication needed).
   */
 final class ValueIndex private (
     val src: GraftTable, val name: String,
-    val valCol: String, val idCol: String,
+    val valCols: Seq[String], val idCol: String,
     val post: GraftTable, val meta: GraftTable) {
 
+  /** Single-column accessor (the common Prisma `@@index([col])` case). */
+  def valCol: String = {
+    require(valCols.size == 1, s"$name is a composite index on $valCols")
+    valCols.head
+  }
+
   private def consumerId = s"vidx:$name"
+  private def vnames = ValueIndex.vnames(valCols)
 
   /** Pinned bucket fan-out — one bounded meta row. */
   def nBuckets(): Int = {
@@ -65,6 +89,16 @@ final class ValueIndex private (
 
   /** Source commit id the postings are current through. */
   def currentThrough(): Long = CdfTail.cursor(src, consumerId)
+
+  /** True when the postings reflect every committed source change —
+    * the [[CdfTail.drainOnce]] skip rule: no SOURCE slice pointer moved
+    * past the cursor (other tables' commits, including this index's own
+    * refreshes, don't count). One driver-side manifest diff, no jobs. */
+  def isFresh(): Boolean = {
+    val from = currentThrough()
+    val to = src.catalog.currentCommitId()
+    to <= from || ChangeFeed.changedSliceKeys(src, from, to).isEmpty
+  }
 
   /** Catch the postings up with the source's change feed — one drained
     * window, or None when caught up. Only the delta is re-projected;
@@ -78,9 +112,9 @@ final class ValueIndex private (
       val leaving = chk.filter(
         col("_change_type").isin("delete", "update_preimage"))
       val newPosts = ValueIndex.bucketed(
-        ValueIndex.postingsOf(arriving, valCol, idCol), nb)
+        ValueIndex.postingsOf(arriving, valCols, idCol), valCols, nb)
       val oldPosts = ValueIndex.bucketed(
-        ValueIndex.postingsOf(leaving, valCol, idCol), nb)
+        ValueIndex.postingsOf(leaving, valCols, idCol), valCols, nb)
         .localCheckpoint()
       txn.applyChanges(post,
         newPosts.withColumn("_change_type", lit("insert"))
@@ -89,64 +123,131 @@ final class ValueIndex private (
     }
   }
 
-  /** The id set asserting any of `values`, from the PERSISTED postings:
-    * (value, id), partition-pruned to the probe values' buckets — zero
-    * source-table jobs, lookup cost ∝ the probed values' posting rows. */
-  def lookupIds(values: Seq[Any]): DataFrame = {
-    require(values.nonEmpty, "no probe values")
-    val probe = values.distinct
+  private def tupleOf(values: Seq[Any]): Seq[Seq[Any]] = values.map(Seq(_))
+
+  /** Tuple literals cast to the indexed columns' types. */
+  private def tupleLits(tuples: Seq[Seq[Any]]): Seq[Seq[Column]] =
+    tuples.map { tu =>
+      require(tu.size == valCols.size,
+        s"$name: probe tuple arity ${tu.size} != index arity ${valCols.size}")
+      valCols.indices.map(i =>
+        lit(tu(i)).cast(src.schema(valCols(i)).dataType))
+    }
+
+  /** OR-of-conjuncts tuple match over arbitrary columns (`cols(i)` maps
+    * the i-th tuple component to a Column). Single-column probes fold
+    * to one `isin` (a sargable IN the scan pushes down). */
+  private def tupleMatch(tuples: Seq[Seq[Any]],
+                         cols: Int => Column): Column = {
+    val lits = tupleLits(tuples)
+    if (valCols.size == 1) cols(0).isin(lits.map(_.head): _*)
+    else lits.map(tu =>
+        valCols.indices.map(i => cols(i) === tu(i)).reduce(_ && _))
+      .reduce(_ || _)
+  }
+
+  /** The id set asserting any probed value, from the PERSISTED postings
+    * (value…, id), partition-pruned to the probe tuples' buckets — zero
+    * source-table jobs, lookup cost ∝ the probed tuples' posting rows.
+    * Contract: postings truth AS OF the last [[refresh]] (see [[fetch]]
+    * for source-snapshot truth). */
+  def lookupIds(values: Seq[Any]): DataFrame = lookupTupleIds(tupleOf(values))
+
+  /** Composite form of [[lookupIds]]: each probe is a FULL value tuple. */
+  def lookupTupleIds(tuples: Seq[Seq[Any]]): DataFrame = {
+    require(tuples.nonEmpty, "no probe values")
+    val probe = tuples.distinct
     val nb = nBuckets()
-    // value → bucket through Spark's OWN hash on the indexed TYPE (one
+    // tuple → bucket through Spark's OWN hash on the indexed TYPES (one
     // LocalTableScan job) — a driver-side xxhash64 could silently drift
-    val lits = probe.map(v => lit(v).cast(src.schema(valCol).dataType))
+    val hashes = tupleLits(probe).map(tu =>
+      pmod(xxhash64(tu: _*), lit(nb)).cast("int"))
     val buckets = src.spark.range(1)
-      .select(array(lits.map(l =>
-        pmod(xxhash64(l), lit(nb)).cast("int")): _*).as("bs"))
+      .select(array(hashes: _*).as("bs"))
       .select(explode(col("bs")))
       .distinct().collect().map(_.getInt(0)).toSeq
     post.snapshotWhere(
       col("bucket").isin(buckets.map(Int.box): _*) &&
-        col("value").isin(probe: _*))
-      .select(col("value"), col("id"))
+        tupleMatch(probe, i => col(vnames(i))))
+      .select(vnames.map(col) :+ col("id"): _*)
   }
 
-  /** Hydrated lookup: the source rows whose `valCol` is in `values` —
+  /** Hydrated lookup: the source rows whose value tuple is in `values` —
     * the index supplies the id set, a broadcast semi-join fetches the
-    * rows. Equality with `snapshotWhere(col(valCol).isin(...))` is the
-    * index's correctness contract (gate-audited). */
-  def fetch(values: Seq[Any]): DataFrame =
-    src.snapshot().join(
-      broadcast(lookupIds(values).select(col("id").as(idCol)).distinct()),
-      Seq(idCol), "left_semi")
+    * rows. Equality with `snapshotWhere(<the same predicate>)` is the
+    * index's correctness contract (gate-audited); a STALE index (source
+    * commits past the cursor) falls back to that scan outright rather
+    * than returning silent false negatives. */
+  def fetch(values: Seq[Any]): DataFrame = fetchTuples(tupleOf(values))
+
+  /** Composite form of [[fetch]]: each probe is a FULL value tuple. */
+  def fetchTuples(tuples: Seq[Seq[Any]]): DataFrame = {
+    require(tuples.nonEmpty, "no probe values")
+    if (!isFresh())
+      src.snapshotWhere(tupleMatch(tuples.distinct, i => col(valCols(i))))
+    else
+      src.snapshot().join(
+        broadcast(lookupTupleIds(tuples).select(col("id").as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+  }
+
+  /** INDEX-ONLY count: rows asserting any probed value, answered from
+    * the postings with ZERO source-table jobs (each source row's column
+    * holds one value, so its posting matches at most one probe — the
+    * posting count IS the row count). Falls back to a pruned source
+    * scan when stale, like [[fetch]]. */
+  def countIds(values: Seq[Any]): Long = countTupleIds(tupleOf(values))
+
+  /** Composite form of [[countIds]]. */
+  def countTupleIds(tuples: Seq[Seq[Any]]): Long = {
+    require(tuples.nonEmpty, "no probe values")
+    if (!isFresh())
+      src.snapshotWhere(tupleMatch(tuples.distinct, i => col(valCols(i))))
+        .count()
+    else lookupTupleIds(tuples).count()
+  }
 }
 
 object ValueIndex {
+
+  /** Posting value-column names: the historical `value` for single-
+    * column indexes, `v0..v{k-1}` for composite. */
+  private[store] def vnames(valCols: Seq[String]): Seq[String] =
+    if (valCols.size == 1) Seq("value")
+    else valCols.indices.map(i => s"v$i")
 
   private def metaSchema = StructType(Seq(
     StructField("mid", IntegerType, nullable = false),
     StructField("n_buckets", IntegerType, nullable = false)))
 
-  /** (value, id) rows of the delta — NULL values are not indexed. */
-  private[store] def postingsOf(rows: DataFrame, valCol: String,
-                                idCol: String): DataFrame =
-    rows.filter(col(valCol).isNotNull)
-      .select(col(valCol).as("value"), col(idCol).as("id"))
+  /** (value…, id) rows of the delta — tuples with any NULL component
+    * are not indexed. */
+  private[store] def postingsOf(rows: DataFrame, valCols: Seq[String],
+                                idCol: String): DataFrame = {
+    val names = vnames(valCols)
+    rows.filter(valCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(valCols.zip(names).map { case (c, n) => col(c).as(n) } :+
+        col(idCol).as("id"): _*)
+  }
 
-  /** Stable value→slice routing (the [[Bm25Index.bucketed]] idea on the
-    * raw value): the same value lands in the same bucket across builds
-    * and refreshes. */
-  private[store] def bucketed(posts: DataFrame, nBuckets: Int): DataFrame =
+  /** Stable tuple→slice routing (the [[Bm25Index.bucketed]] idea on the
+    * raw value tuple): the same tuple lands in the same bucket across
+    * builds and refreshes. */
+  private[store] def bucketed(posts: DataFrame, valCols: Seq[String],
+                              nBuckets: Int): DataFrame =
     posts.withColumn("bucket",
-      pmod(xxhash64(col("value")), lit(nBuckets)).cast("int"))
+      pmod(xxhash64(vnames(valCols).map(col): _*), lit(nBuckets)).cast("int"))
 
-  private def postTable(src: GraftTable, name: String, valCol: String,
-                        idCol: String): GraftTable =
+  private def postTable(src: GraftTable, name: String, valCols: Seq[String],
+                        idCol: String): GraftTable = {
+    val names = vnames(valCols)
     new GraftTable(src.spark, src.catalog, s"__vidx_${name}_post",
-      StructType(Seq(
-        StructField("value", src.schema(valCol).dataType, nullable = false),
+      StructType(valCols.zip(names).map { case (c, n) =>
+        StructField(n, src.schema(c).dataType, nullable = false) } ++ Seq(
         StructField("id", src.schema(idCol).dataType, nullable = false),
         StructField("bucket", IntegerType, nullable = false))),
-      uniqueKeys = Seq(Seq("value", "id")), partitionCols = Seq("bucket"))
+      uniqueKeys = Seq(names :+ "id"), partitionCols = Seq("bucket"))
+  }
 
   private def metaTable(src: GraftTable, name: String): GraftTable =
     new GraftTable(src.spark, src.catalog, s"__vidx_${name}_meta",
@@ -155,14 +256,23 @@ object ValueIndex {
   /** Project the source's CURRENT snapshot and commit postings + meta +
     * the change-feed cursor in one transaction. */
   def build(src: GraftTable, name: String, valCol: String, idCol: String,
-            nBuckets: Int = 16): ValueIndex = {
+            nBuckets: Int = 16): ValueIndex =
+    build(src, name, Seq(valCol), idCol, nBuckets)
+
+  /** Composite build — Prisma's `@@index([a, b])`. The bucket hash
+    * covers the full tuple, so the index answers full-tuple probes;
+    * prefix probes fall back to the scan by design. */
+  def build(src: GraftTable, name: String, valCols: Seq[String],
+            idCol: String, nBuckets: Int): ValueIndex = {
     require(nBuckets >= 1, s"nBuckets $nBuckets must be positive")
+    require(valCols.nonEmpty, "an index needs at least one column")
     val c0 = src.catalog.currentCommitId()
     val snap = src.snapshotAt(c0)
-    val post = postTable(src, name, valCol, idCol)
+    val post = postTable(src, name, valCols, idCol)
     val meta = metaTable(src, name)
     val txn = new Txn(src.catalog)
-    txn.createMany(post, bucketed(postingsOf(snap, valCol, idCol), nBuckets),
+    txn.createMany(post,
+      bucketed(postingsOf(snap, valCols, idCol), valCols, nBuckets),
       skipDuplicates = false)
     txn.createMany(meta, src.spark.createDataFrame(
       java.util.Arrays.asList(Row(0, nBuckets)), metaSchema),
@@ -170,15 +280,20 @@ object ValueIndex {
     txn.recordStreamBatch(src, s"cdf:vidx:$name", c0,
       src.catalog.manifest().get(Catalog.StreamTable))
     txn.commit()
-    new ValueIndex(src, name, valCol, idCol, post, meta)
+    new ValueIndex(src, name, valCols, idCol, post, meta)
   }
 
   /** Re-open a previously built index — the fan-out comes from the meta
     * row; no project-the-corpus path exists here by construction. */
   def open(src: GraftTable, name: String, valCol: String,
+           idCol: String): ValueIndex =
+    open(src, name, Seq(valCol), idCol)
+
+  /** Composite re-open. */
+  def open(src: GraftTable, name: String, valCols: Seq[String],
            idCol: String): ValueIndex = {
-    val idx = new ValueIndex(src, name, valCol, idCol,
-      postTable(src, name, valCol, idCol), metaTable(src, name))
+    val idx = new ValueIndex(src, name, valCols, idCol,
+      postTable(src, name, valCols, idCol), metaTable(src, name))
     idx.nBuckets() // fail fast when never built
     idx
   }

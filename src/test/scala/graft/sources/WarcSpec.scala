@@ -94,6 +94,71 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(WarcKernels.warcPages(bad).numElements() == 0)
   }
 
+  test("chunked transfer-encoding: dechunked body equals the plain path") {
+    val html = "<p>one two three four five six seven eight nine ten</p>"
+    val plain = WarcKernels.parse(synth(9L, html))
+      .find(_.recType == "response").get
+    val recs = WarcKernels.parse(
+      WarcKernels.warcSynthChunked(9L, UTF8String.fromString(html)))
+    val resp = recs.find(_.recType == "response").get
+    // extensions, uppercase hex, and the trailer header all vanish
+    assert(java.util.Arrays.equals(resp.body, plain.body))
+    assert(resp.httpStatus == 200)
+    // empty body: straight to the 0-chunk terminator
+    val empty = WarcKernels.parse(
+      WarcKernels.warcSynthChunked(9L, UTF8String.fromString("")))
+    assert(empty.find(_.recType == "response").get.body.isEmpty)
+  }
+
+  test("fail-closed: a malformed chunk ladder fails the WHOLE file") {
+    val good = WarcKernels.warcSynthChunked(3L,
+      UTF8String.fromString("<p>alpha beta gamma delta</p>"))
+    val recs = WarcKernels.parse(good)
+    assert(recs != null && recs.nonEmpty) // the good ladder parses
+    // dechunk-level pins: garbage size, short chunk, trailing bytes
+    def b(s: String) = s.getBytes("UTF-8")
+    assert(WarcKernels.dechunk(b("zz\r\nhi\r\n0\r\n\r\n"), 0) == null)
+    assert(WarcKernels.dechunk(b("5\r\nhi\r\n0\r\n\r\n"), 0) == null)
+    assert(WarcKernels.dechunk(b("2\r\nhi\r\n0\r\n\r\nextra"), 0) == null)
+    // a trailer line without ':' is not a header — fail closed
+    assert(WarcKernels.dechunk(b("2\r\nhi\r\n0\r\nnotaheader\r\n\r\n"), 0) == null)
+    // the happy ladder with extension + uppercase hex + trailer
+    val ok = WarcKernels.dechunk(
+      b("2;x=1\r\nhi\r\n2\r\nya\r\n0\r\nX-L: 4\r\n\r\n"), 0)
+    assert(ok != null && new String(ok, "UTF-8") == "hiya")
+  }
+
+  test("charset: header label, meta sniff, and the no-label fallback") {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    // header-declared ISO-8859-1 folds to cp1252 (0x93 is a curly quote)
+    val even = WarcKernels.parse(
+      WarcKernels.warcSynthCharset(2L, UTF8String.fromString("a b c")))
+    val evenText = WarcKernels.warcBody(
+      WarcKernels.warcSynthCharset(2L, UTF8String.fromString("a b c")))
+    assert(even.head.mime == "text/html; charset=ISO-8859-1")
+    assert(evenText.toString.contains("café “q” naïve"))
+    // odd id: no HTTP charset — the <meta charset> prescan must fire
+    val odd = WarcKernels.parse(
+      WarcKernels.warcSynthCharset(3L, UTF8String.fromString("a b c")))
+    assert(odd.head.mime == "text/html")
+    assert(WarcKernels.warcBody(
+        WarcKernels.warcSynthCharset(3L, UTF8String.fromString("a b c")))
+      .toString.contains("café “q” naïve"))
+    // no label anywhere: valid UTF-8 stays UTF-8…
+    assert(WarcKernels.bodyText("naïve UTF-8 é".getBytes("UTF-8"), null)
+      .toString == "naïve UTF-8 é")
+    // …and invalid UTF-8 falls back to cp1252, never mojibake/failure
+    assert(WarcKernels.bodyText("café “q”".getBytes(cp1252), null)
+      .toString == "café “q”")
+    // label parsing corners
+    assert(WarcKernels.charsetOf("text/html; charset=\"UTF-8\"") == "utf-8")
+    assert(WarcKernels.charsetOf("text/html") == null)
+    assert(WarcKernels.sniffMetaCharset(
+      ("<html><head><meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=windows-1252\"></head>")
+        .getBytes("UTF-8")) == "windows-1252")
+  }
+
   test("Warc.records + Warc.pages read a real .warc.gz from disk") {
     val dir = Files.createTempDirectory("graft-warc").toString
     Files.write(Paths.get(s"$dir/f0.warc.gz"),

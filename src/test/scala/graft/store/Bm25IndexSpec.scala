@@ -216,6 +216,55 @@ class Bm25IndexSpec extends AnyFunSuite with SparkTestBase {
       Seq((7L, 1)))
   }
 
+  test("slopSearch: greedy-chain windows, proximity weights, slop-0 = exact") {
+    val src = srcTable()
+    src.createMany(Seq(
+      (1L, "big data pipeline"),                // exact: disp 0
+      (2L, "big fast data pipeline"),           // 1 gap: disp 1
+      (3L, "big a b data c pipeline"),          // disp 3
+      (4L, "big a b c data pipeline"),          // disp 3
+      (5L, "big a b c d data pipeline"),        // disp 4: out at slop 3
+      (6L, "data big pipeline"),                // out of order: no match
+      (7L, "big data big data pipeline"),       // starts 0 (disp 2) and 2 (disp 0)
+      (8L, "big pipeline")                      // missing middle term
+    ).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 4,
+      withPositions = true)
+    def slop(s: Int) =
+      idx.slopSearch(Seq("big", "data", "pipeline"), slop = s)
+        .as[(Long, Int, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    // slop 3: weights are 3 - disp + 1
+    assert(slop(3) == Map(
+      1L -> ((1, 4)), 2L -> ((1, 3)), 3L -> ((1, 1)), 4L -> ((1, 1)),
+      7L -> ((2, 6)))) // disp 2 → 2, disp 0 → 4
+    // slop 0 degenerates to exact-phrase counting (prox = n_matches)
+    assert(slop(0) == Map(1L -> ((1, 1)), 7L -> ((1, 1))))
+    // wider window admits doc 5
+    assert(slop(4).contains(5L) && slop(4)(5L) == ((1, 1)))
+    // bounded cut: prox desc, id asc, TakeOrdered heap
+    val bounded = idx.slopSearch(Seq("big", "data", "pipeline"), slop = 3,
+      topk = 2)
+    assert(bounded.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(bounded.as[(Long, Int, Long)].collect().map(_._1).toSeq ==
+      Seq(7L, 1L))
+    // repeated-term phrase chains strictly increasing positions
+    assert(idx.slopSearch(Seq("big", "big"), slop = 1)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._2).toMap ==
+      Map(7L -> 1)) // positions 0,2: disp 1 fits slop 1
+  }
+
+  test("a frequency-only index refuses slop search loudly") {
+    val src = srcTable()
+    src.createMany(Seq((1L, "big data")).toDF("doc_id", "text"))
+    val idx = Bm25Index.build(src, "b", "text", "doc_id", nBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      idx.slopSearch(Seq("big", "data"), slop = 1)
+    }
+    assert(e.getMessage.contains("withPositions"))
+  }
+
   test("a frequency-only index refuses phrase search loudly") {
     val src = srcTable()
     src.createMany(Seq((1L, "big data")).toDF("doc_id", "text"))

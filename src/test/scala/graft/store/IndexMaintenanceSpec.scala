@@ -83,7 +83,7 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     val idx = ValueIndex.build(src, "m", "v", "doc_id", nBuckets = 4)
 
     def expect() = ValueIndex.bucketed(
-      ValueIndex.postingsOf(src.snapshot(), "v", "doc_id"), 4)
+      ValueIndex.postingsOf(src.snapshot(), Seq("v"), "doc_id"), Seq("v"), 4)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     def got() = idx.post.snapshot()
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet

@@ -51,7 +51,7 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
       == Set(1L))
     // row-for-row equal to a fresh derivation of the current snapshot
     val fresh = ValueIndex.bucketed(
-      ValueIndex.postingsOf(src.snapshot(), "v", "id"), 4)
+      ValueIndex.postingsOf(src.snapshot(), Seq("v"), "id"), Seq("v"), 4)
     assert(idx.post.snapshot().exceptAll(fresh).isEmpty &&
       fresh.exceptAll(idx.post.snapshot()).isEmpty)
   }
@@ -108,6 +108,140 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     // case-sensitive: "A" is a different indexed value
     assert(model.findMany(QueryArgs(where = Some(Field("v",
       StringF(equals = Some(Some("A"))))))).count() == 1)
+  }
+
+  test("stale index: fetch/countIds fall back to the scan, lookupIds stays as-of") {
+    val src = freshSrc()
+    src.createMany(rows(1L -> "a", 2L -> "b"))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    assert(idx.isFresh())
+    // rows arriving AFTER the last refresh: source-snapshot truth moves,
+    // postings truth does not
+    src.createMany(rows(3L -> "a"))
+    src.updateMany(graft.query.RawCol($"id" === 2L), Map("v" -> lit("a")))
+    assert(!idx.isFresh())
+    // fetch promises snapshot truth — the guard must surface 2 and 3
+    assert(idx.fetch(Seq("a")).select($"id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    assert(idx.countIds(Seq("a")) == 3L)
+    // lookupIds is documented as-of the last refresh: still only id 1
+    assert(idx.lookupIds(Seq("a")).select($"id").as[Long].collect().toSet
+      == Set(1L))
+    // refresh restores the index path (and the same answers)
+    assert(idx.refresh().nonEmpty && idx.isFresh())
+    assert(idx.fetch(Seq("a")).count() == 3 && idx.countIds(Seq("a")) == 3L)
+    assert(idx.lookupIds(Seq("a")).select($"id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+  }
+
+  test("index-only count answers from postings without touching the source") {
+    val src = freshSrc()
+    src.createMany(rows((1L to 30L).map(i => i -> s"v${i % 5}"): _*))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    assert(idx.countIds(Seq("v2")) == 6L)
+    assert(idx.countIds(Seq("v2", "v3")) == 12L)
+    // the posting read is bucket-pruned and never opens a source slice
+    val files = idx.lookupIds(Seq("v2")).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("__vidx_")))
+  }
+
+  test("composite index: full-tuple probes, refresh, arity checks") {
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-vidx-spec").toString)
+    val src = new GraftTable(spark, cat, "t", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", StringType, nullable = true),
+      StructField("b", LongType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    src.createMany(Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 10L),
+      (4L, "x", 10L), (5L, null.asInstanceOf[String], 10L))
+      .toDF("id", "a", "b"))
+    val idx = ValueIndex.build(src, "ab", Seq("a", "b"), "id", nBuckets = 4)
+    // NULL in any component → not indexed
+    assert(idx.post.snapshot().count() == 4)
+    assert(idx.fetchTuples(Seq(Seq("x", 10L))).select($"id").as[Long]
+      .collect().toSet == Set(1L, 4L))
+    assert(idx.countTupleIds(Seq(Seq("x", 10L), Seq("y", 10L))) == 3L)
+    // the composite bucket hash covers the whole tuple: a one-tuple
+    // probe still reads exactly one bucket partition
+    val files = idx.lookupTupleIds(Seq(Seq("x", 10L))).inputFiles
+    val buckets = files.map(_.replaceAll(".*/bucket=([0-9]+)/.*", "$1")).distinct
+    assert(files.nonEmpty && buckets.length == 1, buckets.toSeq)
+    // refresh: moves, inserts, deletes on the tuple
+    src.createMany(Seq((6L, "y", 20L)).toDF("id", "a", "b"))
+    src.updateMany(graft.query.RawCol($"id" === 1L), Map("b" -> lit(30L)))
+    src.deleteMany(graft.query.RawCol($"id" === 3L))
+    assert(idx.refresh().nonEmpty)
+    assert(idx.lookupTupleIds(Seq(Seq("x", 10L))).select($"id").as[Long]
+      .collect().toSet == Set(4L))
+    assert(idx.lookupTupleIds(Seq(Seq("x", 30L))).select($"id").as[Long]
+      .collect().toSet == Set(1L))
+    // wrong arity fails loudly
+    assertThrows[IllegalArgumentException] {
+      idx.lookupTupleIds(Seq(Seq("x")))
+    }
+    // single-col accessor refuses on a composite index
+    assertThrows[IllegalArgumentException] { idx.valCol }
+  }
+
+  test("Model: composite routing needs every column; prefix falls back") {
+    import graft.query._
+    val cat = new Catalog(
+      Files.createTempDirectory("graft-vidx-spec").toString)
+    val src = new GraftTable(spark, cat, "t", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("a", StringType, nullable = true),
+      StructField("b", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    src.createMany(Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"))
+      .toDF("id", "a", "b"))
+    val idx = ValueIndex.build(src, "ab", Seq("a", "b"), "id", nBuckets = 4)
+    val model = new Model(df = () => src.snapshot(), primaryKey = "id",
+      compositeIndexSources = Map(Seq("a", "b") ->
+        (ts => idx.fetchTuples(ts))))
+
+    def routed(w: Where): Boolean =
+      model.findMany(QueryArgs(where = Some(w)))
+        .inputFiles.exists(_.contains("__vidx_"))
+
+    // both columns routable → routes (cross product of IN lists)
+    assert(routed(And(Seq(Field("a", StringF(equals = Some(Some("x")))),
+      Field("b", StringF(in = Some(Seq("p", "q"))))))))
+    // prefix (a only) → falls back: the tuple hash can't prune on it
+    assert(!routed(Field("a", StringF(equals = Some(Some("x"))))))
+    // a non-routable leaf on b (range) blocks the composite
+    assert(!routed(And(Seq(Field("a", StringF(equals = Some(Some("x")))),
+      Field("b", StringF(gte = Some("p")))))))
+    // the routed read still applies the full tree
+    val got = model.findMany(QueryArgs(
+      where = Some(And(Seq(Field("a", StringF(equals = Some(Some("x")))),
+        Field("b", StringF(in = Some(Seq("p", "q")))),
+        Field("id", CmpF(gte = Some(2L)))))),
+      orderBy = Seq(OrderBy("id")))).select($"id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("Model: index-only count never plans the source; residuals hydrate") {
+    import graft.query._
+    val src = freshSrc()
+    src.createMany(rows(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "c"))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    var touched = false
+    val model = new Model(df = () => { touched = true; src.snapshot() },
+      primaryKey = "id",
+      indexCountSources = Map("v" -> (vs => idx.countIds(vs))))
+    assert(model.count(Some(Field("v",
+      StringF(in = Some(Seq("a", "c")))))) == 3L)
+    assert(!touched, "index-only count must not invoke df()")
+    // a second conjunct forces the hydrated path
+    assert(model.count(Some(And(Seq(Field("v",
+      StringF(equals = Some(Some("a")))),
+      Field("id", CmpF(gte = Some(2L))))))) == 1L)
+    assert(touched)
+    // a non-routable single leaf hydrates too
+    touched = false
+    assert(model.count(Some(Field("v", StringF(gte = Some("b"))))) == 2L)
+    assert(touched)
   }
 
   test("open before build fails loudly; open routes like the build") {
