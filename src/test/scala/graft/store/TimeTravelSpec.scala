@@ -55,9 +55,28 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestBase {
     t.catalog.vacuum(0)
     // current snapshot intact; the pinned version's files are gone
     assert(t.snapshot().select($"v").as[String].head() == "z")
+    // The DELIBERATELY failing read below makes Spark's own execution-
+    // listener plumbing touch the failed query's lazy plan and rethrow
+    // the AnalysisException, which ExecutionListenerBus logs at ERROR —
+    // in a GREEN suite, which trains people to ignore ERRORs. Silence
+    // that one logger for the one intentional failure, then restore.
+    // (Deregistering listeners instead would break the session's
+    // Observation machinery for every later test.)
+    val lbLogger = org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.util.ExecutionListenerBus")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prevLevel = lbLogger.getLevel
+    lbLogger.setLevel(org.apache.logging.log4j.Level.FATAL)
     // the read may fail at plan time (missing dir) or at execution — both
     // are acceptable; serving CURRENT data under the old pin would not be
-    val stale = scala.util.Try(t.snapshotAt(pin).count())
+    val stale =
+      try scala.util.Try(t.snapshotAt(pin).count())
+      finally {
+        // the ERROR is posted from an ASYNC bus thread — give it a beat
+        // before restoring the level
+        Thread.sleep(500)
+        lbLogger.setLevel(prevLevel)
+      }
     assert(stale.isFailure || stale.get == 0,
       "vacuumed pin must not silently serve current data")
   }
