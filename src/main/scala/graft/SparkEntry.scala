@@ -2305,6 +2305,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MULTI-PAGE archives through the Warc.pages shape: a real crawl
+    // `.warc.gz` carries thousands of fetches, and a walker that takes
+    // only the FIRST response per archive silently drops the rest (the
+    // round-14 pages() bug — found in review, fixed to explode
+    // warcPages; this gate pins the fix under oracle). Each doc becomes
+    // a TWO-fetch archive (its page plus a shifted twin) and BOTH
+    // responses must walk out with their own target URIs.
+    "q_warc_pages" -> ((s, dir) => {
+      val W = graft.sources.WarcExpressions
+      val H = graft.functions.HtmlExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(
+            W.warcSynth(col("doc_id"),
+              H.htmlSynth(col("doc_id"), col("text"))),
+            W.warcSynth(col("doc_id") + 1000000L,
+              H.htmlSynth(col("doc_id"), col("text")))).as("bytes"))
+        .select(col("doc_id"), explode(W.warcPages(col("bytes"))).as("p"))
+        .select(col("doc_id"), col("p.uri").as("uri"),
+          H.htmlText(col("p.body")).as("text_out"))
+        .orderBy(col("doc_id"), col("uri"))
+    }),
+
     // URL canonicalization (functions/UrlKernels.scala) — the key a
     // crawl pipeline dedups on (RefinedWeb drops a double-digit share of
     // CC by URL alone). RFC 3986 §6.2 syntax subset, every rule planted
@@ -3369,10 +3392,20 @@ object SparkEntry {
         .writeStream.foreachBatch(crashing)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", tmp + "/ckpt").start()
+      // the injected crash is the TEST — silence MicroBatchExecution's
+      // ERROR for the deliberately-dying first query (an ERROR line in
+      // a green run trains people to ignore ERRORs), then restore
+      val mbLogger = org.apache.logging.log4j.LogManager.getLogger(
+        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution")
+        .asInstanceOf[org.apache.logging.log4j.core.Logger]
+      val prevLevel = mbLogger.getLevel
+      mbLogger.setLevel(org.apache.logging.log4j.Level.FATAL)
       val q1 = run()
-      scala.util.Try(q1.awaitTermination(180000))
-      require(q1.exception.isDefined,
-        "q_stream_restart: the injected crash must kill the first query")
+      try {
+        scala.util.Try(q1.awaitTermination(180000))
+        require(q1.exception.isDefined,
+          "q_stream_restart: the injected crash must kill the first query")
+      } finally mbLogger.setLevel(prevLevel)
       crashArmed.set(false)
       val q2 = run()
       q2.awaitTermination(180000)
@@ -5990,6 +6023,37 @@ object SparkEntry {
              coalesce(a.text_out, '') AS text_out
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // two rows per doc — the page and its shifted twin, each under its
+    // own target uri, both carrying the same closed-form extraction
+    "q_warc_pages" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), par AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) || ' & <tag> M! end' AS ptxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
+        FROM par GROUP BY doc_id
+      ), u AS (
+        SELECT doc_id,
+               'https://site-' || (doc_id % 97) || '.example/page/'
+                 || doc_id AS uri
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'https://site-' || ((doc_id + 1000000) % 97)
+                 || '.example/page/' || (doc_id + 1000000)
+        FROM documents
+      )
+      SELECT u.doc_id, u.uri, coalesce(a.text_out, '') AS text_out
+      FROM u LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id, uri""",
 
     // every normalization rule's expected output, emitted directly
     "q_url_normalize" -> """

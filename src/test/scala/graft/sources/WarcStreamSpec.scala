@@ -120,11 +120,21 @@ class WarcStreamSpec extends AnyFunSuite with SparkTestBase {
     val q = Warc.pagesStream(spark, dir).orderBy(col("uri")).collect().toSeq
     assert(p == q && p.size == 3)
 
-    // corruption: the streaming walk FAILS the job, naming the file
+    // corruption: the streaming walk FAILS the job, naming the file.
+    // The task failure is the TEST — silence the executor/scheduler
+    // ERROR logging for the deliberate failure, then restore.
     Files.write(Paths.get(s"$dir/f2.warc.gz"), "junk".getBytes("UTF-8"))
-    val e = intercept[Exception] {
-      Warc.recordsStream(spark, dir).count()
-    }
+    import org.apache.logging.log4j.{Level, LogManager}
+    val silenced = Seq("org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager",
+      "org.apache.spark.scheduler.DAGScheduler")
+      .map(n => LogManager.getLogger(n)
+        .asInstanceOf[org.apache.logging.log4j.core.Logger])
+    val prev = silenced.map(l => l -> l.getLevel)
+    silenced.foreach(_.setLevel(Level.FATAL))
+    val e =
+      try intercept[Exception] { Warc.recordsStream(spark, dir).count() }
+      finally prev.foreach { case (l, lv) => l.setLevel(lv) }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ chain(t.getCause)
