@@ -2305,6 +2305,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // WET — the EXTRACTED-text sibling Common Crawl publishes beside
+    // each WARC, and what most LLM pipelines actually consume:
+    // `conversion` records carrying plain text (no HTTP envelope, no
+    // HTML). The synth re-lines each doc into 8-token lines, so
+    // Content-Length framing over embedded newlines must round-trip
+    // EXACTLY (a CRLF-vs-LF slip or an off-by-one payload bound lands
+    // on a different string); the warcinfo member must walk through
+    // without contributing a row.
+    "q_wet_text" -> ((s, dir) => {
+      val W = graft.sources.WarcExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(W.wetTexts(
+          W.warcSynthWet(col("doc_id"), col("text")))).as("p"))
+        .select(col("doc_id"), col("p.uri").as("uri"),
+          col("p.text").as("text_out"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MULTI-PAGE archives through the Warc.pages shape: a real crawl
     // `.warc.gz` carries thousands of fetches, and a walker that takes
     // only the FIRST response per archive silently drops the rest (the
@@ -6016,6 +6034,31 @@ object SparkEntry {
       ), agg AS (
         SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
         FROM par GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             'https://site-' || (d.doc_id % 97) || '.example/page/'
+               || d.doc_id AS uri,
+             coalesce(a.text_out, '') AS text_out
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id""",
+
+    // the WET conversion payload is the doc's text re-lined into
+    // 8-token LF-joined lines — exact round-trip, empty text for
+    // token-less docs
+    "q_wet_text" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), lines AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) AS ltxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id, string_agg(ltxt, chr(10) ORDER BY grp) AS text_out
+        FROM lines GROUP BY doc_id
       )
       SELECT d.doc_id,
              'https://site-' || (d.doc_id % 97) || '.example/page/'

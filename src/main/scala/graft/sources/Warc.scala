@@ -50,6 +50,19 @@ object Warc {
       .select(col("file"), col("p.uri").as("uri"),
         graft.functions.HtmlExpressions.htmlText(col("p.body")).as("text"))
 
+  /** One row per extracted page of every WET file under `path`:
+    * (file, uri, text). WET is the EXTRACTED-text sibling Common Crawl
+    * publishes beside each WARC (and what most LLM pipelines actually
+    * consume): `conversion` records whose payload is the page's plain
+    * text — no HTTP envelope, no HTML. Same fail-closed walk and
+    * per-file parallelism as [[pages]]. */
+  def wetTexts(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wet.gz").load(path)
+      .select(col("path").as("file"),
+        explode(WarcExpressions.wetTexts(col("content"))).as("p"))
+      .select(col("file"), col("p.uri").as("uri"), col("p.text").as("text"))
+
   /** The file listing the streaming walks iterate — binaryFile with ONLY
     * `path` projected, so the scan never materializes file contents. */
   private def fileList(spark: SparkSession, path: String) = {

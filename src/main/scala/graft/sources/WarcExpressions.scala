@@ -156,8 +156,48 @@ object WarcExpressions {
       copy(child = newChild)
   }
 
+  /** (id, text) → WET-shaped `.warc.gz` (warcinfo + conversion member). */
+  case class WarcSynthWet(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "warc_synth_wet"
+
+    override def nullSafeEval(id: Any, text: Any): Any =
+      WarcKernels.warcSynthWet(id.asInstanceOf[Long],
+        text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (i, t) =>
+        s"graft.sources.WarcKernels.warcSynthWet($i, $t)")
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** WET bytes → array<struct<uri, text>> of every conversion record
+    * (empty on invalid files — fail-closed). */
+  case class WetTexts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("uri", StringType, nullable = true),
+      StructField("text", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "wet_texts"
+
+    override def nullSafeEval(bytes: Any): Any =
+      WarcKernels.wetTexts(bytes.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.sources.WarcKernels.wetTexts($b)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def warcPage(bytes: Column): Column = column(WarcPage(expression(bytes)))
   def warcPages(bytes: Column): Column = column(WarcPages(expression(bytes)))
+  def warcSynthWet(id: Column, text: Column): Column =
+    column(WarcSynthWet(expression(id), expression(text)))
+  def wetTexts(bytes: Column): Column = column(WetTexts(expression(bytes)))
 
   def warcSynth(id: Column, html: Column): Column =
     column(WarcSynth(expression(id), expression(html)))

@@ -211,6 +211,47 @@ object WarcKernels {
       "application/http; msgtype=response", resp))
   }
 
+  /** (id, text) → WET-shaped `.warc.gz` bytes — the EXTRACTED-text
+    * sibling of the raw crawl archive (Common Crawl publishes one WET
+    * file per WARC; most LLM pipelines consume WET, not WARC): a
+    * `warcinfo` member followed by a `conversion` member whose payload
+    * is the page's plain text. The text is re-lined into 8-token lines
+    * (real WET text is multi-line), so Content-Length framing over
+    * embedded newlines round-trips under oracle. */
+  def warcSynthWet(id: Long, text: UTF8String): Array[Byte] = {
+    val host = s"site-${java.lang.Long.remainderUnsigned(id, 97)}.example"
+    val uri = s"https://$host/page/$id"
+    val toks: Array[String] =
+      if (text == null) Array.empty
+      else text.toString.split("[ \t\n\f\r]+").filter(_.nonEmpty)
+    val body = toks.grouped(8).map(_.mkString(" ")).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val info = ("software: graft-wet-synth" + Crlf +
+      "format: WARC File Format 1.0" + Crlf).getBytes(StandardCharsets.UTF_8)
+    val bos = new ByteArrayOutputStream(body.length / 2 + 512)
+    bos.write(gzMember(record("warcinfo", id, uri,
+      "application/warc-fields", info)))
+    bos.write(gzMember(record("conversion", id, uri, "text/plain", body)))
+    bos.toByteArray
+  }
+
+  /** WET file bytes → array<struct<uri, text>> of every `conversion`
+    * record — the extracted-text walk (empty on invalid files,
+    * fail-closed like [[warcPages]]). Conversion payloads have no HTTP
+    * envelope; the bytes decode through the same BOM/UTF-8/cp1252
+    * discipline as response bodies. */
+  def wetTexts(bytes: Array[Byte]): ArrayData = {
+    val recs = parse(bytes)
+    if (recs == null) return new GenericArrayData(Array.empty[Any])
+    new GenericArrayData(recs
+      .filter(_.recType == "conversion")
+      .map { r =>
+        new GenericInternalRow(Array[Any](
+          if (r.uri == null) null else UTF8String.fromString(r.uri),
+          bodyText(r.body, null))): InternalRow
+      }.toArray[Any])
+  }
+
   // ------------------------------------------------------------- parse
 
   /** Manual multi-member gunzip. NOT `GZIPInputStream`: that class
@@ -420,17 +461,32 @@ object WarcKernels {
     true
   }
 
-  /** A response record's body as TEXT, charset-aware: the HTTP
-    * Content-Type's `charset=` wins; absent that, the `<meta charset>`
-    * prescan over the first 1024 bytes; absent both, valid UTF-8
-    * decodes as UTF-8 (zero-copy) and anything else falls back to
-    * windows-1252 — the WHATWG behavior (browsers treat the latin-1 /
-    * ascii label family AS cp1252, so 0x93 is a curly quote, never a
-    * C1 control). Unrecognized labels fall to the sniff-free
-    * validate-then-fallback path rather than failing the record: a
-    * page with an exotic label is degraded data, not structural
-    * corruption. */
+  /** A response record's body as TEXT, charset-aware. Precedence is
+    * WHATWG's: a byte-order mark WINS over everything (a server that
+    * labels Latin-1 but serves a UTF-16 BOM is serving UTF-16 — every
+    * browser agrees); then the HTTP Content-Type's `charset=`; then the
+    * `<meta charset>` prescan over the first 1024 bytes; absent all,
+    * valid UTF-8 decodes as UTF-8 (zero-copy) and anything else falls
+    * back to windows-1252 (browsers treat the latin-1 / ascii label
+    * family AS cp1252, so 0x93 is a curly quote, never a C1 control).
+    * The BOM itself never reaches the text. Unrecognized labels fall to
+    * the sniff-free validate-then-fallback path rather than failing the
+    * record: a page with an exotic label is degraded data, not
+    * structural corruption. */
   private[sources] def bodyText(body: Array[Byte], mime: String): UTF8String = {
+    // BOM first (WHATWG precedence over any declared label)
+    if (body.length >= 2) {
+      val b0 = body(0) & 0xff; val b1 = body(1) & 0xff
+      if (b0 == 0xff && b1 == 0xfe)
+        return UTF8String.fromString(new String(body, 2, body.length - 2,
+          StandardCharsets.UTF_16LE))
+      if (b0 == 0xfe && b1 == 0xff)
+        return UTF8String.fromString(new String(body, 2, body.length - 2,
+          StandardCharsets.UTF_16BE))
+      if (body.length >= 3 && b0 == 0xef && b1 == 0xbb &&
+          (body(2) & 0xff) == 0xbf)
+        return UTF8String.fromBytes(body, 3, body.length - 3)
+    }
     val declared = charsetOf(mime) match {
       case null => sniffMetaCharset(body)
       case cs   => cs

@@ -159,6 +159,44 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
         .getBytes("UTF-8")) == "windows-1252")
   }
 
+  test("BOM wins over any declared label and never reaches the text") {
+    def utf16le(s: String): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    def utf16be(s: String): Array[Byte] =
+      Array[Byte](0xfe.toByte, 0xff.toByte) ++
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+    // a UTF-16 BOM overrides a (wrong) latin-1 label — WHATWG precedence
+    assert(WarcKernels.bodyText(utf16le("héllo wörld"),
+      "text/html; charset=ISO-8859-1").toString == "héllo wörld")
+    assert(WarcKernels.bodyText(utf16be("héllo"), null).toString == "héllo")
+    // UTF-8 BOM: stripped, rest decodes as UTF-8
+    val bom8 = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "plain é".getBytes("UTF-8")
+    assert(WarcKernels.bodyText(bom8, null).toString == "plain é")
+    // FF/FE bytes mid-body are NOT a BOM
+    assert(WarcKernels.bodyText("aÿþ".getBytes("UTF-8"), null)
+      .toString == "aÿþ")
+  }
+
+  test("WET: conversion records round-trip multi-line text exactly") {
+    val wet = WarcKernels.warcSynthWet(5L, UTF8String.fromString(
+      (1 to 20).map(i => s"tok$i").mkString(" ")))
+    val recs = WarcKernels.parse(wet)
+    assert(recs.map(_.recType) == Seq("warcinfo", "conversion"))
+    val texts = WarcKernels.wetTexts(wet)
+    assert(texts.numElements() == 1, "warcinfo must not contribute a row")
+    val row = texts.getStruct(0, 2)
+    assert(row.getUTF8String(0).toString == "https://site-5.example/page/5")
+    assert(row.getUTF8String(1).toString ==
+      (1 to 8).map(i => s"tok$i").mkString(" ") + "\n" +
+      (9 to 16).map(i => s"tok$i").mkString(" ") + "\n" +
+      (17 to 20).map(i => s"tok$i").mkString(" "))
+    // corruption fails the whole file closed, like every other walk
+    val bad = wet.clone(); bad(wet.length / 2) = (bad(wet.length / 2) ^ 1).toByte
+    assert(WarcKernels.wetTexts(bad).numElements() == 0)
+  }
+
   test("Warc.records + Warc.pages read a real .warc.gz from disk") {
     val dir = Files.createTempDirectory("graft-warc").toString
     Files.write(Paths.get(s"$dir/f0.warc.gz"),
