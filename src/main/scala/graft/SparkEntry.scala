@@ -2042,6 +2042,45 @@ object SparkEntry {
       s.range(1).select(lit(n).as("n_indexed"), lit(n2).as("n_hydrated"))
     }),
 
+    // INDEX-ONLY ids projection through the Prisma surface:
+    // findMany(where: {source: {in: ...}}, select: [doc_id]) answers
+    // from the postings — at 100 TB a "which rows assert X" read is a
+    // membership question the index already holds, and hydrating the
+    // source just to throw away every column is a corpus-priced no-op.
+    // Same tripwire discipline as q_count_indexed (df() never invoked)
+    // plus a plan assert that the read touched only __vidx_ files; a
+    // trailing orderBy/take on the key stays inside the fast path.
+    "q_find_ids_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vidxids-q"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs)
+      val idx = graft.store.ValueIndex.build(src, "bysrc", "source",
+        "doc_id", nBuckets = 8)
+      var sourceTouched = false
+      val model = new graft.query.Model(
+        df = () => { sourceTouched = true; src.snapshot() },
+        primaryKey = "doc_id",
+        indexIdsSources = Map("source" -> (vs => idx.idsOf(vs))))
+      val out = model.findMany(graft.query.QueryArgs(
+        where = Some(graft.query.Field("source",
+          graft.query.StringF(in = Some(Seq("src1", "src3"))))),
+        select = Seq("doc_id"),
+        orderBy = Seq(graft.query.OrderBy("doc_id"))))
+      require(!sourceTouched,
+        "q_find_ids_indexed: the ids projection must never invoke df()")
+      require(out.inputFiles.nonEmpty &&
+          out.inputFiles.forall(_.contains("__vidx_")),
+        "q_find_ids_indexed: the read must touch only index posting files")
+      out
+    }),
+
     // TRAINING the quality head — the half q_quality_classifier assumed
     // away (it scores an exported model; this one produces it). Logistic
     // regression by full-batch gradient descent over the same hashed
@@ -8495,6 +8534,12 @@ object SparkEntry {
               WHERE source IN ('src1', 'src2')) AS n_indexed,
              (SELECT count(*) FROM documents
               WHERE source = 'src1' AND n_chars >= 100) AS n_hydrated""",
+
+    // the index-only ids projection must equal the plain predicate
+    "q_find_ids_indexed" -> """
+      SELECT doc_id FROM documents
+      WHERE source IN ('src1', 'src3')
+      ORDER BY doc_id""",
 
     // the source after the update lattice, filtered by the probed values
     // — the indexed fetch must equal the plain predicate

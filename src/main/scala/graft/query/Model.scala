@@ -131,7 +131,17 @@ final class Model(
       * is ONE routable equality/IN leaf on such a column, [[count]]
       * answers from the index postings with zero source-table jobs —
       * `df()` is never even invoked. */
-    val indexCountSources: Map[String, Seq[Any] => Long] = Map.empty) {
+    val indexCountSources: Map[String, Seq[Any] => Long] = Map.empty,
+    /** Index-only IDS sources by column
+      * ([[graft.store.ValueIndex.idsOf]] — the returned frame's single
+      * column must be named this model's [[primaryKey]]): an
+      * ids-projection findMany (`select = Seq(primaryKey)`) whose
+      * entire where tree is one routable equality/IN leaf on such a
+      * column answers from the postings with zero source-table jobs.
+      * Routing also requires no cursor/distinct/include/omit and an
+      * orderBy that is at most the primary key — anything else needs
+      * the hydrated row. */
+    val indexIdsSources: Map[String, Seq[Any] => DataFrame] = Map.empty) {
 
   /** The probe values of a leaf that is EXACTLY equality or IN —
     * anything richer (ranges, negation, insensitive mode, recursive
@@ -435,6 +445,32 @@ final class Model(
     * evaluation order: where → distinct-on (w.r.t. orderBy) → cursor →
     * orderBy → skip/take → select/include. */
   def findMany(args: QueryArgs = QueryArgs()): DataFrame = {
+    // INDEX-ONLY ids projection: select = [primaryKey], the whole where
+    // tree ONE routable leaf on an ids-indexed column, nothing that
+    // needs the hydrated row (no cursor/distinct/include/omit, orderBy
+    // at most the key) → answer from the postings; df() never invoked.
+    // Negative take is excluded: its reverse-order scan is key-only too,
+    // but keeping the fast path to the plain page shape keeps it
+    // obviously equivalent to the hydrated plan.
+    if (indexIdsSources.nonEmpty && args.select == Seq(primaryKey) &&
+        args.cursor.isEmpty && args.distinct.isEmpty &&
+        args.include.isEmpty && args.includeArgs.isEmpty &&
+        args.omit.isEmpty && args.take.forall(_ >= 0) &&
+        args.orderBy.forall(_.field == primaryKey)) {
+      val idsOnly = args.where.flatMap(w => conjuncts(w) match {
+        case Seq(Field(n, f)) if indexIdsSources.contains(n) =>
+          probeValues(f).map(vs => indexIdsSources(n)(vs))
+        case _ => None
+      })
+      idsOnly.foreach { ids =>
+        var cur = ids
+        if (args.orderBy.nonEmpty)
+          cur = cur.orderBy(args.orderBy.map(_.column): _*)
+        args.skip.foreach(m => cur = cur.offset(m))
+        args.take.foreach(m => cur = cur.limit(m))
+        return cur
+      }
+    }
     var cur = applyWhere(source(args.where), args.where)
     if (args.distinct.nonEmpty) {
       val orderCols =

@@ -191,6 +191,22 @@ final class ValueIndex private (
         Seq(idCol), "left_semi")
   }
 
+  /** INDEX-ONLY id projection: the ids asserting any probed value, as a
+    * one-column frame named `idCol` — zero source-table jobs when fresh
+    * (the postings ARE the answer for a bare-ids read), the pruned scan
+    * when stale, like [[fetch]]. The query-surface twin is
+    * [[graft.query.Model]]'s ids-projection findMany routing. */
+  def idsOf(values: Seq[Any]): DataFrame = idsOfTuples(tupleOf(values))
+
+  /** Composite form of [[idsOf]]. */
+  def idsOfTuples(tuples: Seq[Seq[Any]]): DataFrame = {
+    require(tuples.nonEmpty, "no probe values")
+    if (!isFresh())
+      src.snapshotWhere(tupleMatch(tuples.distinct, i => col(valCols(i))))
+        .select(col(idCol))
+    else lookupTupleIds(tuples).select(col("id").as(idCol))
+  }
+
   /** INDEX-ONLY count: rows asserting any probed value, answered from
     * the postings with ZERO source-table jobs (each source row's column
     * holds one value, so its posting matches at most one probe — the

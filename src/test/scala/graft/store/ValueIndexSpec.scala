@@ -244,6 +244,43 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(touched)
   }
 
+  test("Model: ids-projection findMany routes postings-only; richer shapes hydrate") {
+    import graft.query._
+    val src = freshSrc()
+    src.createMany(rows(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "a"))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    var touched = false
+    val model = new Model(df = () => { touched = true; src.snapshot() },
+      primaryKey = "id",
+      indexIdsSources = Map("v" -> (vs => idx.idsOf(vs))))
+    val out = model.findMany(QueryArgs(
+      where = Some(Field("v", StringF(equals = Some(Some("a"))))),
+      select = Seq("id"), orderBy = Seq(OrderBy("id")), take = Some(2)))
+    assert(out.as[Long].collect().toSeq == Seq(1L, 3L))
+    assert(!touched, "ids projection must not invoke df()")
+    assert(out.inputFiles.forall(_.contains("__vidx_")))
+    // a wider select hydrates
+    assert(model.findMany(QueryArgs(
+      where = Some(Field("v", StringF(equals = Some(Some("a"))))),
+      select = Seq("id", "v"))).count() == 3)
+    assert(touched)
+    // an extra conjunct hydrates too
+    touched = false
+    assert(model.findMany(QueryArgs(
+      where = Some(And(Seq(Field("v", StringF(equals = Some(Some("a")))),
+        Field("id", CmpF(gte = Some(3L)))))),
+      select = Seq("id"))).count() == 2)
+    assert(touched)
+    // staleness: post-refresh rows still surface through the guard
+    src.createMany(rows(5L -> "a"))
+    touched = false
+    assert(model.findMany(QueryArgs(
+      where = Some(Field("v", StringF(equals = Some(Some("a"))))),
+      select = Seq("id"),
+      orderBy = Seq(OrderBy("id")))).as[Long].collect().toSeq
+      == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("open before build fails loudly; open routes like the build") {
     val src = freshSrc()
     assertThrows[IllegalArgumentException] {
