@@ -1983,12 +1983,14 @@ object SparkEntry {
         df = () => src.snapshot(), primaryKey = "doc_id",
         compositeIndexSources = Map(Seq("source", "lang") ->
           (ts => probe.fetchTuples(ts))))
-      // a PREFIX probe (source only) must fall back — no index files
+      // a PREFIX probe (source only) routes too since r16 — buckets
+      // hash the LEADING column, so `where {source}` prunes like a
+      // full-tuple probe (value-checked in q_value_index_prefix)
       val prefix = model.findMany(graft.query.QueryArgs(
         where = Some(graft.query.Field("source",
           graft.query.StringF(equals = Some(Some("src1")))))))
-      require(!prefix.inputFiles.exists(_.contains("__vidx_")),
-        "q_value_index_composite: a prefix probe must NOT route")
+      require(prefix.inputFiles.exists(_.contains("__vidx_")),
+        "q_value_index_composite: a prefix probe must route")
       val out = model.findMany(graft.query.QueryArgs(
         where = Some(graft.query.And(Seq(
           graft.query.Field("source",
@@ -2079,6 +2081,76 @@ object SparkEntry {
           out.inputFiles.forall(_.contains("__vidx_")),
         "q_find_ids_indexed: the read must touch only index posting files")
       out
+    }),
+
+    // COMPOSITE-PREFIX routing (r16): `where {a}` against
+    // `@@index([a, b])` is the single most common secondary-index usage
+    // in Postgres — the btree serves it from the leading prefix, and so
+    // does the value index now that buckets hash the LEADING column.
+    // Full lifecycle (build on 3/4, late inserts, a source-moving
+    // updateMany, refresh — the update must RELOCATE postings across
+    // buckets), then two prefix reads: an ids projection answering from
+    // postings alone (df() tripwire + postings-only plan assert) and a
+    // hydrated findMany through the composite source with a residual
+    // non-routable conjunct re-applied on top. A probe on the NON-
+    // leading column must still fall back (tripwire flips).
+    "q_value_index_prefix" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vidxpfx-q"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("lang", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val idx = graft.store.ValueIndex.build(src, "srclang",
+        Seq("source", "lang"), "doc_id", nBuckets = 8)
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      src.updateMany(graft.query.RawCol(pmod(col("doc_id"), lit(31)) === 0),
+        Map("source" -> lit("src9")))
+      require(idx.refresh().nonEmpty,
+        "q_value_index_prefix: the post-build window must drain")
+      var sourceTouched = false
+      val model = new graft.query.Model(
+        df = () => { sourceTouched = true; src.snapshot() },
+        primaryKey = "doc_id",
+        compositeIndexSources = Map(Seq("source", "lang") ->
+          (ts => idx.fetchTuples(ts))),
+        indexIdsSources = Map("source" ->
+          (vs => idx.idsOfTuples(vs.map(Seq(_))))))
+      val ids = model.findMany(graft.query.QueryArgs(
+        where = Some(graft.query.Field("source",
+          graft.query.StringF(in = Some(Seq("src1", "src9"))))),
+        select = Seq("doc_id"),
+        orderBy = Seq(graft.query.OrderBy("doc_id"))))
+      require(!sourceTouched,
+        "q_value_index_prefix: the ids projection must never invoke df()")
+      require(ids.inputFiles.nonEmpty &&
+          ids.inputFiles.forall(_.contains("__vidx_")),
+        "q_value_index_prefix: the ids read must touch only posting files")
+      val hyd = model.findMany(graft.query.QueryArgs(
+        where = Some(graft.query.And(Seq(
+          graft.query.Field("source",
+            graft.query.StringF(equals = Some(Some("src1")))),
+          graft.query.Field("n_chars",
+            graft.query.CmpF(gte = Some(100L)))))),
+        orderBy = Seq(graft.query.OrderBy("doc_id"))))
+      require(!sourceTouched,
+        "q_value_index_prefix: the hydrated prefix read routes, df() stays cold")
+      require(hyd.inputFiles.exists(_.contains("__vidx_")),
+        "q_value_index_prefix: the hydrated prefix read must route")
+      // non-leading column alone: no prefix, no route — scan fallback
+      val nonLeading = model.findMany(graft.query.QueryArgs(
+        where = Some(graft.query.Field("lang",
+          graft.query.StringF(equals = Some(Some("en")))))))
+      require(sourceTouched && !nonLeading.inputFiles.exists(_.contains("__vidx_")),
+        "q_value_index_prefix: a non-leading probe must fall back to df()")
+      ids.select(col("doc_id"), lit("ids").as("part"))
+        .unionByName(hyd.select(col("doc_id"), lit("hyd").as("part")))
+        .orderBy(col("part"), col("doc_id"))
     }),
 
     // TRAINING the quality head — the half q_quality_classifier assumed
@@ -2387,6 +2459,41 @@ object SparkEntry {
         .select(col("doc_id"), col("p.uri").as("uri"),
           H.htmlText(col("p.body")).as("text_out"))
         .orderBy(col("doc_id"), col("uri"))
+    }),
+
+    // The STREAMING WARC walk as the oracle-gated path (r16): at 100 TB
+    // the crawl front door is Warc.pagesStream — O(one record) heap per
+    // task instead of the expression path's whole-decompressed-archive
+    // materialization — so IT is the walk that must hash-match, not just
+    // spec-test (the same rule that gates q_dup_clusters_dist's
+    // distributed twin). The synthesized corpus lands on disk first as
+    // real multi-member `.warc.gz` files (one per partition — Common
+    // Crawl's own shape: members concatenate, gzip restarts per record
+    // pair), then the bounded-heap walk reads them back through
+    // binaryFile's path listing + the growing-prefix record iterator.
+    // FULL corpus, TWO records per member pair — this restores the
+    // multi-record coverage q_warc_pages halved in r15.
+    "q_warc_stream_walk" -> ((s, dir) => {
+      val W = graft.sources.WarcExpressions
+      val H = graft.functions.HtmlExpressions
+      val out = tempDir("graft-warcstream-q")
+      Tables.documents(s, dir)
+        .select(concat(
+          W.warcSynth(col("doc_id"),
+            H.htmlSynth(col("doc_id"), col("text"))),
+          W.warcSynth(col("doc_id") + 1000000L,
+            H.htmlSynth(col("doc_id"), col("text")))).as("bytes"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val f = new java.io.FileOutputStream(s"$out/part-$pid.warc.gz")
+            try it.foreach(r => f.write(r.getAs[Array[Byte]](0)))
+            finally f.close()
+          }
+        }
+      graft.sources.Warc.pagesStream(s, out)
+        .select(col("uri"), col("text").as("text_out"))
+        .orderBy(col("uri"))
     }),
 
     // URL canonicalization (functions/UrlKernels.scala) — the key a
@@ -6142,6 +6249,37 @@ object SparkEntry {
       WHERE u.doc_id % 2 = 0
       ORDER BY doc_id, uri""",
 
+    // the streaming walk replays the same closed form, full corpus,
+    // keyed by uri (the stream's own output identity)
+    "q_warc_stream_walk" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), par AS (
+        SELECT doc_id, (idx - 1) // 8 AS grp,
+               string_agg(word, ' ' ORDER BY idx) || ' & <tag> M! end' AS ptxt
+        FROM words GROUP BY doc_id, (idx - 1) // 8
+      ), agg AS (
+        SELECT doc_id, string_agg(ptxt, chr(10) ORDER BY grp) AS text_out
+        FROM par GROUP BY doc_id
+      ), u AS (
+        SELECT doc_id,
+               'https://site-' || (doc_id % 97) || '.example/page/'
+                 || doc_id AS uri
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'https://site-' || ((doc_id + 1000000) % 97)
+                 || '.example/page/' || (doc_id + 1000000)
+        FROM documents
+      )
+      SELECT u.uri, coalesce(a.text_out, '') AS text_out
+      FROM u LEFT JOIN agg a USING (doc_id)
+      ORDER BY uri""",
+
     // every normalization rule's expected output, emitted directly
     "q_url_normalize" -> """
       WITH d AS (
@@ -8540,6 +8678,23 @@ object SparkEntry {
       SELECT doc_id FROM documents
       WHERE source IN ('src1', 'src3')
       ORDER BY doc_id""",
+
+    // the two prefix reads over the mutated corpus (doc_id % 31 = 0
+    // rows moved to source 'src9' before the refresh)
+    "q_value_index_prefix" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN 'src9' ELSE source END AS source,
+               lang, n_chars
+        FROM documents
+      )
+      SELECT doc_id, part FROM (
+        SELECT doc_id, 'ids' AS part FROM d
+        WHERE source IN ('src1', 'src9')
+        UNION ALL
+        SELECT doc_id, 'hyd' AS part FROM d
+        WHERE source = 'src1' AND n_chars >= 100
+      ) ORDER BY part, doc_id""",
 
     // the source after the update lattice, filtered by the probed values
     // — the indexed fetch must equal the plain predicate

@@ -116,14 +116,17 @@ final class Model(
       * not recognize simply falls back to the scan. */
     val indexSources: Map[String, Seq[Any] => DataFrame] = Map.empty,
     /** Composite secondary-index sources by column TUPLE — Prisma's
-      * `@@index([a, b])` ([[graft.store.ValueIndex.fetchTuples]]): full
-      * value tuples → hydrated rows. Routing requires a routable
-      * equality/IN conjunct on EVERY column of the tuple (the index's
-      * bucket hash covers the whole tuple, so a leading-prefix probe
-      * cannot prune and provably falls back to the scan — same
+      * `@@index([a, b])` ([[graft.store.ValueIndex.fetchTuples]]): value
+      * tuples → hydrated rows. Routing requires a routable equality/IN
+      * conjunct on a LEADING PREFIX of the tuple's columns (the index's
+      * bucket hash covers the leading column, so `where {a}` on
+      * `@@index([a, b])` prunes exactly like a full-tuple probe — the
+      * Postgres composite-btree rule; the handed tuples carry the
+      * matched prefix's arity). A one-column prefix already served by a
+      * dedicated [[indexSources]] entry routes there instead. Same
       * sourcing-only contract as [[indexSources]]: the full where tree
-      * re-applies afterwards). Probes are the cross product of the
-      * per-column value lists, routed only while it stays small. */
+      * re-applies afterwards. Probes are the cross product of the
+      * prefix columns' value lists, routed only while it stays small. */
     val compositeIndexSources:
       Map[Seq[String], Seq[Seq[Any]] => DataFrame] = Map.empty,
     /** Index-only COUNT sources by column
@@ -184,28 +187,42 @@ final class Model(
     })
   }
 
-  /** A composite index whose EVERY column has a routable conjunct →
-    * the full-tuple probe list (cross product, bounded: a probe set
-    * that explodes past 256 tuples costs more to enumerate than the
-    * scan it replaces, so it falls back). */
+  /** A composite index with routable conjuncts on a LEADING PREFIX of
+    * its columns → the prefix-tuple probe list. Longest matched prefix
+    * wins (a full-tuple match is the maximal case); a one-column prefix
+    * defers to a dedicated single-column index on the same column. The
+    * cross product is bounded: a probe set past 256 tuples costs more
+    * to enumerate than the scan it replaces, so it falls back — and the
+    * bound is checked on the PRODUCT of the per-column value counts
+    * BEFORE enumerating (two 10k-value IN lists must not build ~100M
+    * driver-side tuples just to discover they exceed it). */
   private def compositeProbe(w: Where): Option[(Seq[String], Seq[Seq[Any]])] = {
     if (compositeIndexSources.isEmpty) return None
     val leaves = routableLeaves(w)
-    compositeIndexSources.keys.toSeq.sortBy(-_.size)
-      .collectFirst(Function.unlift { cols =>
-        if (!cols.forall(leaves.contains)) None
+    val candidates = compositeIndexSources.keys.toSeq.flatMap { cols =>
+      val prefix = cols.takeWhile(leaves.contains)
+      if (prefix.isEmpty) None
+      else if (prefix.size == 1 && indexSources.contains(prefix.head)) None
+      else Some((cols, prefix))
+    }
+    candidates.sortBy { case (cols, p) => (-p.size, cols.size) }
+      .collectFirst(Function.unlift { case (cols, prefix) =>
+        val product = prefix.foldLeft(1L) { (acc, c) =>
+          if (acc > 256L) acc else acc * leaves(c).size
+        }
+        if (product == 0L || product > 256L) None
         else {
-          val tuples = cols.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
+          val tuples = prefix.foldLeft(Seq(Seq.empty[Any])) { (acc, c) =>
             acc.flatMap(t => leaves(c).map(v => t :+ v))
           }
-          if (tuples.isEmpty || tuples.size > 256) None else Some((cols, tuples))
+          Some((cols, tuples))
         }
       })
   }
 
-  /** The base frame for a read with `where`: a composite index when
-    * every column of one has a routable conjunct (most columns first),
-    * else a single-column index on the first routable conjunct, else
+  /** The base frame for a read with `where`: a composite index when a
+    * leading prefix of one has routable conjuncts (longest prefix
+    * first), else a single-column index on the first routable conjunct, else
     * the pruned source when one is wired and the where has a prunable
     * scalar prefix, else `df()`. */
   private def source(where: Option[Where]): DataFrame =

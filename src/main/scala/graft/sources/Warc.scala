@@ -72,11 +72,36 @@ object Warc {
       .select(col("path")).as[String]
   }
 
-  /** Opens `p` with a task-completion close hook, so an early-terminated
-    * consumer (limit, take) never leaks the stream. */
-  private def openStream(p: String): java.io.InputStream = {
+  /** The session's Hadoop configuration made executor-shippable —
+    * Spark's own `SerializableConfiguration` is `private[spark]`, so the
+    * write/readFields round-trip is spelled out here. Without this the
+    * streaming walks would open files with a bare `new Configuration()`
+    * and lose every session-configured filesystem (S3A credentials,
+    * custom schemes) that the binaryFile listing resolves fine. */
+  private final class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  private def sessionConf(spark: SparkSession): SerializableHadoopConf =
+    new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+
+  /** Opens `p` under the session's Hadoop conf with a task-completion
+    * close hook, so an early-terminated consumer (limit, take) never
+    * leaks the stream. */
+  private def openStream(p: String, conf: SerializableHadoopConf): java.io.InputStream = {
     val hp = new org.apache.hadoop.fs.Path(p)
-    val in = hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
+    val in = hp.getFileSystem(conf.value).open(hp)
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ =>
         try in.close() catch { case _: Exception => }))
@@ -107,10 +132,11 @@ object Warc {
     * the job, not silently shrink the corpus. */
   def recordsStream(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val conf = sessionConf(spark)
     fileList(spark, path).mapPartitions { paths =>
       paths.flatMap { p =>
         withFileContext(p,
-          WarcStream.records(openStream(p), withBodies = false)
+          WarcStream.records(openStream(p, conf), withBodies = false)
             .map(r => (p, r.pos, r.recType, r.uri, r.httpStatus, r.mime)))
       }
     }.toDF("file", "pos", "rec_type", "uri", "http_status", "mime")
@@ -122,10 +148,11 @@ object Warc {
     * Same throw-on-corruption contract as [[recordsStream]]. */
   def pagesStream(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
+    val conf = sessionConf(spark)
     fileList(spark, path).mapPartitions { paths =>
       paths.flatMap { p =>
         withFileContext(p,
-          WarcStream.records(openStream(p), withBodies = true)
+          WarcStream.records(openStream(p, conf), withBodies = true)
             .filter(r => r.recType == "response" && r.httpStatus >= 0)
             .map { r =>
               val text = graft.functions.HtmlKernels.htmlText(

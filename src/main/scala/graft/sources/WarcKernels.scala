@@ -487,13 +487,28 @@ object WarcKernels {
           (body(2) & 0xff) == 0xbf)
         return UTF8String.fromBytes(body, 3, body.length - 3)
     }
-    val declared = charsetOf(mime) match {
-      case null => sniffMetaCharset(body)
-      case cs   => cs
+    val fromHttp = charsetOf(mime)
+    val declared = fromHttp match {
+      case null =>
+        sniffMetaCharset(body) match {
+          // WHATWG prescan: a META-declared UTF-16 label becomes UTF-8 —
+          // an ASCII byte-walk prescan could never have READ the meta tag
+          // of a document actually encoded in UTF-16
+          case "utf-16" | "utf-16le" | "utf-16be" | "unicode" => "utf-8"
+          case cs => cs
+        }
+      case cs => cs
     }
     declared match {
       case "utf-8" | "utf8" =>
         UTF8String.fromBytes(body)
+      // HTTP-declared UTF-16 family, no BOM (the BOM path returned above).
+      // WHATWG's label table: "utf-16"/"utf-16le"/"unicode" → UTF-16LE,
+      // "utf-16be" → UTF-16BE.
+      case "utf-16" | "utf-16le" | "unicode" =>
+        UTF8String.fromString(new String(body, StandardCharsets.UTF_16LE))
+      case "utf-16be" =>
+        UTF8String.fromString(new String(body, StandardCharsets.UTF_16BE))
       case "iso-8859-1" | "latin1" | "latin-1" | "iso8859-1" | "l1" |
            "us-ascii" | "ascii" | "windows-1252" | "cp1252" | "x-cp1252" =>
         UTF8String.fromString(new String(body, Cp1252))

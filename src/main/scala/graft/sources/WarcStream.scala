@@ -225,13 +225,36 @@ object WarcStream {
         val r = WarcKernels.httpSplit(recType, payload)
         status = r._1; mime = r._2; body = r._3
       } else if (recType == "response") {
-        // hold only the HTTP header prefix; skip the rest of the payload
-        val pfx = math.min(len, HttpPrefix.toLong).toInt
-        val prefix = new Array[Byte](pfx)
+        // hold only the HTTP header prefix; skip the rest of the payload.
+        // An HTTP response whose header block outgrows the initial 64 KB
+        // GROWS the held window (doubling, ≤ MaxHeaderBlock) until the
+        // CRLFCRLF is in view — parity with the expression walk's
+        // full-payload parse, never a silent status=-1. Past the 1 MiB
+        // bound it fails LOUDLY (such a header is corrupt, and a bounded
+        // -heap walk cannot hold it).
+        var pfx = math.min(len, HttpPrefix.toLong).toInt
+        var prefix = new Array[Byte](pfx)
         readFully(prefix, 0, pfx)
+        var he = WarcKernels.crlfCrlfAt(prefix, 0)
+        def isHttp: Boolean = prefix.length >= 7 &&
+          prefix(0) == 'H' && prefix(1) == 'T' && prefix(2) == 'T' &&
+          prefix(3) == 'P' && prefix(4) == '/' && prefix(5) == '1' &&
+          prefix(6) == '.'
+        while (he < 0 && pfx < len && isHttp) {
+          require(pfx < MaxHeaderBlock,
+            "HTTP header block exceeds 1 MiB (listing-walk bound)")
+          val np = math.min(len,
+            math.min(pfx.toLong * 2, MaxHeaderBlock.toLong)).toInt
+          val grown = java.util.Arrays.copyOf(prefix, np)
+          readFully(grown, pfx, np - pfx)
+          prefix = grown
+          // re-search from just before the old boundary: the CRLFCRLF
+          // may straddle it
+          he = WarcKernels.crlfCrlfAt(prefix, math.max(0, pfx - 3))
+          pfx = np
+        }
         skipFully(len - pfx)
         held += pfx
-        val he = WarcKernels.crlfCrlfAt(prefix, 0)
         if (he >= 0) {
           val hh = new String(prefix, 0, he, StandardCharsets.UTF_8)
           val hl = hh.split("\r\n", -1)

@@ -20,15 +20,18 @@ import org.apache.spark.sql.types._
   * secondary index.
   *
   *   - `__vidx_<name>_post` — (value…, id), unique on (value…, id),
-  *     PARTITIONED BY `bucket` (stable xxhash64 of the FULL value tuple
-  *     folded into `nBuckets`): a lookup reads ONLY the slices its
-  *     probe tuples hash into, and a refresh rewrites only the buckets
-  *     its delta's values touch. Single-column indexes keep the column
-  *     name `value`; composite indexes store `v0..v{k-1}`. Because the
-  *     bucket hash covers the WHOLE tuple, a composite index answers
-  *     full-tuple probes only — a leading-prefix probe cannot prune
-  *     buckets and must fall back to the scan (callers: see
-  *     [[graft.query.Model]]'s routing, which does exactly that).
+  *     PARTITIONED BY `bucket` (stable xxhash64 of the LEADING value
+  *     column folded into `nBuckets`): a lookup reads ONLY the slices
+  *     its probe tuples' leading components hash into, and a refresh
+  *     rewrites only the buckets its delta's leading values touch.
+  *     Single-column indexes keep the column name `value`; composite
+  *     indexes store `v0..v{k-1}`. Because the bucket hash covers the
+  *     leading column (r16 — it covered the full tuple before), a
+  *     composite index answers ANY leading-prefix probe with the same
+  *     bucket pruning as a full-tuple probe — exactly Postgres's
+  *     composite-btree prefix locality, and with the same tradeoff:
+  *     bucket spread equals the leading column's value spread, so put
+  *     the higher-cardinality column first when declaring the index.
   *   - `__vidx_<name>_meta` — one row (n_buckets) pinning the fan-out
   *     so a reopened handle routes probes exactly as the build did.
   *
@@ -125,24 +128,36 @@ final class ValueIndex private (
 
   private def tupleOf(values: Seq[Any]): Seq[Seq[Any]] = values.map(Seq(_))
 
-  /** Tuple literals cast to the indexed columns' types. */
-  private def tupleLits(tuples: Seq[Seq[Any]]): Seq[Seq[Column]] =
-    tuples.map { tu =>
-      require(tu.size == valCols.size,
-        s"$name: probe tuple arity ${tu.size} != index arity ${valCols.size}")
-      valCols.indices.map(i =>
-        lit(tu(i)).cast(src.schema(valCols(i)).dataType))
-    }
+  /** Uniform probe arity 1..k — every probe batch is either full tuples
+    * or one fixed leading-prefix length (mixing arities in one probe
+    * would make the OR-of-conjuncts ambiguous). */
+  private def probeArity(tuples: Seq[Seq[Any]]): Int = {
+    val arities = tuples.map(_.size).distinct
+    require(arities.size == 1,
+      s"$name: mixed probe arities ${arities.sorted.mkString(",")}")
+    val k = arities.head
+    require(k >= 1 && k <= valCols.size,
+      s"$name: probe arity $k outside 1..${valCols.size}")
+    k
+  }
+
+  /** Tuple literals cast to the indexed columns' types — full tuples or
+    * a leading prefix (component i always maps to `valCols(i)`). */
+  private def tupleLits(tuples: Seq[Seq[Any]]): Seq[Seq[Column]] = {
+    probeArity(tuples)
+    tuples.map(tu => tu.indices.map(i =>
+      lit(tu(i)).cast(src.schema(valCols(i)).dataType)))
+  }
 
   /** OR-of-conjuncts tuple match over arbitrary columns (`cols(i)` maps
-    * the i-th tuple component to a Column). Single-column probes fold
-    * to one `isin` (a sargable IN the scan pushes down). */
+    * the i-th tuple component to a Column). Single-component probes
+    * fold to one `isin` (a sargable IN the scan pushes down). */
   private def tupleMatch(tuples: Seq[Seq[Any]],
                          cols: Int => Column): Column = {
     val lits = tupleLits(tuples)
-    if (valCols.size == 1) cols(0).isin(lits.map(_.head): _*)
+    if (lits.head.size == 1) cols(0).isin(lits.map(_.head): _*)
     else lits.map(tu =>
-        valCols.indices.map(i => cols(i) === tu(i)).reduce(_ && _))
+        tu.indices.map(i => cols(i) === tu(i)).reduce(_ && _))
       .reduce(_ || _)
   }
 
@@ -153,15 +168,18 @@ final class ValueIndex private (
     * for source-snapshot truth). */
   def lookupIds(values: Seq[Any]): DataFrame = lookupTupleIds(tupleOf(values))
 
-  /** Composite form of [[lookupIds]]: each probe is a FULL value tuple. */
+  /** Composite form of [[lookupIds]]: each probe is a FULL value tuple
+    * or a uniform LEADING PREFIX of one (arity 1..k — the bucket hash
+    * covers only the leading column, so any prefix prunes identically). */
   def lookupTupleIds(tuples: Seq[Seq[Any]]): DataFrame = {
     require(tuples.nonEmpty, "no probe values")
     val probe = tuples.distinct
     val nb = nBuckets()
-    // tuple → bucket through Spark's OWN hash on the indexed TYPES (one
-    // LocalTableScan job) — a driver-side xxhash64 could silently drift
+    // leading component → bucket through Spark's OWN hash on the indexed
+    // TYPE (one LocalTableScan job) — a driver-side xxhash64 could
+    // silently drift
     val hashes = tupleLits(probe).map(tu =>
-      pmod(xxhash64(tu: _*), lit(nb)).cast("int"))
+      pmod(xxhash64(tu.head), lit(nb)).cast("int"))
     val buckets = src.spark.range(1)
       .select(array(hashes: _*).as("bs"))
       .select(explode(col("bs")))
@@ -180,7 +198,8 @@ final class ValueIndex private (
     * than returning silent false negatives. */
   def fetch(values: Seq[Any]): DataFrame = fetchTuples(tupleOf(values))
 
-  /** Composite form of [[fetch]]: each probe is a FULL value tuple. */
+  /** Composite form of [[fetch]]: each probe is a full value tuple or a
+    * uniform leading prefix (see [[lookupTupleIds]]). */
   def fetchTuples(tuples: Seq[Seq[Any]]): DataFrame = {
     require(tuples.nonEmpty, "no probe values")
     if (!isFresh())
@@ -198,7 +217,8 @@ final class ValueIndex private (
     * [[graft.query.Model]]'s ids-projection findMany routing. */
   def idsOf(values: Seq[Any]): DataFrame = idsOfTuples(tupleOf(values))
 
-  /** Composite form of [[idsOf]]. */
+  /** Composite form of [[idsOf]] — full tuples or a uniform leading
+    * prefix (see [[lookupTupleIds]]). */
   def idsOfTuples(tuples: Seq[Seq[Any]]): DataFrame = {
     require(tuples.nonEmpty, "no probe values")
     if (!isFresh())
@@ -214,7 +234,10 @@ final class ValueIndex private (
     * scan when stale, like [[fetch]]. */
   def countIds(values: Seq[Any]): Long = countTupleIds(tupleOf(values))
 
-  /** Composite form of [[countIds]]. */
+  /** Composite form of [[countIds]] — full tuples or a uniform leading
+    * prefix: distinct same-arity prefixes are disjoint predicates, so a
+    * posting row matches at most one probe and the posting count stays
+    * the exact row count. */
   def countTupleIds(tuples: Seq[Seq[Any]]): Long = {
     require(tuples.nonEmpty, "no probe values")
     if (!isFresh())
@@ -246,13 +269,14 @@ object ValueIndex {
         col(idCol).as("id"): _*)
   }
 
-  /** Stable tuple→slice routing (the [[Bm25Index.bucketed]] idea on the
-    * raw value tuple): the same tuple lands in the same bucket across
-    * builds and refreshes. */
+  /** Stable value→slice routing (the [[Bm25Index.bucketed]] idea on the
+    * LEADING value column): the same leading value lands in the same
+    * bucket across builds and refreshes, so full-tuple AND leading-
+    * prefix probes both prune to exactly their buckets. */
   private[store] def bucketed(posts: DataFrame, valCols: Seq[String],
                               nBuckets: Int): DataFrame =
     posts.withColumn("bucket",
-      pmod(xxhash64(vnames(valCols).map(col): _*), lit(nBuckets)).cast("int"))
+      pmod(xxhash64(col(vnames(valCols).head)), lit(nBuckets)).cast("int"))
 
   private def postTable(src: GraftTable, name: String, valCols: Seq[String],
                         idCol: String): GraftTable = {
@@ -276,8 +300,9 @@ object ValueIndex {
     build(src, name, Seq(valCol), idCol, nBuckets)
 
   /** Composite build — Prisma's `@@index([a, b])`. The bucket hash
-    * covers the full tuple, so the index answers full-tuple probes;
-    * prefix probes fall back to the scan by design. */
+    * covers the LEADING column, so the index answers full-tuple probes
+    * and any leading-prefix probe with identical bucket pruning; order
+    * the higher-cardinality column first for bucket spread. */
   def build(src: GraftTable, name: String, valCols: Seq[String],
             idCol: String, nBuckets: Int): ValueIndex = {
     require(nBuckets >= 1, s"nBuckets $nBuckets must be positive")

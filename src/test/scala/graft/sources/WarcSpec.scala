@@ -159,6 +159,23 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
         .getBytes("UTF-8")) == "windows-1252")
   }
 
+  test("UTF-16 labels: HTTP-declared decodes, meta-declared folds to UTF-8") {
+    import java.nio.charset.StandardCharsets._
+    // HTTP-declared, NO BOM: WHATWG's label table — utf-16/utf-16le → LE,
+    // utf-16be → BE
+    assert(WarcKernels.bodyText("héllo €".getBytes(UTF_16LE),
+      "text/html; charset=utf-16").toString == "héllo €")
+    assert(WarcKernels.bodyText("héllo €".getBytes(UTF_16LE),
+      "text/html; charset=UTF-16LE").toString == "héllo €")
+    assert(WarcKernels.bodyText("héllo €".getBytes(UTF_16BE),
+      "text/html; charset=utf-16be").toString == "héllo €")
+    // META-declared utf-16 is a lie by construction (an ASCII prescan
+    // read it) — WHATWG folds it to UTF-8
+    val metaLie = "<meta charset=\"utf-16\"><p>naïve é</p>".getBytes("UTF-8")
+    assert(WarcKernels.bodyText(metaLie, null).toString
+      == "<meta charset=\"utf-16\"><p>naïve é</p>")
+  }
+
   test("BOM wins over any declared label and never reaches the text") {
     def utf16le(s: String): Array[Byte] =
       Array[Byte](0xff.toByte, 0xfe.toByte) ++

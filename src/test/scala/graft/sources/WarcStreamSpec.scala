@@ -54,9 +54,12 @@ class WarcStreamSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("heap high-water mark is O(record), never O(archive)") {
-    // 512 response records x 128 KB bodies = 64 MB decompressed
+    // 2048 response records x 128 KB bodies = 256 MB decompressed — a
+    // multi-hundred-MB archive, the Common Crawl member scale the
+    // bounded-heap contract is FOR (the repeated-'a' bodies keep the
+    // on-disk gz small; the walk still decompresses every byte)
     val out = new ByteArrayOutputStream(1 << 20)
-    (0 until 512).foreach(i => out.write(gz(responseRecord(i, 128 * 1024))))
+    (0 until 2048).foreach(i => out.write(gz(responseRecord(i, 128 * 1024))))
     val archive = out.toByteArray
     val dir = Files.createTempDirectory("graft-warc-stream")
     val f = Paths.get(dir.toString, "big.warc.gz")
@@ -67,21 +70,67 @@ class WarcStreamSpec extends AnyFunSuite with SparkTestBase {
     val lst = new FileInputStream(f.toFile)
     try {
       val it = WarcStream.records(lst, withBodies = false)
-      assert(it.size == 512)
+      assert(it.size == 2048)
       assert(it.maxHeldBytes < 80 * 1024,
         s"listing held ${it.maxHeldBytes} bytes — payloads must skip")
     } finally lst.close()
 
-    // page mode: held = one record (~128 KB), never the 64 MB archive
+    // page mode: held = one record (~128 KB), never the 256 MB archive
     val pg = new FileInputStream(f.toFile)
     try {
       val it = WarcStream.records(pg, withBodies = true)
       var n = 0
       it.foreach { r => n += 1; assert(r.body.length == 128 * 1024) }
-      assert(n == 512)
+      assert(n == 2048)
       assert(it.maxHeldBytes < 256 * 1024,
         s"page walk held ${it.maxHeldBytes} bytes — one record at a time")
     } finally pg.close()
+  }
+
+  test("listing mode grows past 64 KB header blocks — expression parity") {
+    // an HTTP header block of ~100 KB (one fat header line): listing
+    // mode must GROW its held prefix and parse status/mime exactly like
+    // the expression walk, never silently yield status=-1
+    val fat = "x" * (100 * 1024)
+    val body = "tiny"
+    val http = (s"HTTP/1.1 203 OK\r\nContent-Type: text/fat\r\n" +
+      s"X-Fat: $fat\r\n\r\n$body").getBytes("UTF-8")
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://x.example/fat\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes("UTF-8") ++
+      http ++ "\r\n\r\n".getBytes("UTF-8")
+    val got = WarcStream.records(
+      new ByteArrayInputStream(gz(rec)), withBodies = false).toSeq
+    val want = WarcKernels.parse(gz(rec))
+    assert(got.size == 1 && want.size == 1)
+    assert(got.head.httpStatus == 203 && got.head.mime == "text/fat")
+    assert(got.head.httpStatus == want.head.httpStatus &&
+      got.head.mime == want.head.mime)
+    // a non-HTTP payload bigger than the prefix must NOT grow (parity:
+    // the expression walk passes it through as status=-1)
+    val blob = ("not http " * (20 * 1024)).getBytes("UTF-8")
+    val rec2 = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://x.example/blob\r\n" +
+      s"Content-Length: ${blob.length}\r\n\r\n").getBytes("UTF-8") ++
+      blob ++ "\r\n\r\n".getBytes("UTF-8")
+    val it2 = WarcStream.records(
+      new ByteArrayInputStream(gz(rec2)), withBodies = false)
+    val got2 = it2.toSeq
+    assert(got2.head.httpStatus == -1 && got2.head.mime == null)
+    assert(it2.maxHeldBytes < 80 * 1024,
+      s"non-HTTP payload grew the prefix: ${it2.maxHeldBytes}")
+    // an HTTP header block with NO terminator past the 1 MiB bound
+    // fails loudly (corrupt), never a silent -1
+    val huge = ("HTTP/1.1 200 OK\r\nX-H: " + "y" * (2 * 1024 * 1024))
+      .getBytes("UTF-8")
+    val rec3 = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: https://x.example/huge\r\n" +
+      s"Content-Length: ${huge.length}\r\n\r\n").getBytes("UTF-8") ++
+      huge ++ "\r\n\r\n".getBytes("UTF-8")
+    assertThrows[Exception] {
+      WarcStream.records(new ByteArrayInputStream(gz(rec3)),
+        withBodies = false).toSeq
+    }
   }
 
   test("strict gunzip: CRC damage and trailing garbage throw, never truncate") {

@@ -162,11 +162,22 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(idx.fetchTuples(Seq(Seq("x", 10L))).select($"id").as[Long]
       .collect().toSet == Set(1L, 4L))
     assert(idx.countTupleIds(Seq(Seq("x", 10L), Seq("y", 10L))) == 3L)
-    // the composite bucket hash covers the whole tuple: a one-tuple
+    // the composite bucket hash covers the LEADING column: a one-tuple
     // probe still reads exactly one bucket partition
     val files = idx.lookupTupleIds(Seq(Seq("x", 10L))).inputFiles
     val buckets = files.map(_.replaceAll(".*/bucket=([0-9]+)/.*", "$1")).distinct
     assert(files.nonEmpty && buckets.length == 1, buckets.toSeq)
+    // …and a LEADING-PREFIX probe prunes to the same single bucket
+    val pfiles = idx.lookupTupleIds(Seq(Seq("x"))).inputFiles
+    val pbuckets =
+      pfiles.map(_.replaceAll(".*/bucket=([0-9]+)/.*", "$1")).distinct
+    assert(pfiles.nonEmpty && pbuckets.sameElements(buckets), pbuckets.toSeq)
+    // prefix probes: ids, hydrate, count
+    assert(idx.idsOfTuples(Seq(Seq("x"))).as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    assert(idx.fetchTuples(Seq(Seq("y"))).select($"id").as[Long]
+      .collect().toSet == Set(3L))
+    assert(idx.countTupleIds(Seq(Seq("x"), Seq("y"))) == 4L)
     // refresh: moves, inserts, deletes on the tuple
     src.createMany(Seq((6L, "y", 20L)).toDF("id", "a", "b"))
     src.updateMany(graft.query.RawCol($"id" === 1L), Map("b" -> lit(30L)))
@@ -176,15 +187,18 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
       .collect().toSet == Set(4L))
     assert(idx.lookupTupleIds(Seq(Seq("x", 30L))).select($"id").as[Long]
       .collect().toSet == Set(1L))
-    // wrong arity fails loudly
+    // over-arity and mixed-arity probes fail loudly
     assertThrows[IllegalArgumentException] {
-      idx.lookupTupleIds(Seq(Seq("x")))
+      idx.lookupTupleIds(Seq(Seq("x", 10L, 99L)))
+    }
+    assertThrows[IllegalArgumentException] {
+      idx.lookupTupleIds(Seq(Seq("x"), Seq("x", 10L)))
     }
     // single-col accessor refuses on a composite index
     assertThrows[IllegalArgumentException] { idx.valCol }
   }
 
-  test("Model: composite routing needs every column; prefix falls back") {
+  test("Model: composite routing serves leading prefixes; non-leading falls back") {
     import graft.query._
     val cat = new Catalog(
       Files.createTempDirectory("graft-vidx-spec").toString)
@@ -207,11 +221,18 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     // both columns routable → routes (cross product of IN lists)
     assert(routed(And(Seq(Field("a", StringF(equals = Some(Some("x")))),
       Field("b", StringF(in = Some(Seq("p", "q"))))))))
-    // prefix (a only) → falls back: the tuple hash can't prune on it
-    assert(!routed(Field("a", StringF(equals = Some(Some("x"))))))
-    // a non-routable leaf on b (range) blocks the composite
-    assert(!routed(And(Seq(Field("a", StringF(equals = Some(Some("x")))),
-      Field("b", StringF(gte = Some("p")))))))
+    // a LEADING-prefix probe (a only) routes too — r16 bucketing
+    assert(routed(Field("a", StringF(equals = Some(Some("x"))))))
+    // a non-routable leaf on b (range) demotes to the [a] prefix, which
+    // still routes; the range re-applies on top
+    val ranged = model.findMany(QueryArgs(
+      where = Some(And(Seq(Field("a", StringF(equals = Some(Some("x")))),
+        Field("b", StringF(gte = Some("q")))))),
+      orderBy = Seq(OrderBy("id"))))
+    assert(ranged.inputFiles.exists(_.contains("__vidx_")))
+    assert(ranged.select($"id").as[Long].collect().toSeq == Seq(2L))
+    // a NON-LEADING column alone (b) has no prefix → falls back
+    assert(!routed(Field("b", StringF(equals = Some(Some("p"))))))
     // the routed read still applies the full tree
     val got = model.findMany(QueryArgs(
       where = Some(And(Seq(Field("a", StringF(equals = Some(Some("x")))),
@@ -219,6 +240,15 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
         Field("id", CmpF(gte = Some(2L)))))),
       orderBy = Seq(OrderBy("id")))).select($"id").as[Long].collect().toSeq
     assert(got == Seq(2L))
+    // prefix length 1 defers to a DEDICATED single-column index on `a`
+    val single = ValueIndex.build(src, "aonly", Seq("a"), "id", nBuckets = 4)
+    val both = new Model(df = () => src.snapshot(), primaryKey = "id",
+      indexSources = Map("a" -> (vs => single.fetch(vs))),
+      compositeIndexSources = Map(Seq("a", "b") ->
+        (ts => idx.fetchTuples(ts))))
+    val viaSingle = both.findMany(QueryArgs(
+      where = Some(Field("a", StringF(equals = Some(Some("x")))))))
+    assert(viaSingle.inputFiles.exists(_.contains("__vidx_aonly_")))
   }
 
   test("Model: index-only count never plans the source; residuals hydrate") {
