@@ -2153,6 +2153,73 @@ object SparkEntry {
         .orderBy(col("part"), col("doc_id"))
     }),
 
+    // INDEX-ONLY groupBy (r16): `groupBy(source)._count` on an indexed
+    // column is a postings-only aggregation — at 100 TB a per-value
+    // census is a question the index already holds, and hydrating the
+    // corpus to count it is a corpus-priced no-op. NULLs are the trap:
+    // the postings don't index them, so the index carries the NULL
+    // group's count in its meta row, maintained across refreshes — this
+    // gate plants nulls BOTH at ingest (build must count them) and via
+    // a post-build updateMany that MOVES values to NULL (refresh must
+    // transfer posting rows into the meta count). Three reads: the
+    // unrestricted census (must include the NULL group), a probed
+    // groupBy (equality never selects NULL), and a residual-conjunct
+    // variant that must hydrate through df() (tripwire flips).
+    "q_group_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val cat = new graft.store.Catalog(tempDir("graft-vidxgrp-q"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0, lit(null))
+            .otherwise(col("source")).as("source"),
+          col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("source", StringType, nullable = true),
+        StructField("n_chars", LongType, nullable = true))),
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val idx = graft.store.ValueIndex.build(src, "bysrc", "source",
+        "doc_id", nBuckets = 8)
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      src.updateMany(graft.query.RawCol(pmod(col("doc_id"), lit(31)) === 0),
+        Map("source" -> lit(null).cast("string")))
+      require(idx.refresh().nonEmpty,
+        "q_group_indexed: the post-build window must drain")
+      var sourceTouched = false
+      val model = new graft.query.Model(
+        df = () => { sourceTouched = true; src.snapshot() },
+        primaryKey = "doc_id",
+        indexGroupSources = Map("source" -> (p => idx.groupCounts(p))))
+      val spec = graft.query.AggSpec(countAll = true)
+      val all = model.groupBy(Seq("source"), spec)
+      require(!sourceTouched,
+        "q_group_indexed: the unrestricted census must never invoke df()")
+      require(all.inputFiles.nonEmpty &&
+          all.inputFiles.forall(_.contains("__vidx_")),
+        "q_group_indexed: the census must touch only index posting files")
+      val probed = model.groupBy(Seq("source"), spec,
+        where = Some(graft.query.Field("source",
+          graft.query.StringF(in = Some(Seq("src1", "src2"))))))
+      require(!sourceTouched,
+        "q_group_indexed: the probed groupBy must never invoke df()")
+      // a residual conjunct (n_chars) forces the hydrated plan
+      val hyd = model.groupBy(Seq("source"), spec,
+        where = Some(graft.query.And(Seq(
+          graft.query.Field("source",
+            graft.query.StringF(in = Some(Seq("src1", "src2")))),
+          graft.query.Field("n_chars",
+            graft.query.CmpF(gte = Some(100L)))))))
+      require(sourceTouched,
+        "q_group_indexed: a residual conjunct must hydrate through df()")
+      all.select(col("source"), col("_count_all"), lit("all").as("part"))
+        .unionByName(probed.select(col("source"), col("_count_all"),
+          lit("in").as("part")))
+        .unionByName(hyd.select(col("source"), col("_count_all"),
+          lit("hyd").as("part")))
+        .orderBy(col("part"), col("source").asc_nulls_first)
+    }),
+
     // TRAINING the quality head — the half q_quality_classifier assumed
     // away (it scores an exported model; this one produces it). Logistic
     // regression by full-batch gradient descent over the same hashed
@@ -8695,6 +8762,27 @@ object SparkEntry {
         SELECT doc_id, 'hyd' AS part FROM d
         WHERE source = 'src1' AND n_chars >= 100
       ) ORDER BY part, doc_id""",
+
+    // the three groupBy reads over the null-planted corpus (% 13 nulls
+    // at ingest, % 31 moved to NULL before the refresh)
+    "q_group_indexed" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 THEN NULL
+                    ELSE source END AS source,
+               n_chars
+        FROM documents
+      )
+      SELECT source, _count_all, part FROM (
+        SELECT source, count(*) AS _count_all, 'all' AS part FROM d
+        GROUP BY source
+        UNION ALL
+        SELECT source, count(*) AS _count_all, 'in' AS part FROM d
+        WHERE source IN ('src1', 'src2') GROUP BY source
+        UNION ALL
+        SELECT source, count(*) AS _count_all, 'hyd' AS part FROM d
+        WHERE source IN ('src1', 'src2') AND n_chars >= 100 GROUP BY source
+      ) ORDER BY part, source NULLS FIRST""",
 
     // the source after the update lattice, filtered by the probed values
     // — the indexed fetch must equal the plain predicate

@@ -144,7 +144,18 @@ final class Model(
       * Routing also requires no cursor/distinct/include/omit and an
       * orderBy that is at most the primary key — anything else needs
       * the hydrated row. */
-    val indexIdsSources: Map[String, Seq[Any] => DataFrame] = Map.empty) {
+    val indexIdsSources: Map[String, Seq[Any] => DataFrame] = Map.empty,
+    /** Index-only GROUP-BY sources by column
+      * ([[graft.store.ValueIndex.groupCounts]] — the returned frame is
+      * (<column>, n)): a `groupBy(col)` whose only aggregate is
+      * `_count(_all)` and whose where tree is empty or one routable
+      * equality/IN leaf on the SAME column answers from the postings
+      * with zero source-table jobs — `df()` is never invoked. The
+      * unrestricted form includes the NULL group (the index carries its
+      * count in meta); a probed form can't select NULL by SQL equality,
+      * exactly like the hydrated plan. */
+    val indexGroupSources:
+      Map[String, Option[Seq[Any]] => DataFrame] = Map.empty) {
 
   /** The probe values of a leaf that is EXACTLY equality or IN —
     * anything richer (ranges, negation, insensitive mode, recursive
@@ -602,6 +613,32 @@ final class Model(
       if (a == "key" && !by.contains(f))
         throw new IllegalArgumentException(
           s"having: field $f is not in the groupBy keys; use an aggregate")
+    }
+    // INDEX-ONLY groupBy: `groupBy(col)._count` on a group-indexed
+    // column with an empty-or-one-routable-leaf where answers from the
+    // postings aggregation (plus the meta-carried NULL group when
+    // unrestricted); df() never invoked. Having is excluded — it may
+    // reference aggregates only the hydrated row can compute.
+    if (by.size == 1 && indexGroupSources.contains(by.head) &&
+        spec.countAll && spec.count.isEmpty && spec.min.isEmpty &&
+        spec.max.isEmpty && spec.sum.isEmpty && spec.avg.isEmpty &&
+        having.isEmpty && havingTyped.isEmpty) {
+      val probe: Option[Option[Seq[Any]]] = where match {
+        case None => Some(None)
+        case Some(w) => conjuncts(w) match {
+          case Seq(Field(n, f)) if n == by.head =>
+            probeValues(f).map(vs => Some(vs))
+          case _ => None
+        }
+      }
+      probe.foreach { p =>
+        var cur = indexGroupSources(by.head)(p)
+          .withColumnRenamed("n", "_count_all")
+        if (orderBy.nonEmpty) cur = cur.orderBy(orderBy.map(_.column): _*)
+        skip.foreach(n => cur = cur.offset(n))
+        take.foreach(n => cur = cur.limit(n))
+        return cur
+      }
     }
     val hiddenKeys = havingTyped.toSeq.flatMap(HavingW.leaves).distinct
       .filterNot { case (_, a) => a == "key" }

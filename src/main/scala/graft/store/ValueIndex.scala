@@ -90,6 +90,14 @@ final class ValueIndex private (
     r(0).getAs[Int]("n_buckets")
   }
 
+  /** Rows whose value tuple has any null component (unindexed; the
+    * index-only groupBy's NULL group) — same bounded meta read. */
+  def nullCount(): Long = {
+    val r = meta.snapshot().collect()
+    require(r.length == 1, s"${meta.name}: no persisted meta — build first")
+    r(0).getAs[Long]("null_count")
+  }
+
   /** Source commit id the postings are current through. */
   def currentThrough(): Long = CdfTail.cursor(src, consumerId)
 
@@ -122,6 +130,18 @@ final class ValueIndex private (
       txn.applyChanges(post,
         newPosts.withColumn("_change_type", lit("insert"))
           .unionByName(oldPosts.withColumn("_change_type", lit("delete"))))
+      // carry the NULL-group count across the window: any-null tuples
+      // never reach the postings, so their arrivals/departures adjust
+      // the meta row instead (one bounded agg over the checkpointed
+      // delta, one single-row staged update — same txn, crash-safe)
+      val anyNull = valCols.map(col(_).isNull).reduce(_ || _)
+      val d = chk.filter(anyNull).agg(
+        sum(when(col("_change_type").isin("insert", "update_postimage"),
+          1L).otherwise(-1L)).as("d")).collect()(0)
+      val delta = if (d.isNullAt(0)) 0L else d.getLong(0)
+      if (delta != 0L)
+        txn.updateMany(meta, graft.query.RawCol(col("mid") === 0),
+          Map("null_count" -> (col("null_count") + lit(delta))))
       ()
     }
   }
@@ -234,6 +254,42 @@ final class ValueIndex private (
     * scan when stale, like [[fetch]]. */
   def countIds(values: Seq[Any]): Long = countTupleIds(tupleOf(values))
 
+  /** INDEX-ONLY groupBy: one row per distinct indexed value with its
+    * row count, answered from the postings with zero source-table jobs
+    * when fresh. `values = Some(vs)` restricts to the probed values
+    * (bucket-pruned — equality never selects NULL, so no NULL group);
+    * `values = None` is the unrestricted groupBy: the full postings
+    * aggregation PLUS the NULL group from the meta-carried
+    * [[nullCount]] (null tuples are unindexed). Single-column indexes
+    * only — a composite prefix groupBy would mis-group rows whose
+    * non-leading components are null (unindexed) while the leading one
+    * isn't. Output: (<valCol>, n). Falls back to the source scan when
+    * stale, like [[fetch]]. */
+  def groupCounts(values: Option[Seq[Any]]): DataFrame = {
+    require(valCols.size == 1,
+      s"$name: index-only groupCounts needs a single-column index")
+    val vc = valCol
+    def scan(): DataFrame = {
+      val base = values.map(vs =>
+        src.snapshotWhere(tupleMatch(tupleOf(vs.distinct),
+          i => col(valCols(i))))).getOrElse(src.snapshot())
+      base.groupBy(col(vc)).agg(count(lit(1)).as("n"))
+    }
+    if (!isFresh()) scan()
+    else values match {
+      case Some(vs) =>
+        lookupTupleIds(tupleOf(vs)).select(col("value").as(vc))
+          .groupBy(col(vc)).agg(count(lit(1)).as("n"))
+      case None =>
+        val grouped = post.snapshot().select(col("value").as(vc))
+          .groupBy(col(vc)).agg(count(lit(1)).as("n"))
+        val nc = nullCount()
+        if (nc == 0L) grouped
+        else grouped.unionByName(src.spark.range(1).select(
+          lit(null).cast(src.schema(vc).dataType).as(vc), lit(nc).as("n")))
+    }
+  }
+
   /** Composite form of [[countIds]] — full tuples or a uniform leading
     * prefix: distinct same-arity prefixes are disjoint predicates, so a
     * posting row matches at most one probe and the posting count stays
@@ -257,7 +313,11 @@ object ValueIndex {
 
   private def metaSchema = StructType(Seq(
     StructField("mid", IntegerType, nullable = false),
-    StructField("n_buckets", IntegerType, nullable = false)))
+    StructField("n_buckets", IntegerType, nullable = false),
+    // rows whose value tuple has ANY null component — unindexed by
+    // postingsOf, but the index-only groupBy must still emit the NULL
+    // group, so their COUNT is carried here and maintained per refresh
+    StructField("null_count", LongType, nullable = false)))
 
   /** (value…, id) rows of the delta — tuples with any NULL component
     * are not indexed. */
@@ -311,12 +371,14 @@ object ValueIndex {
     val snap = src.snapshotAt(c0)
     val post = postTable(src, name, valCols, idCol)
     val meta = metaTable(src, name)
+    val nullCnt =
+      snap.filter(valCols.map(col(_).isNull).reduce(_ || _)).count()
     val txn = new Txn(src.catalog)
     txn.createMany(post,
       bucketed(postingsOf(snap, valCols, idCol), valCols, nBuckets),
       skipDuplicates = false)
     txn.createMany(meta, src.spark.createDataFrame(
-      java.util.Arrays.asList(Row(0, nBuckets)), metaSchema),
+      java.util.Arrays.asList(Row(0, nBuckets, nullCnt)), metaSchema),
       skipDuplicates = false)
     txn.recordStreamBatch(src, s"cdf:vidx:$name", c0,
       src.catalog.manifest().get(Catalog.StreamTable))

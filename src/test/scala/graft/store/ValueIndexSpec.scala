@@ -56,6 +56,37 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
       fresh.exceptAll(idx.post.snapshot()).isEmpty)
   }
 
+  test("groupCounts: postings-only census incl. NULL group, maintained") {
+    import graft.query.RawCol
+    val src = freshSrc()
+    src.createMany(rows(1L -> "a", 2L -> "b", 3L -> "a", 4L -> null))
+    val idx = ValueIndex.build(src, "v1", "v", "id", nBuckets = 4)
+    assert(idx.nullCount() == 1L) // counted at build
+    def census(): Map[Option[String], Long] =
+      idx.groupCounts(None).collect()
+        .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(census() == Map(Some("a") -> 2L, Some("b") -> 1L, None -> 1L))
+    // probed form: equality never selects NULL
+    assert(idx.groupCounts(Some(Seq("a", "b"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 2L, "b" -> 1L))
+    // refresh transfers: value→NULL move, NULL→value move, null insert,
+    // null delete
+    src.updateMany(RawCol($"id" === 1L),
+      Map("v" -> lit(null).cast("string")))           // a → NULL
+    src.updateMany(RawCol($"id" === 4L), Map("v" -> lit("b"))) // NULL → b
+    src.createMany(rows(5L -> null, 6L -> "c"))
+    src.deleteMany(RawCol($"id" === 5L))
+    assert(idx.refresh().nonEmpty)
+    assert(idx.nullCount() == 1L) // +1 (id1) +1 (id5) −1 (id4) −1 (id5)
+    assert(census() ==
+      Map(Some("a") -> 1L, Some("b") -> 2L, Some("c") -> 1L, None -> 1L))
+    // equals the hydrated groupBy exactly
+    val want = src.snapshot().groupBy($"v").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(census() == want)
+  }
+
   test("NULL values are not indexed; equality probes never see them") {
     val src = freshSrc()
     src.createMany(Seq((1L, "a"), (2L, null.asInstanceOf[String]))
