@@ -2563,6 +2563,37 @@ object SparkEntry {
         .orderBy(col("uri"))
     }),
 
+    // CJK-aware tokenization (r16): unsegmented scripts carry no spaces,
+    // so the letter-run tokenizer made an entire Chinese/Japanese
+    // sentence ONE token — BM25 idf, minhash shingles, and n-gram
+    // quality all silently degraded on non-segmented languages. The
+    // kernel now emits each Han/kana code point as its own token
+    // (character unigrams, the standard IR baseline). The planted corpus
+    // mixes Latin runs, doc-id-indexed Han + Hiragana code points, a
+    // digit run, and an Ext-B surrogate-pair ideograph; the oracle
+    // REPLAYS the segmentation position by position (the q_bpe_train
+    // generated-CTE pattern), so a boundary slip anywhere —
+    // run-not-flushed, surrogate split, wrong range — hash-mismatches.
+    "q_cjk_tokens" -> ((s, dir) => {
+      def cps(from: Int, n: Int) = array((0 until n).map(i =>
+        lit(new String(Character.toChars(from + i)))): _*)
+      val c1 = element_at(cps(0x4E00, 16),
+        (pmod(col("doc_id"), lit(16)) + 1).cast("int"))
+      val c2 = element_at(cps(0x4E10, 8),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
+      val k = element_at(cps(0x3042, 10),
+        (pmod(col("doc_id"), lit(10)) + 1).cast("int"))
+      val extB = lit(new String(Character.toChars(0x20000)))
+      val text = concat(lit("Alpha"), c1, c2, lit(" bravo"), k,
+        lit("7 "), c1, extB)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.tokens(text)))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col").as("token"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // URL canonicalization (functions/UrlKernels.scala) — the key a
     // crawl pipeline dedups on (RefinedWeb drops a double-digit share of
     // CC by URL alone). RFC 3986 §6.2 syntax subset, every rule planted
@@ -6346,6 +6377,30 @@ object SparkEntry {
       SELECT u.uri, coalesce(a.text_out, '') AS text_out
       FROM u LEFT JOIN agg a USING (doc_id)
       ORDER BY uri""",
+
+    // replay the CJK segmentation position by position: Latin runs
+    // lowercase and flush at script boundaries, each Han/kana/Ext-B
+    // code point is its own token
+    "q_cjk_tokens" -> """
+      WITH d AS (
+        SELECT doc_id,
+               chr(CAST(19968 + doc_id % 16 AS INT)) AS c1,
+               chr(CAST(19984 + doc_id % 8 AS INT)) AS c2,
+               chr(CAST(12354 + doc_id % 10 AS INT)) AS k,
+               chr(131072) AS eb
+        FROM documents
+      ), t AS (
+        SELECT doc_id, 1 AS idx, 'alpha' AS token FROM d
+        UNION ALL SELECT doc_id, 2, c1 FROM d
+        UNION ALL SELECT doc_id, 3, c2 FROM d
+        UNION ALL SELECT doc_id, 4, 'bravo' FROM d
+        UNION ALL SELECT doc_id, 5, k FROM d
+        UNION ALL SELECT doc_id, 6, '7' FROM d
+        UNION ALL SELECT doc_id, 7, c1 FROM d
+        UNION ALL SELECT doc_id, 8, eb FROM d
+      )
+      SELECT doc_id, CAST(idx AS BIGINT) AS idx, token FROM t
+      ORDER BY doc_id, idx""",
 
     // every normalization rule's expected output, emitted directly
     "q_url_normalize" -> """

@@ -90,12 +90,33 @@ object SketchKernels {
         t == Character.OTHER_NUMBER
     }
 
-  /** Drop-in for `filter(split(s, "[^\\p{L}\\p{N}]+"), length(t) > 0)`:
-    * every maximal run of letter/number code points, in order. The regex
-    * split allocates a matcher + empty-string artifacts per row and (being
-    * driven through an interpreted higher-order `filter`) breaks
-    * whole-stage codegen; this is one compiled scan. Property-tested
-    * equivalent to the regex form (TokenizeSpec). */
+  /** CJK code points that tokenize PER CODE POINT (r16): Han ideographs
+    * (Unified + Ext A, Ext B–F, Compatibility) plus Hiragana/Katakana.
+    * Unsegmented scripts carry no spaces, so a run tokenizer would make
+    * an entire Chinese/Japanese sentence ONE token and silently degrade
+    * BM25/dedup/n-gram quality on multilingual corpora; per-ideograph
+    * tokens (character unigrams — the standard IR baseline for CJK,
+    * cf. Lucene's CJK handling) restore meaningful term statistics and
+    * make shingles character n-grams. Hangul stays run-based: Korean
+    * text IS space-segmented. The leading `>= 0x3040` test keeps the
+    * ASCII/Latin hot path at one compare. */
+  private def isCjkChar(cp: Int): Boolean =
+    cp >= 0x3040 && (
+      cp <= 0x30FF ||                      // Hiragana + Katakana
+      (cp >= 0x31F0 && cp <= 0x31FF) ||    // Katakana Phonetic Extensions
+      (cp >= 0x3400 && cp <= 0x4DBF) ||    // CJK Ext A
+      (cp >= 0x4E00 && cp <= 0x9FFF) ||    // CJK Unified Ideographs
+      (cp >= 0xF900 && cp <= 0xFAFF) ||    // CJK Compatibility Ideographs
+      (cp >= 0x20000 && cp <= 0x2EBEF))    // CJK Ext B–F
+
+  /** Drop-in for `filter(split(s, "[^\\p{L}\\p{N}]+"), length(t) > 0)`
+    * EXTENDED with per-code-point CJK emission ([[isCjkChar]]): every
+    * maximal run of non-CJK letter/number code points, in order, with
+    * each CJK code point its own token. The regex split allocates a
+    * matcher + empty-string artifacts per row and (being driven through
+    * an interpreted higher-order `filter`) breaks whole-stage codegen;
+    * this is one compiled scan. Property-tested equivalent to the
+    * CJK-aware regex reference (TokenizeSpec). */
   def tokenize(in: UTF8String): ArrayData = {
     val s = in.toString
     val n = s.length
@@ -105,7 +126,12 @@ object SketchKernels {
     while (i < n) {
       val cp = s.codePointAt(i)
       val w = Character.charCount(cp)
-      if (isTokenChar(cp)) { if (start < 0) start = i }
+      if (isTokenChar(cp)) {
+        if (isCjkChar(cp)) {
+          if (start >= 0) { out.add(UTF8String.fromString(s.substring(start, i))); start = -1 }
+          out.add(UTF8String.fromString(s.substring(i, i + w)))
+        } else if (start < 0) start = i
+      }
       else if (start >= 0) { out.add(UTF8String.fromString(s.substring(start, i))); start = -1 }
       i += w
     }
