@@ -2563,6 +2563,59 @@ object SparkEntry {
         .orderBy(col("uri"))
     }),
 
+    // OUTLINK extraction (r16): every crawl pipeline's frontier and every
+    // link-quality signal starts at "which URLs does this page link to" —
+    // htmlLinks walks the <a href>s under the SAME recovery rules as the
+    // text extraction (script/style subtrees are not links, comments
+    // skipped, quoted '>' safe), urlResolve absolutizes each against the
+    // page's own URL (RFC 3986 §5.2). The synth page's links are a
+    // closed form of the token list — 3 nav links, one per 8-token
+    // paragraph with >= 3 tokens (token #3 of the chunk), 2 footer
+    // links — so the oracle replays every href, position by position.
+    "q_link_graph" -> ((s, dir) => {
+      val H = graft.functions.HtmlExpressions
+      val U = graft.functions.UrlExpressions
+      val pageUrl = concat(lit("https://site-"), pmod(col("doc_id"), lit(97)),
+        lit(".example/page/"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pageUrl.as("page_url"),
+          posexplode(H.htmlLinks(H.htmlSynth(col("doc_id"), col("text")))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          U.urlResolve(col("page_url"), col("col")).as("link"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // Crawl-frontier source scoring (r16): host→host edges from the
+    // extracted outlinks (Graph.crawlHostEdges — scan-side generate +
+    // ONE keyed aggregation) feeding the existing integer fixed-point
+    // PageRank. The planted pages exercise all three href forms a real
+    // crawl sees (absolute, protocol-relative //host, root-relative)
+    // and give every page one cross-host pair plus a self-link; the
+    // oracle rebuilds the same edge multiset arithmetically and unrolls
+    // four propagation rounds (the q_pagerank pattern).
+    "q_crawl_rank" -> ((s, dir) => {
+      val pageUrl = concat(lit("https://site-"), pmod(col("doc_id"), lit(97)),
+        lit(".example/page/"), col("doc_id"))
+      val html = concat(
+        lit("<html><body><p><a href=\"https://site-"),
+        pmod(col("doc_id") * 7 + 3, lit(97)),
+        lit(".example/a\">x</a> <a href=\"//site-"),
+        pmod(col("doc_id") * 13 + 5, lit(97)),
+        lit(".example/b\">y</a> <a href=\"/self\">z</a></p></body></html>"))
+      val pages = Tables.documents(s, dir)
+        .select(pageUrl.as("url"), html.as("html"))
+      val edges = operators.Graph.crawlHostEdges(pages, "url", "html")
+        .select(
+          regexp_extract(col("src_host"), "site-([0-9]+)", 1)
+            .cast("long").as("src"),
+          regexp_extract(col("dst_host"), "site-([0-9]+)", 1)
+            .cast("long").as("dst"),
+          col("w"))
+      val nodes = s.range(97).select(col("id"))
+      operators.Graph.pageRankFixedPoint(edges, nodes, iters = 4)
+        .orderBy(col("id"))
+    }),
+
     // CJK-aware tokenization (r16): unsegmented scripts carry no spaces,
     // so the letter-run tokenizer made an entire Chinese/Japanese
     // sentence ONE token — BM25 idf, minhash shingles, and n-gram
@@ -6107,6 +6160,50 @@ object SparkEntry {
     sb.toString
   }
 
+  /** q_crawl_rank's oracle: rebuild the planted host→host edge multiset
+    * arithmetically (absolute/protocol-relative/self hrefs), then unroll
+    * `iters` integer PageRank rounds — [[pagerankOracle]]'s recurrence
+    * over the crawl graph. */
+  private def crawlRankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+      WITH raw AS (
+        SELECT doc_id % 97 AS src, (doc_id * 7 + 3) % 97 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 97, (doc_id * 13 + 5) % 97 FROM documents
+        UNION ALL
+        SELECT doc_id % 97, doc_id % 97 FROM documents
+      ), edges AS (
+        SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM raw GROUP BY 1, 2
+      ), ew AS (
+        SELECT e.src, e.dst, e.w, o.ow
+        FROM edges e
+        JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS ow
+              FROM edges GROUP BY src) o USING (src)
+      ), nodes AS (
+        SELECT CAST(range AS BIGINT) AS id FROM range(97)
+      ), r0 AS (
+        SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes
+      )""")
+    for (i <- 1 to iters)
+      sb.append(s""",
+      r$i AS (
+        SELECT n.id,
+               CAST(150000 + COALESCE(
+                 sum((p.r * e.w * 850) // (e.ow * 1000)), 0) AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN ew e ON e.dst = n.id
+        LEFT JOIN r${i - 1} p ON p.id = e.src
+        GROUP BY n.id
+      )""")
+    sb.append(s"""
+      SELECT id, r FROM r$iters ORDER BY id""")
+    sb.toString
+  }
+
   /** Shared CTE prefix of the two substring gates: the planted-twin
     * corpus ([[plantedTwinCorpus]]'s SQL twin), the k=50 gram scan on
     * gram TEXT (the Spark side ships xxhash64 of the same gram —
@@ -6377,6 +6474,45 @@ object SparkEntry {
       SELECT u.uri, coalesce(a.text_out, '') AS text_out
       FROM u LEFT JOIN agg a USING (doc_id)
       ORDER BY uri""",
+
+    // replay every extracted href, position by position: nav (1..3),
+    // one link per >=3-token paragraph (token #3 of each 8-token chunk,
+    // in chunk order), footer last — all resolved against the page URL
+    "q_link_graph" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), host AS (
+        SELECT doc_id,
+               'https://site-' || (doc_id % 97) || '.example' AS h
+        FROM documents
+      ), plink AS (
+        SELECT w.doc_id,
+               row_number() OVER (PARTITION BY w.doc_id ORDER BY idx) AS pn,
+               h.h || '/' || w.word AS link
+        FROM words w JOIN host h USING (doc_id)
+        WHERE (idx - 1) % 8 = 2
+      ), m AS (
+        SELECT doc_id, count(*) AS nm FROM plink GROUP BY doc_id
+      ), alllinks AS (
+        SELECT doc_id, 1 AS idx, h || '/' AS link FROM host
+        UNION ALL SELECT doc_id, 2, h || '/about' FROM host
+        UNION ALL SELECT doc_id, 3, h || '/contact' FROM host
+        UNION ALL SELECT doc_id, 3 + pn, link FROM plink
+        UNION ALL
+        SELECT h.doc_id, 4 + coalesce(m.nm, 0), h.h || '/tos'
+        FROM host h LEFT JOIN m USING (doc_id)
+        UNION ALL
+        SELECT h.doc_id, 5 + coalesce(m.nm, 0), h.h || '/privacy'
+        FROM host h LEFT JOIN m USING (doc_id)
+      )
+      SELECT doc_id, CAST(idx AS BIGINT) AS idx, link FROM alllinks
+      ORDER BY doc_id, idx""",
+
+    "q_crawl_rank" -> crawlRankOracle(4),
 
     // replay the CJK segmentation position by position: Latin runs
     // lowercase and flush at script boundaries, each Han/kana/Ext-B

@@ -62,8 +62,25 @@ object HtmlExpressions {
       copy(child = newChild)
   }
 
+  /** HTML → hrefs of every `<a>` opening tag, in document order. */
+  case class HtmlLinks(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "html_links"
+
+    override def nullSafeEval(html: Any): Any =
+      HtmlKernels.htmlLinks(
+        html.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.HtmlKernels.htmlLinks($h)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def htmlSynth(id: Column, text: Column): Column =
     column(HtmlSynth(expression(id), expression(text)))
   def htmlText(html: Column): Column = column(HtmlText(expression(html)))
   def htmlStats(html: Column): Column = column(HtmlStats(expression(html)))
+  def htmlLinks(html: Column): Column = column(HtmlLinks(expression(html)))
 }

@@ -220,6 +220,154 @@ object HtmlKernels {
     out.result()
   }
 
+  /** Decode the entity subset the text walk understands, for attribute
+    * values (WHATWG decodes character references in attributes too —
+    * `href="a&amp;b"` means `a&b`). Unknown entities stay literal. */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val lim = i + 12
+        if (semi > i && semi <= lim) {
+          val ent = s.substring(i + 1, semi)
+          val decoded: Int = ent match {
+            case "amp"  => '&'
+            case "lt"   => '<'
+            case "gt"   => '>'
+            case "quot" => '"'
+            case "apos" => '\''
+            case "nbsp" => ' '
+            case _ if ent.length > 1 && ent.charAt(0) == '#' =>
+              val num = ent.substring(1)
+              try {
+                if ((num.charAt(0) == 'x' || num.charAt(0) == 'X') &&
+                    num.length > 1)
+                  Integer.parseInt(num.substring(1), 16)
+                else Integer.parseInt(num)
+              } catch { case _: NumberFormatException => -1 }
+            case _ => -1
+          }
+          if (decoded > 0 && Character.isValidCodePoint(decoded)) {
+            sb.appendCodePoint(decoded); i = semi + 1
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Outlink extraction: the `href` of every `<a>` OPENING tag, in
+    * document order, entity-decoded and trimmed — the crawl-frontier /
+    * link-graph sibling of [[blocks]] under the same recovery rules
+    * (comments skipped, drop-tag subtrees skipped with the
+    * name-terminator close rule, quoted attribute values may contain
+    * `>`). Links inside `<script>`/`<style>`/etc are NOT links; empty
+    * hrefs are dropped; the first href attribute wins when duplicated
+    * (browser behavior). */
+  def links(html: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    val n = if (html == null) 0 else html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!' && html.regionMatches(i + 1, "!--", 0, 3)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (c1 == '!' || c1 == '?') {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else if (c1.isLetter || (c1 == '/' && i + 2 < n &&
+            html.charAt(i + 2).isLetter)) {
+          val closing = c1 == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetter || html.charAt(j).isDigit))
+            j += 1
+          val name = html.substring(nameStart, j)
+            .toLowerCase(java.util.Locale.ROOT)
+          // attribute scan to the tag's real '>', capturing href on <a>
+          var href: String = null
+          var done = false
+          while (!done && j < n) {
+            val cj = html.charAt(j)
+            if (cj == '>') done = true
+            else if (isWs(cj) || cj == '/') j += 1
+            else {
+              val as = j
+              while (j < n && { val x = html.charAt(j)
+                !isWs(x) && x != '=' && x != '>' && x != '/' }) j += 1
+              val aname = html.substring(as, j)
+                .toLowerCase(java.util.Locale.ROOT)
+              while (j < n && isWs(html.charAt(j))) j += 1
+              var aval: String = null
+              if (j < n && html.charAt(j) == '=') {
+                j += 1
+                while (j < n && isWs(html.charAt(j))) j += 1
+                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                  val q = html.charAt(j); j += 1
+                  val vs = j
+                  while (j < n && html.charAt(j) != q) j += 1
+                  aval = html.substring(vs, j)
+                  if (j < n) j += 1
+                } else {
+                  val vs = j
+                  while (j < n && { val x = html.charAt(j)
+                    !isWs(x) && x != '>' }) j += 1
+                  aval = html.substring(vs, j)
+                }
+              }
+              if (!closing && name == "a" && aname == "href" &&
+                  href == null && aval != null)
+                href = aval
+            }
+          }
+          val tagEnd = if (j < n) j + 1 else n
+          if (!closing && DropTags.contains(name)) {
+            // skip the subtree exactly like the text walk
+            var k = tagEnd
+            var found = -1
+            while (found < 0 && k < n) {
+              val cand = html.indexOf('<', k)
+              if (cand < 0 || cand + name.length + 2 > n) k = n
+              else if (html.charAt(cand + 1) == '/' &&
+                  html.regionMatches(true, cand + 2, name, 0, name.length) &&
+                  (cand + 2 + name.length >= n || {
+                    val after = html.charAt(cand + 2 + name.length)
+                    after == '>' || after == '/' || isWs(after)
+                  }))
+                found = cand
+              else k = cand + 1
+            }
+            if (found < 0) i = n
+            else {
+              val gt = html.indexOf('>', found)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else {
+            if (href != null) {
+              val d = decodeEntities(href.trim)
+              if (d.nonEmpty) out += d
+            }
+            i = tagEnd
+          }
+        } else i += 1 // literal '<'
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** [[links]] as the expression-kernel shape. */
+  def htmlLinks(html: UTF8String): ArrayData = {
+    val ls = links(if (html == null) null else html.toString)
+    new GenericArrayData(ls.map(UTF8String.fromString).toArray[Any])
+  }
+
   private def keep(b: Block): Boolean = b.linkDensity <= 0.5 && b.words >= 3
 
   /** Kept blocks joined with '\n' — the page's training text. */

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 import org.apache.spark.sql.types._
 
@@ -68,8 +68,32 @@ object UrlExpressions {
       copy(child = newChild)
   }
 
+  /** RFC 3986 §5.2 resolution of an href against the page's URL. */
+  case class UrlResolve(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "url_resolve"
+
+    override def nullSafeEval(base: Any, ref: Any): Any =
+      UrlKernels.resolveUrl(
+        base.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        ref.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (b, r) => s"""
+        ${ev.value} = graft.functions.UrlKernels.resolveUrl($b, $r);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   def urlNormalize(raw: Column): Column = column(UrlNormalize(expression(raw)))
   def urlHost(raw: Column): Column = column(UrlHost(expression(raw)))
   def registeredDomain(host: Column): Column =
     column(RegisteredDomain(expression(host)))
+  def urlResolve(base: Column, ref: Column): Column =
+    column(UrlResolve(expression(base), expression(ref)))
 }

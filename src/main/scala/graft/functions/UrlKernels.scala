@@ -167,9 +167,69 @@ object UrlKernels {
     } else lastTwo
   }
 
+  /** `ref` starts with a URI scheme (`[A-Za-z][A-Za-z0-9+.-]*:`). */
+  private def hasScheme(s: String): Boolean = {
+    if (s.isEmpty) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z'))) return false
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return true
+      if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'))
+        return false
+      i += 1
+    }
+    false
+  }
+
+  /** RFC 3986 §5.2 reference resolution, the crawler subset: resolve a
+    * (possibly relative) `ref` — as pulled from an `<a href>` — against
+    * the absolute hierarchical `base` the page was fetched from.
+    * Fragments are DROPPED from the result (crawl identity ignores
+    * them, the same policy [[normalizeUrl]] applies); dot segments in
+    * the merged path are removed per §5.2.4. Returns null when `base`
+    * is not absolute-hierarchical and `ref` carries no scheme of its
+    * own — an unresolvable link is degraded data, not a crash. */
+  def resolveUrl(base: String, ref0: String): String = {
+    if (base == null || ref0 == null) return null
+    val h = ref0.indexOf('#')
+    val ref = (if (h >= 0) ref0.substring(0, h) else ref0).trim
+    if (hasScheme(ref)) return ref
+    val ss = base.indexOf("://")
+    if (ss <= 0) return null
+    val scheme = base.substring(0, ss)
+    if (ref.startsWith("//")) return scheme + ":" + ref
+    var j = ss + 3
+    while (j < base.length && base.charAt(j) != '/' &&
+      base.charAt(j) != '?' && base.charAt(j) != '#') j += 1
+    val origin = base.substring(0, j)
+    // base path+query, fragment stripped
+    val rest = base.substring(j)
+    val bh = rest.indexOf('#')
+    val noFrag = if (bh >= 0) rest.substring(0, bh) else rest
+    val qm = noFrag.indexOf('?')
+    val bpath = if (qm >= 0) noFrag.substring(0, qm) else noFrag
+    if (ref.isEmpty) // same-document reference → base sans fragment
+      return origin + (if (noFrag.isEmpty) "/" else noFrag)
+    if (ref.charAt(0) == '/') return origin + removeDotSegments(ref)
+    if (ref.charAt(0) == '?')
+      return origin + (if (bpath.isEmpty) "/" else bpath) + ref
+    // relative path: merge with the base path's directory (§5.2.3)
+    val sl = bpath.lastIndexOf('/')
+    val dir = if (sl >= 0) bpath.substring(0, sl + 1) else "/"
+    origin + removeDotSegments(dir + ref)
+  }
+
   // UTF8String adapters (the codegen call sites)
   def normalizeUrl(raw: UTF8String): UTF8String =
     if (raw == null) null else UTF8String.fromString(normalizeUrl(raw.toString))
+  def resolveUrl(base: UTF8String, ref: UTF8String): UTF8String = {
+    if (base == null || ref == null) return null
+    val r = resolveUrl(base.toString, ref.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
   def hostOf(raw: UTF8String): UTF8String = {
     if (raw == null) return null
     val h = hostOf(raw.toString)

@@ -33,6 +33,36 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Host→host outlink edges of a crawled corpus (r16): the natural
+    * composition of three shipped components — [[graft.functions
+    * .HtmlKernels.links]] pulls every `<a href>`, [[graft.functions
+    * .UrlKernels.resolveUrl]] absolutizes it against the page's own URL,
+    * and `urlHost` collapses both ends to hosts; parallel links fold to
+    * one weighted edge. Feed the result (with hosts mapped to long ids)
+    * into [[pageRankFixedPoint]] for crawl-frontier source scoring —
+    * RefinedWeb/CC-style link-quality prioritization. Scale shape: the
+    * extraction is a codegen'd scan-side generate (zero shuffles); the
+    * fold is ONE (src,dst)-keyed partial aggregation.
+    *
+    * @param pages  one row per fetched page
+    * @param urlCol the page's fetched URL column
+    * @param htmlCol the page's raw HTML column
+    * @return (src_host, dst_host, w) — unresolvable/hostless ends drop
+    */
+  def crawlHostEdges(pages: DataFrame, urlCol: String,
+                     htmlCol: String): DataFrame = {
+    val H = graft.functions.HtmlExpressions
+    val U = graft.functions.UrlExpressions
+    pages
+      .select(U.urlHost(col(urlCol)).as("src_host"), col(urlCol).as("__base"),
+        explode(H.htmlLinks(col(htmlCol))).as("__href"))
+      .select(col("src_host"),
+        U.urlHost(U.urlResolve(col("__base"), col("__href"))).as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Five rounds of damped (0.85) importance propagation over a weighted
     * directed graph, in millionth-units: every node starts at 1_000_000;
     * each round `r(v) = 150000 + Σ_incoming (r(u)·w(u,v)·850) div

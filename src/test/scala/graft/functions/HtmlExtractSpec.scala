@@ -112,6 +112,44 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
       == "")
   }
 
+  test("links: hrefs in order; script/comment links excluded; entities decode") {
+    val h = """<html><head>
+      <script>var a = '<a href="/fake">x</a>';</script>
+      </head><body>
+      <!-- <a href="/ghost">g</a> -->
+      <p><a href="/one">1</a> and <A HREF='/two'>2</A>
+      and <a class="x" href=/three>3</a>
+      and <a href="/a&amp;b?x=1">amp</a>
+      and <a href="/dup" href="/second">first wins</a>
+      and <a name="anchor">no href</a>
+      and <a href="">empty drops</a></p>
+      <style>.x { content: '<a href="/css">c</a>'; }</style>
+      </body></html>"""
+    val got = HtmlKernels.links(h)
+    assert(got == Seq("/one", "/two", "/three", "/a&b?x=1", "/dup"))
+    // quoted '>' inside an href does not end the tag
+    assert(HtmlKernels.links("""<a href="/q>r" title="t">x</a>""")
+      == Seq("/q>r"))
+    // null/empty input
+    assert(HtmlKernels.links(null).isEmpty && HtmlKernels.links("").isEmpty)
+    // unterminated drop-tag fails closed for the rest
+    assert(HtmlKernels.links(
+      """<a href="/ok">x</a><script><a href="/no">y</a>""") == Seq("/ok"))
+  }
+
+  test("synth page links are the closed form the q_link_graph oracle replays") {
+    val toks = (1 to 19).map(i => s"tok$i") // chunks: 8, 8, 3 → 3 links
+    val h = HtmlKernels.htmlSynth(7L,
+      UTF8String.fromString(toks.mkString(" "))).toString
+    assert(HtmlKernels.links(h) == Seq("/", "/about", "/contact",
+      "/tok3", "/tok11", "/tok19", "/tos", "/privacy"))
+    // a 2-token remainder chunk has no link slot
+    val h2 = HtmlKernels.htmlSynth(7L,
+      UTF8String.fromString((1 to 10).map(i => s"t$i").mkString(" "))).toString
+    assert(HtmlKernels.links(h2) == Seq("/", "/about", "/contact",
+      "/t3", "/tos", "/privacy"))
+  }
+
   test("column path stays inside whole-stage codegen") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), HtmlExpressions.htmlText(

@@ -63,6 +63,34 @@ class UrlSpec extends AnyFunSuite with SparkTestBase {
     assert(UrlKernels.registeredDomain("localhost") == "localhost")
   }
 
+  test("resolveUrl: RFC 3986 §5.2 reference resolution forms") {
+    val base = "https://www.example.com/dir/page.html?q=1#frag"
+    def r(ref: String) = UrlKernels.resolveUrl(base, ref)
+    // absolute ref wins outright
+    assert(r("http://other.org/x") == "http://other.org/x")
+    // protocol-relative adopts the base scheme
+    assert(r("//cdn.example.net/a.js") == "https://cdn.example.net/a.js")
+    // root-relative replaces the path (dot segments removed)
+    assert(r("/a/../b/./c") == "https://www.example.com/b/c")
+    // query-only keeps the base path
+    assert(r("?page=2") == "https://www.example.com/dir/page.html?page=2")
+    // relative merges with the base DIRECTORY
+    assert(r("sub/x.html") == "https://www.example.com/dir/sub/x.html")
+    assert(r("../up.html") == "https://www.example.com/up.html")
+    // empty / fragment-only → base without its fragment
+    assert(r("") == "https://www.example.com/dir/page.html?q=1")
+    assert(r("#sec") == "https://www.example.com/dir/page.html?q=1")
+    // ref fragments drop
+    assert(r("/p#s") == "https://www.example.com/p")
+    // pathless base roots the merge
+    assert(UrlKernels.resolveUrl("https://h.example", "x") ==
+      "https://h.example/x")
+    // unresolvable: relative ref against a non-hierarchical base
+    assert(UrlKernels.resolveUrl("mailto:a@b", "/x") == null)
+    assert(UrlKernels.resolveUrl("mailto:a@b", "https://ok.example/") ==
+      "https://ok.example/")
+  }
+
   test("column path normalizes and extracts over a scan") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(concat(lit("HTTP://Site-"), col("doc_id") % 97,
