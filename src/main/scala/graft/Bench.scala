@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftLogging.silenceKnownNoise()
 
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

@@ -13,6 +13,7 @@ object SparkTestBase {
   // One session per JVM — ScalaTest suites share it; Spark local mode
   // only supports one context anyway.
   lazy val session: SparkSession = {
+    GraftLogging.silenceKnownNoise()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -23,6 +24,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftLogging.silenceKnownNoise()
     s
   }
 }
