@@ -179,6 +179,35 @@ object SparkEntry {
       StructField("text", StringType, nullable = true)))
   }
 
+  /** Shared null-planted fixture of q_group_indexed /
+    * q_count_null_indexed: % 13 sources NULL at ingest (the build must
+    * count them), % 31 MOVED to NULL post-build (the refresh must
+    * transfer posting rows into the meta null census). */
+  private def vidxGroupFixture(s: SparkSession, dir: String)
+      : (graft.store.GraftTable, graft.store.ValueIndex) = {
+    val root = fixture("vidx-group", dir) { root =>
+      val cat = new graft.store.Catalog(root)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0, lit(null))
+            .otherwise(col("source")).as("source"),
+          col("n_chars"))
+      val src = new graft.store.GraftTable(s, cat, "docs", vidxSchema,
+        uniqueKeys = Seq(Seq("doc_id")))
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val idx = graft.store.ValueIndex.build(src, "bysrc", "source",
+        "doc_id", nBuckets = 8)
+      src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+      src.updateMany(graft.query.RawCol(pmod(col("doc_id"), lit(31)) === 0),
+        Map("source" -> lit(null).cast("string")))
+      require(idx.refresh().nonEmpty,
+        "vidx-group fixture: the post-build window must drain")
+    }
+    val src = new graft.store.GraftTable(s, new graft.store.Catalog(root),
+      "docs", vidxSchema, uniqueKeys = Seq(Seq("doc_id")))
+    (src, graft.store.ValueIndex.open(src, "bysrc", "source", "doc_id"))
+  }
+
   /** Shared read-only BM25 fixture: the full documents corpus indexed as
     * `r1`, plain or positional — q_bm25_topk / q_rrf_persist share the
     * plain build, q_bm25_slop the positional one. Fresh handles per call. */
@@ -2262,27 +2291,7 @@ object SparkEntry {
     // groupBy (equality never selects NULL), and a residual-conjunct
     // variant that must hydrate through df() (tripwire flips).
     "q_group_indexed" -> ((s, dir) => {
-      val root = fixture("vidx-group", dir) { root =>
-        val cat = new graft.store.Catalog(root)
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(13)) === 0, lit(null))
-              .otherwise(col("source")).as("source"),
-            col("n_chars"))
-        val src = new graft.store.GraftTable(s, cat, "docs", vidxSchema,
-          uniqueKeys = Seq(Seq("doc_id")))
-        src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))
-        val idx = graft.store.ValueIndex.build(src, "bysrc", "source",
-          "doc_id", nBuckets = 8)
-        src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
-        src.updateMany(graft.query.RawCol(pmod(col("doc_id"), lit(31)) === 0),
-          Map("source" -> lit(null).cast("string")))
-        require(idx.refresh().nonEmpty,
-          "q_group_indexed: the post-build window must drain")
-      }
-      val src = new graft.store.GraftTable(s, new graft.store.Catalog(root),
-        "docs", vidxSchema, uniqueKeys = Seq(Seq("doc_id")))
-      val idx = graft.store.ValueIndex.open(src, "bysrc", "source", "doc_id")
+      val (src, idx) = vidxGroupFixture(s, dir)
       var sourceTouched = false
       val model = new graft.query.Model(
         df = () => { sourceTouched = true; src.snapshot() },
@@ -2315,6 +2324,33 @@ object SparkEntry {
         .unionByName(hyd.select(col("source"), col("_count_all"),
           lit("hyd").as("part")))
         .orderBy(col("part"), col("source").asc_nulls_first)
+    }),
+
+    // INDEX-ONLY `IS NULL` count (r16): count(where: {source: null}) is
+    // the census question the index's meta row already answers — zero
+    // jobs of ANY kind when fresh (one bounded meta read), because null
+    // tuples never reach the postings and their count is maintained
+    // there across refreshes. Prisma's equals-null leaf routes through
+    // Model.indexNullCountSources with the same tripwire discipline;
+    // a residual conjunct hydrates. Shares the null-planted lifecycle
+    // fixture with q_group_indexed.
+    "q_count_null_indexed" -> ((s, dir) => {
+      val (src, idx) = vidxGroupFixture(s, dir)
+      var sourceTouched = false
+      val model = new graft.query.Model(
+        df = () => { sourceTouched = true; src.snapshot() },
+        primaryKey = "doc_id",
+        indexNullCountSources = Map("source" -> (() => idx.countNulls())))
+      val n = model.count(Some(graft.query.Field("source",
+        graft.query.StringF(equals = Some(None)))))
+      require(!sourceTouched,
+        "q_count_null_indexed: the IS NULL count must never invoke df()")
+      val n2 = model.count(Some(graft.query.And(Seq(
+        graft.query.Field("source", graft.query.StringF(equals = Some(None))),
+        graft.query.Field("n_chars", graft.query.CmpF(gte = Some(100L)))))))
+      require(sourceTouched,
+        "q_count_null_indexed: a residual conjunct must hydrate through df()")
+      s.range(1).select(lit(n).as("n_null"), lit(n2).as("n_hydrated"))
     }),
 
     // TRAINING the quality head — the half q_quality_classifier assumed
@@ -2679,6 +2715,24 @@ object SparkEntry {
           posexplode(H.htmlLinks(H.htmlSynth(col("doc_id"), col("text")))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
           U.urlResolve(col("page_url"), col("col")).as("link"))
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
+    // ANCHOR-TEXT corpus (r16): the (href, anchor) pairs of every link —
+    // anchor text is among the strongest relevance/label signals the web
+    // gives away for free (it trains retrievers and labels link targets
+    // with OTHER pages' words). Same recovery rules as htmlLinks; the
+    // anchor is the element's text content up to its matching (or
+    // implicit) close, entity-decoded and whitespace-normalized. The
+    // synth page's pairs are a closed form: nav labels, each >=3-token
+    // paragraph's linked token (its own anchor), footer labels.
+    "q_anchor_text" -> ((s, dir) => {
+      val H = graft.functions.HtmlExpressions
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(H.htmlAnchors(H.htmlSynth(col("doc_id"), col("text")))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col.href").as("href"), col("col.anchor").as("anchor"))
         .orderBy(col("doc_id"), col("idx"))
     }),
 
@@ -6585,6 +6639,51 @@ object SparkEntry {
       ORDER BY doc_id, idx""",
 
     "q_crawl_rank" -> crawlRankOracle(4),
+
+    // every (href, anchor) pair, position by position — nav labels,
+    // the linked token of each >=3-token paragraph, footer labels
+    "q_anchor_text" -> """
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), words AS (
+        SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS idx
+        FROM tok
+      ), plink AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS pn,
+               word
+        FROM words WHERE (idx - 1) % 8 = 2
+      ), m AS (
+        SELECT doc_id, count(*) AS nm FROM plink GROUP BY doc_id
+      ), alllinks AS (
+        SELECT doc_id, 1 AS idx, '/' AS href, 'home' AS anchor
+        FROM documents
+        UNION ALL SELECT doc_id, 2, '/about', 'about' FROM documents
+        UNION ALL SELECT doc_id, 3, '/contact', 'contact' FROM documents
+        UNION ALL SELECT doc_id, 3 + pn, '/' || word, word FROM plink
+        UNION ALL
+        SELECT d.doc_id, 4 + coalesce(m.nm, 0), '/tos', 'terms'
+        FROM documents d LEFT JOIN m USING (doc_id)
+        UNION ALL
+        SELECT d.doc_id, 5 + coalesce(m.nm, 0), '/privacy', 'privacy'
+        FROM documents d LEFT JOIN m USING (doc_id)
+      )
+      SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, anchor
+      FROM alllinks ORDER BY doc_id, idx""",
+
+    // the meta-answered IS NULL census and its hydrated residual twin
+    "q_count_null_indexed" -> """
+      WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 OR doc_id % 31 = 0 THEN NULL
+                    ELSE source END AS source,
+               n_chars
+        FROM documents
+      )
+      SELECT (SELECT count(*) FROM d WHERE source IS NULL) AS n_null,
+             (SELECT count(*) FROM d
+              WHERE source IS NULL AND n_chars >= 100) AS n_hydrated""",
 
     // replay the CJK segmentation position by position: Latin runs
     // lowercase and flush at script boundaries, each Han/kana/Ext-B

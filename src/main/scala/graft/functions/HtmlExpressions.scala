@@ -78,9 +78,29 @@ object HtmlExpressions {
       copy(child = newChild)
   }
 
+  /** HTML → (href, anchor) of every `<a>` with an href, in order. */
+  case class HtmlAnchors(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("href", StringType, nullable = false),
+      StructField("anchor", StringType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "html_anchors"
+
+    override def nullSafeEval(html: Any): Any =
+      HtmlKernels.htmlAnchors(
+        html.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h => s"graft.functions.HtmlKernels.htmlAnchors($h)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def htmlSynth(id: Column, text: Column): Column =
     column(HtmlSynth(expression(id), expression(text)))
   def htmlText(html: Column): Column = column(HtmlText(expression(html)))
   def htmlStats(html: Column): Column = column(HtmlStats(expression(html)))
   def htmlLinks(html: Column): Column = column(HtmlLinks(expression(html)))
+  def htmlAnchors(html: Column): Column = column(HtmlAnchors(expression(html)))
 }

@@ -260,6 +260,24 @@ object HtmlKernels {
     sb.toString
   }
 
+  /** Whitespace-normalize (runs collapse to one space, ends trimmed) —
+    * the [[blocks]] flush rule applied to anchor text. */
+  private def normalizeWs(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Outlink extraction: the `href` of every `<a>` OPENING tag, in
     * document order, entity-decoded and trimmed — the crawl-frontier /
     * link-graph sibling of [[blocks]] under the same recovery rules
@@ -268,8 +286,28 @@ object HtmlKernels {
     * `>`). Links inside `<script>`/`<style>`/etc are NOT links; empty
     * hrefs are dropped; the first href attribute wins when duplicated
     * (browser behavior). */
-  def links(html: String): IndexedSeq[String] = {
-    val out = IndexedSeq.newBuilder[String]
+  def links(html: String): IndexedSeq[String] = anchors(html).map(_._1)
+
+  /** [[links]] WITH each link's anchor text — the (href, anchor) pairs
+    * an anchor-text corpus / link-quality signal consumes (anchor text
+    * is among the strongest relevance features the web gives away for
+    * free). The anchor is the `<a>` element's text content up to its
+    * matching `</a>` — or an implicit close at the next `<a>` open
+    * (HTML forbids nesting; browsers auto-close) or end of input —
+    * entity-decoded and whitespace-normalized like a [[blocks]] flush;
+    * nested inline tags contribute their text, drop-tag subtrees do
+    * not. */
+  def anchors(html: String): IndexedSeq[(String, String)] = {
+    val out = IndexedSeq.newBuilder[(String, String)]
+    var curHref: String = null
+    val curText = new java.lang.StringBuilder(64)
+    def flush(): Unit = {
+      if (curHref != null) {
+        out += ((curHref, normalizeWs(decodeEntities(curText.toString))))
+        curHref = null
+      }
+      curText.setLength(0)
+    }
     val n = if (html == null) 0 else html.length
     var i = 0
     while (i < n) {
@@ -350,15 +388,27 @@ object HtmlKernels {
               i = if (gt < 0) n else gt + 1
             }
           } else {
-            if (href != null) {
-              val d = decodeEntities(href.trim)
-              if (d.nonEmpty) out += d
+            if (name == "a") {
+              // any <a> boundary — open, close, or implicit re-open —
+              // ends the pending anchor
+              flush()
+              if (!closing && href != null) {
+                val d = decodeEntities(href.trim)
+                if (d.nonEmpty) curHref = d
+              }
             }
             i = tagEnd
           }
-        } else i += 1 // literal '<'
-      } else i += 1
+        } else { // literal '<'
+          if (curHref != null) curText.append(c)
+          i += 1
+        }
+      } else {
+        if (curHref != null) curText.append(c)
+        i += 1
+      }
     }
+    flush() // unterminated trailing anchor keeps its text
     out.result()
   }
 
@@ -366,6 +416,16 @@ object HtmlKernels {
   def htmlLinks(html: UTF8String): ArrayData = {
     val ls = links(if (html == null) null else html.toString)
     new GenericArrayData(ls.map(UTF8String.fromString).toArray[Any])
+  }
+
+  /** [[anchors]] as the expression-kernel shape:
+    * array<struct<href string, anchor string>>. */
+  def htmlAnchors(html: UTF8String): ArrayData = {
+    val as = anchors(if (html == null) null else html.toString)
+    new GenericArrayData(as.map { case (h, t) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(h), UTF8String.fromString(t))
+    }.toArray[Any])
   }
 
   private def keep(b: Block): Boolean = b.linkDensity <= 0.5 && b.words >= 3

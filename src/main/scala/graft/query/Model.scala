@@ -155,7 +155,13 @@ final class Model(
       * count in meta); a probed form can't select NULL by SQL equality,
       * exactly like the hydrated plan. */
     val indexGroupSources:
-      Map[String, Option[Seq[Any]] => DataFrame] = Map.empty) {
+      Map[String, Option[Seq[Any]] => DataFrame] = Map.empty,
+    /** Index-only `IS NULL` count sources by column
+      * ([[graft.store.ValueIndex.countNulls]]): a count whose whole
+      * where tree is one bare `equals: null` leaf on such a column
+      * answers from the index's meta-carried null census — zero jobs of
+      * any kind, `df()` never invoked. */
+    val indexNullCountSources: Map[String, () => Long] = Map.empty) {
 
   /** The probe values of a leaf that is EXACTLY equality or IN —
     * anything richer (ranges, negation, insensitive mode, recursive
@@ -170,6 +176,15 @@ final class Model(
     case CmpF(None, Some(vs), None, None, None, None, None, None)
         if vs.nonEmpty => Some(vs)
     case _ => None
+  }
+
+  /** A leaf that is EXACTLY `equals: null` (Prisma's IS NULL) — the
+    * shape [[indexNullCountSources]] routes. */
+  private def isNullLeaf(f: ScalarFilter): Boolean = f match {
+    case StringF(Some(None), None, None, None, None, None, None, None,
+        None, None, false, None) => true
+    case CmpF(Some(None), None, None, None, None, None, None, None) => true
+    case _ => false
   }
 
   private def conjuncts(x: Where): Seq[Where] = x match {
@@ -574,8 +589,12 @@ final class Model(
   def count(where: Option[Where] = None): Long = {
     val indexOnly = where.flatMap { w =>
       conjuncts(w) match {
-        case Seq(Field(n, f)) if indexCountSources.contains(n) =>
+        case Seq(Field(n, f)) if indexCountSources.contains(n) &&
+            probeValues(f).isDefined =>
           probeValues(f).map(vs => indexCountSources(n)(vs))
+        case Seq(Field(n, f)) if indexNullCountSources.contains(n) &&
+            isNullLeaf(f) =>
+          Some(indexNullCountSources(n)())
         case _ => None
       }
     }

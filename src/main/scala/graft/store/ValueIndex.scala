@@ -290,6 +290,19 @@ final class ValueIndex private (
     }
   }
 
+  /** INDEX-ONLY `IS NULL` count (r16): rows whose indexed column is
+    * NULL, answered from the meta-carried [[nullCount]] with ZERO jobs
+    * of any kind when fresh — null tuples never reach the postings, so
+    * their census lives in meta (maintained per refresh). Single-column
+    * indexes only, same reason as [[groupCounts]]. Falls back to the
+    * source scan when stale. */
+  def countNulls(): Long = {
+    require(valCols.size == 1,
+      s"$name: index-only countNulls needs a single-column index")
+    if (!isFresh()) src.snapshot().filter(col(valCol).isNull).count()
+    else nullCount()
+  }
+
   /** Composite form of [[countIds]] — full tuples or a uniform leading
     * prefix: distinct same-arity prefixes are disjoint predicates, so a
     * posting row matches at most one probe and the posting count stays

@@ -150,6 +150,38 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
       "/t3", "/tos", "/privacy"))
   }
 
+  test("anchors: text content, implicit close, nesting, entities, ws") {
+    // basic pair + entity decode + whitespace normalization
+    assert(HtmlKernels.anchors(
+      "<a href=\"/x\">  click &amp;\n go  </a>") == Seq("/x" -> "click & go"))
+    // nested inline tags contribute their text
+    assert(HtmlKernels.anchors(
+      "<a href=\"/b\">read <b>this</b> now</a>") == Seq("/b" -> "read this now"))
+    // implicit close at the next <a> (browsers auto-close)
+    assert(HtmlKernels.anchors(
+      "<a href=\"/1\">one <a href=\"/2\">two</a>") ==
+      Seq("/1" -> "one", "/2" -> "two"))
+    // unterminated trailing anchor keeps its text
+    assert(HtmlKernels.anchors("<a href=\"/t\">tail text") ==
+      Seq("/t" -> "tail text"))
+    // href-less <a> closes the pending pair and contributes none
+    assert(HtmlKernels.anchors(
+      "<a href=\"/1\">one</a> <a name=\"x\">label</a>") == Seq("/1" -> "one"))
+    // drop-tag subtree inside an anchor contributes no text
+    assert(HtmlKernels.anchors(
+      "<a href=\"/s\">ok<script>var x='<a href=\"/no\">bad</a>';</script> end</a>")
+      == Seq("/s" -> "ok end"))
+    // comments inside an anchor contribute no text
+    assert(HtmlKernels.anchors(
+      "<a href=\"/c\">a<!-- hidden -->b</a>") == Seq("/c" -> "ab"))
+    // synth closed form: anchor = the linked token itself
+    val h = HtmlKernels.htmlSynth(3L,
+      UTF8String.fromString((1 to 10).map(i => s"t$i").mkString(" "))).toString
+    assert(HtmlKernels.anchors(h) == Seq("/" -> "home", "/about" -> "about",
+      "/contact" -> "contact", "/t3" -> "t3", "/tos" -> "terms",
+      "/privacy" -> "privacy"))
+  }
+
   test("column path stays inside whole-stage codegen") {
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), HtmlExpressions.htmlText(

@@ -85,6 +85,15 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     val want = src.snapshot().groupBy($"v").count().collect()
       .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(census() == want)
+    // the IS NULL count answers from the same meta census — zero jobs
+    assert(idx.countNulls() == 1L)
+    assert(idx.countNulls() ==
+      src.snapshot().filter($"v".isNull).count())
+    // stale: a fresh commit past the cursor falls back to the scan
+    src.createMany(rows(7L -> null))
+    assert(idx.countNulls() == 2L) // scan truth, not the stale meta
+    assert(idx.refresh().nonEmpty)
+    assert(idx.nullCount() == 2L && idx.countNulls() == 2L)
   }
 
   test("NULL values are not indexed; equality probes never see them") {
