@@ -2718,6 +2718,56 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // CRAWL POLITENESS (r16): robots.txt per RFC 9309 — the decision a
+    // crawler makes BEFORE every fetch. The synth file plants the
+    // protocol's corners: group selection (the graftbot group must
+    // shadow the `*` group entirely), longest-match precedence (a
+    // longer Allow beats its Disallow prefix), wildcard+anchor rules
+    // (/*.pdf$), non-rule lines (Crawl-delay/Sitemap/comments) ignored
+    // for matching, and the `*` fallback for an unlisted agent. Three
+    // decisions per doc; the oracle replays each as a closed-form CASE.
+    "q_robots" -> ((s, dir) => {
+      val R = graft.sources.RobotsExpressions
+      val txt = R.robotsSynth(col("doc_id"))
+      val k = pmod(col("doc_id"), lit(5))
+      val pathA = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("/blocked-"), k, lit("/page")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("/blocked-"), k, lit("/ok/page")))
+        .when(pmod(col("doc_id"), lit(4)) === 2, lit("/private/x"))
+        .otherwise(concat(lit("/doc-"), k, lit(".pdf")))
+      def row(tag: String, agent: String, p: org.apache.spark.sql.Column) =
+        Tables.documents(s, dir).select(col("doc_id"),
+          lit(tag).as("probe"), p.as("path"),
+          R.robotsEval(txt, lit(agent), p).as("d"))
+      row("bot", "GraftBot/1.0", pathA)
+        .unionByName(row("other_sub", "OtherBot/2.0", lit("/private/sub")))
+        .unionByName(row("other_pub", "OtherBot/2.0", lit("/private/pub")))
+        .select(col("doc_id"), col("probe"), col("path"),
+          col("d.allowed").as("allowed"), col("d.rule").as("rule"))
+        .orderBy(col("doc_id"), col("probe"))
+    }),
+
+    // Sitemap discovery + extraction (r16): the robots.txt `Sitemap:`
+    // directive (file-wide, group-independent) chains into the urlset
+    // walk — <loc> values in document order, XML entities decoded,
+    // whitespace trimmed. Together with q_robots/q_link_graph this
+    // closes the crawl frontier loop: allowed? → seeds → outlinks.
+    "q_sitemap" -> ((s, dir) => {
+      val R = graft.sources.RobotsExpressions
+      val fromRobots = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(R.robotsSitemaps(R.robotsSynth(col("doc_id")))))
+        .select(col("doc_id"), lit(0L).as("idx"), col("col").as("loc"))
+      val fromSitemap = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(R.sitemapLocs(R.sitemapSynth(col("doc_id")))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("col").as("loc"))
+      fromRobots.unionByName(fromSitemap)
+        .orderBy(col("doc_id"), col("idx"))
+    }),
+
     // ANCHOR-TEXT corpus (r16): the (href, anchor) pairs of every link —
     // anchor text is among the strongest relevance/label signals the web
     // gives away for free (it trains retrievers and labels link targets
@@ -6671,6 +6721,56 @@ object SparkEntry {
       )
       SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, anchor
       FROM alllinks ORDER BY doc_id, idx""",
+
+    // each robots decision replayed as a closed-form CASE: k = doc_id%5
+    // keys the graftbot rules, doc_id%4 picks the probed path
+    "q_robots" -> """
+      WITH d AS (
+        SELECT doc_id, doc_id % 5 AS k, doc_id % 4 AS m FROM documents
+      ), rows_ AS (
+        SELECT doc_id, 'bot' AS probe,
+               CASE m WHEN 0 THEN '/blocked-' || k || '/page'
+                      WHEN 1 THEN '/blocked-' || k || '/ok/page'
+                      WHEN 2 THEN '/private/x'
+                      ELSE '/doc-' || k || '.pdf' END AS path,
+               CASE m WHEN 1 THEN true WHEN 2 THEN true
+                      ELSE false END AS allowed,
+               CASE m WHEN 0 THEN '/blocked-' || k || '/'
+                      WHEN 1 THEN '/blocked-' || k || '/ok/'
+                      WHEN 2 THEN ''
+                      ELSE '/*.pdf$' END AS rule
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'other_sub', '/private/sub', false, '/private/'
+        FROM d
+        UNION ALL
+        SELECT doc_id, 'other_pub', '/private/pub', true, '/private/pub$'
+        FROM d
+      )
+      SELECT doc_id, probe, path, allowed, rule FROM rows_
+      ORDER BY doc_id, probe""",
+
+    // the Sitemap directive (idx 0) plus the urlset's three locs in
+    // document order, entity-decoded and trimmed
+    "q_sitemap" -> """
+      WITH d AS (
+        SELECT doc_id, doc_id % 5 AS k5, doc_id % 97 AS k97 FROM documents
+      ), rows_ AS (
+        SELECT doc_id, 0 AS idx,
+               'https://site-' || k5 || '.example/sitemap.xml' AS loc FROM d
+        UNION ALL
+        SELECT doc_id, 1,
+               'https://site-' || k97 || '.example/page/' || doc_id FROM d
+        UNION ALL
+        SELECT doc_id, 2,
+               'https://site-' || k97 || '.example/a?x=' || doc_id || '&y=2'
+        FROM d
+        UNION ALL
+        SELECT doc_id, 3,
+               'https://site-' || k97 || '.example/z/' || doc_id FROM d
+      )
+      SELECT doc_id, CAST(idx AS BIGINT) AS idx, loc FROM rows_
+      ORDER BY doc_id, idx""",
 
     // the meta-answered IS NULL census and its hydrated residual twin
     "q_count_null_indexed" -> """

@@ -1,0 +1,330 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Crawl politeness: robots.txt evaluation (RFC 9309, the Robots
+  * Exclusion Protocol) and sitemap URL extraction — the two front-door
+  * legs a crawler consults BEFORE fetching, completing the crawl tier
+  * beside the WARC walk (what was fetched), outlink extraction (what to
+  * fetch next), and host ranking (in what order).
+  *
+  * Scale shape: both are pure per-row byte walks (codegen'd scan-side
+  * columns). A real pipeline parses each HOST's robots.txt once —
+  * dedupe on host upstream, evaluate the (usually thousands of) frontier
+  * paths against the parsed groups via the per-row expression, never
+  * refetch per URL.
+  *
+  * RFC 9309 semantics implemented (§2.2):
+  *   - groups = consecutive `User-agent:` lines followed by
+  *     `Allow:`/`Disallow:` rules; keys case-insensitive; `#` comments
+  *     stripped; unknown lines (Crawl-delay, Sitemap) ignored for
+  *     matching;
+  *   - group selection: the most specific matching user-agent (longest
+  *     product-token substring match, case-insensitive), else the `*`
+  *     group; ONLY the selected group's rules apply;
+  *   - rule matching: `*` matches any character sequence, `$` anchors
+  *     the end; the LONGEST (most octets) matching rule wins; on a
+  *     length tie, Allow wins; an empty Disallow matches nothing;
+  *     no matching rule → allowed.
+  */
+object RobotsKernels {
+
+  final case class Rule(allow: Boolean, path: String)
+
+  /** Parsed groups in file order: (lowercased agent token, rules). A
+    * group naming several agents repeats under each name. */
+  def parse(txt: String): IndexedSeq[(String, IndexedSeq[Rule])] = {
+    val out = IndexedSeq.newBuilder[(String, IndexedSeq[Rule])]
+    if (txt == null) return out.result()
+    var agents = List.empty[String]
+    var rules = IndexedSeq.newBuilder[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) {
+        val rs = rules.result()
+        agents.reverse.foreach(a => out += ((a, rs)))
+      }
+      agents = Nil
+      rules = IndexedSeq.newBuilder[Rule]
+      inRules = false
+    }
+    txt.linesIterator.foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim
+          .toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            // a user-agent line AFTER rules starts a NEW group (RFC
+            // 9309: consecutive agent lines share one group)
+            if (inRules) flush()
+            agents ::= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" if agents.nonEmpty =>
+            inRules = true; rules += Rule(allow = true, value)
+          case "disallow" if agents.nonEmpty =>
+            inRules = true; rules += Rule(allow = false, value)
+          case _ => // Crawl-delay / Sitemap / unknown: not a match rule
+            if (agents.nonEmpty) inRules = true
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** The selected group's rules for `agent`: longest matching agent
+    * token (substring of the agent, case-insensitive), `*` as the
+    * fallback, no group → empty (allow everything). */
+  def rulesFor(groups: IndexedSeq[(String, IndexedSeq[Rule])],
+               agent: String): IndexedSeq[Rule] = {
+    val a = if (agent == null) "" else
+      agent.toLowerCase(java.util.Locale.ROOT)
+    var best: (Int, IndexedSeq[Rule]) = null
+    groups.foreach { case (tok, rs) =>
+      if (tok != "*" && tok.nonEmpty && a.contains(tok) &&
+          (best == null || tok.length > best._1))
+        best = (tok.length, rs)
+    }
+    if (best != null) best._2
+    else groups.collectFirst { case ("*", rs) => rs }
+      .getOrElse(IndexedSeq.empty)
+  }
+
+  /** Whether `path` matches the rule pattern: `*` = any sequence,
+    * trailing `$` anchors the end, otherwise prefix semantics. */
+  private[sources] def ruleMatches(pattern: String, path: String): Boolean = {
+    if (pattern.isEmpty) return false // empty Disallow matches nothing
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1)
+              else pattern
+    // greedy segment walk over '*' — patterns are tiny, paths bounded
+    def walk(pi: Int, si: Int): Boolean = {
+      var p = pi; var s = si
+      while (p < pat.length) {
+        val c = pat.charAt(p)
+        if (c == '*') {
+          // try every suffix for the rest of the pattern
+          var k = s
+          while (k <= path.length) {
+            if (walk(p + 1, k)) return true
+            k += 1
+          }
+          return false
+        } else {
+          if (s >= path.length || path.charAt(s) != c) return false
+          p += 1; s += 1
+        }
+      }
+      if (anchored) s == path.length else true // prefix match
+    }
+    walk(0, 0)
+  }
+
+  /** The RFC 9309 decision for `path` under `rules`: (allowed, the
+    * winning rule's pattern — "" when no rule matched). Longest pattern
+    * wins; Allow wins length ties. */
+  def decide(rules: IndexedSeq[Rule], path: String): (Boolean, String) = {
+    var bestLen = -1
+    var bestAllow = true
+    var bestPat = ""
+    rules.foreach { r =>
+      if (ruleMatches(r.path, path)) {
+        val len = r.path.length
+        if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
+          bestLen = len; bestAllow = r.allow; bestPat = r.path
+        }
+      }
+    }
+    if (bestLen < 0) (true, "") else (bestAllow, bestPat)
+  }
+
+  /** Full evaluation: parse + group-select + decide. */
+  def evalRobots(txt: UTF8String, agent: UTF8String,
+                 path: UTF8String): InternalRow = {
+    val (allowed, rule) = decide(
+      rulesFor(parse(if (txt == null) null else txt.toString),
+        if (agent == null) null else agent.toString),
+      if (path == null) "" else path.toString)
+    InternalRow(allowed, UTF8String.fromString(rule))
+  }
+
+  /** `Sitemap:` directives of a robots.txt, in file order (RFC 9309
+    * treats them as file-wide, group-independent). */
+  def sitemapsOf(txt: UTF8String): ArrayData = {
+    val out = IndexedSeq.newBuilder[UTF8String]
+    if (txt != null) txt.toString.linesIterator.foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val c = line.indexOf(':')
+      if (c > 0 && line.substring(0, c).trim
+          .equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) out += UTF8String.fromString(v)
+      }
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  /** `<loc>` values of a sitemap / sitemap-index XML document, in
+    * document order — both `<urlset>` and `<sitemapindex>` reduce to
+    * the same loc walk. Entities decoded per XML (`&amp;` etc. appear
+    * in real sitemap URLs), values trimmed; malformed tails yield the
+    * locs parsed so far (fail-soft: a sitemap is advisory input). */
+  def sitemapLocs(xml: UTF8String): ArrayData = {
+    val out = IndexedSeq.newBuilder[UTF8String]
+    if (xml != null) {
+      val s = xml.toString
+      var i = 0
+      while (i >= 0 && i < s.length) {
+        val open = s.indexOf("<loc>", i)
+        if (open < 0) i = -1
+        else {
+          val close = s.indexOf("</loc>", open + 5)
+          if (close < 0) i = -1
+          else {
+            val v = decodeXml(s.substring(open + 5, close).trim)
+            if (v.nonEmpty) out += UTF8String.fromString(v)
+            i = close + 6
+          }
+        }
+      }
+    }
+    new GenericArrayData(out.result().toArray[Any])
+  }
+
+  private def decodeXml(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else s.replace("&amp;", "&").replace("&lt;", "<")
+      .replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'")
+
+  // --------------------------------------------------- gate-side synth
+
+  /** Deterministic robots.txt twin for the gates: a `*` group, a
+    * graftbot group with prefix/longer-allow/wildcard-anchor rules
+    * keyed by `id`, non-rule lines (Crawl-delay, Sitemap, comments)
+    * that must be ignored for matching. */
+  def robotsSynth(id: Long): UTF8String = {
+    val k = java.lang.Long.remainderUnsigned(id, 5L)
+    UTF8String.fromString(
+      s"""# synthetic robots for doc $id
+         |User-agent: *
+         |Disallow: /private/
+         |Allow: /private/pub$$
+         |
+         |User-agent: graftbot
+         |Disallow: /blocked-$k/
+         |Allow: /blocked-$k/ok/
+         |Disallow: /*.pdf$$
+         |Crawl-delay: 2
+         |Sitemap: https://site-$k.example/sitemap.xml
+         |""".stripMargin)
+  }
+
+  /** Deterministic sitemap twin: three `<url><loc>` entries derived
+    * from `id`, one carrying an XML entity. */
+  def sitemapSynth(id: Long): UTF8String = {
+    val k = java.lang.Long.remainderUnsigned(id, 97L)
+    UTF8String.fromString(
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+         |  <url><loc>https://site-$k.example/page/$id</loc>
+         |    <lastmod>2026-01-01</lastmod></url>
+         |  <url><loc> https://site-$k.example/a?x=$id&amp;y=2 </loc></url>
+         |  <url><loc>https://site-$k.example/z/$id</loc></url>
+         |</urlset>
+         |""".stripMargin)
+  }
+}
+
+/** Catalyst expressions over [[RobotsKernels]]. */
+object RobotsExpressions {
+
+  case class RobotsEval(first: Expression, second: Expression,
+                        third: Expression) extends TernaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("allowed", BooleanType, nullable = false),
+      StructField("rule", StringType, nullable = false)))
+    override def prettyName: String = "robots_eval"
+
+    override def nullSafeEval(txt: Any, agent: Any, path: Any): Any =
+      RobotsKernels.evalRobots(txt.asInstanceOf[UTF8String],
+        agent.asInstanceOf[UTF8String], path.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, a, p) =>
+        s"graft.sources.RobotsKernels.evalRobots($t, $a, $p)")
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "robots_sitemaps"
+    override def nullSafeEval(txt: Any): Any =
+      RobotsKernels.sitemapsOf(txt.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t =>
+        s"graft.sources.RobotsKernels.sitemapsOf($t)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class SitemapLocs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "sitemap_locs"
+    override def nullSafeEval(xml: Any): Any =
+      RobotsKernels.sitemapLocs(xml.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, x =>
+        s"graft.sources.RobotsKernels.sitemapLocs($x)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class RobotsSynth(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "robots_synth"
+    override def nullSafeEval(id: Any): Any =
+      RobotsKernels.robotsSynth(id.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, i =>
+        s"graft.sources.RobotsKernels.robotsSynth($i)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  case class SitemapSynth(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "sitemap_synth"
+    override def nullSafeEval(id: Any): Any =
+      RobotsKernels.sitemapSynth(id.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, i =>
+        s"graft.sources.RobotsKernels.sitemapSynth($i)")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def robotsEval(txt: Column, agent: Column, path: Column): Column =
+    column(RobotsEval(expression(txt), expression(agent), expression(path)))
+  def robotsSitemaps(txt: Column): Column =
+    column(RobotsSitemaps(expression(txt)))
+  def sitemapLocs(xml: Column): Column = column(SitemapLocs(expression(xml)))
+  def robotsSynth(id: Column): Column = column(RobotsSynth(expression(id)))
+  def sitemapSynth(id: Column): Column = column(SitemapSynth(expression(id)))
+}

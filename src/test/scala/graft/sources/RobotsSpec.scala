@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 robots evaluation ([[RobotsKernels]]): group selection,
+  * longest-match precedence, wildcard/anchor patterns, and the sitemap
+  * walks — the corners the synthetic gate corpus doesn't reach. */
+class RobotsSpec extends AnyFunSuite {
+  import RobotsKernels._
+
+  private def eval(txt: String, agent: String, path: String) = {
+    val r = evalRobots(UTF8String.fromString(txt),
+      UTF8String.fromString(agent), UTF8String.fromString(path))
+    (r.getBoolean(0), r.getString(1).toString)
+  }
+
+  private val txt =
+    """# comment line
+      |User-agent: alpha
+      |User-agent: beta
+      |Disallow: /shared/
+      |
+      |User-agent: graftbot-news
+      |Disallow: /news/
+      |
+      |User-agent: graftbot
+      |Disallow: /a/
+      |Allow: /a/b/
+      |Disallow: /*.zip$
+      |Disallow:
+      |
+      |User-agent: *
+      |Disallow: /
+      |Sitemap: https://x.example/s1.xml
+      |Sitemap: https://x.example/s2.xml
+      |""".stripMargin
+
+  test("group selection: longest agent token wins; * is the fallback") {
+    // graftbot-news is the LONGER matching token for this agent
+    assert(eval(txt, "GraftBot-News/3.1", "/news/x") == (false, "/news/"))
+    // plain graftbot gets its own group — /news/ does not apply
+    assert(eval(txt, "graftbot/1.0", "/news/x") == (true, ""))
+    // consecutive User-agent lines share one group
+    assert(eval(txt, "Alpha/1", "/shared/p") == (false, "/shared/"))
+    assert(eval(txt, "BETA crawler", "/shared/p") == (false, "/shared/"))
+    // unlisted agent falls to the * group (deny-all here)
+    assert(eval(txt, "randombot", "/anything") == (false, "/"))
+    // no groups at all → everything allowed
+    assert(eval("# empty", "anybot", "/x") == (true, ""))
+  }
+
+  test("longest-match precedence; Allow wins length ties; empty Disallow") {
+    assert(eval(txt, "graftbot", "/a/x") == (false, "/a/"))
+    assert(eval(txt, "graftbot", "/a/b/x") == (true, "/a/b/"))
+    // empty Disallow matches nothing — unrelated paths stay allowed
+    assert(eval(txt, "graftbot", "/other") == (true, ""))
+    // Allow wins an exact length tie
+    val tie = "User-agent: *\nDisallow: /d/\nAllow: /d/\n"
+    assert(eval(tie, "x", "/d/f") == (true, "/d/"))
+  }
+
+  test("wildcards and anchors") {
+    assert(eval(txt, "graftbot", "/files/a.zip") == (false, "/*.zip$"))
+    // $ anchors: a .zip. path does NOT match
+    assert(eval(txt, "graftbot", "/files/a.zip.html") == (true, ""))
+    // multiple wildcards
+    val w = "User-agent: *\nDisallow: /*/private/*.log$\n"
+    assert(eval(w, "x", "/u1/private/a.log") == (false, "/*/private/*.log$"))
+    assert(eval(w, "x", "/u1/private/a.log.txt") == (true, ""))
+    assert(eval(w, "x", "/u1/public/a.log") == (true, ""))
+  }
+
+  test("sitemap directives and loc extraction") {
+    val sm = sitemapsOf(UTF8String.fromString(txt))
+    assert(sm.numElements() == 2)
+    assert(sm.getUTF8String(0).toString == "https://x.example/s1.xml")
+    val xml = """<?xml version="1.0"?><sitemapindex>
+      <sitemap><loc>https://x.example/a.xml</loc></sitemap>
+      <sitemap><loc> https://x.example/b.xml?x=1&amp;y=2 </loc></sitemap>
+      <sitemap><loc>https://x.example/tail""" // malformed tail: fail-soft
+    val locs = sitemapLocs(UTF8String.fromString(xml))
+    assert(locs.numElements() == 2)
+    assert(locs.getUTF8String(1).toString == "https://x.example/b.xml?x=1&y=2")
+    assert(sitemapLocs(null).numElements() == 0)
+  }
+}
