@@ -134,23 +134,15 @@ object SparkEntry {
   // re-paying dozens of COW commits per sample just to re-time the same
   // read. `fixture` memoizes the built catalog root per (key, sfDir) for
   // the JVM's lifetime: the first call per gate runs the whole lifecycle,
-  // later calls reuse the root. Read-only consumers share the root
-  // directly; a gate whose per-sample phase MUTATES takes a file-level
-  // copy (catalog manifests are root-relative, so a copied tree is a
-  // valid catalog). Oracle hashes are unchanged by construction — the
-  // memoized state is exactly what the per-call build produced.
+  // later calls reuse the root. Every consumer is READ-ONLY after the
+  // build (a gate whose per-sample phase mutated would need a file-level
+  // copy — catalog manifests are root-relative, so a copied tree would
+  // be a valid catalog — but no current gate does, so that path
+  // intentionally does not exist). Oracle hashes are unchanged by
+  // construction — the memoized state is exactly what the per-call
+  // build produced.
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def copyTree(from: String, to: String): Unit = {
-    import java.nio.file._
-    val src = Paths.get(from); val dst = Paths.get(to)
-    val st = Files.walk(src)
-    try st.forEach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-    } finally st.close()
-  }
   /** The (doc_id, source, n_chars) store schema the ValueIndex gate
     * family shares. */
   private def vidxSchema = {
@@ -266,20 +258,13 @@ object SparkEntry {
                           (body: => DataFrame): DataFrame =
     results.computeIfAbsent(s"$key|$dir", _ => body)
 
-  private def fixture(key: String, dir: String, mutates: Boolean = false)
-                     (build: String => Unit): String = {
-    val base = fixtures.computeIfAbsent(s"$key|$dir", _ => {
+  private def fixture(key: String, dir: String)
+                     (build: String => Unit): String =
+    fixtures.computeIfAbsent(s"$key|$dir", _ => {
       val root = tempDir(s"graft-fx-$key")
       build(root)
       root
     })
-    if (!mutates) base
-    else {
-      val c = tempDir(s"graft-fx-$key-copy")
-      copyTree(base, c)
-      c
-    }
-  }
 
   private def par(s: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -2221,8 +2206,15 @@ object SparkEntry {
     "q_value_index_prefix" -> ((s, dir) => {
       val root = fixture("vidx-prefix", dir) { root =>
         val cat = new graft.store.Catalog(root)
+        // % 17 NULL langs: a NULL NON-LEADING component must stay
+        // indexed (r16 review fix) — a prefix probe on source that
+        // missed these rows would hash-mismatch the oracle, which
+        // selects by source alone
         val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .select(col("doc_id"), col("source"),
+            when(pmod(col("doc_id"), lit(17)) === 0, lit(null))
+              .otherwise(col("lang")).as("lang"),
+            col("n_chars"))
         val src = new graft.store.GraftTable(s, cat, "docs", vidxLangSchema,
           uniqueKeys = Seq(Seq("doc_id")))
         src.createMany(docs.filter(pmod(col("doc_id"), lit(4)) =!= 0))

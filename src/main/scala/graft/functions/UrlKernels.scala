@@ -213,13 +213,20 @@ object UrlKernels {
     val bpath = if (qm >= 0) noFrag.substring(0, qm) else noFrag
     if (ref.isEmpty) // same-document reference → base sans fragment
       return origin + (if (noFrag.isEmpty) "/" else noFrag)
-    if (ref.charAt(0) == '/') return origin + removeDotSegments(ref)
     if (ref.charAt(0) == '?')
       return origin + (if (bpath.isEmpty) "/" else bpath) + ref
+    // §5.2.4 operates on the PATH only — split the ref's query off
+    // before dot-segment removal, or `?next=/../x` would eat real path
+    // segments (redirect-target query params are common in crawl data)
+    val rq = ref.indexOf('?')
+    val refPath = if (rq >= 0) ref.substring(0, rq) else ref
+    val refQuery = if (rq >= 0) ref.substring(rq) else ""
+    if (ref.charAt(0) == '/')
+      return origin + removeDotSegments(refPath) + refQuery
     // relative path: merge with the base path's directory (§5.2.3)
     val sl = bpath.lastIndexOf('/')
     val dir = if (sl >= 0) bpath.substring(0, sl + 1) else "/"
-    origin + removeDotSegments(dir + ref)
+    origin + removeDotSegments(dir + refPath) + refQuery
   }
 
   // UTF8String adapters (the codegen call sites)

@@ -101,33 +101,39 @@ object RobotsKernels {
   }
 
   /** Whether `path` matches the rule pattern: `*` = any sequence,
-    * trailing `$` anchors the end, otherwise prefix semantics. */
+    * trailing `$` anchors the end, otherwise prefix semantics.
+    * Iterative single-star-backtracking match — O(n·m) worst case, NOT
+    * the exponential recursive walk: robots.txt is attacker-supplied by
+    * definition, and a hostile many-star pattern must not wedge the
+    * executor (all `*`s are equivalent, so on a mismatch it is always
+    * sufficient to grow the MOST RECENT star's span by one — the
+    * classic glob algorithm). An unanchored pattern is a prefix ask:
+    * match against every path prefix ⇔ let the walk succeed when the
+    * pattern is exhausted. */
   private[sources] def ruleMatches(pattern: String, path: String): Boolean = {
     if (pattern.isEmpty) return false // empty Disallow matches nothing
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.substring(0, pattern.length - 1)
               else pattern
-    // greedy segment walk over '*' — patterns are tiny, paths bounded
-    def walk(pi: Int, si: Int): Boolean = {
-      var p = pi; var s = si
-      while (p < pat.length) {
-        val c = pat.charAt(p)
-        if (c == '*') {
-          // try every suffix for the rest of the pattern
-          var k = s
-          while (k <= path.length) {
-            if (walk(p + 1, k)) return true
-            k += 1
-          }
-          return false
-        } else {
-          if (s >= path.length || path.charAt(s) != c) return false
-          p += 1; s += 1
-        }
-      }
-      if (anchored) s == path.length else true // prefix match
+    var p = 0; var s = 0
+    var starP = -1; var starS = -1
+    while (true) {
+      if (p >= pat.length) {
+        // pattern exhausted: prefix semantics unless anchored
+        if (!anchored || s == path.length) return true
+        // anchored and path remains: grow the last star if there is one
+        if (starP < 0 || starS >= path.length) return false
+        starS += 1; s = starS; p = starP + 1
+      } else if (pat.charAt(p) == '*') {
+        starP = p; starS = s
+        p += 1
+      } else if (s < path.length && path.charAt(s) == pat.charAt(p)) {
+        p += 1; s += 1
+      } else if (starP >= 0 && starS < path.length) {
+        starS += 1; s = starS; p = starP + 1
+      } else return false
     }
-    walk(0, 0)
+    false // unreachable
   }
 
   /** The RFC 9309 decision for `path` under `rules`: (allowed, the
@@ -202,11 +208,33 @@ object RobotsKernels {
     new GenericArrayData(out.result().toArray[Any])
   }
 
-  private def decodeXml(s: String): String =
-    if (s.indexOf('&') < 0) s
-    else s.replace("&amp;", "&").replace("&lt;", "<")
-      .replace("&gt;", ">").replace("&quot;", "\"")
-      .replace("&apos;", "'")
+  /** Single left-to-right entity decode — a replace CHAIN would
+    * double-decode nested references (`&amp;lt;` means the literal
+    * text `&lt;`, not `<`). */
+  private def decodeXml(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val rep = if (semi > i && semi <= i + 6)
+          s.substring(i + 1, semi) match {
+            case "amp"  => "&"
+            case "lt"   => "<"
+            case "gt"   => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case _      => null
+          }
+        else null
+        if (rep != null) { sb.append(rep); i = semi + 1 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   // --------------------------------------------------- gate-side synth
 

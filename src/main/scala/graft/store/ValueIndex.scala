@@ -44,9 +44,14 @@ import org.apache.spark.sql.types._
   * proven on the other three index families (RESTORE reaches the index
   * as inverse deltas; cursor-aware vacuum pins its preimages).
   *
-  * NULL values are NOT indexed ([[postingsOf]] drops tuples with any
-  * NULL component): SQL equality never selects NULL, and `IS NULL`
-  * probes keep their zone-map path (null counts are in every sidecar).
+  * LEADING-NULL tuples are not indexed ([[postingsOf]] drops tuples
+  * whose leading column is NULL — they have no bucket home); their
+  * count rides the meta row ([[nullCount]]) for the index-only NULL
+  * group and `IS NULL` census. A NULL in a NON-leading component stays
+  * indexed (r16): a leading-prefix probe must return such rows exactly
+  * like the scan would, while equality on the null component still
+  * never matches them. SQL equality never selects NULL, and `IS NULL`
+  * probes on non-leading columns keep their zone-map path.
   *
   * [[lookupIds]] is the query side: probe tuples route to buckets
   * through Spark's own xxhash64 (one LocalTableScan job), the postings
@@ -130,11 +135,12 @@ final class ValueIndex private (
       txn.applyChanges(post,
         newPosts.withColumn("_change_type", lit("insert"))
           .unionByName(oldPosts.withColumn("_change_type", lit("delete"))))
-      // carry the NULL-group count across the window: any-null tuples
-      // never reach the postings, so their arrivals/departures adjust
-      // the meta row instead (one bounded agg over the checkpointed
-      // delta, one single-row staged update — same txn, crash-safe)
-      val anyNull = valCols.map(col(_).isNull).reduce(_ || _)
+      // carry the NULL-group count across the window: LEADING-null
+      // tuples never reach the postings, so their arrivals/departures
+      // adjust the meta row instead (one bounded agg over the
+      // checkpointed delta, one single-row staged update — same txn,
+      // crash-safe)
+      val anyNull = col(valCols.head).isNull
       val d = chk.filter(anyNull).agg(
         sum(when(col("_change_type").isin("insert", "update_postimage"),
           1L).otherwise(-1L)).as("d")).collect()(0)
@@ -332,12 +338,16 @@ object ValueIndex {
     // group, so their COUNT is carried here and maintained per refresh
     StructField("null_count", LongType, nullable = false)))
 
-  /** (value…, id) rows of the delta — tuples with any NULL component
-    * are not indexed. */
+  /** (value…, id) rows of the delta. Only tuples whose LEADING column
+    * is NULL are unindexed (r16 — their count lives in meta): the
+    * bucket hashes the leading column, so a leading NULL has no home,
+    * while a NULL in a NON-leading component must stay indexed or a
+    * leading-prefix probe would silently miss the row (equality on the
+    * null component still never matches it, exactly like the scan). */
   private[store] def postingsOf(rows: DataFrame, valCols: Seq[String],
                                 idCol: String): DataFrame = {
     val names = vnames(valCols)
-    rows.filter(valCols.map(col(_).isNotNull).reduce(_ && _))
+    rows.filter(col(valCols.head).isNotNull)
       .select(valCols.zip(names).map { case (c, n) => col(c).as(n) } :+
         col(idCol).as("id"): _*)
   }
@@ -356,10 +366,16 @@ object ValueIndex {
     val names = vnames(valCols)
     new GraftTable(src.spark, src.catalog, s"__vidx_${name}_post",
       StructType(valCols.zip(names).map { case (c, n) =>
-        StructField(n, src.schema(c).dataType, nullable = false) } ++ Seq(
+        // non-leading components may be NULL (r16) — see postingsOf
+        StructField(n, src.schema(c).dataType, nullable = n != names.head)
+      } ++ Seq(
         StructField("id", src.schema(idCol).dataType, nullable = false),
         StructField("bucket", IntegerType, nullable = false))),
-      uniqueKeys = Seq(names :+ "id"), partitionCols = Seq("bucket"))
+      // each source row holds ONE value tuple → one posting row → `id`
+      // alone is the pairing key (r16 — the old key included the value
+      // columns, which breaks applyChanges' null-unsafe join once
+      // non-leading components may be NULL)
+      uniqueKeys = Seq(Seq("id")), partitionCols = Seq("bucket"))
   }
 
   private def metaTable(src: GraftTable, name: String): GraftTable =
@@ -384,8 +400,7 @@ object ValueIndex {
     val snap = src.snapshotAt(c0)
     val post = postTable(src, name, valCols, idCol)
     val meta = metaTable(src, name)
-    val nullCnt =
-      snap.filter(valCols.map(col(_).isNull).reduce(_ || _)).count()
+    val nullCnt = snap.filter(col(valCols.head).isNull).count()
     val txn = new Txn(src.catalog)
     txn.createMany(post,
       bucketed(postingsOf(snap, valCols, idCol), valCols, nBuckets),
@@ -405,12 +420,20 @@ object ValueIndex {
            idCol: String): ValueIndex =
     open(src, name, Seq(valCol), idCol)
 
-  /** Composite re-open. */
+  /** Composite re-open. Fails FAST (never silently) on an index
+    * persisted by a pre-r16 engine: the bucket scheme changed (full
+    * tuple → leading column) and meta gained `null_count`, so probes
+    * against old postings would read the wrong buckets — the missing
+    * meta column is the format marker. */
   def open(src: GraftTable, name: String, valCols: Seq[String],
            idCol: String): ValueIndex = {
     val idx = new ValueIndex(src, name, valCols, idCol,
       postTable(src, name, valCols, idCol), metaTable(src, name))
-    idx.nBuckets() // fail fast when never built
+    val r = idx.meta.snapshot().collect()
+    require(r.length == 1, s"__vidx_${name}_meta: no persisted meta — build first")
+    require(!r(0).isNullAt(r(0).fieldIndex("null_count")),
+      s"__vidx_$name: persisted by a pre-r16 engine (leading-column " +
+        "bucketing + null census are missing) — rebuild the index")
     idx
   }
 }

@@ -82,6 +82,11 @@ class UrlSpec extends AnyFunSuite with SparkTestBase {
     assert(r("#sec") == "https://www.example.com/dir/page.html?q=1")
     // ref fragments drop
     assert(r("/p#s") == "https://www.example.com/p")
+    // §5.2.4 operates on the PATH only — dot segments in the query are
+    // data, not navigation (review fix: they must not eat path segments)
+    assert(r("/p?next=/../top") == "https://www.example.com/p?next=/../top")
+    assert(r("page?back=/../x") ==
+      "https://www.example.com/dir/page?back=/../x")
     // pathless base roots the merge
     assert(UrlKernels.resolveUrl("https://h.example", "x") ==
       "https://h.example/x")

@@ -71,6 +71,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(eval(w, "x", "/u1/public/a.log") == (true, ""))
   }
 
+  test("hostile many-star patterns match in linear time, not exponential") {
+    // 9 stars against 300 chars: the recursive walk would explore
+    // ~n^9 suffix combinations; the iterative matcher must answer
+    // instantly (and correctly) — robots.txt is attacker-supplied
+    val hostile = "User-agent: *\nDisallow: /*a*a*a*a*a*a*a*a*a*b$\n"
+    val path = "/" + "a" * 300
+    val t0 = System.nanoTime()
+    assert(eval(hostile, "x", path) == (true, ""))       // no 'b' → no match
+    assert(eval(hostile, "x", path + "b")._1 == false)   // matches
+    assert((System.nanoTime() - t0) / 1e9 < 2.0, "matcher not linear")
+    // star-backtrack correctness: later star must be able to re-expand
+    assert(RobotsKernels.ruleMatches("/*ab$", "/aab"))
+    assert(RobotsKernels.ruleMatches("/*a*b", "/xxaxxb-and-more"))
+    assert(!RobotsKernels.ruleMatches("/*a*b$", "/xxaxx"))
+  }
+
   test("sitemap directives and loc extraction") {
     val sm = sitemapsOf(UTF8String.fromString(txt))
     assert(sm.numElements() == 2)
@@ -83,5 +99,9 @@ class RobotsSpec extends AnyFunSuite {
     assert(locs.numElements() == 2)
     assert(locs.getUTF8String(1).toString == "https://x.example/b.xml?x=1&y=2")
     assert(sitemapLocs(null).numElements() == 0)
+    // nested references decode ONCE: &amp;lt; is the literal text &lt;
+    val nested = sitemapLocs(UTF8String.fromString(
+      "<urlset><url><loc>https://x.example/?q=a&amp;lt;b</loc></url></urlset>"))
+    assert(nested.getUTF8String(0).toString == "https://x.example/?q=a&lt;b")
   }
 }

@@ -195,12 +195,16 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
       uniqueKeys = Seq(Seq("id")))
     src.createMany(Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 10L),
       (4L, "x", 10L), (5L, null.asInstanceOf[String], 10L))
-      .toDF("id", "a", "b"))
+      .toDF("id", "a", "b")
+      .unionByName(Seq(7L).toDF("id")
+        .select($"id", lit("x").as("a"), lit(null).cast("long").as("b"))))
     val idx = ValueIndex.build(src, "ab", Seq("a", "b"), "id", nBuckets = 4)
-    // NULL in any component → not indexed
-    assert(idx.post.snapshot().count() == 4)
+    // LEADING null (id 5) → not indexed; a NULL in a NON-leading
+    // component (id 7) stays indexed — a prefix probe must return it
+    assert(idx.post.snapshot().count() == 5)
+    assert(idx.nullCount() == 1L)
     assert(idx.fetchTuples(Seq(Seq("x", 10L))).select($"id").as[Long]
-      .collect().toSet == Set(1L, 4L))
+      .collect().toSet == Set(1L, 4L)) // equality never matches NULL b
     assert(idx.countTupleIds(Seq(Seq("x", 10L), Seq("y", 10L))) == 3L)
     // the composite bucket hash covers the LEADING column: a one-tuple
     // probe still reads exactly one bucket partition
@@ -212,12 +216,17 @@ class ValueIndexSpec extends AnyFunSuite with SparkTestBase {
     val pbuckets =
       pfiles.map(_.replaceAll(".*/bucket=([0-9]+)/.*", "$1")).distinct
     assert(pfiles.nonEmpty && pbuckets.sameElements(buckets), pbuckets.toSeq)
-    // prefix probes: ids, hydrate, count
+    // prefix probes: ids, hydrate, count — the NULL-b row (7) is in
     assert(idx.idsOfTuples(Seq(Seq("x"))).as[Long].collect().toSet ==
-      Set(1L, 2L, 4L))
+      Set(1L, 2L, 4L, 7L))
     assert(idx.fetchTuples(Seq(Seq("y"))).select($"id").as[Long]
       .collect().toSet == Set(3L))
-    assert(idx.countTupleIds(Seq(Seq("x"), Seq("y"))) == 4L)
+    assert(idx.countTupleIds(Seq(Seq("x"), Seq("y"))) == 5L)
+    // prefix equality == the plain scan predicate, NULL-b row included
+    assert(idx.fetchTuples(Seq(Seq("x"))).select($"id").as[Long]
+      .collect().toSet ==
+      src.snapshot().filter($"a" === "x").select($"id").as[Long]
+        .collect().toSet)
     // refresh: moves, inserts, deletes on the tuple
     src.createMany(Seq((6L, "y", 20L)).toDF("id", "a", "b"))
     src.updateMany(graft.query.RawCol($"id" === 1L), Map("b" -> lit(30L)))
