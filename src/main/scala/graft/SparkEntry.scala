@@ -254,9 +254,15 @@ object SparkEntry {
     * read, which is what a repeated sample can honestly measure. */
   private val results =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def cachedResult(key: String, dir: String)
+  private def cachedResult(s: SparkSession, key: String, dir: String)
                           (body: => DataFrame): DataFrame =
-    results.computeIfAbsent(s"$key|$dir", _ => body)
+    // Keyed by SESSION IDENTITY too: a memoized frame is bound to the
+    // session that planned it — handing it to a second session in the
+    // same JVM (or a restarted one after stop()) would fail obscurely at
+    // execution time. Dead-session entries are bounded (one per gate per
+    // session) and one-session-per-JVM is the only path the harness runs.
+    results.computeIfAbsent(
+      s"$key|$dir|${System.identityHashCode(s)}", _ => body)
 
   private def fixture(key: String, dir: String)
                      (build: String => Unit): String =
@@ -3057,7 +3063,7 @@ object SparkEntry {
     // copy-of-self pairs at jaccard exactly 1.0 — identical shingle sets
     // collide in every band regardless of hash family, the same
     // determinism q_dedup_incr's oracle rests on.
-    "q_dedup_persist" -> ((s, dir) => cachedResult("q_dedup_persist", dir) {
+    "q_dedup_persist" -> ((s, dir) => cachedResult(s, "q_dedup_persist", dir) {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-deduppersist-q"))
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -3653,7 +3659,7 @@ object SparkEntry {
     // exactly q_media_dedup's (same twins, bands, filter), so the same
     // symbolic dHash replay gates it; the REQUIREs pin the
     // incremental-absorption and exactly-once properties.
-    "q_media_index" -> ((s, dir) => cachedResult("q_media_index", dir) {
+    "q_media_index" -> ((s, dir) => cachedResult(s, "q_media_index", dir) {
       val M = graft.multimodal.MediaExpressions
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-mediaidx-q"))
@@ -4415,7 +4421,7 @@ object SparkEntry {
     // byte-identical across refresh) and exactly-once drains; the oracle
     // trains on the snapshot subset but scores codes for ALL rows — a
     // Spark side that retrained on the final corpus hash-mismatches.
-    "q_ann_persist" -> ((s, dir) => cachedResult("q_ann_persist", dir) {
+    "q_ann_persist" -> ((s, dir) => cachedResult(s, "q_ann_persist", dir) {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-annpersist-q"))
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -4471,7 +4477,7 @@ object SparkEntry {
     // "shifted" band. Output = the per-bin PSI frame, the same
     // engine-portable arithmetic as q_drift. store/AnnIndex +
     // operators/Pq.rerankExact + operators/Profile.drift.
-    "q_ann_recall_audit" -> ((s, dir) => cachedResult("q_ann_recall_audit", dir) {
+    "q_ann_recall_audit" -> ((s, dir) => cachedResult(s, "q_ann_recall_audit", dir) {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-annaudit-q"))
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -4544,7 +4550,7 @@ object SparkEntry {
     // replays train-on-(corpus∪drift) / encode-all (delta included) —
     // a Spark side that skipped the retrain, retrained on the wrong
     // snapshot, or lost the cursor hash-mismatches.
-    "q_ann_rebuild" -> ((s, dir) => cachedResult("q_ann_rebuild", dir) {
+    "q_ann_rebuild" -> ((s, dir) => cachedResult(s, "q_ann_rebuild", dir) {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-annrebuild-q"))
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -5430,7 +5436,7 @@ object SparkEntry {
     // ChangeFeed diffs manifest snapshots, so the restore commit needs no
     // special-casing — the pk-diff of (bad state → restored state) IS the
     // inverse feed. GraftTable.restoreTo + store/CdfTail.drainOnce.
-    "q_restore_cdf" -> ((s, dir) => cachedResult("q_restore_cdf", dir) {
+    "q_restore_cdf" -> ((s, dir) => cachedResult(s, "q_restore_cdf", dir) {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-restorecdf-q"))
       def tbl(n: String) = new graft.store.GraftTable(s, cat, n, StructType(Seq(
@@ -5488,7 +5494,7 @@ object SparkEntry {
     // planted-copy probe, so the hash gate rides sketches that lived
     // through corrupt→restore→refresh. GraftTable.restoreTo +
     // store/DedupIndex + store/CdfTail.
-    "q_restore_index" -> ((s, dir) => cachedResult("q_restore_index", dir) {
+    "q_restore_index" -> ((s, dir) => cachedResult(s, "q_restore_index", dir) {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-restoreidx-q"))
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -5545,7 +5551,7 @@ object SparkEntry {
     // to a fresh re-sketch), a post-catch-up vacuum reclaims what
     // nothing references, and the probe hash-gates sketches that lived
     // through lag → vacuum → refresh. Catalog.vacuum + store/DedupIndex.
-    "q_vacuum_index" -> ((s, dir) => cachedResult("q_vacuum_index", dir) {
+    "q_vacuum_index" -> ((s, dir) => cachedResult(s, "q_vacuum_index", dir) {
       import org.apache.spark.sql.types._
       val cat = new graft.store.Catalog(tempDir("graft-vacidx-q"))
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))

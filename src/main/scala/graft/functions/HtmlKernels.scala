@@ -117,7 +117,12 @@ object HtmlKernels {
       raw.append(c)
       if (linkDepth > 0 && !isWs(c)) rawLink += 1
     }
-    def appendCp(cp: Int): Unit =
+    def appendCp(cp0: Int): Unit = {
+      // WHATWG maps numeric references in the surrogate range to U+FFFD
+      // — Character.isValidCodePoint(0xD800) is TRUE, and appending an
+      // unpaired surrogate would make the string ill-formed UTF-16
+      // (UTF8String.fromString would encode invalid UTF-8 bytes)
+      val cp = if (cp0 >= 0xD800 && cp0 <= 0xDFFF) 0xFFFD else cp0
       if (Character.isValidCodePoint(cp) && cp != 0) {
         if (cp <= Char.MaxValue) appendText(cp.toChar)
         else {
@@ -126,6 +131,7 @@ object HtmlKernels {
           if (linkDepth > 0) rawLink += 1
         }
       }
+    }
 
     val n = if (html == null) 0 else html.length
     var i = 0
@@ -251,8 +257,12 @@ object HtmlKernels {
               } catch { case _: NumberFormatException => -1 }
             case _ => -1
           }
-          if (decoded > 0 && Character.isValidCodePoint(decoded)) {
-            sb.appendCodePoint(decoded); i = semi + 1
+          // surrogate-range references → U+FFFD (WHATWG): appending the
+          // raw value would be an unpaired surrogate — ill-formed UTF-16
+          val cp = if (decoded >= 0xD800 && decoded <= 0xDFFF) 0xFFFD
+                   else decoded
+          if (cp > 0 && Character.isValidCodePoint(cp)) {
+            sb.appendCodePoint(cp); i = semi + 1
           } else { sb.append(c); i += 1 }
         } else { sb.append(c); i += 1 }
       } else { sb.append(c); i += 1 }

@@ -37,6 +37,21 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(text(h) == "a & b <c> M! \"q\" 's' x y &bogus; z")
   }
 
+  test("surrogate-range numeric references decode to U+FFFD (WHATWG)") {
+    // Character.isValidCodePoint(0xD800) is true — appending the raw
+    // value would be an unpaired surrogate, ill-formed UTF-16 that
+    // UTF8String.fromString encodes as invalid UTF-8 bytes
+    assert(text("<p>lead &#xD800; mid &#57343; tail words</p>")
+      == "lead � mid � tail words")
+    // attribute values go through the same rule
+    val as = graft.functions.HtmlKernels.anchors(
+      "<a href=\"/x\">t &#xDFFF; u</a>")
+    assert(as.head._2 == "t � u")
+    // astral references still decode normally (surrogate PAIR output)
+    assert(text("<p>ok &#x1F600; emoji here words</p>")
+      == "ok 😀 emoji here words")
+  }
+
   test("decoded '<' is text, not a tag") {
     assert(text("<p>compare &lt;b&gt;bold&lt;/b&gt; stays</p>")
       == "compare <b>bold</b> stays")

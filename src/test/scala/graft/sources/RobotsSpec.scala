@@ -87,6 +87,81 @@ class RobotsSpec extends AnyFunSuite {
     assert(!RobotsKernels.ruleMatches("/*a*b$", "/xxaxx"))
   }
 
+  test("repeated groups for the same token COMBINE (RFC 9309 §2.2.1)") {
+    // real robots.txt files commonly repeat 'User-agent: *' blocks —
+    // rules in the second block must not be silently ignored
+    val rep =
+      """User-agent: *
+        |Disallow: /one/
+        |
+        |User-agent: other
+        |Disallow: /elsewhere/
+        |
+        |User-agent: *
+        |Disallow: /two/
+        |""".stripMargin
+    assert(eval(rep, "anybot", "/one/x") == (false, "/one/"))
+    assert(eval(rep, "anybot", "/two/x") == (false, "/two/"))
+    assert(eval(rep, "anybot", "/elsewhere/x") == (true, ""))
+    // same for a NAMED token split across blocks
+    val named =
+      """User-agent: graftbot
+        |Disallow: /a/
+        |User-agent: *
+        |Disallow: /
+        |User-agent: graftbot
+        |Disallow: /b/
+        |""".stripMargin
+    assert(eval(named, "graftbot/1.0", "/a/x") == (false, "/a/"))
+    assert(eval(named, "graftbot/1.0", "/b/x") == (false, "/b/"))
+    assert(eval(named, "graftbot/1.0", "/c/x") == (true, ""))
+  }
+
+  test("octet-wise matching over percent-encoded forms (RFC 9309 §2.2.2)") {
+    // pattern spelled percent-encoded, probe path raw — same octets
+    val enc = "User-agent: *\nDisallow: /caf%c3%a9/\n"
+    assert(eval(enc, "x", "/café/menu")._1 == false)
+    assert(eval(enc, "x", "/caf%C3%A9/menu")._1 == false)
+    assert(eval(enc, "x", "/cafe/menu")._1 == true)
+    // pattern raw, path percent-encoded — the other direction
+    val raw = "User-agent: *\nDisallow: /café/\n"
+    assert(eval(raw, "x", "/caf%c3%a9/menu")._1 == false)
+    // ranking is by OCTET length: the 2-byte é makes the Disallow 10
+    // canonical octets ('/caf%C3%A9') vs the 4-octet Allow '/caf' —
+    // under UTF-16 char counts they'd be 5 vs 4 and tie-break wrong
+    // territory; octets put the Disallow clearly ahead
+    val rank = "User-agent: *\nAllow: /caf\nDisallow: /café\n"
+    assert(eval(rank, "x", "/café")._1 == false)
+    // canonicalOctets: bare % becomes %25, triplets uppercase, ASCII flat
+    assert(canonicalOctets("/a%2fb") == "/a%2Fb")
+    assert(canonicalOctets("/100%") == "/100%25")
+    assert(canonicalOctets("/plain/*$") == "/plain/*$")
+    assert(canonicalOctets("/é") == "/%C3%A9")
+  }
+
+  test("crawl-delay: captured per group, max across combined, -1 unset") {
+    val d =
+      """User-agent: graftbot
+        |Crawl-delay: 1.5
+        |Disallow: /x/
+        |
+        |User-agent: *
+        |Disallow: /y/
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 4
+        |""".stripMargin
+    val gs = parseGroups(d)
+    assert(crawlDelayFor(gs, "graftbot/2.0") == 4000L) // max of 1500, 4000
+    assert(crawlDelayFor(gs, "otherbot") == -1L)       // * group sets none
+    assert(crawlDelayFor(parseGroups("# none"), "x") == -1L)
+    // within one group the LAST occurrence wins; garbage values ignored
+    val last = "User-agent: *\nCrawl-delay: 9\nCrawl-delay: nonsense\nCrawl-delay: 2\n"
+    assert(crawlDelayFor(parseGroups(last), "x") == 2000L)
+    // crawl-delay lines never affect matching
+    assert(eval(d, "graftbot", "/x/p") == (false, "/x/"))
+  }
+
   test("sitemap directives and loc extraction") {
     val sm = sitemapsOf(UTF8String.fromString(txt))
     assert(sm.numElements() == 2)
