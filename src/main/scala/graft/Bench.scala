@@ -264,6 +264,65 @@ object Bench {
       finally w.close()
     }.failed.foreach(e =>
       System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}"))
+    // BENCH_DRIFT.md is GENERATED from this run's data — a hand-written
+    // ledger drifted from the artifact in r16 (3 documented rows vs 7 in
+    // the committed JSON, a stale total). One row per prefence_over2x
+    // entry; causes come from the committed bench_drift_causes.json
+    // (query -> cause sentence, maintained when a row is adjudicated via
+    // the A/B worktree protocol); a row with no recorded cause prints
+    // loudly as UNATTRIBUTED so staleness is visible in review, never
+    // silent.
+    scala.util.Try {
+      val causes: Map[String, String] = {
+        val f = new java.io.File(sys.env.getOrElse(
+          "SPARK_GRAFT_DRIFT_CAUSES", "bench_drift_causes.json"))
+        if (!f.exists()) Map.empty
+        else {
+          val src = scala.io.Source.fromFile(f)
+          try """"(q[^"]+)":\s*"([^"]*)"""".r.findAllMatchIn(src.mkString)
+            .map(m => m.group(1) -> m.group(2)).toMap
+          finally src.close()
+        }
+      }
+      val rows = timed.collect {
+        case (n, t) if t >= 0 && prefence.get(n).exists(b => t > b * 2.0) =>
+          val amb = loads.collectFirst { case (`n`, l) => l }.getOrElse(-1.0)
+          val cause = causes.getOrElse(n,
+            "UNATTRIBUTED — run the A/B worktree protocol and record a " +
+              "cause in bench_drift_causes.json")
+          s"| $n | ${num(t)} | ${num(t / prefence(n))}x | ${num(amb)} | $cause |"
+      }
+      val ledger = new java.io.PrintWriter("BENCH_DRIFT.md", "UTF-8")
+      try {
+        ledger.println(
+          s"""# BENCH_DRIFT — standing drift gate vs the pre-fence floor ledger
+             |
+             |GENERATED by `graft.Bench` from the same run that wrote
+             |`bench_last.json` — do not edit by hand; adjudicate a row by
+             |adding its cause to `bench_drift_causes.json` and re-running.
+             |
+             |Run of record: ${names.size} gates, ${num(total)} s total,
+             |fence $loadFence cores, sf $sfNum. Every query >2x its
+             |`bench_baseline_prefence.json` floor is listed with its cause.
+             |
+             |A/B protocol backing a "box regime" label: re-bench the flagged
+             |query on the UNCHANGED previous commit in a clean worktree
+             |(`git worktree add`, SPARK_GRAFT_ONLY) — if the old code
+             |reproduces the inflated number at near-zero ambient, the cause
+             |is co-tenant cache/memory-bandwidth pressure (invisible to
+             |/proc CPU accounting), not source.
+             |""".stripMargin)
+        if (rows.isEmpty)
+          ledger.println("No query ran above 2x its pre-fence floor.")
+        else {
+          ledger.println(
+            "| query | run (s) | ratio vs pre-fence floor | ambient cores | cause |")
+          ledger.println("|---|---|---|---|---|")
+          rows.foreach(ledger.println)
+        }
+      } finally ledger.close()
+    }.failed.foreach(e =>
+      System.err.println(s"[bench] drift-ledger write failed: ${e.getMessage}"))
     val headline = Seq("q1_agg", "q_dedup_minhash", "q_ann_topk",
       "q_asof_join", "q_nested_create", "q_dup_clusters_dist")
     val qs = dict(timed.filter(r => headline.contains(r._1)))

@@ -2766,6 +2766,80 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("idx"))
     }),
 
+    // CRAWL-DELAY surfacing (r17): the politeness scheduler needs the
+    // delay NEXT TO the allow/deny verdict — parse captures each group's
+    // Crawl-delay in integer millis (fractional seconds are in the
+    // wild). The synth plants per-id delays in three places: `k.5` s in
+    // the first graftbot block, a fixed 2 s in a SECOND rule-less
+    // graftbot block (the RFC 9309 §2.2.1 group-combining must merge
+    // them; effective = max, the conservative read), 1 s on the `*`
+    // group, and -1 for a file with no groups at all. The reference
+    // analog is the fixed 3 s pacing its runner hardcodes
+    // (src/runner/locator.ts:160) — here the file's own value wins.
+    "q_crawl_delay" -> ((s, dir) => {
+      val R = graft.sources.RobotsExpressions
+      val txt = R.robotsSynth(col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          R.robotsCrawlDelay(txt, lit("GraftBot/1.0")).as("bot_delay_ms"),
+          R.robotsCrawlDelay(txt, lit("OtherBot/2.0")).as("star_delay_ms"),
+          R.robotsCrawlDelay(lit("# no groups"), lit("GraftBot/1.0"))
+            .as("none_delay_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // IN-PAGE directives (r17): <meta name=robots> noindex/nofollow and
+    // <link rel=canonical> — canonical is the strongest crawl-dedup
+    // signal after URL normalization (the page names its own canonical
+    // URL; RefinedWeb/CC pipelines collapse on it before any content
+    // hash). Planted corners: uppercase tag/attr case, `none` = both
+    // flags, whitespace-padded rel token lists, entity-decoded hrefs,
+    // relative canonicals resolved against the page URL (RFC 3986),
+    // FIRST-canonical-wins on a planted duplicate, decoys inside
+    // <script> and comments that must NOT count, and a no-directives
+    // page (nulls). The oracle replays every branch as a CASE.
+    "q_canonical" -> ((s, dir) => {
+      val H = graft.functions.HtmlExpressions
+      val U = graft.functions.UrlExpressions
+      val k = pmod(col("doc_id"), lit(97))
+      val pageUrl = concat(lit("https://site-"), k,
+        lit(".example/page/"), col("doc_id"))
+      val m4 = pmod(col("doc_id"), lit(4))
+      val m3 = pmod(col("doc_id"), lit(3))
+      val meta = when(m4 === 0,
+          lit("<META name=\"robots\" content=\"NOINDEX, nofollow\">"))
+        .when(m4 === 1, lit("<meta name=\"robots\" content=\" noindex \">"))
+        .when(m4 === 2, lit("<meta name=robots content=\"none\">"))
+        .otherwise(
+          lit("<meta name=\"description\" content=\"noindex is not here\">"))
+      val canon = when(m3 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon-"), k,
+          lit(".example/c/"), col("doc_id"),
+          // the duplicate must lose to the first one
+          lit("\"><link rel=\"canonical\" href=\"/dup-ignored\">")))
+        .when(m3 === 1, concat(
+          lit("<LINK rel=\" CANONICAL alternate\" href=\"/canon/"),
+          col("doc_id"), lit("?a=1&amp;b=2\">")))
+        .otherwise(lit("<link rel=\"stylesheet\" href=\"/style.css\">"))
+      val html = concat(lit("<html><head>"),
+        lit("<script>var s = '<link rel=\"canonical\" href=\"/decoy\">';" +
+          "var m = '<meta name=\"robots\" content=\"noindex\">';</script>"),
+        lit("<!-- <meta name=\"robots\" content=\"nofollow\"> -->"),
+        meta, canon,
+        lit("</head><body><p>some page words here</p></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pageUrl.as("page_url"),
+          H.htmlDirectives(html).as("d"))
+        .select(col("doc_id"),
+          col("d.noindex").as("noindex"),
+          col("d.nofollow").as("nofollow"),
+          col("d.canonical").as("canonical"),
+          when(col("d.canonical").isNotNull,
+            U.urlResolve(col("page_url"), col("d.canonical")))
+            .as("canonical_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANCHOR-TEXT corpus (r16): the (href, anchor) pairs of every link —
     // anchor text is among the strongest relevance/label signals the web
     // gives away for free (it trains retrievers and labels link targets
@@ -6769,6 +6843,41 @@ object SparkEntry {
       )
       SELECT doc_id, CAST(idx AS BIGINT) AS idx, loc FROM rows_
       ORDER BY doc_id, idx""",
+
+    // crawl delays: first graftbot block k.5 s, second rule-less block
+    // 2 s — combined groups take the max; the * group 1 s; no groups -1
+    "q_crawl_delay" -> """
+      SELECT doc_id,
+             GREATEST((doc_id % 5) * 1000 + 500, 2000) AS bot_delay_ms,
+             CAST(1000 AS BIGINT) AS star_delay_ms,
+             CAST(-1 AS BIGINT) AS none_delay_ms
+      FROM documents
+      ORDER BY doc_id""",
+
+    // in-page directives replayed branch by branch: meta variants by
+    // doc_id % 4 ('none' = both flags; the description meta is not a
+    // robots meta), canonical variants by doc_id % 3 (first-wins on the
+    // planted duplicate, entity-decoded relative href resolved against
+    // the page URL, stylesheet link is no canonical)
+    "q_canonical" -> """
+      WITH d AS (
+        SELECT doc_id, doc_id % 97 AS k, doc_id % 4 AS m4, doc_id % 3 AS m3
+        FROM documents
+      )
+      SELECT doc_id,
+             m4 IN (0, 1, 2) AS noindex,
+             m4 IN (0, 2) AS nofollow,
+             CASE WHEN m3 = 0
+                    THEN 'https://canon-' || k || '.example/c/' || doc_id
+                  WHEN m3 = 1 THEN '/canon/' || doc_id || '?a=1&b=2'
+                  ELSE NULL END AS canonical,
+             CASE WHEN m3 = 0
+                    THEN 'https://canon-' || k || '.example/c/' || doc_id
+                  WHEN m3 = 1 THEN 'https://site-' || k ||
+                    '.example/canon/' || doc_id || '?a=1&b=2'
+                  ELSE NULL END AS canonical_abs
+      FROM d
+      ORDER BY doc_id""",
 
     // the meta-answered IS NULL census and its hydrated residual twin
     "q_count_null_indexed" -> """

@@ -97,10 +97,33 @@ object HtmlExpressions {
       copy(child = newChild)
   }
 
+  /** HTML → in-page crawl directives:
+    * struct<noindex, nofollow, canonical?>. */
+  case class HtmlDirectives(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("noindex", BooleanType, nullable = false),
+      StructField("nofollow", BooleanType, nullable = false),
+      StructField("canonical", StringType, nullable = true)))
+    override def prettyName: String = "html_directives"
+
+    override def nullSafeEval(html: Any): Any =
+      HtmlKernels.htmlDirectives(
+        html.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, h =>
+        s"graft.functions.HtmlKernels.htmlDirectives($h)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def htmlSynth(id: Column, text: Column): Column =
     column(HtmlSynth(expression(id), expression(text)))
   def htmlText(html: Column): Column = column(HtmlText(expression(html)))
   def htmlStats(html: Column): Column = column(HtmlStats(expression(html)))
   def htmlLinks(html: Column): Column = column(HtmlLinks(expression(html)))
   def htmlAnchors(html: Column): Column = column(HtmlAnchors(expression(html)))
+  def htmlDirectives(html: Column): Column =
+    column(HtmlDirectives(expression(html)))
 }

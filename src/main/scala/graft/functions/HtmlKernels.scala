@@ -422,6 +422,146 @@ object HtmlKernels {
     out.result()
   }
 
+  /** In-page crawl directives — the two signals a frontier consults
+    * right after robots.txt: `<meta name="robots">` (noindex/nofollow;
+    * `none` means both, per the major engines' documented synonym) and
+    * `<link rel="canonical">` (the single strongest crawl-dedup signal
+    * after URL normalization — the page names its own canonical URL).
+    *
+    * Same recovery rules as [[anchors]]: comments and drop-tag subtrees
+    * are skipped (a canonical inside a `<script>` string is NOT a
+    * directive), quoted attribute values may contain `>`, entities
+    * decode in attribute values. Multiple robots metas OR their flags
+    * (most restrictive wins — that is how crawlers reconcile
+    * conflicting metas); the FIRST canonical wins (browser behavior for
+    * duplicated rel=canonical). `rel` is a space-separated token list,
+    * matched case-insensitively. Returns (noindex, nofollow, canonical
+    * href or null). */
+  def pageDirectives(html: String): (Boolean, Boolean, String) = {
+    var noindex = false
+    var nofollow = false
+    var canonical: String = null
+    val n = if (html == null) 0 else html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!' && html.regionMatches(i + 1, "!--", 0, 3)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (c1 == '!' || c1 == '?') {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else if (c1.isLetter || (c1 == '/' && i + 2 < n &&
+            html.charAt(i + 2).isLetter)) {
+          val closing = c1 == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetter || html.charAt(j).isDigit))
+            j += 1
+          val name = html.substring(nameStart, j)
+            .toLowerCase(java.util.Locale.ROOT)
+          // attribute scan to the tag's real '>' (quoted values may
+          // contain '>'), capturing the first name/content/rel/href
+          var aName: String = null
+          var aContent: String = null
+          var aRel: String = null
+          var aHref: String = null
+          var done = false
+          while (!done && j < n) {
+            val cj = html.charAt(j)
+            if (cj == '>') done = true
+            else if (isWs(cj) || cj == '/') j += 1
+            else {
+              val as = j
+              while (j < n && { val x = html.charAt(j)
+                !isWs(x) && x != '=' && x != '>' && x != '/' }) j += 1
+              val attr = html.substring(as, j)
+                .toLowerCase(java.util.Locale.ROOT)
+              while (j < n && isWs(html.charAt(j))) j += 1
+              var aval: String = null
+              if (j < n && html.charAt(j) == '=') {
+                j += 1
+                while (j < n && isWs(html.charAt(j))) j += 1
+                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                  val q = html.charAt(j); j += 1
+                  val vs = j
+                  while (j < n && html.charAt(j) != q) j += 1
+                  aval = html.substring(vs, j)
+                  if (j < n) j += 1
+                } else {
+                  val vs = j
+                  while (j < n && { val x = html.charAt(j)
+                    !isWs(x) && x != '>' }) j += 1
+                  aval = html.substring(vs, j)
+                }
+              }
+              if (aval != null) attr match {
+                case "name"    => if (aName == null) aName = aval
+                case "content" => if (aContent == null) aContent = aval
+                case "rel"     => if (aRel == null) aRel = aval
+                case "href"    => if (aHref == null) aHref = aval
+                case _         =>
+              }
+            }
+          }
+          val tagEnd = if (j < n) j + 1 else n
+          if (!closing && DropTags.contains(name)) {
+            // skip the subtree exactly like the text/anchor walks
+            var k = tagEnd
+            var found = -1
+            while (found < 0 && k < n) {
+              val cand = html.indexOf('<', k)
+              if (cand < 0 || cand + name.length + 2 > n) k = n
+              else if (html.charAt(cand + 1) == '/' &&
+                  html.regionMatches(true, cand + 2, name, 0, name.length) &&
+                  (cand + 2 + name.length >= n || {
+                    val after = html.charAt(cand + 2 + name.length)
+                    after == '>' || after == '/' || isWs(after)
+                  }))
+                found = cand
+              else k = cand + 1
+            }
+            if (found < 0) i = n
+            else {
+              val gt = html.indexOf('>', found)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else {
+            if (!closing && name == "meta" && aName != null &&
+                aName.equalsIgnoreCase("robots") && aContent != null) {
+              decodeEntities(aContent)
+                .split(',').foreach { t =>
+                  val tok = t.trim.toLowerCase(java.util.Locale.ROOT)
+                  if (tok == "noindex" || tok == "none") noindex = true
+                  if (tok == "nofollow" || tok == "none") nofollow = true
+                }
+            }
+            if (!closing && name == "link" && canonical == null &&
+                aRel != null && aHref != null &&
+                aRel.split("[ \t\n\f\r]+")
+                  .exists(_.equalsIgnoreCase("canonical"))) {
+              val d = decodeEntities(aHref.trim)
+              if (d.nonEmpty) canonical = d
+            }
+            i = tagEnd
+          }
+        } else i += 1
+      } else i += 1
+    }
+    (noindex, nofollow, canonical)
+  }
+
+  /** [[pageDirectives]] as the expression-kernel shape:
+    * struct<noindex boolean, nofollow boolean, canonical string?>. */
+  def htmlDirectives(html: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (ni, nf, canon) =
+      pageDirectives(if (html == null) null else html.toString)
+    org.apache.spark.sql.catalyst.InternalRow(ni, nf,
+      if (canon == null) null else UTF8String.fromString(canon))
+  }
+
   /** [[links]] as the expression-kernel shape. */
   def htmlLinks(html: UTF8String): ArrayData = {
     val ls = links(if (html == null) null else html.toString)

@@ -384,7 +384,11 @@ object RobotsKernels {
   /** Deterministic robots.txt twin for the gates: a `*` group, a
     * graftbot group with prefix/longer-allow/wildcard-anchor rules
     * keyed by `id`, non-rule lines (Crawl-delay, Sitemap, comments)
-    * that must be ignored for matching. */
+    * that must be ignored for matching — plus, for the crawl-delay
+    * gate, id-keyed delays: `k.5` s in the first graftbot block, a
+    * fixed 2 s in a SECOND (rule-less) graftbot block that the §2.2.1
+    * group-combining must merge (effective delay = max of the two),
+    * and 1 s on the `*` group. */
   def robotsSynth(id: Long): UTF8String = {
     val k = java.lang.Long.remainderUnsigned(id, 5L)
     UTF8String.fromString(
@@ -392,13 +396,17 @@ object RobotsKernels {
          |User-agent: *
          |Disallow: /private/
          |Allow: /private/pub$$
+         |Crawl-delay: 1
          |
          |User-agent: graftbot
          |Disallow: /blocked-$k/
          |Allow: /blocked-$k/ok/
          |Disallow: /*.pdf$$
-         |Crawl-delay: 2
+         |Crawl-delay: $k.5
          |Sitemap: https://site-$k.example/sitemap.xml
+         |
+         |User-agent: graftbot
+         |Crawl-delay: 2
          |""".stripMargin)
   }
 

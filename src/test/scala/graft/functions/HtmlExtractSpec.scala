@@ -52,6 +52,44 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
       == "ok 😀 emoji here words")
   }
 
+  test("pageDirectives: meta robots, rel=canonical, decoys, first-wins") {
+    import graft.functions.HtmlKernels.pageDirectives
+    // basic flags + canonical; case-insensitive everywhere
+    assert(pageDirectives(
+      "<head><META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, NOFOLLOW\">" +
+        "<LINK REL=\"CANONICAL\" HREF=\"https://x.example/c\"></head>")
+      == (true, true, "https://x.example/c"))
+    // 'none' means both; unquoted attribute values parse
+    assert(pageDirectives("<meta name=robots content=none>")
+      == (true, true, null))
+    // multiple robots metas OR together (most restrictive wins)
+    assert(pageDirectives(
+      "<meta name=\"robots\" content=\"noindex\">" +
+        "<meta name=\"robots\" content=\"nofollow\">")
+      == (true, true, null))
+    // rel is a token LIST; entity-decoded href; FIRST canonical wins
+    assert(pageDirectives(
+      "<link rel=\"alternate canonical\" href=\"/a?x=1&amp;y=2\">" +
+        "<link rel=\"canonical\" href=\"/b\">")
+      == (false, false, "/a?x=1&y=2"))
+    // decoys in script strings and comments are NOT directives
+    assert(pageDirectives(
+      "<script>var s='<link rel=\"canonical\" href=\"/decoy\">';</script>" +
+        "<!-- <meta name=\"robots\" content=\"noindex\"> -->" +
+        "<p>plain</p>")
+      == (false, false, null))
+    // a description meta and a stylesheet link are not directives
+    assert(pageDirectives(
+      "<meta name=\"description\" content=\"noindex nofollow\">" +
+        "<link rel=\"stylesheet\" href=\"/s.css\">")
+      == (false, false, null))
+    // quoted '>' inside attribute values must not end the tag early
+    assert(pageDirectives(
+      "<meta name=\"robots\" data-x=\"a > b\" content=\"noindex\">")
+      == (true, false, null))
+    assert(pageDirectives(null) == (false, false, null))
+  }
+
   test("decoded '<' is text, not a tag") {
     assert(text("<p>compare &lt;b&gt;bold&lt;/b&gt; stays</p>")
       == "compare <b>bold</b> stays")
