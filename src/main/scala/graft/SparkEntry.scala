@@ -2889,6 +2889,68 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ROBOTS FRONTIER composition (r17): the parse-once-per-host shape
+    // the Robots scaladoc prescribes, as the gated path — dedupe to
+    // hosts, robots_rules parses each host's file ONCE on the 97-row
+    // host frame, the parsed rule arrays broadcast-join back over the
+    // frontier, and robots_decide runs the per-URL match walk with no
+    // parse. Composed with the crawl ordering: the same planted link
+    // graph as q_crawl_rank ranks hosts (integer fixed-point PageRank)
+    // and the frontier comes out (host_rank DESC, doc_id) — verdict and
+    // priority in one frame, which IS a polite crawl scheduler's input.
+    // FrontierSpec asserts the O(hosts) parse-count contract via the
+    // RobotsKernels.parseCalls counter; the oracle replays both the
+    // q_robots decision CASE (re-keyed by host id) and the unrolled
+    // rank rounds.
+    "q_robots_frontier" -> ((s, dir) => {
+      val R = graft.sources.RobotsExpressions
+      val k = pmod(col("doc_id"), lit(97))
+      val k5 = pmod(k, lit(5))
+      val m = pmod(col("doc_id"), lit(4))
+      val path = when(m === 0,
+          concat(lit("/blocked-"), k5, lit("/page-"), col("doc_id")))
+        .when(m === 1,
+          concat(lit("/blocked-"), k5, lit("/ok/page-"), col("doc_id")))
+        .when(m === 2, concat(lit("/private/doc-"), col("doc_id")))
+        .otherwise(concat(lit("/files/doc-"), col("doc_id"), lit(".pdf")))
+      val frontier = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("https://site-"), k, lit(".example"), path).as("url"))
+      // ONE robots.txt per HOST (not per page): text keyed by host id,
+      // so rules use (host id % 5) — matching the frontier's k5
+      val robots = s.range(97).select(
+        concat(lit("site-"), col("id"), lit(".example")).as("host"),
+        R.robotsSynth(col("id")).as("robots_txt"))
+      // host importance from the same planted link graph as q_crawl_rank
+      val pageUrl = concat(lit("https://site-"), k,
+        lit(".example/page/"), col("doc_id"))
+      val html = concat(
+        lit("<html><body><p><a href=\"https://site-"),
+        pmod(col("doc_id") * 7 + 3, lit(97)),
+        lit(".example/a\">x</a> <a href=\"//site-"),
+        pmod(col("doc_id") * 13 + 5, lit(97)),
+        lit(".example/b\">y</a> <a href=\"/self\">z</a></p></body></html>"))
+      val pages = Tables.documents(s, dir)
+        .select(pageUrl.as("url"), html.as("html"))
+      val edges = operators.Graph.crawlHostEdges(pages, "url", "html")
+        .select(
+          regexp_extract(col("src_host"), "site-([0-9]+)", 1)
+            .cast("long").as("src"),
+          regexp_extract(col("dst_host"), "site-([0-9]+)", 1)
+            .cast("long").as("dst"),
+          col("w"))
+      val ranks = operators.Graph
+        .pageRankFixedPoint(edges, s.range(97).select(col("id")), iters = 4)
+        .select(concat(lit("site-"), col("id"), lit(".example")).as("host"),
+          col("r").as("host_rank"))
+      graft.sources.Frontier
+        .politeFrontier(frontier, "url", robots, "host", "robots_txt",
+          agent = "GraftBot/1.0")
+        .join(broadcast(ranks), Seq("host"))
+        .select(col("doc_id"), col("host"), col("path"), col("allowed"),
+          col("rule"), col("host_rank"))
+        .orderBy(col("host_rank").desc, col("doc_id"))
+    }),
+
     // CJK-aware tokenization (r16): unsegmented scripts carry no spaces,
     // so the letter-run tokenizer made an entire Chinese/Japanese
     // sentence ONE token — BM25 idf, minhash shingles, and n-gram
@@ -6412,7 +6474,16 @@ object SparkEntry {
     * arithmetically (absolute/protocol-relative/self hrefs), then unroll
     * `iters` integer PageRank rounds — [[pagerankOracle]]'s recurrence
     * over the crawl graph. */
-  private def crawlRankOracle(iters: Int): String = {
+  private def crawlRankOracle(iters: Int): String =
+    crawlRankCtes(iters) + s"""
+      SELECT id, r FROM r$iters ORDER BY id"""
+
+  /** The shared WITH-prefix of q_crawl_rank and q_robots_frontier:
+    * rebuild the planted host→host edge multiset and unroll `iters`
+    * integer PageRank rounds ending at CTE `r<iters>` (id, r). One
+    * string, two consumers — the planted graph cannot drift between
+    * the rank gate and the frontier gate that orders by it. */
+  private def crawlRankCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb.append("""
       WITH raw AS (
@@ -6447,10 +6518,35 @@ object SparkEntry {
         LEFT JOIN r${i - 1} p ON p.id = e.src
         GROUP BY n.id
       )""")
-    sb.append(s"""
-      SELECT id, r FROM r$iters ORDER BY id""")
     sb.toString
   }
+
+  /** q_robots_frontier's oracle: the [[crawlRankCtes]] host ranks joined
+    * onto the frontier's closed-form robots verdicts (the q_robots CASE,
+    * re-keyed by HOST id instead of doc id — the parse-once-per-host
+    * composition must reproduce exactly the per-row decisions). */
+  private def robotsFrontierOracle(iters: Int): String =
+    crawlRankCtes(iters) + s""",
+      fr AS (
+        SELECT doc_id, doc_id % 97 AS k, (doc_id % 97) % 5 AS k5,
+               doc_id % 4 AS m
+        FROM documents
+      )
+      SELECT f.doc_id,
+             'site-' || f.k || '.example' AS host,
+             CASE m WHEN 0 THEN '/blocked-' || k5 || '/page-' || doc_id
+                    WHEN 1 THEN '/blocked-' || k5 || '/ok/page-' || doc_id
+                    WHEN 2 THEN '/private/doc-' || doc_id
+                    ELSE '/files/doc-' || doc_id || '.pdf' END AS path,
+             CASE m WHEN 1 THEN true WHEN 2 THEN true
+                    ELSE false END AS allowed,
+             CASE m WHEN 0 THEN '/blocked-' || k5 || '/'
+                    WHEN 1 THEN '/blocked-' || k5 || '/ok/'
+                    WHEN 2 THEN ''
+                    ELSE '/*.pdf$$' END AS rule,
+             r.r AS host_rank
+      FROM fr f JOIN r$iters r ON r.id = f.k
+      ORDER BY host_rank DESC, f.doc_id"""
 
   /** Shared CTE prefix of the two substring gates: the planted-twin
     * corpus ([[plantedTwinCorpus]]'s SQL twin), the k=50 gram scan on
@@ -6761,6 +6857,7 @@ object SparkEntry {
       ORDER BY doc_id, idx""",
 
     "q_crawl_rank" -> crawlRankOracle(4),
+    "q_robots_frontier" -> robotsFrontierOracle(4),
 
     // every (href, anchor) pair, position by position — nav labels,
     // the linked token of each >=3-token paragraph, footer labels

@@ -90,10 +90,28 @@ object UrlExpressions {
         l: Expression, r: Expression): Expression = copy(left = l, right = r)
   }
 
+  /** URL → the path-and-query a robots rule matches against. */
+  case class UrlPath(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "url_path"
+
+    override def nullSafeEval(raw: Any): Any =
+      UrlKernels.pathOf(
+        raw.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, r => s"graft.functions.UrlKernels.pathOf($r)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def urlNormalize(raw: Column): Column = column(UrlNormalize(expression(raw)))
   def urlHost(raw: Column): Column = column(UrlHost(expression(raw)))
   def registeredDomain(host: Column): Column =
     column(RegisteredDomain(expression(host)))
+  def urlPath(raw: Column): Column = column(UrlPath(expression(raw)))
   def urlResolve(base: Column, ref: Column): Column =
     column(UrlResolve(expression(base), expression(ref)))
 }

@@ -142,6 +142,27 @@ object UrlKernels {
     if (host.isEmpty) null else host
   }
 
+  /** The path-and-query a robots rule matches against (RFC 9309 §2.2.2
+    * probes the path plus the optional query): everything from the
+    * first `/` after the authority to the end, fragment dropped; `/`
+    * for a URL with no path; null for a non-hierarchical URL. A
+    * query-only URL (`https://h?q=1`) keeps its query behind the
+    * implied `/`. */
+  def pathOf(raw: String): String = {
+    if (raw == null) return null
+    val ss = raw.indexOf("://")
+    if (ss <= 0) return null
+    var j = ss + 3
+    while (j < raw.length && raw.charAt(j) != '/' && raw.charAt(j) != '?' &&
+      raw.charAt(j) != '#') j += 1
+    if (j >= raw.length || raw.charAt(j) == '#') return "/"
+    val h = raw.indexOf('#', j)
+    val pq = raw.substring(j, if (h >= 0) h else raw.length)
+    if (pq.isEmpty) "/"
+    else if (pq.charAt(0) == '?') "/" + pq
+    else pq
+  }
+
   /** Embedded two-level public-suffix core. The real deployment swaps in
     * the full Mozilla PSL as a data file; the ALGORITHM (longest known
     * suffix + one label) is what the engine owns. */
@@ -246,5 +267,10 @@ object UrlKernels {
     if (host == null) return null
     val d = registeredDomain(host.toString)
     if (d == null) null else UTF8String.fromString(d)
+  }
+  def pathOf(raw: UTF8String): UTF8String = {
+    if (raw == null) return null
+    val p = pathOf(raw.toString)
+    if (p == null) null else UTF8String.fromString(p)
   }
 }
