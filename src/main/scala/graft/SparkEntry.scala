@@ -1744,6 +1744,34 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // TRAINED language-ID (r17): the routed path — a hashed
+    // char-trigram multinomial Naive Bayes (the fastText-shaped linear
+    // scorer) TRAINED on the planted 6-language fixture and applied to
+    // a mixed-evidence probe (one fixture sentence + 24 chars of the
+    // English-ish document text, so margins are real, not replay of the
+    // training set). Training is one counting aggregation into integer
+    // micro log-weights (one rounded ln per (lang, bucket) — the round-6
+    // libm-parity contract), scoring is a broadcast join + exact integer
+    // sums + a deterministic argmax, so the oracle replays the ENTIRE
+    // train+route pipeline symbolically. q_lang_id stays as the cheap
+    // stopword probe. operators/LangId.scala.
+    "q_lang_id_trained" -> ((s, dir) => {
+      val L = operators.LangId
+      val model = L.train(L.trainingFixture(s))
+      val j = (pmod(col("doc_id"), lit(48)) + 1).cast("int")
+      val sentArr = array(L.FixtureSentences.map(t => lit(t._2)): _*)
+      val langArr = array(L.FixtureSentences.map(t => lit(t._1)): _*)
+      val probes = Tables.documents(s, dir).select(col("doc_id"),
+        element_at(langArr, j).as("lang_planted"),
+        concat(element_at(sentArr, j), lit(" "),
+          substring(col("text"), 1, 24)).as("ptxt"))
+      L.route(probes, "ptxt", "doc_id", model)
+        .join(probes.select(col("doc_id"), col("lang_planted")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang_planted"), col("lang_pred"),
+          col("score_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprints through the ORACLE-PORTABLE md5 twins: same
     // canonicalization and windowing as the xxhash64 production path
     // (fingerprint/winnowFingerprint — those stay the fast path inside
@@ -6548,6 +6576,71 @@ object SparkEntry {
       FROM fr f JOIN r$iters r ON r.id = f.k
       ORDER BY host_rank DESC, f.doc_id"""
 
+  /** q_lang_id_trained's oracle: replay the WHOLE train+route pipeline —
+    * fixture VALUES generated from [[operators.LangId.FixtureSentences]]
+    * (one source, two engines), trigram hash counting, the Laplace
+    * micro log-weights (the one rounded ln per (lang, bucket)), probe
+    * scoring as exact integer sums, argmax with the lang-ascending
+    * tie-break. */
+  private def langIdTrainedOracle: String = {
+    val dim = operators.LangId.Dim
+    val values = operators.LangId.FixtureSentences.zipWithIndex.map {
+      case ((lang, txt), i) => s"($i, '$lang', '$txt')"
+    }.mkString(",\n        ")
+    s"""
+      WITH fx(i, lang, txt) AS (VALUES
+        $values
+      ), tl AS (
+        SELECT lang, lower(txt) AS t FROM fx
+      ), tg AS (
+        SELECT lang, t, unnest(range(1, len(t) - 1)) AS p
+        FROM tl WHERE len(t) >= 3
+      ), gb AS (
+        SELECT lang,
+               CAST(CAST(concat('0x',
+                 substr(md5(substr(t, CAST(p AS INT), 3)), 1, 8))
+                 AS UBIGINT) % $dim AS BIGINT) AS bucket
+        FROM tg
+      ), cnt AS (
+        SELECT lang, bucket, count(*) AS c FROM gb GROUP BY 1, 2
+      ), tot AS (
+        SELECT lang, count(*) AS n FROM gb GROUP BY 1
+      ), model AS (
+        SELECT t.lang, CAST(r.range AS BIGINT) AS bucket,
+               CAST(round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+                 CAST(t.n + $dim AS DOUBLE)) * 1e6) AS BIGINT) AS w
+        FROM range($dim) r
+        CROSS JOIN tot t
+        LEFT JOIN cnt c ON c.lang = t.lang AND c.bucket = r.range
+      ), probes AS (
+        SELECT d.doc_id, f.lang AS lang_planted,
+               lower(f.txt || ' ' || substr(d.text, 1, 24)) AS t
+        FROM documents d JOIN fx f ON f.i = d.doc_id % 48
+      ), pg AS (
+        SELECT doc_id, lang_planted, t, unnest(range(1, len(t) - 1)) AS p
+        FROM probes WHERE len(t) >= 3
+      ), pb AS (
+        SELECT doc_id, lang_planted,
+               CAST(CAST(concat('0x',
+                 substr(md5(substr(t, CAST(p AS INT), 3)), 1, 8))
+                 AS UBIGINT) % $dim AS BIGINT) AS bucket
+        FROM pg
+      ), sc AS (
+        SELECT doc_id, lang_planted, m.lang,
+               CAST(sum(m.w) AS BIGINT) AS score
+        FROM pb JOIN model m USING (bucket)
+        GROUP BY 1, 2, 3
+      ), rk AS (
+        SELECT doc_id, lang_planted, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lang) AS rn
+        FROM sc
+      )
+      SELECT doc_id, lang_planted, lang AS lang_pred, score AS score_micro
+      FROM rk WHERE rn = 1
+      ORDER BY doc_id"""
+  }
+
   /** Shared CTE prefix of the two substring gates: the planted-twin
     * corpus ([[plantedTwinCorpus]]'s SQL twin), the k=50 gram scan on
     * gram TEXT (the Spark side ships xxhash64 of the same gram —
@@ -7936,6 +8029,8 @@ object SparkEntry {
     // marker counts over the sorted profiles (de,en,es,fr) — the CASE
     // cascade "cK >= every later count" picks the FIRST maximum, exactly
     // the kernel's tie rule; all-zero → 'und'
+    "q_lang_id_trained" -> langIdTrainedOracle,
+
     "q_lang_id" -> """
       WITH t AS (
         SELECT doc_id, text,
