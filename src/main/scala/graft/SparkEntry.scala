@@ -2501,6 +2501,22 @@ object SparkEntry {
       operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)
         .orderBy(col("step"))),
 
+    // Unigram-LM tokenizer training (r17, operators/UnigramLm.scala) —
+    // the SentencePiece half of the subword world beside BPE: seed
+    // vocabulary from occurrence-counted substrings, integer micro
+    // log-prob scores (one rounded ln per piece per round), two hard-EM
+    // rounds of Viterbi segmentation → usage counts → prune-unused →
+    // rescore. The Viterbi runs as a codegen'd scan-side kernel over
+    // the distinct-word frame with the metadata-sized vocabulary as a
+    // codegen reference; the oracle unrolls BOTH the EM rounds and the
+    // per-position DP (words truncated to 8 chars bound the unroll
+    // depth) including the backward tie-toward-longest-piece recovery —
+    // a slip anywhere in seeding, scoring, segmentation, or pruning
+    // hash-mismatches.
+    "q_unigram_train" -> ((s, dir) =>
+      operators.UnigramLm.train(Tables.documents(s, dir), "text")
+        .orderBy(col("piece"))),
+
     // Deterministic weighted interleaving (operators/Mixing.scala): the
     // materialized global training order under stride scheduling —
     // source srcN gets weight N%4+1 (derived from the name so the
@@ -6641,6 +6657,109 @@ object SparkEntry {
       ORDER BY doc_id"""
   }
 
+  /** q_unigram_train's oracle: unroll the ENTIRE hard-EM unigram-LM
+    * training — seed substring counts, micro log-prob scores, and per
+    * EM round a position-by-position Viterbi DP (`B` CTEs, forward max)
+    * plus the backward recovery (`pick` CTEs, exact-score-match with
+    * the longest-piece tie-break), usage counts, prune-unused /
+    * floor-single-chars, rescore. Word truncation to `maxWordLen`
+    * bounds the DP depth so the unroll is finite — the same
+    * generated-CTE discipline as [[bpeOracle]]. */
+  private def unigramOracle(maxPieceLen: Int, maxWordLen: Int,
+                            minSeed: Long, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+      WITH words AS MATERIALIZED (
+        SELECT substr(w0, 1, $maxWordLen) AS w, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split(text, ' ')) AS w0 FROM documents)
+        WHERE w0 <> '' GROUP BY 1
+      ), wpos AS MATERIALIZED (
+        SELECT w, f, unnest(range(1, len(w) + 1)) AS i FROM words
+      ), candp AS MATERIALIZED (
+        SELECT w, f, i, l,
+               substr(w, CAST(i - l + 1 AS INT), CAST(l AS INT)) AS piece
+        FROM (SELECT w, f, i,
+                     unnest(range(1, least($maxPieceLen, i) + 1)) AS l
+              FROM wpos)
+      ), vocab0 AS MATERIALIZED (
+        SELECT piece AS p, CAST(sum(f) AS BIGINT) AS c
+        FROM candp GROUP BY 1
+        HAVING sum(f) >= $minSeed OR len(piece) = 1
+      ), tot0 AS MATERIALIZED (
+        SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab0
+      ), s1 AS MATERIALIZED (
+        SELECT p, CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+          * 1e6) AS BIGINT) AS s
+        FROM vocab0, tot0
+      )""")
+    for (it <- 1 to iters) {
+      sb.append(s""",
+      cand$it AS MATERIALIZED (
+        SELECT c.w, c.f, c.i, c.l, c.piece, s.s
+        FROM candp c JOIN s$it s ON s.p = c.piece
+      ),
+      B${it}_0 AS MATERIALIZED (
+        SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS b FROM words
+      ),
+      Ball${it}_0 AS MATERIALIZED (SELECT * FROM B${it}_0)""")
+      for (k <- 1 to maxWordLen) {
+        sb.append(s""",
+      B${it}_$k AS MATERIALIZED (
+        SELECT c.w, $k AS pos, CAST(max(p.b + c.s) AS BIGINT) AS b
+        FROM cand$it c
+        JOIN Ball${it}_${k - 1} p ON p.w = c.w AND p.pos = c.i - c.l
+        WHERE c.i = $k GROUP BY c.w
+      ),
+      Ball${it}_$k AS MATERIALIZED (
+        SELECT * FROM Ball${it}_${k - 1} UNION ALL SELECT * FROM B${it}_$k
+      )""")
+      }
+      sb.append(s""",
+      R${it}_0 AS MATERIALIZED (SELECT w, f, len(w) AS pos FROM words)""")
+      for (k <- 1 to maxWordLen) {
+        sb.append(s""",
+      pick${it}_$k AS MATERIALIZED (
+        SELECT r.w, r.f, r.pos, c.l, c.piece,
+               row_number() OVER (PARTITION BY r.w ORDER BY c.l DESC) AS rn
+        FROM R${it}_${k - 1} r
+        JOIN cand$it c ON c.w = r.w AND c.i = r.pos
+        JOIN Ball${it}_$maxWordLen p
+          ON p.w = r.w AND p.pos = r.pos - c.l
+        JOIN Ball${it}_$maxWordLen q ON q.w = r.w AND q.pos = r.pos
+        WHERE r.pos > 0 AND p.b + c.s = q.b
+      ),
+      R${it}_$k AS MATERIALIZED (
+        SELECT w, f, pos - l AS pos FROM pick${it}_$k WHERE rn = 1
+      )""")
+      }
+      val used = (1 to maxWordLen)
+        .map(k => s"SELECT piece, f FROM pick${it}_$k WHERE rn = 1")
+        .mkString("\n        UNION ALL ")
+      sb.append(s""",
+      used$it AS MATERIALIZED (
+        SELECT piece AS p, CAST(sum(f) AS BIGINT) AS c
+        FROM ($used)
+        GROUP BY 1
+      ),
+      vocab$it AS MATERIALIZED (
+        SELECT v.p, COALESCE(u.c, 1) AS c
+        FROM vocab${it - 1} v LEFT JOIN used$it u ON u.p = v.p
+        WHERE u.p IS NOT NULL OR len(v.p) = 1
+      ),
+      tot$it AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab$it),
+      s${it + 1} AS MATERIALIZED (
+        SELECT p, CAST(round(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+          * 1e6) AS BIGINT) AS s
+        FROM vocab$it, tot$it
+      )""")
+    }
+    sb.append(s"""
+      SELECT v.p AS piece, v.c AS "count", s.s AS score_micro
+      FROM vocab$iters v JOIN s${iters + 1} s ON s.p = v.p
+      ORDER BY piece""")
+    sb.toString
+  }
+
   /** Shared CTE prefix of the two substring gates: the planted-twin
     * corpus ([[plantedTwinCorpus]]'s SQL twin), the k=50 gram scan on
     * gram TEXT (the Spark side ships xxhash64 of the same gram —
@@ -6697,6 +6816,8 @@ object SparkEntry {
 
   private def oracleSqlBase: Map[String, String] = Map(
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
+    "q_unigram_train" -> unigramOracle(maxPieceLen = 4, maxWordLen = 8,
+      minSeed = 50, iters = 2),
     "q_bpe_encode" -> bpeOracle(k = 8, depth = 16, segment = true),
 
     // the synth page's closed-form extraction: paragraphs of 8 tokens,
