@@ -125,7 +125,11 @@ object Temporal {
                         keyCol: String, convTs: String, touchTs: String,
                         convId: String, touchId: String,
                         windowSeconds: Long): DataFrame = {
-    val pairs = RangeJoin.bandJoin(conversions, touches, keyCol, keyCol,
+    // rename the touch-side key: same-name keys make Column.=== log a
+    // spurious "trivially true equals predicate" WARN (the join itself
+    // resolves correctly via the DataFrame-qualified references)
+    val pairs = RangeJoin.bandJoin(conversions,
+      touches.withColumnRenamed(keyCol, "__rkey"), keyCol, "__rkey",
       convTs, touchTs, before = windowSeconds, after = 0)
     val w = Window.partitionBy(col(convId))
     val wOrd = Window.partitionBy(col(convId))

@@ -141,8 +141,20 @@ class StatsSkipSpec extends AnyFunSuite with SparkTestBase {
     val t = seeded()
     // WHERE 1=1 AND id >= 100: the ANALYZER does not constant-fold, so
     // mayMatch sees EqualTo(Literal, Literal) — the literal-first mirror
-    // case must not rebuild itself forever (StackOverflowError pre-fix)
-    val r = t.snapshotWhere(lit(1) === lit(1) && col("id") >= 100L)
+    // case must not rebuild itself forever (StackOverflowError pre-fix).
+    // Column logs a "trivially true equals predicate" WARN for the 1===1
+    // construction — here it is the POINT of the test input, so silence
+    // that one logger for the one deliberate construction (the
+    // TimeTravelSpec targeted-logger pattern; synchronous, no async bus)
+    val colLogger = org.apache.logging.log4j.LogManager.getLogger(
+      "org.apache.spark.sql.Column")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    val prevLevel = colLogger.getLevel
+    colLogger.setLevel(org.apache.logging.log4j.Level.ERROR)
+    val cond =
+      try lit(1) === lit(1) && col("id") >= 100L
+      finally colLogger.setLevel(prevLevel)
+    val r = t.snapshotWhere(cond)
     assert(r.count() == 75)
 
     // footer min/max are ordered by unsigned UTF-8 bytes (= Spark's
