@@ -271,8 +271,10 @@ object Bench {
     // (query -> cause sentence, maintained when a row is adjudicated via
     // the A/B worktree protocol); a row with no recorded cause prints
     // loudly as UNATTRIBUTED so staleness is visible in review, never
-    // silent.
-    scala.util.Try {
+    // silent. Only the RUN OF RECORD (default FULL_OUT) writes it — an
+    // sf1 probe or a SPARK_GRAFT_ONLY dev loop must not clobber the
+    // committed sf0.1 ledger with its own partial view.
+    if (fullOut == "bench_last.json" && only.isEmpty) scala.util.Try {
       val causes: Map[String, String] = {
         val f = new java.io.File(sys.env.getOrElse(
           "SPARK_GRAFT_DRIFT_CAUSES", "bench_drift_causes.json"))
