@@ -2517,6 +2517,16 @@ object SparkEntry {
       operators.UnigramLm.train(Tables.documents(s, dir), "text")
         .orderBy(col("piece"))),
 
+    // The unigram inference half (the q_bpe_encode sibling): every
+    // distinct corpus word Viterbi-segmented under the trained final
+    // scores — one codegen'd scan over the distinct-word frame, vocab
+    // as a codegen reference, no join. The oracle re-runs the full
+    // training unroll plus ONE more DP pass and re-assembles each
+    // word's pieces left-to-right by end position.
+    "q_unigram_segment" -> ((s, dir) =>
+      operators.UnigramLm.segmentWords(Tables.documents(s, dir), "text")
+        .orderBy(col("word"))),
+
     // Deterministic weighted interleaving (operators/Mixing.scala): the
     // materialized global training order under stride scheduling —
     // source srcN gets weight N%4+1 (derived from the name so the
@@ -2884,6 +2894,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CANONICAL-COLLAPSE dedup (r17): the crawl-dedup step rel=canonical
+    // exists for — URLs sharing a declared canonical collapse to ONE
+    // representative BEFORE any content hash runs (RefinedWeb drops a
+    // double-digit CC share by URL identity alone; canonical catches
+    // what spelling normalization cannot). Key = the page's canonical
+    // target (absolute or resolved relative), else its own normalized
+    // URL — everything then NORMALIZED so 'HTTP://Site-K...:80' spells
+    // one key. Representative = min doc_id per key (partitioned window,
+    // bounded by the largest dup group). The planted corpus shares
+    // canonical targets across doc_id%50 groups so real clusters form;
+    // the oracle replays key construction and the window.
+    "q_canonical_dedup" -> ((s, dir) => {
+      val H = graft.functions.HtmlExpressions
+      val U = graft.functions.UrlExpressions
+      val k = pmod(col("doc_id"), lit(97))
+      val m3 = pmod(col("doc_id"), lit(3))
+      val g = pmod(col("doc_id"), lit(50))
+      // deliberately un-normalized page spelling: the key path must
+      // normalize it away
+      val pageUrl = concat(lit("HTTP://Site-"), k,
+        lit(".Example.COM:80/page/"), col("doc_id"))
+      val canonLink = when(m3 === 0, concat(
+          lit("<link rel=\"canonical\" href=\"https://canon-"), g,
+          lit(".example/main\">")))
+        .when(m3 === 1, concat(lit("<link rel=\"canonical\" href=\"/c/"),
+          g, lit("\">")))
+        .otherwise(lit("<p>no canonical here</p>"))
+      val html = concat(lit("<html><head>"), canonLink,
+        lit("</head><body><p>some page words</p></body></html>"))
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), pageUrl.as("page_url"),
+          H.htmlDirectives(html).getField("canonical").as("canonical"))
+        .select(col("doc_id"),
+          U.urlNormalize(coalesce(
+            U.urlResolve(col("page_url"), col("canonical")),
+            col("page_url"))).as("canon_key"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canon_key"))
+      keyed
+        .withColumn("rep_id", min(col("doc_id")).over(w))
+        .withColumn("is_dup", col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id"), col("canon_key"), col("rep_id"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANCHOR-TEXT corpus (r16): the (href, anchor) pairs of every link —
     // anchor text is among the strongest relevance/label signals the web
     // gives away for free (it trains retrievers and labels link targets
@@ -2993,6 +3048,47 @@ object SparkEntry {
         .select(col("doc_id"), col("host"), col("path"), col("allowed"),
           col("rule"), col("host_rank"))
         .orderBy(col("host_rank").desc, col("doc_id"))
+    }),
+
+    // FRONTIER SCHEDULE (r17): the politeness loop closed — verdicts
+    // from the parse-once-per-host composition, each host's OWN
+    // Crawl-delay (graftbot: max((host%5)·1000+500, 2000) ms from the
+    // combined groups), and stride scheduling: allowed URLs get a dense
+    // per-host fetch index and a scheduled offset idx·delay. This is
+    // the table a fetch executor consumes directly; the reference
+    // hardcodes a fixed 3 s sleep between fetches
+    // (src/runner/locator.ts:160) — here the file's declared delay
+    // paces each host independently. Window partitions on host
+    // (bounded state); the oracle replays verdicts, row_number, and
+    // the delay arithmetic.
+    "q_frontier_schedule" -> ((s, dir) => {
+      val R = graft.sources.RobotsExpressions
+      val k = pmod(col("doc_id"), lit(97))
+      val k5 = pmod(k, lit(5))
+      val m = pmod(col("doc_id"), lit(4))
+      val path = when(m === 0,
+          concat(lit("/blocked-"), k5, lit("/page-"), col("doc_id")))
+        .when(m === 1,
+          concat(lit("/blocked-"), k5, lit("/ok/page-"), col("doc_id")))
+        .when(m === 2, concat(lit("/private/doc-"), col("doc_id")))
+        .otherwise(concat(lit("/files/doc-"), col("doc_id"), lit(".pdf")))
+      val frontier = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("https://site-"), k, lit(".example"), path).as("url"))
+      val robots = s.range(97).select(
+        concat(lit("site-"), col("id"), lit(".example")).as("host"),
+        R.robotsSynth(col("id")).as("robots_txt"))
+      val delays = robots.select(col("host"),
+        R.robotsCrawlDelay(col("robots_txt"), lit("GraftBot/1.0"))
+          .as("delay_ms"))
+      val verdicts = graft.sources.Frontier
+        .politeFrontier(frontier, "url", robots, "host", "robots_txt",
+          agent = "GraftBot/1.0")
+        .join(broadcast(delays), Seq("host"))
+      graft.sources.Frontier
+        .politeSchedule(verdicts, "host", "delay_ms", Seq(col("doc_id")))
+        .select(col("doc_id"), col("host"), col("fetch_idx"),
+          col("delay_ms"), col("scheduled_ms"))
+        .orderBy(col("host"), col("fetch_idx"))
     }),
 
     // CJK-aware tokenization (r16): unsegmented scripts carry no spaces,
@@ -6666,7 +6762,8 @@ object SparkEntry {
     * bounds the DP depth so the unroll is finite — the same
     * generated-CTE discipline as [[bpeOracle]]. */
   private def unigramOracle(maxPieceLen: Int, maxWordLen: Int,
-                            minSeed: Long, iters: Int): String = {
+                            minSeed: Long, iters: Int,
+                            segment: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(s"""
       WITH words AS MATERIALIZED (
@@ -6692,7 +6789,10 @@ object SparkEntry {
           * 1e6) AS BIGINT) AS s
         FROM vocab0, tot0
       )""")
-    for (it <- 1 to iters) {
+    // one Viterbi round: candidate scores, forward DP (B/Ball chain),
+    // backward recovery (R/pick chain) — shared by the EM rounds and
+    // the final segmentation pass
+    def emitDp(it: Int): Unit = {
       sb.append(s""",
       cand$it AS MATERIALIZED (
         SELECT c.w, c.f, c.i, c.l, c.piece, s.s
@@ -6732,6 +6832,9 @@ object SparkEntry {
         SELECT w, f, pos - l AS pos FROM pick${it}_$k WHERE rn = 1
       )""")
       }
+    }
+    for (it <- 1 to iters) {
+      emitDp(it)
       val used = (1 to maxWordLen)
         .map(k => s"SELECT piece, f FROM pick${it}_$k WHERE rn = 1")
         .mkString("\n        UNION ALL ")
@@ -6753,10 +6856,26 @@ object SparkEntry {
         FROM vocab$it, tot$it
       )""")
     }
-    sb.append(s"""
+    if (segment) {
+      // the inference pass: one more Viterbi round under the FINAL
+      // scores, pieces re-assembled left-to-right by their end position
+      val fin = iters + 1
+      emitDp(fin)
+      val picks = (1 to maxWordLen)
+        .map(k => s"SELECT w, pos, piece FROM pick${fin}_$k WHERE rn = 1")
+        .mkString("\n        UNION ALL ")
+      sb.append(s"""
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS n_pieces,
+             string_agg(piece, ' ' ORDER BY pos) AS seq
+      FROM ($picks)
+      GROUP BY w
+      ORDER BY word""")
+    } else {
+      sb.append(s"""
       SELECT v.p AS piece, v.c AS "count", s.s AS score_micro
       FROM vocab$iters v JOIN s${iters + 1} s ON s.p = v.p
       ORDER BY piece""")
+    }
     sb.toString
   }
 
@@ -6818,6 +6937,8 @@ object SparkEntry {
     "q_bpe_train" -> bpeOracle(k = 8, depth = 16),
     "q_unigram_train" -> unigramOracle(maxPieceLen = 4, maxWordLen = 8,
       minSeed = 50, iters = 2),
+    "q_unigram_segment" -> unigramOracle(maxPieceLen = 4, maxWordLen = 8,
+      minSeed = 50, iters = 2, segment = true),
     "q_bpe_encode" -> bpeOracle(k = 8, depth = 16, segment = true),
 
     // the synth page's closed-form extraction: paragraphs of 8 tokens,
@@ -7072,6 +7193,51 @@ object SparkEntry {
 
     "q_crawl_rank" -> crawlRankOracle(4),
     "q_robots_frontier" -> robotsFrontierOracle(4),
+
+    // allowed rows (m in 1,2), per-host dense fetch index by doc_id,
+    // stride offset under the host's combined-group graftbot delay
+    "q_frontier_schedule" -> """
+      WITH fr AS (
+        SELECT doc_id, doc_id % 97 AS k FROM documents
+        WHERE doc_id % 4 IN (1, 2)
+      ), sched AS (
+        SELECT doc_id, k,
+               row_number() OVER (PARTITION BY k ORDER BY doc_id) - 1
+                 AS fetch_idx
+        FROM fr
+      )
+      SELECT doc_id, 'site-' || k || '.example' AS host,
+             CAST(fetch_idx AS BIGINT) AS fetch_idx,
+             CAST(GREATEST((k % 5) * 1000 + 500, 2000) AS BIGINT)
+               AS delay_ms,
+             CAST(fetch_idx * GREATEST((k % 5) * 1000 + 500, 2000)
+               AS BIGINT) AS scheduled_ms
+      FROM sched
+      ORDER BY host, fetch_idx""",
+
+    // canonical-collapse keys: declared canonical (absolute, or
+    // relative resolved against the page) else the page's own URL,
+    // everything normalized; representative = min doc_id per key
+    "q_canonical_dedup" -> """
+      WITH d AS (
+        SELECT doc_id, doc_id % 97 AS k, doc_id % 3 AS m3,
+               doc_id % 50 AS g
+        FROM documents
+      ), keyed AS (
+        SELECT doc_id,
+               CASE WHEN m3 = 0
+                      THEN 'https://canon-' || g || '.example/main'
+                    WHEN m3 = 1
+                      THEN 'http://site-' || k || '.example.com/c/' || g
+                    ELSE 'http://site-' || k || '.example.com/page/' ||
+                      doc_id END AS canon_key
+        FROM d
+      )
+      SELECT doc_id, canon_key,
+             min(doc_id) OVER (PARTITION BY canon_key) AS rep_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY canon_key) AS is_dup
+      FROM keyed
+      ORDER BY doc_id""",
 
     // every (href, anchor) pair, position by position — nav labels,
     // the linked token of each >=3-token paragraph, footer labels

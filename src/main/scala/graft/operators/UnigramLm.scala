@@ -62,6 +62,22 @@ object UnigramLm {
   private def microLog(c: Long, total: Long): Long =
     math.round(math.log(c.toDouble / total.toDouble) * 1e6)
 
+  /** The trained model: final Viterbi counts and micro log-prob scores
+    * (both keyed by piece — metadata-sized by the seed threshold). */
+  final case class Model(counts: Map[String, Long],
+                         scores: Map[String, Long])
+
+  /** The distinct truncated-word frequency frame (`__w`, `__f`) both
+    * training and segmentation scan. */
+  private def wordFreq(docs: DataFrame, textCol: String,
+                       maxWordLen: Int): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("__w0"))
+      .filter(col("__w0") =!= "")
+      .select(substring(col("__w0"), 1, maxWordLen).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .localCheckpoint()
+
   /** Train over the whitespace words of `textCol`.
     *
     * @return (piece, count, score_micro) — the final vocabulary after
@@ -69,15 +85,41 @@ object UnigramLm {
   def train(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
             maxWordLen: Int = 8, minSeedCount: Long = 50,
             iters: Int = 2, maxVocab: Int = 500000): DataFrame = {
-    require(iters >= 1, "iters must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("__w0"))
-      .filter(col("__w0") =!= "")
-      .select(substring(col("__w0"), 1, maxWordLen).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
-      .localCheckpoint()
+    val m = trainModel(docs, textCol, maxPieceLen, maxWordLen,
+      minSeedCount, iters, maxVocab)
+    m.counts.toSeq.sorted
+      .map { case (p, c) => Piece(p, c, m.scores(p)) }
+      .toDF("piece", "count", "score_micro")
+      .select(col("piece"), col("count"), col("score_micro"))
+  }
+
+  /** The inference half (the [[Bpe.segment]] sibling): every distinct
+    * corpus word segmented under the trained final scores — one
+    * codegen'd Viterbi scan over the distinct-word frame, vocabulary as
+    * a codegen reference, no join.
+    *
+    * @return (word, n_pieces, seq) — seq is the space-joined Viterbi
+    *         segmentation, one row per distinct (truncated) word */
+  def segmentWords(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                   maxWordLen: Int = 8, minSeedCount: Long = 50,
+                   iters: Int = 2, maxVocab: Int = 500000): DataFrame = {
+    val m = trainModel(docs, textCol, maxPieceLen, maxWordLen,
+      minSeedCount, iters, maxVocab)
+    wordFreq(docs, textCol, maxWordLen)
+      .select(col("__w").as("word"),
+        unigramSegment(col("__w"), m.scores, maxPieceLen).as("__seg"))
+      .select(col("word"),
+        size(col("__seg")).cast("long").as("n_pieces"),
+        array_join(col("__seg"), " ").as("seq"))
+  }
+
+  private def trainModel(docs: DataFrame, textCol: String, maxPieceLen: Int,
+                         maxWordLen: Int, minSeedCount: Long,
+                         iters: Int, maxVocab: Int): Model = {
+    require(iters >= 1, "iters must be positive")
+    val words = wordFreq(docs, textCol, maxWordLen)
     // SEED: occurrence-counted substrings, weighted by word frequency
     val w = col("__w")
     val pieces = flatten(transform(
@@ -115,10 +157,7 @@ object UnigramLm {
       val total = counts.valuesIterator.sum
       scores = counts.map { case (p, c) => p -> microLog(c, total) }
     }
-    counts.toSeq.sorted
-      .map { case (p, c) => Piece(p, c, scores(p)) }
-      .toDF("piece", "count", "score_micro")
-      .select(col("piece"), col("count"), col("score_micro"))
+    Model(counts, scores)
   }
 
   /** The Viterbi segmentation as a codegen'd scan-side column — the

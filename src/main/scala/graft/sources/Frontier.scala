@@ -46,6 +46,29 @@ object Frontier {
     * @return `frontier` plus `host`, `path`, `allowed`, `rule` (the
     *         winning rule's spelling, "" when none matched)
     */
+  /** Turn [[politeFrontier]] verdicts into a per-host fetch SCHEDULE:
+    * allowed URLs get a dense per-host fetch index (deterministic
+    * `order` within the host) and a scheduled offset
+    * `fetch_idx · max(delay_ms, 0)` — stride scheduling under the
+    * host's own Crawl-delay (no delay declared → no pacing floor, the
+    * scheduler's default). The window partitions on host, so state is
+    * bounded by the largest single host's frontier, never the corpus.
+    *
+    * @param verdicts   [[politeFrontier]] output (or any frame with
+    *                   `allowed`, the host column, and a delay column)
+    * @param delayMsCol per-host crawl delay in millis (-1 = none)
+    */
+  def politeSchedule(verdicts: DataFrame, hostCol: String,
+                     delayMsCol: String,
+                     order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(hostCol)).orderBy(order: _*)
+    verdicts.filter(col("allowed"))
+      .withColumn("fetch_idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("scheduled_ms",
+        col("fetch_idx") * greatest(col(delayMsCol), lit(0L)))
+  }
+
   def politeFrontier(frontier: DataFrame, urlCol: String,
                      robotsByHost: DataFrame, hostCol: String,
                      txtCol: String, agent: String,

@@ -37,6 +37,16 @@ class UnigramLmSpec extends AnyFunSuite with SparkTestBase {
       ("b", 1L, micro(1, 7))))
   }
 
+  test("segmentWords: the worked example's words segment as trained") {
+    val docs = Seq("abab abab abab ab ab").toDF("text")
+    val segs = UnigramLm.segmentWords(docs, "text", maxPieceLen = 4,
+      maxWordLen = 8, minSeedCount = 2, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    // under the trained scores the whole-word pieces win outright
+    assert(segs.toSeq == Seq(("ab", 1L, "ab"), ("abab", 1L, "abab")))
+  }
+
   test("fixed point: a third EM round changes nothing") {
     val docs = Seq("abab abab abab ab ab").toDF("text")
     def run(iters: Int) = UnigramLm.train(docs, "text", maxPieceLen = 4,

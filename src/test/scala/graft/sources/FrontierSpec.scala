@@ -81,6 +81,24 @@ class FrontierSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0).getBoolean(0) && out(0).getString(1) == "")
   }
 
+  test("politeSchedule: dense per-host index, stride offsets, -1 delay floors at 0") {
+    val verdicts = Seq(
+      (1L, "h0", true, 2000L), (3L, "h0", true, 2000L),
+      (5L, "h0", false, 2000L), (7L, "h0", true, 2000L),
+      (2L, "h1", true, -1L), (4L, "h1", true, -1L))
+      .toDF("id", "host", "allowed", "delay_ms")
+    val out = Frontier.politeSchedule(verdicts, "host", "delay_ms",
+      Seq(col("id")))
+      .select(col("id"), col("host"), col("fetch_idx"), col("scheduled_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._2, t._3))
+    // disallowed id=5 is skipped and the index stays DENSE (7 gets 2);
+    // h1's undeclared delay (-1) schedules everything at 0
+    assert(out.toSeq == Seq(
+      (1L, "h0", 0L, 0L), (3L, "h0", 1L, 2000L), (7L, "h0", 2L, 4000L),
+      (2L, "h1", 0L, 0L), (4L, "h1", 1L, 0L)))
+  }
+
   test("urlPath: path+query for robots matching, fragment dropped") {
     import graft.functions.UrlKernels.pathOf
     assert(pathOf("https://h.example/a/b?x=1#frag") == "/a/b?x=1")
