@@ -2939,6 +2939,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // QUALITY-AWARE cluster representative selection (r17): the
+    // keep-one rule that FOLLOWS dedup clustering — FineWeb/RefinedWeb
+    // keep the BEST member of each dup group, not an arbitrary one.
+    // Clusters here are the canonical-URL identity groups
+    // (q_canonical_dedup's key, doc_id%50 — every member has its OWN
+    // text); quality is the classifier's EXACT integer milliweight sum
+    // (QualityClassifier.scoreMilli — no float enters the ordering), so
+    // the argmax fold (min over (-score, id): highest score, smallest
+    // id on an exact tie) is bit-stable under any partitioning. One
+    // scan-side score, one keyed aggregation — no self-join, state
+    // bounded by cluster count.
+    "q_rep_select" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          concat(lit("https://canon-"), pmod(col("doc_id"), lit(50)),
+            lit(".example/main")).as("canon_key"))
+      val scored = operators.QualityClassifier
+        .scoreMilli(keyed, "text", "doc_id", dim = 4096)
+      keyed.select(col("doc_id"), col("canon_key"))
+        .join(scored, Seq("doc_id"))
+        .groupBy(col("canon_key"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("score_milli")).as("neg"),
+            col("doc_id").as("id"))).as("__m"))
+        .select(col("canon_key"), col("n_members"),
+          col("__m.id").as("rep_id"),
+          (-col("__m.neg")).as("rep_score_milli"))
+        .orderBy(col("canon_key"))
+    }),
+
     // ANCHOR-TEXT corpus (r16): the (href, anchor) pairs of every link —
     // anchor text is among the strongest relevance/label signals the web
     // gives away for free (it trains retrievers and labels link targets
@@ -7214,6 +7244,42 @@ object SparkEntry {
                AS BIGINT) AS scheduled_ms
       FROM sched
       ORDER BY host, fetch_idx""",
+
+    // the keep-one rule replayed: exact milliweight per member (the
+    // q_quality_classifier token/hash/weight pipeline), argmax per
+    // canonical group by (milli DESC, doc_id)
+    "q_rep_select" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+          x -> len(x) > 0)) AS t
+        FROM documents
+      ), feats AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(t), 1, 8)) AS UBIGINT)
+                    % 4096 AS BIGINT) AS b
+        FROM toks
+      ), agg AS (
+        SELECT doc_id,
+               CAST(sum((b * 37 + 11) % 2001 - 1000) AS BIGINT) AS milli
+        FROM feats GROUP BY doc_id
+      ), keyed AS (
+        SELECT doc_id,
+               'https://canon-' || (doc_id % 50) || '.example/main'
+                 AS canon_key,
+               milli
+        FROM agg
+      ), rk AS (
+        SELECT canon_key, doc_id, milli,
+               row_number() OVER (PARTITION BY canon_key
+                 ORDER BY milli DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY canon_key) AS n_members
+        FROM keyed
+      )
+      SELECT canon_key, CAST(n_members AS BIGINT) AS n_members,
+             doc_id AS rep_id, milli AS rep_score_milli
+      FROM rk WHERE rn = 1
+      ORDER BY canon_key""",
 
     // canonical-collapse keys: declared canonical (absolute, or
     // relative resolved against the page) else the page's own URL,

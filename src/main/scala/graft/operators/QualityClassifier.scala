@@ -103,6 +103,24 @@ object QualityClassifier {
       idCol)
   }
 
+  /** [[scoreInline]]'s exact-integer face: (idCol, n_tokens,
+    * score_milli) with the raw milliweight SUM instead of the sigmoid —
+    * for consumers that rank or argmax on quality (dup-cluster
+    * representative selection), where exact integer comparison beats a
+    * rounded probability: no float enters the ordering at all, so the
+    * chosen representative is bit-stable under any partitioning and
+    * trivially oracle-replayable. Zero-token documents carry no
+    * features and are excluded (the [[scoreInline]] rule). */
+  def scoreMilli(docs: DataFrame, textCol: String, idCol: String,
+                 dim: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val milli = aggregate(toks, lit(0L),
+      (acc, t) => acc + (tokenBucket(t, dim) * 37 + 11) % 2001 - 1000)
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        milli.as("score_milli"))
+      .filter(col("n_tokens") > 0)
+  }
+
   /** TRAIN the quality head — the half [[scoreWithModel]] assumed away.
     *
     * Logistic regression by full-batch gradient descent over the same

@@ -51,6 +51,28 @@ class QualityClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((1L, 3L, 0.5, true)))
   }
 
+  test("scoreMilli is scoreInline's exact-integer face (sigmoid round-trip)") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "one two"),
+      (3L, "")).toDF("id", "text")
+    val milli = QualityClassifier.scoreMilli(docs, "text", "id", dim = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val inline = QualityClassifier.scoreInline(docs, "text", "id", dim = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Number](1).longValue, r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(milli.keySet == Set(1L, 2L)) // zero-token doc excluded
+    assert(milli.keySet == inline.keySet)
+    milli.foreach { case (id, (n, m)) =>
+      val (nI, edu, keep) = inline(id)
+      assert(n == nI)
+      assert(keep == (m >= 0))
+      val expected = BigDecimal(
+        1.0 / (1.0 + math.exp(-(m.toDouble / (1000.0 * n)))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(edu == expected, s"id=$id")
+    }
+  }
+
   test("zero-token documents are excluded, not scored as NaN") {
     val docs = Seq((1L, "real words"), (2L, "   "), (3L, "")).toDF("id", "text")
     val ids = QualityClassifier.scoreWithModel(docs, "text", "id", model, dim)
