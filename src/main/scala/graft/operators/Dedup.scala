@@ -352,6 +352,31 @@ object Dedup {
       .withColumn("sig", minhashSignatureFromHashes(col("sh"), numHashes))
       .select(col(idCol).as("id"), col("sh"), col("sig"))
 
+  /** ONE-PASS change-feed delta sketch for a persistent near-dup index
+    * ([[graft.store.DedupIndex.refresh]]): arriving images (insert /
+    * update_postimage) sketch scan-side exactly like [[minhashIndex]],
+    * delete images come out as tombstones carrying only their key —
+    * (id, sh, sig, _change_type ∈ insert|delete), ready for
+    * `applyChanges`. One reference to the change feed in the output plan
+    * (the filter/union composition it replaces referenced it twice, so
+    * the manifest-diff join executed twice inside the staging
+    * materialization); CaseWhen branches evaluate lazily in codegen, so
+    * tombstones never pay the shingle/minhash kernels. */
+  def minhashIndexDelta(changes: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, numHashes: Int = 32): DataFrame = {
+    val leaving = col("_change_type") === "delete"
+    val sh = graft.functions.SketchExpressions.shingleHashes(
+      TextFunctions.tokens(col(textCol)), k)
+    changes.filter(col("_change_type")
+        .isin("insert", "update_postimage", "delete"))
+      .select(col(idCol).as("id"),
+        when(leaving, lit(null).cast("array<long>")).otherwise(sh).as("sh"),
+        when(leaving, lit(null).cast("array<long>"))
+          .otherwise(minhashSignatureFromHashes(sh, numHashes)).as("sig"),
+        when(leaving, lit("delete")).otherwise(lit("insert"))
+          .as("_change_type"))
+  }
+
   /** Incremental near-dup detection: sketch only the NEW batch, band-join
     * it against the prebuilt corpus index (plus within-batch pairs).
     * Returns (new_id, dup_of, jaccard) — `dup_of` may be a corpus id or a

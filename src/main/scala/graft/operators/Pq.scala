@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) ANN — Jégou et al. 2011, "Product
@@ -87,27 +87,52 @@ object Pq {
     // scans EACH re-running the milli-quantize projection. Cache the
     // quantized frame for the duration of training — at scale the
     // training input is a capped sample, exactly what belongs in memory.
-    val pts = clean(points, embCol)
-      .select(col(idCol).as("id"), eMilli(embCol).as("__e"))
+    val pts = quantized(points, embCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try trainOn(pts, m, k, iters)
+    try trainOn(pts, m, k, iters, seedRowsOf(pts, k))
     finally pts.unpersist(blocking = false)
   }
 
-  private def trainOn(pts: DataFrame, m: Int, k: Int,
-                      iters: Int): Codebook = {
-    val head = pts.select(size(col("__e"))).head(1)
-    require(head.nonEmpty, "Pq.train: no valid embeddings")
-    val d = head(0).getInt(0)
+  /** Train the IVFADC PAIR — the coarse quantizer (one full-dimension
+    * subspace, `nCells` codewords) and the PQ codebook (`m`×`k`) — over
+    * ONE shared quantize+persist of the training input and ONE shared
+    * seed draw. Both single-`train` calls would each quantize, persist,
+    * and seed-collect the same points; the math is identical (the seed
+    * order is a prefix property: the first `n` rows of the shared
+    * max(nCells, k) draw ARE the rows a limit-`n` draw returns), so
+    * every oracle replay of train-on-snapshot holds unchanged. */
+  def trainPair(points: DataFrame, embCol: String, idCol: String,
+                nCells: Int, m: Int, k: Int,
+                iters: Int): (Codebook, Codebook) = {
+    val pts = quantized(points, embCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = seedRowsOf(pts, math.max(nCells, k))
+      (trainOn(pts, 1, nCells, iters, seeds.take(nCells)),
+        trainOn(pts, m, k, iters, seeds.take(k)))
+    } finally pts.unpersist(blocking = false)
+  }
+
+  private def quantized(points: DataFrame, embCol: String,
+                        idCol: String): DataFrame =
+    clean(points, embCol)
+      .select(col(idCol).as("id"), eMilli(embCol).as("__e"))
+
+  /** Seeds: the n rows with the smallest (md5(id), id) draw — portable
+    * and independent of physical row order. One bounded collect. */
+  private def seedRowsOf(pts: DataFrame, n: Int): Array[Row] =
+    pts.withColumn("__m", md5(col("id").cast("string")))
+      .orderBy(col("__m"), col("id")).limit(n)
+      .select(col("__e")).collect()
+
+  private def trainOn(pts: DataFrame, m: Int, k: Int, iters: Int,
+                      seedRows: Array[Row]): Codebook = {
+    require(seedRows.nonEmpty, "Pq.train: no valid embeddings")
+    val d = seedRows(0).getSeq[Long](0).length
     require(m > 0 && d % m == 0, s"Pq.train: dim $d must divide by m=$m")
     val ds = d / m
-
-    // Seeds: the k rows with the smallest (md5(id), id) draw seed EVERY
-    // subspace (their j-th subvector seeds codebook j), cid 1..k in draw
-    // order — portable and independent of physical row order.
-    val seedRows = pts.withColumn("__m", md5(col("id").cast("string")))
-      .orderBy(col("__m"), col("id")).limit(k)
-      .select(col("__e")).collect()
+    // the k smallest draws seed EVERY subspace (their j-th subvector
+    // seeds codebook j), cid 1..k in draw order
     require(seedRows.length == k, s"Pq.train: need ≥ $k points, have ${seedRows.length}")
     var centers: IndexedSeq[Seq[Long]] =
       (0 until m).flatMap(j => seedRows.toIndexedSeq.map(r =>
@@ -195,8 +220,7 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, embCol: String,
                 idCol: String, qidCol: String, nCells: Int, nProbe: Int,
                 m: Int, k: Int, iters: Int, topk: Int): DataFrame = {
-    val coarse = train(corpus, embCol, idCol, m = 1, k = nCells, iters = iters)
-    val cb = train(corpus, embCol, idCol, m, k, iters)
+    val (coarse, cb) = trainPair(corpus, embCol, idCol, nCells, m, k, iters)
     searchCodes(encodeIvf(corpus, embCol, idCol, coarse, cb),
       queries, embCol, qidCol, coarse, cb, nProbe, topk)
   }
@@ -217,6 +241,38 @@ object Pq {
       .select(col("id"),
         element_at(codesExpr(coarse, col("__e")), 1).as("cell"),
         codesExpr(cb, col("__e")).as("codes"))
+  }
+
+  /** ONE-PASS change-feed delta encode for a persistent IVFADC index
+    * ([[graft.store.AnnIndex.refresh]]): arriving images (insert /
+    * update_postimage) encode against the frozen codebooks, rows LEAVING
+    * the index — delete images, and postimages whose embedding went
+    * malformed (the [[isWellFormed]] policy: stale codes must not stay
+    * searchable for a vector that no longer exists) — come out as delete
+    * tombstones carrying only their key. Output: (id, cell, codes,
+    * _change_type ∈ insert|delete), ready for `applyChanges`.
+    *
+    * The point is the shape: the change-feed frame appears ONCE in the
+    * output plan. The previous filter-encode / filter-union-deletes
+    * composition referenced it three times, so the full-outer manifest
+    * diff behind it executed three times inside the staging
+    * materialization. CaseWhen evaluates its branches lazily in codegen,
+    * so tombstones never run the encode kernels. */
+  def encodeIvfDelta(changes: DataFrame, embCol: String, idCol: String,
+                     coarse: Codebook, cb: Codebook): DataFrame = {
+    require(coarse.m == 1,
+      s"coarse quantizer must be one full-dimension subspace, got m=${coarse.m}")
+    val leaving = col("_change_type") === "delete" || !isWellFormed(embCol)
+    changes.filter(col("_change_type")
+        .isin("insert", "update_postimage", "delete"))
+      .select(col(idCol).as("id"),
+        when(leaving, lit(0))
+          .otherwise(element_at(codesExpr(coarse, eMilli(embCol)), 1))
+          .cast("int").as("cell"),
+        when(leaving, lit(null).cast("array<int>"))
+          .otherwise(codesExpr(cb, eMilli(embCol))).as("codes"),
+        when(leaving, lit("delete")).otherwise(lit("insert"))
+          .as("_change_type"))
   }
 
   /** Probe ranking: per query, integer distance to every coarse

@@ -89,8 +89,7 @@ final class AnnIndex private (
     codebooks() // fail fast (and loudly) on a never-built index
     val c0 = src.catalog.currentCommitId()
     val snap = src.snapshotAt(c0)
-    val coarse = Pq.train(snap, embCol, idCol, m = 1, k = nCells, iters)
-    val cb = Pq.train(snap, embCol, idCol, m, k, iters)
+    val (coarse, cb) = Pq.trainPair(snap, embCol, idCol, nCells, m, k, iters)
     val streams = src.catalog.manifest().get(Catalog.StreamTable)
     val txn = new Txn(src.catalog)
     val all = graft.query.RawCol(lit(true))
@@ -111,25 +110,16 @@ final class AnnIndex private (
   def refresh(): Option[(Long, Long)] = {
     val (coarse, cb) = codebooks()
     CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
-      val arriving = ch.filter(
-        col("_change_type").isin("insert", "update_postimage"))
-      val ups = Pq.encodeIvf(arriving, embCol, idCol, coarse, cb)
-      // rows LEAVING the index: deletes, and postimages whose embedding
-      // went malformed — the encode drops those (null/NaN policy), so
-      // without an explicit delete the OLD codes would silently stay
-      // searchable for a vector that no longer exists. One combined
-      // MERGE staging (upsert-then-delete would execute the next-state
-      // plan and rewrite the touched cell slices twice); delete images
-      // only contribute their key — cell/codes are placeholders.
-      val dels = ch.filter(col("_change_type") === "delete")
-        .select(col(idCol).as("id"))
-        .unionByName(arriving.filter(!Pq.isWellFormed(embCol))
-          .select(col(idCol).as("id")))
-        .withColumn("cell", lit(0).cast("int"))
-        .withColumn("codes", lit(null).cast("array<int>"))
+      // ONE pass over the change feed ([[Pq.encodeIvfDelta]]): arriving
+      // images re-encode under the frozen codebooks, rows LEAVING the
+      // index — deletes, and postimages whose embedding went malformed
+      // (stale codes must not stay searchable) — become tombstones
+      // carrying only their key. One combined MERGE staging; the
+      // previous filter/union composition referenced the change feed
+      // three times, executing the manifest-diff join three times
+      // inside the staging materialization.
       txn.applyChanges(codes,
-        ups.withColumn("_change_type", lit("insert"))
-          .unionByName(dels.withColumn("_change_type", lit("delete"))))
+        Pq.encodeIvfDelta(ch, embCol, idCol, coarse, cb))
       ()
     }
   }
@@ -210,8 +200,9 @@ object AnnIndex {
             nCells: Int, m: Int, k: Int, iters: Int): AnnIndex = {
     val c0 = src.catalog.currentCommitId()
     val snap = src.snapshotAt(c0)
-    val coarse = Pq.train(snap, embCol, idCol, m = 1, k = nCells, iters)
-    val cb = Pq.train(snap, embCol, idCol, m, k, iters)
+    // ONE shared quantize+persist+seed-draw for both codebooks — two
+    // single trains would each quantize and persist the same snapshot
+    val (coarse, cb) = Pq.trainPair(snap, embCol, idCol, nCells, m, k, iters)
     val model = modelTable(src, name)
     val codes = codesTable(src, name, idCol)
     val streams = src.catalog.manifest().get(Catalog.StreamTable)

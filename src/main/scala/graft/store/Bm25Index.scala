@@ -77,47 +77,38 @@ final class Bm25Index private (
   def refresh(): Option[(Long, Long)] = {
     val (n0, s0, nBuckets) = stats()
     CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
-      // the manifest-diff plan runs ONCE; the tokenize passes, the
-      // scalar fold, and the staging all read the materialized delta
-      val chk = ch.localCheckpoint()
-      val arriving = chk.filter(
-        col("_change_type").isin("insert", "update_postimage"))
-      val leaving = chk.filter(
-        col("_change_type").isin("delete", "update_preimage"))
-      // ONE combined MERGE staging instead of upsert-then-delete: new
-      // images land as inserts, old images retire as delete keys, and a
-      // (term, id) present in both ends on its NEW posting (applyChanges
-      // keeps current rows off the affected keys, then unions the
-      // upserts). Two stagings would execute the join-heavy next-state
-      // plan — and rewrite every touched bucket slice — twice.
-      // both delta tokenizes checkpoint: the staging's affected-keys,
-      // kept-anti, count, and pkStats actions each re-execute their
-      // inputs otherwise (the upsert side is checkpointed inside
-      // applyChanges; the delete side is not)
-      val newPosts = Bm25Index.bucketed(
-        Bm25Index.postingsOf(arriving, textCol, idCol, positional), nBuckets)
-      val oldPosts = Bm25Index.bucketed(
-        Bm25Index.postingsOf(leaving, textCol, idCol, positional), nBuckets)
-        .localCheckpoint()
-      txn.applyChanges(post,
-        newPosts.withColumn("_change_type", lit("insert"))
-          .unionByName(oldPosts.withColumn("_change_type", lit("delete"))))
-      // signed scalar fold: inserts +1/+dl, deletes -1/-dl, update
-      // images cancel on N and net their length change on Σdl
+      // ONE pass over the change feed: new images tokenize into insert
+      // postings, old images (delete + update_preimage) into tombstones
+      // for the postings they no longer assert — one combined MERGE
+      // staging (upsert-then-delete would rewrite every touched bucket
+      // slice twice), with a (term, id) present in both ends landing on
+      // its NEW posting. The signed corpus-scalar fold (inserts +1/+dl,
+      // deletes −1/−dl, update images cancel on N and net their length
+      // change on Σdl — doc-level, so it must sit BELOW the posting
+      // explode) rides the SAME materialization as an Observation: the
+      // manifest-diff join executes exactly once, inside the staging
+      // checkpoint, where the previous shape paid it once for its own
+      // localCheckpoint and once more for the scalar-fold collect.
       val sgn = when(
         col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
-      val d = chk.agg(
-        coalesce(sum(when(col("_change_type") === "insert", 1L)
-          .when(col("_change_type") === "delete", -1L)
-          .otherwise(0L)), lit(0L)).as("dn"),
-        coalesce(sum(sgn *
-          size(Bm25Index.tokens(textCol)).cast("long")), lit(0L)).as("ds"))
-        .collect()(0) // bounded: one scalar row
+      val obs = new org.apache.spark.sql.Observation()
+      val delta = ch.filter(col("_change_type").isin(
+          "insert", "update_postimage", "delete", "update_preimage"))
+        .observe(obs,
+          coalesce(sum(when(col("_change_type") === "insert", 1L)
+            .when(col("_change_type") === "delete", -1L)
+            .otherwise(0L)), lit(0L)).as("dn"),
+          coalesce(sum(sgn *
+            size(Bm25Index.tokens(textCol)).cast("long")), lit(0L)).as("ds"))
+      txn.applyChanges(post, Bm25Index.bucketed(
+        Bm25Index.postingsOfDelta(delta, textCol, idCol, positional),
+        nBuckets))
+      val (dn, ds) = (obs.get("dn").asInstanceOf[Long],
+        obs.get("ds").asInstanceOf[Long]) // already materialized: no job
       txn.upsert(meta, Seq("mid"), src.spark.createDataFrame(
         java.util.Arrays.asList(
-          Row(0, n0 + d.getLong(0), s0 + d.getLong(1), nBuckets,
-            if (positional) 1 else 0)),
+          Row(0, n0 + dn, s0 + ds, nBuckets, if (positional) 1 else 0)),
         Bm25Index.metaSchema))
       ()
     }
@@ -358,6 +349,40 @@ object Bm25Index {
         .groupBy(col("term"), col("id"), col("dl"))
         .agg(count(lit(1)).cast("int").as("tf"))
         .select(col("term"), col("id"), col("tf"), col("dl"))
+
+  /** ONE-PASS change-feed delta tokenize for [[Bm25Index.refresh]]: the
+    * [[postingsOf]] explode+aggregate with the arriving/leaving tag
+    * carried through the grouping, so new images come out as insert
+    * postings and old images (delete + update_preimage) as delete
+    * tombstones — (term, id, tf, dl [, ps], _change_type), one tokenize
+    * pass over the whole delta instead of one per side. A doc present
+    * on both sides (an update) yields both rows; its old and new texts
+    * tokenize independently, exactly as the two-pass shape did. */
+  private[graft] def postingsOfDelta(changes: DataFrame, textCol: String,
+                                     idCol: String,
+                                     withPositions: Boolean): DataFrame = {
+    val leaving = (col("_change_type") === "delete" ||
+      col("_change_type") === "update_preimage").as("__leave")
+    val base = changes
+      .select(col(idCol).as("id"), tokens(textCol).as("__w"), leaving)
+    val grouped =
+      if (withPositions)
+        base.select(col("id"), size(col("__w")).as("dl"), col("__leave"),
+            posexplode(col("__w")).as(Seq("pos", "term")))
+          .groupBy(col("term"), col("id"), col("dl"), col("__leave"))
+          .agg(count(lit(1)).cast("int").as("tf"),
+            sort_array(collect_list(col("pos"))).as("ps"))
+      else
+        base.select(col("id"), size(col("__w")).as("dl"), col("__leave"),
+            explode(col("__w")).as("term"))
+          .groupBy(col("term"), col("id"), col("dl"), col("__leave"))
+          .agg(count(lit(1)).cast("int").as("tf"))
+    val cols = Seq(col("term"), col("id"), col("tf"), col("dl")) ++
+      (if (withPositions) Seq(col("ps")) else Nil)
+    grouped.select(cols :+
+      when(col("__leave"), lit("delete")).otherwise(lit("insert"))
+        .as("_change_type"): _*)
+  }
 
   /** Stable term→slice routing: xxhash64 of the term folded positive —
     * the same term lands in the same bucket across builds and

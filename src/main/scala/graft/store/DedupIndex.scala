@@ -67,21 +67,15 @@ final class DedupIndex private (
   def refresh(): Option[(Long, Long)] = {
     val (k, numHashes, nBuckets) = config()
     CdfTail.drainOnce(src, consumerId) { (txn, ch, _, _) =>
-      val upserts = DedupIndex.bucketed(Dedup.minhashIndex(
-        ch.filter(col("_change_type").isin("insert", "update_postimage")),
-        textCol, idCol, k, numHashes), nBuckets)
-      // one combined MERGE staging (upsert-then-delete would execute the
-      // next-state plan and rewrite the touched bucket slices twice);
-      // delete images only contribute their key — sketch payloads are
-      // placeholders, never written
-      val dels = DedupIndex.bucketed(
-        ch.filter(col("_change_type") === "delete")
-          .select(col(idCol).as("id"))
-          .withColumn("sh", lit(null).cast("array<long>"))
-          .withColumn("sig", lit(null).cast("array<long>")), nBuckets)
-      txn.applyChanges(sketch,
-        upserts.withColumn("_change_type", lit("insert"))
-          .unionByName(dels.withColumn("_change_type", lit("delete"))))
+      // ONE pass over the change feed ([[Dedup.minhashIndexDelta]]):
+      // arriving images re-sketch scan-side, delete images become
+      // tombstones carrying only their key. One combined MERGE staging
+      // (upsert-then-delete would rewrite the touched bucket slices
+      // twice); the previous filter/union composition referenced the
+      // change feed twice, executing the manifest-diff join twice
+      // inside the staging materialization.
+      txn.applyChanges(sketch, DedupIndex.bucketed(
+        Dedup.minhashIndexDelta(ch, textCol, idCol, k, numHashes), nBuckets))
       ()
     }
   }

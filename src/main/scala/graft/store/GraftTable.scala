@@ -606,14 +606,6 @@ final class GraftTable(
 
   // ---------- staged (transactional) computation ----------
 
-  /** Incoming batch, aligned + timestamp-defaulted, materialized ONCE
-    * (localCheckpoint): the batch is consulted by count checks, anti-joins
-    * and the final union — without materialization each action would
-    * recompute it (the round-1 "count storm") and re-evaluate
-    * current_timestamp() per action. */
-  private def materializeIncoming(rows: DataFrame): DataFrame =
-    touch(align(rows), timestampCols).localCheckpoint()
-
   /** Distinct partition keys of a slice plus its row count, in one action. */
   private def pkStats(df: DataFrame): (Set[String], Long) = {
     val rows = df.groupBy(partKeyCol.as("__pk")).count().collect()
@@ -892,23 +884,81 @@ final class GraftTable(
     (Staged(current.filter(!cond0), touched, n), doomed)
   }
 
+  /** ONE materialization of a MERGE delta with everything the staging
+    * needs riding the checkpoint as observed metrics — the same
+    * action-diet trick [[stagedCreateReturning]] uses for inserts,
+    * applied to the upsert/apply-changes paths. Input: the delta rows
+    * in declared column order plus a boolean `__del` tag (delete
+    * tombstones; `lit(false)` everywhere for plain upserts). Folded
+    * into the single checkpoint action:
+    *
+    *   - the per-key survivor rank (among several upsert images of one
+    *     key an arbitrary-but-frozen one wins — the `dropDuplicates`
+    *     semantics this replaces, made deterministic by the checkpoint);
+    *   - the landing-slice census of surviving upserts;
+    *   - both counts (survivors, delete tombstones);
+    *   - the P2000/P2011 violation census over survivors (the precise
+    *     P-code classification only runs once a violation is known to
+    *     exist — rare path, over the checkpointed frame).
+    *
+    * Before this, the delta plan — typically a change-feed full-outer
+    * join or a tokenize — re-executed under the validation probe, both
+    * pkStats actions, and the delete count: five actions each paying
+    * the join, where this pays it once. Returns the checkpointed frame
+    * (data columns + `__del` + `__keep`), survivor count, tombstone
+    * count, and the survivors' landing slices. */
+  private[store] def checkpointDelta(tagged: DataFrame, keyCols: Seq[String])
+      : (DataFrame, Long, Long, Set[String]) = {
+    val dataCols = schema.fieldNames.toSeq
+    val marked = touch(tagged, timestampCols)
+      .withColumn("__mid", monotonically_increasing_id())
+    // among rows sharing a key, a non-delete image ranks first; __keep
+    // marks the one surviving upsert per key (tombstones never survive —
+    // they only contribute their key to the affected set)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__del").cast("int"), col("__mid"))
+    val required = schema.fields.filterNot(_.nullable).map(_.name).toSeq
+    val nullViol = required.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
+    val lenViol = maxLengths.toSeq
+      .map { case (c, mx) => length(col(c)) > mx }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val obs = new org.apache.spark.sql.Observation()
+    val chk = marked
+      .withColumn("__keep", !col("__del") && row_number().over(w) === 1)
+      .drop("__mid")
+      .observe(obs,
+        count(when(col("__keep"), 1)).as("n_up"),
+        count(when(col("__del"), 1)).as("n_del"),
+        count(when(col("__keep") && (nullViol || lenViol), 1)).as("viol"),
+        collect_set(when(col("__keep"), partKeyCol)).as("pks"))
+      .localCheckpoint()
+    val m = obs.get
+    if (m("viol").asInstanceOf[Long] > 0)
+      validateUpdated(
+        chk.filter(col("__keep")).select(dataCols.map(col): _*),
+        schema.fieldNames.toSet)
+    (chk, m("n_up").asInstanceOf[Long], m("n_del").asInstanceOf[Long],
+      m("pks").asInstanceOf[scala.collection.Seq[String]].toSet)
+  }
+
   /** MERGE: rows whose key exists replace the existing row (update wins),
     * the rest append — Prisma `upsert` (`effect.ts:535-541`). Touches the
     * slices the incoming rows land in plus the slices their pre-image rows
-    * currently live in (a key may move partitions). */
-  private[store] def stagedUpsert(current: DataFrame, keyCols: Seq[String],
-                                  rows: DataFrame): Staged = {
-    val incoming = materializeIncoming(rows).dropDuplicates(keyCols)
-    // every incoming column is "written" — same P2000/P2011/P2014
-    // contract as the create and update paths (the frame is already
-    // checkpointed, so the probes are cheap)
-    validateUpdated(incoming, schema.fieldNames.toSet)
+    * currently live in (a key may move partitions). Also returns the
+    * materialized surviving rows (the FK validation input — checked over
+    * what is ACTUALLY written, from the checkpoint, never a plan replay). */
+  private[store] def stagedUpsertReturning(current: DataFrame, keyCols: Seq[String],
+                                           rows: DataFrame): (Staged, DataFrame) = {
+    val (chk, n, _, inParts) = checkpointDelta(
+      align(rows).withColumn("__del", lit(false)), keyCols)
+    val incoming = chk.filter(col("__keep"))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val keysOnly = incoming.select(keyCols.map(col): _*)
     val kept = current.join(keysOnly, keyCols, "left_anti")
     val replaced = current.join(keysOnly, keyCols, "left_semi")
-    val (inParts, n) = pkStats(incoming)
     val touched = inParts ++ pkStats(replaced)._1
-    Staged(kept.unionByName(incoming), touched, n)
+    (Staged(kept.unionByName(incoming), touched, n), incoming)
   }
 
   /** MERGE-apply of one [[ChangeFeed]] batch onto this table — the Delta
@@ -918,31 +968,35 @@ final class GraftTable(
     * postimage twin carries the new values for the same key — pk pairing
     * guarantees the key itself never changed). One anti-join + union
     * next-state plan; no key list ever reaches the driver, so a 100 TB
-    * mirror pays for the delta, not the table. */
-  private[store] def stagedApplyChanges(current: DataFrame,
-                                        changes: DataFrame): Staged = {
+    * mirror pays for the delta, not the table. The whole delta — upsert
+    * images AND delete tombstones — materializes in ONE checkpoint
+    * ([[checkpointDelta]]), so the change-feed join behind `changes`
+    * executes exactly once; the only other action is the replaced-slice
+    * census against the current state. Also returns the materialized
+    * surviving upserts (FK validation input). */
+  private[store] def stagedApplyChangesReturning(current: DataFrame,
+                                                 changes: DataFrame): (Staged, DataFrame) = {
     val pk: Seq[String] = uniqueKeys.headOption.getOrElse(
       throw new IllegalArgumentException(
         s"$name: applyChanges needs a unique key to pair row versions"))
     val dataCols = schema.fieldNames.toSeq
-    val ups = materializeIncoming(
-        changes.filter(col("_change_type").isin("insert", "update_postimage"))
-          .select(dataCols.map(col): _*))
-      .dropDuplicates(pk)
-    validateUpdated(ups, schema.fieldNames.toSet)
-    val delImages = changes.filter(col("_change_type") === "delete")
-      .select(dataCols.map(col): _*)
-    val affected = ups.select(pk.map(col): _*)
-      .unionByName(delImages.select(pk.map(col): _*)).distinct()
+    val (chk, nUp, nDel, inParts) = checkpointDelta(
+      changes.filter(col("_change_type")
+          .isin("insert", "update_postimage", "delete"))
+        .select((dataCols.map(col) :+
+          (col("_change_type") === "delete").as("__del")): _*), pk)
+    val ups = chk.filter(col("__keep"))
+      .select(dataCols.map(col).toIndexedSeq: _*)
+    // every delta row's key is affected: survivors and tombstones
+    // directly, a displaced duplicate through its surviving twin
+    val affected = chk.select(pk.map(col): _*).distinct()
     val kept = current.join(affected, pk, "left_anti")
     // touched: the slices upserts LAND in plus the slices this table
     // currently holds any affected key in (the source's partition values
     // in the delete images may not be this mirror's layout)
     val replaced = current.join(affected, pk, "left_semi")
-    val (inParts, nUp) = pkStats(ups)
     val touched = inParts ++ pkStats(replaced)._1
-    val nDel = delImages.count()
-    Staged(kept.unionByName(ups), touched, nUp + nDel)
+    (Staged(kept.unionByName(ups), touched, nUp + nDel), ups)
   }
 }
 
@@ -997,30 +1051,16 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     var dirs = workingDirs(t)
     var parts = staged.getOrElse(t.name, Map.empty[String, Option[String]])
     val raw = s.next.withColumn("__pk", t.partKeyCol)
-    // Each touched slice is written by its own action — without this,
-    // a MULTI-slice staging re-executes the staged PLAN once per slice
-    // (the join-heavy upsert/delete plans of an index refresh are the
-    // worst case: an 8-bucket postings upsert ran its anti-join 8×).
-    // Materialize once (spill-to-disk — the footprint is bounded by the
-    // touched slices' post-mutation data, i.e. exactly what the K writes
-    // are about to put on disk anyway), write the K filtered slices from
-    // the cached result, release. Single-slice stagings keep the lazy
-    // plan: the sliceFilter pre-filter prunes their source scans, and
-    // caching would only add a copy.
-    val multi = s.touched.size > 1
-    val withPk =
-      if (multi) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else raw
-    try {
+    if (s.touched.size <= 1) {
+      // Single-slice staging keeps the lazy plan: the typed sliceFilter
+      // pre-filter prunes the source scans to (roughly) this slice's
+      // files; the __pk residual is the exact slice membership test. The
+      // staged slice is immutable on disk the moment it is written, so
+      // later statements in the txn build on real files, not a recompute.
       s.touched.foreach { pk =>
         val (v, dir) = catalog.newVersionDir(t.name, pk)
-        // typed pre-filter on the raw partition columns prunes the source
-        // scans to (roughly) this slice's files; the __pk residual is the
-        // exact slice membership test. The staged slice is immutable on disk
-        // the moment it is written, so later statements in the txn build on
-        // real files, not a recompute.
-        val pre = if (multi) lit(true) else t.sliceFilter(pk).getOrElse(lit(true))
-        withPk.filter(pre).filter(col("__pk") === lit(pk)).drop("__pk")
+        val pre = t.sliceFilter(pk).getOrElse(lit(true))
+        raw.filter(pre).filter(col("__pk") === lit(pk)).drop("__pk")
           .select(t.schema.fieldNames.map(col).toIndexedSeq: _*)
           .write.mode("overwrite").options(t.bloomWriteOptions).parquet(dir)
         // pin footer-derived column stats beside the slice (O(files) driver
@@ -1029,7 +1069,55 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
         dirs += (pk -> dir)
         parts += (pk -> Some(v))
       }
-    } finally if (multi) { withPk.unpersist(blocking = false); () }
+    } else {
+      // MULTI-slice staging: ONE dynamic-partition write executes the
+      // staged plan exactly once and streams every row straight to its
+      // slice's directory. The previous shape (persist + one filtered
+      // write job per slice) paid a full second copy of the
+      // post-mutation data in block-manager memory/disk plus K filtered
+      // passes over it — an 8-bucket postings refresh ran 9 jobs where
+      // this runs 1, and at 100 TB the persist copy is pure overhead.
+      // The hex rendering of __pk is a bijection into filesystem-safe
+      // names that sidesteps Spark's partition-path escaping (and the
+      // empty-string → __HIVE_DEFAULT_PARTITION__ ambiguity); the data
+      // files themselves carry the declared columns in declared order,
+      // identical to the single-slice path's output.
+      val touched = s.touched.toSeq.sorted
+      val stageRoot = java.nio.file.Paths.get(catalog.root)
+        .resolve(s".stage-${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      raw.filter(col("__pk").isin(touched: _*))
+        .withColumn("__pkdir", concat(lit("p"), hex(col("__pk"))))
+        .select((t.schema.fieldNames.map(col) :+ col("__pkdir")).toIndexedSeq: _*)
+        .write.mode("overwrite").options(t.bloomWriteOptions)
+        .partitionBy("__pkdir").parquet(stageRoot.toString)
+      touched.foreach { pk =>
+        val (v, dir) = catalog.newVersionDir(t.name, pk)
+        val hexName = "p" + pk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map("%02X".format(_)).mkString
+        val src = stageRoot.resolve(s"__pkdir=$hexName")
+        val dest = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(dest.getParent)
+        if (java.nio.file.Files.isDirectory(src))
+          java.nio.file.Files.move(src, dest) // same filesystem: under catalog.root
+        else
+          // a touched slice every row left (e.g. all its keys deleted)
+          // stays in the manifest as an empty directory — same contract
+          // as the single-slice path's empty write
+          java.nio.file.Files.createDirectories(dest)
+        SliceStats.writeSidecar(t.spark, dir, t.bloomCols.toSet)
+        dirs += (pk -> dir)
+        parts += (pk -> Some(v))
+      }
+      // drop the staging shell (_SUCCESS marker; all slice dirs moved out)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.list(p)
+          try st.iterator().forEachRemaining(rmTree(_)) finally st.close()
+        }
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      rmTree(stageRoot)
+    }
     working += (t.name -> dirs)
     staged += (t.name -> parts)
   }
@@ -1330,8 +1418,10 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
   }
 
   def upsert(t: GraftTable, keyCols: Seq[String], rows: DataFrame): Long = {
-    checkParentRefs(t, rows)
-    val s = t.stagedUpsert(stateOf(t), keyCols, rows)
+    val (s, written) = t.stagedUpsertReturning(stateOf(t), keyCols, rows)
+    // FK-validated over the rows ACTUALLY written, from the checkpoint —
+    // probing the raw incoming frame would re-execute its plan per parent
+    checkParentRefs(t, written)
     stage(t, s); s.n
   }
 
@@ -1340,10 +1430,10 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
     * THIS transaction — pair with [[CdfTail.drainOnce]]'s cursor advance
     * for exactly-once incremental mirroring. Returns applied changes. */
   def applyChanges(t: GraftTable, changes: DataFrame): Long = {
-    checkParentRefs(t,
-      changes.filter(col("_change_type").isin("insert", "update_postimage"))
-        .select(t.schema.fieldNames.toIndexedSeq.map(col): _*))
-    val s = t.stagedApplyChanges(stateOf(t), changes)
+    val (s, ups) = t.stagedApplyChangesReturning(stateOf(t), changes)
+    // FK-validated over the surviving upserts, from the checkpoint — the
+    // change-feed join behind `changes` must never re-execute per parent
+    checkParentRefs(t, ups)
     stage(t, s); s.n
   }
 

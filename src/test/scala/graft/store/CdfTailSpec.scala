@@ -140,7 +140,7 @@ class CdfTailSpec extends AnyFunSuite with SparkTestBase {
     src.createMany((1L to 10L).map(i => (i, i)).toDF("id", "v"))
     val changes = ChangeFeed.changesBetween(src, 0L, src.catalog.currentCommitId())
     // the staged plan must be derivable lazily (no eager collect of keys)
-    val staged = mir.stagedApplyChanges(mir.snapshot(), changes)
+    val staged = mir.stagedApplyChangesReturning(mir.snapshot(), changes)._1
     assert(staged.n == 10L)
     val plan = staged.next.queryExecution.optimizedPlan.toString
     assert(!plan.contains("LocalRelation") || staged.next.count() == 10L)
