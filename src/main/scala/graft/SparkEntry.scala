@@ -2594,7 +2594,7 @@ object SparkEntry {
     "q_warc_records" -> ((s, dir) => {
       val W = graft.sources.WarcExpressions
       val H = graft.functions.HtmlExpressions
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(col("doc_id"), explode(W.warcRecords(W.warcSynth(
           col("doc_id"), H.htmlSynth(col("doc_id"), col("text"))))).as("r"))
         .select(col("doc_id"),
@@ -2617,7 +2617,7 @@ object SparkEntry {
     "q_warc_extract" -> ((s, dir) => {
       val W = graft.sources.WarcExpressions
       val H = graft.functions.HtmlExpressions
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(col("doc_id"), W.warcPage(W.warcSynth(col("doc_id"),
           H.htmlSynth(col("doc_id"), col("text")))).as("p"))
         .select(col("doc_id"), col("p.uri").as("uri"),
@@ -2638,7 +2638,7 @@ object SparkEntry {
     "q_warc_chunked" -> ((s, dir) => {
       val W = graft.sources.WarcExpressions
       val H = graft.functions.HtmlExpressions
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(col("doc_id"), W.warcPage(W.warcSynthChunked(col("doc_id"),
           H.htmlSynth(col("doc_id"), col("text")))).as("p"))
         .select(col("doc_id"), col("p.uri").as("uri"),
@@ -2660,7 +2660,7 @@ object SparkEntry {
     "q_warc_charset" -> ((s, dir) => {
       val W = graft.sources.WarcExpressions
       val H = graft.functions.HtmlExpressions
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(col("doc_id"),
           W.warcPage(W.warcSynthCharset(col("doc_id"), col("text"))).as("p"))
         .select(col("doc_id"), col("p.uri").as("uri"),
@@ -2678,7 +2678,7 @@ object SparkEntry {
     // without contributing a row.
     "q_wet_text" -> ((s, dir) => {
       val W = graft.sources.WarcExpressions
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .select(col("doc_id"), explode(W.wetTexts(
           W.warcSynthWet(col("doc_id"), col("text")))).as("p"))
         .select(col("doc_id"), col("p.uri").as("uri"),
@@ -2699,7 +2699,7 @@ object SparkEntry {
       // half the corpus: the gate pins the multi-record WALK, and each
       // row already costs two full gzip+WARC round-trips — the even
       // half proves the same algebra at half the by-nature-linear price
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         .filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id"),
           concat(
@@ -2729,7 +2729,13 @@ object SparkEntry {
       val W = graft.sources.WarcExpressions
       val H = graft.functions.HtmlExpressions
       val out = tempDir("graft-warcstream-q")
-      Tables.documents(s, dir)
+      // par BEFORE the per-row gzip synth AND the landing: the single
+      // parquet file otherwise caps both the synth and the walk at ONE
+      // task (one archive = one file = one walk partition) on a 32-core
+      // box; gzip members are not splittable, so the FILE is the walk's
+      // parallelism unit — exactly the many-small-archives layout a
+      // real crawl ships
+      par(s, Tables.documents(s, dir))
         .select(concat(
           W.warcSynth(col("doc_id"),
             H.htmlSynth(col("doc_id"), col("text"))),
@@ -3663,7 +3669,7 @@ object SparkEntry {
         lit("reach user"), col("doc_id"), lit("@example.com or 10.0."),
         pmod(col("doc_id"), lit(256)), lit("."), pmod(col("doc_id"), lit(100)),
         lit(" tel 555-867-5309 "), col("text"))
-      Tables.documents(s, dir)
+      par(s, Tables.documents(s, dir))
         // barrier: n_redacted reads `clean` — unpinned, CollapseProject
         // inlines the triple-regex rewrite into both consumers and the
         // scrub runs twice per row (measured 5.8 s → 2.8 s at sf1)
@@ -3745,7 +3751,7 @@ object SparkEntry {
     // multimodal/MediaKernels.pngSynthI/pngParse.
     "q_media_png_i" -> ((s, dir) => {
       val M = graft.multimodal.MediaExpressions
-      val d = Tables.documents(s, dir)
+      val d = par(s, Tables.documents(s, dir))
         .select(col("doc_id").as("id"),
           (pmod(col("doc_id"), lit(18)) + 3).cast("int").as("w"),
           (pmod(col("doc_id"), lit(14)) + 3).cast("int").as("h"))
@@ -3830,7 +3836,7 @@ object SparkEntry {
     // jpegParse.
     "q_media_jpeg" -> ((s, dir) => {
       val M = graft.multimodal.MediaExpressions
-      val d = Tables.documents(s, dir)
+      val d = par(s, Tables.documents(s, dir))
         .select(col("doc_id").as("id"),
           (pmod(col("doc_id"), lit(21)) + 4).cast("int").as("w"),
           (pmod(col("doc_id"), lit(15)) + 4).cast("int").as("h"))
@@ -3859,7 +3865,7 @@ object SparkEntry {
     // multimodal/MediaKernels.jpegSynthProg/jpegParseProgressive.
     "q_media_jpeg_prog" -> ((s, dir) => {
       val M = graft.multimodal.MediaExpressions
-      val d = Tables.documents(s, dir)
+      val d = par(s, Tables.documents(s, dir))
         .select(col("doc_id").as("id"),
           (pmod(col("doc_id"), lit(23)) + 4).cast("int").as("w"),
           (pmod(col("doc_id"), lit(17)) + 4).cast("int").as("h"))
