@@ -82,9 +82,15 @@ object Graph {
     // mass vanishes), or a runtime error under ANSI mode.
     val posEdges = edges.filter(col("w").isNotNull && col("w") > 0L)
     val outw = posEdges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    // (src, dst, w, ow) — built once, reused every round
+    // (src, dst, w, ow) — MATERIALIZED once (localCheckpoint): the frame
+    // is loop-invariant but referenced by every round, so without the
+    // cut the caller's whole edge-derivation plan (a fact-table star
+    // join, a crawl extraction) replays per round — exchange reuse
+    // sometimes saves it, but the materialized edge list makes the
+    // rounds' cost independent of how expensive the edges were to derive
     val e = posEdges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
+      .localCheckpoint()
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     var i = 0
     while (i < iters) {
@@ -130,8 +136,11 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("wu"))
+    // symmetric closure MATERIALIZED once (localCheckpoint): referenced
+    // by every round — same loop-invariant cut as pageRankFixedPoint
     val sym = und.select(col("a").as("v"), col("b").as("u"), col("wu"))
       .unionAll(und.select(col("b").as("v"), col("a").as("u"), col("wu")))
+      .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("lbl"))
     var i = 0
     while (i < iters) {
@@ -168,11 +177,15 @@ object Graph {
     * @param nodes (id: long) node universe (for the zero rows)
     */
   def triangleCounts(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    // the canonical pair set appears THREE times in the wedge-close plan
+    // (wedge left, wedge right, closing probe) — materialize it once so
+    // the caller's edge derivation never replays per reference
     val und = edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val wedges = und.join(
         und.select(col("a").as("b2"), col("b").as("c")),
         col("b") === col("b2"))

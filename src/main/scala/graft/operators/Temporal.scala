@@ -160,10 +160,24 @@ object Temporal {
     */
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    topN: Int = 20): DataFrame = {
-    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
-    val a = items.select(col("__b"), col("__i").as("item_a"))
-    val b = items.select(col("__b").as("__b2"), col("__i").as("item_b"))
-    a.join(b, col("__b") === col("__b2") && col("item_a") < col("item_b"))
+    // Per-basket pair expansion instead of the basket self-join: ONE
+    // basket-keyed aggregation builds each basket's distinct sorted item
+    // list, pairs generate scan-side (codegen'd higher-order functions),
+    // and one keyed count finishes — two shuffles total, where the
+    // self-join paid the distinct plus two join-side exchanges of the
+    // same rows. Identical output: array_sort's order IS the `<` the
+    // join version compared with, so each unordered pair emerges exactly
+    // once per containing basket. Fan-out is C(|basket|,2) either way —
+    // a pathological hot basket needs the same upstream cap in both
+    // shapes.
+    val baskets = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .groupBy(col("__b"))
+      .agg(array_sort(array_distinct(collect_list(col("__i")))).as("__xs"))
+    val pairs = flatten(transform(col("__xs"), (x, i) =>
+      transform(slice(col("__xs"), i + lit(2), size(col("__xs"))),
+        y => struct(x.as("item_a"), y.as("item_b")))))
+    baskets.select(explode(pairs).as("__p"))
+      .select(col("__p.item_a").as("item_a"), col("__p.item_b").as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("item_a"), col("item_b"))

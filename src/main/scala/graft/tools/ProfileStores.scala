@@ -167,6 +167,26 @@ object ProfileStores {
             .write.format("noop").mode("overwrite").save())
         spark.catalog.clearCache()
       }
+      case "clusters" => (1 to 2).foreach { pass =>
+        println(s"--- q_dup_clusters_dist body, pass $pass ---")
+        val docs = graft.Tables.documents(spark, sfDir)
+          .filter(pmod(col("doc_id"), lit(8)) === 0)
+          .select(col("doc_id"), col("text"))
+        val c1 = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+        val c2 = docs.select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+        val all = c1.unionByName(c2).unionByName(docs).repartition(32)
+        val diff = col("id_b") - col("id_a")
+        val pairs = graft.operators.Dedup.minhashLshPairs(all, "text", "doc_id",
+            threshold = 0.7)
+          .filter(diff === 10000L || diff === 20000L)
+        val mat = time("LSH pairs + checkpoint")(pairs.localCheckpoint())
+        val m = time("dupClustersManaged loop")(
+          graft.operators.Dedup.dupClustersManaged(mat, smallGraphEdges = 0L))
+        time("materialize labels")(
+          m.df.write.format("noop").mode("overwrite").save())
+        m.release()
+        spark.catalog.clearCache()
+      }
       case other => println(s"unknown profile target: $other")
     }
     spark.stop()
