@@ -108,10 +108,63 @@ object Pq {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seeds = seedRowsOf(pts, math.max(nCells, k))
-      (trainOn(pts, 1, nCells, iters, seeds.take(nCells)),
-        trainOn(pts, m, k, iters, seeds.take(k)))
+      // INTERLEAVED Lloyd rounds: within a round each codebook's update
+      // depends only on the cached points and ITS OWN current centers,
+      // so both update aggregates union into ONE job per round (tagged
+      // by codebook) — half the training actions of two sequential
+      // trains, bit-identical centers per codebook.
+      var coarse = seedCodebook(seeds.take(nCells), 1, nCells)
+      var cb = seedCodebook(seeds.take(k), m, k)
+      (1 to iters).foreach { _ =>
+        val upd = roundUpdate(pts, coarse, "c")
+          .unionByName(roundUpdate(pts, cb, "p"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (tag, rows) => tag ->
+            rows.map(r => ((r.getInt(1), r.getInt(2)), r.getSeq[Long](3))).toMap }
+        coarse = foldRound(coarse, upd.getOrElse("c", Map.empty))
+        cb = foldRound(cb, upd.getOrElse("p", Map.empty))
+      }
+      (coarse, cb)
     } finally pts.unpersist(blocking = false)
   }
+
+  /** Seed centers: the first `k` draw rows seed every subspace (their
+    * j-th subvector seeds codebook j), cid 1..k in draw order. */
+  private def seedCodebook(seedRows: Array[Row], m: Int, k: Int): Codebook = {
+    require(seedRows.nonEmpty, "Pq.train: no valid embeddings")
+    val d = seedRows(0).getSeq[Long](0).length
+    require(m > 0 && d % m == 0, s"Pq.train: dim $d must divide by m=$m")
+    val ds = d / m
+    require(seedRows.length == k, s"Pq.train: need ≥ $k points, have ${seedRows.length}")
+    Codebook(m, k, ds, (0 until m).flatMap(j => seedRows.toIndexedSeq.map(r =>
+      r.getSeq[Long](0).slice(j * ds, (j + 1) * ds).map(_ * 1000L))))
+  }
+
+  /** One Lloyd round's centroid update frame for `cb` over the cached
+    * quantized points: (cbk=tag, sub, cid, c) — the exact integer mean
+    * of each centroid's members in micro units. */
+  private def roundUpdate(pts: DataFrame, cb: Codebook, tag: String): DataFrame =
+    pts.select(col("__e"), codesExpr(cb, col("__e")).as("__codes"))
+      .select(col("__e"), posexplode(col("__codes")).as(Seq("sub", "cid")))
+      .select(col("sub"), col("cid"),
+        slice(col("__e"), col("sub") * cb.ds + 1, lit(cb.ds)).as("__se"))
+      .select(col("sub"), col("cid"), posexplode(col("__se")))
+      .groupBy(col("sub"), col("cid"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("v", expr("(s * 1000) div n"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(lit(tag).as("cbk"), col("sub"), col("cid"),
+        transform(col("pv"), x => x.getField("v")).as("c"))
+
+  /** Fold a round's updates into the codebook — a centroid with no
+    * members keeps its coordinates (indexing sub*k + cid−1 must never
+    * develop holes). */
+  private def foldRound(cb: Codebook,
+                        upd: Map[(Int, Int), Seq[Long]]): Codebook =
+    Codebook(cb.m, cb.k, cb.ds, IndexedSeq.tabulate(cb.m * cb.k)(idx =>
+      upd.getOrElse((idx / cb.k, idx % cb.k + 1), cb.centers(idx))))
 
   private def quantized(points: DataFrame, embCol: String,
                         idCol: String): DataFrame =
@@ -127,41 +180,12 @@ object Pq {
 
   private def trainOn(pts: DataFrame, m: Int, k: Int, iters: Int,
                       seedRows: Array[Row]): Codebook = {
-    require(seedRows.nonEmpty, "Pq.train: no valid embeddings")
-    val d = seedRows(0).getSeq[Long](0).length
-    require(m > 0 && d % m == 0, s"Pq.train: dim $d must divide by m=$m")
-    val ds = d / m
-    // the k smallest draws seed EVERY subspace (their j-th subvector
-    // seeds codebook j), cid 1..k in draw order
-    require(seedRows.length == k, s"Pq.train: need ≥ $k points, have ${seedRows.length}")
-    var centers: IndexedSeq[Seq[Long]] =
-      (0 until m).flatMap(j => seedRows.toIndexedSeq.map(r =>
-        r.getSeq[Long](0).slice(j * ds, (j + 1) * ds).map(_ * 1000L)))
-
+    var cb = seedCodebook(seedRows, m, k)
     (1 to iters).foreach { _ =>
-      val cb = Codebook(m, k, ds, centers)
-      val assigned = pts.select(col("__e"),
-        codesExpr(cb, col("__e")).as("__codes"))
-      val upd = assigned
-        .select(col("__e"), posexplode(col("__codes")).as(Seq("sub", "cid")))
-        .select(col("sub"), col("cid"),
-          slice(col("__e"), col("sub") * ds + 1, lit(ds)).as("__se"))
-        .select(col("sub"), col("cid"), posexplode(col("__se")))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .withColumn("v", expr("(s * 1000) div n"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("sub"), col("cid"),
-          transform(col("pv"), x => x.getField("v")).as("c"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Long](2))).toMap
-      // a centroid with no members keeps its coordinates — indexing
-      // (sub*k + cid-1) must never develop holes
-      centers = IndexedSeq.tabulate(m * k)(idx =>
-        upd.getOrElse((idx / k, idx % k + 1), centers(idx)))
+      cb = foldRound(cb, roundUpdate(pts, cb, "x").collect()
+        .map(r => ((r.getInt(1), r.getInt(2)), r.getSeq[Long](3))).toMap)
     }
-    Codebook(m, k, ds, centers)
+    cb
   }
 
   /** Encode corpus rows as m codes (1-based centroid ids) — one scan,

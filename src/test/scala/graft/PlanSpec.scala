@@ -287,15 +287,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "corpus-side shuffle for the blocklist:\n" + p)
   }
 
-  test("crawl front door: warc+html extraction is one scan-side project, no shuffle") {
+  test("crawl front door: warc+html extraction is one scan-side project, no keyed shuffle") {
     val df = SparkEntry.queries("q_warc_extract")(spark, sfDir)
     df.collect()
     val finalPlan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // the only exchange is the output ORDER BY's range partitioning —
-    // decode/extract must stay embarrassingly parallel
+    // permitted exchanges: the output ORDER BY's range partitioning, and
+    // the r17 round-robin fan-out BELOW the extraction (the one-file test
+    // corpus would otherwise run the whole gzip+WARC+HTML pipeline on a
+    // single task — guide §2.5's unsplittable-input case; par() is a
+    // no-op once the scan has enough splits). What must NEVER appear is
+    // a KEYED shuffle: decode/extract stays embarrassingly parallel —
+    // no hash partitioning moves the archive bytes by any key.
     val exchanges = finalPlan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("rangepartitioning")),
-      "extraction should not shuffle:\n" + finalPlan)
+    assert(exchanges.forall(e =>
+      e.contains("rangepartitioning") || e.contains("RoundRobinPartitioning")),
+      "extraction should never shuffle by key:\n" + finalPlan)
   }
 }
