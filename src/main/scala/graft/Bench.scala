@@ -328,7 +328,20 @@ object Bench {
     val headline = Seq("q1_agg", "q_dedup_minhash", "q_ann_topk",
       "q_asof_join", "q_nested_create", "q_dup_clusters_dist")
     val qs = dict(timed.filter(r => headline.contains(r._1)))
+    // Crash-proof the one-line stdout contract (r17 lost the driver's
+    // entire 32-core perf comparison to this): streaming gates leave
+    // state-store maintenance threads that log multi-line stack traces
+    // while the RpcEnv tears down, and an interleaved trace clobbers a
+    // metric line printed BEFORE spark.stop(). Order of operations now:
+    // stop any straggler streams and wait for them, stop the session
+    // (all teardown noise lands here), THEN emit the metric line as the
+    // process's final stdout write and flush it explicitly.
+    spark.streams.active.foreach { q =>
+      scala.util.Try { q.stop(); q.awaitTermination(30000) }
+    }
+    GraftLogging.silenceShutdownRaces()
+    scala.util.Try(spark.stop())
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sfNum}""")
-    spark.stop()
+    System.out.flush()
   }
 }

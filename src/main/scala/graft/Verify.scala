@@ -49,6 +49,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // quiesce straggler streams before teardown so the process tail stays
+    // free of state-store unload stack traces (same contract as Bench)
+    spark.streams.active.foreach { q =>
+      scala.util.Try { q.stop(); q.awaitTermination(30000) }
+    }
+    GraftLogging.silenceShutdownRaces()
+    scala.util.Try(spark.stop())
   }
 }

@@ -51,4 +51,19 @@ object GraftLogging {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         l, org.apache.logging.log4j.Level.ERROR))
   }
+
+  /** Call immediately BEFORE `spark.stop()` in the mains. State-store
+    * maintenance threads race the RpcEnv teardown and log a multi-line
+    * ERROR stack trace ("Could not unload state store provider …
+    * RpcEnv already stopped") — a pure shutdown race with nothing left
+    * to act on, whose interleaved trace cost r17 the driver's entire
+    * 32-core bench parse. Only the teardown window is silenced; the
+    * same logger stays live for the whole measured run. */
+  def silenceShutdownRaces(): Unit =
+    Seq(
+      "org.apache.spark.sql.execution.streaming.state.StateStore",
+      "org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef"
+    ).foreach(l =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        l, org.apache.logging.log4j.Level.OFF))
 }
