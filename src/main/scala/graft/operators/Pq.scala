@@ -110,20 +110,22 @@ object Pq {
       val seeds = seedRowsOf(pts, math.max(nCells, k))
       // INTERLEAVED Lloyd rounds: within a round each codebook's update
       // depends only on the cached points and ITS OWN current centers,
-      // so both update aggregates union into ONE job per round (tagged
-      // by codebook) — half the training actions of two sequential
-      // trains, bit-identical centers per codebook.
+      // so both updates ride ONE partial-aggregate job over ONE scan of
+      // the cache (two aggregate columns, [[graft.functions.PqRoundAgg]])
+      // — the r17 tagged-union shape still scanned the cache twice and
+      // shuffled m·ds explode rows per vector; this ships m·k·(ds+1)
+      // longs per task and nothing else. Bit-identical centers per
+      // codebook (exact integer sums commute).
       var coarse = seedCodebook(seeds.take(nCells), 1, nCells)
       var cb = seedCodebook(seeds.take(k), m, k)
       (1 to iters).foreach { _ =>
-        val upd = roundUpdate(pts, coarse, "c")
-          .unionByName(roundUpdate(pts, cb, "p"))
-          .collect()
-          .groupBy(_.getString(0))
-          .map { case (tag, rows) => tag ->
-            rows.map(r => ((r.getInt(1), r.getInt(2)), r.getSeq[Long](3))).toMap }
-        coarse = foldRound(coarse, upd.getOrElse("c", Map.empty))
-        cb = foldRound(cb, upd.getOrElse("p", Map.empty))
+        val row = pts.select(
+          graft.functions.PqRound
+            .roundAgg(col("__e"), flat(coarse), 1, nCells, coarse.ds).as("c"),
+          graft.functions.PqRound
+            .roundAgg(col("__e"), flat(cb), m, k, cb.ds).as("p")).head()
+        coarse = foldRound(coarse, decodeRound(row.getSeq[Long](0), coarse))
+        cb = foldRound(cb, decodeRound(row.getSeq[Long](1), cb))
       }
       (coarse, cb)
     } finally pts.unpersist(blocking = false)
@@ -141,22 +143,22 @@ object Pq {
       r.getSeq[Long](0).slice(j * ds, (j + 1) * ds).map(_ * 1000L))))
   }
 
-  /** One Lloyd round's centroid update frame for `cb` over the cached
-    * quantized points: (cbk=tag, sub, cid, c) — the exact integer mean
-    * of each centroid's members in micro units. */
-  private def roundUpdate(pts: DataFrame, cb: Codebook, tag: String): DataFrame =
-    pts.select(col("__e"), codesExpr(cb, col("__e")).as("__codes"))
-      .select(col("__e"), posexplode(col("__codes")).as(Seq("sub", "cid")))
-      .select(col("sub"), col("cid"),
-        slice(col("__e"), col("sub") * cb.ds + 1, lit(cb.ds)).as("__se"))
-      .select(col("sub"), col("cid"), posexplode(col("__se")))
-      .groupBy(col("sub"), col("cid"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      .withColumn("v", expr("(s * 1000) div n"))
-      .groupBy(col("sub"), col("cid"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-      .select(lit(tag).as("cbk"), col("sub"), col("cid"),
-        transform(col("pv"), x => x.getField("v")).as("c"))
+  /** Decode one [[graft.functions.PqRoundAgg]] result into the centroid
+    * update map: (sub, cid 1-based) → micro-unit mean per component,
+    * `(Σmilli · 1000) div n` — the exact integer algebra the explode/
+    * groupBy round plan computed. Empty centroids (n = 0) are absent,
+    * so [[foldRound]]'s keep-previous-coordinates contract holds. */
+  private def decodeRound(arr: scala.collection.Seq[Long],
+                          cb: Codebook): Map[(Int, Int), Seq[Long]] =
+    (0 until cb.m * cb.k).iterator.flatMap { idx =>
+      val base = idx * (cb.ds + 1)
+      val n = arr(base + cb.ds)
+      if (n == 0L) None
+      else Some((idx / cb.k, idx % cb.k + 1) ->
+        // milli sums are non-negative, so / is the same floor `div` the
+        // SQL round plan used
+        (0 until cb.ds).map(p => arr(base + p) * 1000L / n))
+    }.toMap
 
   /** Fold a round's updates into the codebook — a centroid with no
     * members keeps its coordinates (indexing sub*k + cid−1 must never
@@ -182,8 +184,9 @@ object Pq {
                       seedRows: Array[Row]): Codebook = {
     var cb = seedCodebook(seedRows, m, k)
     (1 to iters).foreach { _ =>
-      cb = foldRound(cb, roundUpdate(pts, cb, "x").collect()
-        .map(r => ((r.getInt(1), r.getInt(2)), r.getSeq[Long](3))).toMap)
+      val arr = pts.select(graft.functions.PqRound
+        .roundAgg(col("__e"), flat(cb), m, k, cb.ds)).head().getSeq[Long](0)
+      cb = foldRound(cb, decodeRound(arr, cb))
     }
     cb
   }
