@@ -462,33 +462,50 @@ object Dedup {
                          checkpointEvery: Int = 4,
                          smallGraphEdges: Long = 1L << 20): Managed = {
     // a null id is a malformed pair (it joins to nothing and labels
-    // nothing) — dropped identically on both solver paths
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // nothing) — dropped identically on both solver paths.
+    // MATERIALIZED as a persisted InternalRow RDD wrapped back as a
+    // LogicalRDD scan, not `.cache()`: cache reuse already stopped the
+    // pair-derivation (LSH banding) from recomputing per round, but every
+    // round's join still carried the FULL derivation plan through
+    // analysis/optimization — the loop was planning-bound, the same
+    // loop-invariant cut Graph's operators take. The bridge truncates the
+    // per-round plan to a Scan ExistingRDD.
+    val edgesPlan = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))
         .filter(col("id_a").isNotNull && col("id_b").isNotNull))
-      .distinct().cache()
+      .distinct()
+    val edgesRdd = org.apache.spark.sql.graftbridge.InternalRowBridge
+      .toRdd(edgesPlan).map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = org.apache.spark.sql.graftbridge.InternalRowBridge
+      .fromRdd(edgesPlan.sparkSession, edgesRdd, edgesPlan.schema)
+    def releaseEdges(): Unit = { edgesRdd.unpersist(blocking = false); () }
     // small-graph fast path (same reasoning as broadcasting a small join
     // side): a bounded edge set is solved exactly on the driver with
     // union-find — O(E α) and ZERO iterative Spark jobs, where the
     // distributed loop pays a join + aggregate + action per round. The
     // bound is BYTES, measured, not just an edge count — string ids can be
     // hundreds of bytes each, so a count-only bound could collect
-    // gigabytes. Pass smallGraphEdges = 0 to force the distributed path.
+    // gigabytes. Pass smallGraphEdges = 0 to force the distributed path
+    // (which also SKIPS the size-probe action — it could only ever answer
+    // "take the loop", so running it would be a wasted pass at scale).
     // At 100 TB the dup graph exceeds the bound and takes the loop below.
-    val idIsString = edges.schema("src").dataType ==
-      org.apache.spark.sql.types.StringType
-    val sizeRow = edges.agg(
-      count(lit(1)).as("n"),
-      (if (idIsString)
-         sum(octet_length(col("src")) + octet_length(col("dst")))
-       else count(lit(1)) * lit(16L)).cast("long").as("bytes")).head()
-    val edgeCount = sizeRow.getLong(0)
-    val edgeBytes = if (sizeRow.isNullAt(1)) 0L else sizeRow.getLong(1)
-    if (edgeCount <= smallGraphEdges && edgeBytes <= (64L << 20)) {
-      val labels = driverUnionFind(edges)
-      edges.unpersist()
-      return Managed(labels, () => ())
+    if (smallGraphEdges > 0) {
+      val idIsString = edges.schema("src").dataType ==
+        org.apache.spark.sql.types.StringType
+      val sizeRow = edges.agg(
+        count(lit(1)).as("n"),
+        (if (idIsString)
+           sum(octet_length(col("src")) + octet_length(col("dst")))
+         else count(lit(1)) * lit(16L)).cast("long").as("bytes")).head()
+      val edgeCount = sizeRow.getLong(0)
+      val edgeBytes = if (sizeRow.isNullAt(1)) 0L else sizeRow.getLong(1)
+      if (edgeCount <= smallGraphEdges && edgeBytes <= (64L << 20)) {
+        val labels = driverUnionFind(edges)
+        releaseEdges()
+        return Managed(labels, () => ())
+      }
     }
     var labels = edges.select(col("src").as("id"))
       .distinct()
@@ -548,7 +565,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
+    releaseEdges()
     if (!converged)
       // partially-propagated labels are WRONG clusters for any component
       // whose diameter exceeds the iteration budget — never fail silently
