@@ -33,6 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Loop-invariant materialization WITHOUT eager execution: persist the
+    * InternalRow RDD ourselves and wrap it back as a LogicalRDD scan —
+    * the plan is truncated like `localCheckpoint`, but nothing computes
+    * until the first action over the returned frame (calling the
+    * operator never runs Spark jobs — plan-only inspection stays free),
+    * and the persisted blocks are reclaimed by the ContextCleaner once
+    * the result frame is dropped, instead of orphaned checkpoint blocks
+    * accumulating across calls in a long-lived session. Same pattern as
+    * `Dedup.dupClustersManaged`'s truncation rounds. */
+  private def materializeOnce(df: DataFrame): DataFrame = {
+    val rdd = org.apache.spark.sql.graftbridge.InternalRowBridge
+      .toRdd(df).map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    org.apache.spark.sql.graftbridge.InternalRowBridge
+      .fromRdd(df.sparkSession, rdd, df.schema)
+  }
+
   /** Host→host outlink edges of a crawled corpus (r16): the natural
     * composition of three shipped components — [[graft.functions
     * .HtmlKernels.links]] pulls every `<a href>`, [[graft.functions
@@ -82,15 +99,15 @@ object Graph {
     // mass vanishes), or a runtime error under ANSI mode.
     val posEdges = edges.filter(col("w").isNotNull && col("w") > 0L)
     val outw = posEdges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
-    // (src, dst, w, ow) — MATERIALIZED once (localCheckpoint): the frame
-    // is loop-invariant but referenced by every round, so without the
-    // cut the caller's whole edge-derivation plan (a fact-table star
-    // join, a crawl extraction) replays per round — exchange reuse
-    // sometimes saves it, but the materialized edge list makes the
-    // rounds' cost independent of how expensive the edges were to derive
-    val e = posEdges.join(outw, "src")
-      .select(col("src"), col("dst"), col("w"), col("ow"))
-      .localCheckpoint()
+    // (src, dst, w, ow) — MATERIALIZED once (lazily, on first action):
+    // the frame is loop-invariant but referenced by every round, so
+    // without the cut the caller's whole edge-derivation plan (a
+    // fact-table star join, a crawl extraction) replays per round —
+    // exchange reuse sometimes saves it, but the materialized edge list
+    // makes the rounds' cost independent of how expensive the edges
+    // were to derive
+    val e = materializeOnce(posEdges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow")))
     var ranks = nodes.select(col("id"), lit(1000000L).as("r"))
     var i = 0
     while (i < iters) {
@@ -136,11 +153,11 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"), col("w"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("wu"))
-    // symmetric closure MATERIALIZED once (localCheckpoint): referenced
-    // by every round — same loop-invariant cut as pageRankFixedPoint
-    val sym = und.select(col("a").as("v"), col("b").as("u"), col("wu"))
-      .unionAll(und.select(col("b").as("v"), col("a").as("u"), col("wu")))
-      .localCheckpoint()
+    // symmetric closure MATERIALIZED once (lazily): referenced by every
+    // round — same loop-invariant cut as pageRankFixedPoint
+    val sym = materializeOnce(
+      und.select(col("a").as("v"), col("b").as("u"), col("wu"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("u"), col("wu"))))
     var labels = nodes.select(col("id"), col("id").as("lbl"))
     var i = 0
     while (i < iters) {
@@ -180,12 +197,11 @@ object Graph {
     // the canonical pair set appears THREE times in the wedge-close plan
     // (wedge left, wedge right, closing probe) — materialize it once so
     // the caller's edge derivation never replays per reference
-    val und = edges.select(
+    val und = materializeOnce(edges.select(
         least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val wedges = und.join(
         und.select(col("a").as("b2"), col("b").as("c")),
         col("b") === col("b2"))

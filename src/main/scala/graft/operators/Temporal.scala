@@ -170,7 +170,14 @@ object Temporal {
     // once per containing basket. Fan-out is C(|basket|,2) either way —
     // a pathological hot basket needs the same upstream cap in both
     // shapes.
+    // NULL-basket rows are excluded up front: the join shape this
+    // replaces keyed on `__b === __b2`, and null equality never matches,
+    // so a NULL basket contributed no pairs — groupBy would instead
+    // treat NULL as a regular group and co-occur all its items. (NULL
+    // items need no twin filter: collect_list drops nulls, matching the
+    // join's null-never-compares `<`.)
     val baskets = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .filter(col("__b").isNotNull)
       .groupBy(col("__b"))
       .agg(array_sort(array_distinct(collect_list(col("__i")))).as("__xs"))
     val pairs = flatten(transform(col("__xs"), (x, i) =>

@@ -49,6 +49,15 @@ object Catalog {
     case Some(x) => encodeValue(x)
     case other   => URLEncoder.encode(other.toString, StandardCharsets.UTF_8.name())
   }
+
+  /** Recursive delete, tolerant of a vanished path. */
+  private[store] def rmTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.iterator().forEachRemaining(rmTree(_)) finally st.close()
+    }
+    Files.deleteIfExists(p); ()
+  }
 }
 
 /** Versioned, copy-on-write table catalog — the mutable-table layer the
@@ -89,6 +98,22 @@ final class Catalog(val root: String) {
   private val manifestPath: Path = rootPath.resolve("manifest.json")
   private val historyDir: Path = rootPath.resolve("_history")
   Files.createDirectories(rootPath)
+  // Open-time sweep of crashed-run staging leftovers: a process killed
+  // mid-multi-slice-staging leaves a .stage-<uuid> shell behind (the
+  // in-process cleanup is try/finally, but a crash skips finally). Stage
+  // dirs are process-private scratch — never referenced by any manifest —
+  // so sweeping them on open is always safe for THIS catalog's readers;
+  // a concurrently-alive writer on the same root is already excluded by
+  // the single-writer OCC model.
+  locally {
+    if (Files.isDirectory(rootPath)) {
+      val st = Files.list(rootPath)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".stage-"))
+        .foreach(p => scala.util.Try(Catalog.rmTree(p)))
+      finally st.close()
+    }
+  }
 
   /** table name → (partition key → current version id), or empty map. */
   def manifest(): Map[String, Map[String, String]] =

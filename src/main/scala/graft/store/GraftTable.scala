@@ -1085,38 +1085,38 @@ final class Txn(catalog: Catalog, opts: TxnOptions = TxnOptions(timeoutMs = 0)) 
       val touched = s.touched.toSeq.sorted
       val stageRoot = java.nio.file.Paths.get(catalog.root)
         .resolve(s".stage-${java.util.UUID.randomUUID().toString.replace("-", "")}")
-      raw.filter(col("__pk").isin(touched: _*))
-        .withColumn("__pkdir", concat(lit("p"), hex(col("__pk"))))
-        .select((t.schema.fieldNames.map(col) :+ col("__pkdir")).toIndexedSeq: _*)
-        .write.mode("overwrite").options(t.bloomWriteOptions)
-        .partitionBy("__pkdir").parquet(stageRoot.toString)
-      touched.foreach { pk =>
-        val (v, dir) = catalog.newVersionDir(t.name, pk)
-        val hexName = "p" + pk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          .map("%02X".format(_)).mkString
-        val src = stageRoot.resolve(s"__pkdir=$hexName")
-        val dest = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.createDirectories(dest.getParent)
-        if (java.nio.file.Files.isDirectory(src))
-          java.nio.file.Files.move(src, dest) // same filesystem: under catalog.root
-        else
-          // a touched slice every row left (e.g. all its keys deleted)
-          // stays in the manifest as an empty directory — same contract
-          // as the single-slice path's empty write
-          java.nio.file.Files.createDirectories(dest)
-        SliceStats.writeSidecar(t.spark, dir, t.bloomCols.toSet)
-        dirs += (pk -> dir)
-        parts += (pk -> Some(v))
-      }
-      // drop the staging shell (_SUCCESS marker; all slice dirs moved out)
-      def rmTree(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.iterator().forEachRemaining(rmTree(_)) finally st.close()
+      // Cleanup is exception-safe: whatever the move loop managed, the
+      // stage shell is always swept (finally), so a mid-loop failure
+      // (dest dir exists, partial FS fault) cannot leak a .stage-* dir
+      // under catalog.root. Unpublished version dirs a failed txn leaves
+      // behind are invisible to readers (never entered the manifest) and
+      // vacuumable; crashed-process leftovers are swept by the Catalog's
+      // open-time stale-stage sweep.
+      try {
+        raw.filter(col("__pk").isin(touched: _*))
+          .withColumn("__pkdir", concat(lit("p"), hex(col("__pk"))))
+          .select((t.schema.fieldNames.map(col) :+ col("__pkdir")).toIndexedSeq: _*)
+          .write.mode("overwrite").options(t.bloomWriteOptions)
+          .partitionBy("__pkdir").parquet(stageRoot.toString)
+        touched.foreach { pk =>
+          val (v, dir) = catalog.newVersionDir(t.name, pk)
+          val hexName = "p" + pk.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map("%02X".format(_)).mkString
+          val src = stageRoot.resolve(s"__pkdir=$hexName")
+          val dest = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.createDirectories(dest.getParent)
+          if (java.nio.file.Files.isDirectory(src))
+            java.nio.file.Files.move(src, dest) // same filesystem: under catalog.root
+          else
+            // a touched slice every row left (e.g. all its keys deleted)
+            // stays in the manifest as an empty directory — same contract
+            // as the single-slice path's empty write
+            java.nio.file.Files.createDirectories(dest)
+          SliceStats.writeSidecar(t.spark, dir, t.bloomCols.toSet)
+          dirs += (pk -> dir)
+          parts += (pk -> Some(v))
         }
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
-      rmTree(stageRoot)
+      } finally Catalog.rmTree(stageRoot)
     }
     working += (t.name -> dirs)
     staged += (t.name -> parts)
