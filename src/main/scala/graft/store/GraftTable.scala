@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.query.Where
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -910,6 +910,8 @@ final class GraftTable(
   private[store] def checkpointDelta(tagged: DataFrame, keyCols: Seq[String])
       : (DataFrame, Long, Long, Set[String]) = {
     val dataCols = schema.fieldNames.toSeq
+    val viaDriver = localDelta(tagged, keyCols)
+    if (viaDriver.isDefined) return viaDriver.get
     val marked = touch(tagged, timestampCols)
       .withColumn("__mid", monotonically_increasing_id())
     // among rows sharing a key, a non-delete image ranks first; __keep
@@ -942,6 +944,99 @@ final class GraftTable(
       m("pks").asInstanceOf[scala.collection.Seq[String]].toSet)
   }
 
+  /** Partition-column types whose driver-side `toString` agrees exactly
+    * with Spark's `cast(col as string)` — the [[localDelta]] fast path
+    * only fires when the landing-slice key can be derived on the driver
+    * byte-identically to [[partKeyCol]]. */
+  private val driverSafePartTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(StringType, BooleanType, ByteType, ShortType, IntegerType, LongType)
+  }
+
+  /** [[checkpointDelta]]'s DRIVER-SIDE fast path: a delta whose optimized
+    * plan is a `LocalRelation` (literal batches — index meta rows,
+    * cursor rows, small Seq-built upserts) is already driver-resident
+    * metadata, so the survivor rank, counts, landing-slice census and
+    * constraint census all compute in plain Scala and the window
+    * shuffle + Observation + localCheckpoint job of the Spark path never
+    * runs — ZERO jobs for the checkpoint (the `collect()` of a
+    * LocalTableScan is executeCollect, no job). Semantics are identical
+    * by construction: survivor = the first non-delete image of each key
+    * in input order (exactly what `row_number` over (__del, __mid)
+    * picks on a LocalRelation's order-preserving ids), NULL key columns
+    * group as equal (window partitioning semantics), and the slice key
+    * replicates [[partKeyCol]] through [[Catalog.encodeValue]] — gated
+    * on [[driverSafePartTypes]] so a cast-vs-toString divergence
+    * (timestamps, decimals) falls back to the Spark path. */
+  private def localDelta(tagged: DataFrame, keyCols: Seq[String])
+      : Option[(DataFrame, Long, Long, Set[String])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val isLocal = tagged.queryExecution.optimizedPlan match {
+      case l: LocalRelation => l.data.lengthCompare(10000) <= 0
+      case _ => false
+    }
+    if (!isLocal) return None
+    if (partitionCols.exists(c => !driverSafePartTypes.contains(schema(c).dataType)))
+      return None
+    val dataCols = schema.fieldNames.toSeq
+    val inSchema = tagged.schema // dataCols :+ __del, by both callers
+    def idxOf(c: String): Int = inSchema.fieldIndex(c)
+    val rows = tagged.collect() // LocalTableScan: executeCollect, no job
+    val delIdx = idxOf("__del")
+    val keepIdx = inSchema.length // appended last
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val tsIdx = timestampCols.filter(schema.fieldNames.contains)
+      .map(idxOf).toSet
+    val keyIdx = keyCols.map(idxOf)
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+    var nDel = 0L
+    val out = rows.map { r =>
+      val del = r.getBoolean(delIdx)
+      if (del) nDel += 1
+      val key = keyIdx.map(r.get)
+      // first non-delete image per key survives; tombstones never do
+      val keep = !del && seen.add(key)
+      val vals = r.toSeq.zipWithIndex.map {
+        case (_, i) if tsIdx.contains(i) => now
+        case (v, i) if i == delIdx => v
+        case (v, _) => v
+      }
+      Row.fromSeq(vals :+ keep)
+    }
+    val keepers = out.filter(r => r.getBoolean(keepIdx))
+    import org.apache.spark.sql.types._
+    // every data field nullable=true, matching what the Spark path's
+    // input frames carry: with the DECLARED nullability the optimizer
+    // would fold the rare-path `isNull` violation probes to false and a
+    // constraint breach would write instead of throwing
+    val chkSchema = StructType(
+      schema.fields.toSeq.map(f => StructField(f.name, f.dataType, nullable = true)) ++ Seq(
+        StructField("__del", BooleanType, nullable = false),
+        StructField("__keep", BooleanType, nullable = false)))
+    val chk = spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), chkSchema)
+    val nUp = keepers.length.toLong
+    val pks: Set[String] =
+      if (keepers.isEmpty) Set.empty
+      else if (partitionCols.isEmpty) Set(Catalog.AllKey)
+      else keepers.map(r => partitionCols.map(c =>
+        s"$c=${Catalog.encodeValue(r.get(idxOf(c)))}").mkString(",")).toSet
+    // constraint census over survivors — same rare-path classification
+    val requiredIdx = schema.fields.filterNot(_.nullable).map(f => idxOf(f.name)).toSeq
+    def chars(s: String): Int = s.codePointCount(0, s.length)
+    val anyViol = keepers.exists { r =>
+      requiredIdx.exists(r.isNullAt) ||
+        maxLengths.exists { case (c, mx) =>
+          val i = idxOf(c)
+          !r.isNullAt(i) && chars(r.getString(i)) > mx }
+    }
+    if (anyViol)
+      validateUpdated(
+        chk.filter(col("__keep")).select(dataCols.map(col): _*),
+        schema.fieldNames.toSet)
+    Some((chk, nUp, nDel, pks))
+  }
+
   /** MERGE: rows whose key exists replace the existing row (update wins),
     * the rest append — Prisma `upsert` (`effect.ts:535-541`). Touches the
     * slices the incoming rows land in plus the slices their pre-image rows
@@ -956,8 +1051,13 @@ final class GraftTable(
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val keysOnly = incoming.select(keyCols.map(col): _*)
     val kept = current.join(keysOnly, keyCols, "left_anti")
-    val replaced = current.join(keysOnly, keyCols, "left_semi")
-    val touched = inParts ++ pkStats(replaced)._1
+    // replaced-slice census: on an UNPARTITIONED table there is only one
+    // slice, so whenever anything survives the census can only re-state
+    // `inParts` — skip the probe action (a partitioned table still needs
+    // it: a key's pre-image may live in a different slice than it lands)
+    val touched =
+      if (partitionCols.isEmpty && inParts.nonEmpty) inParts
+      else inParts ++ pkStats(current.join(keysOnly, keyCols, "left_semi"))._1
     (Staged(kept.unionByName(incoming), touched, n), incoming)
   }
 
@@ -993,9 +1093,13 @@ final class GraftTable(
     val kept = current.join(affected, pk, "left_anti")
     // touched: the slices upserts LAND in plus the slices this table
     // currently holds any affected key in (the source's partition values
-    // in the delete images may not be this mirror's layout)
-    val replaced = current.join(affected, pk, "left_semi")
-    val touched = inParts ++ pkStats(replaced)._1
+    // in the delete images may not be this mirror's layout). On an
+    // UNPARTITIONED table with any survivor the census can only re-state
+    // `inParts` — skip the probe action (delete-only batches still need
+    // it: whether the lone slice is touched depends on a key matching)
+    val touched =
+      if (partitionCols.isEmpty && inParts.nonEmpty) inParts
+      else inParts ++ pkStats(current.join(affected, pk, "left_semi"))._1
     (Staged(kept.unionByName(ups), touched, nUp + nDel), ups)
   }
 }

@@ -148,6 +148,84 @@ class StagingSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(dirs("bucket=0")).isDirectory)
   }
 
+  test("FK semantics pin: a LOSING duplicate image with a dangling FK is accepted") {
+    // validate-what-is-written (r17 behavior change, asserted as intended):
+    // FK probes run over the deduped SURVIVORS, so a duplicate image that
+    // loses the survivor rank may carry an orphan FK without rejecting the
+    // batch — like ON CONFLICT resolution happening before FK checks.
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-stage-fk").toString)
+    val parent = new GraftTable(spark, cat, "p", StructType(Seq(
+      StructField("pid", LongType, nullable = false))),
+      uniqueKeys = Seq(Seq("pid")))
+    val child = new GraftTable(spark, cat, "c", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("pid", LongType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")))
+    parent.onDeleteRestrict(child, "pid", "pid")
+    parent.createMany(Seq(1L, 2L).toDF("pid"))
+    // key 10 arrives twice: the FIRST image (valid FK) wins; the losing
+    // second image references pid=999 which exists nowhere — accepted
+    val n = child.upsert(Seq("id"),
+      Seq((10L, 1L), (10L, 999L), (11L, 2L)).toDF("id", "pid"))
+    assert(n == 2L)
+    assert(child.snapshot().filter(col("id") === 10 && col("pid") === 1).count() == 1)
+    // and a SURVIVING orphan image still throws P2003
+    intercept[ForeignKeyViolationException] {
+      child.upsert(Seq("id"), Seq((12L, 999L)).toDF("id", "pid"))
+    }
+    ()
+  }
+
+  test("driver-side local-delta path: hostile partition values, counts, tombstones") {
+    // literal (LocalRelation) deltas take the zero-job driver checkpoint;
+    // the landing-slice keys must match the Spark-side partKeyCol encoding
+    // for every hostile value, and applyChanges semantics (survivor rank,
+    // tombstone counts) must be unchanged.
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-stage-local").toString)
+    val t = new GraftTable(spark, cat, "docs", StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("source", StringType, nullable = true))),
+      uniqueKeys = Seq(Seq("id")), partitionCols = Seq("source"))
+    val hostile = Seq("a b", "x=1/2", "100%", "café", "", "p,q", null)
+    val rows = hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    assert(t.upsert(Seq("id"), rows.toDF("id", "source")) == hostile.size.toLong)
+    hostile.foreach { s =>
+      val cond = if (s == null) col("source").isNull else col("source") === s
+      assert(t.snapshot().filter(cond).count() == 1, s"value <$s> lost")
+    }
+    assert(cat.partVersions("docs").keySet.contains("source=__NULL__"))
+    // applyChanges with a duplicate upsert image and a tombstone, all local
+    val txn = new Txn(cat)
+    val applied = txn.applyChanges(t, Seq(
+      (0L, "winner", "insert"), (0L, "loser", "update_postimage"),
+      (1L, null: String, "delete")).toDF("id", "source", "_change_type"))
+    txn.commit()
+    assert(applied == 2L) // one surviving upsert + one tombstone
+    assert(t.snapshot().filter(col("id") === 0 && col("source") === "winner").count() == 1)
+    assert(t.snapshot().filter(col("id") === 1).count() == 0)
+  }
+
+  test("a 1-row literal upsert on an unpartitioned table runs ≤2 root executions") {
+    // the index-meta shape: LocalRelation delta → driver-side checkpoint
+    // (no job), unpartitioned table → no replaced-slice census; what's
+    // left is the slice write (and bounded FK/validation probes — none
+    // here). The pre-r18 shape paid checkpoint + census + write.
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-stage-meta").toString)
+    val t = new GraftTable(spark, cat, "meta", StructType(Seq(
+      StructField("mid", IntegerType, nullable = false),
+      StructField("v", LongType, nullable = false))),
+      uniqueKeys = Seq(Seq("mid")))
+    t.createMany(Seq((0, 1L)).toDF("mid", "v"))
+    val execs = countExecs {
+      t.upsert(Seq("mid"), Seq((0, 2L)).toDF("mid", "v"))
+    }
+    assert(execs <= 2, s"tiny literal upsert regressed: $execs root executions (budget 2)")
+    assert(t.snapshot().filter(col("mid") === 0 && col("v") === 2L).count() == 1)
+  }
+
   test("duplicate-key upsert images: one frozen survivor, counts exact") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-stage-dup").toString)
