@@ -32,7 +32,12 @@ object ProfileJobs {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .filter(_.nonEmpty)
+          // result stage's name carries the action call site when the
+          // submitting thread set no callSite property
+          .orElse(j.stageInfos.lastOption.map(_.name))
+          .getOrElse("?")
         val rec = J(j.jobId, site, j.time)
         jobs.put(j.jobId, rec); order.add(rec); ()
       }
