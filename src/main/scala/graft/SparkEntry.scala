@@ -1761,7 +1761,12 @@ object SparkEntry {
       val j = (pmod(col("doc_id"), lit(48)) + 1).cast("int")
       val sentArr = array(L.FixtureSentences.map(t => lit(t._2)): _*)
       val langArr = array(L.FixtureSentences.map(t => lit(t._1)): _*)
-      val probes = Tables.documents(s, dir).select(col("doc_id"),
+      // par: the probe's per-row kernel work (char-trigram expansion +
+      // md5 bucket per gram, ~500 grams/doc) runs below the first
+      // exchange, so the one-file test parquet would pin it to a single
+      // core — same single-scan bound as the r17 codec gates; no-op at
+      // real scale where the scan has many splits
+      val probes = par(s, Tables.documents(s, dir)).select(col("doc_id"),
         element_at(langArr, j).as("lang_planted"),
         concat(element_at(sentArr, j), lit(" "),
           substring(col("text"), 1, 24)).as("ptxt"))
