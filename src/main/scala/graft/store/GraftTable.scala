@@ -971,6 +971,16 @@ final class GraftTable(
   private def localDelta(tagged: DataFrame, keyCols: Seq[String])
       : Option[(DataFrame, Long, Long, Set[String])] = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // Cheap pre-check on the ANALYZED plan first: reading optimizedPlan
+    // runs a full optimizer pass that the Spark path then throws away
+    // (its downstream actions build fresh QueryExecutions), and the
+    // change-feed deltas behind applyChanges are manifest-diff join
+    // trees expensive enough to optimize that paying it per mutation
+    // measurably slowed the CDC gates. Only a plan whose every leaf is
+    // already a LocalRelation can fold to one.
+    val leavesLocal = tagged.queryExecution.analyzed.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation])
+    if (!leavesLocal) return None
     val isLocal = tagged.queryExecution.optimizedPlan match {
       case l: LocalRelation => l.data.lengthCompare(10000) <= 0
       case _ => false
