@@ -85,18 +85,32 @@ object Clustering {
           first(col("__e")).as("__e"))
     }
 
-    (1 to iters).foreach { _ =>
-      centers = assign(pts)
-        .select(col("cid"), posexplode(col("__e")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .withColumn("v", expr("(s * 1000) div n"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("cid"), transform(col("pv"), x => x.getField("v")).as("__c"))
-        .collect().toIndexedSeq
-        .map(r => (r.getLong(0), r.getSeq[Long](1)))
-        .sortBy(_._1)
+    // Each refinement round is ONE partial-aggregate pass
+    // ([[graft.functions.PqRoundAgg]] with a single full-dimension
+    // subspace): the scan-side kernel assigns each point to its nearest
+    // center (exact integer distances, smallest-cid ties — bit-identical
+    // to the crossJoin + min_by plan this replaces, which materialized a
+    // k-fold row blowup, shuffled every embedding through the per-id
+    // argmin, and exploded dim rows per point for the update) and
+    // accumulates k·(dim+1) integer sums per task. Centers are kept
+    // ascending by cid, so kernel index order IS cid order and the
+    // smallest-index tie-break matches min_by's smallest-cid. A center
+    // that loses every member has count 0 and drops out — the same
+    // GROUP-BY-mirrored contract as before.
+    val dim = if (seedRows.isEmpty) 0 else seedRows(0).getSeq[Long](0).length
+    if (centers.nonEmpty) (1 to iters).foreach { _ =>
+      val flat = centers.flatMap(_._2).toArray
+      val arr = pts.select(graft.functions.PqRound
+        .roundAgg(col("__e"), flat, 1, centers.length, dim))
+        .head().getSeq[Long](0)
+      centers = centers.indices.flatMap { j =>
+        val base = j * (dim + 1)
+        val n = arr(base + dim)
+        if (n == 0L) None
+        // milli sums are non-negative, so / is the floor `div` the SQL
+        // round plan used
+        else Some((centers(j)._1, (0 until dim).map(p => arr(base + p) * 1000L / n)))
+      }
     }
 
     assign(pts).select(col("id"), col("cid")).orderBy(col("id"))
